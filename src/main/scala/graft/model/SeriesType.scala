@@ -1,0 +1,145 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** One of the reference's five accumulation semantics (kairos
+  * timeseries.py:792-1041). Each type defines how raw datapoints fold
+  * into a bucket state, the empty-bucket value, and the built-in
+  * transforms.
+  *
+  * Design note (the core Spark-first decision): all five types are
+  * monoids, so rather than fold-then-merge (insert → condense →
+  * collapse → join as separate passes, as the reference's storage model
+  * forces), batch reads aggregate the raw bucket log ONCE at the output
+  * granularity. A composite order key `ord = struct(i_time?, r_time?,
+  * name_idx, seq)` reproduces the reference's deterministic merge order
+  * (resolution-bucket order, then series-list order, then arrival
+  * order — timeseries.py:727-745, sql_backend.py:268,312). One shuffle,
+  * map-side partial aggregation, no nested map merges: the shape that
+  * survives 100 TB.
+  */
+sealed trait SeriesType extends Serializable {
+  def typeName: String
+
+  /** Aggregate raw rows (columns: groupCols ++ value, ord) into one
+    * state row per group, output column `value`. */
+  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame
+
+  /** Value of an empty bucket (timeseries.py _type_no_value). */
+  def empty(valueType: DataType): Column
+
+  /** Built-in transform `t` over the aggregated `data`; None when the
+    * type doesn't support it (the caller then returns data unaltered,
+    * matching the reference's pass-through, timeseries.py:914-923). */
+  def transformExpr(t: String, data: Column, stepSize: Column): Option[Column]
+
+  protected def grouped(df: DataFrame, groupCols: Seq[String])(aggs: Column*): DataFrame =
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+}
+
+/** `series`: arrival-ordered list per bucket (timeseries.py:792-843). */
+case object SeriesT extends SeriesType {
+  val typeName = "series"
+  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    grouped(df, groupCols)(
+      transform(array_sort(collect_list(struct(col("ord"), col("value")))),
+        e => e("value")).as("value"))
+  def empty(vt: DataType): Column = array().cast(ArrayType(vt))
+  def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
+    case "mean" =>
+      Some(when(size(data) === 0, lit(0.0))
+        .otherwise(F.aggregate(data, lit(0.0), (a, x) => a + x) / size(data)))
+    case "count" => Some(size(data).cast(LongType))
+    case "min"   => Some(when(size(data) === 0, lit(0.0)).otherwise(array_min(data).cast(DoubleType)))
+    case "max"   => Some(when(size(data) === 0, lit(0.0)).otherwise(array_max(data).cast(DoubleType)))
+    case "sum"   => Some(F.aggregate(data, lit(0.0), (a, x) => a + x))
+    case "rate"  => Some(size(data) / step)
+    case _       => None
+  }
+}
+
+/** `histogram`: map value → observation count (timeseries.py:845-904).
+  * Fold = two-level groupBy (value-level count, then map_from_entries) —
+  * both levels partial-aggregate map-side; merge at coarser output
+  * granularities falls out of grouping the raw log at that granularity
+  * (no map-merge aggregator needed on the batch path). */
+case object HistogramT extends SeriesType {
+  val typeName = "histogram"
+  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val counted = df.groupBy((groupCols :+ "value").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    grouped(counted, groupCols)(
+      map_from_entries(array_sort(collect_list(struct(col("value"), col("cnt")))))
+        .as("value"))
+  }
+  def empty(vt: DataType): Column =
+    map_from_arrays(array().cast(ArrayType(vt)), array().cast(ArrayType(LongType)))
+  def transformExpr(t: String, data: Column, step: Column): Option[Column] = {
+    def entries = map_entries(data)
+    def sumKV = F.aggregate(entries, lit(0.0), (a, e) => a + e("key") * e("value"))
+    def sumV = F.aggregate(entries, lit(0L), (a, e) => a + e("value"))
+    t match {
+      case "mean"  => Some(when(size(entries) === 0, lit(0.0)).otherwise(sumKV / sumV))
+      case "count" => Some(sumV)
+      case "min"   => Some(when(size(entries) === 0, lit(0.0)).otherwise(array_min(map_keys(data)).cast(DoubleType)))
+      case "max"   => Some(when(size(entries) === 0, lit(0.0)).otherwise(array_max(map_keys(data)).cast(DoubleType)))
+      case "sum"   => Some(sumKV)
+      case "rate"  => Some(transform_values(data, (_, v) => v / step))
+      case _       => None
+    }
+  }
+}
+
+/** `count`: running sum of increments (timeseries.py:906-946). */
+case object CountT extends SeriesType {
+  val typeName = "count"
+  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    grouped(df, groupCols)(coalesce(sum(col("value")), lit(0.0)).as("value"))
+  def empty(vt: DataType): Column = lit(0).cast(DoubleType)
+  def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
+    case "rate" => Some(data / step)
+    case _      => None
+  }
+}
+
+/** `gauge`: last written value wins (timeseries.py:948-988). The joined
+  * gauge quirk — "last named series with data" (:981-988) — falls out of
+  * max_by over the composite ord (name_idx before seq). */
+case object GaugeT extends SeriesType {
+  val typeName = "gauge"
+  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    grouped(df, groupCols)(max_by(col("value"), col("ord")).as("value"))
+  def empty(vt: DataType): Column = lit(null).cast(vt)
+  def transformExpr(t: String, data: Column, step: Column): Option[Column] = None
+}
+
+/** `set`: distinct values per bucket (timeseries.py:990-1041). Sorted
+  * array representation keeps results deterministic for comparison. */
+case object SetT extends SeriesType {
+  val typeName = "set"
+  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    grouped(df, groupCols)(array_sort(collect_set(col("value"))).as("value"))
+  def empty(vt: DataType): Column = array().cast(ArrayType(vt))
+  def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
+    case "mean" =>
+      Some(when(size(data) === 0, lit(0.0))
+        .otherwise(F.aggregate(data, lit(0.0), (a, x) => a + x) / size(data)))
+    case "count" => Some(size(data).cast(LongType))
+    case "min"   => Some(when(size(data) === 0, lit(0.0)).otherwise(array_min(data).cast(DoubleType)))
+    case "max"   => Some(when(size(data) === 0, lit(0.0)).otherwise(array_max(data).cast(DoubleType)))
+    case "sum"   => Some(F.aggregate(data, lit(0.0), (a, x) => a + x))
+    case "rate"  => Some(size(data) / step)
+    case _       => None
+  }
+}
+
+object SeriesType {
+  val all: Seq[SeriesType] = Seq(SeriesT, HistogramT, CountT, GaugeT, SetT)
+  def apply(name: String): SeriesType =
+    all.find(_.typeName == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown series type $name"))
+}
