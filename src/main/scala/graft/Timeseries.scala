@@ -225,8 +225,12 @@ class Timeseries(
       } else {
         val axis = TimeColumns.axis(spark, sp.iCalc, sp.iCalc.fromBucket(b0), sp.iCalc.fromBucket(b1))
           .filter(col("i_time").between(b0, b1))
-        broadcast(axis).join(agged, Seq("i_time"), "left")
-          .select(col("i_time"), coalesce(col("value"), seriesType.empty(valueType)).as("value"))
+        // axis is the preserved side, so the broadcast (build) side must
+        // be the aggregated result — bounded by #buckets × #names, small
+        // by construction for any per-stat read
+        axis.join(broadcast(agged), Seq("i_time"), "left")
+          .select(col("i_time"),
+            coalesce(col("value"), seriesType.empty(agged.schema("value").dataType)).as("value"))
       }
 
     // step size for transforms (timeseries.py:599-610, 693-717)

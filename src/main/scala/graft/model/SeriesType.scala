@@ -28,8 +28,10 @@ sealed trait SeriesType extends Serializable {
     * state row per group, output column `value`. */
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame
 
-  /** Value of an empty bucket (timeseries.py _type_no_value). */
-  def empty(valueType: DataType): Column
+  /** Value of an empty bucket (timeseries.py _type_no_value), cast to
+    * the AGGREGATED value type (e.g. ArrayType(elem) for series) so the
+    * dense-fill coalesce lines up even when readFunc recast values. */
+  def empty(aggType: DataType): Column
 
   /** Built-in transform `t` over the aggregated `data`; None when the
     * type doesn't support it (the caller then returns data unaltered,
@@ -48,7 +50,7 @@ case object SeriesT extends SeriesType {
     grouped(df, groupCols)(
       transform(array_sort(collect_list(struct(col("ord"), col("value")))),
         e => e("value")).as("value"))
-  def empty(vt: DataType): Column = array().cast(ArrayType(vt))
+  def empty(aggType: DataType): Column = array().cast(aggType)
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "mean" =>
       Some(when(size(data) === 0, lit(0.0))
@@ -76,8 +78,8 @@ case object HistogramT extends SeriesType {
       map_from_entries(array_sort(collect_list(struct(col("value"), col("cnt")))))
         .as("value"))
   }
-  def empty(vt: DataType): Column =
-    map_from_arrays(array().cast(ArrayType(vt)), array().cast(ArrayType(LongType)))
+  def empty(aggType: DataType): Column =
+    map_from_arrays(array(), array()).cast(aggType)
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = {
     def entries = map_entries(data)
     def sumKV = F.aggregate(entries, lit(0.0), (a, e) => a + e("key") * e("value"))
@@ -99,7 +101,7 @@ case object CountT extends SeriesType {
   val typeName = "count"
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(coalesce(sum(col("value")), lit(0.0)).as("value"))
-  def empty(vt: DataType): Column = lit(0).cast(DoubleType)
+  def empty(aggType: DataType): Column = lit(0).cast(aggType)
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "rate" => Some(data / step)
     case _      => None
@@ -113,7 +115,7 @@ case object GaugeT extends SeriesType {
   val typeName = "gauge"
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(max_by(col("value"), col("ord")).as("value"))
-  def empty(vt: DataType): Column = lit(null).cast(vt)
+  def empty(aggType: DataType): Column = lit(null).cast(aggType)
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = None
 }
 
@@ -123,7 +125,7 @@ case object SetT extends SeriesType {
   val typeName = "set"
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(array_sort(collect_set(col("value"))).as("value"))
-  def empty(vt: DataType): Column = array().cast(ArrayType(vt))
+  def empty(aggType: DataType): Column = array().cast(aggType)
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "mean" =>
       Some(when(size(data) === 0, lit(0.0))
