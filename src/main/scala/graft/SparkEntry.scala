@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model._
+import graft.ops._
 import graft.time._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each entry in `queries` exercises one operator from SURVEY.md §2
-  * through the engine (graft.Timeseries / graft.ops), against the
-  * driver's parquet tables; `oracleSql` holds the DuckDB-equivalent SQL
-  * the driver hash-compares against at sf0.01.
+  * Each entry in `queries` exercises one operator from SURVEY.md §2 (or
+  * a beyond-reference pipeline operator) through the engine
+  * (graft.Timeseries / graft.ops) against the driver's parquet tables;
+  * `oracleSql` holds the DuckDB-equivalent SQL the driver hash-compares
+  * at sf0.01. Queries without an oracle entry (engine-specific hashing:
+  * minhash/simhash/LSH) get the driver's rows-only check.
   *
   * Float policy: any double produced by reordering-sensitive math
-  * (sums, means, rates) is round(_, 6) on BOTH sides so the hash
+  * (sums, means, rates, cosines) is round(_, 4..6) on BOTH sides so the
   * compare is immune to accumulation-order differences; exact values
   * (min/max/last/counts) are left untouched.
   */
@@ -32,103 +35,101 @@ object SparkEntry {
       raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
     else raw
   }
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The canonical kairos-style fixture over the events table:
-    * name=event_type, ts, value, seq=event_id (arrival order). */
+  /** Canonical kairos fixture over events: name=event_type, ts,
+    * value, seq=event_id (arrival order). */
   def eventLog(spark: SparkSession, dir: String, seriesType: SeriesType,
-      intervals: Map[String, IntervalSpec]): Timeseries = {
+      intervals: Map[String, IntervalSpec], value: Column = col("value")): Timeseries = {
     val t = new Timeseries(spark, seriesType, intervals)
-    val ev = events(spark, dir)
-    t.attach(t.bucketize(ev, col("event_type"), col("ts"), col("value"), col("event_id")))
+    t.attach(t.bucketize(events(spark, dir), col("event_type"), col("ts"), value, col("event_id")))
     t
   }
 
   val minuteHour: Map[String, IntervalSpec] = Map(
     "minute" -> IntervalSpec(TimeStep(60L)),
     "hour"   -> IntervalSpec(TimeStep(3600L), None, Some(TimeStep(60L))))
-
+  val minuteOnly: Map[String, IntervalSpec] = Map("minute" -> IntervalSpec(TimeStep(60L)))
+  val minuteTtl: Map[String, IntervalSpec] = Map("minute" -> IntervalSpec(TimeStep(60L), Some(1440)))
+  val hourFine: Map[String, IntervalSpec] = Map(
+    "hour" -> IntervalSpec(TimeStep(3600L), None, Some(TimeStep(60L))))
   val gregorian: Map[String, IntervalSpec] = Map(
     "daily"   -> IntervalSpec(TimeStep("daily")),
     "weekly"  -> IntervalSpec(TimeStep("weekly")),
     "monthly" -> IntervalSpec(TimeStep("monthly")),
     "yearly"  -> IntervalSpec(TimeStep("yearly")))
 
+  /** 2024-01-01T00:00:00Z — the fixed series anchor for the events data. */
+  val START: Long = 1704067200L
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ts_count_minute")(spark, "/root/testdata/sf0.001")
 
-  /** Aggregate the bucket log at (name, i_bucket) — the engine core the
-    * per-name kairos API fixes `name` on; inventory queries keep it as
-    * a grouping column. `ord` = (r_time, seq): resolution-bucket order
-    * then arrival order, the reference's condense/last-write order.
-    * Output i_time is the bucket id (convert with fromBucket as
-    * needed). */
+  /** Aggregate the bucket log at (name, i_bucket): the engine core the
+    * per-name kairos API fixes `name` on; inventory queries keep it as a
+    * grouping column. ord = (r_time, seq): resolution order then arrival
+    * order. Output i_time stays a bucket id. */
   private def grouped(t: Timeseries, interval: String): DataFrame = {
     val prepared = t.log
       .filter(col("interval") === interval)
       .select(col("name"), col("i_time"),
-        // numeric composite (r_time, seq) — r_time < 10^10, seq < 10^8
         (col("r_time") * lit(100000000L) + col("seq")).as("ord"),
         col("value"))
     t.seriesType.aggregate(prepared, Seq("name", "i_time"))
   }
 
-  private def bucketStart(c: Column, step: TimeStep): Column =
-    TimeColumns.fromBucket(c, step)
+  private def fromB(c: Column, step: TimeStep): Column = TimeColumns.fromBucket(c, step)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // =====================================================================
+  // kairos-parity queries (SURVEY.md §2)
+  // =====================================================================
 
-    // A3/G2: count-type fold at minute buckets per stat name
+  private val parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3/G2: count fold at minute buckets per stat
     "ts_count_minute" -> ((s, dir) => {
-      val t = eventLog(s, dir, CountT, minuteHour)
+      val t = eventLog(s, dir, CountT, minuteOnly)
       grouped(t, "minute")
-        .select(col("name"),
-          bucketStart(col("i_time"), minuteHour("minute").step).as("i_time"),
+        .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
           round(col("value"), 6).as("value"))
         .orderBy("name", "i_time")
     }),
 
-    // A4/G1+G4: gauge, hour interval condensed from minute resolution —
-    // last write of the latest resolution bucket wins
+    // A4/G1+G4: gauge condensed hour from minute resolution
     "ts_gauge_hour" -> ((s, dir) => {
-      val t = eventLog(s, dir, GaugeT, minuteHour)
+      val t = eventLog(s, dir, GaugeT, hourFine)
       grouped(t, "hour")
-        .select(col("name"),
-          bucketStart(col("i_time"), minuteHour("hour").step).as("i_time"),
-          col("value"))
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"), col("value"))
         .orderBy("name", "i_time")
     }),
 
-    // A5: set cardinality (distinct count) at hour buckets
+    // A5: set cardinality at hour buckets
     "ts_set_card_hour" -> ((s, dir) => {
-      val t = eventLog(s, dir, SetT, minuteHour)
+      val t = eventLog(s, dir, SetT, hourFine)
       grouped(t, "hour")
-        .select(col("name"),
-          bucketStart(col("i_time"), minuteHour("hour").step).as("i_time"),
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
           size(col("value")).cast(LongType).as("value"))
         .orderBy("name", "i_time")
     }),
 
-    // A2: histogram fold, exploded to (name, i_time, v, cnt) rows so
-    // the oracle is plain SQL
+    // A2: histogram fold exploded to rows
     "ts_histogram_daily" -> ((s, dir) => {
-      val t = eventLog(s, dir, HistogramT, gregorian)
+      val t = eventLog(s, dir, HistogramT, Map("daily" -> IntervalSpec(TimeStep("daily"))))
       grouped(t, "daily")
-        .select(col("name"),
-          bucketStart(col("i_time"), gregorian("daily").step).as("i_time"),
+        .select(col("name"), fromB(col("i_time"), TimeStep("daily")).as("i_time"),
           explode(col("value")).as(Seq("v", "cnt")))
         .orderBy("name", "i_time", "v")
     }),
 
-    // A1 + T1-T5: series fold with the whole transform matrix at hour
-    // buckets
+    // A1 + T1-T5: series fold + transform matrix
     "ts_series_transforms_hour" -> ((s, dir) => {
-      val t = eventLog(s, dir, SeriesT, minuteHour)
-      val step = minuteHour("hour").step
+      val t = eventLog(s, dir, SeriesT, hourFine)
+      val step = TimeStep(3600L)
       val stepCol = TimeColumns.stepSize(col("i_time"), step)
       grouped(t, "hour").select(
-        col("name"),
-        bucketStart(col("i_time"), step).as("i_time"),
+        col("name"), fromB(col("i_time"), step).as("i_time"),
         round(SeriesT.transformExpr("mean", col("value"), stepCol).get, 6).as("t_mean"),
         SeriesT.transformExpr("count", col("value"), stepCol).get.as("t_count"),
         SeriesT.transformExpr("min", col("value"), stepCol).get.as("t_min"),
@@ -138,19 +139,266 @@ object SparkEntry {
         .orderBy("name", "i_time")
     }),
 
-    // §1.2: Gregorian weekly %Y%U bucket (custom expression)
+    // S2/G6: fine uncondensed read — sparse (i_time, r_time) grid
+    "ts_fine_hour_minute" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, hourFine)
+      val prepared = t.log.filter(col("interval") === "hour")
+        .select(col("name"), col("i_time"), col("r_time"), col("value"))
+      CountT.aggregate(prepared, Seq("name", "i_time", "r_time"))
+        .select(col("name"),
+          fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
+          fromB(col("r_time"), TimeStep(60L)).as("r_time"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "i_time", "r_time")
+    }),
+
+    // G2+G6: series() range read with dense empty-bucket fill
+    "ts_series_dense_day" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteOnly)
+      t.series(Seq("click"), "minute", start = Some(START.toDouble), steps = Some(1440))
+        .select(col("i_time"), round(col("value"), 6).as("value"))
+    }),
+
+    // G4: condense fine hour data to interval level over a month range
+    "ts_condense_month" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, hourFine)
+      t.series(Seq("view"), "hour", start = Some(START.toDouble), steps = Some(720),
+        condense = true)
+        .select(col("i_time"), round(col("value"), 6).as("value"))
+    }),
+
+    // G5: collapse an entire range to one row keyed at first bucket
+    "ts_collapse_month" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteOnly)
+      t.series(Seq("purchase"), "minute", start = Some(START.toDouble), steps = Some(43200),
+        collapse = true)
+        .select(col("i_time"), round(col("value"), 6).as("value"))
+    }),
+
+    // G7: multi-stat join (union + re-aggregate at bucket level)
+    "ts_join_day" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteOnly)
+      t.series(Seq("click", "view"), "minute", start = Some(START.toDouble), steps = Some(1440))
+        .select(col("i_time"), round(col("value"), 6).as("value"))
+    }),
+
+    // G3: iterate — dense walk between first and last extant buckets
+    "ts_iterate_minute" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteOnly)
+      t.iterate(Seq("error"), "minute")
+        .select(col("i_time"), round(col("value"), 6).as("value"))
+    }),
+
+    // I6: insert fan-out intervals=+3 (value lands in bucket..bucket+3)
+    "ts_fanout_after3" -> ((s, dir) => {
+      val t = new Timeseries(s, CountT, minuteOnly)
+      val log = t.bucketize(events(s, dir), col("event_type"), col("ts"),
+        col("value"), col("event_id"), fanout = lit(3))
+      val prepared = log.select(col("name"), col("i_time"), col("value"))
+      CountT.aggregate(prepared, Seq("name", "i_time"))
+        .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "i_time")
+    }),
+
+    // D3/D4: retention — drop buckets past the TTL horizon at read
+    "ts_expire_day" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteTtl)
+      val nowSec = events(s, dir).agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      val kept = t.expired(nowSec.toDouble)
+        .select(col("name"), col("i_time"), col("value"))
+      CountT.aggregate(kept, Seq("name", "i_time"))
+        .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "i_time")
+    }),
+
+    // G8: properties — first/last bucket timestamps per stat
+    "ts_properties_minute" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteOnly)
+      t.log.filter(col("interval") === "minute")
+        .groupBy("name")
+        .agg(fromB(min(col("i_time")), TimeStep(60L)).as("first"),
+          fromB(max(col("i_time")), TimeStep(60L)).as("last"))
+        .orderBy("name")
+    }),
+
+    // G9: list — all stat names
+    "ts_list" -> ((s, dir) =>
+      events(s, dir).select(col("event_type").as("name")).distinct().orderBy("name")),
+
+    // §1.2: Gregorian weekly %Y%U bucket (custom weekly expression)
     "ts_gregorian_weekly" -> ((s, dir) => {
-      val t = eventLog(s, dir, CountT, gregorian)
+      val t = eventLog(s, dir, CountT, Map("weekly" -> IntervalSpec(TimeStep("weekly"))))
       val prepared = t.log.filter(col("interval") === "weekly")
         .select(col("name"), col("i_time"), col("value"))
       CountT.aggregate(prepared, Seq("name", "i_time"))
         .select(col("name"), col("i_time").as("bucket"), round(col("value"), 6).as("value"))
         .orderBy("name", "bucket")
     }),
+
+    // I7: count default increment (insert with no value counts 1)
+    "ts_gregorian_daily_count" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, Map("daily" -> IntervalSpec(TimeStep("daily"))),
+        value = lit(1.0))
+      val prepared = t.log.filter(col("interval") === "daily")
+        .select(col("name"), col("i_time"), col("value"))
+      CountT.aggregate(prepared, Seq("name", "i_time"))
+        .select(col("name"), col("i_time").as("bucket"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket")
+    }),
+
+    // T5 with variable Gregorian step: monthly rate (per-second)
+    "ts_gregorian_monthly_rate" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, Map("monthly" -> IntervalSpec(TimeStep("monthly"))))
+      val prepared = t.log.filter(col("interval") === "monthly")
+        .select(col("name"), col("i_time"), col("value"))
+      CountT.aggregate(prepared, Seq("name", "i_time"))
+        .select(col("name"), col("i_time").as("bucket"),
+          round(CountT.transformExpr("rate", col("value"),
+            TimeColumns.stepSize(col("i_time"), TimeStep("monthly"))).get, 6).as("rate"))
+        .orderBy("name", "bucket")
+    }),
   )
 
-  // NOTE: the driver sorts columns by name before hashing, so Spark
-  // and SQL column names/types must line up exactly.
+  // =====================================================================
+  // relational / bench headliners (SURVEY.md §2.8: what Spark adds)
+  // =====================================================================
+
+  private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan + filter + hash agg (pushdown + partial agg)
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 shape: broadcast dim join + shuffle join + top-k
+    "q3_top_orders" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // top-k without global sort (TakeOrdered path)
+    "events_top_users" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(round(sum(col("value")), 6).as("total"))
+        .orderBy(col("total").desc, col("user_id"))
+        .limit(20)),
+  )
+
+  // =====================================================================
+  // beyond-reference: training-data pipeline operators
+  // =====================================================================
+
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: one shuffle on content hash
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), col("text"), col("doc_id"))
+        .orderBy("content_hash")),
+
+    // MinHash+LSH near-dup pairs (engine-specific hashes → rows-only)
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLSH(table(s, dir, "documents"), col("text"), col("doc_id"),
+        shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash fingerprint near-dup pairs (rows-only)
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
+        maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // char-3-gram Jaccard pairs (rows-only)
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
+        n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-k (the exact baseline)
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only — bucket hash is engine-local)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 6)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // text stats: token counts, ratios, fingerprint
+    "text_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"),
+        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // language-ID heuristic + composite quality score
+    "text_langid_quality" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // multimodal: stubbed decode over BINARY media column (real plumbing)
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents")))
+        .orderBy("doc_id")),
+
+    // multimodal: frame sampling plan for video rows
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents"))), 10)
+        .select(col("doc_id"), col("n_frames"),
+          col("frame_idx").cast(LongType).as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parityQueries ++ relationalQueries ++ pipelineQueries
+
+  // =====================================================================
+  // DuckDB oracles (column names/types must match the Spark side)
+  // =====================================================================
+
+  private val minuteAxisDay = "SELECT unnest(generate_series(28401120, 28402559)) AS b"
+
   def oracleSql: Map[String, String] = Map(
 
     "ts_count_minute" ->
@@ -188,10 +436,193 @@ object SparkEntry {
          round(count(*)/3600.0, 6) AS t_rate
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
 
+    "ts_fine_hour_minute" ->
+      """SELECT event_type AS name,
+         CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+         CAST(floor(epoch(ts)/60) AS BIGINT)*60 AS r_time,
+         round(sum(value), 6) AS value
+         FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "ts_series_dense_day" ->
+      s"""WITH axis AS ($minuteAxisDay),
+         d AS (SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS b, sum(value) AS v
+               FROM events WHERE event_type='click' GROUP BY 1)
+         SELECT axis.b*60 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
+         FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
+
+    "ts_condense_month" ->
+      """WITH axis AS (SELECT unnest(generate_series(473352, 474071)) AS b),
+         d AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS b, sum(value) AS v
+               FROM events WHERE event_type='view' GROUP BY 1)
+         SELECT axis.b*3600 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
+         FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
+
+    "ts_collapse_month" ->
+      """SELECT 1704067200 AS i_time, round(sum(value), 6) AS value
+         FROM events WHERE event_type='purchase'
+         AND CAST(floor(epoch(ts)/60) AS BIGINT) BETWEEN 28401120 AND 28444319""",
+
+    "ts_join_day" ->
+      s"""WITH axis AS ($minuteAxisDay),
+         d AS (SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS b, sum(value) AS v
+               FROM events WHERE event_type IN ('click','view') GROUP BY 1)
+         SELECT axis.b*60 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
+         FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
+
+    "ts_iterate_minute" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS b, value
+                    FROM events WHERE event_type='error'),
+         bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM e),
+         axis AS (SELECT unnest(generate_series((SELECT b0 FROM bounds), (SELECT b1 FROM bounds))) AS b),
+         d AS (SELECT b, sum(value) AS v FROM e GROUP BY 1)
+         SELECT axis.b*60 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
+         FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
+
+    "ts_fanout_after3" ->
+      """SELECT event_type AS name,
+         (CAST(floor(epoch(ts)/60) AS BIGINT) + off.o)*60 AS i_time,
+         round(sum(value), 6) AS value
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS o) off
+         GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_expire_day" ->
+      """WITH mx AS (SELECT CAST(floor(epoch(max(ts))/60) AS BIGINT) AS nb FROM events)
+         SELECT event_type AS name,
+         CAST(floor(epoch(ts)/60) AS BIGINT)*60 AS i_time,
+         round(sum(value), 6) AS value
+         FROM events, mx
+         WHERE CAST(floor(epoch(ts)/60) AS BIGINT) > mx.nb - 1440
+         GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_properties_minute" ->
+      """SELECT event_type AS name,
+         min(CAST(floor(epoch(ts)/60) AS BIGINT))*60 AS first,
+         max(CAST(floor(epoch(ts)/60) AS BIGINT))*60 AS last
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "ts_list" ->
+      "SELECT DISTINCT event_type AS name FROM events ORDER BY 1",
+
     "ts_gregorian_weekly" ->
       """SELECT event_type AS name,
          CAST(strftime(ts, '%Y%U') AS BIGINT) AS bucket,
          round(sum(value), 6) AS value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_gregorian_daily_count" ->
+      """SELECT event_type AS name,
+         CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS bucket,
+         round(CAST(count(*) AS DOUBLE), 6) AS value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_gregorian_monthly_rate" ->
+      """SELECT event_type AS name,
+         CAST(strftime(date_trunc('month', ts), '%Y%m') AS BIGINT) AS bucket,
+         round(sum(value) / (epoch(date_trunc('month', ts) + INTERVAL 1 MONTH)
+           - epoch(date_trunc('month', ts))), 6) AS rate
+         FROM events GROUP BY 1, date_trunc('month', ts) ORDER BY 1,2""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_extendedprice), 6) AS avg_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1,2,3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "events_top_users" ->
+      """SELECT user_id, round(sum(value), 6) AS total
+         FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 20""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS cluster_size
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         pairs AS (SELECT q.query_id, e.vec_id,
+           round(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * p[2]))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))), 4) AS score
+           FROM q CROSS JOIN embeddings e),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+                    FROM pairs)
+         SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+         ORDER BY query_id, score DESC, vec_id""",
+
+    "text_stats" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+         round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_ratio,
+         round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)))
+           / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 6) AS stop_ratio,
+         round(length(regexp_replace(text, '\s+', '', 'g'))
+           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS mean_word_len,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "text_langid_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, text, toks,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','with'], x))) AS s_en,
+           len(list_filter(toks, x -> list_contains(['der','und','die','das','ist','mit','von'], x))) AS s_de,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','avec'], x))) AS s_fr,
+           len(list_filter(toks, x -> list_contains(['el','los','las','es','con','por','una'], x))) AS s_es,
+           len(list_filter(toks, x -> list_contains(['的','是','在','了','和'], x))) AS s_zh
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           round(least(length(text)/500.0, 1.0)*0.25
+             + (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/greatest(length(text), 1))*0.35
+             + least((len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x)))
+                 / greatest(len(toks), 1))*5.0, 1.0)*0.2
+             + CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))/greatest(len(toks), 1))
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END*0.2, 6) AS quality
+         FROM s ORDER BY doc_id""",
+
+    "mm_decode_meta" ->
+      """WITH m AS (SELECT doc_id,
+           ['image','video','audio'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           octet_length(CAST(text AS BLOB)) AS n FROM documents)
+         SELECT doc_id, media_type, CAST(n AS BIGINT) AS byte_len,
+           CAST(CASE media_type WHEN 'image' THEN 256 + n % 256 WHEN 'video' THEN 640 ELSE 0 END AS INT) AS width,
+           CAST(CASE media_type WHEN 'image' THEN 256 + (n * 31) % 256 WHEN 'video' THEN 360 ELSE 0 END AS INT) AS height,
+           CAST(CASE media_type WHEN 'audio' THEN 1 + n % 2 ELSE 3 END AS INT) AS channels,
+           CAST(CASE media_type WHEN 'image' THEN 1 WHEN 'video' THEN 1 + n % 300 ELSE 1 + n // 64 END AS INT) AS n_frames
+         FROM m ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+           FROM documents WHERE doc_id % 3 = 1)
+         SELECT doc_id, CAST(1 + n % 300 AS INT) AS n_frames,
+           unnest(generate_series(0, n % 300, 10)) AS frame_idx
+         FROM m ORDER BY 1, 3""",
   )
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads ride as opaque BINARY
+  * columns with typed metadata structs; decode / feature-extract /
+  * resize / frame-sample run as partition-batched functions over the
+  * binary column.
+  *
+  * The decode kernels themselves are STUBBED (this container has no
+  * image/audio codecs): `StubCodec` derives deterministic fake
+  * dimensions from the payload bytes. Everything around the stub — the
+  * schema contract, the iterator-based batching (one codec init per
+  * partition, not per row), the column pruning (only doc_id + media
+  * reach the decode stage) — is the real production shape: swap
+  * `StubCodec.decode` for a JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** STUB decode: deterministic pseudo-metadata from payload bytes.
+    * Replace with a real codec (libjpeg/ffmpeg) behind the same
+    * signature. */
+  object StubCodec {
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      val n = bytes.length
+      mediaType match {
+        case "image" => (256 + n % 256, 256 + (n * 31) % 256, 3, 1)
+        case "video" => (640, 360, 3, 1 + n % 300)
+        case "audio" => (0, 0, 1 + n % 2, 1 + n / 64)
+        case _       => (0, 0, 0, 0)
+      }
+    }
+  }
+
+  /** Wrap a documents table as a fake media table: payload = utf-8
+    * bytes of the text (stands in for real image/video bytes), media
+    * type assigned deterministically. Real pipelines read this shape
+    * straight off parquet with a BINARY column. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("video"), lit("audio")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
+      col("text").cast(BinaryType).as("media"))
+
+  /** Decode stage: mapPartitions over (doc_id, media_type, media) —
+    * iterator-based so a real codec initializes once per partition.
+    * Column pruning upstream is the caller's job (select exactly these
+    * three columns before calling). */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val pruned = media.select("doc_id", "media_type", "media")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaMetaSchema)
+    pruned.mapPartitions { rows =>
+      // real impl: val codec = Codec.open() here, once per partition
+      rows.map { r =>
+        val id = r.getLong(0); val mt = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val (w, h, c, f) = StubCodec.decode(mt, bytes)
+        Row(id, mt, bytes.length.toLong, w, h, c, f)
+      }
+    }(enc)
+  }
+
+  /** Feature stage on decoded metadata: pure column math (aspect
+    * ratio, pixel count, duration-ish) — stays in codegen. */
+  def mediaFeatures(meta: DataFrame): DataFrame =
+    meta.select(
+      col("doc_id"), col("media_type"), col("byte_len"),
+      col("width"), col("height"), col("channels"), col("n_frames"),
+      when(col("height") > 0, col("width").cast(DoubleType) / col("height"))
+        .otherwise(lit(0.0)).as("aspect"),
+      (col("width").cast(LongType) * col("height") * col("n_frames")).as("total_pixels"))
+
+  /** Frame-sampling plan: every `stride`-th frame index per video —
+    * an explode, not a decode; the decode of selected frames would be
+    * another mapPartitions stage. */
+  def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
+    meta.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs), so they pipeline inside
+  * whatever scan they're applied to.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the
+    * usual pre-tokenizer regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality signals: length, alpha ratio, digit ratio, punctuation
+    * ratio, mean word length, stopword ratio. Returned as separate
+    * columns; `qualityScore` combines them. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType) /
+      greatest(length(text), lit(1))
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType) /
+      greatest(length(text), lit(1))
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast(DoubleType) /
+      greatest(length(text), lit(1))
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast(DoubleType) /
+      greatest(tokenCount(text), lit(1))
+
+  val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val toks = Dedup.tokens(text)
+    size(F.filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Composite document quality score in [0,1]: favors alpha text with
+    * some stopwords and sane word lengths — the standard cheap filter
+    * before expensive pipeline stages. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wordLen = meanWordLen(text)
+    val wordLenScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.25 + alpha * 0.35 + stop * 0.2 + wordLenScore * 0.2), 6)
+  }
+
+  /** Marker lexicons for the n-gram language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "und", "die", "das", "ist", "mit", "von"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "avec"),
+    "es" -> Seq("el", "los", "las", "es", "con", "por", "una"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Language-ID heuristic: argmax of marker-token hit counts, with a
+    * deterministic tie order (marker list order; "und" when nothing
+    * matches — i.e. unknown). */
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    // array of struct(score, priority, lang); array_max picks highest
+    // score, then LOWEST priority via negated index, then lang
+    val scored = array(langMarkers.zipWithIndex.map { case ((lang, markers), idx) =>
+      struct(
+        size(F.filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(-idx).as("prio"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the cheap "same modulo formatting" key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast(BinaryType))
+
+  /** Rolling min-hash fingerprint over word shingles (engine-local,
+    * xxhash-based): robust to small edits, used for fuzzy clustering. */
+  def shingleFingerprint(text: Column, k: Int = 3): Column =
+    array_min(F.transform(Dedup.shingles(text, k), s => xxhash64(s)))
+}
