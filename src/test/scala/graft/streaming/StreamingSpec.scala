@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Timeseries
+import graft.model._
+import graft.time._
+
+/** Streaming semantics (SURVEY.md §2.9): the same bucket projection +
+  * per-type fold, fed by micro-batches, converges to the batch result. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val T0 = 500000L * 3600L
+
+  val minuteHour: Map[String, IntervalSpec] = Map(
+    "minute" -> IntervalSpec(TimeStep(60L), Some(5), None),
+    "hour"   -> IntervalSpec(TimeStep(3600L), None, Some(TimeStep(60L))))
+
+  test("streaming count aggregate converges to the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t = new Timeseries(spark, CountT, minuteHour)
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF()
+      .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+
+    val agg = StreamingIngest.aggregateStream(t, events, "hour",
+      col("name"), col("ts"), col("value"))
+    val q = agg.writeStream.format("memory").queryName("stream_counts")
+      .outputMode("complete").start()
+
+    // two micro-batches across two resolution buckets
+    mem.addData(("s", T0 + 1, 2.0), ("s", T0 + 2, 3.0))
+    q.processAllAvailable()
+    mem.addData(("s", T0 + 61, 5.0), ("s", T0 + 7200, 7.0))
+    q.processAllAvailable()
+
+    val got = spark.table("stream_counts")
+      .select("name", "i_time", "r_time", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+
+    val hb = T0 / 3600 // hour bucket of T0
+    assert(got === Set(
+      ("s", hb, T0 / 60, 5.0),          // T0+1, T0+2 fold into minute r-bucket 0
+      ("s", hb, T0 / 60 + 1, 5.0),      // T0+61
+      ("s", hb + 2, T0 / 60 + 120, 7.0) // T0+7200 in the next-next hour
+    ))
+
+    // batch equivalence: same log through the batch engine
+    val bt = new Timeseries(spark, CountT, minuteHour)
+    bt.insert("s", 2.0, (T0 + 1).toDouble); bt.insert("s", 3.0, (T0 + 2).toDouble)
+    bt.insert("s", 5.0, (T0 + 61).toDouble); bt.insert("s", 7.0, (T0 + 7200).toDouble)
+    val batch = bt.get(Seq("s"), "hour", (T0 + 1).toDouble, condense = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(batch(T0) === 5.0 + 5.0)
+  }
+
+  test("streaming gauge keeps last write per bucket across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t = new Timeseries(spark, GaugeT, minuteHour)
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF()
+      .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+    val agg = StreamingIngest.aggregateStream(t, events, "minute",
+      col("name"), col("ts"), col("value"))
+    val q = agg.writeStream.format("memory").queryName("stream_gauge")
+      .outputMode("complete").start()
+
+    mem.addData(("g", T0 + 1, 1.0), ("g", T0 + 5, 2.0))
+    q.processAllAvailable()
+    mem.addData(("g", T0 + 30, 9.0))
+    q.processAllAvailable()
+    val got = spark.table("stream_gauge").select("i_time", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    q.stop()
+    assert(got === Map(T0 / 60 -> 9.0)) // last event time wins across batches
+  }
+
+  test("append-to-store streaming ingest replays through the batch reader") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val t = new Timeseries(spark, CountT, minuteHour)
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF()
+      .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+    val q = StreamingIngest.appendToStore(t, events,
+      col("name"), col("ts"), col("value"), unix_micros(col("ts")),
+      s"$dir/store", s"$dir/ckpt")
+    mem.addData(("s", T0 + 1, 1.0), ("s", T0 + 61, 2.0), ("s", T0 + 121, 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val reader = new Timeseries(spark, CountT, minuteHour)
+    reader.load(s"$dir/store")
+    val got = reader.series(Seq("s"), "minute", start = Some((T0).toDouble), steps = Some(3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === Map(T0 -> 1.0, (T0 + 60) -> 2.0, (T0 + 120) -> 3.0))
+  }
+}
