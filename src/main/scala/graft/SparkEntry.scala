@@ -450,12 +450,14 @@ object SparkEntry {
          SELECT axis.b*60 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
          FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
 
+    // fine+condense output is SPARSE (only extant interval buckets), per
+    // sql_backend.py:236-247 + the condense loop over extant keys
     "ts_condense_month" ->
-      """WITH axis AS (SELECT unnest(generate_series(473352, 474071)) AS b),
-         d AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS b, sum(value) AS v
-               FROM events WHERE event_type='view' GROUP BY 1)
-         SELECT axis.b*3600 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
-         FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+         round(sum(value), 6) AS value
+         FROM events WHERE event_type='view'
+           AND CAST(floor(epoch(ts)/3600) AS BIGINT) BETWEEN 473352 AND 474071
+         GROUP BY 1 ORDER BY 1""",
 
     "ts_collapse_month" ->
       """SELECT 1704067200 AS i_time, round(sum(value), 6) AS value

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 import scala.collection.mutable.ArrayBuffer
 
@@ -25,6 +26,37 @@ object Transforms {
   def apply(name: String): Transforms = Transforms(Seq(name))
 }
 
+/** Per-call read hooks — the reference's `fetch` / `process_row` /
+  * `condense` / `collapse` / `join_rows` keyword callables
+  * (timeseries.py:575-580, :643-652; README.rst:640-731).
+  *
+  * Column-function contracts (all pure Column expressions, mirrored on
+  * the reference's dict/list shapes):
+  *  - `processRow`: value => value, applied to each per-granule
+  *    aggregated state (replaces the built-in cast INCLUDING readFunc,
+  *    as in the reference where a custom process_row takes over
+  *    read_func application).
+  *  - `joinRows`: array (length = #names, series order, null for a
+  *    series without data — the reference's `[res.get(key) for res in
+  *    results]`) => merged value.
+  *  - `condense`: array<struct<r_time: LONG epoch-secs, value>> sorted
+  *    by r_time (the reference's `{resolution_ts: data}` dict) => value.
+  *  - `collapse`: array<struct<i_time: LONG epoch-secs, value>> sorted
+  *    by i_time => value. Per the reference, `collapse = true` with a
+  *    custom `condense` uses the condense function for the collapse.
+  */
+final case class ReadHooks(
+    fetch: DataFrame => DataFrame = identity,
+    processRow: Option[Column => Column] = None,
+    condense: Option[Column => Column] = None,
+    collapse: Option[Column => Column] = None,
+    joinRows: Option[Column => Column] = None) {
+  /** Hooks that force the staged (multi-level) aggregation plan. */
+  def staged: Boolean =
+    processRow.isDefined || condense.isDefined || collapse.isDefined || joinRows.isDefined
+}
+object ReadHooks { val none: ReadHooks = ReadHooks() }
+
 /** The Spark-native timeseries engine with the query semantics of the
   * reference (kairos timeseries.py). Data model (SURVEY.md §1.4): a
   * canonical bucket log
@@ -34,7 +66,10 @@ object Transforms {
   *
   * maintained append-only; every read aggregates the log once at the
   * requested output granularity (see [[graft.model.SeriesType]] for why
-  * that reproduces fold/condense/collapse/join exactly).
+  * that reproduces fold/condense/collapse/join exactly). When per-call
+  * hooks are present the plan is staged — granule fold → join →
+  * condense → collapse — still shuffle-keyed on bucket ids at every
+  * stage (partial-agg friendly, no driver loops).
   *
   * At scale the log is parquet partitioned by `interval` — reads prune
   * to one partition and push name/i_time filters to the scan.
@@ -56,7 +91,6 @@ class Timeseries(
     * bucketize() on a DataFrame instead. */
   private val buffer = ArrayBuffer[(String, Double, Double, Int)]()
   private var attached: Option[DataFrame] = None
-  private var seqCounter: Long = 0L
 
   /** kairos insert(name, value, timestamp, intervals) — timeseries.py:
     * 439-472. Count-type default increment is 1 (:925-926). */
@@ -74,9 +108,16 @@ class Timeseries(
   /** Project an events-shaped DataFrame into the canonical bucket log:
     * one output row per (input row × configured interval × fan-out
     * offset). The fan-out (`intervals=±N`, timeseries.py:484-497) lands
-    * offset≠0 copies at the interval start (normalize() semantics). */
+    * offset≠0 copies at the interval start (normalize() semantics).
+    *
+    * `guardNow`: write-time TTL guard (redis_backend.py:146-148,
+    * cassandra_backend.py:347-349) — rows whose bucket is already past
+    * the retention horizon of a TTL'd interval (`ttl()==0`,
+    * timeseries.py:121-133) are dropped at write instead of carried
+    * forever. The cutoff is a driver-side constant per interval, so the
+    * filter folds into the scan. */
   def bucketize(events: DataFrame, name: Column, ts: Column, value: Column,
-      seq: Column, fanout: Column = lit(0)): DataFrame = {
+      seq: Column, fanout: Column = lit(0), guardNow: Option[Double] = None): DataFrame = {
     val perInterval = intervals.toSeq.map { case (iname, spec) =>
       val base = events.select(
         name.cast(StringType).as("name"),
@@ -90,7 +131,7 @@ class Timeseries(
         .withColumn("off", explode(sequence(least(col("fanout"), lit(0)), greatest(col("fanout"), lit(0)))))
         .withColumn("sim_ts", when(col("off") === 0, col("ts"))
           .otherwise(TimeColumns.shiftNormalize(col("ts"), spec.step, col("off"))))
-      exploded.select(
+      val rows = exploded.select(
         col("name"),
         lit(iname).as("interval"),
         TimeColumns.bucket(col("sim_ts"), spec.step).as("i_time"),
@@ -98,9 +139,29 @@ class Timeseries(
          else TimeColumns.bucket(col("sim_ts"), spec.resolution.get)).as("r_time"),
         col("seq"),
         col("value"))
+      (guardNow, spec.steps) match {
+        case (Some(now), Some(s)) =>
+          rows.filter(writeGuardKeep(spec, s, now))
+        case _ => rows
+      }
     }
     perInterval.reduce(_ unionAll _)
   }
+
+  /** keep-predicate of the write-time TTL guard: drop iff ttl()==0,
+    * i.e. now_bucket − row_bucket > steps (bucket steps for relative;
+    * whole days for Gregorian, timeseries.py:237-264). */
+  private def writeGuardKeep(spec: IntervalSpec, steps: Int, now: Double): Column =
+    spec.step match {
+      case RelativeStep(_) =>
+        col("i_time") >= lit(spec.iCalc.toBucket(now) - steps)
+      case GregorianStep(u) =>
+        val g = spec.iCalc.asInstanceOf[GregorianTime]
+        val nowDate = g.fromBucketDate(g.toBucket(now))
+        val stepDiffDays = steps.toLong * TimeStep.SimpleSeconds(u.head) / 86400L
+        datediff(lit(java.sql.Date.valueOf(nowDate.toString)),
+          TimeColumns.bucketDate(col("i_time"), u)) <= lit(stepDiffDays)
+    }
 
   /** The full bucket log (in-memory buffer ∪ attached). */
   def log: DataFrame = {
@@ -134,25 +195,29 @@ class Timeseries(
     intervals.getOrElse(interval, throw new UnknownInterval(interval))
 
   /** kairos get() — one interval bucket (timeseries.py:547-611).
-    * Output: (i_time[, r_time], value) with times as epoch seconds. */
+    * Output: (i_time[, r_time], value) with times as epoch seconds.
+    * Always emits the requested bucket's key, even when empty (the
+    * reference re-keys at normalize(timestamp)). */
   def get(names: Seq[String], interval: String, timestamp: Double,
       condense: Boolean = false, transform: Transforms = Transforms.none,
-      fetch: DataFrame => DataFrame = identity): DataFrame = {
+      hooks: ReadHooks = ReadHooks.none): DataFrame = {
     val sp = spec(interval)
     val b = sp.iCalc.toBucket(timestamp)
     query(names, interval, sp, b, b, condense = condense, collapse = false,
-      transform = transform, fetch = fetch)
+      transform = transform, hooks = hooks, dense = true)
   }
 
   /** kairos series() — range of buckets with the reference's anchoring
     * rules (timeseries.py:619-719): (start,end) / (start,steps) /
-    * (end,steps) / default end=now. */
+    * (end,steps) / default end=now. Coarse output is dense over the
+    * range (empty buckets filled); fine output — condensed or not —
+    * keeps only extant buckets (sql_backend.py:228-247). */
   def series(names: Seq[String], interval: String,
       start: Option[Double] = None, end: Option[Double] = None,
       steps: Option[Int] = None, condense: Boolean = false,
       collapse: Boolean = false, transform: Transforms = Transforms.none,
       now: () => Double = () => System.currentTimeMillis() / 1000.0,
-      fetch: DataFrame => DataFrame = identity): DataFrame = {
+      hooks: ReadHooks = ReadHooks.none): DataFrame = {
     val sp = spec(interval)
     val nSteps = steps.orElse(sp.steps).getOrElse(1)
     val (b0, b1) = (start, end) match {
@@ -165,11 +230,12 @@ class Timeseries(
     }
     val b1c = math.max(b0, b1)
     query(names, interval, sp, b0, b1c, condense = condense || collapse,
-      collapse = collapse, transform = transform, fetch = fetch)
+      collapse = collapse, transform = transform, hooks = hooks, dense = sp.coarse)
   }
 
   /** kairos iterate() (timeseries.py:521-545): dense walk between the
-    * first and last extant buckets. */
+    * first and last extant buckets (one get() per bucket → every bucket
+    * key present). */
   def iterate(names: Seq[String], interval: String,
       condense: Boolean = false, transform: Transforms = Transforms.none): DataFrame = {
     val sp = spec(interval)
@@ -178,7 +244,8 @@ class Timeseries(
       .agg(min("i_time").as("b0"), max("i_time").as("b1")).head()
     require(!bounds.isNullAt(0), s"no data for $names/$interval")
     query(names, interval, sp, bounds.getLong(0), bounds.getLong(1),
-      condense = condense, collapse = false, transform = transform)
+      condense = condense, collapse = false, transform = transform,
+      hooks = ReadHooks.none, dense = true)
   }
 
   /** The single read pipeline behind get/series/iterate (SURVEY.md
@@ -186,63 +253,86 @@ class Timeseries(
     * → dense-axis fill → transforms → time keys.
     *
     * Plan shape at scale: one parquet scan with interval+name+i_time
-    * pushed down, one shuffle for the agg, broadcast join against the
-    * tiny bucket axis. */
+    * pushed down, one shuffle for the agg (two or three bucket-keyed
+    * shuffles on the staged/hook path), broadcast join against the tiny
+    * bucket axis. `dense` controls empty-bucket fill of coarse-shaped
+    * output: get/iterate always fill; series fills only coarse
+    * intervals (fine+condense stays sparse, sql_backend.py:236-247). */
   private def query(names: Seq[String], interval: String, sp: IntervalSpec,
       b0: Long, b1: Long, condense: Boolean, collapse: Boolean,
-      transform: Transforms, fetch: DataFrame => DataFrame = identity): DataFrame = {
+      transform: Transforms, hooks: ReadHooks, dense: Boolean): DataFrame = {
 
     val fine = !sp.coarse && !condense
-    val filtered = fetch(
+    val multi = names.size > 1
+    val filtered = hooks.fetch(
       log.filter(col("interval") === interval &&
         col("name").isin(names: _*) &&
         col("i_time").between(b0, b1)))
 
-    // composite merge order: resolution bucket, series-list position,
-    // arrival (timeseries.py:727-745 + sql_backend.py:312)
+    // composite merge order (join-then-condense, _join_results
+    // timeseries.py:727-745 running BEFORE the condense pass :599-606,
+    // :693-704): resolution bucket, then series-list position, then
+    // arrival (sql_backend.py:268,312). Verified against the
+    // reference's own goldens (series_helper.py:238-251): a joined
+    // condensed read interleaves series WITHIN each resolution bucket.
     val nameIdx =
-      if (names.size <= 1) lit(0)
+      if (!multi) lit(1L)
       else coalesce(array_position(lit(names.toArray), col("name")), lit(0L))
+    val rawValue = if (hooks.processRow.isEmpty) readFunc(col("value")) else col("value")
     val prepared = filtered.select(
-      col("i_time"), col("r_time"),
+      col("i_time"), col("r_time"), nameIdx.as("name_idx"),
       struct(col("i_time"), col("r_time"), nameIdx.as("name_idx"), col("seq")).as("ord"),
-      readFunc(col("value")).as("value"))
+      rawValue.as("value"))
 
-    val groupCols =
-      if (collapse) Nil
-      else if (fine) Seq("i_time", "r_time")
-      else Seq("i_time")
-    val agged = seriesType.aggregate(prepared, groupCols)
-
-    // dense fill: coarse/condensed outputs show every bucket in range
-    // (G6); fine output keeps inner sparsity. collapse keys the single
-    // row at the FIRST bucket of the range (timeseries.py:706-713).
-    val filled =
-      if (collapse) {
-        agged.select(lit(b0).as("i_time"), col("value"))
-      } else if (fine) {
-        agged
+    // ---- aggregation to output granularity --------------------------
+    // `agged` holds (i_time [, r_time], value); collapse handled below.
+    val agged: DataFrame =
+      if (!hooks.staged && !collapse) {
+        val groupCols = if (fine) Seq("i_time", "r_time") else Seq("i_time")
+        seriesType.aggregate(prepared, groupCols)
       } else {
+        stagedAgg(prepared, sp, names, condense = condense, hooks = hooks)
+      }
+
+    // dense fill: coarse-shaped output shows every bucket in range when
+    // `dense` (G6); fine output keeps sparsity. With custom hooks the
+    // fill value is null (the built-in empty may not match the custom
+    // value type). collapse keys the single row at the FIRST bucket
+    // (timeseries.py:706-713: first extant for sparse/fine output,
+    // b0 for dense coarse output).
+    val (filled: DataFrame, stepCol: Column) =
+      if (collapse) {
+        val merged = collapseAgg(agged, sp, hooks)
+        // reference keys/spans the collapsed row off rval.keys(): dense
+        // coarse output → b0..b1; sparse fine output → extant bounds
+        // (timeseries.py:706-713)
+        val (keyCol, spanCol) =
+          if (sp.coarse)
+            (lit(b0), TimeColumns.spanSeconds(lit(b0), lit(b1), sp.step))
+          else
+            (coalesce(col("__k0"), lit(b0)),
+              coalesce(TimeColumns.spanSeconds(col("__k0"), col("__k1"), sp.step),
+                TimeColumns.spanSeconds(lit(b0), lit(b1), sp.step)))
+        (merged.select(keyCol.as("i_time"), col("value"), spanCol.as("__step")),
+          col("__step"))
+      } else if (fine) {
+        (agged, TimeColumns.stepSize(col("r_time"), sp.resolution.getOrElse(sp.step)))
+      } else if (dense) {
         val axis = TimeColumns.axis(spark, sp.iCalc, sp.iCalc.fromBucket(b0), sp.iCalc.fromBucket(b1))
           .filter(col("i_time").between(b0, b1))
         // axis is the preserved side, so the broadcast (build) side must
         // be the aggregated result — bounded by #buckets × #names, small
         // by construction for any per-stat read
-        axis.join(broadcast(agged), Seq("i_time"), "left")
-          .select(col("i_time"),
-            coalesce(col("value"), seriesType.empty(agged.schema("value").dataType)).as("value"))
-      }
-
-    // step size for transforms (timeseries.py:599-610, 693-717)
-    val stepCol: Column =
-      if (collapse) {
-        // span of first..last bucket: from_bucket(b1+1) - from_bucket(b0)
-        lit(sp.iCalc.fromBucket(b1) + sp.iCalc.stepSize(Some(sp.iCalc.fromBucket(b1).toDouble)) -
-          sp.iCalc.fromBucket(b0))
-      } else if (fine) {
-        TimeColumns.stepSize(col("r_time"), sp.resolution.getOrElse(sp.step))
+        val fillValue =
+          if (hooks.condense.isDefined || hooks.joinRows.isDefined || hooks.processRow.isDefined)
+            lit(null)
+          else seriesType.empty(agged.schema("value").dataType)
+        (axis.join(broadcast(agged), Seq("i_time"), "left")
+          .select(col("i_time"), coalesce(col("value"), fillValue).as("value")),
+          TimeColumns.stepSize(col("i_time"), sp.step))
       } else {
-        TimeColumns.stepSize(col("i_time"), sp.step)
+        (agged.select(col("i_time"), col("value")),
+          TimeColumns.stepSize(col("i_time"), sp.step))
       }
 
     val transformed =
@@ -270,7 +360,68 @@ class Timeseries(
         transformed
           .withColumn("i_time", TimeColumns.fromBucket(col("i_time"), sp.step))
           .orderBy("i_time")
-    withTimes
+    withTimes.drop("__step")
+  }
+
+  /** Staged aggregation for hook-bearing (or fine-collapse) reads:
+    * granule fold → [processRow] → join across names → condense. Every
+    * stage shuffles on bucket keys and partial-aggregates map-side. */
+  private def stagedAgg(prepared: DataFrame, sp: IntervalSpec, names: Seq[String],
+      condense: Boolean, hooks: ReadHooks): DataFrame = {
+    val multi = names.size > 1
+    val rKeyed = !sp.coarse
+    // stage 1: per-granule type fold (the reference's per-row storage
+    // state). Granule = (i_time [, r_time] [, name]).
+    val k1 = Seq("i_time") ++ (if (rKeyed) Seq("r_time") else Nil) ++
+      (if (multi) Seq("name_idx") else Nil)
+    var cur = seriesType.aggregate(prepared, k1)
+    for (f <- hooks.processRow) cur = cur.withColumn("value", f(col("value")))
+
+    // stage 2: join across names at granule level (_join_results,
+    // timeseries.py:727-745 — runs BEFORE condense).
+    if (multi) {
+      val kj = (Seq("i_time") ++ (if (rKeyed) Seq("r_time") else Nil)).map(col)
+      val byName = map_from_entries(collect_list(struct(col("name_idx"), col("value"))))
+      val rowsInOrder = F.transform(sequence(lit(1), lit(names.size)),
+        i => try_element_at(byName, i.cast(LongType)))
+      val joinFn: Column => Column =
+        hooks.joinRows.getOrElse(seriesType.mergeExpr _)
+      cur = cur.groupBy(kj: _*).agg(joinFn(rowsInOrder).as("value"))
+    }
+
+    // stage 3: condense resolution granules into interval buckets —
+    // custom callable gets the reference's {r_ts: data} shape as a
+    // sorted array<struct<r_time, value>>.
+    if (condense && rKeyed) {
+      val entries = array_sort(collect_list(struct(
+        TimeColumns.fromBucket(col("r_time"), sp.resolution.getOrElse(sp.step)).as("r_time"),
+        col("value").as("value"))))
+      val condensed = hooks.condense match {
+        case Some(f) => f(entries)
+        case None    => seriesType.mergeExpr(F.transform(entries, e => e("value")))
+      }
+      cur = cur.groupBy("i_time").agg(condensed.as("value"))
+    }
+    cur
+  }
+
+  /** Global collapse of interval rows into one row. Emits
+    * (__k0, __k1, value): first/last extant bucket ids + merged value.
+    * Custom callable (or the custom condense when collapse=true,
+    * README.rst:725-731) gets {i_ts: data} as a sorted array. */
+  private def collapseAgg(agged: DataFrame, sp: IntervalSpec, hooks: ReadHooks): DataFrame = {
+    val entries = array_sort(collect_list(struct(
+      TimeColumns.fromBucket(col("i_time"), sp.step).as("i_time"),
+      col("value").as("value"))))
+    val value = hooks.collapse.orElse(hooks.condense) match {
+      case Some(f) => f(entries)
+      case None    =>
+        // empty range collapses to the type's empty value, not null
+        coalesce(seriesType.mergeExpr(F.transform(entries, e => e("value"))),
+          seriesType.empty(agged.schema("value").dataType))
+    }
+    agged.agg(min(col("i_time")).as("__k0"), max(col("i_time")).as("__k1"),
+      value.as("value"))
   }
 
   private def groupColsOut(fine: Boolean, collapse: Boolean): Seq[String] =
@@ -295,25 +446,46 @@ class Timeseries(
   /** kairos list() (timeseries.py:395-399). */
   def list(): DataFrame = log.select("name").distinct()
 
-  /** kairos delete(name) — as a log rewrite (anti-filter). */
-  def delete(name: String): Unit =
+  /** kairos delete(name) — as a log rewrite (anti-filter). The buffer is
+    * folded into the snapshot first so buffered rows for the deleted
+    * name go away too (and aren't double-counted later). */
+  def delete(name: String): Unit = {
     attached = Some(log.filter(col("name") =!= name))
+    buffer.clear()
+  }
+
+  /** kairos delete_all (timeseries.py:512-519 / Cassandra TRUNCATE). */
+  def deleteAll(): Unit = {
+    attached = None
+    buffer.clear()
+  }
 
   /** kairos expire (sql_backend.py:161-178): drop buckets past the
-    * retention horizon of every TTL'd interval. Equivalent read-side
-    * view; at scale this is the compaction job's predicate. */
+    * retention horizon of every TTL'd interval. The cutoff is
+    * to_bucket(now − ttl_seconds) — calendar-aware for Gregorian
+    * intervals (bucket ids are NOT linear there), with the reference's
+    * whole-day TTL approximation (timeseries.py:237-264). */
   def expired(now: Double): DataFrame = {
     val keep = intervals.toSeq.map { case (iname, sp) =>
       sp.steps match {
         case Some(s) =>
-          col("interval") === iname && col("i_time") > (sp.iCalc.toBucket(now) - s)
+          val ttlSec = sp.step match {
+            case RelativeStep(st)  => s.toLong * st
+            case GregorianStep(u)  => s.toLong * TimeStep.SimpleSeconds(u.head)
+          }
+          col("interval") === iname && col("i_time") > lit(sp.iCalc.toBucket(now - ttlSec))
         case None => col("interval") === iname
       }
     }.reduce(_ || _)
     log.filter(keep)
   }
 
-  def expire(now: Double): Unit = attached = Some(expired(now))
+  /** Manual expire: rewrite the log through the retention view (and fold
+    * the buffer in so it isn't re-bucketized on the next read). */
+  def expire(now: Double): Unit = {
+    attached = Some(expired(now))
+    buffer.clear()
+  }
 }
 
 class UnknownInterval(interval: String)

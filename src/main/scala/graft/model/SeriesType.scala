@@ -33,6 +33,20 @@ sealed trait SeriesType extends Serializable {
     * dense-fill coalesce lines up even when readFunc recast values. */
   def empty(aggType: DataType): Column
 
+  /** Merge an ORDERED array of already-aggregated bucket states into one
+    * state — the `_condense`/`_join` monoid merge (timeseries.py:828-834,
+    * :885-893, :931-946, :971-988, :1026-1041). The caller supplies the
+    * states sorted in the reference's iteration order (resolution-bucket
+    * order for condense/collapse, series-list order for join); absent
+    * entries may be null. Pure Column expression — stays in codegen. */
+  def mergeExpr(states: Column): Column
+
+  /** Single-expression fold of raw values into a bucket state — the
+    * streaming-aggregation form of `aggregate` (streams allow exactly
+    * one aggregation, so the histogram's two-level groupBy is folded
+    * into one higher-order expression here). */
+  def foldExpr(value: Column, ord: Column): Column
+
   /** Built-in transform `t` over the aggregated `data`; None when the
     * type doesn't support it (the caller then returns data unaltered,
     * matching the reference's pass-through, timeseries.py:914-923). */
@@ -41,6 +55,16 @@ sealed trait SeriesType extends Serializable {
   protected def grouped(df: DataFrame, groupCols: Seq[String])(aggs: Column*): DataFrame =
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Fold non-null states left-to-right with `merge`, preserving the
+    * state type without naming it (initial = first non-null element). */
+  protected def foldStates(states: Column, merge: (Column, Column) => Column): Column = {
+    val present = filter(states, x => x.isNotNull)
+    when(size(present) === 0, lit(null))
+      .otherwise(F.aggregate(
+        slice(present, lit(2), greatest(size(present) - 1, lit(0))),
+        element_at(present, 1), merge))
+  }
 }
 
 /** `series`: arrival-ordered list per bucket (timeseries.py:792-843). */
@@ -51,6 +75,10 @@ case object SeriesT extends SeriesType {
       transform(array_sort(collect_list(struct(col("ord"), col("value")))),
         e => e("value")).as("value"))
   def empty(aggType: DataType): Column = array().cast(aggType)
+  def mergeExpr(states: Column): Column =
+    flatten(filter(states, x => x.isNotNull))
+  def foldExpr(value: Column, ord: Column): Column =
+    transform(array_sort(collect_list(struct(ord, value))), e => e("value"))
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "mean" =>
       Some(when(size(data) === 0, lit(0.0))
@@ -80,6 +108,20 @@ case object HistogramT extends SeriesType {
   }
   def empty(aggType: DataType): Column =
     map_from_arrays(array(), array()).cast(aggType)
+  def mergeExpr(states: Column): Column =
+    foldStates(states, (a, b) =>
+      map_zip_with(a, b, (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L))))
+  def foldExpr(value: Column, ord: Column): Column = {
+    // one streaming-legal aggregation: fold the collected values into a
+    // value→count map (the batch path's two-level groupBy is illegal on
+    // a stream). Initial = empty map of the VALUE's type, derived via an
+    // empty slice so no type is hardcoded.
+    val lst = collect_list(value)
+    val init = map_from_entries(transform(slice(lst, 1, 0), v => struct(v, lit(1L))))
+    F.aggregate(lst, init,
+      (acc, v) => map_zip_with(acc, map_from_entries(array(struct(v, lit(1L)))),
+        (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L))))
+  }
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = {
     def entries = map_entries(data)
     def sumKV = F.aggregate(entries, lit(0.0), (a, e) => a + e("key") * e("value"))
@@ -102,6 +144,10 @@ case object CountT extends SeriesType {
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(coalesce(sum(col("value")), lit(0.0)).as("value"))
   def empty(aggType: DataType): Column = lit(0).cast(aggType)
+  def mergeExpr(states: Column): Column =
+    F.aggregate(states, lit(0.0), (a, x) => a + coalesce(x.cast(DoubleType), lit(0.0)))
+  def foldExpr(value: Column, ord: Column): Column =
+    coalesce(sum(value), lit(0.0))
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "rate" => Some(data / step)
     case _      => None
@@ -116,6 +162,13 @@ case object GaugeT extends SeriesType {
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(max_by(col("value"), col("ord")).as("value"))
   def empty(aggType: DataType): Column = lit(null).cast(aggType)
+  def mergeExpr(states: Column): Column = {
+    // last non-null state in iteration order (timeseries.py:971-988)
+    val present = filter(states, x => x.isNotNull)
+    when(size(present) === 0, lit(null)).otherwise(try_element_at(present, lit(-1)))
+  }
+  def foldExpr(value: Column, ord: Column): Column =
+    max_by(value, ord)
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = None
 }
 
@@ -126,6 +179,10 @@ case object SetT extends SeriesType {
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(array_sort(collect_set(col("value"))).as("value"))
   def empty(aggType: DataType): Column = array().cast(aggType)
+  def mergeExpr(states: Column): Column =
+    array_sort(array_distinct(flatten(filter(states, x => x.isNotNull))))
+  def foldExpr(value: Column, ord: Column): Column =
+    array_sort(collect_set(value))
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "mean" =>
       Some(when(size(data) === 0, lit(0.0))

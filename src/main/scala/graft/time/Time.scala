@@ -61,7 +61,9 @@ sealed trait BucketCalc extends Serializable {
 /** Seconds-since-epoch buckets: bucket = floor(ts / step).
   * Reference: kairos timeseries.py:65-133. */
 final case class RelativeTime(step: Long) extends BucketCalc {
-  def toBucket(ts: Double, steps: Int = 0): Long = (ts / step).toLong + steps
+  // floor (not truncate-toward-zero) so pre-1970 timestamps bucket the
+  // same way as the column twin TimeColumns.bucket (floor(unix_ts/step))
+  def toBucket(ts: Double, steps: Int = 0): Long = math.floor(ts / step).toLong + steps
   def fromBucket(bucket: Long): Long = bucket * step
   def buckets(start: Long, end: Long): Seq[Long] =
     toBucket(start) to toBucket(end)

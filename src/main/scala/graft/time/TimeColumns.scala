@@ -65,6 +65,23 @@ object TimeColumns {
       }
   }
 
+  /** Seconds spanned by buckets bFirst..bLast inclusive — the
+    * reference's step_size(t0, t1) aliased-span rule (timeseries.py:
+    * 73-84, :155-169): from the start of the first bucket to the start
+    * of the bucket AFTER the last. Gregorian spans are whole days. */
+  def spanSeconds(bFirst: Column, bLast: Column, step: TimeStep): Column = step match {
+    case RelativeStep(s) => (bLast - bFirst + lit(1)) * s
+    case GregorianStep(u) =>
+      val d0 = bucketDate(bFirst, u)
+      val dEnd = u match {
+        case "daily"   => date_add(bucketDate(bLast, u), 1)
+        case "weekly"  => date_add(bucketDate(bLast, u), 7)
+        case "monthly" => add_months(bucketDate(bLast, u), 1)
+        case "yearly"  => add_months(bucketDate(bLast, u), 12)
+      }
+      (dEnd.cast(TimestampType).cast(LongType) - d0.cast(TimestampType).cast(LongType))
+  }
+
   /** Bucket-start TIMESTAMP of the bucket `offset` whole steps away from
     * `ts` — the column twin of normalize(ts, offset) (timeseries.py:
     * 107-112, 484-497), used for the intervals=±N insert fan-out. */
