@@ -69,14 +69,16 @@ object SparkEntry {
 
   /** Aggregate the bucket log at (name, i_bucket): the engine core the
     * per-name kairos API fixes `name` on; inventory queries keep it as a
-    * grouping column. ord = (r_time, seq): resolution order then arrival
-    * order. Output i_time stays a bucket id. */
+    * grouping column. ord = struct(r_time, seq): resolution order then
+    * arrival order — a struct, not a linearized r*K+seq scalar, so seq
+    * can't overflow its slot at scale. Output i_time stays a bucket id.
+    * The constructor readFunc is applied (the cast step P2). */
   private def grouped(t: Timeseries, interval: String): DataFrame = {
     val prepared = t.log
       .filter(col("interval") === interval)
       .select(col("name"), col("i_time"),
-        (col("r_time") * lit(100000000L) + col("seq")).as("ord"),
-        col("value"))
+        struct(col("r_time"), col("seq")).as("ord"),
+        t.readFunc(col("value")).as("value"))
     t.seriesType.aggregate(prepared, Seq("name", "i_time"))
   }
 
@@ -248,6 +250,101 @@ object SparkEntry {
         .orderBy("name", "bucket")
     }),
 
+    // §2.10/G4: CUSTOM condense callable — the README variance example
+    // (README.rst:670-704): fold each hour's minute-resolution series
+    // into its population variance. Exercises the staged hook pipeline
+    // end-to-end through series().
+    "ts_condense_variance" -> ((s, dir) => {
+      val t = eventLog(s, dir, SeriesT, hourFine)
+      val variance: Column => Column = entries => {
+        val xs = flatten(org.apache.spark.sql.functions.transform(entries, e => e("value")))
+        val n = size(xs).cast(DoubleType)
+        val mean = aggregate(xs, lit(0.0), (a, x) => a + x) / n
+        aggregate(xs, lit(0.0), (a, x) => a + (x - mean) * (x - mean)) / n
+      }
+      t.series(Seq("click"), "hour", start = Some(START.toDouble), steps = Some(720),
+        condense = true, hooks = ReadHooks(condense = Some(variance)))
+        .select(col("i_time"), round(col("value"), 6).as("value"))
+    }),
+
+    // §2.10/G7: CUSTOM join_rows — cross-series set intersection
+    // (README.rst:711-714): values seen in BOTH click and view per hour.
+    "ts_join_intersect_hour" -> ((s, dir) => {
+      val t = eventLog(s, dir, SetT, Map("hour" -> IntervalSpec(TimeStep(3600L))))
+      val intersect: Column => Column = rows =>
+        array_sort(array_intersect(
+          coalesce(try_element_at(rows, lit(1)), array().cast(ArrayType(DoubleType))),
+          coalesce(try_element_at(rows, lit(2)), array().cast(ArrayType(DoubleType)))))
+      t.series(Seq("click", "view"), "hour", start = Some(START.toDouble), steps = Some(720),
+        hooks = ReadHooks(joinRows = Some(intersect)))
+        .select(col("i_time"),
+          coalesce(size(col("value")), lit(0)).cast(LongType).as("n_common"))
+    }),
+
+    // §1.3: StringType set end-to-end (kairos values are loosely typed,
+    // README.rst:41-45) — distinct user keys per hour per stat.
+    "ts_set_string_hour" -> ((s, dir) => {
+      val t = new Timeseries(s, SetT, Map("hour" -> IntervalSpec(TimeStep(3600L))),
+        valueType = StringType)
+      t.attach(t.bucketize(events(s, dir), col("event_type"), col("ts"),
+        concat(lit("u"), col("user_id").cast(StringType)), col("event_id")))
+      grouped(t, "hour")
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
+          size(col("value")).cast(LongType).as("n_vals"),
+          array_min(col("value")).as("min_v"),
+          array_max(col("value")).as("max_v"))
+        .orderBy("name", "i_time")
+    }),
+
+    // §1.3/P2/P3: StringType gauge with write_func + read_func casts
+    // (timeseries.py:365-366): last user key per hour, decorated on read.
+    "ts_gauge_string_hour" -> ((s, dir) => {
+      val t = new Timeseries(s, GaugeT, Map("hour" -> IntervalSpec(TimeStep(3600L))),
+        valueType = StringType,
+        readFunc = v => concat(v, lit("!")),
+        writeFunc = v => concat(lit("u"), v.cast(StringType)))
+      t.attach(t.bucketize(events(s, dir), col("event_type"), col("ts"),
+        col("user_id"), col("event_id")))
+      grouped(t, "hour")
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"), col("value"))
+        .orderBy("name", "i_time")
+    }),
+
+    // §1.2: Gregorian yearly bucket end-to-end
+    "ts_gregorian_yearly" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, Map("yearly" -> IntervalSpec(TimeStep("yearly"))))
+      val prepared = t.log.filter(col("interval") === "yearly")
+        .select(col("name"), col("i_time"), col("value"))
+      CountT.aggregate(prepared, Seq("name", "i_time"))
+        .select(col("name"), col("i_time").as("bucket"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket")
+    }),
+
+    // D1: delete(name) — log rewrite drops the stat everywhere
+    "ts_delete_name" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteOnly)
+      t.delete("click")
+      grouped(t, "minute")
+        .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "i_time")
+    }),
+
+    // I12: write-time TTL guard — rows already past the retention
+    // horizon are dropped AT WRITE (redis_backend.py:146-148), not
+    // carried and re-filtered forever
+    "ts_write_ttl_minute" -> ((s, dir) => {
+      val t = new Timeseries(s, CountT, minuteTtl)
+      val nowSec = events(s, dir).agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      val log = t.bucketize(events(s, dir), col("event_type"), col("ts"),
+        col("value"), col("event_id"), guardNow = Some(nowSec.toDouble))
+      val prepared = log.select(col("name"), col("i_time"), col("value"))
+      CountT.aggregate(prepared, Seq("name", "i_time"))
+        .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "i_time")
+    }),
+
     // T5 with variable Gregorian step: monthly rate (per-second)
     "ts_gregorian_monthly_rate" -> ((s, dir) => {
       val t = eventLog(s, dir, CountT, Map("monthly" -> IntervalSpec(TimeStep("monthly"))))
@@ -294,8 +391,12 @@ object SparkEntry {
       val li = table(s, dir, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // broadcast the customer filter into orders FIRST so the shuffle
+      // join's probe side is pre-shrunk (AQE won't reorder a written
+      // join order; at scale this is the difference between shuffling
+      // all orders and shuffling one segment's)
+      li.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -329,10 +430,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
-    // SimHash fingerprint near-dup pairs (rows-only)
+    // SimHash fingerprint near-dup pairs. maxHamming=7 with 8×8-bit
+    // chunk blocking: candidate generation is EXACT (pigeonhole ≤7),
+    // verified by DedupSpec against brute force. (rows-only)
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
-        maxHamming = 8)
+        maxHamming = 7)
         .orderBy("id_a", "id_b")),
 
     // char-3-gram Jaccard pairs (rows-only)
@@ -349,12 +452,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only — bucket hash is engine-local)
+    // LSH-bucketed ANN, 3 hash tables (recall measured vs brute force in
+    // DedupSpec; rows-only — bucket hash is engine-local)
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 6)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 6, tables = 3)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
+
+    // exact all-pairs char-3-gram Jaccard over a bounded deterministic
+    // sample — the DuckDB-oracled twin of dedup_ngram_pairs' arithmetic
+    "dedup_ngram_exact_sample" -> ((s, dir) =>
+      Dedup.ngramJaccardExact(
+        table(s, dir, "documents").filter(col("doc_id") < 300),
+        col("text"), col("doc_id"), n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // exact all-pairs word-2-shingle Jaccard over the same sample — the
+    // DuckDB-oracled twin of dedup_minhash_pairs' verification stage
+    "dedup_shingle_exact_sample" -> ((s, dir) =>
+      Dedup.shingleJaccardExact(
+        table(s, dir, "documents").filter(col("doc_id") < 300),
+        col("text"), col("doc_id"), shingleK = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
 
     // text stats: token counts, ratios, fingerprint
     "text_stats" -> ((s, dir) =>
@@ -516,6 +638,89 @@ object SparkEntry {
          CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS bucket,
          round(CAST(count(*) AS DOUBLE), 6) AS value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_condense_variance" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+         round(var_pop(value), 6) AS value
+         FROM events WHERE event_type='click'
+           AND CAST(floor(epoch(ts)/3600) AS BIGINT) BETWEEN 473352 AND 474071
+         GROUP BY 1 ORDER BY 1""",
+
+    "ts_join_intersect_hour" ->
+      """WITH axis AS (SELECT unnest(generate_series(473352, 474071)) AS b),
+         c AS (SELECT DISTINCT CAST(floor(epoch(ts)/3600) AS BIGINT) AS b, value
+               FROM events WHERE event_type='click'),
+         v AS (SELECT DISTINCT CAST(floor(epoch(ts)/3600) AS BIGINT) AS b, value
+               FROM events WHERE event_type='view'),
+         d AS (SELECT b, count(*) AS n
+               FROM (SELECT * FROM c INTERSECT SELECT * FROM v) GROUP BY 1)
+         SELECT axis.b*3600 AS i_time, CAST(coalesce(d.n, 0) AS BIGINT) AS n_common
+         FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
+
+    "ts_set_string_hour" ->
+      """SELECT event_type AS name,
+         CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+         count(DISTINCT 'u' || CAST(user_id AS VARCHAR)) AS n_vals,
+         min('u' || CAST(user_id AS VARCHAR)) AS min_v,
+         max('u' || CAST(user_id AS VARCHAR)) AS max_v
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_gauge_string_hour" ->
+      """SELECT event_type AS name,
+         CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+         arg_max('u' || CAST(user_id AS VARCHAR), event_id) || '!' AS value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_gregorian_yearly" ->
+      """SELECT event_type AS name,
+         CAST(strftime(ts, '%Y') AS BIGINT) AS bucket,
+         round(sum(value), 6) AS value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_delete_name" ->
+      """SELECT event_type AS name,
+         CAST(floor(epoch(ts)/60) AS BIGINT)*60 AS i_time,
+         round(sum(value), 6) AS value
+         FROM events WHERE event_type <> 'click'
+         GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_write_ttl_minute" ->
+      """WITH mx AS (SELECT CAST(floor(epoch(max(ts))/60) AS BIGINT) AS nb FROM events)
+         SELECT event_type AS name,
+         CAST(floor(epoch(ts)/60) AS BIGINT)*60 AS i_time,
+         round(sum(value), 6) AS value
+         FROM events, mx
+         WHERE CAST(floor(epoch(ts)/60) AS BIGINT) >= mx.nb - 1440
+         GROUP BY 1,2 ORDER BY 1,2""",
+
+    "dedup_ngram_exact_sample" ->
+      """WITH g AS (SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(t)-2, 1)),
+             i -> substring(t, CAST(i AS INT), 3))) AS grams
+           FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                 FROM documents WHERE doc_id < 300))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+         ORDER BY 1,2""",
+
+    "dedup_shingle_exact_sample" ->
+      """WITH s AS (SELECT doc_id,
+           CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(0, len(toks)-2),
+                  i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents WHERE doc_id < 300))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+         ORDER BY 1,2""",
 
     "ts_gregorian_monthly_rate" ->
       """SELECT event_type AS name,

@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
 
 /** Large-scale deduplication operators over a documents table.
   *
-  * All variants are single-pass + one shuffle on a derived key (content
-  * hash, LSH band, …) — the only shape that survives 100 TB. Nothing
-  * collects to the driver; candidate generation is always key-equality
-  * joins (shuffle- or broadcast-hash), never cartesian.
+  * All variants are single-pass + shuffles on derived keys (content
+  * hash, LSH band, fingerprint chunk) — the only shape that survives
+  * 100 TB. Nothing collects to the driver; candidate generation is
+  * always a key-equality join (never cartesian); candidate pairs are
+  * deduplicated BEFORE the exact-verification join so each pair pays
+  * the set-similarity check once; and every LSH family takes an
+  * explicit per-bucket cap as skew insurance (a pathological bucket of
+  * B docs would otherwise mint B² candidates on one shuffle key).
   */
 object Dedup {
 
@@ -33,40 +36,116 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Distinct character n-grams of a whitespace-normalized, lowercased
+    * text column. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    array_distinct(F.transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n))))
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the shingle set. Pure higher-order
+    * the minimum xxhash64 over the element set. Pure higher-order
     * columns — stays inside codegen, no UDF. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
     F.transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(F.transform(sh, s => xxhash64(s, seed))))
 
-  /** MinHash + LSH near-duplicate candidate pairs.
+  /** Exact Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  /** Banded-LSH candidate pairs over an element-set column.
     *
-    * signature → `bands` bands of `rows` hashes; docs sharing any band
-    * hash become candidates; candidates are verified with exact Jaccard
-    * over shingle sets. Plan: project (no shuffle) → explode bands
-    * (×bands) → shuffle on (band, hash) → self-join inside buckets →
-    * verify. Bucket sizes are capped implicitly by hash diffusion; at
-    * 100 TB add a `HAVING count < cap` guard on pathological buckets.
+    * Plan: project signature (no shuffle) → explode bands → count
+    * bucket sizes (partial-agg, same key) → drop buckets over
+    * `bucketCap` (skew insurance: hot buckets are corpus-vocabulary
+    * artifacts whose members almost always share another, selective
+    * band) → self-join on (band, hash) → distinct (id_a, id_b).
+    * Output: one row per candidate pair, ids only — the caller joins
+    * element sets back for exact verification so the wide arrays never
+    * ride through the band explosion.
     */
-  def minhashLSH(docs: DataFrame, text: Column, id: Column,
-      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+  private def lshCandidates(base: DataFrame, numHashes: Int, bands: Int,
+      bucketCap: Int): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs.select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(F.transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val banded = base
+      .withColumn("sig", minhashSignature(col("elems"), numHashes))
+      .select(col("doc_id"),
+        posexplode(F.transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= bucketCap)
+      .drop("bucket_n")
+    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Verify candidate id pairs exactly: join the element sets back by
+    * id (two lean hash joins — sets travel once, not once per band)
+    * and keep pairs at or above the Jaccard threshold. */
+  private def verifyPairs(cands: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(base.select(col("doc_id").as("id_a"), col("elems").as("e_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("elems").as("e_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** MinHash + LSH near-duplicate pairs over word shingles, verified
+    * with exact Jaccard. Recall at the threshold is governed by the
+    * (bands, rows) S-curve: P(candidate) = 1 − (1 − s^rows)^bands. */
+  def minhashLSH(docs: DataFrame, text: Column, id: Column,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.5, bucketCap: Int = 100000): DataFrame = {
+    val base = docs.select(id.as("doc_id"), shingles(text, shingleK).as("elems"))
+    verifyPairs(lshCandidates(base, numHashes, bands, bucketCap), base, jaccardThreshold)
+  }
+
+  /** Character n-gram Jaccard near-duplicate pairs, banded-MinHash
+    * blocked (NOT single-band min-hash blocking, which funnels most of
+    * a same-vocabulary corpus into one quadratic bucket), verified
+    * exactly. Defaults (32 hashes × 16 bands of 2) give
+    * P(candidate | j=0.5) ≈ 0.99. */
+  def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
+      n: Int = 3, threshold: Double = 0.5, numHashes: Int = 32,
+      bands: Int = 16, bucketCap: Int = 100000): DataFrame = {
+    val base = docs.select(id.as("doc_id"), charNgrams(text, n).as("elems"))
+    verifyPairs(lshCandidates(base, numHashes, bands, bucketCap), base, threshold)
+  }
+
+  /** Exact all-pairs n-gram Jaccard over a BOUNDED sample — the oracle
+    * twin of [[ngramJaccardPairs]] (quadratic by construction; callers
+    * must pass a bounded `docs`, e.g. a few hundred rows). */
+  def ngramJaccardExact(docs: DataFrame, text: Column, id: Column,
+      n: Int, threshold: Double): DataFrame = {
+    val base = docs.select(id.as("doc_id"), charNgrams(text, n).as("elems"))
+    val a = base.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs word-shingle Jaccard over a bounded sample — the
+    * oracle twin of [[minhashLSH]]'s verification arithmetic. */
+  def shingleJaccardExact(docs: DataFrame, text: Column, id: Column,
+      shingleK: Int, threshold: Double): DataFrame = {
+    val base = docs.select(id.as("doc_id"), shingles(text, shingleK).as("elems"))
+    val a = base.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash fingerprint: per-token hash votes on each bit,
@@ -87,18 +166,34 @@ object Dedup {
       lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
-  /** SimHash near-dup candidates: block on rotated 16-bit chunks (docs
-    * within Hamming distance 3 of a 64-bit fingerprint share at least
-    * one of 4 exact 16-bit chunks — pigeonhole), verify with popcount. */
+  /** SimHash near-dup pairs: block on `chunks` equal bit-slices of the
+    * fingerprint, verify with popcount. Pigeonhole guarantee: two
+    * fingerprints within Hamming distance `chunks − 1` share at least
+    * one exact chunk, so candidate generation is EXACT (recall 1.0)
+    * whenever `maxHamming < chunks` — enforced here. `chunks` defaults
+    * to the smallest divisor of 64 above maxHamming (8 chunks × 8 bits
+    * for maxHamming ≤ 7). */
   def simhashPairs(docs: DataFrame, text: Column, id: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 0, bucketCap: Int = 100000): DataFrame = {
+    val c = if (chunks > 0) chunks
+            else Seq(2, 4, 8, 16, 32, 64).find(_ > maxHamming).getOrElse(64)
+    require(64 % c == 0, s"chunks must divide 64, got $c")
+    require(maxHamming < c,
+      s"maxHamming=$maxHamming needs at least ${maxHamming + 1} chunks (got $c) for the pigeonhole guarantee")
+    val width = 64 / c
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
     val fp = docs.select(id.as("doc_id"), simhash(text).as("fp"))
     val chunked = fp.select(col("doc_id"), col("fp"),
-      posexplode(F.transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(0xFFFFL)))
+      posexplode(F.transform(sequence(lit(0), lit(c - 1)),
+        k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
         .as(Seq("chunk", "ck")))
-    val a = chunked.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = chunked.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val capped = chunked
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ck")))
+      .filter(col("bucket_n") <= bucketCap)
+      .drop("bucket_n")
+    val a = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -107,23 +202,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Character n-gram Jaccard similarity pairs, LSH-bucketed by the
-    * minimum n-gram hash (cheap single-band blocking), verified exactly. */
-  def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val norm = lower(regexp_replace(text, "\\s+", " "))
-    val gramsCol = array_distinct(F.transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n))))
-    val base = docs.select(id.as("doc_id"), gramsCol.as("grams"))
-      .withColumn("bucket", array_min(F.transform(col("grams"), g => xxhash64(g))))
-    val a = base.select(col("bucket"), col("doc_id").as("id_a"), col("grams").as("g_a"))
-    val b = base.select(col("bucket"), col("doc_id").as("id_b"), col("grams").as("g_b"))
-    a.join(b, Seq("bucket"))
+  /** Brute-force SimHash pairs over a bounded sample — recall oracle
+    * for [[simhashPairs]]. */
+  def simhashExact(docs: DataFrame, text: Column, id: Column,
+      maxHamming: Int): DataFrame = {
+    val fp = docs.select(id.as("doc_id"), simhash(text).as("fp"))
+    val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType) /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -61,14 +61,15 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH buckets: the sign bits of `planes`
-    * deterministic pseudo-random hyperplanes (seeded by (plane, dim)
-    * hashes — no RNG state, reproducible across engines/runs). */
-  def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
+    * deterministic pseudo-random hyperplanes (seeded by (table, plane,
+    * dim) hashes — no RNG state, reproducible across engines/runs). */
+  def lshBucket(emb: Column, planes: Int, dims: Int, table: Int = 0): Column = {
     val bits = F.transform(sequence(lit(0), lit(planes - 1)), p => {
-      // pseudo-random plane component for (p, i): xxhash64 → [-1, 1]
+      // pseudo-random plane component for (table, p, i): xxhash64 → [-1, 1]
       val dot = F.aggregate(zip_with(emb, sequence(lit(0), lit(dims - 1)),
         (x, i) => x.cast(DoubleType) *
-          ((xxhash64(p * dims + i).cast(DoubleType) / lit(Long.MaxValue.toDouble)))),
+          ((xxhash64(lit(table * 1000003) * dims * planes + p * dims + i).cast(DoubleType) /
+            lit(Long.MaxValue.toDouble)))),
         lit(0.0), (a, x) => a + x)
       when(dot >= 0, lit(1L)).otherwise(lit(0L))
     })
@@ -76,18 +77,27 @@ object Similarity {
       (bit, i) => call_function("shiftleft", bit, i)), lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
-  /** LSH-bucketed ANN: only corpus vectors in the query's hyperplane
-    * bucket are scored — the 100 TB path (bucket join instead of full
-    * scan per query). Recall < 1 by construction; `planes` trades
-    * recall for selectivity. */
+  /** LSH-bucketed ANN: only corpus vectors sharing a hyperplane bucket
+    * with the query — in any of `tables` independent hash tables — are
+    * scored. The 100 TB path: bucket-equality join instead of a full
+    * corpus scan per query. Recall < 1 by construction; `planes` trades
+    * selectivity against per-table recall and `tables` buys recall back
+    * (P(candidate) = 1 − (1 − p^planes)^tables). Candidates are
+    * de-duplicated across tables BEFORE scoring, so each (query,
+    * vector) pays the cosine once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dims: Int = 64, roundTo: Int = 4): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes, dims).as("bucket"))
+      planes: Int = 8, dims: Int = 64, tables: Int = 1, roundTo: Int = 4): DataFrame = {
+    val tableBuckets = (emb: Column) => F.array(
+      (0 until tables).map(t => struct(lit(t).as("t"), lshBucket(emb, planes, dims, t).as("b"))): _*)
+    val c = corpus.select(col("vec_id"),
+      explode(tableBuckets(col("embedding"))).as("tb"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), planes, dims).as("bucket")))
-    val scored = c.join(q, Seq("bucket"))
+      explode(tableBuckets(col("embedding"))).as("tb")))
+    val cands = c.join(q, Seq("tb")).select("query_id", "vec_id").distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), roundTo).as("score"))
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)

@@ -51,9 +51,28 @@ object StreamingIngest {
       .start(path)
 
   /** Watermarked live bucket aggregate for one interval. Late data
-    * beyond steps×step (the TTL horizon) is dropped — if the interval
-    * has no TTL, a generous default horizon is used (state must be
-    * bounded in a stream even though the reference keeps data forever).
+    * beyond steps×step (the TTL horizon) is dropped and finalized
+    * window state is evicted — the streaming twin of the reference's
+    * write-time TTL guard (timeseries.py:121-133,
+    * redis_backend.py:146-148). If the interval has no TTL, a generous
+    * default horizon is used (state must be bounded in a stream even
+    * though the reference keeps data forever).
+    *
+    * The grouping key is `window(ts, …)` at the RESOLUTION granularity
+    * (not a derived bucket-id column) so Spark can tie the aggregation
+    * state to the watermark — eviction and append-mode finalization
+    * only work when the event-time window is a group key. Bucket ids
+    * are projected from the window start afterwards. Relative-step
+    * buckets are epoch-aligned exactly like tumbling windows, so the
+    * mapping is 1:1; Gregorian intervals stream at whole-day
+    * sub-granularity (calendar months can't be fixed-width windows) and
+    * the store/read path folds days into calendar buckets — the same
+    * monoid merge as batch condense.
+    *
+    * Output: (name, i_time, r_time, value). Deviation from the batch
+    * path, by design: a stream has no global arrival order, so `ord` is
+    * event-time micros (gauge = last by event time, series = event-time
+    * ordered) rather than insert sequence.
     */
   def aggregateStream(t: Timeseries, events: DataFrame, interval: String,
       name: Column, ts: Column, value: Column,
@@ -63,19 +82,25 @@ object StreamingIngest {
       case RelativeStep(s)  => s
       case _: GregorianStep => 86400L // calendar buckets: day-granular horizon
     }
+    val windowSec: Long =
+      (if (sp.coarse) sp.step else sp.resolution.get) match {
+        case RelativeStep(s)  => s
+        case _: GregorianStep => 86400L
+      }
     val horizon = sp.steps.map(_ * step).getOrElse(defaultHorizonSec)
     val withWm = events
       .select(name.cast(StringType).as("name"), ts.as("ts"),
-        value.cast(t.valueType).as("value"))
+        value.cast(t.valueType).as("value"),
+        unix_micros(ts).as("ord"))
       .withWatermark("ts", s"$horizon seconds")
-      .select(col("name"),
-        TimeColumns.bucket(col("ts"), sp.step).as("i_time"),
-        (if (sp.coarse) lit(-1L) else TimeColumns.bucket(col("ts"), sp.resolution.get)).as("r_time"),
-        // arrival order inside a micro-batch engine: event time is the
-        // only stable order available to a stream; kairos' seq becomes
-        // the event timestamp in micros
-        unix_micros(col("ts")).as("ord"),
-        col("value"))
-    t.seriesType.aggregate(withWm, Seq("name", "i_time", "r_time"))
+    val agged = withWm
+      .groupBy(col("name"), window(col("ts"), s"$windowSec seconds").as("w"))
+      .agg(t.seriesType.foldExpr(col("value"), col("ord")).as("value"))
+    agged.select(
+      col("name"),
+      TimeColumns.bucket(col("w.start"), sp.step).as("i_time"),
+      (if (sp.coarse) lit(-1L)
+       else TimeColumns.bucket(col("w.start"), sp.resolution.get)).as("r_time"),
+      col("value"))
   }
 }
