@@ -56,69 +56,111 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
-  /** Banded-LSH candidate pairs over an element-set column.
+  /** Banded-LSH near-duplicate pairs over an element-set column
+    * (`doc_id`, `elems`), exact-verified. The full scale funnel:
     *
-    * Plan: project signature (no shuffle) → explode bands → count
-    * bucket sizes (partial-agg, same key) → drop buckets over
-    * `bucketCap` (skew insurance: hot buckets are corpus-vocabulary
-    * artifacts whose members almost always share another, selective
-    * band) → self-join on (band, hash) → distinct (id_a, id_b).
-    * Output: one row per candidate pair, ids only — the caller joins
-    * element sets back for exact verification so the wide arrays never
-    * ride through the band explosion.
+    *  1. signature table (doc_id, elems, sig, |elems|), persisted —
+    *     it feeds candidate generation AND both verification joins;
+    *  2. band explosion → per-bucket count → drop buckets over
+    *     `bucketCap` (skew insurance: a pathological bucket of B docs
+    *     would mint B² pairs on one shuffle key);
+    *  3. self-join on (band, hash) with a SIZE-RATIO guard — j ≥ t
+    *     forces |A|/|B| ∈ [t, 1/t], so wildly different-sized docs
+    *     never materialize as pairs;
+    *  4. distinct (id_a, id_b) — each pair verified once, not once per
+    *     colliding band;
+    *  5. signature-estimate prefilter: est = (matching minhash
+    *     components)/H ≈ j with σ = √(j(1−j)/H); pairs below
+    *     t − 4σ are discarded after a 2·H-long join instead of paying
+    *     the full element-set join. Crucial when the corpus background
+    *     similarity sits near the band knee (candidate volume is
+    *     driven by the background, not the threshold);
+    *  6. exact Jaccard over the element sets for the survivors.
     */
-  private def lshCandidates(base: DataFrame, numHashes: Int, bands: Int,
-      bucketCap: Int): DataFrame = {
+  private def lshPairs(docsKeyed: DataFrame, numHashes: Int, bands: Int,
+      bucketCap: Int, threshold: Double): DataFrame = {
     val rows = numHashes / bands
-    val banded = base
+    val base = docsKeyed
       .withColumn("sig", minhashSignature(col("elems"), numHashes))
-      .select(col("doc_id"),
-        posexplode(F.transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+      .withColumn("n", size(col("elems")))
+      .persist()
+    val banded = base.select(col("doc_id"), col("n"),
+      posexplode(F.transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bucket_n") <= bucketCap)
       .drop("bucket_n")
-    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
+    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("n").as("n_a"))
+    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("n").as("n_b"))
+    val cands = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast(DoubleType) /
+          greatest(col("n_a"), col("n_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct()
-  }
-
-  /** Verify candidate id pairs exactly: join the element sets back by
-    * id (two lean hash joins — sets travel once, not once per band)
-    * and keep pairs at or above the Jaccard threshold. */
-  private def verifyPairs(cands: DataFrame, base: DataFrame,
-      threshold: Double): DataFrame =
-    cands
+    val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val likely =
+      if (threshold - margin <= 0) cands
+      else {
+        val est = F.aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast(DoubleType) / numHashes
+        cands
+          .join(base.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(base.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .filter(est >= threshold - margin)
+          .select("id_a", "id_b")
+      }
+    likely
       .join(base.select(col("doc_id").as("id_a"), col("elems").as("e_a")), Seq("id_a"))
       .join(base.select(col("doc_id").as("id_b"), col("elems").as("e_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** MinHash + LSH near-duplicate pairs over word shingles, verified
     * with exact Jaccard. Recall at the threshold is governed by the
     * (bands, rows) S-curve: P(candidate) = 1 − (1 − s^rows)^bands. */
+  /** Spread docs across the cluster by id BEFORE the (interpreted,
+    * CPU-heavy) shingle/minhash projections — a coarse upstream scan
+    * otherwise serializes the whole signature computation into a
+    * handful of tasks; partitioning by doc id also pre-co-locates the
+    * verification joins. The shuffled payload is the raw text — far
+    * cheaper than the hash work it parallelizes. */
+  private def spreadById(docs: DataFrame, id: Column, payload: Column): DataFrame =
+    docs.select(id.as("doc_id"), payload.as("__raw")).repartition(col("doc_id"))
+
   def minhashLSH(docs: DataFrame, text: Column, id: Column,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.5, bucketCap: Int = 100000): DataFrame = {
-    val base = docs.select(id.as("doc_id"), shingles(text, shingleK).as("elems"))
-    verifyPairs(lshCandidates(base, numHashes, bands, bucketCap), base, jaccardThreshold)
+    val base = spreadById(docs, id, text)
+      .select(col("doc_id"), shingles(col("__raw"), shingleK).as("elems"))
+    lshPairs(base, numHashes, bands, bucketCap, jaccardThreshold)
   }
 
   /** Character n-gram Jaccard near-duplicate pairs, banded-MinHash
     * blocked (NOT single-band min-hash blocking, which funnels most of
     * a same-vocabulary corpus into one quadratic bucket), verified
-    * exactly. Defaults (32 hashes × 16 bands of 2) give
-    * P(candidate | j=0.5) ≈ 0.99. */
+    * exactly over int-hashed grams (identical Jaccard up to 2^-64
+    * collisions, ~1/3 the verify-join bytes of string grams).
+    *
+    * The S-curve must be STEEP for char n-grams: unrelated documents in
+    * one language/domain commonly sit at j ≈ 0.4-0.6, so shallow bands
+    * would accept nearly every pair. Defaults (128 hashes × 16 bands of
+    * 8) give P(candidate) ≈ 0.95 at j=0.8 but ≈ 0.4% at j=0.55 — the
+    * knee sits between the background mode and the near-dup threshold.
+    * Run [[exact]] dedup first: clusters of >bucketCap IDENTICAL docs
+    * saturate every band bucket and are dropped by the skew cap. */
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
-      n: Int = 3, threshold: Double = 0.5, numHashes: Int = 32,
-      bands: Int = 16, bucketCap: Int = 100000): DataFrame = {
-    val base = docs.select(id.as("doc_id"), charNgrams(text, n).as("elems"))
-    verifyPairs(lshCandidates(base, numHashes, bands, bucketCap), base, threshold)
+      n: Int = 3, threshold: Double = 0.8, numHashes: Int = 128,
+      bands: Int = 16, bucketCap: Int = 1000): DataFrame = {
+    val base = spreadById(docs, id, text)
+      .select(col("doc_id"),
+        array_distinct(F.transform(charNgrams(col("__raw"), n), g => xxhash64(g))).as("elems"))
+    lshPairs(base, numHashes, bands, bucketCap, threshold)
   }
 
   /** Exact all-pairs n-gram Jaccard over a BOUNDED sample — the oracle
@@ -126,7 +168,11 @@ object Dedup {
     * must pass a bounded `docs`, e.g. a few hundred rows). */
   def ngramJaccardExact(docs: DataFrame, text: Column, id: Column,
       n: Int, threshold: Double): DataFrame = {
+    // the repartition puts an exchange ABOVE the gram projection so the
+    // nested-loop join streams materialized arrays (not a per-pair
+    // recompute of the whole gram pipeline) and parallelizes the pairs
     val base = docs.select(id.as("doc_id"), charNgrams(text, n).as("elems"))
+      .repartition(col("doc_id"))
     val a = base.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
     val b = base.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
     a.crossJoin(b)
@@ -140,6 +186,7 @@ object Dedup {
   def shingleJaccardExact(docs: DataFrame, text: Column, id: Column,
       shingleK: Int, threshold: Double): DataFrame = {
     val base = docs.select(id.as("doc_id"), shingles(text, shingleK).as("elems"))
+      .repartition(col("doc_id"))
     val a = base.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
     val b = base.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
     a.crossJoin(b)
@@ -182,7 +229,8 @@ object Dedup {
       s"maxHamming=$maxHamming needs at least ${maxHamming + 1} chunks (got $c) for the pigeonhole guarantee")
     val width = 64 / c
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
-    val fp = docs.select(id.as("doc_id"), simhash(text).as("fp"))
+    val fp = spreadById(docs, id, text)
+      .select(col("doc_id"), simhash(col("__raw")).as("fp"))
     val chunked = fp.select(col("doc_id"), col("fp"),
       posexplode(F.transform(sequence(lit(0), lit(c - 1)),
         k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
@@ -207,6 +255,7 @@ object Dedup {
   def simhashExact(docs: DataFrame, text: Column, id: Column,
       maxHamming: Int): DataFrame = {
     val fp = docs.select(id.as("doc_id"), simhash(text).as("fp"))
+      .repartition(col("doc_id"))
     val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
     a.crossJoin(b)

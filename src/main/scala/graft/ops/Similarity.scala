@@ -65,10 +65,12 @@ object Similarity {
     * dim) hashes — no RNG state, reproducible across engines/runs). */
   def lshBucket(emb: Column, planes: Int, dims: Int, table: Int = 0): Column = {
     val bits = F.transform(sequence(lit(0), lit(planes - 1)), p => {
-      // pseudo-random plane component for (table, p, i): xxhash64 → [-1, 1]
+      // pseudo-random plane component for (table, p, i): xxhash64 → [-1, 1];
+      // seed arithmetic in LONG (int would overflow under ANSI at high
+      // table counts)
       val dot = F.aggregate(zip_with(emb, sequence(lit(0), lit(dims - 1)),
         (x, i) => x.cast(DoubleType) *
-          ((xxhash64(lit(table * 1000003) * dims * planes + p * dims + i).cast(DoubleType) /
+          ((xxhash64(lit(table.toLong * 1000003L) + p.cast(LongType) * dims + i).cast(DoubleType) /
             lit(Long.MaxValue.toDouble)))),
         lit(0.0), (a, x) => a + x)
       when(dot >= 0, lit(1L)).otherwise(lit(0L))

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.time._
+
+/** Golden tests for the per-call read hooks (reference README.rst:
+  * 640-731 + timeseries.py:575-580,643-652) and the retention fixes:
+  * custom condense (variance example), custom collapse, join_rows
+  * (set intersection example), process_row, write-time TTL guard,
+  * delete/delete_all buffer semantics, and the Gregorian yearly path.
+  */
+class HooksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val T0 = 500000L * 3600L
+  def Td(t: Long): Double = (T0 + t).toDouble
+
+  val minuteHour: Map[String, IntervalSpec] = Map(
+    "minute" -> IntervalSpec(TimeStep(60L), Some(5), None),
+    "hour"   -> IntervalSpec(TimeStep(3600L), None, Some(TimeStep(60L))))
+
+  // README.rst:689-691 — the variance example over a series bucket
+  val variance: Column => Column = entries => {
+    val xs = flatten(F.transform(entries, e => e("value")))
+    val n = size(xs).cast(DoubleType)
+    val mean = F.aggregate(xs, lit(0.0), (a, x) => a + x) / n
+    F.aggregate(xs, lit(0.0), (a, x) => a + (x - mean) * (x - mean)) / n
+  }
+
+  test("custom condense callable: variance of an hour of fine data (README.rst:670-704)") {
+    val t = new Timeseries(spark, SeriesT, minuteHour)
+    // values 1,2,3,4 spread over two minutes of one hour
+    t.insert("v", 1.0, Td(10)); t.insert("v", 2.0, Td(20))
+    t.insert("v", 3.0, Td(70)); t.insert("v", 4.0, Td(80))
+    val got = t.get(Seq("v"), "hour", Td(0), condense = true,
+      hooks = ReadHooks(condense = Some(variance))).collect()
+    assert(got.length === 1 && got.head.getLong(0) === T0)
+    assert(math.abs(got.head.getDouble(1) - 1.25) < 1e-9) // var([1,2,3,4]) = 1.25
+  }
+
+  test("custom collapse callable; collapse=true reuses custom condense (README.rst:725-731)") {
+    val t = new Timeseries(spark, SeriesT, minuteHour)
+    for (i <- Seq(1L, 2L, 3L)) t.insert("c", i.toDouble, Td(i * 10))       // hour 0
+    for (i <- Seq(5L, 7L)) t.insert("c", i.toDouble, Td(3600 + i * 10))    // hour 1
+    // custom collapse: count of interval rows that had data
+    val nRows: Column => Column = entries => size(entries).cast(DoubleType)
+    val c1 = t.series(Seq("c"), "hour", start = Some(Td(0)), steps = Some(2),
+      collapse = true, hooks = ReadHooks(collapse = Some(nRows))).collect().head
+    assert(c1.getLong(0) === T0 && c1.getDouble(1) === 2.0)
+    // collapse=true + custom CONDENSE and no custom collapse: the
+    // condense callable is used for the collapse pass too (README.rst:
+    // 729-731). Like the reference (duck typing), the callable must
+    // accept both shapes — entry counting is shape-agnostic.
+    val nEntries: Column => Column = entries => size(entries).cast(DoubleType)
+    val c2 = t.series(Seq("c"), "hour", start = Some(Td(0)), steps = Some(2),
+      collapse = true, hooks = ReadHooks(condense = Some(nEntries))).collect().head
+    // condense: hour0 -> 1 extant minute bucket, hour1 -> 2; collapse
+    // re-applies the fn over the two condensed rows -> 2
+    assert(c2.getLong(0) === T0 && c2.getDouble(1) === 2.0)
+  }
+
+  test("custom join_rows: cross-series set intersection (README.rst:711-714)") {
+    val t = new Timeseries(spark, SetT, minuteHour)
+    t.insert("a", 1.0, Td(10)); t.insert("a", 2.0, Td(20)); t.insert("a", 3.0, Td(30))
+    t.insert("b", 2.0, Td(15)); t.insert("b", 3.0, Td(25)); t.insert("b", 9.0, Td(35))
+    val intersect: Column => Column = rows =>
+      array_sort(array_intersect(
+        coalesce(try_element_at(rows, lit(1)), array().cast(ArrayType(DoubleType))),
+        coalesce(try_element_at(rows, lit(2)), array().cast(ArrayType(DoubleType)))))
+    val got = t.get(Seq("a", "b"), "minute", Td(20),
+      hooks = ReadHooks(joinRows = Some(intersect))).collect().head
+    assert(got.getSeq[Double](1) === Seq(2.0, 3.0))
+    // a series missing in the bucket → null slot → empty intersection
+    t.insert("a", 5.0, Td(80))
+    val got2 = t.get(Seq("a", "b"), "minute", Td(80),
+      hooks = ReadHooks(joinRows = Some(intersect))).collect().head
+    assert(got2.getSeq[Double](1) === Seq.empty)
+  }
+
+  test("custom process_row replaces the cast step including read_func") {
+    val t = new Timeseries(spark, CountT, minuteHour,
+      readFunc = _ * 100) // would multiply by 100 if applied
+    t.insert("p", 2.0, Td(10)); t.insert("p", 3.0, Td(20))
+    // process_row: negate the bucket state; read_func must NOT run
+    val got = t.get(Seq("p"), "minute", Td(10),
+      hooks = ReadHooks(processRow = Some(v => -v))).collect().head
+    assert(got.getDouble(1) === -5.0)
+  }
+
+  test("custom fetch hook pre-filters the log (README.rst:644-663)") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    t.insert("f", 1.0, Td(10)); t.insert("f", 100.0, Td(20))
+    val got = t.get(Seq("f"), "minute", Td(10),
+      hooks = ReadHooks(fetch = df => df.filter(col("value") < 50))).collect().head
+    assert(got.getDouble(1) === 1.0)
+  }
+
+  test("joined fine+condense keeps reference merge order: join BEFORE condense") {
+    // The reference joins per resolution bucket first (_join_results,
+    // timeseries.py:684-688) and THEN condenses in r_time order
+    // (:693-704) — verified against series_helper.py:238-251. So for
+    // gauge, the winner is the last RESOLUTION bucket with data (and
+    // only within one bucket the last named series): a@minute5 beats
+    // b@minute3 even though b is later in the name list.
+    val t = new Timeseries(spark, GaugeT, minuteHour)
+    t.insert("a", 1.0, Td(5 * 60)); t.insert("b", 2.0, Td(3 * 60))
+    val got = t.get(Seq("a", "b"), "hour", Td(0), condense = true).collect().head
+    assert(got.getDouble(1) === 1.0)
+    // same r bucket: later named series wins
+    val t2 = new Timeseries(spark, GaugeT, minuteHour)
+    t2.insert("a", 1.0, Td(60)); t2.insert("b", 2.0, Td(61))
+    val got2 = t2.get(Seq("a", "b"), "hour", Td(0), condense = true).collect().head
+    assert(got2.getDouble(1) === 2.0)
+    // and series order decides, not insert order
+    val t3 = new Timeseries(spark, GaugeT, minuteHour)
+    t3.insert("b", 2.0, Td(61)); t3.insert("a", 1.0, Td(60))
+    val got3 = t3.get(Seq("b", "a"), "hour", Td(0), condense = true).collect().head
+    assert(got3.getDouble(1) === 1.0)
+  }
+
+  test("series multi-name condense interleaves by resolution bucket (series_helper.py:238-251)") {
+    val t = new Timeseries(spark, SeriesT, minuteHour)
+    t.insert("x", 10.0, Td(10)); t.insert("y", 20.0, Td(20)) // r bucket 0
+    t.insert("x", 30.0, Td(70)); t.insert("y", 40.0, Td(80)) // r bucket 1
+    val got = t.get(Seq("x", "y"), "hour", Td(0), condense = true).collect().head
+    assert(got.getSeq[Double](1) === Seq(10.0, 20.0, 30.0, 40.0))
+  }
+
+  test("write-time TTL guard drops rows already past the horizon (I12)") {
+    import spark.implicits._
+    val t = new Timeseries(spark, CountT, minuteHour)
+    val ev = Seq(
+      ("w", Td(0), 1.0, 0L),      // 10 minutes before now → past minute TTL (5 steps)
+      ("w", Td(540), 2.0, 1L))    // 1 minute before now → kept
+      .toDF("name", "ts_sec", "value", "seq")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val log = t.bucketize(ev, col("name"), col("ts"), col("value"), col("seq"),
+      guardNow = Some(Td(600)))
+    val minuteRows = log.filter(col("interval") === "minute").select("i_time", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(minuteRows === Set(((T0 + 540) / 60, 2.0)))
+    // the hour interval has no TTL → both rows kept
+    assert(log.filter(col("interval") === "hour").count() === 2L)
+  }
+
+  test("delete folds the buffer: buffered rows for the name really go away (ADVICE)") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    t.insert("gone", 1.0, Td(10)); t.insert("kept", 2.0, Td(10))
+    t.delete("gone")
+    assert(t.list().collect().map(_.getString(0)).toSeq === Seq("kept"))
+    // no double counting on repeated reads after delete
+    val v1 = t.get(Seq("kept"), "minute", Td(10)).collect().head.getDouble(1)
+    val v2 = t.get(Seq("kept"), "minute", Td(10)).collect().head.getDouble(1)
+    assert(v1 === 2.0 && v2 === 2.0)
+    // inserts after delete still land
+    t.insert("kept", 3.0, Td(15))
+    assert(t.get(Seq("kept"), "minute", Td(10)).collect().head.getDouble(1) === 5.0)
+  }
+
+  test("delete_all empties the store (D2, timeseries.py:512-519)") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    t.insert("a", 1.0, Td(10)); t.insert("b", 1.0, Td(10))
+    t.deleteAll()
+    assert(t.list().count() === 0L)
+    t.insert("c", 4.0, Td(10))
+    assert(t.get(Seq("c"), "minute", Td(10)).collect().head.getDouble(1) === 4.0)
+  }
+
+  test("gregorian yearly end-to-end with leap-year rate (timeseries_test.py:62-102)") {
+    val t = new Timeseries(spark, CountT, Map("yearly" -> IntervalSpec(TimeStep("yearly"))))
+    val feb2012 = java.time.LocalDate.of(2012, 2, 15).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val mar2013 = java.time.LocalDate.of(2013, 3, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    t.insert("y", 366.0, feb2012.toDouble)
+    t.insert("y", 365.0, mar2013.toDouble)
+    val got = t.series(Seq("y"), "yearly", start = Some(feb2012.toDouble),
+      end = Some(mar2013.toDouble), transform = Transforms("rate"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val y2012 = java.time.LocalDate.of(2012, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val y2013 = java.time.LocalDate.of(2013, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    // 2012 is a leap year: rate = 366 / (366*86400); 2013: 365 / (365*86400)
+    assert(math.abs(got(y2012) - 366.0 / (366.0 * 86400)) < 1e-12)
+    assert(math.abs(got(y2013) - 365.0 / (365.0 * 86400)) < 1e-12)
+  }
+
+  test("expire uses calendar-aware cutoff for gregorian intervals (ADVICE)") {
+    val t = new Timeseries(spark, CountT,
+      Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))
+    val jan31 = java.time.LocalDate.of(2024, 1, 31).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val feb2 = java.time.LocalDate.of(2024, 2, 2).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    t.insert("g", 1.0, jan31.toDouble) // 2 days before now — inside 5-day TTL
+    val kept = t.expired(feb2.toDouble)
+    // linear bucket arithmetic (20240202 - 5 = 20240197) would wrongly
+    // drop 20240131; the calendar-aware cutoff keeps it
+    assert(kept.filter(col("interval") === "daily").count() === 1L)
+  }
+}

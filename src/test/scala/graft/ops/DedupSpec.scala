@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall self-checks for the blocked/approximate dedup + ANN operators
+  * against their brute-force exact twins — the correctness evidence for
+  * the operators the DuckDB oracle can't express (engine-local hashes).
+  *
+  * Fixture: a deterministic corpus of base documents plus perturbed
+  * near-duplicates at controlled edit intensities, so the exact pair
+  * set is non-trivial at every threshold the operators use.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 80 base docs drawn from a 300-word synthetic vocabulary (wide
+    * enough that unrelated docs stay dissimilar at the n-gram level) +
+    * a near-dup of each even doc with two words substituted (gram
+    * Jaccard ≈ 0.9) — deterministic, no RNG state. */
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    val cons = "bcdfghjklmnpqrstvwxz"; val vow = "aeiou"
+    val vocab = (0 until 300).map(i =>
+      "" + cons(i % 20) + vow(i / 20 % 5) + cons(i / 7 % 20) + vow(i % 5) + cons(i * 13 % 20))
+    def word(seed: Int): String = vocab(math.abs(seed * 2654435761L % vocab.size).toInt)
+    val base = (0 until 80).map { d =>
+      val words = (0 until 60).map(w => word(d * 131 + w * 7 + 3))
+      (d.toLong, words.mkString(" "))
+    }
+    val dups = (0 until 80 by 2).map { d =>
+      val words = (0 until 60).map { w =>
+        if (w % 30 == 5) word(d * 131 + w * 7 + 9999) // two substitutions
+        else word(d * 131 + w * 7 + 3)
+      }
+      (1000L + d, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("simhash blocking is EXACT for maxHamming < chunks (pigeonhole)") {
+    val blocked = pairSet(Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 7))
+    val brute = pairSet(Dedup.simhashExact(docs, col("text"), col("doc_id"), maxHamming = 7))
+    assert(brute.nonEmpty, "fixture must contain simhash near-dups")
+    assert(blocked === brute)
+  }
+
+  test("simhash rejects maxHamming >= chunks (lost-pair configuration)") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 8, chunks = 8)
+    }
+  }
+
+  test("banded ngram LSH recall vs exact pairs at the 0.8 threshold") {
+    val exact = pairSet(Dedup.ngramJaccardExact(docs, col("text"), col("doc_id"),
+      n = 3, threshold = 0.8))
+    val blocked = pairSet(Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      n = 3, threshold = 0.8))
+    assert(exact.size >= 20, s"fixture too weak: ${exact.size} exact pairs")
+    assert(blocked.subsetOf(exact), "verification must make precision exact")
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${blocked.size}/${exact.size})")
+  }
+
+  test("minhash LSH recall vs exact shingle pairs") {
+    val exact = pairSet(Dedup.shingleJaccardExact(docs, col("text"), col("doc_id"),
+      shingleK = 2, threshold = 0.5))
+    val blocked = pairSet(Dedup.minhashLSH(docs, col("text"), col("doc_id"),
+      shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.5))
+    assert(exact.size >= 20, s"fixture too weak: ${exact.size} exact pairs")
+    assert(blocked.subsetOf(exact))
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${blocked.size}/${exact.size})")
+  }
+
+  test("bucket cap drops oversized buckets (skew insurance) without killing the rest") {
+    // cap of 1 kills every 2+ bucket: identical docs still pair only if
+    // some bucket stays under the cap — with cap 1 nothing can pair
+    val capped = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      n = 3, threshold = 0.8, bucketCap = 1)
+    assert(capped.count() === 0L)
+  }
+
+  test("exact dedup clusters identical texts") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val r = Dedup.exact(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r === Set((1L, 2L), (3L, 1L))) // (keep_id, cluster_size)
+  }
+
+  test("LSH ANN recall@10 vs brute force on the embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def top(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = top(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val lsh = top(Similarity.lshTopK(emb, queries, k = 10, planes = 4, tables = 12))
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall@10 $recall")
+  }
+}
