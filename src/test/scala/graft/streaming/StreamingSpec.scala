@@ -91,6 +91,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(T0 / 60 -> 9.0)) // last event time wins across batches
   }
 
+  test("streaming fold equals the batch fold for all five series types") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // duplicate-heavy, out-of-order fixture across two hours; ord in the
+    // stream is event-time micros, so make event times unique per name
+    // (the documented arrival-order deviation doesn't bite then)
+    val fixture = Seq(
+      ("s", T0 + 5L, 3.0), ("s", T0 + 2L, 1.0), ("s", T0 + 70L, 4.0),
+      ("s", T0 + 65L, 4.0), ("s", T0 + 3700L, 9.0), ("t", T0 + 5L, 7.0),
+      ("t", T0 + 61L, 7.0), ("t", T0 + 62L, 8.0), ("s", T0 + 130L, 1.0))
+
+    for (st <- SeriesType.all) {
+      val t = new Timeseries(spark, st, minuteHour)
+      val mem = MemoryStream[(String, Long, Double)]
+      val events = mem.toDF()
+        .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+      val agg = StreamingIngest.aggregateStream(t, events, "hour",
+        col("name"), col("ts"), col("value"))
+      val qn = s"stream_eq_${st.typeName}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      // two micro-batches to exercise cross-batch state merge
+      mem.addData(fixture.take(5): _*); q.processAllAvailable()
+      mem.addData(fixture.drop(5): _*); q.processAllAvailable()
+      // map entry order is fold-order-dependent — canonicalize for compare
+      def canon(c: org.apache.spark.sql.Column) =
+        if (st == HistogramT) array_sort(map_entries(c)).cast(StringType) else c.cast(StringType)
+      val streamed = spark.table(qn)
+        .select(col("name"), col("i_time"), col("r_time"), canon(col("value")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      q.stop()
+
+      // documented deviation: stream ord is EVENT time (no global
+      // arrival order exists in a stream) — feed the batch twin in
+      // event-time order so the series contract lines up
+      val bt = new Timeseries(spark, st, minuteHour)
+      for ((n, ts, v) <- fixture.sortBy(_._2)) bt.insert(n, v, ts.toDouble)
+      val prepared = bt.log.filter(col("interval") === "hour")
+        .select(col("name"), col("i_time"), col("r_time"),
+          struct(col("r_time"), col("seq")).as("ord"), col("value"))
+      val batch = st.aggregate(prepared, Seq("name", "i_time", "r_time"))
+        .select(col("name"), col("i_time"), col("r_time"), canon(col("value")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(streamed === batch, s"type ${st.typeName}")
+    }
+  }
+
+  test("watermark drops data later than the TTL horizon and finalizes state (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // minute interval, steps=5 → horizon 300s
+    val t = new Timeseries(spark, CountT, minuteHour)
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF()
+      .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+    val agg = StreamingIngest.aggregateStream(t, events, "minute",
+      col("name"), col("ts"), col("value"))
+    val q = agg.writeStream.format("memory").queryName("stream_late")
+      .outputMode("append").start()
+
+    mem.addData(("l", T0 + 10L, 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past T0's bucket (finalizes it in append mode)
+    mem.addData(("l", T0 + 2000L, 5.0))
+    q.processAllAvailable()
+    // late row for the T0 bucket — older than watermark (2000 - 300) → dropped
+    mem.addData(("l", T0 + 11L, 100.0))
+    q.processAllAvailable()
+    // close the second window too so the sink sees it
+    mem.addData(("l", T0 + 4000L, 7.0))
+    q.processAllAvailable()
+
+    val got = spark.table("stream_late").select("i_time", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    q.stop()
+    assert(got(T0 / 60) === 1.0)          // late 100.0 did NOT land
+    assert(got((T0 + 2000) / 60) === 5.0) // finalized after watermark passed
+  }
+
   test("append-to-store streaming ingest replays through the batch reader") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
