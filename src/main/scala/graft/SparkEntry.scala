@@ -403,6 +403,30 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // §7.6: JSON prop extraction over the events stream (get_json_object
+    // is codegen'd; the scan prunes to the two referenced columns)
+    "events_props_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type").as("name"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("name")),
+
+    // §2.4: approximate distinct (HLL) — the documented approximate
+    // variant of the set type for 100 TB cardinalities. Error bound vs
+    // exact is asserted in HooksSpec; the driver records rows-only.
+    "ts_set_approx_hour" -> ((s, dir) => {
+      val t = eventLog(s, dir, SetT, hourFine)
+      t.log.filter(col("interval") === "hour")
+        .groupBy(col("name"), col("i_time"))
+        .agg(approx_count_distinct(col("value")).as("approx_card"))
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
+          col("approx_card"))
+        .orderBy("name", "i_time")
+    }),
+
     // top-k without global sort (TakeOrdered path)
     "events_top_users" -> ((s, dir) =>
       events(s, dir)
@@ -762,6 +786,13 @@ object SparkEntry {
     "events_top_users" ->
       """SELECT user_id, round(sum(value), 6) AS total
          FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 20""",
+
+    "events_props_json" ->
+      """SELECT event_type AS name, count(*) AS n,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -194,6 +194,16 @@ class HooksSpec extends AnyFunSuite {
     assert(math.abs(got(y2013) - 365.0 / (365.0 * 86400)) < 1e-12)
   }
 
+  test("approx_count_distinct tracks exact set cardinality within its rsd") {
+    val t = new Timeseries(spark, SetT, minuteHour)
+    for (i <- 1 until 2000) t.insert("ac", (i % 700).toDouble, Td(i % 50))
+    val log = t.log.filter(col("interval") === "minute")
+    val exact = log.agg(countDistinct(col("value"))).head().getLong(0)
+    val approx = log.agg(approx_count_distinct(col("value"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("expire uses calendar-aware cutoff for gregorian intervals (ADVICE)") {
     val t = new Timeseries(spark, CountT,
       Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))
