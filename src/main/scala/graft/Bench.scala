@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/parquet-reader paths so the first measured
+    // query isn't charged ~6s of one-time infrastructure cost
+    try {
+      spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+      SparkEntry.events(spark, sfDir).limit(10).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
