@@ -326,6 +326,11 @@ class Timeseries(
         val fillValue =
           if (hooks.condense.isDefined || hooks.joinRows.isDefined || hooks.processRow.isDefined)
             lit(null)
+          else if (multi && seriesType == GaugeT)
+            // reference quirk: joined gauge empty = None, not 0 — Gauge._join
+            // skips falsy rows and returns None when all are (gauge_helper.py
+            // "no matching interval" joined assert; timeseries.py:981-988)
+            lit(null).cast(agged.schema("value").dataType)
           else seriesType.empty(agged.schema("value").dataType)
         (axis.join(broadcast(agged), Seq("i_time"), "left")
           .select(col("i_time"), coalesce(col("value"), fillValue).as("value")),

@@ -161,7 +161,9 @@ case object GaugeT extends SeriesType {
   val typeName = "gauge"
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(max_by(col("value"), col("ord")).as("value"))
-  def empty(aggType: DataType): Column = lit(null).cast(aggType)
+  // _type_no_value() = 0 (timeseries.py:953-955): every backend fills
+  // empty coarse buckets with 0, not null (sql_backend.py:207,235)
+  def empty(aggType: DataType): Column = lit(0).cast(aggType)
   def mergeExpr(states: Column): Column = {
     // last non-null state in iteration order (timeseries.py:971-988)
     val present = filter(states, x => x.isNotNull)

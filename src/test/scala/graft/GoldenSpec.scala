@@ -243,6 +243,37 @@ class GoldenSpec extends AnyFunSuite {
     assert(gj2.getLong(1) === 1L) // a is last in this order
   }
 
+  test("gauge get/series: empty fills, condense keying, joined quirks (gauge_helper.py:105-200)") {
+    val t = mk(GaugeT)
+    (1 until 7200).foreach(i => t.insert("test", i.toDouble, Td(i)))
+    // middle of an interval: last write wins
+    val i1 = t.get(Seq("test"), "minute", Td(100)).collect().head
+    assert(i1.getLong(0) === T(60) && i1.getLong(1) === 119L)
+    // no data at "now": single bucket with _type_no_value() = 0
+    val i2 = t.get(Seq("test"), "minute", Td(90000)).collect().head
+    assert(i2.getLong(1) === 0L)
+    // fine: 60 resolution rows, minute bucket 60 holds 119
+    val f = t.get(Seq("test"), "hour", Td(100)).collect()
+    assert(f.length === 60)
+    assert(f.find(_.getLong(1) == T(60)).get.getLong(2) === 119L)
+    // condensed: last value of the hour
+    val c1 = t.get(Seq("test"), "hour", Td(100), condense = true).collect().head
+    assert(c1.getLong(0) === T(0) && c1.getLong(1) === 3599L)
+    val c2 = t.get(Seq("test"), "hour", Td(4000), condense = true).collect().head
+    assert(c2.getLong(0) === T(3600) && c2.getLong(1) === 7199L)
+    // series: dense fill of an empty bucket is 0 for a single gauge
+    val t2 = mk(GaugeT)
+    t2.insert("test", 5.0, Td(10))
+    val s = t2.series(Seq("test"), "minute", end = Some(Td(130)), steps = Some(3))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(s === Map(T(0) -> 5L, T(60) -> 0L, T(120) -> 0L))
+    // joined gauge: empty bucket is None (Gauge._join skips falsy rows)
+    t2.insert("other", 7.0, Td(10))
+    val j = t2.series(Seq("test", "other"), "minute", end = Some(Td(130)), steps = Some(3))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(j(T(0)) === 7L && j(T(60)) === null && j(T(120)) === null)
+  }
+
   test("set: dedup per bucket (set_helper.py:107-136)") {
     val t = mk(SetT)
     (1 until 7200).foreach(i => t.insert("test", (i / 15).toDouble, Td(i)))
