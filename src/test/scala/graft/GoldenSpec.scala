@@ -303,6 +303,56 @@ class GoldenSpec extends AnyFunSuite {
     assert(math.abs(m - (30L to 59L).map(_ * 2).sum / 60.0) < 1e-9)
   }
 
+  test("joined reads per type: count sums, set unions, histogram merge-sums (…_helper.py test_get_joined)") {
+    // count (count_helper.py:146-176): joined = sum of both series
+    val c = mk(CountT)
+    for (i <- 60 until 120) { c.insert("test1", i, Td(i)); c.insert("test2", i, Td(i)) }
+    for (i <- 120 until 180) c.insert("test1", i, Td(i))
+    val cj = c.get(Seq("test1", "test2"), "minute", Td(100)).collect().head
+    assert(cj.getDouble(1) === 2.0 * (60 until 120).sum)
+    val cr = c.get(Seq("test1", "test2"), "minute", Td(100), transform = Transforms("rate"))
+      .collect().head.getDouble(1)
+    assert(math.abs(cr - 2.0 * (60 until 120).sum / 60.0) < 1e-9)
+    val c1 = c.get(Seq("test1", "test2"), "minute", Td(122)).collect().head
+    assert(c1.getDouble(1) === (120 until 180).sum.toDouble)
+
+    // set (set_helper.py): joined = union
+    val s = mk(SetT)
+    s.insert("test1", 1.0, Td(10)); s.insert("test1", 2.0, Td(20))
+    s.insert("test2", 2.0, Td(15)); s.insert("test2", 9.0, Td(25))
+    val sj = s.get(Seq("test1", "test2"), "minute", Td(10)).collect().head
+    assert(sj.getSeq[Long](1).toSet === Set(1L, 2L, 9L))
+
+    // histogram (histogram_helper.py): joined = per-key count sum
+    val h = mk(HistogramT)
+    h.insert("test1", 5.0, Td(10)); h.insert("test1", 5.0, Td(20)); h.insert("test1", 7.0, Td(30))
+    h.insert("test2", 5.0, Td(15)); h.insert("test2", 8.0, Td(25))
+    val hj = h.get(Seq("test1", "test2"), "minute", Td(10)).collect().head.getMap[Long, Long](1)
+    assert(hj === Map(5L -> 3L, 7L -> 1L, 8L -> 1L))
+  }
+
+  test("custom callable transforms, incl. transform maps (README.rst:740-749)") {
+    val t = mk(CountT)
+    (1 until 120).foreach(i => t.insert("test", 1.0, Td(i)))
+    // single custom callable: f(data, duration)
+    val perMin = t.get(Seq("test"), "minute", Td(100),
+      transform = Transforms(custom = Map("per_minute" -> ((d, step) => d / (step / 60.0)))))
+      .collect().head
+    assert(perMin.getDouble(1) === 60.0)
+    // map of name -> callable fans out into named columns
+    val fan = t.get(Seq("test"), "minute", Td(100),
+      transform = Transforms(names = Seq("rate"),
+        custom = Map("doubled" -> ((d, _) => d * 2)))).collect().head
+    assert(fan.getAs[Double]("doubled") === 120.0)
+    assert(math.abs(fan.getAs[Double]("rate") - 1.0) < 1e-9)
+  }
+
+  test("unknown interval raises (exceptions.py:10-11)") {
+    val t = mk(CountT)
+    t.insert("test", 1.0, Td(0))
+    intercept[UnknownInterval] { t.get(Seq("test"), "decade", Td(0)) }
+  }
+
   test("bulk insert accumulation per type (FIXTURES.md §4)") {
     val inserts = Map(
       Td(0)  -> Map("test1" -> Seq(1.0, 2.0, 3.0), "test2" -> Seq(4.0, 5.0, 6.0), "test3" -> Seq(7.0, 8.0, 9.0)),
