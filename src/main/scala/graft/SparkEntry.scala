@@ -473,6 +473,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // embedding-cosine near-dup pairs, hyperplane-LSH blocked (rows-only;
+    // recall on planted near-dups measured in DedupSpec — the synthetic
+    // table's threshold-0.45 tail sits near its background, where no
+    // hyperplane scheme is selective, so blocked recall here is S-curve
+    // bound; the cosine arithmetic is oracled by dedup_embed_exact_sample)
+    "dedup_embed_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.45, planes = 8, tables = 16)
+        .orderBy("id_a", "id_b")),
+
+    // exact all-pairs cosine over a bounded sample — DuckDB-oracled
+    "dedup_embed_exact_sample" -> ((s, dir) =>
+      Similarity.cosinePairsExact(
+        table(s, dir, "embeddings").filter(col("vec_id") < 300),
+        col("vec_id"), col("embedding"), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // brute-force cosine top-k (the exact baseline)
     "ann_brute_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -798,6 +815,16 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS cluster_size
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "dedup_embed_exact_sample" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   q -> CAST(q[1] AS DOUBLE) * q[2]))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 4) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY 1, 2""",
 
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),

@@ -60,23 +60,73 @@ object Similarity {
       .select(col("query_id"), col("e.vec_id").as("vec_id"), (-col("e.ns")).as("score"))
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1] for
+    * (table, plane, dim) — splitmix64, no RNG state, stable across
+    * runs/engines. Computed DRIVER-side so plane matrices enter the
+    * plan as literals (per-row hashing of constants was the dominant
+    * cost of bucket assignment). */
+  private def planeComponent(table: Int, plane: Int, dim: Int, dims: Int, planes: Int): Double = {
+    var z = table.toLong * 1000003L + plane.toLong * dims + dim + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
   /** Random-hyperplane LSH buckets: the sign bits of `planes`
-    * deterministic pseudo-random hyperplanes (seeded by (table, plane,
-    * dim) hashes — no RNG state, reproducible across engines/runs). */
+    * deterministic hyperplanes, as dot products against LITERAL plane
+    * vectors (one zip_with per plane — no per-row hash evaluation). */
   def lshBucket(emb: Column, planes: Int, dims: Int, table: Int = 0): Column = {
-    val bits = F.transform(sequence(lit(0), lit(planes - 1)), p => {
-      // pseudo-random plane component for (table, p, i): xxhash64 → [-1, 1];
-      // seed arithmetic in LONG (int would overflow under ANSI at high
-      // table counts)
-      val dot = F.aggregate(zip_with(emb, sequence(lit(0), lit(dims - 1)),
-        (x, i) => x.cast(DoubleType) *
-          ((xxhash64(lit(table.toLong * 1000003L) + p.cast(LongType) * dims + i).cast(DoubleType) /
-            lit(Long.MaxValue.toDouble)))),
+    val bits = (0 until planes).map { p =>
+      val w = lit((0 until dims).map(i => planeComponent(table, p, i, dims, planes)).toArray)
+      val dot = F.aggregate(zip_with(emb, w, (x, wi) => x.cast(DoubleType) * wi),
         lit(0.0), (a, x) => a + x)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    F.aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-      (bit, i) => call_function("shiftleft", bit, i)), lit(0L), (a, x) => a.bitwiseOR(x))
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, hyperplane-LSH blocked and
+    * exact-verified — the vector-space member of the dedup family.
+    *
+    * Candidates come from `tables` independent hyperplane tables
+    * (P(candidate) = 1 − (1 − p^planes)^tables with p = 1 − θ/π);
+    * the defaults target realistic near-dup regimes (cosine ≥ 0.9 →
+    * p ≈ 0.86, recall ≈ 0.94 with 8×8) — for thresholds near a
+    * corpus's background similarity no hyperplane scheme is selective,
+    * same physics as the text LSH band knee. Pairs dedupe across
+    * tables before the exact-cosine verify join. */
+  def cosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double = 0.9,
+      planes: Int = 8, dims: Int = 64, tables: Int = 8, roundTo: Int = 4): DataFrame = {
+    val base = emb.select(id.as("vec_id"), vec.as("v")).repartition(col("vec_id"))
+    val tableBuckets = F.array(
+      (0 until tables).map(t => struct(lit(t).as("t"), lshBucket(col("v"), planes, dims, t).as("b"))): _*)
+    val banded = base.select(col("vec_id"), explode(tableBuckets).as("tb"))
+    val a = banded.select(col("tb"), col("vec_id").as("id_a"))
+    val b = banded.select(col("tb"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("tb"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Exact all-pairs cosine over a BOUNDED sample — oracle twin of
+    * [[cosinePairs]] (quadratic by construction). */
+  def cosinePairsExact(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, roundTo: Int = 4): DataFrame = {
+    val base = emb.select(id.as("vec_id"), vec.as("v")).repartition(col("vec_id"))
+    val a = base.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** LSH-bucketed ANN: only corpus vectors sharing a hyperplane bucket

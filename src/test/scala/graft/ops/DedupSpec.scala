@@ -99,6 +99,31 @@ class DedupSpec extends AnyFunSuite {
     assert(r === Set((1L, 2L), (3L, 1L))) // (keep_id, cluster_size)
   }
 
+  test("embedding-cosine near-dup recall on planted near-duplicates") {
+    import spark.implicits._
+    // 120 deterministic pseudo-random 32-dim vectors + a near-dup of
+    // every third (one coordinate nudged → cosine ≈ 0.99)
+    def unit(seed: Int): Array[Float] = {
+      val raw = Array.tabulate(32)(i => (((seed * 1297 + i * 31 + 7) * 2654435761L % 1000).toInt - 500) / 500.0f)
+      val n = math.sqrt(raw.map(x => x * x).sum).toFloat
+      raw.map(_ / n)
+    }
+    val base = (0 until 120).map(i => (i.toLong, unit(i)))
+    val dups = (0 until 120 by 3).map { i =>
+      val v = unit(i).clone(); v(0) = v(0) + 0.15f
+      (1000L + i, v)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosinePairsExact(emb, col("vec_id"), col("embedding"), 0.9))
+    val blocked = pairs(Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.9))
+    assert(exact.size >= 40, s"fixture too weak: ${exact.size}")
+    assert(blocked.subsetOf(exact))
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall (${blocked.size}/${exact.size})")
+  }
+
   test("LSH ANN recall@10 vs brute force on the embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
