@@ -46,15 +46,16 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the element set. Pure higher-order
-    * columns — stays inside codegen, no UDF. */
+    * the minimum XXH64 over the element set — a custom codegen
+    * expression ([[graft.functions.MinHashSig]]): one fused loop per
+    * row instead of numHashes × |elems| interpreted lambda calls. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    F.transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(F.transform(sh, s => xxhash64(s, seed))))
+    graft.functions.GraftFunctions.minhashSig(sh, numHashes)
 
-  /** Exact Jaccard similarity of two array columns. */
+  /** Exact Jaccard similarity of two array columns (set semantics),
+    * as a custom codegen expression ([[graft.functions.JaccardSim]]). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+    graft.functions.GraftFunctions.jaccardSim(a, b)
 
   /** Banded-LSH near-duplicate pairs over an element-set column
     * (`doc_id`, `elems`), exact-verified. The full scale funnel:
@@ -104,10 +105,7 @@ object Dedup {
     val likely =
       if (threshold - margin <= 0) cands
       else {
-        val est = F.aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, m) => acc + m).cast(DoubleType) / numHashes
+        val est = graft.functions.GraftFunctions.sigMatch(col("sig_a"), col("sig_b"))
         cands
           .join(base.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
           .join(base.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -159,7 +157,7 @@ object Dedup {
       bands: Int = 16, bucketCap: Int = 1000): DataFrame = {
     val base = spreadById(docs, id, text)
       .select(col("doc_id"),
-        array_distinct(F.transform(charNgrams(col("__raw"), n), g => xxhash64(g))).as("elems"))
+        graft.functions.GraftFunctions.charNgramHashes(col("__raw"), n).as("elems"))
     lshPairs(base, numHashes, bands, bucketCap, threshold)
   }
 
@@ -196,22 +194,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint: per-token hash votes on each bit,
-    * sign of the vote sum becomes the bit. Entirely higher-order
-    * column functions. */
-  def simhash(text: Column): Column = {
-    val votes = F.aggregate(
-      tokens(text),
-      F.transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, bit) => a + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      })
-    F.aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+    * sign of the vote sum becomes the bit — a custom codegen
+    * expression ([[graft.functions.SimHash64]]): the 64×tokens vote
+    * loop runs fused instead of as nested interpreted lambdas. */
+  def simhash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(text)
 
   /** SimHash near-dup pairs: block on `chunks` equal bit-slices of the
     * fingerprint, verify with popcount. Pigeonhole guarantee: two

@@ -16,14 +16,12 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Cosine similarity of two ARRAY<FLOAT> columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = F.aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(F.aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x))
-    val nb = sqrt(F.aggregate(b, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two ARRAY<FLOAT|DOUBLE> columns, computed in
+    * double — a custom codegen expression
+    * ([[graft.functions.CosineSim]]) accumulating in index order
+    * (bit-identical to the higher-order formulation it replaced). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: every query (small, broadcast) against
     * every corpus vector, reduced to k per query without a global sort.
