@@ -490,6 +490,16 @@ object SparkEntry {
         col("vec_id"), col("embedding"), threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // near-dup clustering: connected components (min-label propagation)
+    // over the exact sample pair set — the keep/drop assignment stage of
+    // a dedup pipeline; DuckDB-oracled via a recursive-CTE closure
+    "dedup_cluster_exact_sample" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardExact(
+          table(s, dir, "documents").filter(col("doc_id") < 300),
+          col("text"), col("doc_id"), n = 3, threshold = 0.5))
+        .orderBy("id")),
+
     // brute-force cosine top-k (the exact baseline)
     "ann_brute_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -815,6 +825,25 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS cluster_size
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "dedup_cluster_exact_sample" ->
+      """WITH RECURSIVE g AS (SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(t)-2, 1)),
+             i -> substring(t, CAST(i AS INT), 3))) AS grams
+           FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                 FROM documents WHERE doc_id < 300)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         m AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1)
+         SELECT id, least(id, mn) AS cluster FROM m ORDER BY id""",
 
     "dedup_embed_exact_sample" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

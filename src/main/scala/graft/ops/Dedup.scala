@@ -237,6 +237,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate clustering: connected components over a candidate
+    * pair set by iterative min-label propagation. Each node adopts the
+    * minimum label among itself and its neighbors; iterate to fixpoint.
+    * One shuffle join + one aggregation per iteration, converging in
+    * O(component diameter) rounds — near-dup components are
+    * star/clique-shaped, so a handful of rounds in practice; labels are
+    * localCheckpoint'ed each round so lineage stays flat. Output:
+    * (id, cluster) with cluster = min member id — the canonical
+    * "keep the smallest id, drop the rest" contract.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nlbl").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = updated
+      done = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** Brute-force SimHash pairs over a bounded sample — recall oracle
     * for [[simhashPairs]]. */
   def simhashExact(docs: DataFrame, text: Column, id: Column,

@@ -91,6 +91,16 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() === 0L)
   }
 
+  test("connected components: chains converge to the min label") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("exact dedup clusters identical texts") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
