@@ -559,6 +559,21 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents")))
         .orderBy("doc_id")),
 
+    // multimodal: feature stage over decoded metadata (column math)
+    "mm_media_features" -> ((s, dir) =>
+      Multimodal.mediaFeatures(
+        Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents"))))
+        .select(col("doc_id"), col("media_type"),
+          round(col("aspect"), 6).as("aspect"), col("total_pixels"))
+        .orderBy("doc_id")),
+
+    // multimodal: resize planning (fit 224x224, aspect-preserving)
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents"))),
+        224, 224)
+        .orderBy("doc_id")),
+
     // multimodal: frame sampling plan for video rows
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -916,6 +931,33 @@ object SparkEntry {
            CAST(CASE media_type WHEN 'audio' THEN 1 + n % 2 ELSE 3 END AS INT) AS channels,
            CAST(CASE media_type WHEN 'image' THEN 1 WHEN 'video' THEN 1 + n % 300 ELSE 1 + n // 64 END AS INT) AS n_frames
          FROM m ORDER BY doc_id""",
+
+    "mm_media_features" ->
+      """WITH m AS (SELECT doc_id,
+           ['image','video','audio'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         d AS (SELECT doc_id, media_type,
+           CASE media_type WHEN 'image' THEN 256 + n % 256 WHEN 'video' THEN 640 ELSE 0 END AS w,
+           CASE media_type WHEN 'image' THEN 256 + (n * 31) % 256 WHEN 'video' THEN 360 ELSE 0 END AS h,
+           CASE media_type WHEN 'image' THEN 1 WHEN 'video' THEN 1 + n % 300 ELSE 1 + n // 64 END AS f
+           FROM m)
+         SELECT doc_id, media_type,
+           round(CASE WHEN h > 0 THEN CAST(w AS DOUBLE) / h ELSE 0.0 END, 6) AS aspect,
+           CAST(w AS BIGINT) * h * f AS total_pixels
+         FROM d ORDER BY doc_id""",
+
+    "mm_resize_plan" ->
+      """WITH m AS (SELECT doc_id,
+           ['image','video','audio'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         d AS (SELECT doc_id, media_type,
+           CASE media_type WHEN 'image' THEN 256 + n % 256 WHEN 'video' THEN 640 ELSE 0 END AS w,
+           CASE media_type WHEN 'image' THEN 256 + (n * 31) % 256 WHEN 'video' THEN 360 ELSE 0 END AS h
+           FROM m WHERE media_type IN ('image','video')),
+         s AS (SELECT *, least(224.0 / w, 224.0 / h, 1.0) AS sc FROM d WHERE w > 0 AND h > 0)
+         SELECT doc_id, media_type, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(floor(w * sc) AS INT) AS out_w, CAST(floor(h * sc) AS INT) AS out_h
+         FROM s ORDER BY doc_id""",
 
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n

@@ -83,6 +83,21 @@ object Multimodal {
         .otherwise(lit(0.0)).as("aspect"),
       (col("width").cast(LongType) * col("height") * col("n_frames")).as("total_pixels"))
 
+  /** Resize planning: fit each visual medium into a maxW×maxH box
+    * preserving aspect (never upscale) — pure column math over decoded
+    * metadata; the pixel resample itself would be one more
+    * mapPartitions codec stage over (media, out_w, out_h). */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    meta.filter(col("media_type").isin("image", "video") && col("width") > 0 && col("height") > 0)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        floor(col("width") * scale).cast(IntegerType).as("out_w"),
+        floor(col("height") * scale).cast(IntegerType).as("out_h"))
+  }
+
   /** Frame-sampling plan: every `stride`-th frame index per video —
     * an explode, not a decode; the decode of selected frames would be
     * another mapPartitions stage. */
