@@ -194,6 +194,23 @@ class HooksSpec extends AnyFunSuite {
     assert(math.abs(got(y2013) - 365.0 / (365.0 * 86400)) < 1e-12)
   }
 
+  test("saved bucket store prunes partitions and pushes filters at read (scale evidence)") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    t.insert("p", 1.0, Td(10)); t.insert("p", 2.0, Td(70)); t.insert("q", 3.0, Td(10))
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    t.save(s"$dir/store")
+    // interval partition directories exist
+    val dirs = new java.io.File(s"$dir/store").listFiles().map(_.getName).filter(_.startsWith("interval="))
+    assert(dirs.toSet === Set("interval=minute", "interval=hour"))
+    val reader = new Timeseries(spark, CountT, minuteHour).load(s"$dir/store")
+    val plan = reader.get(Seq("p"), "minute", Td(10)).queryExecution.executedPlan.toString
+    // partition pruning on interval; name + i_time pushed to the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("interval"), plan.take(2000))
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,p)"), plan.take(2000))
+    // and the read round-trips
+    assert(reader.get(Seq("p"), "minute", Td(10)).collect().head.getDouble(1) === 1.0)
+  }
+
   test("approx_count_distinct tracks exact set cardinality within its rsd") {
     val t = new Timeseries(spark, SetT, minuteHour)
     for (i <- 1 until 2000) t.insert("ac", (i % 700).toDouble, Td(i % 50))
