@@ -153,6 +153,42 @@ object Kernels {
     eq.toDouble / n
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1] for
+    * (table, plane, dim) — splitmix64. */
+  def planeComponent(table: Int, plane: Int, dim: Int, dims: Int): Double = {
+    var z = table.toLong * 1000003L + plane.toLong * dims + dim + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-LSH buckets of a float vector for `tables` independent
+    * hyperplane tables of `planes` planes each — one fused pass, plane
+    * weights generated inline. Output: one bucket id per table. */
+  def lshBuckets(vec: ArrayData, planes: Int, dims: Int, tables: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dims)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = vec.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += x(d) * planeComponent(t, p, d, dims); d += 1 }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity of two equal-length float arrays, accumulated
     * in doubles in index order (bit-identical to the sequential
     * higher-order-function formulation it replaces). */
@@ -238,6 +274,23 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** vec ARRAY<FLOAT> → ARRAY<BIGINT>: sign-LSH bucket per hash table. */
+case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_buckets needs ARRAY<FLOAT>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.lshBuckets(input.asInstanceOf[ArrayData], planes, dims, tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshBuckets($c, $planes, $dims, $tables)")
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
 /** (ARRAY<BIGINT>, ARRAY<BIGINT>) → fraction of equal components. */
 case class SigMatch(left: Expression, right: Expression) extends BinaryExpression {
   override def nullIntolerant: Boolean = true
@@ -318,6 +371,8 @@ object GraftFunctions {
     GraftColumnBridge.column(JaccardSim(e(a), e(b)))
   def sigMatch(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigMatch(e(a), e(b)))
+  def lshBuckets(vec: Column, planes: Int, dims: Int, tables: Int): Column =
+    GraftColumnBridge.column(LshBuckets(e(vec), planes, dims, tables))
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
 }

@@ -58,31 +58,12 @@ object Similarity {
       .select(col("query_id"), col("e.vec_id").as("vec_id"), (-col("e.ns")).as("score"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1] for
-    * (table, plane, dim) — splitmix64, no RNG state, stable across
-    * runs/engines. Computed DRIVER-side so plane matrices enter the
-    * plan as literals (per-row hashing of constants was the dominant
-    * cost of bucket assignment). */
-  private def planeComponent(table: Int, plane: Int, dim: Int, dims: Int, planes: Int): Double = {
-    var z = table.toLong * 1000003L + plane.toLong * dims + dim + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    z.toDouble / Long.MaxValue.toDouble
-  }
-
-  /** Random-hyperplane LSH buckets: the sign bits of `planes`
-    * deterministic hyperplanes, as dot products against LITERAL plane
-    * vectors (one zip_with per plane — no per-row hash evaluation). */
-  def lshBucket(emb: Column, planes: Int, dims: Int, table: Int = 0): Column = {
-    val bits = (0 until planes).map { p =>
-      val w = lit((0 until dims).map(i => planeComponent(table, p, i, dims, planes)).toArray)
-      val dot = F.aggregate(zip_with(emb, w, (x, wi) => x.cast(DoubleType) * wi),
-        lit(0.0), (a, x) => a + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** Random-hyperplane LSH buckets for all hash tables at once — the
+    * [[graft.functions.LshBuckets]] codegen expression (one fused pass
+    * per vector; deterministic splitmix64 plane weights, no RNG
+    * state). Output: ARRAY<BIGINT>, one bucket per table. */
+  def lshBuckets(emb: Column, planes: Int, dims: Int, tables: Int): Column =
+    graft.functions.GraftFunctions.lshBuckets(emb, planes, dims, tables)
 
   /** Embedding-cosine near-duplicate pairs, hyperplane-LSH blocked and
     * exact-verified — the vector-space member of the dedup family.
@@ -97,12 +78,11 @@ object Similarity {
   def cosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double = 0.9,
       planes: Int = 8, dims: Int = 64, tables: Int = 8, roundTo: Int = 4): DataFrame = {
     val base = emb.select(id.as("vec_id"), vec.as("v")).repartition(col("vec_id"))
-    val tableBuckets = F.array(
-      (0 until tables).map(t => struct(lit(t).as("t"), lshBucket(col("v"), planes, dims, t).as("b"))): _*)
-    val banded = base.select(col("vec_id"), explode(tableBuckets).as("tb"))
-    val a = banded.select(col("tb"), col("vec_id").as("id_a"))
-    val b = banded.select(col("tb"), col("vec_id").as("id_b"))
-    val cands = a.join(b, Seq("tb"))
+    val banded = base.select(col("vec_id"),
+      posexplode(lshBuckets(col("v"), planes, dims, tables)).as(Seq("t", "b")))
+    val a = banded.select(col("t"), col("b"), col("vec_id").as("id_a"))
+    val b = banded.select(col("t"), col("b"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cands
@@ -137,13 +117,11 @@ object Similarity {
     * vector) pays the cosine once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, dims: Int = 64, tables: Int = 1, roundTo: Int = 4): DataFrame = {
-    val tableBuckets = (emb: Column) => F.array(
-      (0 until tables).map(t => struct(lit(t).as("t"), lshBucket(emb, planes, dims, t).as("b"))): _*)
     val c = corpus.select(col("vec_id"),
-      explode(tableBuckets(col("embedding"))).as("tb"))
+      posexplode(lshBuckets(col("embedding"), planes, dims, tables)).as(Seq("t", "b")))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      explode(tableBuckets(col("embedding"))).as("tb")))
-    val cands = c.join(q, Seq("tb")).select("query_id", "vec_id").distinct()
+      posexplode(lshBuckets(col("embedding"), planes, dims, tables)).as(Seq("t", "b"))))
+    val cands = c.join(q, Seq("t", "b")).select("query_id", "vec_id").distinct()
     val scored = cands
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
