@@ -97,6 +97,10 @@ class Timeseries(
   def insert(name: String, value: Double = 1.0, timestamp: Double, intervalsFanout: Int = 0): Unit =
     buffer += ((name, value, timestamp, intervalsFanout))
 
+  /** insert with timestamp defaulted to now (timeseries.py:455). */
+  def insertNow(name: String, value: Double = 1.0): Unit =
+    insert(name, value, System.currentTimeMillis() / 1000.0)
+
   /** kairos bulk_insert (timeseries.py:413-437). */
   def bulkInsert(inserts: Map[Double, Map[String, Seq[Double]]], intervalsFanout: Int = 0): Unit =
     for ((ts, names) <- inserts.toSeq.sortBy(_._1); (n, vs) <- names; v <- vs)
@@ -237,7 +241,8 @@ class Timeseries(
     * first and last extant buckets (one get() per bucket → every bucket
     * key present). */
   def iterate(names: Seq[String], interval: String,
-      condense: Boolean = false, transform: Transforms = Transforms.none): DataFrame = {
+      condense: Boolean = false, transform: Transforms = Transforms.none,
+      hooks: ReadHooks = ReadHooks.none): DataFrame = {
     val sp = spec(interval)
     val bounds = log
       .filter(col("interval") === interval && col("name").isin(names: _*))
@@ -245,7 +250,7 @@ class Timeseries(
     require(!bounds.isNullAt(0), s"no data for $names/$interval")
     query(names, interval, sp, bounds.getLong(0), bounds.getLong(1),
       condense = condense, collapse = false, transform = transform,
-      hooks = ReadHooks.none, dense = true)
+      hooks = hooks, dense = true)
   }
 
   /** The single read pipeline behind get/series/iterate (SURVEY.md

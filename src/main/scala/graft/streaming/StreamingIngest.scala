@@ -50,6 +50,22 @@ object StreamingIngest {
       .outputMode("append")
       .start(path)
 
+  /** Streaming exact deduplication of a document stream: drop rows
+    * whose content hash was already seen within the watermark horizon.
+    * `dropDuplicates` keeps per-key state; the watermark bounds it (a
+    * hash older than `horizonSec` is evicted and a late duplicate
+    * would pass — the standard bounded-state trade). The content hash
+    * is computed once and kept in the output for downstream batch
+    * reconciliation. */
+  def dedupStream(docs: DataFrame, ts: Column, text: Column,
+      horizonSec: Long): DataFrame =
+    docs
+      .withColumn("__ts", ts)
+      .withColumn("content_hash", md5(text.cast(org.apache.spark.sql.types.BinaryType)))
+      .withWatermark("__ts", s"$horizonSec seconds")
+      .dropDuplicates("content_hash")
+      .drop("__ts")
+
   /** Watermarked live bucket aggregate for one interval. Late data
     * beyond steps×step (the TTL horizon) is dropped and finalized
     * window state is evicted — the streaming twin of the reference's

@@ -66,7 +66,7 @@ final case class RelativeTime(step: Long) extends BucketCalc {
   def toBucket(ts: Double, steps: Int = 0): Long = math.floor(ts / step).toLong + steps
   def fromBucket(bucket: Long): Long = bucket * step
   def buckets(start: Long, end: Long): Seq[Long] =
-    toBucket(start) to toBucket(end)
+    toBucket(start.toDouble) to toBucket(end.toDouble)
   def stepSize(t0: Option[Double] = None, t1: Option[Double] = None): Long =
     (t0, t1) match {
       case (Some(a), Some(b)) =>

@@ -172,6 +172,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got((T0 + 2000) / 60) === 5.0) // finalized after watermark passed
   }
 
+  test("streaming exact dedup drops repeated content within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF()
+      .select(col("_1").as("doc_id"), timestamp_seconds(col("_2")).as("ts"), col("_3").as("text"))
+    val deduped = StreamingIngest.dedupStream(docs, col("ts"), col("text"), horizonSec = 3600)
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+
+    mem.addData((1L, T0 + 1, "alpha"), (2L, T0 + 2, "beta"), (3L, T0 + 3, "alpha"))
+    q.processAllAvailable()
+    // second batch: another duplicate of alpha plus fresh gamma
+    mem.addData((4L, T0 + 10, "alpha"), (5L, T0 + 11, "gamma"))
+    q.processAllAvailable()
+    val kept = spark.table("stream_dedup").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(kept.map(_._2) === Set("alpha", "beta", "gamma"))
+    assert(kept.count(_._2 == "alpha") === 1) // both later alphas dropped
+  }
+
   test("append-to-store streaming ingest replays through the batch reader") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
