@@ -403,9 +403,9 @@ class Timeseries(
     // custom callable gets the reference's {r_ts: data} shape as a
     // sorted array<struct<r_time, value>>.
     if (condense && rKeyed) {
-      val entries = array_sort(collect_list(struct(
+      val entries = sortByKey(collect_list(struct(
         TimeColumns.fromBucket(col("r_time"), sp.resolution.getOrElse(sp.step)).as("r_time"),
-        col("value").as("value"))))
+        col("value").as("value"))), "r_time")
       val condensed = hooks.condense match {
         case Some(f) => f(entries)
         case None    => seriesType.mergeExpr(F.transform(entries, e => e("value")))
@@ -420,9 +420,9 @@ class Timeseries(
     * Custom callable (or the custom condense when collapse=true,
     * README.rst:725-731) gets {i_ts: data} as a sorted array. */
   private def collapseAgg(agged: DataFrame, sp: IntervalSpec, hooks: ReadHooks): DataFrame = {
-    val entries = array_sort(collect_list(struct(
+    val entries = sortByKey(collect_list(struct(
       TimeColumns.fromBucket(col("i_time"), sp.step).as("i_time"),
-      col("value").as("value"))))
+      col("value").as("value"))), "i_time")
     val value = hooks.collapse.orElse(hooks.condense) match {
       case Some(f) => f(entries)
       case None    =>
@@ -433,6 +433,13 @@ class Timeseries(
     agged.agg(min(col("i_time")).as("__k0"), max(col("i_time")).as("__k1"),
       value.as("value"))
   }
+
+  /** Sort an array of (key, value) structs by the KEY field only —
+    * array_sort's default comparator would try to order the value too,
+    * which is illegal for map-valued states (histogram). */
+  private def sortByKey(entries: Column, key: String): Column =
+    F.array_sort(entries, (l, r) =>
+      when(l(key) < r(key), lit(-1)).when(l(key) > r(key), lit(1)).otherwise(lit(0)))
 
   private def groupColsOut(fine: Boolean, collapse: Boolean): Seq[String] =
     if (fine) Seq("i_time", "r_time") else Seq("i_time")

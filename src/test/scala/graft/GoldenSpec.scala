@@ -378,6 +378,31 @@ class GoldenSpec extends AnyFunSuite {
     assert(hm === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("histogram series collapse merge-sums maps; set collapse unions (…_helper.py test_series)") {
+    // histogram: values t/2 over 3 minutes → collapse merges per-key counts
+    val h = mk(HistogramT)
+    (1 until 180).foreach(i => h.insert("test", (i / 2).toDouble, Td(i)))
+    val hc = h.series(Seq("test"), "minute", end = Some(Td(179)), steps = Some(3),
+      collapse = true).collect().head
+    assert(hc.getLong(0) === T(0))
+    val hm = hc.getMap[Long, Long](1)
+    assert(hm.size === 90) // keys 0..89
+    assert(hm(0L) === 1L && hm(1L) === 2L && hm(89L) === 2L) // t=1 → 0 once; rest twice
+    // set: t/15 over 3 minutes → collapse unions distinct values
+    val s = mk(SetT)
+    (1 until 180).foreach(i => s.insert("test", (i / 15).toDouble, Td(i)))
+    val sc = s.series(Seq("test"), "minute", end = Some(Td(179)), steps = Some(3),
+      collapse = true).collect().head
+    assert(sc.getLong(0) === T(0))
+    assert(sc.getSeq[Long](1).toSet === (0L to 11L).toSet)
+    // gauge collapse: last value across the whole range
+    val g = mk(GaugeT)
+    (1 until 180).foreach(i => g.insert("test", i.toDouble, Td(i)))
+    val gc = g.series(Seq("test"), "minute", end = Some(Td(179)), steps = Some(3),
+      collapse = true).collect().head
+    assert(gc.getLong(1) === 179L)
+  }
+
   test("insert fan-out intervals=±3 (count_helper.py:50-104)") {
     val t = mk(CountT)
     t.insert("test", 1.0, Td(0), intervalsFanout = 3)
