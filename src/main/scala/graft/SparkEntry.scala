@@ -546,6 +546,14 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // rolling-hash document fingerprint (codepoint polynomial mod 1e9+7
+    // — engine-independent, custom codegen expression)
+    "text_rolling_fp" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.rollingHash(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
     // language-ID heuristic + composite quality score
     "text_langid_quality" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -895,6 +903,17 @@ object SparkEntry {
            / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS mean_word_len,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "text_rolling_fp" ->
+      """WITH n AS (SELECT doc_id,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents)
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(t)),
+                 i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         FROM n ORDER BY doc_id""",
 
     "text_langid_quality" ->
       """WITH t AS (SELECT doc_id, text,

@@ -107,6 +107,18 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Polynomial rolling-hash fingerprint over the CODEPOINTS of a
+    * whitespace-normalized, lowercased text: h = (h*31 + cp) mod
+    * 1e9+7. Codepoint iteration + the prime modulus keep it exactly
+    * reproducible in any engine (incl. the DuckDB oracle). */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val norm = s.toString.trim.replaceAll("\\s+", " ").toLowerCase
+    var h = 0L
+    val it = norm.codePoints().iterator()
+    while (it.hasNext) h = (h * 31 + it.next()) % 1000000007L
+    h
+  }
+
   /** Jaccard over long arrays with set (distinct) semantics — same
     * contract as size(array_intersect)/size(array_union). */
   def jaccardLong(a: ArrayData, b: ArrayData): Double = {
@@ -274,6 +286,21 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** text STRING → BIGINT polynomial rolling-hash fingerprint. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"rolling_hash needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.rollingFingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rollingFingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 /** vec ARRAY<FLOAT> → ARRAY<BIGINT>: sign-LSH bucket per hash table. */
 case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
     extends UnaryExpression {
@@ -373,6 +400,8 @@ object GraftFunctions {
     GraftColumnBridge.column(SigMatch(e(a), e(b)))
   def lshBuckets(vec: Column, planes: Int, dims: Int, tables: Int): Column =
     GraftColumnBridge.column(LshBuckets(e(vec), planes, dims, tables))
+  def rollingHash(text: Column): Column =
+    GraftColumnBridge.column(RollingHash(e(text)))
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
 }
