@@ -404,4 +404,7 @@ object GraftFunctions {
     GraftColumnBridge.column(RollingHash(e(text)))
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
+  /** Aggregate: k best (score desc, id asc) rows with an O(k) buffer. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(TopKByScore(e(score), e(id), k).toAggregateExpression())
 }

@@ -41,22 +41,20 @@ object Similarity {
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
   }
 
-  /** Two-stage distributed top-k per key: partial top-k inside each
-    * shuffle partition, then merge of the (tiny) partials. No partition
-    * ever holds more than its own rows + k, no global sort. */
+  /** Distributed top-k per key with an O(k) buffer at every stage: the
+    * [[graft.functions.TopKByScore]] bounded-heap aggregate. Partial
+    * heaps are built map-side (ObjectHashAggregate partial mode), the
+    * shuffle carries one k-sized buffer per (partition, key), and the
+    * final merge folds heaps — no stage ever materializes a group's
+    * scored rows, no global sort. Ties break (score desc, id asc),
+    * identical to the sort-by-struct(-score, id) formulation. */
   def topKPerKey(scored: DataFrame, key: Column, score: Column,
-      id: Column, k: Int): DataFrame = {
-    // sort key: score desc then id asc → encode as struct(-score, id)
-    val partial = scored
-      .groupBy(key.as("query_id"), spark_partition_id().as("_pid"))
-      .agg(slice(array_sort(collect_list(struct((-score).as("ns"), id.as("vec_id")))),
-        1, k).as("top"))
-    partial
-      .groupBy(col("query_id"))
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      id: Column, k: Int): DataFrame =
+    scored
+      .groupBy(key.as("query_id"))
+      .agg(graft.functions.GraftFunctions.topK(score, id, k).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
-      .select(col("query_id"), col("e.vec_id").as("vec_id"), (-col("e.ns")).as("score"))
-  }
+      .select(col("query_id"), col("e.vec_id").as("vec_id"), col("e.score").as("score"))
 
   /** Random-hyperplane LSH buckets for all hash tables at once — the
     * [[graft.functions.LshBuckets]] codegen expression (one fused pass

@@ -134,6 +134,29 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall (${blocked.size}/${exact.size})")
   }
 
+  test("top-k aggregate is O(k)-bounded (no collect_list) and matches the sort-based answer") {
+    // 200k scored rows forced into ONE partition with only 3 query keys —
+    // the exact shape that made the old collect_list-then-slice reducer
+    // buffer O(partition); the bounded-heap aggregate must keep the plan
+    // free of any full-width collect and still produce the sorted answer
+    val scored = spark.range(200000).coalesce(1)
+      .select((col("id") % 3).as("q"),
+        (hash(col("id")).cast("double") / 1e9).as("score"),
+        col("id").as("vid"))
+    val got = Similarity.topKPerKey(scored, col("q"), col("score"), col("vid"), 10)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("collect_list"),
+      "top-k must not materialize group rows")
+    assert(plan.contains("top_k"), "bounded-heap aggregate missing from plan")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy(col("score").desc, col("vid").asc)
+    val exp = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = exp.collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(1))).toSet
+    assert(g.size === 30)
+    assert(g === e)
+  }
+
   test("LSH ANN recall@10 vs brute force on the embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
