@@ -536,14 +536,10 @@ object SparkEntry {
 
     // text stats: token counts, ratios, fingerprint
     "text_stats" -> ((s, dir) =>
-      table(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-        TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"),
-        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
-        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
-        round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
-        TextOps.fingerprint(col("text")).as("fp"))
+      // one fused kernel pass for the six counters (codegen CSE
+      // evaluates the struct once per row), not six regex passes
+      table(s, dir, "documents")
+        .select((col("doc_id") +: TextOps.statsColumns(col("text"))): _*)
         .orderBy("doc_id")),
 
     // rolling-hash document fingerprint (codepoint polynomial mod 1e9+7

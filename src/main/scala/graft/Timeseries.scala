@@ -88,23 +88,40 @@ class Timeseries(
 
   /** In-memory insert buffer: (name, value, ts epoch-sec, fanout). API
     * parity with the reference's insert/bulk_insert; real pipelines use
-    * bucketize() on a DataFrame instead. */
-  private val buffer = ArrayBuffer[(String, Double, Double, Int)]()
+    * bucketize() on a DataFrame instead.
+    *
+    * Values are LOOSELY typed, like the reference's
+    * (README.rst:41-45, timeseries.py:365-366): any value is accepted
+    * driver-side and flows through `writeFunc(value).cast(valueType)`
+    * at bucketize time, so `t.insert("stat", "login")` into a
+    * string-valued set series works exactly like the kairos call. The
+    * buffer carries the value's canonical string form (Double.toString
+    * round-trips exactly, so numeric series are bit-identical). */
+  private val buffer = ArrayBuffer[(String, String, Double, Int)]()
   private var attached: Option[DataFrame] = None
 
   /** kairos insert(name, value, timestamp, intervals) — timeseries.py:
     * 439-472. Count-type default increment is 1 (:925-926). */
-  def insert(name: String, value: Double = 1.0, timestamp: Double, intervalsFanout: Int = 0): Unit =
-    buffer += ((name, value, timestamp, intervalsFanout))
+  def insert(name: String, value: Any = 1.0, timestamp: Double, intervalsFanout: Int = 0): Unit =
+    buffer += ((name, if (value == null) null else value.toString, timestamp, intervalsFanout))
 
   /** insert with timestamp defaulted to now (timeseries.py:455). */
-  def insertNow(name: String, value: Double = 1.0): Unit =
+  def insertNow(name: String, value: Any = 1.0): Unit =
     insert(name, value, System.currentTimeMillis() / 1000.0)
 
   /** kairos bulk_insert (timeseries.py:413-437). */
-  def bulkInsert(inserts: Map[Double, Map[String, Seq[Double]]], intervalsFanout: Int = 0): Unit =
-    for ((ts, names) <- inserts.toSeq.sortBy(_._1); (n, vs) <- names; v <- vs)
+  def bulkInsert(inserts: Map[Double, Map[String, Seq[Any]]], intervalsFanout: Int = 0): Unit =
+    bulkInsertOpt(inserts.map { case (ts, m) => Option(ts) -> m }, intervalsFanout)
+
+  /** bulk_insert with the reference's None-timestamp sugar
+    * (timeseries.py:424-428): a `None` key maps to now(). */
+  def bulkInsertOpt(inserts: Map[Option[Double], Map[String, Seq[Any]]],
+      intervalsFanout: Int = 0,
+      now: () => Double = () => System.currentTimeMillis() / 1000.0): Unit = {
+    val resolved = inserts.toSeq.map { case (ts, m) => ts.getOrElse(now()) -> m }
+    for ((ts, names) <- resolved.sortBy(_._1); (n, vs) <- names; v <- vs)
       insert(n, v, ts, intervalsFanout)
+  }
 
   /** Attach an already-bucketized log (e.g. read back from parquet). */
   def attach(log: DataFrame): this.type = { attached = Some(log); this }
@@ -482,8 +499,11 @@ class Timeseries(
     * to_bucket(now − ttl_seconds) — calendar-aware for Gregorian
     * intervals (bucket ids are NOT linear there), with the reference's
     * whole-day TTL approximation (timeseries.py:237-264). */
-  def expired(now: Double): DataFrame = {
-    val keep = intervals.toSeq.map { case (iname, sp) =>
+  def expired(now: Double): DataFrame = log.filter(retained(now))
+
+  /** keep-predicate shared by [[expired]] and [[compact]]. */
+  private def retained(now: Double): Column =
+    intervals.toSeq.map { case (iname, sp) =>
       sp.steps match {
         case Some(s) =>
           val ttlSec = sp.step match {
@@ -494,7 +514,43 @@ class Timeseries(
         case None => col("interval") === iname
       }
     }.reduce(_ || _)
-    log.filter(keep)
+
+  /** Physical TTL compaction of a saved bucket store — the engine's
+    * analogue of the reference backends' automatic expiry (Redis
+    * EXPIRE, redis_backend.py:162-173; Mongo TTL index,
+    * mongo_backend.py:66-68; Cassandra USING TTL,
+    * cassandra_backend.py:360). The parquet log is append-only, so
+    * without a physical rewrite a TTL'd store grows forever and only
+    * the read-side [[expired]] filter hides the garbage.
+    *
+    * Rewrites ONLY the partition directories of TTL'd intervals:
+    * each is filtered through the same retention predicate the read
+    * path uses, written to a dot-prefixed sibling temp dir (invisible
+    * to concurrent readers), and swapped in. Intervals without a TTL
+    * are never touched — their files survive byte-identical. Streams
+    * executor-side (no driver materialization, no self-overwrite
+    * lineage hazard), so it holds at any partition size. */
+  def compact(path: String, now: Double): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val partSchema = StructType(logSchema(valueType).filterNot(_.name == "interval"))
+    intervals.foreach { case (iname, sp) =>
+      if (sp.steps.isDefined) {
+        val part = new Path(s"$path/interval=$iname")
+        val fs = part.getFileSystem(conf)
+        if (fs.exists(part)) {
+          val tmp = new Path(s"$path/.compact-tmp-interval=$iname")
+          spark.read.schema(partSchema).parquet(part.toString)
+            .withColumn("interval", lit(iname))
+            .filter(retained(now))
+            .drop("interval")
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(part, true)
+          if (!fs.rename(tmp, part))
+            throw new java.io.IOException(s"compact: rename $tmp -> $part failed")
+        }
+      }
+    }
   }
 
   /** Manual expire: rewrite the log through the retention view (and fold

@@ -23,9 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object Kernels {
 
   /** 64-bit SimHash of whitespace-lowercased tokens: per-token hash
-    * votes on each bit, sign of the vote sum becomes the bit. */
+    * votes on each bit, sign of the vote sum becomes the bit.
+    * Locale.ROOT lowercase — the default-locale form would produce
+    * different fingerprints on a JVM with e.g. a Turkish locale
+    * (dotless-i), breaking cross-cluster determinism. */
   def simhash64(s: UTF8String): Long = {
-    val toks = s.toString.trim.toLowerCase.split("\\s+")
+    val toks = s.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -84,10 +87,15 @@ object Kernels {
   /** Distinct XXH64 hashes of the character n-grams of a
     * whitespace-collapsed, lowercased text (mirrors
     * lower(regexp_replace(text,"\s+"," ")) + substr grams + distinct;
-    * texts shorter than n yield one whole-text gram). */
+    * texts shorter than n yield one whole-text gram). Locale.ROOT
+    * lowercase and CODEPOINT gram windows — UTF-16 substring windows
+    * would split surrogate pairs, diverging from the codepoint-based
+    * substr() Column twin on non-BMP text (identical on BMP text, so
+    * existing hashes are unchanged). */
   def charNgramHashes(s: UTF8String, n: Int): ArrayData = {
-    val norm = s.toString.replaceAll("\\s+", " ").toLowerCase
-    val len = norm.length
+    val norm = s.toString.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+    val cps = norm.codePoints().toArray
+    val len = cps.length
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (len < n) {
       val u = UTF8String.fromString(norm)
@@ -95,7 +103,7 @@ object Kernels {
     } else {
       var i = 0
       while (i + n <= len) {
-        val u = UTF8String.fromString(norm.substring(i, i + n))
+        val u = UTF8String.fromString(new String(cps, i, n))
         seen.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
         i += 1
       }
@@ -112,11 +120,93 @@ object Kernels {
     * 1e9+7. Codepoint iteration + the prime modulus keep it exactly
     * reproducible in any engine (incl. the DuckDB oracle). */
   def rollingFingerprint(s: UTF8String): Long = {
-    val norm = s.toString.trim.replaceAll("\\s+", " ").toLowerCase
+    val norm = s.toString.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
     var h = 0L
     val it = norm.codePoints().iterator()
     while (it.hasNext) h = (h * 31 + it.next()) % 1000000007L
     h
+  }
+
+  /** Default English stopword set of [[graft.ops.TextOps]], as
+    * UTF8Strings for exact comparison against Spark-lowercased tokens. */
+  private val StopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as").foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  @inline private def isAsciiWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  private def isStopword(str: String, a: Int, b: Int): Boolean =
+    StopSet.contains(UTF8String.fromString(str.substring(a, b)).toLowerCase)
+
+  /** Fused text-statistics counters: ONE pass over the text instead of
+    * six regex passes. Returns raw counts; ratio arithmetic + rounding
+    * stay as Column expressions so results are bit-identical to the
+    * unfused formulation (and the DuckDB oracle):
+    *
+    *  - n_tokens: elements of split(trim(text), "\s+") with Spark's
+    *    limit=-1 semantics (trailing empty fields KEPT; trim strips
+    *    ASCII space only) = (#whitespace runs in the trimmed region)+1.
+    *  - n_bpeish: matches of [A-Za-z0-9]+|[^A-Za-z0-9\s] = ASCII
+    *    alnum runs + every other non-whitespace codepoint.
+    *  - n_alpha / len / n_nonws: [A-Za-z] / all / non-\s codepoints.
+    *  - n_stop: tokens whose Spark-lowercase form is a default
+    *    stopword (UTF8String.toLowerCase — the exact lower() kernel).
+    *
+    * \s is Java regex's ASCII class (no UNICODE_CHARACTER_CLASS), the
+    * same set RE2/DuckDB uses. */
+  def textStatsCounts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val n = str.length
+    var t0 = 0
+    while (t0 < n && str.charAt(t0) == ' ') t0 += 1
+    var t1 = n
+    while (t1 > t0 && str.charAt(t1 - 1) == ' ') t1 -= 1
+
+    var len = 0L; var alpha = 0L; var nonws = 0L; var bpeish = 0L
+    var inAlnumRun = false
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      len += 1
+      val ws = isAsciiWs(cp)
+      if (!ws) nonws += 1
+      val isAl = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      if (isAl) alpha += 1
+      if (isAl || (cp >= '0' && cp <= '9')) {
+        if (!inAlnumRun) { bpeish += 1; inAlnumRun = true }
+      } else {
+        inAlnumRun = false
+        if (!ws) bpeish += 1
+      }
+      i += Character.charCount(cp)
+    }
+
+    var tokens = 1L // #separator runs + 1; empty region → [""]
+    var stop = 0L
+    var runStart = -1
+    var inWsRun = false
+    var j = t0
+    while (j < t1) {
+      // ws chars are single UTF-16 units; surrogates are never ws
+      if (isAsciiWs(str.charAt(j))) {
+        if (runStart >= 0) {
+          if (isStopword(str, runStart, j)) stop += 1
+          runStart = -1
+        }
+        if (!inWsRun) { tokens += 1; inWsRun = true }
+      } else {
+        inWsRun = false
+        if (runStart < 0) runStart = j
+      }
+      j += 1
+    }
+    if (runStart >= 0 && isStopword(str, runStart, t1)) stop += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tokens, bpeish, alpha, len, stop, nonws))
   }
 
   /** Jaccard over long arrays with set (distinct) semantics — same
@@ -301,6 +391,27 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → STRUCT of the six fused text_stats counters. */
+case class TextStatsCounts(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_bpeish", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("len", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_nonws", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"text_stats needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.textStatsCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.textStatsCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStatsCounts =
+    copy(child = newChild)
+}
+
 /** vec ARRAY<FLOAT> → ARRAY<BIGINT>: sign-LSH bucket per hash table. */
 case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
     extends UnaryExpression {
@@ -404,6 +515,8 @@ object GraftFunctions {
     GraftColumnBridge.column(RollingHash(e(text)))
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
+  def textStatsCounts(text: Column): Column =
+    GraftColumnBridge.column(TextStatsCounts(e(text)))
   /** Aggregate: k best (score desc, id asc) rows with an O(k) buffer. */
   def topK(score: Column, id: Column, k: Int): Column =
     GraftColumnBridge.column(TopKByScore(e(score), e(id), k).toAggregateExpression())

@@ -79,20 +79,21 @@ object Dedup {
     *  6. exact Jaccard over the element sets for the survivors.
     */
   private def lshPairs(docsKeyed: DataFrame, numHashes: Int, bands: Int,
-      bucketCap: Int, threshold: Double): DataFrame = {
+      bucketCap: Int, threshold: Double, elemsDistinct: Boolean): DataFrame = {
     val rows = numHashes / bands
+    // size-ratio guard needs SET cardinality (j >= t bounds |A|/|B| only
+    // for distinct counts; shingles() keeps duplicates, so a repetitive
+    // doc would otherwise be silently dropped against its compact twin)
+    val card = if (elemsDistinct) size(col("elems"))
+               else size(array_distinct(col("elems")))
     val base = docsKeyed
       .withColumn("sig", minhashSignature(col("elems"), numHashes))
-      .withColumn("n", size(col("elems")))
+      .withColumn("n", card)
       .persist()
     val banded = base.select(col("doc_id"), col("n"),
       posexplode(F.transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= bucketCap)
-      .drop("bucket_n")
+    val capped = dropOversizedBuckets(banded, Seq("band", "bh"), bucketCap)
     val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("n").as("n_b"))
     val cands = a.join(b, Seq("band", "bh"))
@@ -112,11 +113,30 @@ object Dedup {
           .filter(est >= threshold - margin)
           .select("id_a", "id_b")
       }
-    likely
+    val verified = likely
       .join(base.select(col("doc_id").as("id_a"), col("elems").as("e_a")), Seq("id_a"))
       .join(base.select(col("doc_id").as("id_b"), col("elems").as("e_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // materialize the (tiny) verified pair set so the signature cache
+      // can be released NOW — without this, repeated pipeline calls
+      // accumulate cached signature tables for the life of the session
+      .localCheckpoint(true)
+    base.unpersist()
+    verified
+  }
+
+  /** Skew insurance without a sort: per-bucket counts are a tiny
+    * aggregate (one row per bucket, and only buckets over the cap
+    * survive the filter — few by construction), broadcast back as a
+    * left-anti join. The window-count formulation this replaces forced
+    * a full shuffle+SORT of the entire exploded table just to find the
+    * handful of oversized buckets. */
+  private def dropOversizedBuckets(exploded: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val over = exploded.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > cap).select(keys.map(col): _*)
+    exploded.join(broadcast(over), keys, "left_anti")
   }
 
   /** MinHash + LSH near-duplicate pairs over word shingles, verified
@@ -136,7 +156,8 @@ object Dedup {
       jaccardThreshold: Double = 0.5, bucketCap: Int = 100000): DataFrame = {
     val base = spreadById(docs, id, text)
       .select(col("doc_id"), shingles(col("__raw"), shingleK).as("elems"))
-    lshPairs(base, numHashes, bands, bucketCap, jaccardThreshold)
+    lshPairs(base, numHashes, bands, bucketCap, jaccardThreshold,
+      elemsDistinct = false) // shingles() keeps duplicates
   }
 
   /** Character n-gram Jaccard near-duplicate pairs, banded-MinHash
@@ -158,7 +179,8 @@ object Dedup {
     val base = spreadById(docs, id, text)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.charNgramHashes(col("__raw"), n).as("elems"))
-    lshPairs(base, numHashes, bands, bucketCap, threshold)
+    lshPairs(base, numHashes, bands, bucketCap, threshold,
+      elemsDistinct = true) // charNgramHashes is already distinct
   }
 
   /** Exact all-pairs n-gram Jaccard over a BOUNDED sample — the oracle
@@ -222,11 +244,7 @@ object Dedup {
       posexplode(F.transform(sequence(lit(0), lit(c - 1)),
         k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
         .as(Seq("chunk", "ck")))
-    val capped = chunked
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ck")))
-      .filter(col("bucket_n") <= bucketCap)
-      .drop("bucket_n")
+    val capped = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
     val a = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "ck"))
@@ -247,7 +265,15 @@ object Dedup {
     * (id, cluster) with cluster = min member id — the canonical
     * "keep the smallest id, drop the rest" contract.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsResult(pairs, maxIter).labels
+
+  /** Labels plus an explicit convergence signal — a component whose
+    * diameter exceeds maxIter would otherwise return WRONG (unconverged)
+    * labels silently. */
+  case class CCResult(labels: DataFrame, converged: Boolean, iterations: Int)
+
+  def connectedComponentsResult(pairs: DataFrame, maxIter: Int = 20): CCResult = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -255,23 +281,24 @@ object Dedup {
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     var it = 0
-    var done = false
-    while (it < maxIter && !done) {
+    var converged = false
+    while (it < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("nlbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("nlbl").as("nbr_min"))
+      // keep BOTH labels through the checkpoint so change detection is a
+      // scan of the checkpointed partitions, not a second join+count job
       val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = updated
-      done = changed == 0
+      converged = updated.filter(col("cluster") =!= col("old")).limit(1).count() == 0
+      labels = updated.select(col("id"), col("cluster"))
       it += 1
     }
-    labels
+    edges.unpersist() // labels are checkpointed; the edge cache is dead weight
+    CCResult(labels, converged, it)
   }
 
   /** Brute-force SimHash pairs over a bounded sample — recall oracle

@@ -83,6 +83,25 @@ object TextOps {
     when(best("score") > 0, best("lang")).otherwise(lit("und"))
   }
 
+  /** The full text_stats feature row from ONE fused pass over the text
+    * ([[graft.functions.TextStatsCounts]] emits the six counters in a
+    * single codegen kernel instead of six regex passes); the ratio
+    * arithmetic and rounding stay Column expressions, so values are
+    * bit-identical to the per-feature functions above. */
+  def statsColumns(text: Column): Seq[Column] = {
+    val c = graft.functions.GraftFunctions.textStatsCounts(text)
+    Seq(
+      c.getField("n_tokens").as("n_tokens"),
+      c.getField("n_bpeish").as("n_bpeish"),
+      round(c.getField("n_alpha").cast(DoubleType) /
+        greatest(c.getField("len"), lit(1L)), 6).as("alpha_ratio"),
+      round(c.getField("n_stop").cast(DoubleType) /
+        greatest(c.getField("n_tokens"), lit(1L)), 6).as("stop_ratio"),
+      round(c.getField("n_nonws").cast(DoubleType) /
+        greatest(c.getField("n_tokens"), lit(1L)), 6).as("mean_word_len"),
+      fingerprint(text).as("fp"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the cheap "same modulo formatting" key. */
   def fingerprint(text: Column): Column =

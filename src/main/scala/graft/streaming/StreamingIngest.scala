@@ -52,10 +52,15 @@ object StreamingIngest {
 
   /** Streaming exact deduplication of a document stream: drop rows
     * whose content hash was already seen within the watermark horizon.
-    * `dropDuplicates` keeps per-key state; the watermark bounds it (a
-    * hash older than `horizonSec` is evicted and a late duplicate
-    * would pass — the standard bounded-state trade). The content hash
-    * is computed once and kept in the output for downstream batch
+    *
+    * `dropDuplicatesWithinWatermark` — NOT plain `dropDuplicates`,
+    * which only evicts state when the event-time column is part of the
+    * key set, i.e. would grow its hash state unboundedly here — keeps
+    * per-hash state only until the watermark passes `horizonSec` beyond
+    * the key's event time. Bounded state on an infinite stream; the
+    * trade is that a duplicate arriving more than `horizonSec` late
+    * passes (downstream batch [[graft.ops.Dedup.exact]] reconciles).
+    * The content hash is computed once and kept in the output for that
     * reconciliation. */
   def dedupStream(docs: DataFrame, ts: Column, text: Column,
       horizonSec: Long): DataFrame =
@@ -63,7 +68,7 @@ object StreamingIngest {
       .withColumn("__ts", ts)
       .withColumn("content_hash", md5(text.cast(org.apache.spark.sql.types.BinaryType)))
       .withWatermark("__ts", s"$horizonSec seconds")
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
       .drop("__ts")
 
   /** Watermarked live bucket aggregate for one interval. Late data

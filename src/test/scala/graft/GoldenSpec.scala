@@ -353,6 +353,29 @@ class GoldenSpec extends AnyFunSuite {
     intercept[UnknownInterval] { t.get(Seq("test"), "decade", Td(0)) }
   }
 
+  test("loosely typed insert: strings flow through insert() into set/gauge (README.rst:41-45)") {
+    val st = new Timeseries(spark, SetT, minuteHour, valueType = StringType)
+    st.insert("stat", "login", Td(1)); st.insert("stat", "login", Td(2))
+    st.insert("stat", "logout", Td(3)); st.insert("stat", 42, Td(4))
+    val got = st.get(Seq("stat"), "minute", Td(0)).collect().head.getSeq[String](1).toSet
+    assert(got === Set("login", "logout", "42"))
+
+    val g = new Timeseries(spark, GaugeT, minuteHour, valueType = StringType)
+    g.insert("stat", "a", Td(1)); g.insert("stat", "b", Td(2))
+    assert(g.get(Seq("stat"), "minute", Td(0)).collect().head.getString(1) === "b")
+  }
+
+  test("bulk insert None-timestamp maps to now (timeseries.py:424-428)") {
+    val t = mk(CountT)
+    t.bulkInsertOpt(Map(
+      Option.empty[Double] -> Map("test" -> Seq[Any](1.0, 2.0)),
+      Option(Td(0))        -> Map("test" -> Seq[Any](5.0))),
+      now = () => Td(61))
+    val m = coarseScalar(t.series(Seq("test"), "minute", start = Some(Td(0)), end = Some(Td(61))))
+    assert(m(T(60)) === 3.0) // the None rows landed at now()=T+61
+    assert(m(T(0)) === 5.0)
+  }
+
   test("bulk insert accumulation per type (FIXTURES.md §4)") {
     val inserts = Map(
       Td(0)  -> Map("test1" -> Seq(1.0, 2.0, 3.0), "test2" -> Seq(4.0, 5.0, 6.0), "test3" -> Seq(7.0, 8.0, 9.0)),

@@ -221,6 +221,26 @@ class HooksSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("compact physically expires TTL'd partitions and leaves others untouched") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    // minute carries a TTL (steps=5 → 300s); hour has none
+    t.insert("c", 1.0, Td(10))   // minute bucket past the horizon at `now`
+    t.insert("c", 2.0, Td(1000)) // live minute bucket
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    t.save(s"$dir/store")
+    def hourFiles = new java.io.File(s"$dir/store/interval=hour").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = hourFiles
+    t.compact(s"$dir/store", now = Td(1100))
+    assert(hourFiles === before, "non-TTL partition must survive byte-untouched")
+    val reader = new Timeseries(spark, CountT, minuteHour).load(s"$dir/store")
+    val minuteTimes = reader.log.filter(col("interval") === "minute")
+      .select("i_time").collect().map(_.getLong(0)).toSet
+    assert(minuteTimes === Set((500000L * 3600L + 1000) / 60),
+      "expired minute bucket must be physically gone")
+    assert(reader.log.filter(col("interval") === "hour").count() === 2L)
+  }
+
   test("expire uses calendar-aware cutoff for gregorian intervals (ADVICE)") {
     val t = new Timeseries(spark, CountT,
       Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))

@@ -101,6 +101,33 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("char-ngram hash kernel matches the Column twin's Jaccard on non-BMP text") {
+    import spark.implicits._
+    // astral codepoints occupy TWO UTF-16 chars; a char-window kernel
+    // would split the surrogate pair and diverge from the codepoint
+    // substr() Column formulation
+    val df = Seq(("ab😀cd efg", "ab😀cd efh")).toDF("a", "b")
+    val viaCols = df.select(Dedup.jaccard(
+      Dedup.charNgrams(col("a"), 3), Dedup.charNgrams(col("b"), 3))).head.getDouble(0)
+    val viaKernel = df.select(Dedup.jaccard(
+      graft.functions.GraftFunctions.charNgramHashes(col("a"), 3),
+      graft.functions.GraftFunctions.charNgramHashes(col("b"), 3))).head.getDouble(0)
+    assert(viaCols === viaKernel)
+    assert(viaCols > 0.0 && viaCols < 1.0)
+  }
+
+  test("connected components surfaces non-convergence when maxIter trips") {
+    import spark.implicits._
+    // a path graph needs ~diameter rounds; maxIter=2 cannot finish it
+    val path = (0 until 10).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponentsResult(path, maxIter = 2)
+    assert(!r.converged)
+    assert(r.iterations === 2)
+    val full = Dedup.connectedComponentsResult(path, maxIter = 20)
+    assert(full.converged)
+    assert(full.labels.select("cluster").distinct().collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
   test("exact dedup clusters identical texts") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")

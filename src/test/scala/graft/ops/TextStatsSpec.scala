@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity proof for the fused single-pass text_stats kernel
+  * ([[graft.functions.TextStatsCounts]]) against the original
+  * six-regex-pass formulation: whitespace/trim/split-limit semantics,
+  * Unicode, empty strings, and the real documents corpus. */
+class TextStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def unfused(df: DataFrame): DataFrame = df.select(
+    col("doc_id"),
+    TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+    TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"),
+    round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+    round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+    round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
+    TextOps.fingerprint(col("text")).as("fp"))
+
+  def fused(df: DataFrame): DataFrame =
+    df.select((col("doc_id") +: TextOps.statsColumns(col("text"))): _*)
+
+  test("fused kernel == unfused regex formulation on edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "  ", "\t", " \tleading tab", "trailing tab\t", "a",
+      "The quick brown fox", "the and of to in", "a1b2 33 ..!?",
+      "multi\n\nline\ttext  with   runs", "unicode é ü 中文 text 😀ok",
+      "punct-only !!! ... ???", "  spaces  around  ",
+      "MiXeD CaSe The THE tHe", "1234567890", "word",
+      "is it that for on with as", "\t\ttabs only\t\t", "a  b   c")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = edge.toDF("doc_id", "text")
+    val a = unfused(df).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = fused(df).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("fused kernel == unfused on the documents corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = unfused(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = fused(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a === b)
+  }
+}
