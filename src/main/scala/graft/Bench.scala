@@ -24,30 +24,44 @@ object Bench {
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Each query runs twice: the first (cold) run carries the one-time
+    // whole-stage-codegen/Janino compile + classload cost (~0.3-2.5s per
+    // novel plan — measured to dwarf the actual sf0.1 execution for fast
+    // queries); the second (warm) run is the steady-state number, the
+    // one that predicts 100 TB throughput where compile time amortizes
+    // to zero. BOTH are reported: value/queries = warm, cold_* = cold.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink materializes EVERY column — .count() would let
       // Catalyst prune projection-only queries down to nothing and
       // record fictional times
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED:")
-        e.printStackTrace()
-        failed ::= name
-        true
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED:")
+          e.printStackTrace()
+          None
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (!err) System.err.println(f"[bench] $name%-28s $dt%8.2fs")
-      name -> (if (err) None else Some(dt))
+      val cold = once()
+      val warm = if (cold.isDefined) once() else None
+      if (warm.isEmpty) failed ::= name
+      else System.err.println(f"[bench] $name%-28s cold ${cold.get}%8.2fs  warm ${warm.get}%8.2fs")
+      name -> (cold, warm)
     }
-    val qs = results.map {
-      case (k, Some(v)) => s"\"" + k + "\":" + v
-      case (k, None)    => s"\"" + k + "\":\"error\""
-    }.mkString("{", ",", "}")
-    val total = results.values.flatten.sum
+    def json(sel: ((Option[Double], Option[Double])) => Option[Double]) =
+      results.map {
+        case (k, t) => sel(t) match {
+          case Some(v) => s"\"" + k + "\":" + v
+          case None    => s"\"" + k + "\":\"error\""
+        }
+      }.mkString("{", ",", "}")
+    val warmTotal = results.values.flatMap(_._2).sum
+    val coldTotal = results.values.flatMap(_._1).sum
     val errJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${json(_._2)},"cold_total":$coldTotal,"cold_queries":${json(_._1)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     // a query that throws must fail the bench loudly, never report a
     // healthy-looking near-zero time

@@ -238,8 +238,12 @@ object Dedup {
       s"maxHamming=$maxHamming needs at least ${maxHamming + 1} chunks (got $c) for the pigeonhole guarantee")
     val width = 64 / c
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    // persist the (doc_id, fp) table: one row per doc, and it feeds the
+    // bucket-count aggregate AND both join sides — without the cache the
+    // tokenize+64-bit-vote simhash pipeline recomputes three times
     val fp = spreadById(docs, id, text)
       .select(col("doc_id"), simhash(col("__raw")).as("fp"))
+      .persist()
     val chunked = fp.select(col("doc_id"), col("fp"),
       posexplode(F.transform(sequence(lit(0), lit(c - 1)),
         k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
@@ -247,12 +251,15 @@ object Dedup {
     val capped = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
     val a = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk", "ck"))
+    val pairs = a.join(b, Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .localCheckpoint(true) // materialize the (tiny) pair set, then drop the cache
+    fp.unpersist()
+    pairs
   }
 
   /** Near-duplicate clustering: connected components over a candidate
