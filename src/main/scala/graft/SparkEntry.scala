@@ -516,6 +516,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
+    // IVF ANN: k-means coarse quantizer (nlist lists), each query probes
+    // its nprobe nearest lists — the FAISS-style scale path (recall
+    // measured vs brute force in DedupSpec; rows-only — list ids are
+    // engine-local k-means state)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 16, nprobe = 6)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
     // exact all-pairs char-3-gram Jaccard over a bounded deterministic
     // sample — the DuckDB-oracled twin of dedup_ngram_pairs' arithmetic
     "dedup_ngram_exact_sample" -> ((s, dir) =>
@@ -550,12 +560,13 @@ object SparkEntry {
         graft.functions.GraftFunctions.rollingHash(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // language-ID heuristic + composite quality score
+    // language-ID heuristic + composite quality score (fused kernels:
+    // one marker-count tokenization + one counts pass per row)
     "text_langid_quality" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        TextOps.langId(col("text")).as("pred_lang"),
-        TextOps.qualityScore(col("text")).as("quality"))
+        TextOps.langIdFused(col("text")).as("pred_lang"),
+        TextOps.qualityScoreFused(col("text")).as("quality"))
         .orderBy("doc_id")),
 
     // multimodal: stubbed decode over BINARY media column (real plumbing)

@@ -209,6 +209,53 @@ object Kernels {
       Array[Any](tokens, bpeish, alpha, len, stop, nonws))
   }
 
+  /** Marker lexicons for the language-ID heuristic — canonical data,
+    * re-exported as [[graft.ops.TextOps.langMarkers]]. */
+  val langMarkerData: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "und", "die", "das", "ist", "mit", "von"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "avec"),
+    "es" -> Seq("el", "los", "las", "es", "con", "por", "una"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private val LangMarkerSets: Array[java.util.HashSet[UTF8String]] =
+    langMarkerData.map { case (_, ws) =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  /** Per-language marker-token hit counts in ONE tokenization pass —
+    * same token semantics as [[textStatsCounts]] (split(lower(trim),
+    * "\s+") token equality; Spark's own UTF8String.toLowerCase). */
+  def langMarkerCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var t0 = 0
+    while (t0 < n && str.charAt(t0) == ' ') t0 += 1
+    var t1 = n
+    while (t1 > t0 && str.charAt(t1 - 1) == ' ') t1 -= 1
+    val counts = new Array[Long](LangMarkerSets.length)
+    var runStart = -1
+    def close(end: Int): Unit = if (runStart >= 0) {
+      val tok = UTF8String.fromString(str.substring(runStart, end)).toLowerCase
+      var l = 0
+      while (l < LangMarkerSets.length) {
+        if (LangMarkerSets(l).contains(tok)) counts(l) += 1
+        l += 1
+      }
+      runStart = -1
+    }
+    var j = t0
+    while (j < t1) {
+      if (isAsciiWs(str.charAt(j))) close(j)
+      else if (runStart < 0) runStart = j
+      j += 1
+    }
+    close(t1)
+    new GenericArrayData(counts)
+  }
+
   /** Jaccard over long arrays with set (distinct) semantics — same
     * contract as size(array_intersect)/size(array_union). */
   def jaccardLong(a: ArrayData, b: ArrayData): Double = {
@@ -412,6 +459,21 @@ case class TextStatsCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → ARRAY<BIGINT>: marker-token hits per language. */
+case class LangMarkerCounts(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"lang_marker_counts needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.langMarkerCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.langMarkerCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangMarkerCounts =
+    copy(child = newChild)
+}
+
 /** vec ARRAY<FLOAT> → ARRAY<BIGINT>: sign-LSH bucket per hash table. */
 case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
     extends UnaryExpression {
@@ -517,6 +579,8 @@ object GraftFunctions {
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
   def textStatsCounts(text: Column): Column =
     GraftColumnBridge.column(TextStatsCounts(e(text)))
+  def langMarkerCounts(text: Column): Column =
+    GraftColumnBridge.column(LangMarkerCounts(e(text)))
   /** Aggregate: k best (score desc, id asc) rows with an O(k) buffer. */
   def topK(score: Column, id: Column, k: Int): Column =
     GraftColumnBridge.column(TopKByScore(e(score), e(id), k).toAggregateExpression())

@@ -105,6 +105,57 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nlist` lists; each query probes only its `nprobe`
+    * nearest lists. The classic FAISS-style scale path: index build is
+    * one k-means fit + one assignment pass over the corpus, and a query
+    * batch scores ~nprobe/nlist of the corpus via a key-equality join —
+    * never a full scan per query.
+    *
+    * Division of labor, all public Spark API: MLlib KMeans (Euclidean
+    * quantizer — on unit-norm embeddings L2 order ≡ cosine order) for
+    * the centroids, driver-side probe selection (queries are the tiny
+    * broadcast side by the same contract as [[bruteForceTopK]]; the
+    * centroid table is nlist×dims doubles), and the k-bounded
+    * [[topKPerKey]] heap aggregate for the final reduce. Recall < 1 by
+    * construction — measured against [[bruteForceTopK]] in DedupSpec.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 64,
+      nprobe: Int = 8, seed: Long = 42L, maxIter: Int = 10,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("__feat"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__feat").setPredictionCol("__list").fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("embedding"), col("__list"))
+    val centers = model.clusterCenters.map(_.toArray)
+    // probe selection: nprobe nearest centroids per query, computed on
+    // the driver (queries and centroids are both tiny by contract)
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val emb = r.getSeq[Float](1).toArray.map(_.toDouble)
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(c.length, emb.length)
+        while (j < n) { val t = c(j) - emb(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map { case (_, i) => (qid, i) }
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probeDf = broadcast(probes.toDF("query_id", "__list"))
+    val scored = assigned.join(probeDf, Seq("__list"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), roundTo).as("score"))
+    topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+  }
+
   /** LSH-bucketed ANN: only corpus vectors sharing a hyperplane bucket
     * with the query — in any of `tables` independent hash tables — are
     * scored. The 100 TB path: bucket-equality join instead of a full

@@ -58,13 +58,10 @@ object TextOps {
     round((lenScore * 0.25 + alpha * 0.35 + stop * 0.2 + wordLenScore * 0.2), 6)
   }
 
-  /** Marker lexicons for the n-gram language-ID heuristic. */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
-    "de" -> Seq("der", "und", "die", "das", "ist", "mit", "von"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "est", "avec"),
-    "es" -> Seq("el", "los", "las", "es", "con", "por", "una"),
-    "zh" -> Seq("的", "是", "在", "了", "和"))
+  /** Marker lexicons for the n-gram language-ID heuristic (canonical
+    * data lives next to the fused kernel). */
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.Kernels.langMarkerData
 
   /** Language-ID heuristic: argmax of marker-token hit counts, with a
     * deterministic tie order (marker list order; "und" when nothing
@@ -81,6 +78,37 @@ object TextOps {
     }: _*)
     val best = array_max(scored)
     when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Fused [[langId]]: marker-hit counts from one tokenization pass
+    * ([[graft.functions.LangMarkerCounts]]); the argmax/tie/und logic
+    * stays the identical Column expression, so results match the
+    * per-language filter formulation exactly. */
+  def langIdFused(text: Column): Column = {
+    val m = graft.functions.GraftFunctions.langMarkerCounts(text)
+    val scored = array(langMarkers.zipWithIndex.map { case ((lang, _), idx) =>
+      struct(
+        element_at(m, idx + 1).as("score"),
+        lit(-idx).as("prio"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Fused [[qualityScore]]: every input ratio comes from the single
+    * [[graft.functions.TextStatsCounts]] pass; the score arithmetic is
+    * written term-for-term like the unfused version (same double
+    * association order), so values are bit-identical. */
+  def qualityScoreFused(text: Column): Column = {
+    val c = graft.functions.GraftFunctions.textStatsCounts(text)
+    val lenScore = least(c.getField("len").cast(DoubleType) / 500.0, lit(1.0))
+    val alpha = c.getField("n_alpha").cast(DoubleType) / greatest(c.getField("len"), lit(1L))
+    val stop = least(c.getField("n_stop").cast(DoubleType) /
+      greatest(c.getField("n_tokens"), lit(1L)) * 5.0, lit(1.0))
+    val wordLen = c.getField("n_nonws").cast(DoubleType) / greatest(c.getField("n_tokens"), lit(1L))
+    val wordLenScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.25 + alpha * 0.35 + stop * 0.2 + wordLenScore * 0.2), 6)
   }
 
   /** The full text_stats feature row from ONE fused pass over the text

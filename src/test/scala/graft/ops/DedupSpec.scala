@@ -194,4 +194,15 @@ class DedupSpec extends AnyFunSuite {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.7, s"recall@10 $recall")
   }
+
+  test("IVF ANN recall@10 vs brute force on the embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def top(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = top(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val ivf = top(Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall@10 $recall")
+  }
 }

@@ -46,6 +46,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  def unfusedLQ(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    TextOps.langId(col("text")).as("pred_lang"),
+    TextOps.qualityScore(col("text")).as("quality"))
+
+  def fusedLQ(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    TextOps.langIdFused(col("text")).as("pred_lang"),
+    TextOps.qualityScoreFused(col("text")).as("quality"))
+
+  test("fused langId + qualityScore == unfused formulation") {
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "the quick fox and the dog", "der hund und die katze ist mit von",
+      "le chat et la maison des gens est avec", "el perro los gatos las casas es con por una",
+      "的 是 在 了 和", "no markers here whatsoever", "the der le el mixed markers tie",
+      "und und und der", "THE AND OF TO IS THAT WITH")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = edge.toDF("doc_id", "text")
+    val a = unfusedLQ(df).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = fusedLQ(df).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("fused langId + qualityScore == unfused on the documents corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = unfusedLQ(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = fusedLQ(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("fused kernel == unfused on the documents corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = unfused(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
