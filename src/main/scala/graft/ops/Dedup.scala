@@ -190,9 +190,12 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     // the repartition puts an exchange ABOVE the gram projection so the
     // nested-loop join streams materialized arrays (not a per-pair
-    // recompute of the whole gram pipeline) and parallelizes the pairs
+    // recompute of the whole gram pipeline) and parallelizes the pairs.
+    // 8 partitions, not the session default: a cartesian schedules
+    // left×right partition PAIRS, so 32×32 would mint 1024 near-empty
+    // tasks for a bounded sample — scheduling would dwarf the work
     val base = docs.select(id.as("doc_id"), charNgrams(text, n).as("elems"))
-      .repartition(col("doc_id"))
+      .repartition(8, col("doc_id"))
     val a = base.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
     val b = base.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
     a.crossJoin(b)
@@ -206,7 +209,7 @@ object Dedup {
   def shingleJaccardExact(docs: DataFrame, text: Column, id: Column,
       shingleK: Int, threshold: Double): DataFrame = {
     val base = docs.select(id.as("doc_id"), shingles(text, shingleK).as("elems"))
-      .repartition(col("doc_id"))
+      .repartition(8, col("doc_id")) // bounded sample: avoid 32² cartesian tasks
     val a = base.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
     val b = base.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
     a.crossJoin(b)
@@ -313,7 +316,7 @@ object Dedup {
   def simhashExact(docs: DataFrame, text: Column, id: Column,
       maxHamming: Int): DataFrame = {
     val fp = docs.select(id.as("doc_id"), simhash(text).as("fp"))
-      .repartition(col("doc_id"))
+      .repartition(8, col("doc_id")) // bounded sample: avoid 32² cartesian tasks
     val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
     a.crossJoin(b)

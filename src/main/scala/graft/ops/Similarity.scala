@@ -95,7 +95,9 @@ object Similarity {
     * [[cosinePairs]] (quadratic by construction). */
   def cosinePairsExact(emb: DataFrame, id: Column, vec: Column,
       threshold: Double, roundTo: Int = 4): DataFrame = {
-    val base = emb.select(id.as("vec_id"), vec.as("v")).repartition(col("vec_id"))
+    // bounded sample: 8 partitions keeps the cartesian at 64 partition
+    // pairs instead of 32²=1024 near-empty tasks
+    val base = emb.select(id.as("vec_id"), vec.as("v")).repartition(8, col("vec_id"))
     val a = base.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("vec_id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b)
