@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.Explain q1_pricing_summary ts_count_minute"
   * Inspect for: PushedFilters reaching the parquet scan, pruned
   * ReadSchema, partial HashAggregate before the exchange, broadcast on
-  * the small join side, WholeStageCodegen span width. */
+  * the small join side, WholeStageCodegen span width. Run with
+  * SPARK_GRAFT_EAGER_PAIRS=0 to see the full LSH pair funnels (by
+  * default those queries eagerly checkpoint their result for cache
+  * hygiene, which collapses the audited plan to an RDD scan). */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -38,6 +38,13 @@ object SparkEntry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Pair queries eagerly checkpoint their verified pair sets so the
+    * LSH signature caches release immediately (session cache hygiene).
+    * SPARK_GRAFT_EAGER_PAIRS=0 keeps those plans lazy — used by
+    * graft.Explain to audit the full physical funnel. */
+  private def eagerPairs: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_EAGER_PAIRS", "1") != "0"
+
   /** Canonical kairos fixture over events: name=event_type, ts,
     * value, seq=event_id (arrival order). */
   def eventLog(spark: SparkSession, dir: String, seriesType: SeriesType,
@@ -450,7 +457,8 @@ object SparkEntry {
     // MinHash+LSH near-dup pairs (engine-specific hashes → rows-only)
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLSH(table(s, dir, "documents"), col("text"), col("doc_id"),
-        shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.3)
+        shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.3,
+        materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
@@ -459,7 +467,7 @@ object SparkEntry {
     // verified by DedupSpec against brute force. (rows-only)
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
-        maxHamming = 7)
+        maxHamming = 7, materialize = eagerPairs)
         .orderBy("id_a", "id_b")),
 
     // char-3-gram Jaccard near-dup pairs at the standard 0.8 threshold
@@ -469,7 +477,7 @@ object SparkEntry {
     // (rows-only; recall vs exact measured in DedupSpec)
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
-        n = 3, threshold = 0.8)
+        n = 3, threshold = 0.8, materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 

@@ -79,7 +79,8 @@ object Dedup {
     *  6. exact Jaccard over the element sets for the survivors.
     */
   private def lshPairs(docsKeyed: DataFrame, numHashes: Int, bands: Int,
-      bucketCap: Int, threshold: Double, elemsDistinct: Boolean): DataFrame = {
+      bucketCap: Int, threshold: Double, elemsDistinct: Boolean,
+      materialize: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     // size-ratio guard needs SET cardinality (j >= t bounds |A|/|B| only
     // for distinct counts; shingles() keeps duplicates, so a repetitive
@@ -118,12 +119,17 @@ object Dedup {
       .join(base.select(col("doc_id").as("id_b"), col("elems").as("e_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      // materialize the (tiny) verified pair set so the signature cache
-      // can be released NOW — without this, repeated pipeline calls
-      // accumulate cached signature tables for the life of the session
-      .localCheckpoint(true)
-    base.unpersist()
-    verified
+    // default: materialize the (tiny) verified pair set eagerly so the
+    // signature cache can be released NOW — without this, repeated
+    // pipeline calls accumulate cached tables for the session's life.
+    // materialize=false keeps the plan lazy/auditable; the caller owns
+    // releasing the cache (spark.catalog.clearCache()).
+    if (!materialize) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      base.unpersist()
+      out
+    }
   }
 
   /** Skew insurance without a sort: per-bucket counts are a tiny
@@ -153,11 +159,13 @@ object Dedup {
 
   def minhashLSH(docs: DataFrame, text: Column, id: Column,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      jaccardThreshold: Double = 0.5, bucketCap: Int = 100000): DataFrame = {
+      jaccardThreshold: Double = 0.5, bucketCap: Int = 100000,
+      materialize: Boolean = true): DataFrame = {
     val base = spreadById(docs, id, text)
       .select(col("doc_id"), shingles(col("__raw"), shingleK).as("elems"))
     lshPairs(base, numHashes, bands, bucketCap, jaccardThreshold,
-      elemsDistinct = false) // shingles() keeps duplicates
+      elemsDistinct = false, // shingles() keeps duplicates
+      materialize = materialize)
   }
 
   /** Character n-gram Jaccard near-duplicate pairs, banded-MinHash
@@ -175,12 +183,14 @@ object Dedup {
     * saturate every band bucket and are dropped by the skew cap. */
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
       n: Int = 3, threshold: Double = 0.8, numHashes: Int = 128,
-      bands: Int = 16, bucketCap: Int = 1000): DataFrame = {
+      bands: Int = 16, bucketCap: Int = 1000,
+      materialize: Boolean = true): DataFrame = {
     val base = spreadById(docs, id, text)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.charNgramHashes(col("__raw"), n).as("elems"))
     lshPairs(base, numHashes, bands, bucketCap, threshold,
-      elemsDistinct = true) // charNgramHashes is already distinct
+      elemsDistinct = true, // charNgramHashes is already distinct
+      materialize = materialize)
   }
 
   /** Exact all-pairs n-gram Jaccard over a BOUNDED sample — the oracle
@@ -233,7 +243,8 @@ object Dedup {
     * to the smallest divisor of 64 above maxHamming (8 chunks × 8 bits
     * for maxHamming ≤ 7). */
   def simhashPairs(docs: DataFrame, text: Column, id: Column,
-      maxHamming: Int = 3, chunks: Int = 0, bucketCap: Int = 100000): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 0, bucketCap: Int = 100000,
+      materialize: Boolean = true): DataFrame = {
     val c = if (chunks > 0) chunks
             else Seq(2, 4, 8, 16, 32, 64).find(_ > maxHamming).getOrElse(64)
     require(64 % c == 0, s"chunks must divide 64, got $c")
@@ -260,9 +271,13 @@ object Dedup {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .localCheckpoint(true) // materialize the (tiny) pair set, then drop the cache
-    fp.unpersist()
-    pairs
+    // see lshPairs: eager-materialize the tiny pair set, release cache
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      fp.unpersist()
+      out
+    }
   }
 
   /** Near-duplicate clustering: connected components over a candidate
