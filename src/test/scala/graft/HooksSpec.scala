@@ -241,6 +241,23 @@ class HooksSpec extends AnyFunSuite {
     assert(reader.log.filter(col("interval") === "hour").count() === 2L)
   }
 
+  test("compact honors the calendar-aware gregorian cutoff") {
+    val t = new Timeseries(spark, CountT,
+      Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))
+    val jan31 = java.time.LocalDate.of(2024, 1, 31).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val jan20 = java.time.LocalDate.of(2024, 1, 20).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val feb2 = java.time.LocalDate.of(2024, 2, 2).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    t.insert("g", 1.0, jan31.toDouble) // inside the 5-day TTL at feb2
+    t.insert("g", 1.0, jan20.toDouble) // far past it
+    val dir = java.nio.file.Files.createTempDirectory("graft_gcompact").toString
+    t.save(s"$dir/store")
+    t.compact(s"$dir/store", now = feb2.toDouble)
+    val kept = new Timeseries(spark, CountT,
+      Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5)))).load(s"$dir/store")
+      .log.select("i_time").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(20240131L)) // linear bucket arithmetic would drop jan31 too
+  }
+
   test("expire uses calendar-aware cutoff for gregorian intervals (ADVICE)") {
     val t = new Timeseries(spark, CountT,
       Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))
