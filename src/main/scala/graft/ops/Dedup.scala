@@ -138,7 +138,7 @@ object Dedup {
     * left-anti join. The window-count formulation this replaces forced
     * a full shuffle+SORT of the entire exploded table just to find the
     * handful of oversized buckets. */
-  private def dropOversizedBuckets(exploded: DataFrame, keys: Seq[String],
+  private[ops] def dropOversizedBuckets(exploded: DataFrame, keys: Seq[String],
       cap: Int): DataFrame = {
     val over = exploded.groupBy(keys.map(col): _*).count()
       .filter(col("count") > cap).select(keys.map(col): _*)

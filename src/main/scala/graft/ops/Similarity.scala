@@ -72,14 +72,24 @@ object Similarity {
     * p ≈ 0.86, recall ≈ 0.94 with 8×8) — for thresholds near a
     * corpus's background similarity no hyperplane scheme is selective,
     * same physics as the text LSH band knee. Pairs dedupe across
-    * tables before the exact-cosine verify join. */
+    * tables before the exact-cosine verify join.
+    *
+    * `bucketCap` is the same skew insurance every text LSH funnel
+    * carries ([[Dedup.dropOversizedBuckets]]): with `planes` p there
+    * are only 2^p buckets per table, so a correlated embedding region
+    * (or a run of near-identical vectors) concentrates B vectors in one
+    * bucket and would mint B² candidate rows on a single shuffle key.
+    * Buckets over the cap are dropped whole — recall on pairs inside
+    * them falls on the other `tables − 1` independent tables. */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double = 0.9,
-      planes: Int = 8, dims: Int = 64, tables: Int = 8, roundTo: Int = 4): DataFrame = {
+      planes: Int = 8, dims: Int = 64, tables: Int = 8, roundTo: Int = 4,
+      bucketCap: Int = 100000): DataFrame = {
     val base = emb.select(id.as("vec_id"), vec.as("v")).repartition(col("vec_id"))
     val banded = base.select(col("vec_id"),
       posexplode(lshBuckets(col("v"), planes, dims, tables)).as(Seq("t", "b")))
-    val a = banded.select(col("t"), col("b"), col("vec_id").as("id_a"))
-    val b = banded.select(col("t"), col("b"), col("vec_id").as("id_b"))
+    val capped = Dedup.dropOversizedBuckets(banded, Seq("t", "b"), bucketCap)
+    val a = capped.select(col("t"), col("b"), col("vec_id").as("id_a"))
+    val b = capped.select(col("t"), col("b"), col("vec_id").as("id_b"))
     val cands = a.join(b, Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -121,16 +131,22 @@ object Similarity {
     * centroid table is nlist×dims doubles), and the k-bounded
     * [[topKPerKey]] heap aggregate for the final reduce. Recall < 1 by
     * construction — measured against [[bruteForceTopK]] in DedupSpec.
-    */
+    *
+    * The quantizer trains on a BOUNDED deterministic sample
+    * ([[quantizerFitSet]], `fitSample` rows): k-means is `maxIter`
+    * full passes over its input, so fitting on the corpus itself would
+    * make index build a 10×-corpus scan just to place nlist centroids.
+    * Standard IVF practice (FAISS trains on ~max(10k, 256·nlist)
+    * points) — centroid placement converges long before the sample
+    * does; assignment still covers every corpus vector. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 64,
       nprobe: Int = 8, seed: Long = 42L, maxIter: Int = 10,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4, fitSample: Int = 262144): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("__feat"))
+    val feats = withFeat(corpus)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__feat").setPredictionCol("__list").fit(feats)
+      .setFeaturesCol("__feat").setPredictionCol("__list")
+      .fit(quantizerFitSet(feats, fitSample))
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("embedding"), col("__list"))
     val centers = model.clusterCenters.map(_.toArray)
@@ -157,6 +173,24 @@ object Similarity {
         round(cosine(col("q_emb"), col("embedding")), roundTo).as("score"))
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
   }
+
+  private def withFeat(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("__feat"))
+  }
+
+  /** The bounded, deterministic training set for the IVF quantizer:
+    * the `fitSample` rows with the smallest xxhash64(vec_id) — a
+    * uniform pseudo-random draw with no RNG state, independent of the
+    * corpus's storage order (a plain `limit` would train on whatever
+    * prefix the file listing produced). Plans as TakeOrderedAndProject:
+    * each partition keeps only its local top-n, so the fit input is
+    * O(fitSample) regardless of corpus size. `fitSample <= 0` disables
+    * the bound (trains on everything). */
+  def quantizerFitSet(corpus: DataFrame, fitSample: Int): DataFrame =
+    if (fitSample <= 0) corpus
+    else corpus.orderBy(xxhash64(col("vec_id"))).limit(fitSample)
 
   /** LSH-bucketed ANN: only corpus vectors sharing a hyperplane bucket
     * with the query — in any of `tables` independent hash tables — are
