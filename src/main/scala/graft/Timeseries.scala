@@ -184,7 +184,10 @@ class Timeseries(
           TimeColumns.bucketDate(col("i_time"), u)) <= lit(stepDiffDays)
     }
 
-  /** The full bucket log (in-memory buffer ∪ attached). */
+  /** The full bucket log (in-memory buffer ∪ attached). The union is
+    * BY NAME: a parquet-loaded attach carries its partition columns
+    * last (and may carry the optional `__day` subpartition column), so
+    * positional union would mispair columns. */
   def log: DataFrame = {
     val fromBuffer = if (buffer.isEmpty) None else {
       import spark.implicits._
@@ -194,7 +197,8 @@ class Timeseries(
       Some(bucketize(ev, col("name"), col("ts"), col("value"), col("seq"), col("fanout")))
     }
     (fromBuffer, attached) match {
-      case (Some(a), Some(b)) => a.unionAll(b)
+      case (Some(a), Some(b)) =>
+        (if (b.columns.contains(DayCol)) withDay(a) else a).unionByName(b)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
       case (None, None) =>
@@ -202,11 +206,65 @@ class Timeseries(
     }
   }
 
-  /** Persist the bucket log partitioned by interval — at scale each read
-    * touches exactly one partition directory and parquet min/max prunes
-    * i_time row groups. */
-  def save(path: String): Unit =
-    log.write.mode("overwrite").partitionBy("interval").parquet(path)
+  /** UTC epoch-day (floor(bucket-start-seconds / 86400)) of each row —
+    * a pure function of (interval, i_time), timezone-free and monotone
+    * in i_time, used as the optional coarse store subpartition. */
+  private def withDay(df: DataFrame): DataFrame =
+    if (df.columns.contains(DayCol)) df
+    else {
+      val specs = intervals.toSeq
+      val epoch = specs.tail.foldLeft(
+        when(col("interval") === specs.head._1,
+          TimeColumns.fromBucket(col("i_time"), specs.head._2.step))) {
+        case (acc, (n, sp)) =>
+          acc.when(col("interval") === n, TimeColumns.fromBucket(col("i_time"), sp.step))
+      }
+      df.withColumn(DayCol, floor(epoch / 86400))
+    }
+
+  private def dayOf(sp: IntervalSpec, bucket: Long): Long =
+    Math.floorDiv(sp.iCalc.fromBucket(bucket), 86400L)
+
+  /** Persist the bucket log partitioned by interval (and optionally by
+    * `__day`, the epoch-day of the bucket start) — at scale each read
+    * prunes to one interval directory, one day range inside it, and
+    * parquet min/max prunes i_time row groups within that.
+    *
+    * SAME-PATH SAFE: the log is fully written to a dot-prefixed
+    * sibling temp directory first — materializing any lineage that
+    * reads `path` itself (e.g. after `load(path)` → `delete(name)`) —
+    * and only then swapped in, the same pattern as [[compact]]. A
+    * direct overwrite would have Spark deleting the files its own scan
+    * is reading. After the swap the instance re-attaches to the new
+    * store (the old file listing is gone) and the insert buffer, now
+    * part of the written log, is cleared.
+    *
+    * `subpartitionDays`: Some(true)/Some(false) forces the day
+    * subpartition on/off; None (default) preserves whatever layout the
+    * current log carries. The reference's physical layouts are all
+    * keyed to the bucket (mongo_backend.py:179-187 collection-per-
+    * interval + indexed bucket; cassandra_backend.py:330-337 PK
+    * (name, interval, i_time)); `__day` is the directory-level
+    * analogue that lets range reads prune whole directories. */
+  def save(path: String, subpartitionDays: Option[Boolean] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sub = subpartitionDays.getOrElse(log.columns.contains(DayCol))
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent, s".${target.getName}-save-tmp")
+    fs.delete(tmp, true)
+    val out = if (sub) withDay(log) else log.drop(DayCol)
+    val partCols = if (sub) Seq("interval", DayCol) else Seq("interval")
+    out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"save: rename $tmp -> $target failed")
+    val readSchema =
+      if (sub) StructType(logSchema(valueType) :+ StructField(DayCol, LongType))
+      else logSchema(valueType)
+    attach(spark.read.schema(readSchema).parquet(path))
+    buffer.clear()
+  }
 
   def load(path: String): this.type = attach(spark.read.parquet(path))
 
@@ -286,10 +344,17 @@ class Timeseries(
 
     val fine = !sp.coarse && !condense
     val multi = names.size > 1
+    val snapshot = log
+    // on a day-subpartitioned store, derive the (exact, implied by the
+    // i_time range — fromBucket is monotone) __day bounds driver-side
+    // so directory-level partition pruning fires for range reads
+    val pred = col("interval") === interval &&
+      col("name").isin(names: _*) &&
+      col("i_time").between(b0, b1)
     val filtered = hooks.fetch(
-      log.filter(col("interval") === interval &&
-        col("name").isin(names: _*) &&
-        col("i_time").between(b0, b1)))
+      if (snapshot.columns.contains(DayCol))
+        snapshot.filter(pred && col(DayCol).between(dayOf(sp, b0), dayOf(sp, b1)))
+      else snapshot.filter(pred))
 
     // composite merge order (join-then-condense, _join_results
     // timeseries.py:727-745 running BEFORE the condense pass :599-606,
@@ -482,7 +547,10 @@ class Timeseries(
 
   /** kairos delete(name) — as a log rewrite (anti-filter). The buffer is
     * folded into the snapshot first so buffered rows for the deleted
-    * name go away too (and aren't double-counted later). */
+    * name go away too (and aren't double-counted later). In-memory
+    * view only — to delete from a saved store use [[deleteFromStore]]
+    * (surgical partition rewrite) or follow with a same-path-safe
+    * [[save]]. */
   def delete(name: String): Unit = {
     attached = Some(log.filter(col("name") =!= name))
     buffer.clear()
@@ -530,24 +598,63 @@ class Timeseries(
     * are never touched — their files survive byte-identical. Streams
     * executor-side (no driver materialization, no self-overwrite
     * lineage hazard), so it holds at any partition size. */
-  def compact(path: String, now: Double): Unit = {
+  def compact(path: String, now: Double): Unit =
+    rewriteStorePartitions(path,
+      select = iname => intervals(iname).steps.isDefined,
+      probe = _ => true,
+      transform = _.filter(retained(now)))
+
+  /** Store-level physical delete of one stat — the analogue of the
+    * reference backends' surgical per-name deletes (redis_backend.py:
+    * 175-188 key scan + DELETE pipeline; sql_backend.py:250-256
+    * `DELETE WHERE name=`; mongo_backend.py:281-292;
+    * cassandra_backend.py:261-267). [[delete]] only rewrites the
+    * in-memory view; this rewrites the saved store itself.
+    *
+    * Per interval partition: a pushed-filter probe first checks
+    * whether the name occurs at all (parquet dictionary/stats make
+    * that a metadata-cheap scan) — intervals without the name keep
+    * their files byte-identical; affected ones stream through the
+    * anti-filter via the same temp-dir + swap as [[compact]]. */
+  def deleteFromStore(path: String, name: String): Unit =
+    rewriteStorePartitions(path,
+      select = _ => true,
+      probe = df => !df.filter(col("name") === name).isEmpty,
+      transform = _.filter(col("name") =!= name))
+
+  /** Shared partition-rewrite machinery behind [[compact]] and
+    * [[deleteFromStore]]: each selected `interval=` directory whose
+    * probe fires is filtered through `transform`, written to a
+    * dot-prefixed sibling temp dir (invisible to concurrent readers),
+    * and swapped in. Streams executor-side — no driver
+    * materialization, no self-overwrite lineage hazard — so it holds
+    * at any partition size. Preserves a `__day` sub-layout when the
+    * store has one. */
+  private def rewriteStorePartitions(path: String,
+      select: String => Boolean,
+      probe: DataFrame => Boolean,
+      transform: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val partSchema = StructType(logSchema(valueType).filterNot(_.name == "interval"))
-    intervals.foreach { case (iname, sp) =>
-      if (sp.steps.isDefined) {
+    val baseSchema = StructType(logSchema(valueType).filterNot(_.name == "interval"))
+    intervals.keys.foreach { iname =>
+      if (select(iname)) {
         val part = new Path(s"$path/interval=$iname")
         val fs = part.getFileSystem(conf)
         if (fs.exists(part)) {
-          val tmp = new Path(s"$path/.compact-tmp-interval=$iname")
-          spark.read.schema(partSchema).parquet(part.toString)
+          val hasDay = fs.listStatus(part)
+            .exists(_.getPath.getName.startsWith(DayCol + "="))
+          val schema = if (hasDay) baseSchema.add(DayCol, LongType) else baseSchema
+          val df = spark.read.schema(schema).parquet(part.toString)
             .withColumn("interval", lit(iname))
-            .filter(retained(now))
-            .drop("interval")
-            .write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(part, true)
-          if (!fs.rename(tmp, part))
-            throw new java.io.IOException(s"compact: rename $tmp -> $part failed")
+          if (probe(df)) {
+            val tmp = new Path(s"$path/.rewrite-tmp-interval=$iname")
+            val w = transform(df).drop("interval").write.mode("overwrite")
+            (if (hasDay) w.partitionBy(DayCol) else w).parquet(tmp.toString)
+            fs.delete(part, true)
+            if (!fs.rename(tmp, part))
+              throw new java.io.IOException(s"rewrite: rename $tmp -> $part failed")
+          }
         }
       }
     }
@@ -565,6 +672,10 @@ class UnknownInterval(interval: String)
   extends IllegalArgumentException(s"unknown interval: $interval")
 
 object Timeseries {
+  /** Optional coarse store-subpartition column (epoch-day of the
+    * bucket start); never part of the logical schema. */
+  val DayCol = "__day"
+
   def logSchema(vt: DataType): StructType = StructType(Seq(
     StructField("name", StringType),
     StructField("interval", StringType),
