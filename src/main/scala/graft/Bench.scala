@@ -61,7 +61,11 @@ object Bench {
     val warmTotal = results.values.flatMap(_._2).sum
     val coldTotal = results.values.flatMap(_._1).sum
     val errJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${json(_._2)},"cold_total":$coldTotal,"cold_queries":${json(_._1)},"errors":$errJson,"sf":"$sfDir"}""")
+    // short headline FIRST: the long per-query line below can get
+    // truncated by log-capture tooling, which must never eat the
+    // primary metrics (warm total = the 100 TB-predictive number)
+    println(s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"sf":"$sfDir"}""")
     spark.stop()
     // a query that throws must fail the bench loudly, never report a
     // healthy-looking near-zero time

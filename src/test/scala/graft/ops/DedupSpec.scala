@@ -48,16 +48,34 @@ class DedupSpec extends AnyFunSuite {
   def pairSet(df: DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("simhash blocking is EXACT for maxHamming < chunks (pigeonhole)") {
+  test("simhash multi-index blocking is EXACT (default config: 4x16-bit chunks, radius 1)") {
     val blocked = pairSet(Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 7))
     val brute = pairSet(Dedup.simhashExact(docs, col("text"), col("doc_id"), maxHamming = 7))
     assert(brute.nonEmpty, "fixture must contain simhash near-dups")
     assert(blocked === brute)
   }
 
-  test("simhash rejects maxHamming >= chunks (lost-pair configuration)") {
+  test("simhash exact-chunk (radius 0) blocking is EXACT for maxHamming < chunks (pigeonhole)") {
+    val blocked = pairSet(Dedup.simhashPairs(docs, col("text"), col("doc_id"),
+      maxHamming = 7, chunks = 8)) // r = floor(7/8) = 0: the classic pigeonhole join
+    val brute = pairSet(Dedup.simhashExact(docs, col("text"), col("doc_id"), maxHamming = 7))
+    assert(blocked === brute)
+  }
+
+  test("simhash radius-1 ball join is EXACT where radius 0 would lose pairs (h = chunks)") {
+    // 8 errors over 8 chunks can hit every chunk once — the r=0 join
+    // would silently lose those pairs; r=1 (auto: floor(8/8)) keeps
+    // recall 1.0
+    val blocked = pairSet(Dedup.simhashPairs(docs, col("text"), col("doc_id"),
+      maxHamming = 8, chunks = 8))
+    val brute = pairSet(Dedup.simhashExact(docs, col("text"), col("doc_id"), maxHamming = 8))
+    assert(brute.nonEmpty)
+    assert(blocked === brute)
+  }
+
+  test("simhash rejects per-chunk radius >= 2 (ball enumeration blowup)") {
     intercept[IllegalArgumentException] {
-      Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 8, chunks = 8)
+      Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 8, chunks = 4)
     }
   }
 
