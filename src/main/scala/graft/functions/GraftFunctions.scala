@@ -47,17 +47,24 @@ object Kernels {
     fp
   }
 
-  /** MinHash signature over string elements: per seed, the minimum
-    * XXH64 of the element bytes. */
+  /** MinHash signature over string elements: the element bytes are
+    * hashed ONCE (XXH64, seed 0) and the n family members derive from
+    * that 64-bit base with one cheap hashLong re-mix each — n× fewer
+    * byte scans than hashing the bytes per seed, and the standard
+    * construction (one base hash + k derived permutations, as in
+    * Spark's own MinHashLSH). Identical to [[minhashSigLong]] over
+    * pre-hashed elements, so both element representations produce one
+    * hash family. */
   def minhashSigStr(arr: ArrayData, n: Int): ArrayData = {
     val out = Array.fill(n)(Long.MaxValue)
     val sz = arr.numElements()
     var i = 0
     while (i < sz) {
       val u = arr.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 0L)
       var s = 0
       while (s < n) {
-        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, s.toLong)
+        val h = XXH64.hashLong(base, s.toLong)
         if (h < out(s)) out(s) = h
         s += 1
       }

@@ -149,23 +149,33 @@ object Similarity {
       .fit(quantizerFitSet(feats, fitSample))
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("embedding"), col("__list"))
-    val centers = model.clusterCenters.map(_.toArray)
-    // probe selection: nprobe nearest centroids per query, computed on
-    // the driver (queries and centroids are both tiny by contract)
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-    val probes = qRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val emb = r.getSeq[Float](1).toArray.map(_.toDouble)
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        val n = math.min(c.length, emb.length)
-        while (j < n) { val t = c(j) - emb(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(x => (x._1, x._2)).take(nprobe).map { case (_, i) => (qid, i) }
-    }.toSeq
+    // probe selection: nprobe nearest centroids per query — the
+    // centroid table (nlist × dims doubles, driver-held by the model)
+    // broadcast against the query stream, reduced by the bounded top-k
+    // heap. Fully distributed: queries are never collected, so the
+    // query side only needs to be broadcast-small (same contract as
+    // the scoring join below), not driver-loop-small. The interpreted
+    // zip_with distance runs over queries × nlist rows — index-ordered
+    // left fold, so ties and totals match a sequential loop exactly;
+    // ties break (distance asc, list asc) via the heap's
+    // (score desc, id asc) order on negated distance.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val probeDf = broadcast(probes.toDF("query_id", "__list"))
+    val centersDf = broadcast(
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toArray) }
+        .toDF("__list", "__centroid"))
+    val qd = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__q"))
+    val l2sq = F.aggregate(
+      zip_with(col("__q"), col("__centroid"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    val probeDf = broadcast(
+      topKPerKey(
+        qd.crossJoin(centersDf)
+          .select(col("query_id"), (-l2sq).as("__negd"), col("__list")),
+        col("query_id"), col("__negd"), col("__list"), nprobe)
+        .select(col("query_id"), col("vec_id").as("__list")))
     val scored = assigned.join(probeDf, Seq("__list"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), Seq("query_id"))
