@@ -347,6 +347,26 @@ class HooksSpec extends AnyFunSuite {
     assert(r2.get(Seq("d"), "minute", Td(10)).collect().head.getDouble(1) === 1.0)
   }
 
+  test("compact on a day-subpartitioned store preserves the __day layout and drops expired days") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    // minute TTL = 5 steps (300s); two rows a day apart
+    t.insert("c", 1.0, Td(10))            // expired at now
+    t.insert("c", 2.0, Td(86400 + 10))    // live at now
+    val dir = java.nio.file.Files.createTempDirectory("graft_subcompact").toString
+    t.save(s"$dir/store", subpartitionDays = Some(true))
+    t.compact(s"$dir/store", now = Td(86400 + 100))
+    val dayDirs = new java.io.File(s"$dir/store/interval=minute").listFiles()
+      .map(_.getName).filter(_.startsWith("__day="))
+    assert(dayDirs.length === 1, s"expired day dir must be gone: ${dayDirs.mkString(",")}")
+    val r = new Timeseries(spark, CountT, minuteHour).load(s"$dir/store")
+    val minuteVals = r.log.filter(col("interval") === "minute")
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(minuteVals === Set(2.0))
+    // hour interval (no TTL) kept both rows and its __day layout
+    assert(r.log.filter(col("interval") === "hour").count() === 2L)
+    assert(r.get(Seq("c"), "minute", Td(86400 + 10)).collect().head.getDouble(1) === 2.0)
+  }
+
   test("expire uses calendar-aware cutoff for gregorian intervals (ADVICE)") {
     val t = new Timeseries(spark, CountT,
       Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))
