@@ -264,20 +264,48 @@ object Kernels {
   }
 
   /** Jaccard over long arrays with set (distinct) semantics — same
-    * contract as size(array_intersect)/size(array_union). */
+    * contract as size(array_intersect)/size(array_union).
+    *
+    * One flat open-addressing probe table (primitive longs + a state
+    * byte per slot), not java.util.HashSet: the boxed formulation
+    * allocated ~|A|+|B| Long objects PER PAIR, and a 45k-pair exact
+    * verify sweep over ~2k-gram docs spent more time in GC than in
+    * set arithmetic. Slot states: 0 empty, 1 in A, 2 in B only,
+    * 3 in both (counted toward the intersection once). */
   def jaccardLong(a: ArrayData, b: ArrayData): Double = {
-    val setA = new java.util.HashSet[java.lang.Long](math.max(16, a.numElements() * 2))
-    var i = 0
-    while (i < a.numElements()) { setA.add(a.getLong(i)); i += 1 }
-    val seenB = new java.util.HashSet[java.lang.Long](math.max(16, b.numElements() * 2))
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var cap = 8
+    while (cap < (na + nb) * 2) cap <<= 1 // load factor ≤ 0.5
+    val keys = new Array[Long](cap)
+    val state = new Array[Byte](cap)
+    val mask = cap - 1
+    var distinctA = 0
+    var distinctB = 0
     var inter = 0
-    i = 0
-    while (i < b.numElements()) {
-      val v: java.lang.Long = b.getLong(i)
-      if (seenB.add(v) && setA.contains(v)) inter += 1
+    var i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      var h = v * -7046029254386353131L // mix: elements are xxh64 values, but don't rely on it
+      h ^= (h >>> 32)
+      var s = (h & mask).toInt
+      while (state(s) != 0 && keys(s) != v) s = (s + 1) & mask
+      if (state(s) == 0) { keys(s) = v; state(s) = 1; distinctA += 1 }
       i += 1
     }
-    val union = setA.size() + seenB.size() - inter
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      var h = v * -7046029254386353131L
+      h ^= (h >>> 32)
+      var s = (h & mask).toInt
+      while (state(s) != 0 && keys(s) != v) s = (s + 1) & mask
+      if (state(s) == 0) { keys(s) = v; state(s) = 2; distinctB += 1 }
+      else if (state(s) == 1) { state(s) = 3; inter += 1; distinctB += 1 }
+      i += 1
+    }
+    val union = distinctA + distinctB - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
