@@ -281,18 +281,26 @@ object Dedup {
       posexplode(F.transform(sequence(lit(0), lit(c - 1)),
         k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
         .as(Seq("chunk", "ck")))
-    val exactSide = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
+    // persisted when it feeds two consumers (join side a AND the ball
+    // explosion): without the cache the bucket-count aggregate and
+    // anti-join replay once per consumer
+    val exactSide0 = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
+    val exactSide = if (r == 0) exactSide0 else exactSide0.persist()
     val probeSide =
       if (r == 0) exactSide
       else
         // radius-1 ball: the chunk value itself plus one row per
-        // flipped bit — c × (width + 1) rows per doc. Only the exact
-        // side is capped: per-key candidate volume is |exact@k| ×
-        // |ball@k| and |ball@k| ≤ (width+1) × the largest raw bucket
-        // within distance 1, so the one-sided cap already bounds a
-        // hot key's output within a (width+1) factor of cap² —
-        // a second (width+1)×-bigger aggregate isn't worth it
-        chunked.select(col("doc_id"), col("fp"), col("chunk"),
+        // flipped bit — c × (width + 1) rows per doc. Built from the
+        // CAPPED table, not the raw one: ball rows of a dropped hot
+        // bucket would otherwise land on its `width` neighbor keys and
+        // multiply against those keys' exact rows (cap × hot-bucket
+        // output — exactly the blowup the cap exists to stop). From
+        // the capped side, |ball@k| ≤ (width+1) × cap, so per-key join
+        // output is bounded by (width+1) × cap². A doc whose bucket
+        // was dropped loses that one chunk's ball rows and falls back
+        // on its other c−1 chunks — the same lossiness contract as
+        // every capped funnel here.
+        exactSide.select(col("doc_id"), col("fp"), col("chunk"),
           explode(F.transform(sequence(lit(0), lit(width)),
             i => when(i === 0, col("ck")).otherwise(
               col("ck").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))).as("ck"))
@@ -309,6 +317,7 @@ object Dedup {
     else {
       val out = pairs.localCheckpoint(true)
       fp.unpersist()
+      if (r > 0) exactSide.unpersist()
       out
     }
   }

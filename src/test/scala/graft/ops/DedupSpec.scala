@@ -79,6 +79,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash bucket cap bounds BOTH join sides: clones pair neither exactly nor via ball keys") {
+    import spark.implicits._
+    // 30 identical docs: same fingerprint, so every chunk bucket holds
+    // all 30 (> cap 20) and is dropped. The radius-1 ball rows of a
+    // dropped bucket must be dropped WITH it — otherwise the clones'
+    // ball rows land on 16 neighbor keys per chunk and multiply
+    // against the corpus there. The base fixture's own near-dups must
+    // still pair via their surviving chunks.
+    val clones = (0 until 30).map(i => (9000L + i, "identical clone payload text " * 10))
+    val d = docs.unionByName(clones.toDF("doc_id", "text"))
+    val capped = pairSet(Dedup.simhashPairs(d, col("text"), col("doc_id"),
+      maxHamming = 7, bucketCap = 20))
+    assert(!capped.exists { case (a, b) => a >= 9000L || b >= 9000L },
+      "clone buckets exceed the cap in every chunk — clones must not pair")
+    val baseline = pairSet(Dedup.simhashPairs(docs, col("text"), col("doc_id"),
+      maxHamming = 7, bucketCap = 20))
+    assert(baseline.nonEmpty)
+    assert(baseline.subsetOf(capped), "non-clone pairs must be unaffected by the clone cluster")
+  }
+
   test("banded ngram LSH recall vs exact pairs at the 0.8 threshold") {
     val exact = pairSet(Dedup.ngramJaccardExact(docs, col("text"), col("doc_id"),
       n = 3, threshold = 0.8))
