@@ -161,8 +161,13 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.5, bucketCap: Int = 100000,
       materialize: Boolean = true): DataFrame = {
+    // shingles travel as xxhash64 longs, like the char-n-gram funnel:
+    // identical Jaccard up to 2^-64 collisions, ~1/3 the verify-join
+    // bytes of word-shingle strings, and the primitive (unboxed)
+    // set kernel on the verify path
     val base = spreadById(docs, id, text)
-      .select(col("doc_id"), shingles(col("__raw"), shingleK).as("elems"))
+      .select(col("doc_id"),
+        F.transform(shingles(col("__raw"), shingleK), s => xxhash64(s)).as("elems"))
     lshPairs(base, numHashes, bands, bucketCap, jaccardThreshold,
       elemsDistinct = false, // shingles() keeps duplicates
       materialize = materialize)
