@@ -533,6 +533,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
+    // doc-in-doc CONTAINMENT pairs via winnowing-fingerprint candidates
+    // + exact k-gram verification — the duplication mode Jaccard
+    // funnels are structurally blind to (rows-only: winnowed candidate
+    // generation is engine-local; the containment arithmetic is
+    // DuckDB-oracled by dedup_contain_exact_sample; the
+    // Jaccard-blind/winnow-guarantee properties are DedupSpec-tested)
+    "dedup_contain_pairs" -> ((s, dir) =>
+      // bucketCap 200: this corpus has template boilerplate whose
+      // fingerprints land in up-to-3280-doc buckets — zero containment
+      // signal (a fingerprint shared by most docs is a stopword), and
+      // uncapped they mint 15.6M candidate rows at sf0.1
+      Dedup.containmentPairs(table(s, dir, "documents"), col("text"), col("doc_id"),
+        k = 8, w = 24, threshold = 0.5, bucketCap = 200, materialize = eagerPairs)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))),
+
+    // exact all-pairs char-8-gram containment over a bounded sample —
+    // the DuckDB-oracled twin of dedup_contain_pairs' arithmetic
+    "dedup_contain_exact_sample" -> ((s, dir) =>
+      Dedup.containmentExact(
+        table(s, dir, "documents").filter(col("doc_id") < 300),
+        col("text"), col("doc_id"), n = 8, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")),
+
     // exact all-pairs char-3-gram Jaccard over a bounded deterministic
     // sample — the DuckDB-oracled twin of dedup_ngram_pairs' arithmetic
     "dedup_ngram_exact_sample" -> ((s, dir) =>
@@ -785,6 +809,20 @@ object SparkEntry {
          FROM events, mx
          WHERE CAST(floor(epoch(ts)/60) AS BIGINT) >= mx.nb - 1440
          GROUP BY 1,2 ORDER BY 1,2""",
+
+    "dedup_contain_exact_sample" ->
+      """WITH g AS (SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(t)-7, 1)),
+             i -> substring(t, CAST(i AS INT), 8))) AS grams
+           FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                 FROM documents WHERE doc_id < 300))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / least(len(a.grams), len(b.grams)), 6) AS containment
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / least(len(a.grams), len(b.grams)) >= 0.4
+         ORDER BY 1, 2""",
 
     "dedup_ngram_exact_sample" ->
       """WITH g AS (SELECT doc_id,

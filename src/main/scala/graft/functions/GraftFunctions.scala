@@ -122,6 +122,75 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS scheme): rolling k-gram hashes over the
+    * codepoints of a whitespace-normalized, lowercased text, then the
+    * rightmost-minimum of each w-window is selected. Guarantees: at
+    * least one selection per window (max fingerprint gap w), and any
+    * shared substring of ≥ w + k − 1 codepoints yields a shared
+    * fingerprint — the containment-detection property Jaccard-style
+    * set similarity structurally lacks. Output: distinct selected
+    * hashes, sorted (deterministic).
+    *
+    * The k-gram rolling hash is mixed through a splitmix64 finalizer
+    * before window-min selection — raw polynomial hashes are not
+    * uniform, which would bias which grams get sampled. O(text)
+    * via the ascending-minima update (rescan only when the previous
+    * minimum falls out of the window). */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val norm = s.toString.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+    val cps = norm.codePoints().toArray
+    val len = cps.length
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    if (len < k) return new GenericArrayData(Array(mix(
+      { var h = 0L; var i = 0; while (i < len) { h = h * 1000003L + cps(i); i += 1 }; h })))
+    val m = len - k + 1
+    val hs = new Array[Long](m)
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow *= 1000003L; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * 1000003L + cps(i); i += 1 }
+    hs(0) = mix(h)
+    i = 1
+    while (i < m) {
+      h = (h - cps(i - 1) * pow) * 1000003L + cps(i + k - 1)
+      hs(i) = mix(h)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var minPos = 0
+      i = 1
+      while (i < m) { if (hs(i) <= hs(minPos)) minPos = i; i += 1 }
+      sel.add(hs(minPos))
+    } else {
+      var minPos = -1
+      i = 0
+      while (i + w <= m) {
+        if (minPos < i) {
+          minPos = i
+          var p = i + 1
+          while (p < i + w) { if (hs(p) <= hs(minPos)) minPos = p; p += 1 }
+        } else if (hs(i + w - 1) <= hs(minPos)) minPos = i + w - 1
+        sel.add(hs(minPos))
+        i += 1
+      }
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling-hash fingerprint over the CODEPOINTS of a
     * whitespace-normalized, lowercased text: h = (h*31 + cp) mod
     * 1e9+7. Codepoint iteration + the prime modulus keep it exactly
@@ -309,6 +378,46 @@ object Kernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Containment |A∩B| / min(|A|,|B|) over long arrays with set
+    * semantics — the subset/superset twin of [[jaccardLong]], same
+    * flat open-addressing probe. */
+  def containmentLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0.0
+    var cap = 8
+    while (cap < (na + nb) * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val state = new Array[Byte](cap)
+    val mask = cap - 1
+    var distinctA = 0
+    var distinctB = 0
+    var inter = 0
+    var i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      var h = v * -7046029254386353131L
+      h ^= (h >>> 32)
+      var s = (h & mask).toInt
+      while (state(s) != 0 && keys(s) != v) s = (s + 1) & mask
+      if (state(s) == 0) { keys(s) = v; state(s) = 1; distinctA += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      var h = v * -7046029254386353131L
+      h ^= (h >>> 32)
+      var s = (h & mask).toInt
+      while (state(s) != 0 && keys(s) != v) s = (s + 1) & mask
+      if (state(s) == 0) { keys(s) = v; state(s) = 2; distinctB += 1 }
+      else if (state(s) == 1) { state(s) = 3; inter += 1; distinctB += 1 }
+      i += 1
+    }
+    val m = math.min(distinctA, distinctB)
+    if (m == 0) 0.0 else inter.toDouble / m
+  }
+
   /** Jaccard over string arrays with set semantics. */
   def jaccardStr(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[UTF8String](math.max(16, a.numElements() * 2))
@@ -418,6 +527,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** text STRING → ARRAY<BIGINT> of distinct char-n-gram hashes. */
+/** text STRING → ARRAY<BIGINT> winnowing fingerprints (k-gram window w). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"winnow_fp needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowFingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -542,6 +666,23 @@ case class SigMatch(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** (ARRAY<BIGINT>, ARRAY<BIGINT>) → exact containment |A∩B|/min(|A|,|B|). */
+case class ContainmentSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"containment needs ARRAY<BIGINT>, got $l / $r")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.containmentLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.Kernels.containmentLong($l, $r)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ContainmentSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (ARRAY, ARRAY) → exact Jaccard with set semantics. */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -604,12 +745,16 @@ object GraftFunctions {
     GraftColumnBridge.column(MinHashSig(e(elems), numHashes))
   def jaccardSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSim(e(a), e(b)))
+  def containmentSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ContainmentSim(e(a), e(b)))
   def sigMatch(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigMatch(e(a), e(b)))
   def lshBuckets(vec: Column, planes: Int, dims: Int, tables: Int): Column =
     GraftColumnBridge.column(LshBuckets(e(vec), planes, dims, tables))
   def rollingHash(text: Column): Column =
     GraftColumnBridge.column(RollingHash(e(text)))
+  def winnowFp(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowFingerprints(e(text), k, w))
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
   def textStatsCounts(text: Column): Column =

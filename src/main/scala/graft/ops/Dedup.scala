@@ -327,6 +327,92 @@ object Dedup {
     }
   }
 
+  /** Winnowing fingerprints of a text column — the MOSS scheme
+    * ([[graft.functions.Kernels.winnowFingerprints]]): any shared
+    * substring of ≥ w + k − 1 codepoints yields a shared fingerprint. */
+  def winnow(text: Column, k: Int = 8, w: Int = 8): Column =
+    graft.functions.GraftFunctions.winnowFp(text, k, w)
+
+  /** CONTAINMENT near-duplicate pairs — the family member
+    * Jaccard-style set similarity structurally misses: a short
+    * document embedded verbatim in a much longer one has tiny Jaccard
+    * (|A∩B|/|A∪B| ≤ |A|/|B|), and the LSH funnels' size-ratio guard
+    * drops such pairs BY DESIGN. Containment |A∩B|/min(|A|,|B|) is
+    * the right score for subset/superset duplication (boilerplate,
+    * quotation, doc-in-corpus inclusion — a dominant duplication mode
+    * in web training data).
+    *
+    * Candidate generation is winnowing fingerprints (MOSS): two docs
+    * sharing any substring of ≥ w + k − 1 codepoints share a
+    * fingerprint, so real containment always produces candidates
+    * (recall is deterministic, not an S-curve). The fingerprints are
+    * NOT the score — window-minimum selection is biased toward
+    * globally small hashes, which inflates overlap between
+    * same-vocabulary documents — candidates are verified EXACTLY over
+    * the full k-gram hash sets, like every funnel here.
+    *
+    * Funnel: per doc, winnowed fps + distinct k-gram hashes
+    * (persisted) → fp explode → per-fp bucket cap (a boilerplate
+    * fingerprint shared by B docs would mint B² candidate rows) →
+    * fp-equality self-join → per-pair shared-fp count ≥ minShared
+    * (noise floor) → gram sets joined back by doc id → exact
+    * containment ([[graft.functions.Kernels.containmentLong]]) →
+    * threshold. Shuffles only on derived keys; never cartesian. */
+  /** Default `w = 24` (guarantee: any shared run of ≥ 31 codepoints
+    * produces a candidate): fingerprint density is ~2/(w+1) of all
+    * grams and candidate volume scales with its square, so the window
+    * should be as wide as the shortest shared passage worth detecting
+    * — not the near-dup-grade w=8. */
+  def containmentPairs(docs: DataFrame, text: Column, id: Column,
+      k: Int = 8, w: Int = 24, threshold: Double = 0.5, minShared: Int = 3,
+      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
+    val base = spreadById(docs, id, text)
+      .select(col("doc_id"),
+        winnow(col("__raw"), k, w).as("fps"),
+        graft.functions.GraftFunctions.charNgramHashes(col("__raw"), k).as("grams"))
+      .persist()
+    val exploded = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val capped = dropOversizedBuckets(exploded, Seq("fp"), bucketCap)
+    val a = capped.select(col("fp"), col("doc_id").as("id_a"))
+    val b = capped.select(col("fp"), col("doc_id").as("id_b"))
+    val cands = a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared")) // fps are distinct per doc, so count = shared fps
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+    val pairs = cands
+      .join(base.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.containmentSim(col("g_a"), col("g_b")).as("containment"))
+      .filter(col("containment") >= threshold)
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      base.unpersist()
+      out
+    }
+  }
+
+  /** Exact all-pairs char-n-gram CONTAINMENT over a BOUNDED sample —
+    * oracle twin of [[containmentPairs]] (quadratic by construction):
+    * |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|), pure
+    * built-ins so the DuckDB oracle states the same arithmetic. */
+  def containmentExact(docs: DataFrame, text: Column, id: Column,
+      n: Int, threshold: Double): DataFrame = {
+    val base = docs.select(id.as("doc_id"), charNgrams(text, n).as("elems"))
+      .repartition(8, col("doc_id")) // bounded sample: avoid 32² cartesian tasks
+    val a = base.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("e_a"), col("e_b"))).cast(DoubleType) /
+          least(size(col("e_a")), size(col("e_b")))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Near-duplicate clustering: connected components over a candidate
     * pair set by iterative min-label propagation. Each node adopts the
     * minimum label among itself and its neighbors; iterate to fixpoint.

@@ -166,6 +166,62 @@ class DedupSpec extends AnyFunSuite {
     assert(full.labels.select("cluster").distinct().collect().map(_.getLong(0)).toSet === Set(0L))
   }
 
+  test("winnowing guarantee: a shared substring of >= w+k-1 codepoints yields a shared fingerprint") {
+    import spark.implicits._
+    val docText = docs.filter(col("doc_id") === 0L).collect().head.getString(1)
+    val other = docs.filter(col("doc_id") === 2L).collect().head.getString(1)
+    // embed a 40-char slice of doc 0 (>= w+k-1 = 15) in the middle of doc 2's text
+    val slice = docText.substring(50, 90)
+    val host = other.substring(0, 100) + " " + slice + " " + other.substring(100)
+    val pairDf = Seq((1L, docText), (2L, host)).toDF("doc_id", "text")
+      .select(Dedup.winnow(col("text"), 8, 8).as("fps"), col("doc_id"))
+    val fps = pairDf.orderBy("doc_id").collect().map(_.getSeq[Long](0).toSet)
+    assert((fps(0) intersect fps(1)).nonEmpty, "winnowing guarantee violated")
+  }
+
+  test("containment pairs catch doc-in-doc duplication that Jaccard funnels miss by design") {
+    import spark.implicits._
+    // plant: doc 7000 = doc 0's full text embedded inside doc 1's text.
+    // Gram-set containment of doc 0 in doc 7000 is ~1.0, but Jaccard is
+    // ~|A|/|B| ~ 0.5 and the LSH size-ratio guard (|A|/|B| >= t) plus
+    // the 0.8 threshold make the banded funnel structurally blind to it.
+    val t0 = docs.filter(col("doc_id") === 0L).collect().head.getString(1)
+    val t1 = docs.filter(col("doc_id") === 1L).collect().head.getString(1)
+    val d = docs.unionByName(Seq((7000L, t1 + " " + t0)).toDF("doc_id", "text"))
+    val contained = pairSet(Dedup.containmentPairs(d, col("text"), col("doc_id"),
+      k = 8, w = 8, threshold = 0.8))
+    assert(contained.contains((0L, 7000L)),
+      s"containment must find the embedded doc, got $contained")
+    val jaccardBlind = pairSet(Dedup.ngramJaccardPairs(d, col("text"), col("doc_id"),
+      n = 3, threshold = 0.8))
+    assert(!jaccardBlind.contains((0L, 7000L)),
+      "fixture broken: the Jaccard funnel should miss a ~0.5-Jaccard containment pair")
+    // and the winnowed estimate tracks the exact gram containment
+    val exact = Dedup.containmentExact(
+      d.filter(col("doc_id").isin(0L, 7000L)), col("text"), col("doc_id"),
+      n = 8, threshold = 0.8)
+    assert(exact.count() === 1L, "exact 8-gram containment of the planted pair must be ~1")
+  }
+
+  test("containment bucket cap drops boilerplate fingerprints without killing the rest") {
+    import spark.implicits._
+    // 30 docs = one shared boilerplate sentence + a body of per-doc
+    // UNIQUE words (no cross-doc grams outside the boilerplate), plus
+    // one doc and its verbatim copy. The boilerplate fps land in
+    // 30-doc buckets (> cap 20) and are dropped — the boilerplate
+    // cluster generates zero candidates — while the copy pair's
+    // unique-body fps (buckets of 2) survive and verify at 1.0.
+    val boiler = "this content is provided as is without warranty of any kind whatsoever"
+    val bodies = (0 until 30).map(i => (8000L + i,
+      boiler + " " + (0 until 30).map(w => s"unq${i}word$w").mkString(" ")))
+    val orig = (0 until 30).map(w => s"origdoc${w}token$w").mkString(" ")
+    val d = (bodies ++ Seq((100L, orig), (9500L, orig))).toDF("doc_id", "text")
+    val got = pairSet(Dedup.containmentPairs(d, col("text"), col("doc_id"),
+      k = 8, w = 8, threshold = 0.9, bucketCap = 20))
+    assert(got === Set((100L, 9500L)),
+      s"only the true containment pair may survive the cap, got $got")
+  }
+
   test("exact dedup clusters identical texts") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
