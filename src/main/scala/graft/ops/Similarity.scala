@@ -80,13 +80,28 @@ object Similarity {
     * (or a run of near-identical vectors) concentrates B vectors in one
     * bucket and would mint B² candidate rows on a single shuffle key.
     * Buckets over the cap are dropped whole — recall on pairs inside
-    * them falls on the other `tables − 1` independent tables. */
+    * them falls on the other `tables − 1` independent tables.
+    *
+    * `planes` must GROW with the corpus: expected bucket occupancy is
+    * N/2^p and candidate volume scales with its square, so a p tuned
+    * at 10^4 vectors is quadratic garbage at 10^9. Pass `planes <= 0`
+    * to derive p = ceil(log2(N / 64)) (expected occupancy ~64, one
+    * count job; clamped to [4, 24]) — each extra plane costs recall
+    * per table (p(match) = (1 − θ/π)^p), so buy it back with `tables`
+    * when using high auto-p at scale. */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double = 0.9,
       planes: Int = 8, dims: Int = 64, tables: Int = 8, roundTo: Int = 4,
       bucketCap: Int = 100000): DataFrame = {
     val base = emb.select(id.as("vec_id"), vec.as("v")).repartition(col("vec_id"))
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = math.max(1L, base.count())
+        math.min(24, math.max(4, (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n / 64 - 1)))))
+      }
     val banded = base.select(col("vec_id"),
-      posexplode(lshBuckets(col("v"), planes, dims, tables)).as(Seq("t", "b")))
+      posexplode(lshBuckets(col("v"), p, dims, tables)).as(Seq("t", "b")))
     val capped = Dedup.dropOversizedBuckets(banded, Seq("t", "b"), bucketCap)
     val a = capped.select(col("t"), col("b"), col("vec_id").as("id_a"))
     val b = capped.select(col("t"), col("b"), col("vec_id").as("id_b"))

@@ -316,6 +316,26 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"planted recall under cap $recall (${found.size}/${expected.size})")
   }
 
+  test("cosinePairs auto-planes derives selectivity from corpus size") {
+    import spark.implicits._
+    // 160 vectors → ceil(log2(160/64)) clamped to the floor of 4 —
+    // and the auto mode still finds planted pairs (recall via tables)
+    def unit(seed: Int): Array[Float] = {
+      val raw = Array.tabulate(32)(i => (((seed * 1297 + i * 31 + 7) * 2654435761L % 1000).toInt - 500) / 500.0f)
+      val n = math.sqrt(raw.map(x => x * x).sum).toFloat
+      raw.map(_ / n)
+    }
+    val base = (0 until 120).map(i => (i.toLong, unit(i)))
+    val dups = (0 until 120 by 3).map { i =>
+      val v = unit(i).clone(); v(0) = v(0) + 0.15f
+      (1000L + i, v)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val auto = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.9,
+      planes = 0)
+    assert(auto.count() >= 30, "auto-planes mode must still find the planted near-dups")
+  }
+
   test("IVF quantizer fit set is bounded and storage-order independent") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val fit = Similarity.quantizerFitSet(emb, 100)
