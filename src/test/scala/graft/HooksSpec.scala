@@ -367,6 +367,28 @@ class HooksSpec extends AnyFunSuite {
     assert(r.get(Seq("c"), "minute", Td(86400 + 10)).collect().head.getDouble(1) === 2.0)
   }
 
+  test("gregorian step with RELATIVE resolution mixes calculators (README.rst:135-139)") {
+    // daily calendar buckets holding hourly resolution granules — the
+    // reference selects the bucket calculator independently per step
+    // and per resolution (timeseries.py:378-389)
+    val t = new Timeseries(spark, CountT,
+      Map("daily" -> IntervalSpec(TimeStep("daily"), None, Some(TimeStep(3600L)))))
+    val day1 = java.time.LocalDate.of(2024, 3, 10).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    t.insert("m", 1.0, (day1 + 600).toDouble)          // 00:10
+    t.insert("m", 2.0, (day1 + 3600 + 60).toDouble)    // 01:01
+    t.insert("m", 4.0, (day1 + 86400 + 60).toDouble)   // next day 00:01
+    // condensed read folds the hour granules into the calendar day
+    val day = t.get(Seq("m"), "daily", (day1 + 5000).toDouble, condense = true).collect().head
+    assert(day.getLong(0) === day1 && day.getDouble(1) === 3.0)
+    // fine read keys granules at epoch-hour timestamps inside the day
+    val fine = t.series(Seq("m"), "daily", start = Some(day1.toDouble),
+      end = Some((day1 + 2 * 86400).toDouble))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fine.toSet === Set(
+      (day1, day1, 1.0), (day1, day1 + 3600, 2.0),
+      (day1 + 86400, day1 + 86400, 4.0)))
+  }
+
   test("expire uses calendar-aware cutoff for gregorian intervals (ADVICE)") {
     val t = new Timeseries(spark, CountT,
       Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))
