@@ -517,6 +517,15 @@ object SparkEntry {
     // LSH-bucketed ANN, 12 hash tables of 4 hyperplanes (recall 0.84@10
     // vs brute force on near-uniform synthetic vectors, measured in
     // DedupSpec; rows-only — bucket hash is engine-local)
+    // int8-quantized brute-force cosine top-k — the memory-bandwidth
+    // scale path (4x fewer scan bytes; quantization cosine error bound
+    // + recall vs brute asserted in DedupSpec). (rows-only)
+    "ann_q8_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.q8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 4, tables = 12)

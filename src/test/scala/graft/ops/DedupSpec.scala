@@ -336,6 +336,22 @@ class DedupSpec extends AnyFunSuite {
     assert(auto.count() >= 30, "auto-planes mode must still find the planted near-dups")
   }
 
+  test("int8 quantization cosine error is bounded") {
+    // max |cos(q8(a), q8(b)) - cos(a, b)| over all query-corpus pairs:
+    // per-coordinate error <= 1/254 of the max-abs, so cosine moves by
+    // O(sqrt(d)/127) — assert a 0.02 ceiling on the real table
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("embedding").as("e_q"), Similarity.quantizeQ8(col("embedding")).as("q_q"))
+    val c = emb.select(col("embedding").as("e_c"), Similarity.quantizeQ8(col("embedding")).as("q_c"))
+    val maxErr = c.join(broadcast(q))
+      .select(abs(
+        Similarity.cosine(col("q_q").cast("array<float>"), col("q_c").cast("array<float>")) -
+          Similarity.cosine(col("e_q"), col("e_c"))).as("err"))
+      .agg(max("err")).head.getDouble(0)
+    assert(maxErr <= 0.02, s"quantization cosine error $maxErr")
+  }
+
   test("IVF quantizer fit set is bounded and storage-order independent") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val fit = Similarity.quantizerFitSet(emb, 100)
@@ -365,7 +381,8 @@ class DedupSpec extends AnyFunSuite {
       ("ivf", 0.7, Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)),
       // the bounded quantizer fit must not change the recall class
       ("ivf_sampled_fit", 0.7, Similarity.ivfTopK(emb, queries, k = 10, nlist = 16,
-        nprobe = 6, fitSample = 500)))
+        nprobe = 6, fitSample = 500)),
+      ("q8", 0.8, Similarity.q8TopK(emb, queries, k = 10)))
     val measured = paths.map { case (name, floor, df) =>
       val recall = (brute intersect top(df)).size.toDouble / brute.size
       assert(recall >= floor, s"$name recall@10 $recall below floor $floor")
