@@ -389,6 +389,42 @@ class HooksSpec extends AnyFunSuite {
       (day1 + 86400, day1 + 86400, 4.0)))
   }
 
+  test("gregorian weekly insert fan-out lands at normalized calendar buckets (gregorian_helper.py:33-78)") {
+    // the reference's Gregorian fan-out steps CALENDAR units
+    // (timedelta(weeks=steps), timeseries.py:177-187) and lands offset
+    // copies at normalize() = the shifted bucket's start — not linear
+    // seconds arithmetic
+    val w = GregorianTime("weekly")
+    val ts1 = java.time.LocalDate.of(2038, 2, 10).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toEpochSecond.toDouble
+    val ts2 = w.fromBucket(w.toBucket(ts1, 1)).toDouble
+    val ts3 = w.fromBucket(w.toBucket(ts1, 2)).toDouble
+    assert(ts1 != ts2)
+    val t = new Timeseries(spark, SeriesT,
+      Map("weekly" -> IntervalSpec(TimeStep("weekly"))))
+    def vals(at: Double): Seq[Double] =
+      t.get(Seq("test"), "weekly", at).collect().head.getSeq[Double](1)
+    t.insert("test", 32.0, ts1, intervalsFanout = 1)
+    assert(vals(ts1) === Seq(32.0))
+    assert(vals(ts2) === Seq(32.0))
+    t.insert("test", 42.0, ts1, intervalsFanout = 2)
+    assert(vals(ts1) === Seq(32.0, 42.0))
+    assert(vals(ts2) === Seq(32.0, 42.0))
+    assert(vals(ts3) === Seq(42.0))
+    // backwards fan-out (gregorian_helper.py:56-78)
+    val b2 = w.fromBucket(w.toBucket(ts1, -1)).toDouble
+    val b3 = w.fromBucket(w.toBucket(ts1, -2)).toDouble
+    val t2 = new Timeseries(spark, SeriesT,
+      Map("weekly" -> IntervalSpec(TimeStep("weekly"))))
+    t2.insert("test", 32.0, ts1, intervalsFanout = -1)
+    t2.insert("test", 42.0, ts1, intervalsFanout = -2)
+    def vals2(at: Double): Seq[Double] =
+      t2.get(Seq("test"), "weekly", at).collect().head.getSeq[Double](1)
+    assert(vals2(ts1) === Seq(32.0, 42.0))
+    assert(vals2(b2) === Seq(32.0, 42.0))
+    assert(vals2(b3) === Seq(42.0))
+  }
+
   test("expire uses calendar-aware cutoff for gregorian intervals (ADVICE)") {
     val t = new Timeseries(spark, CountT,
       Map("daily" -> IntervalSpec(TimeStep("daily"), Some(5))))
