@@ -332,6 +332,23 @@ object Kernels {
     new GenericArrayData(counts)
   }
 
+  /** Int8 scalar quantization (SQ8) of a float vector: one pass for
+    * the max-abs scale, one for the rounded bytes — O(d), unlike a
+    * column-algebra formulation whose scale subexpression nested in
+    * the transform lambda re-evaluates per element. Zero vectors map
+    * to zero bytes. */
+  def quantizeQ8(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(arr.getFloat(i).toDouble); if (a > m) m = a; i += 1 }
+    if (m == 0.0) m = 1.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) { out(i) = Math.round(arr.getFloat(i) * 127.0 / m).toByte; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard over long arrays with set (distinct) semantics — same
     * contract as size(array_intersect)/size(array_union).
     *
@@ -527,6 +544,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** text STRING → ARRAY<BIGINT> of distinct char-n-gram hashes. */
+/** ARRAY<FLOAT> → ARRAY<TINYINT> int8 scalar quantization (SQ8). */
+case class QuantizeQ8(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quantize_q8 needs ARRAY<FLOAT>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.quantizeQ8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.quantizeQ8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeQ8 =
+    copy(child = newChild)
+}
+
 /** text STRING → ARRAY<BIGINT> winnowing fingerprints (k-gram window w). */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -755,6 +788,8 @@ object GraftFunctions {
     GraftColumnBridge.column(RollingHash(e(text)))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(WinnowFingerprints(e(text), k, w))
+  def quantizeQ8(vec: Column): Column =
+    GraftColumnBridge.column(QuantizeQ8(e(vec)))
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
   def textStatsCounts(text: Column): Column =

@@ -224,10 +224,12 @@ object Similarity {
     * quantized vectors score with the same [[cosine]] expression
     * after a cheap codegen cast — no dequantization pass, no custom
     * kernel. Pure column algebra (codegen'd end to end). */
-  def quantizeQ8(vec: Column): Column = {
-    val scale = greatest(array_max(F.transform(vec, x => abs(x))), lit(1e-30f))
-    F.transform(vec, x => round(x * 127.0 / scale).cast("tinyint"))
-  }
+  /** One-pass codegen kernel ([[graft.functions.GraftFunctions.quantizeQ8]]),
+    * not column algebra: the max-abs scale nested inside a `transform`
+    * lambda would be re-evaluated per ELEMENT (O(d²) per vector), and a
+    * staged projection doesn't survive CollapseProject re-inlining. */
+  def quantizeQ8(vec: Column): Column =
+    graft.functions.GraftFunctions.quantizeQ8(vec)
 
   /** Brute-force cosine top-k over an int8-quantized corpus — the
     * memory-bandwidth scale path: a full-corpus scan reads a quarter
