@@ -273,7 +273,7 @@ object Dedup {
     val r = maxHamming / c
     require(r <= 1,
       s"maxHamming=$maxHamming over $c chunks needs per-chunk radius $r > 1; " +
-        s"use at least ${(maxHamming + 1) / 2} chunks")
+        s"use at least ${maxHamming / 2 + 1} chunks")
     val width = 64 / c
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
     // persist the (doc_id, fp) table: one row per doc, and it feeds the
