@@ -61,11 +61,15 @@ object Bench {
     val warmTotal = results.values.flatMap(_._2).sum
     val coldTotal = results.values.flatMap(_._1).sum
     val errJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // short headline FIRST: the long per-query line below can get
-    // truncated by log-capture tooling, which must never eat the
-    // primary metrics (warm total = the 100 TB-predictive number)
-    println(s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // the short headline line brackets the long per-query line: capture
+    // tooling may keep either the head or the TAIL of the log (the
+    // round-4 artifact lost its totals to tail-capture), so the primary
+    // metrics (warm total = the 100 TB-predictive number) print BOTH
+    // before and after the line most likely to be truncated
+    val summary = s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(summary)
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
     // a query that throws must fail the bench loudly, never report a
     // healthy-looking near-zero time
