@@ -349,6 +349,24 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Cosine over int8-quantized (SQ8) byte arrays — the stored-int8
+    * scan path: scores ARRAY<TINYINT> directly, no cast back to float.
+    * Integer products/sums are exact in long (≤ 127²·d ≪ 2^53), so the
+    * result is bit-identical to casting the bytes to float and running
+    * [[cosineFloat]] — the recall/error bounds proven for the cast
+    * formulation carry over unchanged. */
+  def cosineQ8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong; val y = b.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Jaccard over long arrays with set (distinct) semantics — same
     * contract as size(array_intersect)/size(array_union).
     *
@@ -768,6 +786,24 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** (ARRAY<TINYINT>, ARRAY<TINYINT>) → cosine similarity in double —
+  * the int8-native scoring kernel of the stored-SQ8 ANN path. */
+case class CosineSimQ8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"cosine_q8 needs ARRAY<TINYINT>, got $l / $r")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineQ8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineQ8($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimQ8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the custom expressions. */
 object GraftFunctions {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -792,6 +828,8 @@ object GraftFunctions {
     GraftColumnBridge.column(QuantizeQ8(e(vec)))
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
+  def cosineSimQ8(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimQ8(e(a), e(b)))
   def textStatsCounts(text: Column): Column =
     GraftColumnBridge.column(TextStatsCounts(e(text)))
   def langMarkerCounts(text: Column): Column =

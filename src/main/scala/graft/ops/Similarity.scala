@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
@@ -157,46 +157,116 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 64,
       nprobe: Int = 8, seed: Long = 42L, maxIter: Int = 10,
       roundTo: Int = 4, fitSample: Int = 262144): DataFrame = {
+    val (centersDf, assigned) = fitIvf(corpus, nlist, seed, maxIter, fitSample)
+    scoreProbed(assigned, probeLists(centersDf, queries, nprobe), queries, k, roundTo)
+  }
+
+  /** KMeans fit + full-corpus assignment — the index-BUILD half of IVF,
+    * shared by the inline [[ivfTopK]] and the persisted
+    * [[buildIvfIndex]]. Returns (centroid table, assigned corpus). */
+  private def fitIvf(corpus: DataFrame, nlist: Int, seed: Long, maxIter: Int,
+      fitSample: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     val feats = withFeat(corpus)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat").setPredictionCol("__list")
       .fit(quantizerFitSet(feats, fitSample))
-    val assigned = model.transform(feats)
-      .select(col("vec_id"), col("embedding"), col("__list"))
-    // probe selection: nprobe nearest centroids per query — the
-    // centroid table (nlist × dims doubles, driver-held by the model)
-    // broadcast against the query stream, reduced by the bounded top-k
-    // heap. Fully distributed: queries are never collected, so the
-    // query side only needs to be broadcast-small (same contract as
-    // the scoring join below), not driver-loop-small. The interpreted
-    // zip_with distance runs over queries × nlist rows — index-ordered
-    // left fold, so ties and totals match a sequential loop exactly;
-    // ties break (distance asc, list asc) via the heap's
-    // (score desc, id asc) order on negated distance.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centersDf = broadcast(
-      model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, i) => (i.toLong, c.toArray) }
-        .toDF("__list", "__centroid"))
+    val centersDf = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF("__list", "__centroid")
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("embedding"), col("__list").cast(LongType).as("__list"))
+    (centersDf, assigned)
+  }
+
+  /** Probe selection: nprobe nearest centroids per query — the
+    * centroid table (nlist × dims doubles) broadcast against the query
+    * stream, reduced by the bounded top-k heap. Fully distributed:
+    * queries are never collected, so the query side only needs to be
+    * broadcast-small (same contract as the scoring join), not
+    * driver-loop-small. The interpreted zip_with distance runs over
+    * queries × nlist rows — index-ordered left fold, so ties and
+    * totals match a sequential loop exactly; ties break (distance asc,
+    * list asc) via the heap's (score desc, id asc) order on negated
+    * distance. Output: (query_id, __list). */
+  private def probeLists(centersDf: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
     val qd = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("__q"))
     val l2sq = F.aggregate(
       zip_with(col("__q"), col("__centroid"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (a, x) => a + x)
-    val probeDf = broadcast(
-      topKPerKey(
-        qd.crossJoin(centersDf)
-          .select(col("query_id"), (-l2sq).as("__negd"), col("__list")),
-        col("query_id"), col("__negd"), col("__list"), nprobe)
-        .select(col("query_id"), col("vec_id").as("__list")))
-    val scored = assigned.join(probeDf, Seq("__list"))
+    topKPerKey(
+      qd.crossJoin(broadcast(centersDf))
+        .select(col("query_id"), (-l2sq).as("__negd"), col("__list")),
+      col("query_id"), col("__negd"), col("__list"), nprobe)
+      .select(col("query_id"), col("vec_id").as("__list"))
+  }
+
+  /** Score only the probed lists: key-equality join of the assigned
+    * corpus against the (broadcast-small) probe table, then the O(k)
+    * heap reduce — ~nprobe/nlist of the corpus scored, never a full
+    * scan per query. */
+  private def scoreProbed(assigned: DataFrame, probeDf: DataFrame,
+      queries: DataFrame, k: Int, roundTo: Int): DataFrame = {
+    val scored = assigned.join(broadcast(probeDf), Seq("__list"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), roundTo).as("score"))
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+  }
+
+  /** Persist an IVF index — the write-once-read-many split the inline
+    * [[ivfTopK]] conflates: at scale the KMeans fit + full-corpus
+    * assignment is a day-scale job run ONCE, while queries run
+    * constantly and must touch only their probed lists. Layout:
+    *
+    *   - `path/centroids` — nlist rows (__list BIGINT,
+    *     __centroid ARRAY<DOUBLE>): the coarse quantizer, read whole
+    *     (broadcast-small by construction) by every query batch;
+    *   - `path/lists` — (vec_id, embedding) PARTITIONED BY __list:
+    *     one directory per inverted list, repartitioned by list before
+    *     the write so each list is one file. A query's nprobe list
+    *     reads are partition-PRUNED directory reads (the same pruning
+    *     contract as the Timeseries bucket store) — unprobed lists are
+    *     never listed, opened, or scanned.
+    *
+    * Same seed/fit-set ⇒ the persisted index reproduces [[ivfTopK]]'s
+    * centroids exactly (doubles round-trip parquet losslessly), so
+    * [[ivfTopKIndexed]] returns the same rows as the inline path. */
+  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 64,
+      seed: Long = 42L, maxIter: Int = 10, fitSample: Int = 262144): Unit = {
+    val (centersDf, assigned) = fitIvf(corpus, nlist, seed, maxIter, fitSample)
+    centersDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned
+      .repartition(col("__list"))
+      .write.mode("overwrite").partitionBy("__list").parquet(s"$path/lists")
+  }
+
+  /** Query a persisted IVF index: read the (tiny) centroid table,
+    * select each query's nprobe lists, and scan ONLY those list
+    * partitions. The probed list ids are collected to the driver —
+    * a set bounded by min(nlist, nprobe × |queries|) longs, the same
+    * driver-scale contract as the centroid table itself — so the list
+    * scan carries a static partition IN-filter and the unprobed
+    * directories are pruned at planning time (PartitionFilters),
+    * exactly like a Timeseries bucket-store range read. */
+  def ivfTopKIndexed(spark: SparkSession, indexPath: String, queries: DataFrame,
+      k: Int, nprobe: Int = 8, roundTo: Int = 4): DataFrame = {
+    val centersDf = spark.read.parquet(s"$indexPath/centroids")
+    // materialized once: it feeds both the driver-side partition filter
+    // and the scoring join (a lazy plan would re-run probe selection)
+    val probeDf = probeLists(centersDf, queries, nprobe).localCheckpoint(true)
+    val probed = probeDf.select("__list").distinct().collect().map(_.getLong(0).toInt)
+    // partition values are directory names; Spark infers the partition
+    // column as INT, so the pruning literal set must be ints too
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      .filter(col("__list").isin(probed.map(Int.box): _*))
+      .select(col("vec_id"), col("embedding"), col("__list").cast(LongType).as("__list"))
+    scoreProbed(lists, probeDf, queries, k, roundTo)
   }
 
   private def withFeat(corpus: DataFrame): DataFrame = {
@@ -231,19 +301,45 @@ object Similarity {
   def quantizeQ8(vec: Column): Column =
     graft.functions.GraftFunctions.quantizeQ8(vec)
 
-  /** Brute-force cosine top-k over an int8-quantized corpus — the
-    * memory-bandwidth scale path: a full-corpus scan reads a quarter
-    * of the bytes of [[bruteForceTopK]] at a small, measured recall
-    * cost (quantization error bound asserted in DedupSpec). Same
-    * broadcast-queries / one-corpus-pass / O(k)-heap shape. */
+  /** Brute-force cosine top-k over an int8-quantized corpus,
+    * quantizing on the fly — the recall/error arithmetic of the SQ8
+    * path without a stored corpus (strictly more work per row than
+    * [[bruteForceTopK]]; the bandwidth win needs [[buildQ8Corpus]] +
+    * [[q8TopKStored]]). Scoring is the int8-native kernel
+    * ([[graft.functions.CosineSimQ8]]) — long-exact integer
+    * accumulation, bit-identical to the cast-to-float formulation the
+    * DedupSpec bounds were proven against. */
   def q8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       roundTo: Int = 4): DataFrame = {
     val c = corpus.select(col("vec_id"), quantizeQ8(col("embedding")).as("q8"))
+    scoreQ8(c, queries, k, roundTo)
+  }
+
+  /** Persist an int8-quantized (SQ8) corpus: (vec_id, q8
+    * ARRAY<TINYINT>) — the stored-int8 scan path. 4× less scan
+    * bandwidth than the float corpus; like [[buildIvfIndex]], the
+    * quantization pass is a write-once job, not query-time work. */
+  def buildQ8Corpus(corpus: DataFrame, path: String): Unit =
+    corpus.select(col("vec_id"), quantizeQ8(col("embedding")).as("q8"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Brute-force cosine top-k over a STORED int8 corpus: the scan
+    * reads only (vec_id, q8) — a quarter of the float corpus's bytes —
+    * and scores bytes directly with the int8-native cosine kernel (no
+    * cast back to float, no dequantization). Same broadcast-queries /
+    * one-corpus-pass / O(k)-heap shape as [[bruteForceTopK]]; scores
+    * are identical to [[q8TopK]] on the same corpus. */
+  def q8TopKStored(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, roundTo: Int = 4): DataFrame =
+    scoreQ8(spark.read.parquet(path), queries, k, roundTo)
+
+  private def scoreQ8(c: DataFrame, queries: DataFrame, k: Int,
+      roundTo: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       quantizeQ8(col("embedding")).as("q8_q")))
     val scored = c.join(q)
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q8_q").cast("array<float>"), col("q8").cast("array<float>")),
+        round(graft.functions.GraftFunctions.cosineSimQ8(col("q8_q"), col("q8")),
           roundTo).as("score"))
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
   }

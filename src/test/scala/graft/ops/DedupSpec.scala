@@ -365,6 +365,67 @@ class DedupSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("persisted IVF index: same rows as inline, probed-partition-only reads") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, s"$dir/ivf", nlist = 16)
+    // layout: one directory per inverted list
+    val listDirs = new java.io.File(s"$dir/ivf/lists").listFiles()
+      .map(_.getName).filter(_.startsWith("__list="))
+    assert(listDirs.length === 16, listDirs.sorted.mkString(","))
+    def rows(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same seed/fit set ⇒ the persisted index reproduces the inline
+    // path's centroids, probes, and scores exactly
+    val inline = rows(Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6))
+    val indexed = rows(Similarity.ivfTopKIndexed(spark, s"$dir/ivf", queries, k = 10, nprobe = 6))
+    assert(indexed === inline)
+    // pruning proof: one query at nprobe=2 must carry a partition
+    // IN-filter and read at most 2 of the 16 list files (AQE off so the
+    // executed plan exposes the scan nodes directly)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = Similarity.ivfTopKIndexed(spark, s"$dir/ivf",
+        emb.filter(col("vec_id") === 3), k = 5, nprobe = 2)
+      assert(one.count() === 5L)
+      val scans = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("lists")) => f
+      }
+      assert(scans.nonEmpty, one.queryExecution.executedPlan.toString.take(2000))
+      assert(scans.head.toString.contains("PartitionFilters"), scans.head.toString.take(1000))
+      val files = scans.map(_.metrics("numFiles").value).sum
+      assert(files <= 2, s"nprobe=2 read $files list files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("stored int8 corpus: byte-native scoring identical to on-the-fly SQ8") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q8").toString
+    Similarity.buildQ8Corpus(emb, s"$dir/q8")
+    val stored = spark.read.parquet(s"$dir/q8")
+    stored.schema("q8").dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, _) =>
+      case t => fail(s"stored corpus must be ARRAY<TINYINT>, got $t")
+    }
+    // the int8-native kernel (long-exact accumulation) is bit-identical
+    // to casting the bytes to float and running the double-accumulating
+    // float cosine — the formulation the error bound was proven against
+    val kernelDiff = stored.limit(200)
+      .crossJoin(broadcast(queries.select(Similarity.quantizeQ8(col("embedding")).as("qq"))))
+      .select(abs(
+        graft.functions.GraftFunctions.cosineSimQ8(col("qq"), col("q8")) -
+          Similarity.cosine(col("qq").cast("array<float>"), col("q8").cast("array<float>"))).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(kernelDiff === 0.0, s"int8 kernel diverged from cast formulation by $kernelDiff")
+    def rows(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Similarity.q8TopKStored(spark, s"$dir/q8", queries, k = 10)) ===
+      rows(Similarity.q8TopK(emb, queries, k = 10)))
+  }
+
   test("ANN recall@10 harness: brute vs LSH vs IVF, same queries, same k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
