@@ -121,6 +121,24 @@ object SparkEntry {
         .orderBy("name", "i_time")
     }),
 
+    // §1.3: DecimalType value end-to-end — the reference's SQL/CQL type
+    // maps promise exact-decimal values (sql_backend.py:29-65
+    // DECIMAL(24,12); cassandra_backend.py:29-61 'decimal'); here the
+    // write path stores DECIMAL(12,2) (writeFunc cast at bucketize) and
+    // the count fold sums decimals EXACTLY — no float accumulation
+    // anywhere, the property decimal columns exist for
+    "ts_count_decimal_hour" -> ((s, dir) => {
+      val t = new Timeseries(s, CountT,
+        Map("hour" -> IntervalSpec(TimeStep(3600L))),
+        valueType = DecimalType(12, 2))
+      t.attach(t.bucketize(events(s, dir), col("event_type"), col("ts"),
+        col("value"), col("event_id")))
+      grouped(t, "hour")
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
+          col("value").cast(DecimalType(18, 2)).as("value"))
+        .orderBy("name", "i_time")
+    }),
+
     // A4/G1+G4: gauge condensed hour from minute resolution
     "ts_gauge_hour" -> ((s, dir) => {
       val t = eventLog(s, dir, GaugeT, hourFine)
@@ -543,12 +561,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
-    // LSH-bucketed ANN, 12 hash tables of 4 hyperplanes (recall 0.84@10
-    // vs brute force on near-uniform synthetic vectors, measured in
-    // DedupSpec; rows-only — bucket hash is engine-local)
+    // LSH-bucketed ANN, 12 hash tables of 4 hyperplanes with
+    // single-bit-flip multi-probe on the (tiny) query side — recall
+    // ≥ 0.9 @10 vs brute force, measured in DedupSpec; rows-only —
+    // bucket hash is engine-local
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 4, tables = 12)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 4,
+        tables = 12, probeBits = 1)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
@@ -689,6 +709,12 @@ object SparkEntry {
       """SELECT event_type AS name,
          CAST(floor(epoch(ts)/60) AS BIGINT)*60 AS i_time,
          round(sum(value), 6) AS value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "ts_count_decimal_hour" ->
+      """SELECT event_type AS name,
+         CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
 
     "ts_gauge_hour" ->

@@ -622,6 +622,27 @@ class Timeseries(
       probe = df => !df.filter(col("name") === name).isEmpty,
       transform = _.filter(col("name") =!= name))
 
+  /** Reconciliation for at-least-once streaming appends
+    * ([[graft.streaming.StreamingIngest.appendToStore]]): a replayed
+    * micro-batch re-appends byte-identical log rows, which a COUNT
+    * fold would double-count. Dropping exact duplicates of the full
+    * logical row (name, interval, i_time, r_time, seq, value) restores
+    * exactly-once store contents — and ONLY replays collapse, because
+    * `seq` (the per-event arrival id) is part of the key: two
+    * legitimate events with equal values carry distinct seqs and both
+    * survive. Per interval partition: a cheap aggregate probe first
+    * checks a duplicate exists at all — clean partitions keep their
+    * files byte-identical; dirty ones stream through dropDuplicates
+    * via the same temp-dir + swap as [[compact]]. */
+  def dedupStore(path: String): Unit = {
+    val key = Seq("name", "interval", "i_time", "r_time", "seq", "value")
+    rewriteStorePartitions(path,
+      select = _ => true,
+      probe = df => !df.groupBy(key.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      transform = _.dropDuplicates(key))
+  }
+
   /** Shared partition-rewrite machinery behind [[compact]] and
     * [[deleteFromStore]]: each selected `interval=` directory whose
     * probe fires is filtered through `transform`, written to a

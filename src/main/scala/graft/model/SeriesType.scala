@@ -141,8 +141,18 @@ case object HistogramT extends SeriesType {
 /** `count`: running sum of increments (timeseries.py:906-946). */
 case object CountT extends SeriesType {
   val typeName = "count"
-  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
-    grouped(df, groupCols)(coalesce(sum(col("value")), lit(0.0)).as("value"))
+  def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    // DecimalType folds keep their exact type: a bare lit(0.0) would
+    // win coalesce's type coercion and silently demote the sum to
+    // double (§1.3 type map). Every other value type keeps the
+    // reference's numeric contract — the double zero promotes
+    // int-read counts to double, as the goldens expect.
+    val zero = df.schema("value").dataType match {
+      case d: DecimalType => lit(0).cast(d)
+      case _              => lit(0.0)
+    }
+    grouped(df, groupCols)(coalesce(sum(col("value")), zero).as("value"))
+  }
   def empty(aggType: DataType): Column = lit(0).cast(aggType)
   def mergeExpr(states: Column): Column =
     F.aggregate(states, lit(0.0), (a, x) => a + coalesce(x.cast(DoubleType), lit(0.0)))

@@ -431,6 +431,102 @@ object Dedup {
     * labels silently. */
   case class CCResult(labels: DataFrame, converged: Boolean, iterations: Int)
 
+  /** Algorithm-selectable variant: `"label"` = min-label propagation
+    * (O(component diameter) rounds — right for the star/clique
+    * components near-dup candidate sets produce), `"star"` =
+    * alternating large-star/small-star contraction
+    * ([[connectedComponentsStar]], O(log n) rounds on ANY shape —
+    * right when components can be long chains, e.g. transitive
+    * near-dup runs in crawl data). Identical output contract. */
+  def connectedComponentsResult(pairs: DataFrame, maxIter: Int,
+      algorithm: String): CCResult = algorithm match {
+    case "label" => connectedComponentsResult(pairs, maxIter)
+    case "star"  => connectedComponentsStar(pairs, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown connected-components algorithm '$other' (label|star)")
+  }
+
+  /** Two-phase star contraction (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14 — public): alternate
+    *
+    *  - **large-star**: every node points its strictly-LARGER
+    *    neighbors at the minimum of its closed neighborhood;
+    *  - **small-star**: every node links its smaller-or-equal
+    *    neighbors (and itself) to its minimum neighbor;
+    *
+    * until the edge set reaches a fixpoint, at which point edges form
+    * stars rooted at each component's minimum id. Converges in
+    * O(log n) rounds on ANY component shape — min-label propagation
+    * ([[connectedComponentsResult]]) needs O(diameter) rounds, which
+    * degenerates to O(n) on chain components (transitively-linked
+    * near-dups, common in crawl shingles). Each round is two
+    * aggregate+join+distinct passes over the edge set — shuffles on
+    * edge keys only, edges localCheckpoint'ed per round so lineage
+    * stays flat.
+    *
+    * Convergence is detected by consecutive-round (count, hash-sum)
+    * equality — an O(1)-row aggregate per round instead of a full
+    * anti-join; a 64-bit checksum collision declaring a false
+    * fixpoint is ~2^-64 and would still be caught by the paper's
+    * invariant that the edge set only shrinks lexicographically. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): CCResult = {
+    // canonical down-edges (src > dst), self-loops dropped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent over the (distinct) edge
+      // set and can't overflow under ANSI arithmetic
+      val r = e.agg(count(lit(1)),
+        coalesce(call_function("bit_xor", xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy("src").agg(min("dst").as("nmin"))
+        .select(col("src"), least(col("nmin"), col("src")).as("m"))
+      und.filter(col("dst") > col("src"))
+        .join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min("dst").as("m"))
+      val relinked = e.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val self = mins.select(col("src"), col("m").as("dst"))
+      relinked.unionAll(self)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var sig = checksum(edges)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = checksum(next)
+      converged = nsig == sig
+      edges = next
+      sig = nsig
+      it += 1
+    }
+    // fixpoint edges are stars (u → component min); roots label themselves
+    val labels = nodes
+      .join(edges.select(col("src").as("id"), col("dst").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"))
+    CCResult(labels, converged, it)
+  }
+
   def connectedComponentsResult(pairs: DataFrame, maxIter: Int = 20): CCResult = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -351,13 +351,35 @@ object Similarity {
     * selectivity against per-table recall and `tables` buys recall back
     * (P(candidate) = 1 − (1 − p^planes)^tables). Candidates are
     * de-duplicated across tables BEFORE scoring, so each (query,
-    * vector) pays the cosine once. */
+    * vector) pays the cosine once.
+    *
+    * `probeBits = 1` enables multi-probe (Lv et al., "Multi-Probe LSH",
+    * VLDB'07, public): each query probes its own bucket PLUS the
+    * `planes` single-bit-flip neighbors — the buckets a near neighbor
+    * lands in when exactly one hyperplane votes the other way, the
+    * dominant miss mode. The ball explodes the QUERY side only
+    * (queries are the tiny broadcast side; the corpus table is
+    * untouched), multiplying candidate volume by ≤ planes+1 while
+    * recall rises as if each table were (planes+1)-way probed —
+    * cheaper than the extra hash tables buying the same recall (which
+    * explode the CORPUS side). Same radius-1 ball pattern as the
+    * simhash funnel ([[Dedup.simhashPairs]]); r ≥ 2 balls are never
+    * worth it — add tables instead (enforced). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dims: Int = 64, tables: Int = 1, roundTo: Int = 4): DataFrame = {
+      planes: Int = 8, dims: Int = 64, tables: Int = 1, roundTo: Int = 4,
+      probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1,
+      s"probeBits must be 0 (exact bucket) or 1 (single-bit-flip ball), got $probeBits")
     val c = corpus.select(col("vec_id"),
       posexplode(lshBuckets(col("embedding"), planes, dims, tables)).as(Seq("t", "b")))
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      posexplode(lshBuckets(col("embedding"), planes, dims, tables)).as(Seq("t", "b"))))
+    val q0 = queries.select(col("vec_id").as("query_id"),
+      posexplode(lshBuckets(col("embedding"), planes, dims, tables)).as(Seq("t", "b")))
+    val q = broadcast(
+      if (probeBits == 0) q0
+      else q0.select(col("query_id"), col("t"),
+        explode(F.transform(sequence(lit(0), lit(planes)),
+          i => when(i === 0, col("b")).otherwise(
+            col("b").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))).as("b")))
     val cands = c.join(q, Seq("t", "b")).select("query_id", "vec_id").distinct()
     val scored = cands
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))

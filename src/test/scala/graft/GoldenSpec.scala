@@ -469,4 +469,24 @@ class GoldenSpec extends AnyFunSuite {
     val hourCnt = kept.filter(col("interval") === "hour").count()
     assert(hourCnt === 2L)
   }
+
+  test("DecimalType values fold exactly (§1.3 type map, sql_backend.py:29-65)") {
+    // 0.10 summed 100 times: exact decimal arithmetic gives 10.00; a
+    // float fold would accumulate binary-representation error — the
+    // property the reference's DECIMAL(24,12) column type exists for
+    val t = new Timeseries(spark, CountT, minuteHour,
+      valueType = DecimalType(12, 2))
+    (0 until 100).foreach(i => t.insert("dec", 0.10, Td(i % 30)))
+    val out = t.get(Seq("dec"), "minute", Td(10)).collect()
+    assert(out.length === 1)
+    val v = out.head.getDecimal(1)
+    assert(v.compareTo(new java.math.BigDecimal("10.00")) === 0, s"got $v")
+    // write-side cast rounds each inserted value to scale 2
+    val t2 = new Timeseries(spark, CountT, minuteHour,
+      valueType = DecimalType(12, 2))
+    t2.insert("dec", 1.004, Td(0)) // → 1.00 at scale 2
+    t2.insert("dec", 2.336, Td(1)) // → 2.34
+    val v2 = t2.get(Seq("dec"), "minute", Td(30)).collect().head.getDecimal(1)
+    assert(v2.compareTo(new java.math.BigDecimal("3.34")) === 0, s"got $v2")
+  }
 }

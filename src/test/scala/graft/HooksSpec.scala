@@ -313,6 +313,34 @@ class HooksSpec extends AnyFunSuite {
     assert(r.log.filter(col("interval") === "hour").count() === 1L)
   }
 
+  test("dedupStore reconciles a double-replayed append; clean partitions untouched") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    t.insert("r", 1.0, Td(10)); t.insert("r", 2.0, Td(70))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupstore").toString
+    t.save(s"$dir/store")
+    val clean = new Timeseries(spark, CountT, minuteHour).load(s"$dir/store")
+    val expected = clean.get(Seq("r"), "minute", Td(10)).collect().head.getDouble(1)
+    val cleanCount = clean.log.count() // before the store mutates under it
+    // replay: re-append the store's own rows — what an at-least-once
+    // streaming sink does when a micro-batch retries after the write
+    val replay = spark.read.parquet(s"$dir/store").localCheckpoint(true)
+    replay.write.mode("append").partitionBy("interval").parquet(s"$dir/store")
+    val dirty = new Timeseries(spark, CountT, minuteHour).load(s"$dir/store")
+    assert(dirty.get(Seq("r"), "minute", Td(10)).collect().head.getDouble(1) === 2 * expected,
+      "replayed count fold must double before reconciliation")
+    t.dedupStore(s"$dir/store")
+    val after = new Timeseries(spark, CountT, minuteHour).load(s"$dir/store")
+    assert(after.get(Seq("r"), "minute", Td(10)).collect().head.getDouble(1) === expected)
+    assert(after.log.count() === cleanCount)
+    // a second dedupStore over the now-clean store must not rewrite:
+    // the probe sees no duplicates, files stay byte-identical
+    def files = new java.io.File(s"$dir/store/interval=minute").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = files
+    t.dedupStore(s"$dir/store")
+    assert(files === before, "clean partition must survive byte-untouched")
+  }
+
   test("day-subpartitioned store prunes __day directories on range reads (scale evidence)") {
     val t = new Timeseries(spark, CountT, minuteHour)
     // three distinct days of minute data

@@ -365,6 +365,26 @@ class DedupSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("star-contraction CC: O(log n) rounds on a chain, labels match label propagation") {
+    import spark.implicits._
+    // a 256-node path (diameter 255): min-label propagation is
+    // O(diameter) — ~255 rounds — star contraction must finish in
+    // O(log n) alternating rounds (+1 fixpoint-confirmation round)
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponentsStar(path)
+    assert(r.converged)
+    assert(r.iterations <= 12, s"took ${r.iterations} rounds for a 256-chain")
+    val labels = r.labels.collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(labels.length === 256 && labels.forall(_._2 == 0L))
+    // identical clustering on a realistic near-dup pair set
+    val pairs = Dedup.ngramJaccardExact(docs, col("text"), col("doc_id"),
+      n = 3, threshold = 0.5).localCheckpoint(true)
+    def lbl(r: Dedup.CCResult) =
+      r.labels.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(lbl(Dedup.connectedComponentsResult(pairs, 20, "label")) ===
+      lbl(Dedup.connectedComponentsResult(pairs, 50, "star")))
+  }
+
   test("persisted IVF index: same rows as inline, probed-partition-only reads") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
@@ -439,6 +459,10 @@ class DedupSpec extends AnyFunSuite {
     val paths: Seq[(String, Double, DataFrame)] = Seq(
       ("brute", 1.0, Similarity.bruteForceTopK(emb, queries, k = 10)),
       ("lsh", 0.7, Similarity.lshTopK(emb, queries, k = 10, planes = 4, tables = 12)),
+      // single-bit-flip multi-probe on the query side: recall class
+      // rises from ~0.78 to ~0.95+ at ≤ 5× candidate volume
+      ("lsh_multiprobe", 0.9, Similarity.lshTopK(emb, queries, k = 10, planes = 4,
+        tables = 12, probeBits = 1)),
       ("ivf", 0.7, Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)),
       // the bounded quantizer fit must not change the recall class
       ("ivf_sampled_fit", 0.7, Similarity.ivfTopK(emb, queries, k = 10, nlist = 16,
