@@ -195,6 +195,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.count(_._2 == "alpha") === 1) // both later alphas dropped
   }
 
+  test("gregorian monthly stream: day granules fold into calendar buckets like batch (SURVEY §8.5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // calendar months can't be fixed-width windows, so the stream
+    // aggregates at whole-day granularity (the documented deviation);
+    // the store/read side folds day granules into the month bucket
+    // with the SAME monoid merge batch condense uses — proven here
+    // against the batch engine over a two-month fixture
+    val monthly = Map("monthly" -> IntervalSpec(TimeStep("monthly")))
+    def sec(d: java.time.LocalDateTime): Long = d.toEpochSecond(java.time.ZoneOffset.UTC)
+    import java.time.LocalDateTime.of
+    val fixture = Seq(
+      ("m", sec(of(2024, 1, 29, 10, 0)), 1.0),
+      ("m", sec(of(2024, 1, 30, 11, 0)), 2.0),
+      ("m", sec(of(2024, 1, 30, 23, 59)), 3.0),
+      ("m", sec(of(2024, 2, 1, 0, 1)), 5.0),
+      ("m", sec(of(2024, 2, 2, 9, 0)), 7.0))
+
+    for (st <- Seq[SeriesType](CountT, HistogramT)) {
+      val t = new Timeseries(spark, st, monthly)
+      val mem = MemoryStream[(String, Long, Double)]
+      val events = mem.toDF()
+        .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+      val agg = StreamingIngest.aggregateStream(t, events, "monthly",
+        col("name"), col("ts"), col("value"))
+      val qn = s"stream_greg_${st.typeName}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      mem.addData(fixture.take(3): _*); q.processAllAvailable()
+      mem.addData(fixture.drop(3): _*); q.processAllAvailable()
+
+      val granules = spark.table(qn)
+      assert(granules.count() >= 4, "must emit one granule per extant day")
+      def canon(c: org.apache.spark.sql.Column) =
+        if (st == HistogramT) array_sort(map_entries(c)).cast(StringType) else c.cast(StringType)
+      val folded = granules.groupBy("name", "i_time")
+        .agg(st.mergeExpr(collect_list(col("value"))).as("value"))
+        .select(col("i_time"), canon(col("value")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      q.stop()
+
+      val bt = new Timeseries(spark, st, monthly)
+      for ((n, ts, v) <- fixture) bt.insert(n, v, ts.toDouble)
+      val prepared = bt.log.filter(col("interval") === "monthly")
+        .select(col("name"), col("i_time"),
+          struct(col("r_time"), col("seq")).as("ord"), col("value"))
+      val batch = st.aggregate(prepared, Seq("name", "i_time"))
+        .select(col("i_time"), canon(col("value")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(folded.keySet === batch.keySet && folded === batch, s"type ${st.typeName}")
+    }
+  }
+
   test("append-to-store streaming ingest replays through the batch reader") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
