@@ -470,15 +470,17 @@ object Dedup {
     * fixpoint is ~2^-64 and would still be caught by the paper's
     * invariant that the edge set only shrinks lexicographically. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): CCResult = {
-    // canonical down-edges (src > dst), self-loops dropped
+    // nodes from the RAW pair set (a self-pair-only node is a
+    // singleton component and must still get a label), edges as
+    // canonical down-edges (src > dst) with self-loops dropped
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("id"))
-      .unionAll(edges.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
 

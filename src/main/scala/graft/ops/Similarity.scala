@@ -238,12 +238,44 @@ object Similarity {
     * centroids exactly (doubles round-trip parquet losslessly), so
     * [[ivfTopKIndexed]] returns the same rows as the inline path. */
   def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 64,
-      seed: Long = 42L, maxIter: Int = 10, fitSample: Int = 262144): Unit = {
+      seed: Long = 42L, maxIter: Int = 10, fitSample: Int = 262144,
+      quantize: Boolean = false): Unit = {
     val (centersDf, assigned) = fitIvf(corpus, nlist, seed, maxIter, fitSample)
     centersDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assigned
+    listRows(assigned, quantize)
       .repartition(col("__list"))
       .write.mode("overwrite").partitionBy("__list").parquet(s"$path/lists")
+  }
+
+  /** `quantize = true` stores int8-quantized lists (the FAISS IVF-SQ8
+    * composition): probed-partition reads then also get the 4×+
+    * scan-bandwidth win of [[buildQ8Corpus]], scored byte-native. */
+  private def listRows(assigned: DataFrame, quantize: Boolean): DataFrame =
+    if (quantize)
+      assigned.select(col("vec_id"), quantizeQ8(col("embedding")).as("q8"), col("__list"))
+    else assigned
+
+  /** Incrementally add vectors to a persisted IVF index: assign each
+    * to its nearest STORED centroid (the same distributed probe
+    * machinery as queries, nprobe = 1 — no refit, no read of existing
+    * lists) and append to the list partitions. The write-once index
+    * becomes write-once-append-many, the reference's insert contract
+    * applied to ANN state; centroid drift under heavy appends is the
+    * standard IVF trade — rebuild when recall decays. Detects and
+    * preserves the store's float vs int8 list layout. */
+  def appendToIvfIndex(spark: SparkSession, indexPath: String,
+      vectors: DataFrame): Unit = {
+    val centersDf = spark.read.parquet(s"$indexPath/centroids")
+    val quantized = spark.read.parquet(s"$indexPath/lists")
+      .columns.contains("q8")
+    val assigned = vectors.select(col("vec_id"), col("embedding"))
+      .join(
+        probeLists(centersDf, vectors, nprobe = 1)
+          .select(col("query_id").as("vec_id"), col("__list")),
+        Seq("vec_id"))
+    listRows(assigned, quantized)
+      .repartition(col("__list"))
+      .write.mode("append").partitionBy("__list").parquet(s"$indexPath/lists")
   }
 
   /** Query a persisted IVF index: read the (tiny) centroid table,
@@ -263,10 +295,26 @@ object Similarity {
     val probed = probeDf.select("__list").distinct().collect().map(_.getLong(0).toInt)
     // partition values are directory names; Spark infers the partition
     // column as INT, so the pruning literal set must be ints too
-    val lists = spark.read.parquet(s"$indexPath/lists")
+    val raw = spark.read.parquet(s"$indexPath/lists")
       .filter(col("__list").isin(probed.map(Int.box): _*))
-      .select(col("vec_id"), col("embedding"), col("__list").cast(LongType).as("__list"))
-    scoreProbed(lists, probeDf, queries, k, roundTo)
+    if (raw.columns.contains("q8")) {
+      // int8-quantized lists (IVF-SQ8): byte-native scoring against
+      // quantized queries — same probed-partition pruning, 4×+ fewer
+      // scan bytes per probed list
+      val lists = raw.select(col("vec_id"), col("q8"),
+        col("__list").cast(LongType).as("__list"))
+      val scored = lists.join(broadcast(probeDf), Seq("__list"))
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          quantizeQ8(col("embedding")).as("q8_q"))), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosineSimQ8(col("q8_q"), col("q8")),
+            roundTo).as("score"))
+      topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+    } else {
+      val lists = raw.select(col("vec_id"), col("embedding"),
+        col("__list").cast(LongType).as("__list"))
+      scoreProbed(lists, probeDf, queries, k, roundTo)
+    }
   }
 
   private def withFeat(corpus: DataFrame): DataFrame = {

@@ -420,6 +420,39 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF-SQ8 quantized lists and incremental append to a persisted index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def top(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = top(Similarity.bruteForceTopK(emb, queries, k = 10))
+    // quantized lists: same pruning machinery, byte-native scoring,
+    // recall class preserved (inline IVF measures 0.90 on this corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfq8").toString
+    Similarity.buildIvfIndex(emb, s"$dir/ivf", nlist = 16, quantize = true)
+    val stored = spark.read.parquet(s"$dir/ivf/lists")
+    assert(stored.columns.contains("q8") && !stored.columns.contains("embedding"))
+    val got = Similarity.ivfTopKIndexed(spark, s"$dir/ivf", queries, k = 10, nprobe = 6)
+    val recall = (brute intersect top(got)).size.toDouble / brute.size
+    assert(recall >= 0.85, s"IVF-SQ8 recall@10 $recall")
+    // incremental append: build on half the corpus, append the rest —
+    // appended vectors assign to their nearest STORED centroid, land in
+    // existing list partitions, and are immediately queryable
+    val n = emb.count()
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < n / 2), s"$dir2/ivf", nlist = 16)
+    Similarity.appendToIvfIndex(spark, s"$dir2/ivf", emb.filter(col("vec_id") >= n / 2))
+    val lists = spark.read.parquet(s"$dir2/ivf/lists")
+    assert(lists.count() === n, "every vector exactly once after append")
+    assert(lists.select("__list").distinct().count() <= 16L, "no new partitions")
+    val probes = emb.filter(col("vec_id") >= n / 2 && col("vec_id") < n / 2 + 3)
+    val self = Similarity.ivfTopKIndexed(spark, s"$dir2/ivf", probes, k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.length === 3)
+    assert(self.forall { case (q, v, s) => q == v && s >= 0.9999 },
+      s"appended vectors must find themselves: ${self.mkString(",")}")
+  }
+
   test("stored int8 corpus: byte-native scoring identical to on-the-fly SQ8") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
