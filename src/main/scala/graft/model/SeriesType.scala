@@ -172,8 +172,15 @@ case object GaugeT extends SeriesType {
   def aggregate(df: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped(df, groupCols)(max_by(col("value"), col("ord")).as("value"))
   // _type_no_value() = 0 (timeseries.py:953-955): every backend fills
-  // empty coarse buckets with 0, not null (sql_backend.py:207,235)
-  def empty(aggType: DataType): Column = lit(0).cast(aggType)
+  // empty coarse buckets with 0, not null (sql_backend.py:207,235).
+  // The zero contract only makes sense where "0" exists — numeric and
+  // string (the reference's loosely-typed columns); for date/binary/…
+  // value types the fill is null (an int→date cast wouldn't even
+  // analyze under ANSI).
+  def empty(aggType: DataType): Column = aggType match {
+    case _: NumericType | StringType => lit(0).cast(aggType)
+    case _                           => lit(null).cast(aggType)
+  }
   def mergeExpr(states: Column): Column = {
     // last non-null state in iteration order (timeseries.py:971-988)
     val present = filter(states, x => x.isNotNull)

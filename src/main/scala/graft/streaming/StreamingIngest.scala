@@ -50,6 +50,24 @@ object StreamingIngest {
       .outputMode("append")
       .start(path)
 
+  /** Streaming maintenance of a persisted IVF index: each micro-batch
+    * of (vec_id, embedding) rows is assigned to its nearest STORED
+    * centroid and appended to the probed list partitions
+    * ([[graft.ops.Similarity.appendToIvfIndex]] — no refit, no list
+    * reads) — the ANN-store twin of [[appendToStore]]: index build is
+    * a batch job, arrivals stream in, queries prune to probed
+    * partitions throughout. At-least-once like any file append; a
+    * replayed batch re-appends rows (reconcile downstream with exact
+    * dedup on vec_id, or rebuild on centroid drift). */
+  def appendStreamToIvfIndex(vectors: DataFrame, indexPath: String,
+      checkpoint: String) =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity.appendToIvfIndex(batch.sparkSession, indexPath, batch)
+      }
+      .start()
+
   /** Streaming exact deduplication of a document stream: drop rows
     * whose content hash was already seen within the watermark horizon.
     *

@@ -470,6 +470,36 @@ class GoldenSpec extends AnyFunSuite {
     assert(hourCnt === 2L)
   }
 
+  test("§1.3 value-type breadth: DateType gauge and BinaryType set round-trip") {
+    // DateType gauge — the reference's SQL/CQL type maps promise
+    // date/time value columns (sql_backend.py:29-65 'date',
+    // cassandra_backend.py:29-61 'timestamp'); writeFunc derives the
+    // typed value from the loosely-typed insert double (P3)
+    val day1 = java.time.LocalDate.of(2024, 3, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val day2 = java.time.LocalDate.of(2024, 3, 5).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val tg = new Timeseries(spark, GaugeT, minuteHour,
+      valueType = DateType,
+      writeFunc = v => to_date(timestamp_seconds(v.cast(DoubleType).cast(LongType))))
+    tg.insert("d", day1.toDouble, Td(10))
+    tg.insert("d", day2.toDouble, Td(20)) // later write wins (gauge)
+    val gotDate = tg.get(Seq("d"), "minute", Td(15)).collect().head.getDate(1)
+    assert(gotDate === java.sql.Date.valueOf("2024-03-05"))
+    // an empty gauge bucket of a non-numeric type fills null, not 0
+    val empt = tg.series(Seq("d"), "minute", start = Some(Td(0)), steps = Some(3))
+      .collect().map(r => Option(r.getDate(1)))
+    assert(empt.count(_.isEmpty) === 2 && empt.count(_.isDefined) === 1)
+
+    // BinaryType set — 'blob' in both reference type maps; distinct
+    // byte strings per bucket, sorted (bytewise) for determinism
+    val tb = new Timeseries(spark, SetT, minuteHour,
+      valueType = BinaryType,
+      writeFunc = v => v.cast(StringType).cast(BinaryType))
+    tb.insert("b", 2.0, Td(10)); tb.insert("b", 1.0, Td(20)); tb.insert("b", 2.0, Td(30))
+    val gotBin = tb.get(Seq("b"), "minute", Td(15)).collect().head
+      .getSeq[Array[Byte]](1).map(new String(_, "UTF-8"))
+    assert(gotBin === Seq("1.0", "2.0")) // distinct + bytewise-sorted
+  }
+
   test("DecimalType values fold exactly (§1.3 type map, sql_backend.py:29-65)") {
     // 0.10 summed 100 times: exact decimal arithmetic gives 10.00; a
     // float fold would accumulate binary-representation error — the

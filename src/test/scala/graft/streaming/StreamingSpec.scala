@@ -249,6 +249,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed vectors append to a persisted IVF index and are immediately queryable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    graft.ops.Similarity.buildIvfIndex(emb.filter(col("vec_id") < n / 2),
+      s"$dir/ivf", nlist = 16)
+
+    val late = emb.filter(col("vec_id") >= n / 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val vectors = mem.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = StreamingIngest.appendStreamToIvfIndex(vectors, s"$dir/ivf", s"$dir/ckpt")
+    mem.addData(late.take(3).toSeq: _*); q.processAllAvailable()
+    mem.addData(late.drop(3).toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val lists = spark.read.parquet(s"$dir/ivf/lists")
+    assert(lists.count() === n, "every vector exactly once after the streamed appends")
+    // a streamed vector finds itself through the pruned index read
+    val probes = emb.filter(col("vec_id") >= n / 2 && col("vec_id") < n / 2 + 3)
+    val self = graft.ops.Similarity.ivfTopKIndexed(spark, s"$dir/ivf", probes,
+      k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.length === 3 && self.forall { case (qid, v, s) => qid == v && s >= 0.9999 })
+  }
+
   test("append-to-store streaming ingest replays through the batch reader") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
