@@ -692,6 +692,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_frames"),
           col("frame_idx").cast(LongType).as("frame_idx"))
         .orderBy("doc_id", "frame_idx")),
+
+    // deterministic 25% Bernoulli sample of documents — the data-mix
+    // primitive: hash-derived (reproducible across runs/cluster
+    // sizes, nested across fractions, plain pushdown filter). The
+    // determinism/rate/nesting contracts are SamplingSpec-tested;
+    // rows-only — xxhash64 is engine-local
+    "sample_bernoulli" -> ((s, dir) =>
+      Sampling.bernoulli(table(s, dir, "documents"), col("doc_id"), 0.25)
+        .select("doc_id")),
+
+    // quality-weighted take-k (Efraimidis–Spirakis A-Res): curation's
+    // "mostly the best, some exploration" draw — inclusion odds
+    // proportional to the fused quality score, O(k)-bounded plan
+    // (rows-only; weighting/determinism contracts in SamplingSpec)
+    "sample_quality_weighted" -> ((s, dir) =>
+      Sampling.weightedTakeK(
+        table(s, dir, "documents")
+          .withColumn("q", TextOps.qualityScoreFused(col("text"))),
+        col("doc_id"), col("q"), k = 200)
+        .select("doc_id")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Every sampler derives its randomness from xxhash64 over a caller
+  * key — no RNG state, no seed-per-partition coupling, so a sample is
+  * (a) reproducible bit-for-bit across runs, cluster sizes, and
+  * retries (speculative tasks can't diverge), (b) stable under
+  * repartition/reorder, and (c) a plain pushdown-able filter or
+  * bounded top-k — never a shuffle of the full corpus. That's the
+  * only sampling shape that works in an incremental 100 TB pipeline:
+  * re-running the job on a grown corpus keeps every previously
+  * sampled row's verdict unchanged.
+  */
+object Sampling {
+
+  /** Uniform u ∈ [0, 1) derived from the key hash: the top 53 bits of
+    * xxhash64 scaled by 2^-53 — exactly representable in double, the
+    * standard 53-bit uniform construction. */
+  def uniform(key: Column, seed: Long = 42L): Column =
+    shiftrightunsigned(xxhash64(key, lit(seed)), 11).cast(DoubleType) *
+      lit(1.0 / (1L << 53))
+
+  /** Deterministic Bernoulli sample: keep rows with u(key) < frac.
+    * Nested by construction — sample(0.1) ⊆ sample(0.2) at the same
+    * seed — so growing a data mix never churns rows already taken. */
+  def bernoulli(df: DataFrame, key: Column, frac: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(uniform(key, seed) < lit(frac))
+
+  /** Stratified deterministic sampling: a per-stratum keep fraction
+    * (e.g. downsample dominant languages/domains in a data mix),
+    * `default` for strata not in the map. The fraction table is a
+    * literal map (broadcast-free, codegen'd); the filter stays a
+    * per-row predicate — no shuffle, no per-stratum pass. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+      fracs: Map[String, Double], default: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val fracCol =
+      if (fracs.isEmpty) lit(default)
+      else coalesce(
+        try_element_at(
+          map(fracs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          stratum.cast(StringType)),
+        lit(default))
+    df.filter(uniform(key, seed) < fracCol)
+  }
+
+  /** Weighted sample WITHOUT replacement of exactly k rows
+    * (Efraimidis–Spirakis A-Res, IPL 2006 — public): each row scores
+    * log(u)/w (the log-domain form of u^(1/w), monotone-equivalent
+    * and immune to double underflow at large weights) and the k
+    * best scores win. Inclusion probability is proportional to
+    * weight, the sample is deterministic at a fixed seed, and the
+    * plan is TakeOrderedAndProject — O(k) per partition, one bounded
+    * merge, never a global sort. Rows with weight ≤ 0 never sample. */
+  def weightedTakeK(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: Long = 42L): DataFrame = {
+    // u ∈ (0,1]: flip the [0,1) uniform so log() never sees 0
+    val u = lit(1.0) - uniform(key, seed)
+    val score = log(u) / weight.cast(DoubleType)
+    df.filter(weight.cast(DoubleType) > 0)
+      .orderBy(score.desc)
+      .limit(k)
+  }
+}
