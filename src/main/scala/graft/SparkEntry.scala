@@ -474,6 +474,23 @@ object SparkEntry {
         .agg(round(sum(col("value")), 6).as("total"))
         .orderBy(col("total").desc, col("user_id"))
         .limit(20)),
+
+    // AS-OF join (attribution): each purchase event decorated with the
+    // user's latest view value at-or-before it — the timeseries
+    // operator Spark lacks, as one shuffle + one per-partition sort
+    // (graft.ops.AsOf). DuckDB-oracled against its native ASOF LEFT
+    // JOIN; right side pre-aggregated to unique (user, sec) so the
+    // tie contract is engine-independent; second granularity keeps
+    // both engines' timestamp arithmetic identical
+    "events_asof_attrib" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "sec").agg(max("value").as("view_value"))
+      AsOf.joinAsOf(purchases, views, Seq("user_id"), "sec", Seq("view_value"))
+        .orderBy("event_id")
+    }),
   )
 
   // =====================================================================
@@ -979,6 +996,16 @@ object SparkEntry {
     "events_top_users" ->
       """SELECT user_id, round(sum(value), 6) AS total
          FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 20""",
+
+    "events_asof_attrib" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           max(value) AS view_value
+                    FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.sec, v.view_value
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.sec >= v.sec
+         ORDER BY p.event_id""",
 
     "events_props_json" ->
       """SELECT event_type AS name, count(*) AS n,
