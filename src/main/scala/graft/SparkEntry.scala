@@ -491,6 +491,25 @@ object SparkEntry {
       AsOf.joinAsOf(purchases, views, Seq("user_id"), "sec", Seq("view_value"))
         .orderBy("event_id")
     }),
+
+    // RANGE join (incident correlation): every click within ±2h of an
+    // error by the same user — bucketed interval join (graft.ops
+    // .RangeJoin): equality join on (user, 60s-bucket) + exact BETWEEN,
+    // never the nested-loop Spark plans for a bare range predicate.
+    // DuckDB-oracled against the plain BETWEEN join
+    "events_range_correlate" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("sec").as("x"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          (col("sec") - 7200).as("lo"), (col("sec") + 7200).as("hi"))
+      // bucketWidth = the 14400s interval width: ≤ 2 replicas/interval
+      RangeJoin.pointInInterval(clicks, errors, Seq("user_id"), "x", "lo", "hi",
+        bucketWidth = 14400)
+        .select("click_id", "error_id", "user_id")
+        .orderBy("click_id", "error_id")
+    }),
   )
 
   // =====================================================================
@@ -1006,6 +1025,18 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, p.sec, v.view_value
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.sec >= v.sec
          ORDER BY p.event_id""",
+
+    "events_range_correlate" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS x
+                    FROM events WHERE event_type = 'click'),
+              e AS (SELECT event_id AS error_id, user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) - 7200 AS lo,
+                           CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS hi
+                    FROM events WHERE event_type = 'error')
+         SELECT c.click_id, e.error_id, c.user_id
+         FROM c JOIN e ON c.user_id = e.user_id AND c.x BETWEEN e.lo AND e.hi
+         ORDER BY 1, 2""",
 
     "events_props_json" ->
       """SELECT event_type AS name, count(*) AS n,
