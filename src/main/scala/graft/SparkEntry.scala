@@ -510,6 +510,32 @@ object SparkEntry {
         .select("click_id", "error_id", "user_id")
         .orderBy("click_id", "error_id")
     }),
+
+    // SESSIONIZATION: gap-based sessions (30-min inactivity) per user —
+    // one shuffle on user_id, windows + closing agg share the exchange
+    // (graft.ops.Sessions). DuckDB-oracled against the identical
+    // lag/running-sum window SQL; event_id tie-break makes equal-second
+    // ordering engine-independent
+    "events_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
+      Sessions.sessionize(ev, Seq("user_id"), "sec", gapSec = 1800,
+          tieBreak = Some("event_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), min("sec").as("start_sec"),
+          max("sec").as("end_sec"), round(sum("value"), 6).as("total_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // FUNNEL: ordered view→click→purchase reach per user (strict
+    // in-order contract; graft.ops.Sessions.funnel) — chained running
+    // windows over one sort. DuckDB-oracled against the same chained
+    // window construction
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
+      Sessions.funnel(ev, Seq("user_id"), "sec", col("event_type"),
+          Seq("view", "click", "purchase"), tieBreak = Some("event_id"))
+        .orderBy("user_id")
+    }),
   )
 
   // =====================================================================
@@ -1037,6 +1063,50 @@ object SparkEntry {
          SELECT c.click_id, e.error_id, c.user_id
          FROM c JOIN e ON c.user_id = e.user_id AND c.x BETWEEN e.lo AND e.hi
          ORDER BY 1, 2""",
+
+    "events_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, value,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+              l AS (SELECT *, lag(sec) OVER
+                      (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM o),
+              s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+                                            THEN 1 ELSE 0 END) OVER
+                      (PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_idx
+                    FROM l)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(sec) AS start_sec, max(sec) AS end_sec,
+                round(sum(value), 6) AS total_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_funnel" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+              w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN sec END) OVER
+                       (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r0
+                     FROM o),
+              w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                         AND r0 IS NOT NULL AND sec >= r0
+                                        THEN sec END) OVER
+                       (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+                     FROM w1),
+              w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                         AND r1 IS NOT NULL AND sec >= r1
+                                        THEN sec END) OVER
+                       (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+                     FROM w2)
+         SELECT user_id, min(r0) AS t_view, min(r1) AS t_click,
+                min(r2) AS t_purchase,
+                (CASE WHEN min(r0) IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN min(r0) IS NOT NULL AND min(r1) IS NOT NULL
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN min(r0) IS NOT NULL AND min(r1) IS NOT NULL
+                         AND min(r2) IS NOT NULL THEN 1 ELSE 0 END) AS depth
+         FROM w3 GROUP BY 1 ORDER BY 1""",
 
     "events_props_json" ->
       """SELECT event_type AS name, count(*) AS n,
