@@ -536,6 +536,21 @@ object SparkEntry {
           Seq("view", "click", "purchase"), tieBreak = Some("event_id"))
         .orderBy("user_id")
     }),
+
+    // DECONTAMINATION: eval-leakage check (GPT-3 appendix C shape) —
+    // test split (doc_id % 5 == 0) scored for word-3-gram overlap
+    // against the train split; one gram-hash equality join + one agg
+    // (graft.ops.Decontaminate). DuckDB-oracled on the gram STRINGS
+    // (the engine joins on xxhash64 — same fractions unless a 64-bit
+    // collision)
+    "decontaminate_ngram" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Decontaminate.contamination(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), n = 3)
+        .orderBy("test_id")
+    }),
   )
 
   // =====================================================================
@@ -1107,6 +1122,26 @@ object SparkEntry {
                  + CASE WHEN min(r0) IS NOT NULL AND min(r1) IS NOT NULL
                          AND min(r2) IS NOT NULL THEN 1 ELSE 0 END) AS depth
          FROM w3 GROUP BY 1 ORDER BY 1""",
+
+    "decontaminate_ngram" ->
+      """WITH s AS (SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(0, len(toks)-3),
+                  i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                       || ' ' || toks[CAST(i+3 AS INT)]) END AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents)),
+         tr AS (SELECT DISTINCT unnest(list_distinct(sh)) AS gram FROM s
+                WHERE doc_id % 5 != 0),
+         te AS (SELECT doc_id AS test_id, unnest(list_distinct(sh)) AS gram FROM s
+                WHERE doc_id % 5 = 0)
+         SELECT test_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           round(CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS contamination
+         FROM te LEFT JOIN tr ON te.gram = tr.gram
+         GROUP BY 1 ORDER BY 1""",
 
     "events_props_json" ->
       """SELECT event_type AS name, count(*) AS n,

@@ -122,6 +122,46 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct XXH64 hashes of the word n-grams of a lowercased,
+    * space-trimmed text — the fused form of
+    * explode(array_distinct(shingles(text, n))) → xxhash64(gram): one
+    * pass, no gram-string array materialization. Tokenization mirrors
+    * the Column twin exactly (SQL trim strips ONLY spaces; split keeps
+    * trailing empties like Spark's limit=-1; texts with fewer than n
+    * tokens yield one whole-text gram) so fractions computed from
+    * these hashes match a DuckDB oracle that joins gram strings. */
+  def wordGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    val toks = str.substring(b, e).split("\\s+", -1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    def hashGram(from: Int, until: Int): Unit = {
+      sb.setLength(0)
+      var i = from
+      while (i < until) {
+        if (i > from) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      seen.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+    }
+    if (toks.length < n) hashGram(0, toks.length)
+    else {
+      var i = 0
+      while (i + n <= toks.length) { hashGram(i, i + n); i += 1 }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03 — the MOSS scheme): rolling k-gram hashes over the
@@ -607,6 +647,21 @@ case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → ARRAY<BIGINT> distinct word-n-gram XXH64 hashes. */
+case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_gram_hashes needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.wordGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
 /** elems ARRAY<STRING|BIGINT> → ARRAY<BIGINT> MinHash signature of
   * `numHashes` components. */
 case class MinHashSig(child: Expression, numHashes: Int)
@@ -810,6 +865,8 @@ object GraftFunctions {
   def simhash64(text: Column): Column = GraftColumnBridge.column(SimHash64(e(text)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
+  def wordGramHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordGramHashes(e(text), n))
   def minhashSig(elems: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSig(e(elems), numHashes))
   def jaccardSim(a: Column, b: Column): Column =

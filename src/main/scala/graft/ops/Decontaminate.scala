@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Train/test decontamination: flag evaluation documents whose word
+  * n-grams leak from the training corpus — the published LLM-eval
+  * hygiene check (GPT-3 appendix C's 13-gram overlap, since standard
+  * in every training-data pipeline).
+  *
+  * Shape at 100 TB: the expensive object is the distinct-n-gram set of
+  * the TRAIN corpus (one pass + one distinct shuffle over the full
+  * corpus). It is computed once ([[buildTrainIndex]]) and persisted;
+  * per-eval-set queries ([[contaminationIndexed]]) are then a
+  * key-equality hash join of the (small) test gram table against the
+  * stored gram hashes plus one aggregate — no train-corpus scan. The
+  * inline [[contamination]] fuses build+query for one-shot use.
+  *
+  * Grams are joined on their xxhash64 (8-byte shuffle keys instead of
+  * ~n-word strings); a false match needs a 64-bit collision between a
+  * test gram and some train gram — for corpora up to ~10^9 distinct
+  * grams the per-document error probability is < 10^-9, and the check
+  * is a threshold on a fraction, not an exact-match contract.
+  */
+object Decontaminate {
+
+  /** One row per distinct word n-gram hash (`gh`) in the corpus.
+    * Tokenization matches [[Dedup.shingles]] (lowercased whitespace
+    * tokens; texts shorter than n yield one whole-text gram); hashing
+    * is the fused one-pass kernel [[graft.functions.WordGramHashes]]
+    * — no gram-string arrays materialize. */
+  def trainGrams(train: DataFrame, text: Column, n: Int): DataFrame =
+    // exchange BELOW the gram projection: a coarse parquet scan would
+    // otherwise serialize the projection on a few tasks (same pattern
+    // as Dedup.spreadById). At cluster scale the scan is already wide
+    // and this shuffle's cost folds into the distinct's anyway.
+    train.select(text.as("__text")).repartition(col("__text"))
+      .select(explode(
+        graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
+        .as("gh"))
+      .distinct()
+
+  /** Persist the train corpus' distinct gram hashes — the write-once
+    * half of the check. Overwrite-safe; layout is a plain parquet of
+    * `gh: BIGINT` (the join re-shuffles both sides on gh, so no
+    * partitioning scheme helps a full-set membership join). */
+  def buildTrainIndex(train: DataFrame, text: Column, n: Int,
+      path: String): Unit =
+    trainGrams(train, text, n).write.mode("overwrite").parquet(path)
+
+  /** Per-test-document contamination against a stored gram index:
+    * `test_id, n_grams, n_matched, contamination` where
+    * `contamination` = fraction of the doc's distinct n-grams present
+    * in the train corpus. Every test doc appears (zero matches → 0.0).
+    *
+    * One key-equality shuffle join on the gram hash + one aggregate on
+    * test_id; the left join keeps unmatched grams so the single
+    * aggregate yields both the total and the matched count. */
+  def contaminationIndexed(spark: SparkSession, indexPath: String,
+      test: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+    contaminationAgainst(spark.read.parquet(indexPath), test, text, id, n)
+
+  /** Inline variant: derive the train gram set and score in one job.
+    * For repeated eval sets over the same train corpus, prefer
+    * [[buildTrainIndex]] + [[contaminationIndexed]]. */
+  def contamination(train: DataFrame, test: DataFrame, text: Column,
+      id: Column, n: Int): DataFrame =
+    contaminationAgainst(trainGrams(train, text, n), test, text, id, n)
+
+  /** Test docs at/above `threshold` — the drop list. */
+  def contaminated(train: DataFrame, test: DataFrame, text: Column,
+      id: Column, n: Int, threshold: Double): DataFrame =
+    contamination(train, test, text, id, n)
+      .filter(col("contamination") >= threshold)
+
+  private def contaminationAgainst(grams: DataFrame, test: DataFrame,
+      text: Column, id: Column, n: Int): DataFrame = {
+    val testGrams = test
+      .select(id.as("test_id"), text.as("__text"))
+      .repartition(col("test_id")) // spread the gram projection
+      .select(col("test_id"), explode(
+        graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
+        .as("gh"))
+    testGrams
+      .join(grams.withColumn("__hit", lit(1)), Seq("gh"), "left")
+      .groupBy("test_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_matched"))
+      .withColumn("contamination",
+        round(col("n_matched").cast(DoubleType) / col("n_grams"), 6))
+  }
+}
