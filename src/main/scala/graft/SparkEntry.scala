@@ -551,6 +551,21 @@ object SparkEntry {
           col("text"), col("doc_id"), n = 3)
         .orderBy("test_id")
     }),
+
+    // QUALITY/REPETITION: the Gopher repetition filter family (dup
+    // lines, dup line chars, top 2-gram mass, dup 5-gram mass) from
+    // one fused kernel pass — map-only, no shuffle
+    // (graft.ops.TextOps.repetitionColumns). DuckDB-oracled with the
+    // identical line/gram counting in SQL
+    "quality_repetition" -> ((s, dir) => {
+      val r = graft.functions.GraftFunctions.repetitionStats(col("text"))
+      table(s, dir, "documents").select(col("doc_id"),
+          round(r.getField("dup_line_frac"), 6).as("dup_line_frac"),
+          round(r.getField("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(r.getField("top2_char_frac"), 6).as("top2_char_frac"),
+          round(r.getField("dup5_char_frac"), 6).as("dup5_char_frac"))
+        .orderBy("doc_id")
+    }),
   )
 
   // =====================================================================
@@ -1142,6 +1157,51 @@ object SparkEntry {
              / count(*), 6) AS contamination
          FROM te LEFT JOIN tr ON te.gram = tr.gram
          GROUP BY 1 ORDER BY 1""",
+
+    "quality_repetition" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                    FROM documents),
+         lc AS (SELECT doc_id, line, count(*) AS cnt, len(line) AS chars
+                FROM l GROUP BY 1, 2),
+         lagg AS (SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS dup_el,
+                         sum(cnt * chars) AS tot_lc,
+                         sum((cnt - 1) * chars) AS dup_lc
+                  FROM lc GROUP BY 1),
+         tl AS (SELECT doc_id, t, len(array_to_string(t, ' ')) AS norm_len
+                FROM (SELECT doc_id,
+                        regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                      FROM documents)),
+         g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+                  list_transform(generate_series(0, len(t)-2),
+                    i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)])
+                  ELSE [] END) AS g FROM tl),
+         a2 AS (SELECT doc_id, max(cnt * len(g)) AS top2 FROM
+                  (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+                GROUP BY 1),
+         g5 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+                  list_transform(generate_series(0, len(t)-5),
+                    i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]
+                         || ' ' || t[CAST(i+3 AS INT)] || ' ' || t[CAST(i+4 AS INT)]
+                         || ' ' || t[CAST(i+5 AS INT)]) ELSE [] END) AS g FROM tl),
+         a5 AS (SELECT doc_id, sum((cnt - 1) * len(g)) AS dup5 FROM
+                  (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+                WHERE cnt > 1 GROUP BY 1)
+         SELECT tl.doc_id,
+           round(CASE WHEN lagg.n_lines = 0 THEN 0
+                 ELSE CAST(lagg.dup_el AS DOUBLE) / lagg.n_lines END, 6)
+             AS dup_line_frac,
+           round(CASE WHEN lagg.tot_lc = 0 THEN 0
+                 ELSE CAST(lagg.dup_lc AS DOUBLE) / lagg.tot_lc END, 6)
+             AS dup_line_char_frac,
+           round(least(CAST(1.0 AS DOUBLE), CASE WHEN tl.norm_len = 0 THEN 0
+                 ELSE CAST(coalesce(a2.top2, 0) AS DOUBLE) / tl.norm_len END), 6)
+             AS top2_char_frac,
+           round(least(CAST(1.0 AS DOUBLE), CASE WHEN tl.norm_len = 0 THEN 0
+                 ELSE CAST(coalesce(a5.dup5, 0) AS DOUBLE) / tl.norm_len END), 6)
+             AS dup5_char_frac
+         FROM tl JOIN lagg USING (doc_id)
+           LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+         ORDER BY 1""",
 
     "events_props_json" ->
       """SELECT event_type AS name, count(*) AS n,

@@ -162,6 +162,98 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1 — the repetition family of
+    * quality filters) in ONE pass over the document:
+    *
+    *  - dup_line_frac: fraction of lines (split on \n, exact match)
+    *    that are repeat occurrences of an earlier line.
+    *  - dup_line_char_frac: fraction of line characters (codepoints,
+    *    newlines excluded) inside those repeat occurrences.
+    *  - top2_char_frac: the largest character mass any single word
+    *    2-gram accounts for — count × gram length (incl. inner
+    *    spaces) over the normalized text length — capped at 1.0
+    *    (overlapping occurrences can exceed the text length; the
+    *    "mass" form is deterministic under count ties where the
+    *    argmax-by-count form is not).
+    *  - dup5_char_frac: character mass of repeat occurrences of word
+    *    5-grams — Σ (count−1) × gram length — over the normalized
+    *    text length, capped at 1.0.
+    *
+    * Tokens/normalized text match [[wordGramHashes]] (lowercase ROOT,
+    * SQL space-trim, split \s+ keeping trailing empties; normalized
+    * length = tokens joined by single spaces). Zero denominators
+    * (empty text, fewer than n tokens) yield 0.0, not null. */
+  def repetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val lines = str.split("\n", -1)
+    val nLines = lines.length.toLong
+    var totLc = 0L; var dupEl = 0L; var dupLc = 0L
+    val seenLines = new java.util.HashSet[String]()
+    var li = 0
+    while (li < lines.length) {
+      val ln = lines(li)
+      val chars = ln.codePointCount(0, ln.length).toLong
+      totLc += chars
+      if (!seenLines.add(ln)) { dupEl += 1; dupLc += chars }
+      li += 1
+    }
+
+    val low = str.toLowerCase(java.util.Locale.ROOT)
+    var b = 0
+    var e = low.length
+    while (b < e && low.charAt(b) == ' ') b += 1
+    while (e > b && low.charAt(e - 1) == ' ') e -= 1
+    val toks = low.substring(b, e).split("\\s+", -1)
+    val tokLens = new Array[Int](toks.length)
+    var ti = 0
+    var normLen = (toks.length - 1).toLong // the joining spaces
+    while (ti < toks.length) {
+      tokLens(ti) = toks(ti).codePointCount(0, toks(ti).length)
+      normLen += tokLens(ti)
+      ti += 1
+    }
+
+    // gram char mass: top = max(count × len) | dup = Σ (count−1) × len
+    def gramMass(n: Int, top: Boolean): Long = {
+      if (toks.length < n) return 0L
+      val counts = new java.util.HashMap[String, Array[Long]]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = i
+        while (j < i + n) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+        val g = sb.toString
+        val prev = counts.get(g)
+        if (prev == null) {
+          var gl = (n - 1).toLong
+          var j2 = i
+          while (j2 < i + n) { gl += tokLens(j2); j2 += 1 }
+          counts.put(g, Array(1L, gl))
+        } else prev(0) += 1
+        i += 1
+      }
+      var acc = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        if (top) { val m = v(0) * v(1); if (m > acc) acc = m }
+        else if (v(0) > 1) acc += (v(0) - 1) * v(1)
+      }
+      acc
+    }
+
+    def frac(num: Long, den: Long): Double =
+      if (den == 0L) 0.0 else num.toDouble / den
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        frac(dupEl, nLines),
+        frac(dupLc, totLc),
+        math.min(1.0, frac(gramMass(2, top = true), normLen)),
+        math.min(1.0, frac(gramMass(5, top = false), normLen))))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03 — the MOSS scheme): rolling k-gram hashes over the
@@ -647,6 +739,25 @@ case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → STRUCT of the four Gopher repetition fractions. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("top2_char_frac", DoubleType, nullable = false),
+    StructField("dup5_char_frac", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"repetition_stats needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** text STRING → ARRAY<BIGINT> distinct word-n-gram XXH64 hashes. */
 case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -867,6 +978,8 @@ object GraftFunctions {
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordGramHashes(e(text), n))
+  def repetitionStats(text: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(e(text)))
   def minhashSig(elems: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSig(e(elems), numHashes))
   def jaccardSim(a: Column, b: Column): Column =

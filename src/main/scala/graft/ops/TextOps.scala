@@ -130,6 +130,18 @@ object TextOps {
       fingerprint(text).as("fp"))
   }
 
+  /** Gopher repetition filter columns (Rae et al. 2021, table A1) from
+    * ONE fused pass ([[graft.functions.RepetitionStats]]): duplicate
+    * line / duplicate line character fractions, top word-2-gram
+    * character mass, duplicate word-5-gram character mass — the
+    * boilerplate/spam signals the length+ratio family above can't see.
+    * Map-only: no shuffle at any corpus scale. */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    val r = graft.functions.GraftFunctions.repetitionStats(text)
+    Seq("dup_line_frac", "dup_line_char_frac", "top2_char_frac",
+      "dup5_char_frac").map(f => r.getField(f).as(f))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the cheap "same modulo formatting" key. */
   def fingerprint(text: Column): Column =
