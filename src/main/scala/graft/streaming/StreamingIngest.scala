@@ -89,6 +89,32 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("__ts")
 
+  /** Watermarked streaming sessionization — the streaming twin of
+    * [[graft.ops.Sessions.sessionize]]. One row per CLOSED session
+    * (append mode): keys, session_start/session_end (event-time),
+    * n_events, total_value. Built on `session_window`, so session
+    * state merges across micro-batches and evicts once the watermark
+    * passes a session's end + gap — bounded state on an unbounded
+    * stream, the only sessionization shape that survives at ingest
+    * scale.
+    *
+    * Boundary parity with the batch operator: `session_window` merges
+    * touching windows (an event exactly gapSec after its predecessor
+    * extends the session), the same `gap > gapSec`-splits contract as
+    * [[graft.ops.Sessions.sessionize]] — asserted both ways in
+    * StreamingSpec. */
+  def sessionStream(events: DataFrame, keys: Seq[String], ts: Column,
+      value: Column, gapSec: Long, horizonSec: Long): DataFrame =
+    events
+      .select(keys.map(col) :+ ts.as("__ts") :+ value.as("__v"): _*)
+      .withWatermark("__ts", s"$horizonSec seconds")
+      .groupBy(keys.map(col) :+
+        session_window(col("__ts"), s"$gapSec seconds").as("__w"): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("total_value"))
+      .select(keys.map(col) :+ col("__w.start").as("session_start") :+
+        col("__w.end").as("session_end") :+ col("n_events") :+
+        col("total_value"): _*)
+
   /** Watermarked live bucket aggregate for one interval. Late data
     * beyond steps×step (the TTL horizon) is dropped and finalized
     * window state is evicted — the streaming twin of the reference's

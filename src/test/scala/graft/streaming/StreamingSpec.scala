@@ -301,4 +301,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(got === Map(T0 -> 1.0, (T0 + 60) -> 2.0, (T0 + 120) -> 3.0))
   }
+
+  test("streaming sessions close on watermark and match batch off-boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF().select(col("_1").as("u"),
+      timestamp_seconds(col("_2")).as("ts"), col("_3").as("v"))
+    val sess = StreamingIngest.sessionStream(events, Seq("u"), col("ts"),
+      col("v"), gapSec = 100, horizonSec = 1000)
+    val q = sess.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+
+    // a: gaps 50, 70 (< gap) → one session; b: gap EXACTLY 100 —
+    // session_window merges touching windows, same boundary as batch
+    mem.addData(("a", T0, 1.0), ("a", T0 + 50, 2.0), ("a", T0 + 120, 3.0),
+      ("b", T0, 1.0), ("b", T0 + 100, 1.0))
+    q.processAllAvailable()
+    // push the watermark past end+gap so the early sessions finalize
+    mem.addData(("a", T0 + 5000, 9.0))
+    q.processAllAvailable()
+    mem.addData(("a", T0 + 20000, 1.0))
+    q.processAllAvailable()
+
+    val closed = spark.table("stream_sessions")
+      .filter(col("session_start") < timestamp_seconds(lit(T0 + 1000)))
+      .select(col("u"), unix_timestamp(col("session_start")).as("s"),
+        unix_timestamp(col("session_end")).as("e"), col("n_events"),
+        col("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+
+    assert(closed === Set(
+      ("a", T0, T0 + 220, 3L, 6.0),     // merged across gaps, end = last+gap
+      ("b", T0, T0 + 200, 2L, 2.0)))    // exact-gap event EXTENDS the session
+
+    // batch operator agrees at the boundary: gap == gapSec stays ONE
+    // session on both engines
+    val bBatch = Seq(("b", T0, 1L), ("b", T0 + 100, 2L)).toDF("u", "t", "id")
+    val idx = graft.ops.Sessions.sessionize(bBatch, Seq("u"), "t",
+        gapSec = 100, tieBreak = Some("id"))
+      .agg(max("session_idx")).head().getLong(0)
+    assert(idx === 1L)
+  }
 }
