@@ -552,6 +552,15 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // SEARCH: BM25 keyword ranking over inverted postings
+    // (graft.ops.Search) — filtered postings scan, broadcast df/stats,
+    // TakeOrderedAndProject top-k. DuckDB-oracled against the same
+    // Okapi/Lucene-IDF arithmetic in SQL; rounded-score + doc_id
+    // ordering makes the cut deterministic on both engines
+    "search_bm25" -> ((s, dir) =>
+      Search.bm25TopK(table(s, dir, "documents"), col("text"),
+        col("doc_id"), query = "customer vector slow", k = 50)),
+
     // QUALITY/REPETITION: the Gopher repetition filter family (dup
     // lines, dup line chars, top 2-gram mass, dup 5-gram mass) from
     // one fused kernel pass — map-only, no shuffle
@@ -1157,6 +1166,24 @@ object SparkEntry {
              / count(*), 6) AS contamination
          FROM te LEFT JOIN tr ON te.gram = tr.gram
          GROUP BY 1 ORDER BY 1""",
+
+    "search_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM
+                  (SELECT doc_id, unnest(t) AS term FROM toks)
+                WHERE term IN ('customer', 'vector', 'slow') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (SELECT tf.doc_id,
+             sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY 1)
+         SELECT doc_id, round(s, 6) AS score FROM scored
+         ORDER BY round(s, 6) DESC, doc_id LIMIT 50""",
 
     "quality_repetition" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
