@@ -552,6 +552,37 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // ROLLING FEATURES: per-user lag/delta/rolling-window stats
+    // (graft.ops.Features) — stacked windows over one Exchange+Sort.
+    // DuckDB-oracled against identical window SQL
+    "events_rolling_features" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
+      Features.rolling(ev, Seq("user_id"), "sec", col("value"), nRows = 3,
+          tieBreak = Some("event_id"))
+        .select(col("user_id"), col("event_id"),
+          round(col("prev_value"), 6).as("prev_value"),
+          round(col("delta"), 6).as("delta"),
+          round(col("roll_mean"), 6).as("roll_mean"),
+          round(col("roll_min"), 6).as("roll_min"),
+          round(col("roll_max"), 6).as("roll_max"), col("seq"))
+        .orderBy("user_id", "seq")
+    }),
+
+    // DISTRIBUTION PROFILE: exact interpolated quantiles of event
+    // values per type (Spark `percentile` == DuckDB `quantile_cont`,
+    // both p·(n−1) linear interpolation) — the column-profiling
+    // primitive for corpus curation dashboards
+    "events_value_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type").as("name"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(avg(col("value")), 6).as("mean"),
+          count(lit(1)).as("n"))
+        .orderBy("name")),
+
     // SEARCH: BM25 keyword ranking over inverted postings
     // (graft.ops.Search) — filtered postings scan, broadcast df/stats,
     // TakeOrderedAndProject top-k. DuckDB-oracled against the same
@@ -1166,6 +1197,32 @@ object SparkEntry {
              / count(*), 6) AS contamination
          FROM te LEFT JOIN tr ON te.gram = tr.gram
          GROUP BY 1 ORDER BY 1""",
+
+    "events_rolling_features" ->
+      """WITH o AS (SELECT user_id, event_id, value,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+         SELECT user_id, event_id,
+           round(lag(value) OVER w, 6) AS prev_value,
+           round(value - lag(value) OVER w, 6) AS delta,
+           round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS roll_mean,
+           round(min(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS roll_min,
+           round(max(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS roll_max,
+           CAST(row_number() OVER w AS BIGINT) AS seq
+         FROM o
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+         ORDER BY user_id, seq""",
+
+    "events_value_quantiles" ->
+      """SELECT event_type AS name,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(avg(value), 6) AS mean, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "search_bm25" ->
       """WITH toks AS (SELECT doc_id,
