@@ -592,6 +592,14 @@ object SparkEntry {
       Search.bm25TopK(table(s, dir, "documents"), col("text"),
         col("doc_id"), query = "customer vector slow", k = 50)),
 
+    // KEYWORDS: top-5 tf-idf terms per document (Search.tfidfKeywords)
+    // — integer tf/df/N make scores bit-identical across engines, so
+    // the rank cut is exact. DuckDB-oracled with the same arithmetic
+    "search_tfidf_keywords" -> ((s, dir) =>
+      Search.tfidfKeywords(table(s, dir, "documents"), col("text"),
+          col("doc_id"), k = 5)
+        .orderBy("doc_id", "rk")),
+
     // QUALITY/REPETITION: the Gopher repetition filter family (dup
     // lines, dup line chars, top 2-gram mass, dup 5-gram mass) from
     // one fused kernel pass — map-only, no shuffle
@@ -1241,6 +1249,21 @@ object SparkEntry {
            GROUP BY 1)
          SELECT doc_id, round(s, 6) AS score FROM scored
          ORDER BY round(s, 6) DESC, doc_id LIMIT 50""",
+
+    "search_tfidf_keywords" ->
+      """WITH post AS (SELECT term, doc_id, count(*) AS tf FROM
+                (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+                   '\s+')) AS term FROM documents) GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT post.doc_id, post.term,
+             post.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+           FROM post JOIN df USING (term) CROSS JOIN n),
+         ranked AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rk FROM scored)
+         SELECT doc_id, term, round(score, 6) AS score, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""",
 
     "quality_repetition" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line

@@ -64,6 +64,36 @@ object Search {
       query, k, k1, b)
   }
 
+  /** Per-document keyword extraction: the `k` highest tf·idf terms of
+    * each document (idf = ln(N/df), ties broken by term so the cut is
+    * deterministic). Output: doc_id, term, score, rk.
+    *
+    * Reuses the postings aggregate; the ranking is one row_number
+    * window per doc over the (small) per-doc term lists. tf, df and N
+    * are integers, so scores are bit-identical across engines and the
+    * rank cut needs no rounding tolerance. */
+  def tfidfKeywords(docs: DataFrame, text: Column, id: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = postings(docs, text, id)
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    // df spans the WHOLE vocabulary — unlike the query-filtered df in
+    // bm25, forcing a broadcast would ship an unbounded dictionary;
+    // plain equality join and let AQE downgrade to broadcast when small
+    val scored = post
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
+        col("rk"))
+  }
+
   private def score(post: DataFrame, doclen: DataFrame, stats: DataFrame,
       query: String, k: Int, k1: Double, b: Double): DataFrame = {
     val qTerms = query.trim.toLowerCase(java.util.Locale.ROOT)

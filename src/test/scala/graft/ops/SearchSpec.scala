@@ -71,6 +71,18 @@ class SearchSpec extends AnyFunSuite {
     assert(inline === indexed)
   }
 
+  test("tfidf keywords: rarity beats frequency, rank cut per doc") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Search.tfidfKeywords(docs, col("text"), col("doc_id"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1)).toMap
+    // doc2: fish 2ln3 > bird ln3 > dog ln1.5 — rare fish outranks
+    assert(got((2L, 1L)) === "fish" && got((2L, 2L)) === "bird")
+    assert(got((1L, 1L)) === "cat") // tf 2 × ln 1.5
+    assert(got((3L, 1L)) === "cat")
+    assert(got.keys.count(_._1 == 3L) === 1) // doc3 has only one term
+  }
+
   test("plan: term filter pushed to the postings scan; top-k not a global sort") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
