@@ -46,6 +46,29 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append new documents to a persisted search index — the
+    * write-once-append-many twin of [[Similarity.appendToIvfIndex]].
+    * Postings and doc lengths land as NEW parquet files (term-sorted
+    * within the appended files, so footer min/max pruning holds per
+    * file); the 1-row stats table is recomputed from the doclen store
+    * (one cheap aggregate) and overwritten. Per-term document
+    * frequencies need no stored state at all: queries derive df from
+    * the postings rows they scan, so old and new files compose by
+    * construction. Contract: a doc_id is appended at most once (file
+    * appends are at-least-once under replay — reconcile upstream with
+    * exact dedup, as with the IVF store). */
+  def appendToIndex(spark: SparkSession, indexPath: String, docs: DataFrame,
+      text: Column, id: Column): Unit = {
+    postings(docs, text, id)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$indexPath/postings")
+    docLengths(docs, text, id)
+      .write.mode("append").parquet(s"$indexPath/doclen")
+    spark.read.parquet(s"$indexPath/doclen")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
   /** BM25 top-k over a persisted index. */
   def bm25TopKIndexed(spark: SparkSession, indexPath: String, query: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =

@@ -68,6 +68,22 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream documents into a persisted BM25 search index
+    * ([[graft.ops.Search.appendToIndex]] per micro-batch): postings
+    * build is a batch job, arrivals stream in, queries stay pruned to
+    * their term slivers throughout. At-least-once like any file
+    * append — reconcile replays upstream with exact dedup on the doc
+    * id. */
+  def appendStreamToSearchIndex(docs: DataFrame, indexPath: String,
+      checkpoint: String, text: Column, id: Column) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Search.appendToIndex(batch.sparkSession, indexPath,
+          batch, text, id)
+      }
+      .start()
+
   /** Streaming exact deduplication of a document stream: drop rows
     * whose content hash was already seen within the watermark horizon.
     *

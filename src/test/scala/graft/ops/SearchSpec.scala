@@ -83,6 +83,26 @@ class SearchSpec extends AnyFunSuite {
     assert(got.keys.count(_._1 == 3L) === 1) // doc3 has only one term
   }
 
+  test("append composes: half-build + append equals a full build") {
+    import spark.implicits._
+    val all = (0L until 120L)
+      .map(i => (i, s"alpha beta w$i gamma " + ("alpha " * (i % 4).toInt)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25app").toString
+    Search.buildIndex(all.filter(col("doc_id") < 60), col("text"),
+      col("doc_id"), s"$dir/idx")
+    Search.appendToIndex(spark, s"$dir/idx",
+      all.filter(col("doc_id") >= 60), col("text"), col("doc_id"))
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Search.buildIndex(all, col("text"), col("doc_id"), s"$full/idx")
+    val q = "alpha gamma w77"
+    val appended = Search.bm25TopKIndexed(spark, s"$dir/idx", q, 30)
+      .collect().toSeq
+    val rebuilt = Search.bm25TopKIndexed(spark, s"$full/idx", q, 30)
+      .collect().toSeq
+    assert(appended === rebuilt)
+  }
+
   test("plan: term filter pushed to the postings scan; top-k not a global sort") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")

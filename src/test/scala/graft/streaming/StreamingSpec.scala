@@ -302,6 +302,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(T0 -> 1.0, (T0 + 60) -> 2.0, (T0 + 120) -> 3.0))
   }
 
+  test("streamed docs append to a persisted search index and are queryable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25stream").toString
+    val base = (0L until 40L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    graft.ops.Search.buildIndex(base, col("text"), col("doc_id"), s"$dir/idx")
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingIngest.appendStreamToSearchIndex(docs, s"$dir/idx",
+      s"$dir/ckpt", col("text"), col("doc_id"))
+    mem.addData((100L, "zebra quokka alpha"), (101L, "zebra zebra"))
+    q.processAllAvailable()
+    q.stop()
+
+    // streamed-only term resolves through the index; stats see 42 docs
+    val hits = graft.ops.Search.bm25TopKIndexed(spark, s"$dir/idx",
+      "zebra", 10).collect().map(_.getLong(0)).toSeq
+    assert(hits === Seq(101L, 100L)) // tf 2 outranks tf 1
+    val n = spark.read.parquet(s"$dir/idx/stats").head().getLong(0)
+    assert(n === 42L)
+  }
+
   test("streaming sessions close on watermark and match batch off-boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
