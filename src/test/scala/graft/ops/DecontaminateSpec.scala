@@ -98,6 +98,40 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("property: kernel parity holds on random whitespace-heavy texts") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // texts biased toward the nasty region: runs of mixed whitespace,
+    // empty tokens, unicode, repetitions
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const("ü¶"),
+      Gen.const("a"), Gen.const(""))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(n, token)
+      ss <- Gen.listOfN(n + 1, sep)
+    } yield ss.zip(ts :+ "").map { case (s, t) => s + t }.mkString
+    var seed = Seed(20260812L)
+    val texts = (1 to 60).map { _ =>
+      val t = textGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      t
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 4)) {
+      val fused = df.select(col("doc_id"), explode(
+          graft.functions.GraftFunctions.wordGramHashes(col("text"), n)).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val unfused = df.select(col("doc_id"), explode(
+          array_distinct(Dedup.shingles(col("text"), n))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fused === unfused, s"n=$n texts=${texts.take(5)}")
+    }
+  }
+
   test("plan: key-equality joins only — no cartesian/nested-loop") {
     import spark.implicits._
     val train = Seq(1L -> "a b c").toDF("doc_id", "text")
