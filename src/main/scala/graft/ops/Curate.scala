@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The corpus-curation capstone: the standard LLM training-data
+  * funnel (quality floor → repetition ceiling → language allowlist →
+  * exact-dedup keep-first → optional near-dup cluster keep-first)
+  * composed from the engine's own stages, emitting an auditable
+  * per-document ledger instead of silently shrinking the corpus —
+  * at 100 TB "why did my document disappear" is an operational
+  * question, so drops carry their stage.
+  *
+  * Stage attribution is first-drop-wins in the order above (the
+  * conventional cheap-to-expensive ordering: map-only filters first,
+  * the dedup shuffle only over their survivors). All thresholds
+  * compare ROUNDED (6 dp) scores, so ledger decisions are exactly
+  * reproducible across engines — the same contract the individual
+  * score queries are hash-verified under.
+  */
+object Curate {
+
+  case class Config(
+      minQuality: Double = 0.62,
+      maxTop2CharFrac: Double = 0.14,
+      langs: Seq[String] = Seq("en"),
+      nearDupThreshold: Option[Double] = None,
+      minhashHashes: Int = 128,
+      minhashBands: Int = 32)
+
+  /** Per-document verdict: every input row, plus `stage` ("kept" or
+    * the first stage that dropped it) and `keep`. Map-only up to the
+    * dedup stages; exact dedup is one window shuffle over the filter
+    * survivors; near-dup (when enabled) runs the minhash funnel +
+    * connected components over the exact-dedup survivors and keeps
+    * each cluster's minimum id. */
+  def ledger(docs: DataFrame, text: Column, id: Column,
+      cfg: Config = Config()): DataFrame = {
+    // single pass: the three filter scores are kernel projections over
+    // one scan; exact dedup is "rank among SURVIVORS of my fingerprint
+    // partition" — a conditional running sum over one window shuffle,
+    // so no dropped/survivors branch-and-union (which would evaluate
+    // the kernel projection twice)
+    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survRank = sum(when(col("__pre").isNull, 1L).otherwise(0L)).over(w)
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("quality", TextOps.qualityScoreFused(col("__text")))
+      .withColumn("pred_lang", TextOps.langIdFused(col("__text")))
+      .withColumn("top2",
+        round(graft.functions.GraftFunctions
+          .repetitionStats(col("__text")).getField("top2_char_frac"), 6))
+      .withColumn("__pre",
+        when(col("quality") < cfg.minQuality, "quality")
+          .when(col("top2") > cfg.maxTop2CharFrac, "repetition")
+          .when(!col("pred_lang").isin(cfg.langs: _*), "lang"))
+      .withColumn("__fp", md5(col("__text").cast("binary")))
+      .withColumn("stage",
+        coalesce(col("__pre"), when(survRank > 1, "exact_dup")))
+      .drop("__fp")
+
+    val afterExact = cfg.nearDupThreshold match {
+      case None => base
+      case Some(t) =>
+        val pool = base.filter(col("stage").isNull)
+        val pairs = Dedup.minhashLSH(pool, col("__text"), col("doc_id"),
+          shingleK = 3, numHashes = cfg.minhashHashes,
+          bands = cfg.minhashBands, jaccardThreshold = t)
+        // cluster members above the minimum id drop; roots stay
+        val drops = Dedup.connectedComponentsResult(pairs, maxIter = 20)
+          .labels.filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"), lit("near_dup").as("__nd"))
+        base.join(drops, Seq("doc_id"), "left")
+          .withColumn("stage", coalesce(col("stage"), col("__nd")))
+          .drop("__nd")
+    }
+
+    afterExact
+      .withColumn("stage", coalesce(col("stage"), lit("kept")))
+      .withColumn("keep", col("stage") === "kept")
+      .drop("__pre", "__text")
+  }
+
+  /** The kept corpus — [[ledger]]'s survivors joined back to the full
+    * input rows (semi join on id, so every original column survives). */
+  def kept(docs: DataFrame, text: Column, id: Column,
+      cfg: Config = Config()): DataFrame = {
+    val keptIds = ledger(docs, text, id, cfg).filter(col("keep"))
+      .select(col("doc_id").as("__keep_id"))
+    docs.join(keptIds, id === col("__keep_id"), "leftsemi")
+  }
+}

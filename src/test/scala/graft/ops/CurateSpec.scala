@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One fixture per funnel stage: first-drop-wins attribution, exact
+  * dedup keep-first among filter survivors, optional near-dup cluster
+  * keep-first, and kept() row preservation. */
+class CurateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val goodEn =
+    "the quick brown fox jumps over a lazy dog and then it runs down to " +
+    "the wide river with great speed because that is what young foxes do " +
+    "in the early morning when light spreads across the quiet valley and " +
+    "birds begin to call from tall trees near the old stone bridge while " +
+    "farmers walk out to their green fields carrying baskets of fresh " +
+    "seed for the long day of honest work ahead of them all"
+  private val goodEn2 =
+    "a gentle wind moved through the open window of the small house and " +
+    "carried with it the warm smell of bread from the bakery on the " +
+    "corner where people gathered each morning to talk about the news of " +
+    "the town and share stories of their children who played together in " +
+    "the dusty square under the watchful eyes of the old men sitting on " +
+    "wooden benches beside the fountain in the middle of everything"
+  private val german =
+    "der alte hund und die junge katze sind mit dem kind von dem haus zu " +
+    "dem garten gegangen und das wetter ist heute sehr gut weil die sonne " +
+    "mit voller kraft von dem blauen himmel scheint und der wind ist " +
+    "ruhig und das gras ist weich und die kinder spielen mit dem ball und " +
+    "der vater ist mit der mutter von der arbeit gekommen und das essen " +
+    "ist warm und die familie ist zufrieden mit dem langen schoenen tag"
+
+  private def run(rows: Seq[(Long, String)],
+      cfg: Curate.Config = Curate.Config()): Map[Long, String] = {
+    import spark.implicits._
+    Curate.ledger(rows.toDF("doc_id", "text"), col("text"), col("doc_id"), cfg)
+      .select("doc_id", "stage").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("each stage fires first-drop-wins; exact dup keeps the min id") {
+    val rows = Seq(
+      1L -> goodEn,                                  // kept
+      2L -> "1234 5678 9999 @@@@ #### 0000",         // quality floor
+      3L -> ("spam " * 90).trim,                     // passes quality, top2 ~1
+      4L -> german,                                  // good but not in allowlist
+      5L -> goodEn2,                                 // kept (first copy)
+      6L -> goodEn2)                                 // exact dup of 5
+    val got = run(rows)
+    assert(got(1L) === "kept")
+    assert(got(2L) === "quality")
+    assert(got(3L) === "repetition")
+    assert(got(4L) === "lang")
+    assert(got(5L) === "kept")
+    assert(got(6L) === "exact_dup")
+  }
+
+  test("near-dup stage drops cluster members above the min id") {
+    val nearCopy = goodEn.replace("quick", "swift") // high jaccard, not exact
+    val got = run(Seq(1L -> goodEn, 2L -> nearCopy, 3L -> goodEn2),
+      Curate.Config(nearDupThreshold = Some(0.5)))
+    assert(got(1L) === "kept")
+    assert(got(2L) === "near_dup")
+    assert(got(3L) === "kept")
+  }
+
+  test("kept() preserves original rows exactly for keep=true ids") {
+    import spark.implicits._
+    val docs = Seq((1L, goodEn, "m1"), (4L, german, "m4"))
+      .toDF("doc_id", "text", "meta")
+    val kept = Curate.kept(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(kept === Seq((1L, "m1")))
+  }
+}
