@@ -592,6 +592,28 @@ object SparkEntry {
       Search.bm25TopK(table(s, dir, "documents"), col("text"),
         col("doc_id"), query = "customer vector slow", k = 50)),
 
+    // PII SCRUB: detect + redact emails/IPv4/SSNs
+    // (graft.ops.TextOps.piiCounts/redactPii, portable-regex-subset
+    // patterns). The corpus is synthetic, so the fixture PII is
+    // injected deterministically per doc_id in BOTH engines — the
+    // oracle proves the detection/redaction mechanics cross-engine
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = concat(
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 3 > 0,
+          concat(lit(" u"), col("doc_id").cast(StringType), lit("@ex.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 > 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast(StringType),
+            lit(".9")))
+          .otherwise(lit("")),
+        lit(" ref 123-45-6789"))
+      table(s, dir, "documents")
+        .select(col("doc_id") +: TextOps.piiCounts(aug) :+
+          TextOps.redactPii(aug).as("redacted"): _*)
+        .orderBy("doc_id")
+    }),
+
     // CURATION LEDGER: the composed LLM-data funnel (quality floor →
     // repetition ceiling → language allowlist → exact-dedup
     // keep-first) with first-drop-wins stage attribution
@@ -1259,6 +1281,30 @@ object SparkEntry {
            GROUP BY 1)
          SELECT doc_id, round(s, 6) AS score FROM scored
          ORDER BY round(s, 6) DESC, doc_id LIMIT 50""",
+
+    "text_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+           substr(text, 1, 40)
+           || CASE WHEN doc_id % 3 > 0
+                   THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 > 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.9'
+                   ELSE '' END
+           || ' ref 123-45-6789' AS aug FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(aug,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(aug,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted
+         FROM a ORDER BY doc_id""",
 
     "curate_ledger" ->
       """WITH t AS (SELECT doc_id, text,

@@ -142,6 +142,31 @@ object TextOps {
       "dup5_char_frac").map(f => r.getField(f).as(f))
   }
 
+  /** PII patterns, restricted to the portable regex subset (no
+    * lookaround, no backreferences, ASCII classes) so Java regex (the
+    * engine) and RE2-family engines (DuckDB, Go/Rust scanners) match
+    * the same spans — redaction must not depend on which engine ran
+    * the pass. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val ssnPattern: String = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Match counts per PII kind: `n_email`, `n_ipv4`, `n_ssn`. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailPattern)).cast("long").as("n_email"),
+    regexp_count(text, lit(ipv4Pattern)).cast("long").as("n_ipv4"),
+    regexp_count(text, lit(ssnPattern)).cast("long").as("n_ssn"))
+
+  /** Redact PII in place: emails → `<EMAIL>`, IPv4 → `<IP>`, SSNs →
+    * `<SSN>`. Map-only; patterns are disjoint so application order is
+    * immaterial. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      ssnPattern, "<SSN>")
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the cheap "same modulo formatting" key. */
   def fingerprint(text: Column): Column =

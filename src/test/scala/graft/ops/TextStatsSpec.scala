@@ -81,4 +81,23 @@ class TextStatsSpec extends AnyFunSuite {
     val b = fused(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a.nonEmpty && a === b)
   }
+
+  test("pii: counts and in-place redaction, boundaries respected") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.b+c@x-y.co and d@e.io, ip 10.0.0.1, ssn 123-45-6789",
+      "no pii here at all",
+      "almost: 1234-45-6789 and 10.0.0 and not@tld")
+    val got = rows.toDF("t")
+      .select(TextOps.piiCounts(col("t")) :+
+        TextOps.redactPii(col("t")).as("r"): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got(0) === ((2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL>, ip <IP>, ssn <SSN>")))
+    assert(got(1) === ((0L, 0L, 0L, "no pii here at all")))
+    // 1234-45-6789 fails \b[0-9]{3}; 10.0.0 has only two dots;
+    // not@tld has no dot-suffix in the domain
+    assert(got(2) === ((0L, 0L, 0L, "almost: 1234-45-6789 and 10.0.0 and not@tld")))
+  }
 }
