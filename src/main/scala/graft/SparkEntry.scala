@@ -592,6 +592,12 @@ object SparkEntry {
       Search.bm25TopK(table(s, dir, "documents"), col("text"),
         col("doc_id"), query = "customer vector slow", k = 50)),
 
+    // TABLE PROFILE: schema-driven per-column stats in one pass
+    // (graft.ops.Profile) — exact distincts here so the DuckDB oracle
+    // hash-matches; production default is HLL
+    "profile_orders" -> ((s, dir) =>
+      Profile.table(table(s, dir, "orders"), exactDistinct = true)),
+
     // PII SCRUB: detect + redact emails/IPv4/SSNs
     // (graft.ops.TextOps.piiCounts/redactPii, portable-regex-subset
     // patterns). The corpus is synthetic, so the fixture PII is
@@ -1281,6 +1287,41 @@ object SparkEntry {
            GROUP BY 1)
          SELECT doc_id, round(s, 6) AS score FROM scored
          ORDER BY round(s, 6) DESC, doc_id LIMIT 50""",
+
+    "profile_orders" ->
+      """WITH t AS (SELECT * FROM orders)
+         SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round(CAST(min(o_orderkey) AS DOUBLE), 6) AS min_num,
+           round(CAST(max(o_orderkey) AS DOUBLE), 6) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM t
+         UNION ALL
+         SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(CAST(min(o_custkey) AS DOUBLE), 6),
+           round(CAST(max(o_custkey) AS DOUBLE), 6), NULL, NULL FROM t
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus) FROM t
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(CAST(min(o_totalprice) AS DOUBLE), 6),
+           round(CAST(max(o_totalprice) AS DOUBLE), 6), NULL, NULL FROM t
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           round(CAST(floor(epoch(min(o_orderdate))) AS DOUBLE), 6),
+           round(CAST(floor(epoch(max(o_orderdate))) AS DOUBLE), 6),
+           NULL, NULL FROM t
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL,
+           min(o_orderpriority), max(o_orderpriority) FROM t
+         ORDER BY col_name""",
 
     "text_pii_redact" ->
       """WITH a AS (SELECT doc_id,
