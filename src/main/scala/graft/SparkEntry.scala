@@ -592,6 +592,15 @@ object SparkEntry {
       Search.bm25TopK(table(s, dir, "documents"), col("text"),
         col("doc_id"), query = "customer vector slow", k = 50)),
 
+    // DATA MIX: deterministic token-budget composition per source
+    // (graft.ops.Mix) — md5(id·seed) shuffle order is portable across
+    // engines, so the kept set is identical in the DuckDB oracle
+    "mix_token_budget" -> ((s, dir) =>
+      Mix.build(table(s, dir, "documents"), col("text"), col("doc_id"),
+          col("source"), defaultBudget = 700L,
+          budgets = Map("src0" -> 200L, "src1" -> 1200L), seed = 7L)
+        .orderBy("source", "cum_tokens")),
+
     // TABLE PROFILE: schema-driven per-column stats in one pass
     // (graft.ops.Profile) — exact distincts here so the DuckDB oracle
     // hash-matches; production default is HLL
@@ -1287,6 +1296,21 @@ object SparkEntry {
            GROUP BY 1)
          SELECT doc_id, round(s, 6) AS score FROM scored
          ORDER BY round(s, 6) DESC, doc_id LIMIT 50""",
+
+    "mix_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '#7') AS ord FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM d)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= CASE source WHEN 'src0' THEN 200
+                                         WHEN 'src1' THEN 1200
+                                         ELSE 700 END
+         ORDER BY source, cum_tokens""",
 
     "profile_orders" ->
       """WITH t AS (SELECT * FROM orders)
