@@ -1408,7 +1408,8 @@ object SparkEntry {
                ELSE CAST(coalesce(a2.m, 0) AS DOUBLE) / nl.norm_len END), 6) AS top2
            FROM nl LEFT JOIN a2 USING (doc_id)),
          pre AS (SELECT f.doc_id, f.text, f.quality, f.pred_lang, top2t.top2,
-             CASE WHEN f.quality < 0.62 THEN 'quality'
+             CASE WHEN f.text IS NULL THEN 'invalid'
+                  WHEN f.quality < 0.62 THEN 'quality'
                   WHEN top2t.top2 > 0.14 THEN 'repetition'
                   WHEN f.pred_lang NOT IN ('en') THEN 'lang' END AS pre_stage
            FROM f JOIN top2t USING (doc_id)),

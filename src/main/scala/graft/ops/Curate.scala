@@ -52,7 +52,10 @@ object Curate {
         round(graft.functions.GraftFunctions
           .repetitionStats(col("__text")).getField("top2_char_frac"), 6))
       .withColumn("__pre",
-        when(col("quality") < cfg.minQuality, "quality")
+        when(col("__text").isNull, "invalid") // null text scores null in
+          // every kernel, which would otherwise slide through the
+          // null-propagating threshold comparisons as "kept"
+          .when(col("quality") < cfg.minQuality, "quality")
           .when(col("top2") > cfg.maxTop2CharFrac, "repetition")
           .when(!col("pred_lang").isin(cfg.langs: _*), "lang"))
       .withColumn("__fp", md5(col("__text").cast("binary")))

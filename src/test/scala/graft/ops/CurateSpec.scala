@@ -53,7 +53,8 @@ class CurateSpec extends AnyFunSuite {
       3L -> ("spam " * 90).trim,                     // passes quality, top2 ~1
       4L -> german,                                  // good but not in allowlist
       5L -> goodEn2,                                 // kept (first copy)
-      6L -> goodEn2)                                 // exact dup of 5
+      6L -> goodEn2,                                 // exact dup of 5
+      7L -> (null: String))                          // null text → invalid
     val got = run(rows)
     assert(got(1L) === "kept")
     assert(got(2L) === "quality")
@@ -61,6 +62,7 @@ class CurateSpec extends AnyFunSuite {
     assert(got(4L) === "lang")
     assert(got(5L) === "kept")
     assert(got(6L) === "exact_dup")
+    assert(got(7L) === "invalid") // not silently "kept" via null scores
   }
 
   test("near-dup stage drops cluster members above the min id") {
@@ -70,6 +72,19 @@ class CurateSpec extends AnyFunSuite {
     assert(got(1L) === "kept")
     assert(got(2L) === "near_dup")
     assert(got(3L) === "kept")
+  }
+
+  test("plan: one scan, one window exchange, no branch-and-union") {
+    import spark.implicits._
+    val docs = Seq((1L, goodEn)).toDF("doc_id", "text")
+    val ledger = Curate.ledger(docs, col("text"), col("doc_id"))
+    ledger.collect() // finalize the adaptive plan before inspecting it
+    // AQE toString renders Final + Initial sections — count the final only
+    val plan = ledger.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Union"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert("LocalTableScan".r.findAllIn(plan).length === 1, plan)
   }
 
   test("kept() preserves original rows exactly for keep=true ids") {

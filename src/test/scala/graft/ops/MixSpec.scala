@@ -51,4 +51,12 @@ class MixSpec extends AnyFunSuite {
         col("source"), b, seed = 1L).collect().map(_.getLong(0)).toSet
     assert(ids(20L).subsetOf(ids(60L)))
   }
+
+  test("plan: one window exchange on source, nothing else") {
+    import spark.implicits._
+    val plan = Mix.build(docs, col("text"), col("doc_id"), col("source"), 30L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Union") && !plan.contains("Join"), plan)
+  }
 }
