@@ -37,41 +37,48 @@ object GraftExtensions {
       s"$fn: argument ${pos + 1} must be an INTEGER literal, got $other")
   }
 
-  private def info(name: String, cls: Class[_]): ExpressionInfo =
-    new ExpressionInfo(cls.getName, name)
+  /** Registration combinator: arity-checked builder + ExpressionInfo.
+    * A wrong argument count raises a named, counted error instead of
+    * the builder's raw IndexOutOfBounds. */
+  private def fn(name: String, cls: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo(cls.getName, name), es => {
+      if (es.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity argument(s), got ${es.length}")
+      build(es)
+    })
 
   /** (sql name, info, builder) for every exposed kernel. */
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
-      ("graft_simhash64", info("graft_simhash64", classOf[SimHash64]),
-        es => SimHash64(es.head)),
-      ("graft_word_gram_hashes",
-        info("graft_word_gram_hashes", classOf[WordGramHashes]),
+      fn("graft_simhash64", classOf[SimHash64], 1)(es => SimHash64(es.head)),
+      fn("graft_word_gram_hashes", classOf[WordGramHashes], 2)(
         es => WordGramHashes(es.head, intLit(es(1), "graft_word_gram_hashes", 1))),
-      ("graft_char_ngram_hashes",
-        info("graft_char_ngram_hashes", classOf[CharNgramHashes]),
+      fn("graft_char_ngram_hashes", classOf[CharNgramHashes], 2)(
         es => CharNgramHashes(es.head, intLit(es(1), "graft_char_ngram_hashes", 1))),
-      ("graft_minhash_sig", info("graft_minhash_sig", classOf[MinHashSig]),
+      fn("graft_minhash_sig", classOf[MinHashSig], 2)(
         es => MinHashSig(es.head, intLit(es(1), "graft_minhash_sig", 1))),
-      ("graft_jaccard", info("graft_jaccard", classOf[JaccardSim]),
+      fn("graft_jaccard", classOf[JaccardSim], 2)(
         es => JaccardSim(es.head, es(1))),
-      ("graft_containment", info("graft_containment", classOf[ContainmentSim]),
+      fn("graft_containment", classOf[ContainmentSim], 2)(
         es => ContainmentSim(es.head, es(1))),
-      ("graft_cosine", info("graft_cosine", classOf[CosineSim]),
+      fn("graft_cosine", classOf[CosineSim], 2)(
         es => CosineSim(es.head, es(1))),
-      ("graft_quantize_q8", info("graft_quantize_q8", classOf[QuantizeQ8]),
+      fn("graft_quantize_q8", classOf[QuantizeQ8], 1)(
         es => QuantizeQ8(es.head)),
-      ("graft_cosine_q8", info("graft_cosine_q8", classOf[CosineSimQ8]),
+      fn("graft_cosine_q8", classOf[CosineSimQ8], 2)(
         es => CosineSimQ8(es.head, es(1))),
-      ("graft_winnow", info("graft_winnow", classOf[WinnowFingerprints]),
+      fn("graft_winnow", classOf[WinnowFingerprints], 3)(
         es => WinnowFingerprints(es.head, intLit(es(1), "graft_winnow", 1),
           intLit(es(2), "graft_winnow", 2))),
-      ("graft_rolling_hash", info("graft_rolling_hash", classOf[RollingHash]),
+      fn("graft_rolling_hash", classOf[RollingHash], 1)(
         es => RollingHash(es.head)),
-      ("graft_text_stats", info("graft_text_stats", classOf[TextStatsCounts]),
+      fn("graft_text_stats", classOf[TextStatsCounts], 1)(
         es => TextStatsCounts(es.head)),
-      ("graft_repetition_stats",
-        info("graft_repetition_stats", classOf[RepetitionStats]),
+      fn("graft_lang_marker_counts", classOf[LangMarkerCounts], 1)(
+        es => LangMarkerCounts(es.head)),
+      fn("graft_repetition_stats", classOf[RepetitionStats], 1)(
         es => RepetitionStats(es.head)))
 
   /** Register into an existing session's function registry. */

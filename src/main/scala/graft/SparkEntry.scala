@@ -599,7 +599,7 @@ object SparkEntry {
       Mix.build(table(s, dir, "documents"), col("text"), col("doc_id"),
           col("source"), defaultBudget = 700L,
           budgets = Map("src0" -> 200L, "src1" -> 1200L), seed = 7L)
-        .orderBy("source", "cum_tokens")),
+        .orderBy("source", "cum_tokens", "doc_id")),
 
     // TABLE PROFILE: schema-driven per-column stats in one pass
     // (graft.ops.Profile) — exact distincts here so the DuckDB oracle
@@ -654,7 +654,10 @@ object SparkEntry {
     // identical line/gram counting in SQL
     "quality_repetition" -> ((s, dir) => {
       val r = graft.functions.GraftFunctions.repetitionStats(col("text"))
-      table(s, dir, "documents").select(col("doc_id"),
+      // null text: the oracle's inner join drops such docs; match it
+      // explicitly rather than emitting a four-null row
+      table(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
           round(r.getField("dup_line_frac"), 6).as("dup_line_frac"),
           round(r.getField("dup_line_char_frac"), 6).as("dup_line_char_frac"),
           round(r.getField("top2_char_frac"), 6).as("top2_char_frac"),
@@ -1310,7 +1313,7 @@ object SparkEntry {
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 200
                                          WHEN 'src1' THEN 1200
                                          ELSE 700 END
-         ORDER BY source, cum_tokens""",
+         ORDER BY source, cum_tokens, doc_id""",
 
     "profile_orders" ->
       """WITH t AS (SELECT * FROM orders)

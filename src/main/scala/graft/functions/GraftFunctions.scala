@@ -129,7 +129,14 @@ object Kernels {
     * the Column twin exactly (SQL trim strips ONLY spaces; split keeps
     * trailing empties like Spark's limit=-1; texts with fewer than n
     * tokens yield one whole-text gram) so fractions computed from
-    * these hashes match a DuckDB oracle that joins gram strings. */
+    * these hashes match a DuckDB oracle that joins gram strings.
+    *
+    * Locale caveat (same stance as the r4 ADVICE fix): this kernel
+    * lowercases with Locale.ROOT, deterministic on every JVM. Spark's
+    * own lower() falls back to default-locale String.toLowerCase for
+    * non-ASCII input, so under an exotic default locale (tr_TR dotted
+    * I) the COLUMN twin — not this kernel — is the side that shifts;
+    * parity tests assume the default-locale JVMs Spark itself assumes. */
   def wordGramHashes(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     var b = 0

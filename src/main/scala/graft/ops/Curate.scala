@@ -27,7 +27,8 @@ object Curate {
       langs: Seq[String] = Seq("en"),
       nearDupThreshold: Option[Double] = None,
       minhashHashes: Int = 128,
-      minhashBands: Int = 32)
+      minhashBands: Int = 32,
+      ccMaxIter: Int = 30)
 
   /** Per-document verdict: every input row, plus `stage` ("kept" or
     * the first stage that dropped it) and `keep`. Map-only up to the
@@ -70,9 +71,16 @@ object Curate {
         val pairs = Dedup.minhashLSH(pool, col("__text"), col("doc_id"),
           shingleK = 3, numHashes = cfg.minhashHashes,
           bands = cfg.minhashBands, jaccardThreshold = t)
+        // star contraction (O(log n) rounds on any component shape —
+        // near-dup chains are exactly the long-diameter case that
+        // starves label propagation), and FAIL LOUDLY if unconverged:
+        // an unconverged labeling silently keeps extra cluster members
+        val cc = Dedup.connectedComponentsResult(pairs, cfg.ccMaxIter, "star")
+        require(cc.converged,
+          s"near-dup clustering did not converge in ${cfg.ccMaxIter} rounds; " +
+            "raise Config.ccMaxIter")
         // cluster members above the minimum id drop; roots stay
-        val drops = Dedup.connectedComponentsResult(pairs, maxIter = 20)
-          .labels.filter(col("id") =!= col("cluster"))
+        val drops = cc.labels.filter(col("id") =!= col("cluster"))
           .select(col("id").as("doc_id"), lit("near_dup").as("__nd"))
         base.join(drops, Seq("doc_id"), "left")
           .withColumn("stage", coalesce(col("stage"), col("__nd")))

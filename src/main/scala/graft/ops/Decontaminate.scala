@@ -32,10 +32,13 @@ object Decontaminate {
     * — no gram-string arrays materialize. */
   def trainGrams(train: DataFrame, text: Column, n: Int): DataFrame =
     // exchange BELOW the gram projection: a coarse parquet scan would
-    // otherwise serialize the projection on a few tasks (same pattern
-    // as Dedup.spreadById). At cluster scale the scan is already wide
-    // and this shuffle's cost folds into the distinct's anyway.
-    train.select(text.as("__text")).repartition(col("__text"))
+    // otherwise serialize the projection on a few tasks. Round-robin,
+    // NOT keyed on the text payload: crawl corpora are duplicate-heavy
+    // (that's why dedup exists), and hashing duplicated texts would
+    // re-concentrate them on one task — the downstream distinct()
+    // reshuffles by gram hash regardless.
+    train.select(text.as("__text"))
+      .repartition(train.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(
         graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
         .as("gh"))
@@ -52,7 +55,10 @@ object Decontaminate {
   /** Per-test-document contamination against a stored gram index:
     * `test_id, n_grams, n_matched, contamination` where
     * `contamination` = fraction of the doc's distinct n-grams present
-    * in the train corpus. Every test doc appears (zero matches → 0.0).
+    * in the train corpus. Every test doc WITH TEXT appears (zero
+    * matches → 0.0); null-text docs have no grams to check and are
+    * absent — screen them upstream (Curate's "invalid" stage) rather
+    * than reading absence as "clean".
     *
     * One key-equality shuffle join on the gram hash + one aggregate on
     * test_id; the left join keeps unmatched grams so the single

@@ -39,7 +39,12 @@ object Mix {
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (src, b)) => when(col("source") === src, b).otherwise(acc)
     }
+    // null text would ride along with NULL n_tokens (sum ignores it,
+    // so it ties its predecessor's cum and passes the filter) — a
+    // token-budget mix has no place for unmeasurable docs; screen
+    // them here, surface them upstream via Curate's "invalid" stage
     docs
+      .filter(text.isNotNull)
       .select(id.as("doc_id"), source.as("source"),
         size(Dedup.tokens(text)).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))

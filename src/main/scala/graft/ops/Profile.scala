@@ -22,8 +22,14 @@ object Profile {
 
   def table(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields
-    def nd(c: Column): Column =
-      if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
+    // maps are unhashable in Spark: count_distinct/approx on a MapType
+    // fails analysis — profile such columns with null cardinality
+    // instead of crashing the whole table's profile
+    def nd(f: StructField): Column = f.dataType match {
+      case _: MapType => lit(null).cast(LongType)
+      case _ if exactDistinct => count_distinct(col(f.name))
+      case _ => approx_count_distinct(col(f.name))
+    }
     val nullNum = lit(null).cast(DoubleType)
     val nullStr = lit(null).cast(StringType)
 
@@ -45,7 +51,7 @@ object Profile {
         case _ =>
           (nullNum, nullNum, nullStr, nullStr)
       }
-      Seq(count(c).as(s"${f.name}__nn"), nd(c).cast(LongType).as(s"${f.name}__nd"),
+      Seq(count(c).as(s"${f.name}__nn"), nd(f).cast(LongType).as(s"${f.name}__nd"),
         mn.as(s"${f.name}__mn"), mx.as(s"${f.name}__mx"),
         ms.as(s"${f.name}__ms"), xs.as(s"${f.name}__xs"))
     } :+ count(lit(1)).as("__total")

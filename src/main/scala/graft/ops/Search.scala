@@ -38,7 +38,13 @@ object Search {
   def buildIndex(docs: DataFrame, text: Column, id: Column,
       path: String): Unit = {
     postings(docs, text, id)
-      .repartition(col("term")).sortWithinPartitions("term")
+      // RANGE partitioning, not hash: a stopword-scale term would hash
+      // every one of its postings into a single straggler task/file;
+      // the range partitioner's sampling splits a hot term across
+      // adjacent partitions (doc_id as secondary key) while keeping
+      // files term-clustered, so footer min/max pruning still holds
+      .repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
     val dl = docLengths(docs, text, id)
     dl.write.mode("overwrite").parquet(s"$path/doclen")
@@ -60,7 +66,8 @@ object Search {
   def appendToIndex(spark: SparkSession, indexPath: String, docs: DataFrame,
       text: Column, id: Column): Unit = {
     postings(docs, text, id)
-      .repartition(col("term")).sortWithinPartitions("term")
+      .repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
       .write.mode("append").parquet(s"$indexPath/postings")
     docLengths(docs, text, id)
       .write.mode("append").parquet(s"$indexPath/doclen")

@@ -55,6 +55,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
   }
 
+  test("wrong arity fails with a named, counted error") {
+    import spark.implicits._
+    Seq("a b").toDF("x").createOrReplaceTempView("ta")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_jaccard(split(x, ' ')) FROM ta").collect()
+    }
+    assert(e.getMessage.contains("graft_jaccard expects 2 argument(s), got 1"))
+  }
+
+  test("lang marker counts resolve through SQL") {
+    import spark.implicits._
+    Seq("the cat and the dog").toDF("x").createOrReplaceTempView("tl")
+    val counts = spark.sql("SELECT graft_lang_marker_counts(x) FROM tl")
+      .head().getSeq[Long](0)
+    assert(counts.head === 3L) // en markers: the ×2, and
+  }
+
   test("non-literal integer parameter fails loudly") {
     import spark.implicits._
     Seq(("a b", 2)).toDF("x", "n").createOrReplaceTempView("t3")

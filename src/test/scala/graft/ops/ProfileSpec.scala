@@ -36,6 +36,18 @@ class ProfileSpec extends AnyFunSuite {
     assert(s.getString(6) === "a" && s.getString(7) === "b")
   }
 
+  test("map columns profile with null cardinality instead of crashing") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("num", "m")
+    val rows = Profile.table(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("m").getLong(1) === 2L)  // n_rows
+    assert(rows("m").getLong(2) === 0L)  // n_null
+    assert(rows("m").isNullAt(3))        // cardinality not computable
+    assert(rows("num").getLong(3) === 2L) // others unaffected
+  }
+
   test("plan: a single aggregation job, no per-column scans") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("num", "s")
