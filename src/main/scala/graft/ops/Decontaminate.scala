@@ -52,6 +52,18 @@ object Decontaminate {
       path: String): Unit =
     trainGrams(train, text, n).write.mode("overwrite").parquet(path)
 
+  /** Append new train documents to a stored gram index. The scoring
+    * join assumes the gram table is DISTINCT — a naive file append
+    * that re-introduced an existing hash would double-count every
+    * match of that gram (contamination > 1.0) — so new grams are
+    * anti-joined against the store and only the genuinely new ones
+    * land as a new file. */
+  def appendToTrainIndex(spark: SparkSession, indexPath: String,
+      docs: DataFrame, text: Column, n: Int): Unit =
+    trainGrams(docs, text, n)
+      .join(spark.read.parquet(indexPath), Seq("gh"), "left_anti")
+      .write.mode("append").parquet(indexPath)
+
   /** Per-test-document contamination against a stored gram index:
     * `test_id, n_grams, n_matched, contamination` where
     * `contamination` = fraction of the doc's distinct n-grams present

@@ -69,6 +69,32 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(inline === indexed)
   }
 
+  test("index append: anti-joined, so overlapping grams never double-count") {
+    import spark.implicits._
+    // halves share most grams — precisely the double-count trap
+    val all = (0L until 60L).map(i => i -> s"alpha beta gamma ${i % 7} tail")
+      .toDF("doc_id", "text")
+    val test = Seq(100L -> "alpha beta gamma 3 tail").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("deconapp").toString
+    Decontaminate.buildTrainIndex(all.filter(col("doc_id") < 30),
+      col("text"), 3, s"$dir/g")
+    Decontaminate.appendToTrainIndex(spark, s"$dir/g",
+      all.filter(col("doc_id") >= 30), col("text"), 3)
+    val full = java.nio.file.Files.createTempDirectory("deconfull").toString
+    Decontaminate.buildTrainIndex(all, col("text"), 3, s"$full/g")
+    // store stays a set …
+    assert(spark.read.parquet(s"$dir/g").count() ===
+      spark.read.parquet(s"$full/g").count())
+    // … and scores are identical to a full rebuild (1.0 here — every
+    // gram of the test doc is in train; a doubled gram would give > 1)
+    val a = Decontaminate.contaminationIndexed(spark, s"$dir/g", test,
+      col("text"), col("doc_id"), 3).collect().toSeq
+    val b = Decontaminate.contaminationIndexed(spark, s"$full/g", test,
+      col("text"), col("doc_id"), 3).collect().toSeq
+    assert(a === b)
+    assert(a.head.getDouble(3) === 1.0)
+  }
+
   test("contaminated() filters at the threshold inclusively") {
     import spark.implicits._
     val train = Seq(1L -> "a b c").toDF("doc_id", "text")
