@@ -84,6 +84,92 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming ordered funnel — the custom-state streaming twin of
+    * [[graft.ops.Sessions.funnel]], on `flatMapGroupsWithState` with
+    * an EVENT-TIME timeout: per key, step events buffer in state until
+    * the watermark passes the key's last activity plus `horizonSec`,
+    * then the buffer folds under the batch operator's exact strict
+    * in-order contract and ONE final row per key emits
+    * (`key, t_<step>…, depth`). Buffering-then-folding (rather than
+    * folding incrementally) keeps cross-batch out-of-order arrivals
+    * exact: a step-1 event arriving a batch after a step-2 event still
+    * counts, as in batch — only watermark-late data is lost. State per
+    * key is the key's events inside the horizon, the same bound as any
+    * watermarked aggregation.
+    *
+    * Equal-time ordering follows (sec, tieBreak) like the batch
+    * operator; fold parity is asserted against [[graft.ops.Sessions
+    * .funnel]] in StreamingSpec, including a cross-batch out-of-order
+    * case. */
+  def funnelStream(events: DataFrame, key: Column, ts: Column,
+      tieBreak: Column, step: Column, steps: Seq[String],
+      horizonSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+
+    // the watermark COLUMN must survive into the stateful operator —
+    // projecting it away would drop the watermark itself; micros ride
+    // alongside it
+    val typed = events
+      .select(key.cast(org.apache.spark.sql.types.LongType).as("k"),
+        ts.as("ts"), tieBreak.cast(org.apache.spark.sql.types.LongType).as("tie"),
+        step.cast(org.apache.spark.sql.types.StringType).as("step"))
+      .withWatermark("ts", s"$horizonSec seconds")
+      .select(col("k"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("tie"), col("step"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+
+    def fold(evs: Seq[(Long, Long, Int)]): (Seq[Long], Int) = {
+      // evs: (sec-ish micros, tie, stepIdx); reach(i) = MaxValue until hit
+      val reach = Array.fill(steps.size)(Long.MaxValue)
+      evs.sortBy(e => (e._1, e._2)).foreach { case (t, _, i) =>
+        if (i == 0) { if (t < reach(0)) reach(0) = t }
+        else if (reach(i - 1) != Long.MaxValue && t >= reach(i - 1) &&
+          t < reach(i)) reach(i) = t
+      }
+      val depth = reach.takeWhile(_ != Long.MaxValue).length
+      (reach.toSeq, depth)
+    }
+
+    val out = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long, Int)], (Long, Seq[Long], Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k, it, state: GroupState[Seq[(Long, Long, Int)]]) =>
+          if (state.hasTimedOut) {
+            val (reach, depth) = fold(state.get)
+            state.remove()
+            Iterator.single((k, reach, depth))
+          } else {
+            val fresh = it
+              .flatMap(e => stepIdx.get(e._5).map(i => (e._3, e._4, i)))
+              .toSeq
+            val buf = state.getOption.getOrElse(Seq.empty) ++ fresh
+            state.update(buf)
+            // finalize once the watermark passes last activity + horizon;
+            // a timeout must sit beyond the CURRENT watermark (a
+            // within-watermark straggler could otherwise compute one
+            // behind it, which Spark rejects) — clamping just defers
+            // that key's finalization to the next watermark advance
+            val lastMs = buf.map(_._1).foldLeft(0L)(math.max) / 1000L
+            state.setTimeoutTimestamp(math.max(lastMs + horizonSec * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+
+    val reachCols = steps.indices.map { i =>
+      when(col("_2")(i) =!= Long.MaxValue,
+        (col("_2")(i) / 1000000L).cast("long"))
+        .as(s"t_${steps(i)}")
+    }
+    out.toDF().select(col("_1").as("k") +: reachCols :+
+      col("_3").cast("int").as("depth"): _*)
+  }
+
   /** Streaming exact deduplication of a document stream: drop rows
     * whose content hash was already seen within the watermark horizon.
     *

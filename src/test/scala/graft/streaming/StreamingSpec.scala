@@ -327,6 +327,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 42L)
   }
 
+  test("streaming funnel folds exactly like batch, incl. cross-batch disorder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().select(col("_1").as("u"),
+      timestamp_seconds(col("_2")).as("ts"), col("_3").as("id"),
+      col("_4").as("step"))
+    val steps = Seq("view", "click", "purchase")
+    val q = StreamingIngest.funnelStream(events, col("u"), col("ts"),
+        col("id"), col("step"), steps, horizonSec = 1000)
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("append").start()
+
+    // u=1 completes in order; u=2's view arrives a BATCH AFTER its
+    // purchase (cross-batch disorder within the watermark) — buffering
+    // makes it count exactly as batch would
+    mem.addData((1L, T0 + 10, 1L, "view"), (1L, T0 + 20, 2L, "click"),
+      (2L, T0 + 40, 3L, "purchase"))
+    q.processAllAvailable()
+    mem.addData((1L, T0 + 30, 4L, "purchase"), (2L, T0 + 5, 5L, "view"))
+    q.processAllAvailable()
+    // two watermark pushes: first lets timeouts compute, second fires them
+    mem.addData((9L, T0 + 50000, 6L, "view"))
+    q.processAllAvailable()
+    mem.addData((9L, T0 + 90000, 7L, "view"))
+    q.processAllAvailable()
+    val got = spark.table("stream_funnel")
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)),
+          r.getInt(4))).toMap
+    q.stop()
+
+    assert(got(1L) === ((Seq(T0 + 10, T0 + 20, T0 + 30), 3)))
+    // u=2: view@T0+5 (late-arriving) reached; purchase@T0+40 does NOT
+    // count (no click ever) → depth 1
+    assert(got(2L) === ((Seq(T0 + 5, -1L, -1L), 1)))
+
+    // batch parity on the same rows
+    val batch = Seq((1L, T0 + 10, 1L, "view"), (1L, T0 + 20, 2L, "click"),
+      (2L, T0 + 40, 3L, "purchase"), (1L, T0 + 30, 4L, "purchase"),
+      (2L, T0 + 5, 5L, "view")).toDF("u", "t", "id", "step")
+    val bt = graft.ops.Sessions.funnel(batch, Seq("u"), "t", col("step"),
+        steps, tieBreak = Some("id"))
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)),
+          r.getInt(4))).toMap
+    assert(bt(1L) === got(1L) && bt(2L) === got(2L))
+  }
+
   test("streaming sessions close on watermark and match batch off-boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
