@@ -592,6 +592,21 @@ object SparkEntry {
       Search.bm25TopK(table(s, dir, "documents"), col("text"),
         col("doc_id"), query = "customer vector slow", k = 50)),
 
+    // PARAGRAPH BOILERPLATE PRUNE: drop paragraphs recurring across
+    // ≥10 docs and reconstruct documents in order
+    // (graft.ops.Dedup.paragraphPrune). Corpus docs are single-
+    // paragraph, so the fixture appends a universal footer (pruned
+    // everywhere) and a unique trailer (kept) in BOTH engines
+    "dedup_paragraph_prune" -> ((s, dir) => {
+      val aug = concat(substring(col("text"), 1, 60),
+        lit("\n\nsubscribe to our newsletter today"),
+        lit("\n\nvisit doc number "), col("doc_id").cast(StringType))
+      Dedup.paragraphPrune(
+          table(s, dir, "documents").withColumn("aug", aug),
+          col("aug"), col("doc_id"), minRepeats = 10)
+        .orderBy("doc_id")
+    }),
+
     // DATA MIX: deterministic token-budget composition per source
     // (graft.ops.Mix) — md5(id·seed) shuffle order is portable across
     // engines, so the kept set is identical in the DuckDB oracle
@@ -1299,6 +1314,28 @@ object SparkEntry {
            GROUP BY 1)
          SELECT doc_id, round(s, 6) AS score FROM scored
          ORDER BY round(s, 6) DESC, doc_id LIMIT 50""",
+
+    "dedup_paragraph_prune" ->
+      """WITH d AS (SELECT doc_id,
+           substr(text, 1, 60) || chr(10) || chr(10)
+             || 'subscribe to our newsletter today' || chr(10) || chr(10)
+             || 'visit doc number ' || CAST(doc_id AS VARCHAR) AS t
+           FROM documents),
+         pp AS (SELECT doc_id, s['idx'] AS idx, s['para'] AS para FROM
+           (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)),
+              i -> {'idx': i, 'para': arr[CAST(i AS INT)]})) AS s
+            FROM (SELECT doc_id, regexp_split_to_array(t, '\n\s*\n') AS arr
+                  FROM d))),
+         b AS (SELECT para FROM (SELECT DISTINCT doc_id, para FROM pp)
+               GROUP BY para HAVING count(*) >= 10)
+         SELECT pp.doc_id,
+           coalesce(string_agg(CASE WHEN b.para IS NULL THEN pp.para END,
+             chr(10) || chr(10) ORDER BY pp.idx), '') AS cleaned,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN b.para IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned
+         FROM pp LEFT JOIN b ON pp.para = b.para
+         GROUP BY 1 ORDER BY 1""",
 
     "mix_token_budget" ->
       """WITH d AS (SELECT doc_id, source,

@@ -28,6 +28,44 @@ object Dedup {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Paragraph-level boilerplate pruning (the C4/RefinedWeb cleaning
+    * step): drop every paragraph (split on blank lines) whose EXACT
+    * text recurs in at least `minRepeats` documents corpus-wide —
+    * navigation chrome, subscribe footers, cookie banners — and
+    * reconstruct each document from its surviving paragraphs in
+    * original order. Returns (doc_id, cleaned, n_paras, n_pruned);
+    * docs whose every paragraph is boilerplate survive with empty
+    * text (pruning must not silently delete documents).
+    *
+    * Shape: explode → one aggregate on paragraph text (count per
+    * distinct paragraph is tiny output) → broadcast-or-shuffle join
+    * back → one aggregate on doc_id with an in-order array_sort
+    * reconstruction. Paragraph recurrence counts DOCUMENTS, not
+    * occurrences (array_distinct before the count-side explode), so a
+    * doc repeating its own paragraph doesn't self-boilerplate. */
+  def paragraphPrune(docs: DataFrame, text: Column, id: Column,
+      minRepeats: Int): DataFrame = {
+    val paras = docs.select(id.as("doc_id"),
+      F.posexplode(split(text, "\n\\s*\n")).as(Seq("idx", "para")))
+    val boiler = docs
+      .select(explode(array_distinct(split(text, "\n\\s*\n"))).as("para"))
+      .groupBy("para").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minRepeats)
+      .withColumn("__boiler", lit(1))
+    paras
+      .join(boiler.select("para", "__boiler"), Seq("para"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          F.transform(
+            array_sort(collect_list(
+              when(col("__boiler").isNull, struct(col("idx"), col("para"))))),
+            s => s.getField("para")),
+          "\n\n").as("cleaned"),
+        count(lit(1)).as("n_paras"),
+        sum(coalesce(col("__boiler"), lit(0))).as("n_pruned"))
+  }
+
   /** Word k-shingles of a text column (array of strings). */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)

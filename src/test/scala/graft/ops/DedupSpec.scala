@@ -14,6 +14,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DedupSpec extends AnyFunSuite {
 
+  // ---- paragraph boilerplate pruning -------------------------------
+
+  test("paragraphPrune: corpus-wide repeats drop, order survives, " +
+      "all-boilerplate docs stay as empty text") {
+    import spark.implicits._
+    val footer = "subscribe now"
+    val rows = Seq(
+      (1L, s"unique one\n\n$footer\n\ntail one"),
+      (2L, s"unique two\n\n$footer"),
+      (3L, footer),                      // only boilerplate → empty doc
+      (4L, s"self\n\nself\n\n$footer"))  // self-repeat is NOT boilerplate
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphPrune(rows, col("text"), col("doc_id"),
+        minRepeats = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("unique one\n\ntail one", 3L, 1L)))
+    assert(got(2L) === (("unique two", 2L, 1L)))
+    assert(got(3L) === (("", 1L, 1L)))   // doc survives, text empty
+    assert(got(4L) === (("self\n\nself", 3L, 1L))) // both selfs kept
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
