@@ -583,6 +583,52 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("name")),
 
+    // TS ANOMALY: rolling z-score outlier detection over the hourly
+    // count series (graft.ops.Features.zscoreAnomaly) — each bucket
+    // scored against its trailing 24 buckets excluding itself, one
+    // Exchange+Sort. DuckDB-oracled against identical window SQL
+    "ts_anomaly_hour" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, Map("hour" -> IntervalSpec(TimeStep(3600L))))
+      Features.zscoreAnomaly(grouped(t, "hour"), Seq("name"), "i_time",
+          col("value"), nRows = 24, threshold = 3.0)
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
+          round(col("value"), 6).as("value"),
+          round(col("base_mean"), 6).as("base_mean"),
+          round(col("base_std"), 6).as("base_std"),
+          round(col("z"), 6).as("z"),
+          col("is_anomaly").cast(LongType).as("is_anomaly"))
+        .orderBy("name", "i_time")
+    }),
+
+    // TS INTERPOLATE: linear gap fill of a sparse gauge series over a
+    // dense day axis (graft.ops.Features.interpolateLinear) — interior
+    // nulls become the line through their non-null neighbors, edges
+    // stay null. DuckDB-oracled via IGNORE NULLS window SQL
+    "ts_interpolate_minute" -> ((s, dir) => {
+      val t = eventLog(s, dir, GaugeT, minuteOnly)
+      val axis = s.range(28401120L, 28402560L)
+        .select(lit("error").as("name"), col("id").as("i_time"))
+      val vals = grouped(t, "minute").filter(col("name") === "error")
+      val grid = axis.join(broadcast(vals), Seq("name", "i_time"), "left")
+      Features.interpolateLinear(grid, Seq("name"), "i_time", col("value"))
+        .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
+          round(col("value"), 6).as("value"),
+          round(col("filled"), 6).as("filled"),
+          col("interpolated").cast(LongType).as("interpolated"))
+        .orderBy("i_time")
+    }),
+
+    // EMBEDDING CENTROIDS: per-label elementwise mean vector
+    // (graft.ops.Similarity.labelCentroids) — posexplode + one
+    // (label, pos) hash agg with map-side partials, no collect.
+    // DuckDB-oracled against generate_series subscripting
+    "embed_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(table(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .select(col("label"), col("pos").cast(LongType).as("pos"),
+          col("centroid"), col("n"))
+        .orderBy("label", "pos")),
+
     // SEARCH: BM25 keyword ranking over inverted postings
     // (graft.ops.Search) — filtered postings scan, broadcast df/stats,
     // TakeOrderedAndProject top-k. DuckDB-oracled against the same
@@ -1287,6 +1333,59 @@ object SparkEntry {
          FROM o
          WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
          ORDER BY user_id, seq""",
+
+    "ts_anomaly_hour" ->
+      """WITH h AS (SELECT event_type AS name,
+                    CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+                    sum(value) AS v
+             FROM events GROUP BY 1,2)
+         SELECT name, i_time, round(v, 6) AS value,
+           round(avg(v) OVER f, 6) AS base_mean,
+           round(stddev_samp(v) OVER f, 6) AS base_std,
+           round(CASE WHEN count(v) OVER f = 24 AND stddev_samp(v) OVER f > 0
+                 THEN (v - avg(v) OVER f) / (stddev_samp(v) OVER f) END, 6) AS z,
+           CAST(coalesce(
+             abs(CASE WHEN count(v) OVER f = 24 AND stddev_samp(v) OVER f > 0
+                 THEN (v - avg(v) OVER f) / (stddev_samp(v) OVER f) END) >= 3.0,
+             false) AS BIGINT) AS is_anomaly
+         FROM h
+         WINDOW f AS (PARTITION BY name ORDER BY i_time
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         ORDER BY 1, 2""",
+
+    "ts_interpolate_minute" ->
+      """WITH axis AS (SELECT unnest(generate_series(28401120, 28402559)) AS b),
+         d AS (SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS b,
+                      arg_max(value, event_id) AS v
+               FROM events WHERE event_type='error' GROUP BY 1),
+         g AS (SELECT axis.b, d.v FROM axis LEFT JOIN d USING(b)),
+         w AS (SELECT b, v,
+           last_value(v IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+             OVER wb AS pt,
+           first_value(v IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+             OVER wf AS nt
+           FROM g
+           WINDOW wb AS (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  wf AS (ORDER BY b
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT 'error' AS name, b*60 AS i_time, round(v, 6) AS value,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (b - pt) / CAST(nt - pt AS DOUBLE)
+                 END, 6) AS filled,
+           CAST((v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS BIGINT)
+             AS interpolated
+         FROM w ORDER BY 2""",
+
+    "embed_label_centroids" ->
+      """SELECT label, g.pos AS pos,
+           round(avg(CAST(embedding[g.pos] AS DOUBLE)), 6) AS centroid,
+           count(*) AS n
+         FROM embeddings, generate_series(1, 64) AS g(pos)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "events_value_quantiles" ->
       """SELECT event_type AS name,

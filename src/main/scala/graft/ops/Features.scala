@@ -35,4 +35,62 @@ object Features {
       .withColumn("roll_max", max(value).over(frame))
       .withColumn("seq", row_number().over(w).cast("long"))
   }
+
+  /** Rolling z-score anomaly detection: each point scored against the
+    * trailing `nRows` points EXCLUDING itself (so a spike can't mask
+    * itself by inflating its own baseline). `z` is null until the
+    * trailing frame is full and has positive spread — a warm-up point
+    * or a constant baseline yields no verdict rather than a fake one.
+    * `is_anomaly` is never null (false where z is null).
+    *
+    * Same one-Exchange+Sort posture as [[rolling]]: both frame
+    * aggregates and the verdict stack over a single (keys, time)
+    * window. stddev is the sample estimator (n−1), matching standard
+    * SQL `stddev_samp` everywhere. */
+  def zscoreAnomaly(series: DataFrame, keys: Seq[String], time: String,
+      value: Column, nRows: Int, threshold: Double = 3.0,
+      tieBreak: Option[String] = None): DataFrame = {
+    require(nRows >= 2, "zscoreAnomaly needs a trailing frame of >= 2 rows")
+    val order = col(time).asc +: tieBreak.map(col(_).asc).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val frame = w.rowsBetween(-nRows.toLong, -1)
+    val m = avg(value).over(frame)
+    val s = stddev_samp(value).over(frame)
+    val c = count(value).over(frame)
+    val z = when(c === nRows && s > 0, (value - m) / s)
+    series
+      .withColumn("base_mean", m)
+      .withColumn("base_std", s)
+      .withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(z) >= threshold, lit(false)))
+  }
+
+  /** Linear interpolation of null gaps in a keyed series: a null value
+    * between two non-null neighbors becomes the line through them,
+    * weighted by the NUMERIC `time` column (so irregular spacing
+    * interpolates correctly, not by row position). Leading/trailing
+    * gaps — no neighbor on one side — stay null (`filled` mirrors the
+    * input there, `interpolated` = false): extrapolation is a modeling
+    * decision this operator refuses to make silently.
+    *
+    * Execution: four frame aggregates (last/first non-null value and
+    * time, backward and forward) over ONE (keys, time) partitioning —
+    * Catalyst plans a single Exchange+Sort with both frame directions
+    * in one WindowExec. Per-row state is O(1); a 100 TB series log
+    * costs one shuffle on the key. */
+  def interpolateLinear(series: DataFrame, keys: Seq[String], time: String,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(time).asc)
+    val back = w.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(value, ignoreNulls = true).over(back)
+    val pt = last(when(value.isNotNull, col(time)), ignoreNulls = true).over(back)
+    val nv = first(value, ignoreNulls = true).over(fwd)
+    val nt = first(when(value.isNotNull, col(time)), ignoreNulls = true).over(fwd)
+    val interp = pv + (nv - pv) * (col(time) - pt) / (nt - pt)
+    val gap = value.isNull && pv.isNotNull && nv.isNotNull
+    series
+      .withColumn("filled", when(value.isNotNull, value).when(gap, interp))
+      .withColumn("interpolated", gap)
+  }
 }

@@ -132,6 +132,23 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Per-label embedding centroids: elementwise mean vector per label,
+    * emitted as (label, pos, centroid, n) rows — the class-prototype /
+    * cluster-summary primitive (label → nearest-centroid classification,
+    * per-source embedding drift monitoring, coreset seeding).
+    *
+    * Shape at scale: posexplode multiplies rows by the dimension, then
+    * ONE (label, pos) hash aggregation with map-side partials — no
+    * collect, no per-label array materialization. `pos` is 1-based.
+    * Accumulation in double; `roundTo` makes the output
+    * order-insensitive for cross-engine comparison. */
+  def labelCentroids(emb: DataFrame, label: Column, vec: Column,
+      roundTo: Int = 6): DataFrame =
+    emb.select(label.as("label"), posexplode(vec).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(round(avg(col("v").cast(DoubleType)), roundTo).as("centroid"),
+        count(lit(1)).as("n"))
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` lists; each query probes only its `nprobe`
     * nearest lists. The classic FAISS-style scale path: index build is

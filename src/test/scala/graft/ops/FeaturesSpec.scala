@@ -49,4 +49,71 @@ class FeaturesSpec extends AnyFunSuite {
     assert(exchanges === 1, plan)
     assert(sorts === 1, plan)
   }
+
+  test("zscoreAnomaly: warm-up null, self-exclusion, verdict never null") {
+    import spark.implicits._
+    // key A: 4 stable points then a spike; frame of 3
+    val ev = (1 to 4).map(i => ("A", i.toLong, 10.0 + (i % 2))) :+
+      ("A", 5L, 100.0) :+ ("B", 1L, 1.0)
+    val got = Features.zscoreAnomaly(ev.toDF("k", "t", "v"), Seq("k"), "t",
+        col("v"), nRows = 3, threshold = 3.0)
+      .select("k", "t", "z", "is_anomaly")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+
+    // first 3 rows of A: trailing frame not yet full -> z null, verdict false
+    (1L to 3L).foreach { t =>
+      assert(got(("A", t)).isNullAt(2), s"t=$t should be warm-up")
+      assert(!got(("A", t)).getBoolean(3))
+    }
+    // t=4: frame = {11,10,11}, value 10 -> modest |z|, not anomalous
+    assert(!got(("A", 4L)).getBoolean(3))
+    // t=5: spike scored against the PRE-spike baseline {10,11,10}
+    val z5 = got(("A", 5L)).getDouble(2)
+    assert(z5 > 3.0, s"spike z=$z5")
+    assert(got(("A", 5L)).getBoolean(3))
+    // B: single point, frame never fills, verdict false not null
+    assert(got(("B", 1L)).isNullAt(2) && !got(("B", 1L)).getBoolean(3))
+  }
+
+  test("zscoreAnomaly: constant baseline (zero spread) yields no verdict") {
+    import spark.implicits._
+    val ev = Seq(("A", 1L, 5.0), ("A", 2L, 5.0), ("A", 3L, 5.0), ("A", 4L, 99.0))
+    val got = Features.zscoreAnomaly(ev.toDF("k", "t", "v"), Seq("k"), "t",
+        col("v"), nRows = 3, threshold = 3.0)
+      .filter(col("t") === 4L).select("z", "is_anomaly").head()
+    assert(got.isNullAt(0), "zero-spread baseline must not divide")
+    assert(!got.getBoolean(1))
+  }
+
+  test("interpolateLinear: interior gaps weighted by time, edges stay null") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 0L, None: Option[Double]),          // leading edge: stays null
+      ("A", 10L, Some(10.0)),
+      ("A", 20L, None), ("A", 25L, None),       // irregular-space gap
+      ("A", 40L, Some(40.0)),
+      ("A", 50L, None),                         // trailing edge: stays null
+      ("B", 10L, Some(7.0))).toDF("k", "t", "v")
+    val got = Features.interpolateLinear(rows, Seq("k"), "t", col("v"))
+      .select("k", "t", "filled", "interpolated")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+
+    assert(got(("A", 0L)).isNullAt(2) && !got(("A", 0L)).getBoolean(3))
+    assert(got(("A", 10L)).getDouble(2) === 10.0 && !got(("A", 10L)).getBoolean(3))
+    // time-weighted, not row-weighted: 10 + 30*(20-10)/(40-10) = 20
+    assert(got(("A", 20L)).getDouble(2) === 20.0 && got(("A", 20L)).getBoolean(3))
+    assert(got(("A", 25L)).getDouble(2) === 25.0)
+    assert(got(("A", 40L)).getDouble(2) === 40.0)
+    assert(got(("A", 50L)).isNullAt(2) && !got(("A", 50L)).getBoolean(3))
+    assert(got(("B", 10L)).getDouble(2) === 7.0)  // keys isolated
+  }
+
+  test("plan: interpolateLinear's four frames share one Exchange+Sort") {
+    import spark.implicits._
+    val rows = Seq(("A", 1L, Option(1.0))).toDF("k", "t", "v")
+    val plan = Features.interpolateLinear(rows, Seq("k"), "t", col("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert("Sort \\[".r.findAllIn(plan).length === 1, plan)
+  }
 }
