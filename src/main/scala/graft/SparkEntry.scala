@@ -747,6 +747,23 @@ object SparkEntry {
         materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // INCREMENTAL near-dup against the persisted minhash index: store
+    // built once over doc_id >= 50 (memoized write-once job), the
+    // "crawl increment" (doc_id < 50) is hashed and joined against the
+    // stored signatures — no stored text re-read. Rows-only (engine
+    // hashing); indexed==inline parity is MinhashIndexSpec-proven
+    "dedup_minhash_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("minhash", dir)(p =>
+        Dedup.buildMinhashIndex(docs.filter(col("doc_id") >= 50),
+          col("text"), col("doc_id"), p,
+          shingleK = 2, numHashes = 16, bands = 8))
+      Dedup.nearDupAgainstIndex(s, store, docs.filter(col("doc_id") < 50),
+        col("text"), col("doc_id"), jaccardThreshold = 0.3,
+        materialize = eagerPairs)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // SimHash fingerprint near-dup pairs. maxHamming=7 blocks via
     // multi-index hashing (4×16-bit chunks, per-chunk radius 1):
     // candidate generation is EXACT, verified by DedupSpec against
@@ -935,6 +952,28 @@ object SparkEntry {
         Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents"))),
         224, 224)
         .orderBy("doc_id")),
+
+    // multimodal: perceptual-hash near-dup pairs over the BINARY media
+    // column — one payload pass to 8-byte fingerprints, then the exact
+    // multi-index hamming blocking (MultimodalSpec proves blocked ==
+    // brute force; rows-only — the kernel is engine-local). The
+    // corpus' text near-dups are NOT media near-dups (word edits shift
+    // every downstream byte), so the fixture plants what media dedup
+    // actually hunts: a "re-encode" of every 10th doc — same payload
+    // with one 8-byte run replaced by bytes copied from elsewhere in
+    // the SAME payload (sum-preserving, so only the touched blocks
+    // flip — a constant overwrite would shift the global mean and
+    // flip every near-tie block of these narrow-range text bytes)
+    "media_phash_pairs" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(table(s, dir, "documents"))
+      val reenc = media.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("media_type"),
+          overlay(col("media"), substring(col("media"), 33, 8), lit(17))
+            .as("media"))
+      Multimodal.phashPairs(media.unionByName(reenc),
+        col("doc_id"), col("media"), maxHamming = 3,
+        materialize = eagerPairs)
+    }),
 
     // multimodal: frame sampling plan for video rows
     "mm_frame_sample" -> ((s, dir) =>

@@ -47,6 +47,42 @@ object Kernels {
     fp
   }
 
+  /** 64-bit block-mean perceptual hash over a decoded media payload:
+    * the bytes split into 64 equal blocks (boundary i·len/64), bit i =
+    * block mean above the global mean — the classic blockhash/aHash
+    * construction, so a LOCALIZED edit flips only the bits of the
+    * blocks it touches and hamming distance tracks payload similarity.
+    * With a real codec this runs over downsampled grayscale pixels
+    * (same signature — the decode stage hands it the decoded bytes);
+    * under the stubbed codec it runs over the raw payload, which keeps
+    * every distributional property the blocking layer cares about.
+    * Payloads shorter than 64 bytes leave their empty blocks at bit 0.
+    * Integer accumulation only — bit-identical on every JVM. */
+  def phash64(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    if (len == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < len) { total += (bytes(i) & 0xff); i += 1 }
+    // global mean as a rational total/len — block comparison
+    // cross-multiplies so no float division enters the fingerprint
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      val from = (b.toLong * len / 64).toInt
+      val until = ((b + 1).toLong * len / 64).toInt
+      if (until > from) {
+        var s = 0L
+        var j = from
+        while (j < until) { s += (bytes(j) & 0xff); j += 1 }
+        // s/(until-from) > total/len  <=>  s*len > total*(until-from)
+        if (s * len > total * (until - from)) fp |= (1L << b)
+      }
+      b += 1
+    }
+    fp
+  }
+
   /** MinHash signature over string elements: the element bytes are
     * hashed ONCE (XXH64, seed 0) and the n family members derive from
     * that 64-bit base with one cheap hashLong re-mix each — n× fewer
@@ -700,6 +736,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** media BINARY → 64-bit block-mean perceptual hash. */
+case class PHash64(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"phash64 needs BINARY, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.phash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.phash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+}
+
 /** text STRING → ARRAY<BIGINT> of distinct char-n-gram hashes. */
 /** ARRAY<FLOAT> → ARRAY<TINYINT> int8 scalar quantization (SQ8). */
 case class QuantizeQ8(child: Expression) extends UnaryExpression {
@@ -981,6 +1032,7 @@ case class CosineSimQ8(left: Expression, right: Expression)
 object GraftFunctions {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
   def simhash64(text: Column): Column = GraftColumnBridge.column(SimHash64(e(text)))
+  def phash64(media: Column): Column = GraftColumnBridge.column(PHash64(e(media)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
@@ -116,22 +116,60 @@ object Dedup {
     *     driven by the background, not the threshold);
     *  6. exact Jaccard over the element sets for the survivors.
     */
+  /** (doc_id, elems, sig, n) signature table — shared by the inline
+    * funnel and the persisted index. `n` is SET cardinality (the
+    * size-ratio guard's invariant j >= t ⟹ |A|/|B| ∈ [t, 1/t] only
+    * holds for distinct counts; shingles() keeps duplicates, so a
+    * repetitive doc would otherwise be silently dropped against its
+    * compact twin). */
+  private def signatureTable(docsKeyed: DataFrame, numHashes: Int,
+      elemsDistinct: Boolean): DataFrame = {
+    val card = if (elemsDistinct) size(col("elems"))
+               else size(array_distinct(col("elems")))
+    docsKeyed
+      .withColumn("sig", minhashSignature(col("elems"), numHashes))
+      .withColumn("n", card)
+  }
+
+  /** Band explosion of a signature table: one (doc_id, n, band, bh) row
+    * per band, bh = xxhash64 of the band's signature slice. Reading
+    * from a STORED signature table, upstream column pruning keeps the
+    * (wide) elems column out of this scan. */
+  private def bandTable(sigTable: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigTable.select(col("doc_id"), col("n"),
+      posexplode(F.transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+
+  /** The shared verification funnel: signature-estimate prefilter
+    * (skipped when the margin covers the whole range) then exact
+    * Jaccard over element sets, both via key-equality joins against
+    * `lookup` (doc_id, sig, elems). */
+  private def verifyCandidates(cands: DataFrame, lookup: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
+    val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val likely =
+      if (threshold - margin <= 0) cands
+      else {
+        val est = graft.functions.GraftFunctions.sigMatch(col("sig_a"), col("sig_b"))
+        cands
+          .join(lookup.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(lookup.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .filter(est >= threshold - margin)
+          .select("id_a", "id_b")
+      }
+    likely
+      .join(lookup.select(col("doc_id").as("id_a"), col("elems").as("e_a")), Seq("id_a"))
+      .join(lookup.select(col("doc_id").as("id_b"), col("elems").as("e_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   private def lshPairs(docsKeyed: DataFrame, numHashes: Int, bands: Int,
       bucketCap: Int, threshold: Double, elemsDistinct: Boolean,
       materialize: Boolean = true): DataFrame = {
     val rows = numHashes / bands
-    // size-ratio guard needs SET cardinality (j >= t bounds |A|/|B| only
-    // for distinct counts; shingles() keeps duplicates, so a repetitive
-    // doc would otherwise be silently dropped against its compact twin)
-    val card = if (elemsDistinct) size(col("elems"))
-               else size(array_distinct(col("elems")))
-    val base = docsKeyed
-      .withColumn("sig", minhashSignature(col("elems"), numHashes))
-      .withColumn("n", card)
-      .persist()
-    val banded = base.select(col("doc_id"), col("n"),
-      posexplode(F.transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+    val base = signatureTable(docsKeyed, numHashes, elemsDistinct).persist()
+    val banded = bandTable(base, bands, rows)
     val capped = dropOversizedBuckets(banded, Seq("band", "bh"), bucketCap)
     val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("n").as("n_b"))
@@ -141,22 +179,7 @@ object Dedup {
           greatest(col("n_a"), col("n_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct()
-    val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val likely =
-      if (threshold - margin <= 0) cands
-      else {
-        val est = graft.functions.GraftFunctions.sigMatch(col("sig_a"), col("sig_b"))
-        cands
-          .join(base.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-          .join(base.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-          .filter(est >= threshold - margin)
-          .select("id_a", "id_b")
-      }
-    val verified = likely
-      .join(base.select(col("doc_id").as("id_a"), col("elems").as("e_a")), Seq("id_a"))
-      .join(base.select(col("doc_id").as("id_b"), col("elems").as("e_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val verified = verifyCandidates(cands, base, numHashes, threshold)
     // default: materialize the (tiny) verified pair set eagerly so the
     // signature cache can be released NOW — without this, repeated
     // pipeline calls accumulate cached tables for the session's life.
@@ -195,20 +218,131 @@ object Dedup {
   private def spreadById(docs: DataFrame, id: Column, payload: Column): DataFrame =
     docs.select(id.as("doc_id"), payload.as("__raw")).repartition(col("doc_id"))
 
+  /** (doc_id, elems) with elems = xxhash64'd word k-shingles — shingles
+    * travel as longs like the char-n-gram funnel: identical Jaccard up
+    * to 2^-64 collisions, ~1/3 the verify-join bytes of shingle
+    * strings, and the primitive (unboxed) set kernel on the verify
+    * path. */
+  private def shingleElems(docs: DataFrame, text: Column, id: Column,
+      shingleK: Int): DataFrame =
+    spreadById(docs, id, text)
+      .select(col("doc_id"),
+        F.transform(shingles(col("__raw"), shingleK), s => xxhash64(s)).as("elems"))
+
   def minhashLSH(docs: DataFrame, text: Column, id: Column,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.5, bucketCap: Int = 100000,
-      materialize: Boolean = true): DataFrame = {
-    // shingles travel as xxhash64 longs, like the char-n-gram funnel:
-    // identical Jaccard up to 2^-64 collisions, ~1/3 the verify-join
-    // bytes of word-shingle strings, and the primitive (unboxed)
-    // set kernel on the verify path
-    val base = spreadById(docs, id, text)
-      .select(col("doc_id"),
-        F.transform(shingles(col("__raw"), shingleK), s => xxhash64(s)).as("elems"))
-    lshPairs(base, numHashes, bands, bucketCap, jaccardThreshold,
+      materialize: Boolean = true): DataFrame =
+    lshPairs(shingleElems(docs, text, id, shingleK), numHashes, bands,
+      bucketCap, jaccardThreshold,
       elemsDistinct = false, // shingles() keeps duplicates
       materialize = materialize)
+
+  // ---- persisted minhash index (incremental near-dup) -----------------
+
+  /** Build the write-once half of incremental near-dup dedup: persist
+    * each document's minhash signature, set cardinality, and hashed
+    * shingle set. A new crawl increment is then deduplicated against
+    * the whole corpus ([[nearDupAgainstIndex]]) WITHOUT re-reading or
+    * re-hashing any stored text — the per-increment cost is hashing the
+    * increment plus key-equality joins against this store.
+    *
+    * Layout: `path/meta` (one row: shingle_k, num_hashes, bands — the
+    * query path reads its parameters from here, so a build/query
+    * mismatch is structurally impossible) and `path/docs`
+    * (doc_id, n, sig, elems). Storing `elems` is what buys
+    * verification-without-rescan; it costs ~8 bytes per token — the
+    * same order as the corpus text it replaces on the read path.
+    * Old-old pairs are the BUILD-time dedup's job (run [[minhashLSH]]
+    * over the corpus once); the index query reports only pairs that
+    * touch the increment. */
+  def buildMinhashIndex(docs: DataFrame, text: Column, id: Column,
+      path: String, shingleK: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleK, numHashes, bands))
+      .toDF("shingle_k", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    signatureTable(shingleElems(docs, text, id, shingleK), numHashes,
+        elemsDistinct = false)
+      .select("doc_id", "n", "sig", "elems")
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Append an increment to a stored minhash index. Ids already present
+    * are anti-joined away (idempotent under replay, and the store keeps
+    * one row per doc_id — the join contract of the query path). Call
+    * AFTER deduplicating the increment against the store, or the
+    * appended near-dups become stored near-dups. */
+  def appendToMinhashIndex(spark: SparkSession, indexPath: String,
+      docs: DataFrame, text: Column, id: Column): Unit = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (k, numHashes) = (meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"))
+    signatureTable(shingleElems(docs, text, id, k), numHashes,
+        elemsDistinct = false)
+      .select("doc_id", "n", "sig", "elems")
+      .join(spark.read.parquet(s"$indexPath/docs").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(s"$indexPath/docs")
+  }
+
+  /** Near-duplicate pairs between an increment and a stored minhash
+    * index (plus pairs WITHIN the increment): the incremental twin of
+    * [[minhashLSH]], same funnel — band explosion, union bucket cap (a
+    * bucket hot across store+increment squares in the join no matter
+    * which side fed it), size-ratio guard, per-pair distinct,
+    * signature-estimate prefilter, exact Jaccard — with the corpus side
+    * read from the store. Stored-stored pairs are NOT re-derived.
+    *
+    * Output (id_a, id_b, jaccard), id_a < id_b, at least one side from
+    * the increment. Ids must be unique ACROSS store and increment (the
+    * [[appendToMinhashIndex]] anti-join maintains this for the store).
+    * Store scans prune columns: banding reads (doc_id, n, sig),
+    * verification reads (doc_id, sig, elems) — the wide elems column
+    * never rides the band explosion. */
+  def nearDupAgainstIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame, text: Column, id: Column,
+      jaccardThreshold: Double = 0.5, bucketCap: Int = 100000,
+      materialize: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (k, numHashes, bands) = (meta.getAs[Int]("shingle_k"),
+      meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
+    val rows = numHashes / bands
+    val stored = spark.read.parquet(s"$indexPath/docs")
+    val newBase = signatureTable(shingleElems(newDocs, text, id, k),
+      numHashes, elemsDistinct = false).persist()
+
+    val banded = bandTable(newBase, bands, rows).withColumn("is_new", lit(true))
+      .unionByName(bandTable(stored, bands, rows).withColumn("is_new", lit(false)))
+    val capped = dropOversizedBuckets(banded, Seq("band", "bh"), bucketCap)
+    // left side = increment only (stored-stored pairs never form);
+    // right side = both. New-new pairs orient id_a < id_b; new-old
+    // pairs form exactly once (old ids never appear on the left), then
+    // canonicalize to id_a < id_b.
+    val a = capped.filter(col("is_new"))
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"), col("n").as("n_a"))
+    val b = capped
+      .select(col("band"), col("bh"), col("doc_id").as("id_b"), col("n").as("n_b"),
+        col("is_new").as("new_b"))
+    val cands = a.join(b, Seq("band", "bh"))
+      .filter((!col("new_b") || col("id_a") < col("id_b")) &&
+        col("id_a") =!= col("id_b") &&
+        least(col("n_a"), col("n_b")).cast(DoubleType) /
+          greatest(col("n_a"), col("n_b")) >= jaccardThreshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val lookup = newBase.select("doc_id", "sig", "elems")
+      .unionByName(stored.select("doc_id", "sig", "elems"))
+    val verified = verifyCandidates(cands, lookup, numHashes, jaccardThreshold)
+    if (!materialize) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      newBase.unpersist()
+      out
+    }
   }
 
   /** Character n-gram Jaccard near-duplicate pairs, banded-MinHash
@@ -303,7 +437,20 @@ object Dedup {
     * (h ≤ 3), c=4 radius-1 (h ≤ 7), c=8 radius-1 (h ≤ 15), … */
   def simhashPairs(docs: DataFrame, text: Column, id: Column,
       maxHamming: Int = 3, chunks: Int = 0, bucketCap: Int = 100000,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true): DataFrame =
+    hammingPairs(
+      spreadById(docs, id, text)
+        .select(col("doc_id"), simhash(col("__raw")).as("fp")),
+      maxHamming, chunks, bucketCap, materialize)
+
+  /** Multi-index-hashing hamming near-dup pairs over ANY precomputed
+    * 64-bit fingerprint table (`doc_id`, `fp`) — the blocking layer
+    * behind [[simhashPairs]] (text fingerprints) and
+    * [[Multimodal.phashPairs]] (media perceptual hashes). Candidate
+    * generation is EXACT for per-chunk radius ≤ 1 (Norouzi et al.:
+    * h ≤ c·(r+1)−1 errors cannot exceed radius r in every chunk). */
+  def hammingPairs(fps: DataFrame, maxHamming: Int = 3, chunks: Int = 0,
+      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
     val c = if (chunks > 0) chunks
             else if (maxHamming < 4) Seq(2, 4).find(_ > maxHamming).getOrElse(4)
             else Seq(4, 8, 16, 32, 64).find(_ * 2 > maxHamming).getOrElse(64)
@@ -316,10 +463,8 @@ object Dedup {
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
     // persist the (doc_id, fp) table: one row per doc, and it feeds the
     // bucket-count aggregates AND both join sides — without the cache
-    // the tokenize+64-bit-vote simhash pipeline recomputes three times
-    val fp = spreadById(docs, id, text)
-      .select(col("doc_id"), simhash(col("__raw")).as("fp"))
-      .persist()
+    // the upstream fingerprint pipeline recomputes three times
+    val fp = fps.select(col("doc_id"), col("fp")).persist()
     val chunked = fp.select(col("doc_id"), col("fp"),
       posexplode(F.transform(sequence(lit(0), lit(c - 1)),
         k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -97,6 +97,29 @@ object Multimodal {
         floor(col("width") * scale).cast(IntegerType).as("out_w"),
         floor(col("height") * scale).cast(IntegerType).as("out_h"))
   }
+
+  /** 64-bit block-mean perceptual hash of a media payload column — the
+    * codegen kernel [[graft.functions.Kernels.phash64]]. Under the
+    * stubbed codec it fingerprints the raw payload bytes; with a real
+    * codec the decode stage hands it downsampled grayscale pixels and
+    * it becomes the classic blockhash. */
+  def phash64(media: Column): Column =
+    graft.functions.GraftFunctions.phash64(media)
+
+  /** Near-duplicate MEDIA pairs by perceptual-hash hamming distance:
+    * one fingerprint pass over the payload column, then the same
+    * multi-index-hashing blocking as text simhash
+    * ([[Dedup.hammingPairs]] — exact candidate generation for the
+    * default radius, capped hot buckets, pairs deduped before the
+    * bit_count verify). The 100 TB shape: payloads are read ONCE to
+    * produce 8-byte fingerprints; every join and shuffle after that
+    * carries (doc_id, fp) only — media bytes never ride a shuffle. */
+  def phashPairs(media: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = 3, chunks: Int = 0, bucketCap: Int = 100000,
+      materialize: Boolean = true): DataFrame =
+    Dedup.hammingPairs(
+      media.select(id.as("doc_id"), phash64(payload).as("fp")),
+      maxHamming, chunks, bucketCap, materialize)
 
   /** Frame-sampling plan: every `stride`-th frame index per video —
     * an explode, not a decode; the decode of selected frames would be

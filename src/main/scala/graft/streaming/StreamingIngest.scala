@@ -84,6 +84,23 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream documents into a persisted minhash near-dup index
+    * ([[graft.ops.Dedup.appendToMinhashIndex]] per micro-batch): the
+    * corpus signature store grows as documents arrive, and each
+    * increment can be near-dup-checked against everything before it
+    * ([[graft.ops.Dedup.nearDupAgainstIndex]]) without re-hashing
+    * stored text. The append's doc_id anti-join makes replayed
+    * micro-batches idempotent on the store. */
+  def appendStreamToMinhashIndex(docs: DataFrame, indexPath: String,
+      checkpoint: String, text: Column, id: Column) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.appendToMinhashIndex(batch.sparkSession, indexPath,
+          batch, text, id)
+      }
+      .start()
+
   /** Streaming ordered funnel — the custom-state streaming twin of
     * [[graft.ops.Sessions.funnel]], on `flatMapGroupsWithState` with
     * an EVENT-TIME timeout: per key, step events buffer in state until

@@ -33,7 +33,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
              graft_rolling_hash(x) AS rh,
              graft_text_stats(x).n_tokens AS nt,
              graft_repetition_stats(x).dup_line_frac AS dl,
-             graft_winnow(x, 2, 2) AS w
+             graft_winnow(x, 2, 2) AS w,
+             graft_phash64(cast(x AS BINARY)) AS ph
       FROM t""").head()
     assert(r.getDouble(4) === 0.6) // |{b,c,d}| / |{a,b,c,d,e}|
     assert(r.getLong(7) === 4L)
