@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.model._
@@ -629,6 +630,31 @@ object SparkEntry {
           col("centroid"), col("n"))
         .orderBy("label", "pos")),
 
+    // NEAREST-CENTROID ASSIGNMENT: each vector classified to its
+    // max-cosine label centroid — centroids rebuilt from the rounded
+    // (label, pos) rows so BOTH engines score bit-identical inputs;
+    // rank-1 cut on (rounded cosine desc, label asc) is deterministic.
+    // Corpus side streams once against the broadcast 10-row centroid
+    // table; no KMeans, no collect
+    "embed_centroid_assign" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cvec = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+        .groupBy(col("label").as("pred_label"))
+        .agg(F.transform(array_sort(collect_list(struct(col("pos"), col("centroid")))),
+          e => e.getField("centroid")).as("cvec"))
+      val scored = emb.select(col("vec_id"), col("label"),
+          F.transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+        .join(broadcast(cvec))
+        .select(col("vec_id"), col("label"), col("pred_label"),
+          round(Similarity.cosine(col("e"), col("cvec")), 6).as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("pred_label").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("vec_id", "label", "pred_label", "cos")
+        .orderBy("vec_id")
+    }),
+
     // SEARCH: BM25 keyword ranking over inverted postings
     // (graft.ops.Search) — filtered postings scan, broadcast df/stats,
     // TakeOrderedAndProject top-k. DuckDB-oracled against the same
@@ -973,6 +999,23 @@ object SparkEntry {
       Multimodal.phashPairs(media.unionByName(reenc),
         col("doc_id"), col("media"), maxHamming = 3,
         materialize = eagerPairs)
+    }),
+
+    // multimodal: INCREMENTAL phash dedup — fingerprint index built
+    // once over the original media (memoized write-once job, 16 B/doc),
+    // the re-encode increment fingerprints and joins against the store
+    // with no payload rescan (rows-only; indexed==inline proven in
+    // MultimodalSpec)
+    "media_phash_indexed" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(table(s, dir, "documents"))
+      val store = memoStore("phash", dir)(p =>
+        Multimodal.buildPhashIndex(media, col("doc_id"), col("media"), p))
+      val reenc = media.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("media_type"),
+          overlay(col("media"), substring(col("media"), 33, 8), lit(17))
+            .as("media"))
+      Multimodal.phashAgainstIndex(s, store, reenc, col("doc_id"),
+        col("media"), maxHamming = 3, materialize = eagerPairs)
     }),
 
     // multimodal: frame sampling plan for video rows
@@ -1425,6 +1468,21 @@ object SparkEntry {
            count(*) AS n
          FROM embeddings, generate_series(1, 64) AS g(pos)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "embed_centroid_assign" ->
+      """WITH c AS (SELECT label, g.pos,
+              round(avg(CAST(embedding[g.pos] AS DOUBLE)), 6) AS v
+            FROM embeddings, generate_series(1, 64) AS g(pos) GROUP BY 1, 2),
+         cv AS (SELECT label AS pred_label, list(v ORDER BY pos) AS cvec
+                FROM c GROUP BY 1),
+         s AS (SELECT e.vec_id, e.label, cv.pred_label,
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              cv.cvec), 6) AS cos
+               FROM embeddings e CROSS JOIN cv),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, pred_label) AS rk FROM s)
+         SELECT vec_id, label, pred_label, cos FROM r WHERE rk = 1
+         ORDER BY vec_id""",
 
     "events_value_quantiles" ->
       """SELECT event_type AS name,

@@ -449,49 +449,60 @@ object Dedup {
     * [[Multimodal.phashPairs]] (media perceptual hashes). Candidate
     * generation is EXACT for per-chunk radius ≤ 1 (Norouzi et al.:
     * h ≤ c·(r+1)−1 errors cannot exceed radius r in every chunk). */
-  def hammingPairs(fps: DataFrame, maxHamming: Int = 3, chunks: Int = 0,
-      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
+  /** Chunk count + chunk width for multi-index hamming blocking, with
+    * the radius-≤1 guard (Norouzi et al.). */
+  private def mihConfig(maxHamming: Int, chunks: Int): (Int, Int) = {
     val c = if (chunks > 0) chunks
             else if (maxHamming < 4) Seq(2, 4).find(_ > maxHamming).getOrElse(4)
             else Seq(4, 8, 16, 32, 64).find(_ * 2 > maxHamming).getOrElse(64)
     require(64 % c == 0, s"chunks must divide 64, got $c")
-    val r = maxHamming / c
-    require(r <= 1,
-      s"maxHamming=$maxHamming over $c chunks needs per-chunk radius $r > 1; " +
+    require(maxHamming / c <= 1,
+      s"maxHamming=$maxHamming over $c chunks needs per-chunk radius ${maxHamming / c} > 1; " +
         s"use at least ${maxHamming / 2 + 1} chunks")
-    val width = 64 / c
+    (c, 64 / c)
+  }
+
+  /** One (…, chunk, ck) row per fingerprint chunk; all input columns
+    * (e.g. an is_new tag) ride along. */
+  private def chunkExplode(fp: DataFrame, c: Int, width: Int): DataFrame = {
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    fp.select(fp.columns.map(col) :+
+      posexplode(F.transform(sequence(lit(0), lit(c - 1)),
+        k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
+        .as(Seq("chunk", "ck")): _*)
+  }
+
+  /** Radius-1 ball: each chunk row plus one row per flipped bit —
+    * (width + 1) rows per input row. Built from the CAPPED table, not
+    * the raw one: ball rows of a dropped hot bucket would otherwise
+    * land on its `width` neighbor keys and multiply against those
+    * keys' exact rows (cap × hot-bucket output — exactly the blowup
+    * the cap exists to stop). From the capped side, |ball@k| ≤
+    * (width+1) × cap, so per-key join output is bounded by
+    * (width+1) × cap². A doc whose bucket was dropped loses that one
+    * chunk's ball rows and falls back on its other c−1 chunks — the
+    * same lossiness contract as every capped funnel here. */
+  private def ballExplode(chunked: DataFrame, width: Int): DataFrame =
+    chunked.select(chunked.columns.filter(_ != "ck").map(col) :+
+      explode(F.transform(sequence(lit(0), lit(width)),
+        i => when(i === 0, col("ck")).otherwise(
+          col("ck").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))).as("ck"): _*)
+
+  def hammingPairs(fps: DataFrame, maxHamming: Int = 3, chunks: Int = 0,
+      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
+    val (c, width) = mihConfig(maxHamming, chunks)
+    val r = maxHamming / c
     // persist the (doc_id, fp) table: one row per doc, and it feeds the
     // bucket-count aggregates AND both join sides — without the cache
     // the upstream fingerprint pipeline recomputes three times
     val fp = fps.select(col("doc_id"), col("fp")).persist()
-    val chunked = fp.select(col("doc_id"), col("fp"),
-      posexplode(F.transform(sequence(lit(0), lit(c - 1)),
-        k => call_function("shiftright", col("fp"), k * width).bitwiseAND(mask)))
-        .as(Seq("chunk", "ck")))
+    val chunked = chunkExplode(fp, c, width)
     // persisted when it feeds two consumers (join side a AND the ball
     // explosion): without the cache the bucket-count aggregate and
     // anti-join replay once per consumer
     val exactSide0 = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
     val exactSide = if (r == 0) exactSide0 else exactSide0.persist()
-    val probeSide =
-      if (r == 0) exactSide
-      else
-        // radius-1 ball: the chunk value itself plus one row per
-        // flipped bit — c × (width + 1) rows per doc. Built from the
-        // CAPPED table, not the raw one: ball rows of a dropped hot
-        // bucket would otherwise land on its `width` neighbor keys and
-        // multiply against those keys' exact rows (cap × hot-bucket
-        // output — exactly the blowup the cap exists to stop). From
-        // the capped side, |ball@k| ≤ (width+1) × cap, so per-key join
-        // output is bounded by (width+1) × cap². A doc whose bucket
-        // was dropped loses that one chunk's ball rows and falls back
-        // on its other c−1 chunks — the same lossiness contract as
-        // every capped funnel here.
-        exactSide.select(col("doc_id"), col("fp"), col("chunk"),
-          explode(F.transform(sequence(lit(0), lit(width)),
-            i => when(i === 0, col("ck")).otherwise(
-              col("ck").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))).as("ck"))
+    val probeSide = if (r == 0) exactSide else ballExplode(exactSide, width)
     val a = exactSide.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = probeSide.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
     val pairs = a.join(b, Seq("chunk", "ck"))
@@ -506,6 +517,65 @@ object Dedup {
       val out = pairs.localCheckpoint(true)
       fp.unpersist()
       if (r > 0) exactSide.unpersist()
+      out
+    }
+  }
+
+  /** Persist a fingerprint corpus — the 16-bytes-per-doc store behind
+    * incremental hamming dedup ([[hammingAgainstIndex]]). The heavy
+    * thing at scale is not this table but producing it (a full pass
+    * over text or media payloads): the index makes that pass
+    * write-once. `maxHamming`/`chunks` stay QUERY-time parameters —
+    * the store is raw fingerprints, so one build serves any radius. */
+  def buildFingerprintIndex(fps: DataFrame, path: String): Unit =
+    fps.select("doc_id", "fp").write.mode("overwrite").parquet(path)
+
+  /** Append an increment's fingerprints; ids already stored are
+    * anti-joined away (idempotent under replay, one row per doc). */
+  def appendToFingerprintIndex(spark: SparkSession, indexPath: String,
+      fps: DataFrame): Unit =
+    fps.select("doc_id", "fp")
+      .join(spark.read.parquet(indexPath).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(indexPath)
+
+  /** Hamming near-dup pairs between an increment and a stored
+    * fingerprint index (plus pairs within the increment) — the
+    * incremental twin of [[hammingPairs]]: same multi-index blocking
+    * with the corpus side read from the store (16 bytes/doc — no
+    * payload or text rescan), union-side bucket cap, stored-stored
+    * pairs never re-derived. Output (id_a, id_b, hamming) with
+    * id_a < id_b; ids must be unique across store and increment. */
+  def hammingAgainstIndex(spark: SparkSession, indexPath: String,
+      newFps: DataFrame, maxHamming: Int = 3, chunks: Int = 0,
+      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
+    val (c, width) = mihConfig(maxHamming, chunks)
+    val r = maxHamming / c
+    val newFp = newFps.select(col("doc_id"), col("fp"))
+      .withColumn("is_new", lit(true)).persist()
+    val stored = spark.read.parquet(indexPath)
+      .select(col("doc_id"), col("fp")).withColumn("is_new", lit(false))
+    val chunked = chunkExplode(newFp.unionByName(stored), c, width)
+    val capped0 = dropOversizedBuckets(chunked, Seq("chunk", "ck"), bucketCap)
+    val capped = if (r == 0) capped0 else capped0.persist()
+    val probe = if (r == 0) capped else ballExplode(capped, width)
+    val a = capped.filter(col("is_new"))
+      .select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = probe.select(col("chunk"), col("ck"), col("doc_id").as("id_b"),
+      col("fp").as("fp_b"), col("is_new").as("new_b"))
+    val pairs = a.join(b, Seq("chunk", "ck"))
+      .filter((!col("new_b") || col("id_a") < col("id_b")) &&
+        col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      newFp.unpersist()
+      if (r > 0) capped.unpersist()
       out
     }
   }

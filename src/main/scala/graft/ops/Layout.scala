@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional file layout: Morton (z-order) interleaving so
@@ -49,4 +49,56 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction of a parquet directory tree — the
+    * operational counterpart of every append path here (streaming
+    * ingest, index appends): micro-batches and incremental appends
+    * accrete KB-scale files whose per-file open/footer cost eventually
+    * dominates scans. Each LEAF directory (one holding data files
+    * directly — so a `col=value` partition layout is preserved
+    * exactly) is rewritten to ceil(bytes/targetFileBytes) files, via a
+    * dot-prefixed sibling temp dir + rename swap (concurrent readers
+    * never see a partial directory — same contract as the Timeseries
+    * store rewrites). Directories already at or under the target file
+    * count are SKIPPED: their files stay byte-identical, so repeated
+    * runs are cheap and idempotent.
+    *
+    * Returns (directories rewritten, files before, files after).
+    * Ordering inside rewritten files is not preserved (coalesce-style
+    * compaction never guarantees it); run [[writeZOrdered]] instead
+    * where a sort-derived layout must survive. */
+  def compactFiles(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def isData(p: Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    def leaves(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).filter(s => isData(s.getPath))
+      val (dirs, files) = entries.partition(_.isDirectory)
+      val below = dirs.flatMap(d => leaves(d.getPath)).toSeq
+      if (files.nonEmpty) dir +: below else below
+    }
+    var rewritten = 0; var before = 0L; var after = 0L
+    leaves(root).foreach { dir =>
+      val files = fs.listStatus(dir).filter(s => s.isFile && isData(s.getPath))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      before += files.length
+      if (files.length <= want) after += files.length
+      else {
+        val tmp = new Path(dir.getParent, s".compact-tmp-${dir.getName}")
+        spark.read.parquet(dir.toString)
+          .repartition(want)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+        rewritten += 1
+        after += fs.listStatus(dir).count(s => s.isFile && isData(s.getPath))
+      }
+    }
+    (rewritten, before, after)
+  }
 }

@@ -121,6 +121,33 @@ object Multimodal {
       media.select(id.as("doc_id"), phash64(payload).as("fp")),
       maxHamming, chunks, bucketCap, materialize)
 
+  /** Persist the media corpus' perceptual hashes
+    * ([[graft.ops.Dedup.buildFingerprintIndex]]): the one pass over
+    * payload bytes becomes write-once, and each new media increment
+    * dedups against the whole corpus via [[phashAgainstIndex]] at 16
+    * bytes per stored doc. */
+  def buildPhashIndex(media: DataFrame, id: Column, payload: Column,
+      path: String): Unit =
+    Dedup.buildFingerprintIndex(
+      media.select(id.as("doc_id"), phash64(payload).as("fp")), path)
+
+  /** Append an increment's perceptual hashes (idempotent on doc_id). */
+  def appendToPhashIndex(spark: SparkSession, indexPath: String,
+      media: DataFrame, id: Column, payload: Column): Unit =
+    Dedup.appendToFingerprintIndex(spark, indexPath,
+      media.select(id.as("doc_id"), phash64(payload).as("fp")))
+
+  /** Near-dup media pairs between an increment and the stored phash
+    * index — [[phashPairs]]' incremental twin via
+    * [[graft.ops.Dedup.hammingAgainstIndex]]. */
+  def phashAgainstIndex(spark: SparkSession, indexPath: String,
+      media: DataFrame, id: Column, payload: Column, maxHamming: Int = 3,
+      chunks: Int = 0, bucketCap: Int = 100000,
+      materialize: Boolean = true): DataFrame =
+    Dedup.hammingAgainstIndex(spark, indexPath,
+      media.select(id.as("doc_id"), phash64(payload).as("fp")),
+      maxHamming, chunks, bucketCap, materialize)
+
   /** Frame-sampling plan: every `stride`-th frame index per video —
     * an explode, not a decode; the decode of selected frames would be
     * another mapPartitions stage. */

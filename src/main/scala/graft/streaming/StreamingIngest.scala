@@ -101,6 +101,22 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream media rows into a persisted perceptual-hash index
+    * ([[graft.ops.Multimodal.appendToPhashIndex]] per micro-batch):
+    * arrivals fingerprint once and the growing corpus stays
+    * incrementally dedupable via
+    * [[graft.ops.Multimodal.phashAgainstIndex]]. Replays are
+    * idempotent on the store (doc_id anti-join). */
+  def appendStreamToPhashIndex(media: DataFrame, indexPath: String,
+      checkpoint: String, id: Column, payload: Column) =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Multimodal.appendToPhashIndex(batch.sparkSession, indexPath,
+          batch, id, payload)
+      }
+      .start()
+
   /** Streaming ordered funnel — the custom-state streaming twin of
     * [[graft.ops.Sessions.funnel]], on `flatMapGroupsWithState` with
     * an EVENT-TIME timeout: per key, step events buffer in state until

@@ -74,4 +74,45 @@ class LayoutSpec extends AnyFunSuite {
     // same answer either way
     assert(q(s"$dir/z").count() === q(s"$dir/xsort").count())
   }
+
+  test("compactFiles: flat dir shrinks to the byte-target file count, data identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_flat").toString
+    spark.range(10000).select(col("id"), (col("id") * 7).as("v"))
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val fileCount0 = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(fileCount0 === 64)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+
+    val (rewritten, before, after) =
+      Layout.compactFiles(spark, dir, targetFileBytes = 1L << 30)
+    assert(rewritten === 1 && before === 64L && after === 1L)
+    val afterRows = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(afterRows === beforeRows)
+  }
+
+  test("compactFiles: partition layout preserved, compact partitions skipped byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_part").toString
+    // partition a: 32 tiny files; partition b: already 1 file
+    spark.range(5000).select(col("id"), lit("a").as("p"))
+      .repartition(32).write.partitionBy("p").mode("overwrite").parquet(dir)
+    spark.range(5000, 6000).select(col("id"), lit("b").as("p"))
+      .coalesce(1).write.partitionBy("p").mode("append").parquet(dir)
+    def files(sub: String) = new java.io.File(s"$dir/p=$sub").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val bBefore = files("b").map(f => (f.getName, f.lastModified())).toSet
+
+    val (rewritten, _, _) =
+      Layout.compactFiles(spark, dir, targetFileBytes = 1L << 30)
+    assert(rewritten === 1, "only the fragmented partition rewrites")
+    assert(files("a").length === 1)
+    assert(files("b").map(f => (f.getName, f.lastModified())).toSet === bBefore,
+      "compact partition must stay byte-identical")
+    // partition column still derived from the directory layout
+    val got = spark.read.parquet(dir).groupBy("p").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 5000L, "b" -> 1000L))
+  }
 }

@@ -82,6 +82,66 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash index: indexed query == inline pairs touching the increment; append idempotent") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ph_idx").toString
+    val store = media.filter(col("doc_id") < 1000L)      // originals
+    val increment = media.filter(col("doc_id") >= 1000L) // re-encodes
+    Multimodal.buildPhashIndex(store, col("doc_id"), col("media"), path)
+
+    val indexed = Multimodal.phashAgainstIndex(spark, path, increment,
+        col("doc_id"), col("media"), maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val newIds = increment.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inline: Set[(Long, Long, Int)] = Multimodal.phashPairs(media,
+        col("doc_id"), col("media"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inlineNew = inline.filter { case (a, b, _) => newIds(a) || newIds(b) }
+    assert(inlineNew.nonEmpty)
+    assert(indexed === inlineNew)
+
+    val before = spark.read.parquet(path).count()
+    Multimodal.appendToPhashIndex(spark, path, increment, col("doc_id"), col("media"))
+    Multimodal.appendToPhashIndex(spark, path, increment, col("doc_id"), col("media"))
+    assert(spark.read.parquet(path).count() === before + newIds.size,
+      "replayed append must not duplicate")
+  }
+
+  test("phash index streaming append == batch append; streamed docs findable") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sPath = java.nio.file.Files.createTempDirectory("ph_s").toString
+    val bPath = java.nio.file.Files.createTempDirectory("ph_b").toString
+    val store = media.filter(col("doc_id") < 1000L)
+    val increment = media.filter(col("doc_id") >= 1000L)
+    Multimodal.buildPhashIndex(store, col("doc_id"), col("media"), sPath)
+    Multimodal.buildPhashIndex(store, col("doc_id"), col("media"), bPath)
+    Multimodal.appendToPhashIndex(spark, bPath, increment, col("doc_id"), col("media"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ph_ck").toString
+    val q = graft.streaming.StreamingIngest.appendStreamToPhashIndex(
+      mem.toDF().toDF("doc_id", "media"), sPath, ckpt,
+      col("doc_id"), col("media"))
+    val rows = increment.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    mem.addData(rows.take(7): _*); q.processAllAvailable()
+    mem.addData(rows.drop(7): _*); q.processAllAvailable()
+    q.stop()
+
+    def rowsOf(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowsOf(sPath) === rowsOf(bPath))
+    // a later re-encode of a streamed doc finds it through the index
+    val probe = increment.filter(col("doc_id") === 1000L)
+      .select(lit(5000L).as("doc_id"), col("media"))
+    val found = Multimodal.phashAgainstIndex(spark, sPath, probe,
+        col("doc_id"), col("media"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1000L, 5000L)))
+  }
+
   test("phashPairs bucket cap drops clone floods, keeps base pairs") {
     import spark.implicits._
     val clone = new Array[Byte](256) // all zeros -> identical fp
