@@ -808,6 +808,23 @@ object SparkEntry {
         n = 3, threshold = 0.8, materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // INCREMENTAL char-n-gram near-dup: the same persisted-signature
+    // store as dedup_minhash_indexed in "chargram" mode (the steep
+    // 128×16 S-curve funnel) — increment joins stored signatures, no
+    // stored-text re-read (rows-only; indexed==inline proven in
+    // MinhashIndexSpec)
+    "dedup_ngram_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("ngramidx", dir)(p =>
+        Dedup.buildMinhashIndex(docs.filter(col("doc_id") >= 50),
+          col("text"), col("doc_id"), p,
+          shingleK = 3, numHashes = 128, bands = 16, mode = "chargram"))
+      Dedup.nearDupAgainstIndex(s, store, docs.filter(col("doc_id") < 50),
+        col("text"), col("doc_id"), jaccardThreshold = 0.8,
+        materialize = eagerPairs)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // embedding-cosine near-dup pairs, hyperplane-LSH blocked (rows-only;
     // recall on planted near-dups measured in DedupSpec — the synthetic
     // table's threshold-0.45 tail sits near its background, where no
@@ -987,9 +1004,11 @@ object SparkEntry {
     // every downstream byte), so the fixture plants what media dedup
     // actually hunts: a "re-encode" of every 10th doc — same payload
     // with one 8-byte run replaced by bytes copied from elsewhere in
-    // the SAME payload (sum-preserving, so only the touched blocks
-    // flip — a constant overwrite would shift the global mean and
-    // flip every near-tie block of these narrow-range text bytes)
+    // the SAME payload. The copy shifts the global byte sum only by
+    // the difference of two 8-byte text runs — negligible against the
+    // payload total, so near-tie blocks stay put (measured 48/50 at
+    // hamming ≤ 3); a constant 0x7f overwrite shifts the mean enough
+    // to flip near-tie bits across these narrow-range text payloads
     "media_phash_pairs" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(table(s, dir, "documents"))
       val reenc = media.filter(pmod(col("doc_id"), lit(10)) === 0)

@@ -65,7 +65,16 @@ object Kernels {
     var i = 0
     while (i < len) { total += (bytes(i) & 0xff); i += 1 }
     // global mean as a rational total/len — block comparison
-    // cross-multiplies so no float division enters the fingerprint
+    // cross-multiplies so no float division enters the fingerprint.
+    // The products can reach ~255·len² (past 2^63 beyond ~1.4 GiB
+    // payloads, and JVM arrays allow 2 GiB), so compare the full
+    // 128-bit products: operands are non-negative, so multiplyHigh +
+    // unsigned-low comparison is exact at any payload size.
+    def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+      if (hi1 != hi2) hi1 > hi2
+      else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+    }
     var fp = 0L
     var b = 0
     while (b < 64) {
@@ -75,8 +84,8 @@ object Kernels {
         var s = 0L
         var j = from
         while (j < until) { s += (bytes(j) & 0xff); j += 1 }
-        // s/(until-from) > total/len  <=>  s*len > total*(until-from)
-        if (s * len > total * (until - from)) fp |= (1L << b)
+        // s/(until-from) > total/len  <=>  s·len > total·(until-from)
+        if (gt128(s, len, total, until - from)) fp |= (1L << b)
       }
       b += 1
     }

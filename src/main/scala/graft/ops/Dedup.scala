@@ -95,27 +95,6 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.jaccardSim(a, b)
 
-  /** Banded-LSH near-duplicate pairs over an element-set column
-    * (`doc_id`, `elems`), exact-verified. The full scale funnel:
-    *
-    *  1. signature table (doc_id, elems, sig, |elems|), persisted —
-    *     it feeds candidate generation AND both verification joins;
-    *  2. band explosion → per-bucket count → drop buckets over
-    *     `bucketCap` (skew insurance: a pathological bucket of B docs
-    *     would mint B² pairs on one shuffle key);
-    *  3. self-join on (band, hash) with a SIZE-RATIO guard — j ≥ t
-    *     forces |A|/|B| ∈ [t, 1/t], so wildly different-sized docs
-    *     never materialize as pairs;
-    *  4. distinct (id_a, id_b) — each pair verified once, not once per
-    *     colliding band;
-    *  5. signature-estimate prefilter: est = (matching minhash
-    *     components)/H ≈ j with σ = √(j(1−j)/H); pairs below
-    *     t − 4σ are discarded after a 2·H-long join instead of paying
-    *     the full element-set join. Crucial when the corpus background
-    *     similarity sits near the band knee (candidate volume is
-    *     driven by the background, not the threshold);
-    *  6. exact Jaccard over the element sets for the survivors.
-    */
   /** (doc_id, elems, sig, n) signature table — shared by the inline
     * funnel and the persisted index. `n` is SET cardinality (the
     * size-ratio guard's invariant j >= t ⟹ |A|/|B| ∈ [t, 1/t] only
@@ -164,6 +143,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Banded-LSH near-duplicate pairs over an element-set column
+    * (`doc_id`, `elems`), exact-verified. The full scale funnel:
+    *
+    *  1. signature table (doc_id, elems, sig, |elems|), persisted —
+    *     it feeds candidate generation AND both verification joins;
+    *  2. band explosion → per-bucket count → drop buckets over
+    *     `bucketCap` (skew insurance: a pathological bucket of B docs
+    *     would mint B² pairs on one shuffle key);
+    *  3. self-join on (band, hash) with a SIZE-RATIO guard — j ≥ t
+    *     forces |A|/|B| ∈ [t, 1/t], so wildly different-sized docs
+    *     never materialize as pairs;
+    *  4. distinct (id_a, id_b) — each pair verified once, not once per
+    *     colliding band;
+    *  5. signature-estimate prefilter: est = (matching minhash
+    *     components)/H ≈ j with σ = √(j(1−j)/H); pairs below
+    *     t − 4σ are discarded after a 2·H-long join instead of paying
+    *     the full element-set join. Crucial when the corpus background
+    *     similarity sits near the band knee (candidate volume is
+    *     driven by the background, not the threshold);
+    *  6. exact Jaccard over the element sets for the survivors.
+    */
   private def lshPairs(docsKeyed: DataFrame, numHashes: Int, bands: Int,
       bucketCap: Int, threshold: Double, elemsDistinct: Boolean,
       materialize: Boolean = true): DataFrame = {
@@ -240,6 +240,25 @@ object Dedup {
 
   // ---- persisted minhash index (incremental near-dup) -----------------
 
+  /** Mode of a stored index; metas written before the mode column
+    * existed are shingle-mode by construction. */
+  private def indexMode(meta: org.apache.spark.sql.Row): String =
+    if (meta.schema.fieldNames.contains("mode")) meta.getAs[String]("mode")
+    else "shingle"
+
+  /** Element derivation per index mode: "shingle" = word k-shingles
+    * (duplicates kept — [[minhashLSH]]'s funnel), "chargram" =
+    * distinct char n-grams ([[ngramJaccardPairs]]'s funnel). */
+  private def indexElems(docs: DataFrame, text: Column, id: Column,
+      mode: String, k: Int): DataFrame = mode match {
+    case "shingle" => shingleElems(docs, text, id, k)
+    case "chargram" => spreadById(docs, id, text)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.charNgramHashes(col("__raw"), k).as("elems"))
+    case m => throw new IllegalArgumentException(
+      s"unknown minhash index mode: $m (shingle|chargram)")
+  }
+
   /** Build the write-once half of incremental near-dup dedup: persist
     * each document's minhash signature, set cardinality, and hashed
     * shingle set. A new crawl increment is then deduplicated against
@@ -258,15 +277,15 @@ object Dedup {
     * touch the increment. */
   def buildMinhashIndex(docs: DataFrame, text: Column, id: Column,
       path: String, shingleK: Int = 3, numHashes: Int = 16,
-      bands: Int = 4): Unit = {
+      bands: Int = 4, mode: String = "shingle"): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((shingleK, numHashes, bands))
-      .toDF("shingle_k", "num_hashes", "bands")
+    Seq((mode, shingleK, numHashes, bands))
+      .toDF("mode", "shingle_k", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    signatureTable(shingleElems(docs, text, id, shingleK), numHashes,
-        elemsDistinct = false)
+    signatureTable(indexElems(docs, text, id, mode, shingleK), numHashes,
+        elemsDistinct = mode == "chargram")
       .select("doc_id", "n", "sig", "elems")
       .write.mode("overwrite").parquet(s"$path/docs")
   }
@@ -279,9 +298,10 @@ object Dedup {
   def appendToMinhashIndex(spark: SparkSession, indexPath: String,
       docs: DataFrame, text: Column, id: Column): Unit = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
-    val (k, numHashes) = (meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"))
-    signatureTable(shingleElems(docs, text, id, k), numHashes,
-        elemsDistinct = false)
+    val (mode, k, numHashes) = (indexMode(meta),
+      meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"))
+    signatureTable(indexElems(docs, text, id, mode, k), numHashes,
+        elemsDistinct = mode == "chargram")
       .select("doc_id", "n", "sig", "elems")
       .join(spark.read.parquet(s"$indexPath/docs").select("doc_id"),
         Seq("doc_id"), "left_anti")
@@ -307,12 +327,13 @@ object Dedup {
       jaccardThreshold: Double = 0.5, bucketCap: Int = 100000,
       materialize: Boolean = true): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
-    val (k, numHashes, bands) = (meta.getAs[Int]("shingle_k"),
-      meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
+    val (mode, k, numHashes, bands) = (indexMode(meta),
+      meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("bands"))
     val rows = numHashes / bands
     val stored = spark.read.parquet(s"$indexPath/docs")
-    val newBase = signatureTable(shingleElems(newDocs, text, id, k),
-      numHashes, elemsDistinct = false).persist()
+    val newBase = signatureTable(indexElems(newDocs, text, id, mode, k),
+      numHashes, elemsDistinct = mode == "chargram").persist()
 
     val banded = bandTable(newBase, bands, rows).withColumn("is_new", lit(true))
       .unionByName(bandTable(stored, bands, rows).withColumn("is_new", lit(false)))
@@ -443,12 +464,6 @@ object Dedup {
         .select(col("doc_id"), simhash(col("__raw")).as("fp")),
       maxHamming, chunks, bucketCap, materialize)
 
-  /** Multi-index-hashing hamming near-dup pairs over ANY precomputed
-    * 64-bit fingerprint table (`doc_id`, `fp`) — the blocking layer
-    * behind [[simhashPairs]] (text fingerprints) and
-    * [[Multimodal.phashPairs]] (media perceptual hashes). Candidate
-    * generation is EXACT for per-chunk radius ≤ 1 (Norouzi et al.:
-    * h ≤ c·(r+1)−1 errors cannot exceed radius r in every chunk). */
   /** Chunk count + chunk width for multi-index hamming blocking, with
     * the radius-≤1 guard (Norouzi et al.). */
   private def mihConfig(maxHamming: Int, chunks: Int): (Int, Int) = {
@@ -488,6 +503,12 @@ object Dedup {
         i => when(i === 0, col("ck")).otherwise(
           col("ck").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))).as("ck"): _*)
 
+  /** Multi-index-hashing hamming near-dup pairs over ANY precomputed
+    * 64-bit fingerprint table (`doc_id`, `fp`) — the blocking layer
+    * behind [[simhashPairs]] (text fingerprints) and
+    * [[Multimodal.phashPairs]] (media perceptual hashes). Candidate
+    * generation is EXACT for per-chunk radius ≤ 1 (Norouzi et al.:
+    * h ≤ c·(r+1)−1 errors cannot exceed radius r in every chunk). */
   def hammingPairs(fps: DataFrame, maxHamming: Int = 3, chunks: Int = 0,
       bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
     val (c, width) = mihConfig(maxHamming, chunks)

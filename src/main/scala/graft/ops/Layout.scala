@@ -55,13 +55,24 @@ object Layout {
     * ingest, index appends): micro-batches and incremental appends
     * accrete KB-scale files whose per-file open/footer cost eventually
     * dominates scans. Each LEAF directory (one holding data files
-    * directly — so a `col=value` partition layout is preserved
-    * exactly) is rewritten to ceil(bytes/targetFileBytes) files, via a
-    * dot-prefixed sibling temp dir + rename swap (concurrent readers
-    * never see a partial directory — same contract as the Timeseries
-    * store rewrites). Directories already at or under the target file
-    * count are SKIPPED: their files stay byte-identical, so repeated
-    * runs are cheap and idempotent.
+    * directly and no data subdirectories — a `col=value` partition
+    * layout is preserved exactly) is rewritten to
+    * ceil(bytes/targetFileBytes) files. Directories already at or
+    * under the target file count are SKIPPED byte-identical, so
+    * repeated runs are cheap and idempotent. Two shapes are refused
+    * rather than guessed at: a dir holding BOTH data files and data
+    * subdirs (not a valid partition tree — skipped), and any dir
+    * carrying a `_spark_metadata` file-sink log (the log names the
+    * sink's exact files; rewriting them would corrupt every
+    * log-driven read — skipped).
+    *
+    * Swap: write to a dot-prefixed sibling, rename dir → dot-old,
+    * rename tmp → dir, carry non-data entries (e.g. _SUCCESS) over,
+    * drop dot-old. A reader can race the two renames into a
+    * missing-directory error, but the data is never only in an
+    * ignored location: a crash strands at worst a complete dot-old
+    * copy next to a complete new dir (or the untouched original plus
+    * a complete tmp), both recoverable by a rename.
     *
     * Returns (directories rewritten, files before, files after).
     * Ordering inside rewritten files is not preserved (coalesce-style
@@ -74,27 +85,36 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def isData(p: Path): Boolean =
       !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    // leaves = dirs whose data entries are exclusively files; mixed
+    // file+subdir dirs are not valid partition trees and are left alone
     def leaves(dir: Path): Seq[Path] = {
       val entries = fs.listStatus(dir).filter(s => isData(s.getPath))
       val (dirs, files) = entries.partition(_.isDirectory)
       val below = dirs.flatMap(d => leaves(d.getPath)).toSeq
-      if (files.nonEmpty) dir +: below else below
+      if (files.nonEmpty && dirs.isEmpty) dir +: below else below
     }
     var rewritten = 0; var before = 0L; var after = 0L
     leaves(root).foreach { dir =>
-      val files = fs.listStatus(dir).filter(s => s.isFile && isData(s.getPath))
+      val all = fs.listStatus(dir)
+      val files = all.filter(s => s.isFile && isData(s.getPath))
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       before += files.length
-      if (files.length <= want) after += files.length
+      val sinkLogged = all.exists(_.getPath.getName == "_spark_metadata")
+      if (files.length <= want || sinkLogged) after += files.length
       else {
         val tmp = new Path(dir.getParent, s".compact-tmp-${dir.getName}")
+        val old = new Path(dir.getParent, s".compact-old-${dir.getName}")
         spark.read.parquet(dir.toString)
           .repartition(want)
           .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dir, true)
-        if (!fs.rename(tmp, dir))
-          throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+        if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
+          throw new java.io.IOException(s"compact: swap failed for $dir")
+        // carry marker files (_SUCCESS etc.) from the old dir; data
+        // files stay behind in dot-old and are dropped with it
+        fs.listStatus(old).filter(s => s.isFile && !isData(s.getPath))
+          .foreach(s => fs.rename(s.getPath, new Path(dir, s.getPath.getName)))
+        fs.delete(old, true)
         rewritten += 1
         after += fs.listStatus(dir).count(s => s.isFile && isData(s.getPath))
       }

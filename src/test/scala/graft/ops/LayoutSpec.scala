@@ -115,4 +115,28 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 5000L, "b" -> 1000L))
   }
+
+  test("compactFiles refuses mixed file+subdir dirs and sink-logged dirs") {
+    import spark.implicits._
+    // mixed: data files at the root AND a data subdir below it
+    val mixed = java.nio.file.Files.createTempDirectory("compact_mixed").toString
+    spark.range(100).repartition(8).write.mode("overwrite").parquet(mixed)
+    spark.range(100).repartition(8).write.mode("overwrite")
+      .parquet(s"$mixed/sub")
+    val files0 = new java.io.File(mixed).listFiles().count(_.isFile)
+    val (rw1, _, _) = Layout.compactFiles(spark, mixed, targetFileBytes = 1L << 30)
+    assert(new java.io.File(mixed).listFiles().count(_.isFile) === files0,
+      "mixed dir must stay untouched")
+    assert(rw1 === 1, "the clean subdir still compacts")
+    assert(new java.io.File(s"$mixed/sub").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")) === 1)
+
+    // sink-logged: a _spark_metadata entry pins the exact file set
+    val sink = java.nio.file.Files.createTempDirectory("compact_sink").toString
+    spark.range(100).repartition(8).write.mode("overwrite").parquet(sink)
+    new java.io.File(s"$sink/_spark_metadata").mkdir()
+    val (rw2, b2, a2) = Layout.compactFiles(spark, sink, targetFileBytes = 1L << 30)
+    assert(rw2 === 0 && b2 === a2, "sink-logged dir must not be rewritten")
+  }
 }

@@ -69,6 +69,24 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(indexed.exists { case (a, b, _) => a >= 1000L && b >= 1000L })
   }
 
+  test("chargram mode: indexed query == inline ngramJaccardPairs on the union") {
+    val path = tmp("mh_cg")
+    Dedup.buildMinhashIndex(storeDocs, col("text"), col("doc_id"), path,
+      shingleK = 3, numHashes = 128, bands = 16, mode = "chargram")
+    val indexed = pairs(Dedup.nearDupAgainstIndex(spark, path, incrementDocs,
+      col("text"), col("doc_id"), jaccardThreshold = 0.8))
+
+    val newIds = incrementDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inline = pairs(Dedup.ngramJaccardPairs(
+        storeDocs.unionByName(incrementDocs), col("text"), col("doc_id"),
+        n = 3, threshold = 0.8, numHashes = 128, bands = 16,
+        bucketCap = 100000))
+      .filter { case (a, b, _) => newIds(a) || newIds(b) }
+
+    assert(inline.nonEmpty, "fixture must produce chargram near-dup pairs")
+    assert(indexed === inline)
+  }
+
   test("half-build + append == full build; append is idempotent") {
     val half = tmp("mh_half"); val full = tmp("mh_full")
     Dedup.buildMinhashIndex(storeDocs, col("text"), col("doc_id"), half)
