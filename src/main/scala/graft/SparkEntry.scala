@@ -688,6 +688,26 @@ object SparkEntry {
           budgets = Map("src0" -> 200L, "src1" -> 1200L), seed = 7L)
         .orderBy("source", "cum_tokens", "doc_id")),
 
+    // EPOCH UPSAMPLING: the multiplicity half of the data mix — per
+    // source, ⌈f⌉ deterministic epochs with the fractional last epoch
+    // hash-selected (graft.ops.Mix.upsample); md5 hex-threshold
+    // selection is portable verbatim to the oracle. Explode-only plan
+    "mix_epoch_upsample" -> ((s, dir) =>
+      Mix.upsample(table(s, dir, "documents"), col("doc_id"), col("source"),
+          defaultFactor = 1.25,
+          factors = Map("src0" -> 2.5, "src1" -> 1.0), seed = 0L)
+        .select(col("doc_id"), col("source"), col("epoch").cast(LongType).as("epoch"))
+        .orderBy("doc_id", "epoch")),
+
+    // VOCABULARY INDUCTION: corpus top-200 tokens by document
+    // frequency (graft.ops.TextOps.topVocabulary) — explode + two
+    // hash aggs + TakeOrderedAndProject; total order (df, tf, token)
+    // makes the cut engine-independent
+    "vocab_top200" -> ((s, dir) =>
+      TextOps.topVocabulary(table(s, dir, "documents"), col("text"),
+          col("doc_id"), k = 200)
+        .orderBy(col("df").desc, col("tf").desc, col("token"))),
+
     // TABLE PROFILE: schema-driven per-column stats in one pass
     // (graft.ops.Profile) — exact distincts here so the DuckDB oracle
     // hash-matches; production default is HLL
@@ -1551,6 +1571,34 @@ object SparkEntry {
              AS n_pruned
          FROM pp LEFT JOIN b ON pp.para = b.para
          GROUP BY 1 ORDER BY 1""",
+
+    "mix_epoch_upsample" ->
+      """WITH d AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                       ELSE 1.25 END AS f,
+           md5(CAST(doc_id AS VARCHAR) || '#0') AS h
+         FROM documents),
+         e AS (SELECT doc_id, source, g.epoch
+               FROM d CROSS JOIN generate_series(1, 3) AS g(epoch)
+               WHERE g.epoch <= ceil(f)
+                 AND (g.epoch <= floor(f)
+                  OR h < CASE source
+                           WHEN 'src0' THEN '80000000000000000000000000000000'
+                           WHEN 'src1' THEN '00000000000000000000000000000000'
+                           ELSE '40000000000000000000000000000000' END))
+         SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM e
+         ORDER BY doc_id, epoch""",
+
+    "vocab_top200" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         t AS (SELECT token, doc_id, count(*) AS n FROM toks
+               WHERE token <> '' GROUP BY 1, 2),
+         v AS (SELECT token, count(*) AS df, CAST(sum(n) AS BIGINT) AS tf
+               FROM t GROUP BY 1)
+         SELECT token, df, tf FROM v
+         ORDER BY df DESC, tf DESC, token LIMIT 200""",
 
     "mix_token_budget" ->
       """WITH d AS (SELECT doc_id, source,

@@ -50,4 +50,50 @@ object Mix {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** 32 hex digits of `frac` (⌊frac·16³²⌋, zero-padded) — the string
+    * threshold for deterministic fractional selection: u(doc) < frac
+    * ⟺ md5hex(doc·seed) < hexThreshold(frac), comparing lowercase
+    * hex LEXICOGRAPHICALLY. No numeric hash conversion anywhere, so
+    * the predicate is portable verbatim to any engine with md5. */
+  private[ops] def hexThreshold(frac: Double): String = {
+    require(frac >= 0 && frac <= 1, s"fraction out of [0,1]: $frac")
+    if (frac >= 1.0) "g" // every 32-hex-digit string sorts below this
+    else {
+      val bi = (BigDecimal(frac) *
+        BigDecimal(BigInt(1) << 128)).toBigInt
+      val s = bi.toString(16)
+      "0" * (32 - s.length) + s
+    }
+  }
+
+  /** Deterministic upsampling (the "epochs per source" half of a data
+    * mix — e.g. 3.5 epochs of wikipedia, 1.0 of web): each doc emits
+    * `epoch` rows 1..⌈f⌉, the fractional last epoch kept only for the
+    * hash-selected frac(f) of docs. Selection is md5(id · seed) —
+    * reproducible across runs/retries/engines, and independent of the
+    * epoch number, so raising f from 2.5 to 2.7 only ADDS docs to the
+    * last epoch (nested, mix-stable). Explode-only, no shuffle. */
+  def upsample(docs: DataFrame, id: Column, source: Column,
+      defaultFactor: Double, factors: Map[String, Double] = Map.empty,
+      seed: Long = 0L): DataFrame = {
+    require(defaultFactor >= 0 && factors.values.forall(_ >= 0),
+      "epoch factors must be non-negative")
+    val factor = factors.foldLeft(lit(defaultFactor)) {
+      case (acc, (src, f)) => when(col("source") === src, f).otherwise(acc)
+    }
+    val fracHex = factors.foldLeft(lit(hexThreshold(defaultFactor % 1))) {
+      case (acc, (src, f)) =>
+        when(col("source") === src, hexThreshold(f % 1)).otherwise(acc)
+    }
+    val h = md5(concat(col("doc_id").cast("string"), lit("#" + seed))
+      .cast("binary"))
+    docs
+      .select(id.as("doc_id"), source.as("source"))
+      .withColumn("epoch",
+        // greatest(…, 1): sequence(1, 0) would DESCEND for factor 0;
+        // the filter then drops the lone epoch-1 row (0 epochs = no rows)
+        explode(sequence(lit(1), greatest(ceil(factor).cast("int"), lit(1)))))
+      .filter(col("epoch") <= floor(factor) || h < fracHex)
+  }
 }

@@ -176,4 +176,30 @@ object TextOps {
     * xxhash-based): robust to small edits, used for fuzzy clustering. */
   def shingleFingerprint(text: Column, k: Int = 3): Column =
     array_min(F.transform(Dedup.shingles(text, k), s => xxhash64(s)))
+
+  /** Corpus vocabulary: one row per distinct token with document
+    * frequency (`df` — documents containing it) and collection
+    * frequency (`tf` — total occurrences). Tokenization is the
+    * engine-wide [[Dedup.tokens]] (lowercased whitespace split).
+    *
+    * Shape: explode → one (token, doc) aggregate → one token
+    * aggregate; both hash aggregations with map-side partials. The
+    * vocabulary induction step before tokenizer training / OOV
+    * analysis — at 100 TB the output is |vocab| rows, never the
+    * corpus. */
+  def vocabulary(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(Dedup.tokens(text)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("n")).as("tf"))
+
+  /** The top-`k` vocabulary by (df desc, tf desc, token asc) — a
+    * deterministic total order, planned as TakeOrderedAndProject
+    * (O(k) per partition, one bounded merge, no global sort). */
+  def topVocabulary(docs: DataFrame, text: Column, id: Column,
+      k: Int): DataFrame =
+    vocabulary(docs, text, id)
+      .orderBy(col("df").desc, col("tf").desc, col("token").asc)
+      .limit(k)
 }

@@ -59,4 +59,46 @@ class MixSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
     assert(!plan.contains("Union") && !plan.contains("Join"), plan)
   }
+
+  test("upsample: integer factors exact, zero drops, fraction within 3 sigma") {
+    import spark.implicits._
+    val many = (0 until 2000).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
+    def count(dflt: Double, f: Map[String, Double]) =
+      Mix.upsample(many, col("doc_id"), col("source"), dflt, f).count()
+    // integer factor: exactly f rows per doc
+    assert(count(2.0, Map.empty) === 4000L)
+    assert(count(1.0, Map("s1" -> 3.0)) === 1000L + 3000L)
+    assert(count(0.0, Map.empty) === 0L)
+    // fractional: 2.5 epochs over 2000 docs → 5000 ± 3σ(=3·√(2000·¼))
+    val n = count(2.5, Map.empty)
+    assert(math.abs(n - 5000L) <= 3 * math.sqrt(2000 * 0.25), s"got $n")
+  }
+
+  test("upsample: deterministic and nested in the fractional epoch") {
+    import spark.implicits._
+    val many = (0 until 500).map(i => (i.toLong, "s")).toDF("doc_id", "source")
+    def lastEpochIds(f: Double) =
+      Mix.upsample(many, col("doc_id"), col("source"), f)
+        .filter(col("epoch") === 3).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(lastEpochIds(2.3) === lastEpochIds(2.3))
+    // raising the factor only ADDS docs to the fractional epoch
+    assert(lastEpochIds(2.3).subsetOf(lastEpochIds(2.7)))
+    assert(lastEpochIds(2.3).size < lastEpochIds(2.7).size)
+  }
+
+  test("vocabulary: exact df/tf on a tiny fixture; top-k cut is bounded") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a  c"), (3L, "c c b")).toDF("doc_id", "text")
+    val got = TextOps.vocabulary(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((2L, 3L)), "b" -> ((2L, 2L)), "c" -> ((2L, 3L))))
+    // deterministic cut: df desc, tf desc, token asc → a, c, b
+    val top = TextOps.topVocabulary(docs, col("text"), col("doc_id"), 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top === Seq("a", "c"))
+    val plan = TextOps.topVocabulary(docs, col("text"), col("doc_id"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
