@@ -708,6 +708,20 @@ object SparkEntry {
           col("doc_id"), k = 200)
         .orderBy(col("df").desc, col("tf").desc, col("token"))),
 
+    // OOV RATE: per-source fraction of token occurrences outside the
+    // stored top-20 vocabulary (graft.ops.TextOps.oovRate) — the
+    // persisted-vocab index (memoized write-once) broadcast-joins the
+    // exploded token stream; the tokenizer-health metric per source
+    "vocab_oov_by_source" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("vocab20", dir)(p =>
+        TextOps.buildVocabIndex(docs, col("text"), col("doc_id"), k = 20, p))
+      TextOps.oovRate(s, store, docs, col("text"), col("source"))
+        .select(col("group").as("source"), col("n_tokens"), col("n_oov"),
+          col("oov_rate"))
+        .orderBy("source")
+    }),
+
     // TABLE PROFILE: schema-driven per-column stats in one pass
     // (graft.ops.Profile) — exact distincts here so the DuckDB oracle
     // hash-matches; production default is HLL
@@ -1599,6 +1613,30 @@ object SparkEntry {
                FROM t GROUP BY 1)
          SELECT token, df, tf FROM v
          ORDER BY df DESC, tf DESC, token LIMIT 200""",
+
+    "vocab_oov_by_source" ->
+      """WITH toks AS (SELECT doc_id, source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         t AS (SELECT token, doc_id, source, count(*) AS n FROM toks
+               WHERE token <> '' GROUP BY 1, 2, 3),
+         v AS (SELECT token, count(*) AS df, CAST(sum(n) AS BIGINT) AS tf
+               FROM t GROUP BY 1),
+         top AS (SELECT token FROM v
+                 ORDER BY df DESC, tf DESC, token LIMIT 20),
+         occ AS (SELECT source, t2.token FROM
+                   (SELECT source,
+                      unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                        AS token
+                    FROM documents) t2
+                 WHERE t2.token <> '')
+         SELECT occ.source, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN top.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN top.token IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         FROM occ LEFT JOIN top ON occ.token = top.token
+         GROUP BY 1 ORDER BY 1""",
 
     "mix_token_budget" ->
       """WITH d AS (SELECT doc_id, source,

@@ -202,4 +202,30 @@ object TextOps {
     vocabulary(docs, text, id)
       .orderBy(col("df").desc, col("tf").desc, col("token").asc)
       .limit(k)
+
+  /** Persist the top-`k` vocabulary — write-once; OOV scans of later
+    * corpora/increments read it back ([[oovRate]]) instead of
+    * re-deriving corpus statistics. */
+  def buildVocabIndex(docs: DataFrame, text: Column, id: Column,
+      k: Int, path: String): Unit =
+    topVocabulary(docs, text, id, k).write.mode("overwrite").parquet(path)
+
+  /** Out-of-vocabulary rate per group against a stored vocabulary:
+    * fraction of token OCCURRENCES not in the vocab — the tokenizer
+    * health metric for a data mix (rising OOV on a new source means
+    * the vocab no longer fits the data). One explode + one broadcast
+    * join (the vocab is k rows by construction) + one aggregate. */
+  def oovRate(spark: org.apache.spark.sql.SparkSession, vocabPath: String,
+      docs: DataFrame, text: Column, group: Column): DataFrame = {
+    val vocab = broadcast(
+      spark.read.parquet(vocabPath).select(col("token")).withColumn("__in", lit(1)))
+    docs.select(group.as("group"), explode(Dedup.tokens(text)).as("token"))
+      .filter(col("token") =!= "")
+      .join(vocab, Seq("token"), "left")
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }
