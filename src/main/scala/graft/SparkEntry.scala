@@ -61,6 +61,21 @@ object SparkEntry {
       dir
     })
 
+  /** Planted media "re-encodes" for the phash fixtures: every 10th
+    * doc's payload with one 8-byte run replaced by bytes copied from
+    * elsewhere in the SAME payload — the copy shifts the global byte
+    * sum only by the difference of two 8-byte text runs (negligible,
+    * so near-tie blocks stay put; measured 48/50 recall at hamming
+    * ≤ 3), where a constant overwrite would shift the mean enough to
+    * flip near-tie bits across these narrow-range text payloads.
+    * Shared by the inline and indexed phash queries — their parity
+    * depends on one fixture. */
+  private def reencodedMedia(media: DataFrame): DataFrame =
+    media.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("media_type"),
+        overlay(col("media"), substring(col("media"), 33, 8), lit(17))
+          .as("media"))
+
   /** Canonical kairos fixture over events: name=event_type, ts,
     * value, seq=event_id (arrival order). */
   def eventLog(spark: SparkSession, dir: String, seriesType: SeriesType,
@@ -1045,10 +1060,7 @@ object SparkEntry {
     // to flip near-tie bits across these narrow-range text payloads
     "media_phash_pairs" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(table(s, dir, "documents"))
-      val reenc = media.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("media_type"),
-          overlay(col("media"), substring(col("media"), 33, 8), lit(17))
-            .as("media"))
+      val reenc = reencodedMedia(media)
       Multimodal.phashPairs(media.unionByName(reenc),
         col("doc_id"), col("media"), maxHamming = 3,
         materialize = eagerPairs)
@@ -1063,10 +1075,7 @@ object SparkEntry {
       val media = Multimodal.asMediaTable(table(s, dir, "documents"))
       val store = memoStore("phash", dir)(p =>
         Multimodal.buildPhashIndex(media, col("doc_id"), col("media"), p))
-      val reenc = media.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("media_type"),
-          overlay(col("media"), substring(col("media"), 33, 8), lit(17))
-            .as("media"))
+      val reenc = reencodedMedia(media)
       Multimodal.phashAgainstIndex(s, store, reenc, col("doc_id"),
         col("media"), maxHamming = 3, materialize = eagerPairs)
     }),

@@ -279,15 +279,20 @@ object Dedup {
       path: String, shingleK: Int = 3, numHashes: Int = 16,
       bands: Int = 4, mode: String = "shingle"): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(mode == "shingle" || mode == "chargram",
+      s"unknown minhash index mode: $mode (shingle|chargram)")
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((mode, shingleK, numHashes, bands))
-      .toDF("mode", "shingle_k", "num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // docs first, meta LAST: meta is the commit marker (readers resolve
+    // it before touching docs), so a crash mid-build leaves no
+    // readable half-store — just an orphan docs dir an overwrite heals
     signatureTable(indexElems(docs, text, id, mode, shingleK), numHashes,
         elemsDistinct = mode == "chargram")
       .select("doc_id", "n", "sig", "elems")
       .write.mode("overwrite").parquet(s"$path/docs")
+    Seq((mode, shingleK, numHashes, bands))
+      .toDF("mode", "shingle_k", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Append an increment to a stored minhash index. Ids already present
@@ -324,12 +329,19 @@ object Dedup {
     * never rides the band explosion. */
   def nearDupAgainstIndex(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, text: Column, id: Column,
-      jaccardThreshold: Double = 0.5, bucketCap: Int = 100000,
+      jaccardThreshold: Double = 0.5, bucketCap: Int = 0,
       materialize: Boolean = true): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (mode, k, numHashes, bands) = (indexMode(meta),
       meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"),
       meta.getAs[Int]("bands"))
+    // bucketCap 0 = the inline funnel's mode default: the chargram
+    // funnel is deliberately capped 100× tighter (same-vocabulary
+    // corpora concentrate band buckets), and a looser indexed default
+    // would both diverge from inline results and re-open the hot-bucket
+    // square the tight cap exists to stop
+    val cap = if (bucketCap > 0) bucketCap
+              else if (mode == "chargram") 1000 else 100000
     val rows = numHashes / bands
     val stored = spark.read.parquet(s"$indexPath/docs")
     val newBase = signatureTable(indexElems(newDocs, text, id, mode, k),
@@ -337,7 +349,7 @@ object Dedup {
 
     val banded = bandTable(newBase, bands, rows).withColumn("is_new", lit(true))
       .unionByName(bandTable(stored, bands, rows).withColumn("is_new", lit(false)))
-    val capped = dropOversizedBuckets(banded, Seq("band", "bh"), bucketCap)
+    val capped = dropOversizedBuckets(banded, Seq("band", "bh"), cap)
     // left side = increment only (stored-stored pairs never form);
     // right side = both. New-new pairs orient id_a < id_b; new-old
     // pairs form exactly once (old ids never appear on the left), then

@@ -86,12 +86,21 @@ object Layout {
     def isData(p: Path): Boolean =
       !p.getName.startsWith("_") && !p.getName.startsWith(".")
     // leaves = dirs whose data entries are exclusively files; mixed
-    // file+subdir dirs are not valid partition trees and are left alone
+    // file+subdir dirs are not valid partition trees and are left
+    // alone. A `_spark_metadata` log ANYWHERE prunes its whole
+    // subtree: a partitioned streaming sink keeps the log at the
+    // OUTPUT ROOT while data lives in partition subdirs below it,
+    // and the log names the sink's exact files — every dir under a
+    // logged root is off-limits, not just the dir holding the log.
     def leaves(dir: Path): Seq[Path] = {
-      val entries = fs.listStatus(dir).filter(s => isData(s.getPath))
-      val (dirs, files) = entries.partition(_.isDirectory)
-      val below = dirs.flatMap(d => leaves(d.getPath)).toSeq
-      if (files.nonEmpty && dirs.isEmpty) dir +: below else below
+      val all = fs.listStatus(dir)
+      if (all.exists(_.getPath.getName == "_spark_metadata")) Nil
+      else {
+        val entries = all.filter(s => isData(s.getPath))
+        val (dirs, files) = entries.partition(_.isDirectory)
+        val below = dirs.flatMap(d => leaves(d.getPath)).toSeq
+        if (files.nonEmpty && dirs.isEmpty) dir +: below else below
+      }
     }
     var rewritten = 0; var before = 0L; var after = 0L
     leaves(root).foreach { dir =>
@@ -100,8 +109,7 @@ object Layout {
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       before += files.length
-      val sinkLogged = all.exists(_.getPath.getName == "_spark_metadata")
-      if (files.length <= want || sinkLogged) after += files.length
+      if (files.length <= want) after += files.length
       else {
         val tmp = new Path(dir.getParent, s".compact-tmp-${dir.getName}")
         val old = new Path(dir.getParent, s".compact-old-${dir.getName}")

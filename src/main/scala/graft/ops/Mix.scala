@@ -60,8 +60,13 @@ object Mix {
     require(frac >= 0 && frac <= 1, s"fraction out of [0,1]: $frac")
     if (frac >= 1.0) "g" // every 32-hex-digit string sorts below this
     else {
-      val bi = (BigDecimal(frac) *
-        BigDecimal(BigInt(1) << 128)).toBigInt
+      // exact java.math arithmetic: scala.BigDecimal multiplies under
+      // DECIMAL128 (34 sig digits) and would round the threshold ~1e-14
+      // off the value the oracle SQL writes as a literal
+      val bi = new java.math.BigDecimal(frac)
+        .multiply(new java.math.BigDecimal(
+          java.math.BigInteger.ONE.shiftLeft(128)))
+        .toBigInteger
       val s = bi.toString(16)
       "0" * (32 - s.length) + s
     }

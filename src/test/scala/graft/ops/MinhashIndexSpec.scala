@@ -76,11 +76,13 @@ class MinhashIndexSpec extends AnyFunSuite {
     val indexed = pairs(Dedup.nearDupAgainstIndex(spark, path, incrementDocs,
       col("text"), col("doc_id"), jaccardThreshold = 0.8))
 
+    // DEFAULT arguments on both sides: the indexed path must resolve
+    // the chargram funnel's tight default cap (1000), not the shingle
+    // one — a cap divergence would make indexed != inline by default
     val newIds = incrementDocs.select("doc_id").collect().map(_.getLong(0)).toSet
     val inline = pairs(Dedup.ngramJaccardPairs(
         storeDocs.unionByName(incrementDocs), col("text"), col("doc_id"),
-        n = 3, threshold = 0.8, numHashes = 128, bands = 16,
-        bucketCap = 100000))
+        n = 3, threshold = 0.8, numHashes = 128, bands = 16))
       .filter { case (a, b, _) => newIds(a) || newIds(b) }
 
     assert(inline.nonEmpty, "fixture must produce chargram near-dup pairs")

@@ -102,6 +102,17 @@ class MixSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("hexThreshold is exact (no decimal-context rounding) and pads") {
+    assert(Mix.hexThreshold(0.5) === "80000000000000000000000000000000")
+    assert(Mix.hexThreshold(0.25) === "40000000000000000000000000000000")
+    assert(Mix.hexThreshold(0.0) === "00000000000000000000000000000000")
+    assert(Mix.hexThreshold(2.5 % 1) === "80000000000000000000000000000000")
+    // a non-dyadic fraction keeps the DOUBLE's exact binary expansion
+    // (0.1 as a double is 0x1.999999999999Ap-4 — the 'a' is the
+    // rounded mantissa tail, then exact zeros)
+    assert(Mix.hexThreshold(0.1) === "1999999999999a000000000000000000")
+  }
+
   test("oovRate: occurrences outside the stored vocab, per group") {
     import spark.implicits._
     val docs = Seq((1L, "a b a", "g1"), (2L, "a c", "g1"), (3L, "c c b", "g2"))
