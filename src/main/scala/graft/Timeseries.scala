@@ -687,6 +687,54 @@ class Timeseries(
     attached = Some(expired(now))
     buffer.clear()
   }
+
+  // ---- series analytics (facade over graft.ops.Features) -------------
+
+  /** Rolling z-score anomaly scan over one stat's series read: each
+    * bucket scored against its trailing `window` buckets excluding
+    * itself ([[graft.ops.Features.zscoreAnomaly]] — null verdicts on
+    * warm-up/zero spread, `is_anomaly` never null). The read is a
+    * normal dense [[series]] (empty count buckets ARE zeros — a silent
+    * hour is a data point, not a gap), and its output is bounded by
+    * the steps contract, so the single-series window is driver-scale
+    * by the same argument as [[properties]]. */
+  def anomalies(name: String, interval: String, window: Int = 24,
+      threshold: Double = 3.0, start: Option[Double] = None,
+      end: Option[Double] = None, steps: Option[Int] = None,
+      now: () => Double = () => System.currentTimeMillis() / 1000.0)
+      : DataFrame =
+    graft.ops.Features.zscoreAnomaly(
+      series(Seq(name), interval, start, end, steps, now = now),
+      Seq.empty, "i_time", col("value"), window, threshold)
+
+  /** Linear interpolation of one stat's EMPTY buckets over a dense
+    * range ([[graft.ops.Features.interpolateLinear]]): unlike the
+    * reference's dense fill (numeric empty = 0, timeseries.py
+    * `_type_no_value`), missing buckets here become the time-weighted
+    * line through their non-empty neighbors — the gauge-style gap
+    * repair a monitoring read wants; leading/trailing gaps stay null.
+    * Output (i_time, value, filled, interpolated); bounded by the
+    * bucket range like every per-stat read. */
+  def interpolate(name: String, interval: String, start: Double,
+      end: Double): DataFrame = {
+    val sp = spec(interval)
+    val (b0, b1) = (sp.iCalc.toBucket(start), sp.iCalc.toBucket(end))
+    val prepared = log
+      .filter(col("interval") === interval && col("name") === name &&
+        col("i_time").between(b0, b1))
+      .select(col("i_time"),
+        struct(col("i_time"), col("r_time"), lit(1L).as("name_idx"),
+          col("seq")).as("ord"),
+        readFunc(col("value")).as("value"))
+    val agged = seriesType.aggregate(prepared, Seq("i_time"))
+    val axis = TimeColumns.axis(spark, sp.iCalc,
+      sp.iCalc.fromBucket(b0), sp.iCalc.fromBucket(b1))
+      .filter(col("i_time").between(b0, b1))
+    val grid = axis.join(broadcast(agged), Seq("i_time"), "left")
+    graft.ops.Features.interpolateLinear(grid, Seq.empty, "i_time", col("value"))
+      .withColumn("i_time", TimeColumns.fromBucket(col("i_time"), sp.step))
+      .orderBy("i_time")
+  }
 }
 
 class UnknownInterval(interval: String)

@@ -464,4 +464,43 @@ class HooksSpec extends AnyFunSuite {
     // drop 20240131; the calendar-aware cutoff keeps it
     assert(kept.filter(col("interval") === "daily").count() === 1L)
   }
+
+  test("facade anomalies: a planted spike flags against its trailing baseline") {
+    val t = new Timeseries(spark, CountT,
+      Map("minute" -> IntervalSpec(TimeStep(60L))))
+    // 10 steady minutes (alternating 1/2 events — the baseline needs
+    // nonzero spread or the operator refuses a verdict), then a spike
+    (0 until 10).foreach { m =>
+      t.insert("cpu", 1.0, Td(m * 60))
+      if (m % 2 == 1) t.insert("cpu", 1.0, Td(m * 60))
+    }
+    (0 until 50).foreach(_ => t.insert("cpu", 1.0, Td(600)))
+    val got = t.anomalies("cpu", "minute", window = 5, threshold = 3.0,
+        start = Some(Td(0)), steps = Some(11))
+      .select("i_time", "value", "is_anomaly")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // baseline mean 1.5, std ~0.55: z(50) ≈ 88 — unambiguous
+    assert(got(T0 + 600) === ((50.0, true)), "spike must flag")
+    assert(got.filter(_._1 != T0 + 600).values.forall(!_._2),
+      "steady minutes must not flag")
+  }
+
+  test("facade interpolate: empty gauge buckets become the line, edges null") {
+    val t = new Timeseries(spark, GaugeT,
+      Map("minute" -> IntervalSpec(TimeStep(60L))))
+    t.insert("temp", 10.0, Td(60))    // minute 1
+    t.insert("temp", 40.0, Td(240))   // minute 4; minutes 2,3 empty
+    val got = t.interpolate("temp", "minute", Td(0), Td(300))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(r.fieldIndex("filled"))) None
+        else Some(r.getDouble(r.fieldIndex("filled"))),
+        r.getBoolean(r.fieldIndex("interpolated")))).toList
+    assert(got === List(
+      (T0, None, false),              // leading edge stays null
+      (T0 + 60, Some(10.0), false),
+      (T0 + 120, Some(20.0), true),   // time-weighted line
+      (T0 + 180, Some(30.0), true),
+      (T0 + 240, Some(40.0), false),
+      (T0 + 300, None, false)))       // trailing edge stays null
+  }
 }
