@@ -113,6 +113,25 @@ class MixSpec extends AnyFunSuite {
     assert(Mix.hexThreshold(0.1) === "1999999999999a000000000000000000")
   }
 
+  test("hexThreshold properties: monotone, exact dyadic roundtrip (200 random fracs)") {
+    // deterministic pseudo-random fracs — no RNG state in the suite
+    val fracs = (1 to 200).map { i =>
+      val x = (i * 2654435761L) & ((1L << 52) - 1)
+      x.toDouble / (1L << 52)
+    }.sorted
+    // monotone: a larger fraction never yields a smaller threshold
+    fracs.zip(fracs.tail).foreach { case (a, b) =>
+      assert(Mix.hexThreshold(a) <= Mix.hexThreshold(b), s"$a vs $b")
+    }
+    // exact roundtrip: the 32-hex threshold re-scaled equals the
+    // double exactly (the threshold IS the double, not a rounding)
+    fracs.foreach { f =>
+      val bi = BigInt(Mix.hexThreshold(f), 16)
+      val back = BigDecimal(bi) / BigDecimal(BigInt(1) << 128)
+      assert(back.toDouble === f, s"roundtrip $f")
+    }
+  }
+
   test("oovRate: occurrences outside the stored vocab, per group") {
     import spark.implicits._
     val docs = Seq((1L, "a b a", "g1"), (2L, "a c", "g1"), (3L, "c c b", "g2"))
