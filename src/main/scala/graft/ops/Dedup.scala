@@ -681,6 +681,93 @@ object Dedup {
     }
   }
 
+  /** Persist winnowing fingerprints + gram sets for incremental
+    * containment dedup ([[containmentAgainstIndex]]): `path/docs` =
+    * (doc_id, fps, grams), `path/meta` = (k, w) written LAST as the
+    * commit marker (a fingerprint computed under different (k, w)
+    * never matches — the meta pin makes mismatch impossible). Storing
+    * grams is what buys exact verification without re-reading stored
+    * text, same trade as the minhash index's elems. */
+  def buildContainmentIndex(docs: DataFrame, text: Column, id: Column,
+      path: String, k: Int = 8, w: Int = 24): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spreadById(docs, id, text)
+      .select(col("doc_id"),
+        winnow(col("__raw"), k, w).as("fps"),
+        graft.functions.GraftFunctions.charNgramHashes(col("__raw"), k).as("grams"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    Seq((k, w)).toDF("k", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append an increment's fingerprints + grams (idempotent on
+    * doc_id). */
+  def appendToContainmentIndex(spark: SparkSession, indexPath: String,
+      docs: DataFrame, text: Column, id: Column): Unit = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (k, w) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"))
+    spreadById(docs, id, text)
+      .select(col("doc_id"),
+        winnow(col("__raw"), k, w).as("fps"),
+        graft.functions.GraftFunctions.charNgramHashes(col("__raw"), k).as("grams"))
+      .join(spark.read.parquet(s"$indexPath/docs").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(s"$indexPath/docs")
+  }
+
+  /** Containment pairs between an increment and a stored containment
+    * index (plus pairs within the increment) — [[containmentPairs]]'
+    * incremental twin: same fp-equality candidates with the per-fp
+    * cap on the store∪increment union (a boilerplate fingerprint is
+    * boilerplate no matter which side fed it), shared-fp floor on the
+    * canonical pair, exact containment over stored gram sets —
+    * stored text never re-read, stored-stored pairs never formed.
+    * Output (id_a, id_b, containment), id_a < id_b; ids unique
+    * across store and increment. */
+  def containmentAgainstIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame, text: Column, id: Column,
+      threshold: Double = 0.5, minShared: Int = 3,
+      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (k, w) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"))
+    val stored = spark.read.parquet(s"$indexPath/docs")
+    val newBase = spreadById(newDocs, id, text)
+      .select(col("doc_id"),
+        winnow(col("__raw"), k, w).as("fps"),
+        graft.functions.GraftFunctions.charNgramHashes(col("__raw"), k).as("grams"))
+      .persist()
+    val exploded = newBase
+      .select(col("doc_id"), lit(true).as("is_new"), explode(col("fps")).as("fp"))
+      .unionByName(stored
+        .select(col("doc_id"), lit(false).as("is_new"), explode(col("fps")).as("fp")))
+    val capped = dropOversizedBuckets(exploded, Seq("fp"), bucketCap)
+    val a = capped.filter(col("is_new")).select(col("fp"), col("doc_id").as("id_a"))
+    val b = capped.select(col("fp"), col("doc_id").as("id_b"), col("is_new").as("new_b"))
+    val cands = a.join(b, Seq("fp"))
+      .filter((!col("new_b") || col("id_a") < col("id_b")) &&
+        col("id_a") =!= col("id_b"))
+      .groupBy(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+    val lookup = newBase.select("doc_id", "grams")
+      .unionByName(stored.select("doc_id", "grams"))
+    val pairs = cands
+      .join(lookup.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(lookup.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.containmentSim(col("g_a"), col("g_b")).as("containment"))
+      .filter(col("containment") >= threshold)
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      newBase.unpersist()
+      out
+    }
+  }
+
   /** Exact all-pairs char-n-gram CONTAINMENT over a BOUNDED sample —
     * oracle twin of [[containmentPairs]] (quadratic by construction):
     * |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|), pure

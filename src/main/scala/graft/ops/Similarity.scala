@@ -116,6 +116,83 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Persist the vector corpus for incremental cosine near-dup
+    * ([[cosinePairsAgainstIndex]]): `path/docs` = (vec_id, v),
+    * `path/meta` = the resolved (planes, dims, tables) — written LAST
+    * as the commit marker, and pinning the hyperplane configuration so
+    * increments always bucket in the SAME tables as the stored corpus
+    * (the plane weights themselves are deterministic splitmix64 from
+    * the config, so buckets recompute bit-identically from stored
+    * vectors — no bucket table need be stored). Auto plane count
+    * (`planes = 0`) resolves against the BUILD corpus size and is
+    * frozen in meta: an occupancy chosen once must not drift as
+    * increments arrive. */
+  def buildCosineIndex(emb: DataFrame, id: Column, vec: Column,
+      path: String, planes: Int = 8, dims: Int = 64,
+      tables: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(id.as("vec_id"), vec.as("v"))
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = math.max(1L, base.count())
+        math.min(24, math.max(4, (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n / 64 - 1)))))
+      }
+    base.write.mode("overwrite").parquet(s"$path/docs")
+    Seq((p, dims, tables)).toDF("planes", "dims", "tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append an increment's vectors (idempotent on vec_id). */
+  def appendToCosineIndex(spark: SparkSession, indexPath: String,
+      emb: DataFrame, id: Column, vec: Column): Unit =
+    emb.select(id.as("vec_id"), vec.as("v"))
+      .join(spark.read.parquet(s"$indexPath/docs").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(s"$indexPath/docs")
+
+  /** Cosine near-dup pairs between an increment and a stored vector
+    * index (plus pairs within the increment) — [[cosinePairs]]'
+    * incremental twin: stored vectors re-bucket under the meta-pinned
+    * hyperplanes (a cheap fused kernel pass over 4·dims bytes/row),
+    * the bucket cap applies to the store∪increment union, and
+    * stored-stored pairs never form. Output (id_a, id_b, cos),
+    * id_a < id_b; ids unique across store and increment. */
+  def cosinePairsAgainstIndex(spark: SparkSession, indexPath: String,
+      emb: DataFrame, id: Column, vec: Column, threshold: Double = 0.9,
+      roundTo: Int = 4, bucketCap: Int = 100000): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (p, dims, tables) = (meta.getAs[Int]("planes"),
+      meta.getAs[Int]("dims"), meta.getAs[Int]("tables"))
+    val stored = spark.read.parquet(s"$indexPath/docs")
+      .withColumn("is_new", lit(false))
+    val newBase = emb.select(id.as("vec_id"), vec.as("v"))
+      .repartition(col("vec_id")).withColumn("is_new", lit(true))
+    val all = newBase.unionByName(stored)
+    val banded = all.select(col("vec_id"), col("is_new"),
+      posexplode(lshBuckets(col("v"), p, dims, tables)).as(Seq("t", "b")))
+    val capped = Dedup.dropOversizedBuckets(banded, Seq("t", "b"), bucketCap)
+    val a = capped.filter(col("is_new"))
+      .select(col("t"), col("b"), col("vec_id").as("id_a"))
+    val b = capped.select(col("t"), col("b"), col("vec_id").as("id_b"),
+      col("is_new").as("new_b"))
+    val cands = a.join(b, Seq("t", "b"))
+      .filter((!col("new_b") || col("id_a") < col("id_b")) &&
+        col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val lookup = all.select("vec_id", "v")
+    cands
+      .join(lookup.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(lookup.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact all-pairs cosine over a BOUNDED sample — oracle twin of
     * [[cosinePairs]] (quadratic by construction). */
   def cosinePairsExact(emb: DataFrame, id: Column, vec: Column,

@@ -103,6 +103,65 @@ class MinhashIndexSpec extends AnyFunSuite {
       "replayed append must not duplicate stored docs")
   }
 
+  test("containment index: indexed query == inline pairs touching the increment; append idempotent") {
+    val path = tmp("ct_idx")
+    Dedup.buildContainmentIndex(storeDocs, col("text"), col("doc_id"), path)
+    val indexed = pairs(Dedup.containmentAgainstIndex(spark, path,
+        incrementDocs, col("text"), col("doc_id"))
+      .withColumnRenamed("containment", "jaccard"))
+
+    val newIds = incrementDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inline = pairs(Dedup.containmentPairs(
+        storeDocs.unionByName(incrementDocs), col("text"), col("doc_id"))
+      .withColumnRenamed("containment", "jaccard"))
+      .filter { case (a, b, _) => newIds(a) || newIds(b) }
+
+    assert(inline.nonEmpty, "fixture must produce containment pairs")
+    assert(indexed === inline)
+
+    val before = spark.read.parquet(s"$path/docs").count()
+    Dedup.appendToContainmentIndex(spark, path, incrementDocs, col("text"), col("doc_id"))
+    Dedup.appendToContainmentIndex(spark, path, incrementDocs, col("text"), col("doc_id"))
+    assert(spark.read.parquet(s"$path/docs").count() === before + newIds.size)
+  }
+
+  test("cosine index: indexed query == inline pairs touching the increment; append idempotent") {
+    import spark.implicits._
+    def unit(seed: Int): Array[Float] = {
+      val raw = Array.tabulate(32)(i =>
+        (((seed * 1297 + i * 31 + 7) * 2654435761L % 1000).toInt - 500) / 500.0f)
+      val n = math.sqrt(raw.map(x => x * x).sum).toFloat
+      raw.map(_ / n)
+    }
+    val base = (0 until 120).map(i => (i.toLong, unit(i))).toDF("vec_id", "embedding")
+    val dups = (0 until 120 by 3).map { i =>
+      val v = unit(i).clone(); v(0) = v(0) + 0.15f
+      (1000L + i, v)
+    }.toDF("vec_id", "embedding")
+
+    val path = tmp("cos_idx")
+    Similarity.buildCosineIndex(base, col("vec_id"), col("embedding"), path,
+      planes = 8, dims = 32, tables = 8)
+    def cosPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = cosPairs(Similarity.cosinePairsAgainstIndex(spark, path,
+      dups, col("vec_id"), col("embedding"), threshold = 0.9))
+
+    val newIds = dups.select("vec_id").collect().map(_.getLong(0)).toSet
+    val inline = cosPairs(Similarity.cosinePairs(base.unionByName(dups),
+        col("vec_id"), col("embedding"), threshold = 0.9,
+        planes = 8, dims = 32, tables = 8))
+      .filter { case (a, b, _) => newIds(a) || newIds(b) }
+
+    assert(inline.nonEmpty, "fixture must produce cosine pairs")
+    assert(indexed === inline)
+
+    val before = spark.read.parquet(s"$path/docs").count()
+    Similarity.appendToCosineIndex(spark, path, dups, col("vec_id"), col("embedding"))
+    Similarity.appendToCosineIndex(spark, path, dups, col("vec_id"), col("embedding"))
+    assert(spark.read.parquet(s"$path/docs").count() === before + newIds.size)
+  }
+
   test("streaming append lands the same store as the batch append") {
     import spark.implicits._
     val path = tmp("mh_stream"); val batchPath = tmp("mh_batch")
