@@ -117,6 +117,78 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming rolling z-score anomaly detection — the streaming twin
+    * of [[graft.ops.Features.zscoreAnomaly]]: a watermarked window
+    * aggregation closes (name, bucket) sums in event-time order, and
+    * each micro-batch of closed buckets is scored against the trailing
+    * `window` buckets per name — read from the append-only bucket log
+    * at `storePath`, UNION the earlier closed buckets of the same
+    * micro-batch (two buckets of one name can close together; the
+    * later must see the earlier) — then appended to that log. Scored
+    * rows (name, i_time, value, base_mean, base_std, z, is_anomaly)
+    * append to `outPath`.
+    *
+    * Exactness: append-mode emission is one row per closed bucket, so
+    * the store accumulates exactly the closed-bucket history and the
+    * verdicts equal the batch operator over the same buckets
+    * (StreamingSpec asserts equality, spike included). Same null
+    * contract: no verdict until the trailing window is full with
+    * positive spread. At-least-once like any file append — replayed
+    * batches re-append; reconcile with [[graft.ops.Layout.compactFiles]]
+    * -style maintenance or exact dedup on (name, i_time) if the sink
+    * must be exactly-once. */
+  def anomalyStream(events: DataFrame, name: Column, ts: Column,
+      value: Column, stepSec: Long, lateSec: Long, window: Int,
+      threshold: Double, storePath: String, outPath: String,
+      checkpoint: String) = {
+    val closed = events
+      .select(name.as("name"), ts.as("__ts"), value.as("value"))
+      .withWatermark("__ts", s"$lateSec seconds")
+      .groupBy(col("name"),
+        org.apache.spark.sql.functions.window(col("__ts"), s"$stepSec seconds").as("w"))
+      .agg(sum("value").as("value"))
+      .select(col("name"), unix_timestamp(col("w.start")).as("i_time"),
+        col("value"))
+    closed.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        val stored =
+          if (new java.io.File(storePath).exists)
+            spark.read.parquet(storePath)
+          else b.limit(0)
+        // trailing rows per scored bucket: all earlier buckets of the
+        // name (stored + earlier same-batch), most recent `window`
+        val hist = stored.unionByName(b)
+          .select(col("name"), col("i_time").as("h_time"),
+            col("value").as("h_value"))
+        val joined = b.join(hist, Seq("name"), "left")
+          .filter(col("h_time") < col("i_time"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("name", "i_time").orderBy(col("h_time").desc)
+        val trailing = joined
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= window)
+          .groupBy("name", "i_time")
+          .agg(avg("h_value").as("base_mean"),
+            stddev_samp("h_value").as("base_std"),
+            count(lit(1)).as("__n"))
+        val z = when(col("__n") === window && col("base_std") > 0,
+          (col("value") - col("base_mean")) / col("base_std"))
+        b.join(trailing, Seq("name", "i_time"), "left")
+          .select(col("name"), col("i_time"), col("value"),
+            col("base_mean"), col("base_std"), z.as("z"),
+            coalesce(abs(z) >= threshold, lit(false)).as("is_anomaly"))
+          .write.mode("append").parquet(outPath)
+        b.select("name", "i_time", "value")
+          .write.mode("append").parquet(storePath)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming ordered funnel — the custom-state streaming twin of
     * [[graft.ops.Sessions.funnel]], on `flatMapGroupsWithState` with
     * an EVENT-TIME timeout: per key, step events buffer in state until

@@ -421,4 +421,60 @@ class StreamingSpec extends AnyFunSuite {
       .agg(max("session_idx")).head().getLong(0)
     assert(idx === 1L)
   }
+
+  test("anomalyStream verdicts equal the batch operator over the same closed buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val store = java.nio.file.Files.createTempDirectory("an_store").toString + "/log"
+    val out = java.nio.file.Files.createTempDirectory("an_out").toString + "/scores"
+    val ckpt = java.nio.file.Files.createTempDirectory("an_ck").toString
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF()
+      .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"),
+        col("_3").as("value"))
+    val q = StreamingIngest.anomalyStream(events, col("name"), col("ts"),
+      col("value"), stepSec = 60L, lateSec = 30L, window = 5,
+      threshold = 3.0, store, out, ckpt)
+
+    // 10 minutes of alternating 1/2-event baseline, then a 50x spike,
+    // split across micro-batches; a far-future flush closes everything
+    val baseline = (0 until 10).flatMap { m =>
+      Seq(("cpu", T0 + m * 60, 1.0)) ++
+        (if (m % 2 == 1) Seq(("cpu", T0 + m * 60 + 5, 1.0)) else Nil)
+    }
+    mem.addData(baseline.take(8): _*); q.processAllAvailable()
+    mem.addData(baseline.drop(8): _*); q.processAllAvailable()
+    mem.addData(("cpu", T0 + 600, 50.0)); q.processAllAvailable()
+    mem.addData(("cpu", T0 + 7200, 1.0)); q.processAllAvailable() // flush
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("name", "i_time", "value", "z", "is_anomaly")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+
+    // batch twin over the SAME closed buckets (everything before the flush)
+    val closed = streamed.keys.map(_._2).toSeq.sorted
+    val batchBuckets = baseline.++(Seq(("cpu", T0 + 600, 50.0)))
+      .groupBy(e => e._2 / 60 * 60).map { case (b, es) => ("cpu", b, es.map(_._3).sum) }
+      .toSeq.toDF("name", "i_time", "value")
+    val batch = graft.ops.Features.zscoreAnomaly(batchBuckets, Seq("name"),
+        "i_time", col("value"), nRows = 5, threshold = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6)))).toMap
+
+    assert(streamed.keySet === batch.keySet, "same closed buckets scored")
+    streamed.foreach { case (k, (v, z, flag)) =>
+      val (bv, bz, bflag) = batch(k)
+      assert(v === bv, s"$k value")
+      assert(z === bz, s"$k z")
+      assert(flag === bflag, s"$k verdict")
+    }
+    // and the spike DID flag
+    assert(streamed(("cpu", T0 + 600))._3, "spike must flag")
+  }
 }
