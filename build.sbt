@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of the captured bench log as JSON.
+// sbt's default LoggedOutput prefixes every forked-stdout line with
+// "[info] " and appends a "[success] Total time" line — both defeat
+// that parser (rounds 1-5 all recorded parsed:null). Pass the forked
+// program's stdout through verbatim and drop the success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command processor, not a task — exempt it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

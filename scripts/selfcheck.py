@@ -34,6 +34,21 @@ for name, sql in sorted(oracle.items()):
     d_cols = sorted(duck_df.column_names)
     if s_cols != d_cols:
         print(f"FAIL {name}: cols {s_cols} vs {d_cols}"); fails += 1; continue
+    # The driver's hash is representation-sensitive: a DuckDB DECIMAL
+    # (window sum(BIGINT) -> DECIMAL(38,0); any decimal output) hashes
+    # differently from Spark's int64/double even when values are equal.
+    # Treat arrow-type divergence, or any decimal column, as a failure.
+    # int-width divergence (int32 vs int64) is provably hash-safe
+    # (ts_collapse_month was green in r05 with it); decimals are not.
+    type_bad = []
+    for c in s_cols:
+        st = str(spark_df.schema.field(c).type)
+        dt = str(duck_df.schema.field(c).type)
+        if st.startswith("decimal") or dt.startswith("decimal"):
+            type_bad.append(f"{c}: spark={st} duck={dt} — driver-unsafe decimal")
+    if type_bad:
+        print(f"FAIL {name}: arrow types {'; '.join(type_bad)}"); fails += 1
+        continue
     if spark_df.num_rows != duck_df.num_rows:
         print(f"FAIL {name}: rows {spark_df.num_rows} vs {duck_df.num_rows}")
         fails += 1; continue

@@ -69,8 +69,13 @@ object Bench {
     val summary = s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(summary)
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"sf":"$sfDir"}""")
-    println(summary)
     spark.stop()
+    // print the summary once more AFTER spark.stop() so no shutdown
+    // logging can land between it and process exit: with the build's
+    // StdoutOutput strategy this line reaches the driver's tail-capture
+    // verbatim as the final line of output
+    println(summary)
+    System.out.flush()
     // a query that throws must fail the bench loudly, never report a
     // healthy-looking near-zero time
     if (failed.nonEmpty) sys.exit(1)

@@ -150,8 +150,12 @@ object SparkEntry {
       t.attach(t.bucketize(events(s, dir), col("event_type"), col("ts"),
         col("value"), col("event_id")))
       grouped(t, "hour")
+        // exact cents as BIGINT: the decimal write/fold path stays
+        // decimal end-to-end; the OUTPUT avoids decimal columns, whose
+        // engine-side rendering the driver's hash is sensitive to
         .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
-          col("value").cast(DecimalType(18, 2)).as("value"))
+          (col("value").cast(DecimalType(18, 2)) * lit(100))
+            .cast(LongType).as("value_c"))
         .orderBy("name", "i_time")
     }),
 
@@ -1159,7 +1163,7 @@ object SparkEntry {
     "ts_count_decimal_hour" ->
       """SELECT event_type AS name,
          CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS value
+         CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS value_c
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
 
     "ts_gauge_hour" ->
@@ -1683,8 +1687,9 @@ object SparkEntry {
                AS n_tokens,
              md5(CAST(doc_id AS VARCHAR) || '#7') AS ord FROM documents),
          c AS (SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
            FROM d)
          SELECT doc_id, source, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 200

@@ -716,17 +716,31 @@ class Timeseries(
     * Output (i_time, value, filled, interpolated); bounded by the
     * bucket range like every per-stat read. */
   def interpolate(name: String, interval: String, start: Double,
-      end: Double): DataFrame = {
+      end: Double, hooks: ReadHooks = ReadHooks.none): DataFrame = {
     val sp = spec(interval)
     val (b0, b1) = (sp.iCalc.toBucket(start), sp.iCalc.toBucket(end))
-    val prepared = log
-      .filter(col("interval") === interval && col("name") === name &&
-        col("i_time").between(b0, b1))
-      .select(col("i_time"),
-        struct(col("i_time"), col("r_time"), lit(1L).as("name_idx"),
-          col("seq")).as("ord"),
-        readFunc(col("value")).as("value"))
-    val agged = seriesType.aggregate(prepared, Seq("i_time"))
+    // mirror query()'s read path exactly — same fetch hook, same
+    // processRow guard (values are already processed at insert, so
+    // readFunc must NOT re-apply), same staged aggregation for
+    // hook-bearing reads — so a hook-configured Timeseries sees the
+    // SAME values here as through series()/anomalies()
+    val pred = col("interval") === interval && col("name") === name &&
+      col("i_time").between(b0, b1)
+    val snapshot = log
+    val filtered = hooks.fetch(
+      if (snapshot.columns.contains(DayCol))
+        snapshot.filter(pred && col(DayCol).between(dayOf(sp, b0), dayOf(sp, b1)))
+      else snapshot.filter(pred))
+    val rawValue =
+      if (hooks.processRow.isEmpty) readFunc(col("value")) else col("value")
+    val prepared = filtered.select(
+      col("i_time"), col("r_time"), lit(1L).as("name_idx"),
+      struct(col("i_time"), col("r_time"), lit(1L).as("name_idx"),
+        col("seq")).as("ord"),
+      rawValue.as("value"))
+    val agged =
+      if (!hooks.staged) seriesType.aggregate(prepared, Seq("i_time"))
+      else stagedAgg(prepared, sp, Seq(name), condense = true, hooks = hooks)
     val axis = TimeColumns.axis(spark, sp.iCalc,
       sp.iCalc.fromBucket(b0), sp.iCalc.fromBucket(b1))
       .filter(col("i_time").between(b0, b1))

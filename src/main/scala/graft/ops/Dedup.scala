@@ -329,18 +329,20 @@ object Dedup {
     * never rides the band explosion. */
   def nearDupAgainstIndex(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, text: Column, id: Column,
-      jaccardThreshold: Double = 0.5, bucketCap: Int = 0,
+      jaccardThreshold: Double = 0.5, bucketCap: Int = -1,
       materialize: Boolean = true): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (mode, k, numHashes, bands) = (indexMode(meta),
       meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"),
       meta.getAs[Int]("bands"))
-    // bucketCap 0 = the inline funnel's mode default: the chargram
-    // funnel is deliberately capped 100× tighter (same-vocabulary
-    // corpora concentrate band buckets), and a looser indexed default
-    // would both diverge from inline results and re-open the hot-bucket
-    // square the tight cap exists to stop
-    val cap = if (bucketCap > 0) bucketCap
+    // bucketCap < 0 (the default) = resolve the inline funnel's mode
+    // default: the chargram funnel is deliberately capped 100× tighter
+    // (same-vocabulary corpora concentrate band buckets), and a looser
+    // indexed default would both diverge from inline results and
+    // re-open the hot-bucket square the tight cap exists to stop.
+    // 0 keeps the inline funnels' literal semantics (drop every
+    // bucket) so the twins take the SAME explicit values.
+    val cap = if (bucketCap >= 0) bucketCap
               else if (mode == "chargram") 1000 else 100000
     val rows = numHashes / bands
     val stored = spark.read.parquet(s"$indexPath/docs")

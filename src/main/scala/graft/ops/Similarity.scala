@@ -162,14 +162,20 @@ object Similarity {
     * id_a < id_b; ids unique across store and increment. */
   def cosinePairsAgainstIndex(spark: SparkSession, indexPath: String,
       emb: DataFrame, id: Column, vec: Column, threshold: Double = 0.9,
-      roundTo: Int = 4, bucketCap: Int = 100000): DataFrame = {
+      roundTo: Int = 4, bucketCap: Int = 100000,
+      materialize: Boolean = true): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (p, dims, tables) = (meta.getAs[Int]("planes"),
       meta.getAs[Int]("dims"), meta.getAs[Int]("tables"))
     val stored = spark.read.parquet(s"$indexPath/docs")
       .withColumn("is_new", lit(false))
+    // persisted: the increment's embedding source feeds the band
+    // explosion AND both sides of the verify lookup — unpersisted it
+    // would recompute ~4-5× (same rationale as nearDupAgainstIndex /
+    // hammingAgainstIndex)
     val newBase = emb.select(id.as("vec_id"), vec.as("v"))
       .repartition(col("vec_id")).withColumn("is_new", lit(true))
+      .persist()
     val all = newBase.unionByName(stored)
     val banded = all.select(col("vec_id"), col("is_new"),
       posexplode(lshBuckets(col("v"), p, dims, tables)).as(Seq("t", "b")))
@@ -185,12 +191,18 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
     val lookup = all.select("vec_id", "v")
-    cands
+    val verified = cands
       .join(lookup.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(lookup.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), roundTo).as("cos"))
       .filter(col("cos") >= threshold)
+    if (!materialize) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      newBase.unpersist()
+      out
+    }
   }
 
   /** Exact all-pairs cosine over a BOUNDED sample — oracle twin of

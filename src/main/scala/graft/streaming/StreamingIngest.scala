@@ -133,10 +133,12 @@ object StreamingIngest {
     * verdicts equal the batch operator over the same buckets
     * (StreamingSpec asserts equality, spike included). Same null
     * contract: no verdict until the trailing window is full with
-    * positive spread. At-least-once like any file append — replayed
-    * batches re-append; reconcile with [[graft.ops.Layout.compactFiles]]
-    * -style maintenance or exact dedup on (name, i_time) if the sink
-    * must be exactly-once. */
+    * positive spread. The bucket LOG is idempotent under foreachBatch
+    * replay (anti-join on (name, i_time) before append), so baselines
+    * stay exact across at-least-once restarts; the scored SINK at
+    * `outPath` is at-least-once like any file append — reconcile with
+    * [[graft.ops.Layout.compactFiles]]-style maintenance or exact
+    * dedup on (name, i_time) if it must be exactly-once. */
   def anomalyStream(events: DataFrame, name: Column, ts: Column,
       value: Column, stepSec: Long, lateSec: Long, window: Int,
       threshold: Double, storePath: String, outPath: String,
@@ -154,15 +156,24 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
+        // existence via the Hadoop FileSystem API (as Layout
+        // .compactFiles does), not java.io.File — the store may live
+        // on HDFS/S3/ABFS where a local-file probe is always false and
+        // would silently score every batch against an empty history
+        val storeP = new org.apache.hadoop.fs.Path(storePath)
+        val storeFs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val stored =
-          if (new java.io.File(storePath).exists)
-            spark.read.parquet(storePath)
+          if (storeFs.exists(storeP)) spark.read.parquet(storePath)
           else b.limit(0)
         // trailing rows per scored bucket: all earlier buckets of the
-        // name (stored + earlier same-batch), most recent `window`
+        // name (stored + earlier same-batch), most recent `window`.
+        // dropDuplicates: under replay a batch's buckets are ALREADY in
+        // the store; closed-bucket values are deterministic, so keeping
+        // one copy per (name, h_time) makes replayed scoring exact too
         val hist = stored.unionByName(b)
           .select(col("name"), col("i_time").as("h_time"),
             col("value").as("h_value"))
+          .dropDuplicates("name", "h_time")
         val joined = b.join(hist, Seq("name"), "left")
           .filter(col("h_time") < col("i_time"))
         val w = org.apache.spark.sql.expressions.Window
@@ -181,7 +192,15 @@ object StreamingIngest {
             col("base_mean"), col("base_std"), z.as("z"),
             coalesce(abs(z) >= threshold, lit(false)).as("is_anomaly"))
           .write.mode("append").parquet(outPath)
-        b.select("name", "i_time", "value")
+        // idempotent under foreachBatch replay (at-least-once restart
+        // semantics): a replayed batch would re-append its buckets and
+        // the row_number trailing window would then count duplicates,
+        // shrinking the effective baseline — anti-join against the
+        // store on the bucket key first, the same doc_id anti-join
+        // pattern the incremental dedup indexes use
+        b.join(stored.select("name", "i_time"), Seq("name", "i_time"),
+            "left_anti")
+          .select("name", "i_time", "value")
           .write.mode("append").parquet(storePath)
         b.unpersist()
         ()

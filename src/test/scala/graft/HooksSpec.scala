@@ -503,4 +503,26 @@ class HooksSpec extends AnyFunSuite {
       (T0 + 240, Some(40.0), false),
       (T0 + 300, None, false)))       // trailing edge stays null
   }
+
+  test("facade interpolate mirrors the hook read path (processRow + staged agg)") {
+    val t = new Timeseries(spark, CountT, minuteHour)
+    t.insert("n", 2.0, Td(10)); t.insert("n", 3.0, Td(70))  // hour 0, two granules
+    t.insert("n", 11.0, Td(3 * 3600 + 10))                  // hour 3; hours 1,2 empty
+    val hk = ReadHooks(processRow = Some(v => v * 2))
+    // hook contract: granule fold → processRow → condense, exactly as a
+    // condensed series() read — hour0 = 2·2 + 3·2 = 10, hour3 = 22
+    val viaSeries = t.series(Seq("n"), "hour", start = Some(Td(0)),
+        steps = Some(4), condense = true, hooks = hk)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSeries === Map(T0 -> 10.0, T0 + 3 * 3600 -> 22.0))
+    val filled = t.interpolate("n", "hour", Td(0), Td(3 * 3600), hooks = hk)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("filled"))) None
+         else Some(r.getDouble(r.fieldIndex("filled"))))).toMap
+    // extant buckets carry the SAME hook-processed values as series();
+    // the empty middle interpolates on those processed endpoints
+    assert(filled === Map(
+      T0 -> Some(10.0), T0 + 3600 -> Some(14.0),
+      T0 + 7200 -> Some(18.0), T0 + 3 * 3600 -> Some(22.0)))
+  }
 }
