@@ -1141,6 +1141,33 @@ object SparkEntry {
           .withColumn("q", TextOps.qualityScoreFused(col("text"))),
         col("doc_id"), col("q"), k = 200)
         .select("doc_id")),
+
+    // portable twin of sample_bernoulli: md5 hex-threshold selection
+    // reproduces byte-identically in ANY md5-capable engine, so this
+    // one is fully DuckDB-oracled (the xxhash64 operator above stays
+    // the cheap Spark-local default)
+    "sample_bernoulli_portable" -> ((s, dir) =>
+      Sampling.bernoulliPortable(table(s, dir, "documents"),
+          col("doc_id"), 0.25)
+        .select("doc_id").orderBy("doc_id")),
+
+    // SEQUENCE PACKING (graft.ops.Pack): the trainer-facing layout
+    // step. Chopped = concatenate-and-chop at 2048-token boundaries
+    // (GPT-style pretraining; window arithmetic, fully oracled);
+    // greedy = non-splitting first-fit (SFT-style; a sequential fold
+    // per shard, oracled via a DuckDB recursive CTE folding the SAME
+    // rule). md5 shard+order makes both layouts engine-portable.
+    "pack_chopped" -> ((s, dir) =>
+      Pack.packChopped(table(s, dir, "documents"), col("doc_id"),
+          TextOps.tokenCount(col("text")), seqLen = 2048, shards = 16,
+          seed = 3L)
+        .orderBy("shard", "seq_first", "off")),
+
+    "pack_greedy" -> ((s, dir) =>
+      Pack.packGreedy(table(s, dir, "documents"), col("doc_id"),
+          TextOps.tokenCount(col("text")), seqLen = 2048, shards = 16,
+          seed = 3L)
+        .orderBy("shard", "bin", "doc_id")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1645,6 +1672,59 @@ object SparkEntry {
                            ELSE '40000000000000000000000000000000' END))
          SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM e
          ORDER BY doc_id, epoch""",
+
+    "sample_bernoulli_portable" ->
+      s"""SELECT doc_id FROM documents
+         WHERE md5(CAST(doc_id AS VARCHAR) || '#42') <
+           '${graft.ops.Mix.hexThreshold(0.25)}'
+         ORDER BY doc_id""",
+
+    "pack_chopped" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '#3') AS h FROM documents),
+         s AS (SELECT doc_id, n_tokens, h,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16 AS shard
+           FROM d WHERE n_tokens > 0),
+         c AS (SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM s)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first,
+           CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last,
+           (cum - n_tokens) % 2048 AS off
+         FROM c ORDER BY shard, seq_first, off""",
+
+    "pack_greedy" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, n_tokens, h,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16 AS shard
+           FROM (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || '#3') AS h FROM documents)
+           WHERE n_tokens > 0),
+         r AS (SELECT doc_id, n_tokens, h, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+           FROM d),
+         f AS (
+           SELECT doc_id, shard, rn, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.doc_id, r.shard, r.rn, r.n_tokens,
+             CASE WHEN f.fill + r.n_tokens <= 2048
+                  THEN f.bin ELSE f.bin + 1 END,
+             CASE WHEN f.fill + r.n_tokens <= 2048
+                  THEN f.fill + r.n_tokens ELSE r.n_tokens END
+           FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
+         FROM f ORDER BY shard, bin, doc_id""",
 
     "vocab_top200" ->
       """WITH toks AS (SELECT doc_id,

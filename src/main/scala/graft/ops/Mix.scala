@@ -55,8 +55,10 @@ object Mix {
     * threshold for deterministic fractional selection: u(doc) < frac
     * ⟺ md5hex(doc·seed) < hexThreshold(frac), comparing lowercase
     * hex LEXICOGRAPHICALLY. No numeric hash conversion anywhere, so
-    * the predicate is portable verbatim to any engine with md5. */
-  private[ops] def hexThreshold(frac: Double): String = {
+    * the predicate is portable verbatim to any engine with md5.
+    * Public: [[Sampling.bernoulliPortable]] and oracle SQL builders
+    * embed the same literal. */
+  def hexThreshold(frac: Double): String = {
     require(frac >= 0 && frac <= 1, s"fraction out of [0,1]: $frac")
     if (frac >= 1.0) "g" // every 32-hex-digit string sorts below this
     else {

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing — the last step of a training-data pipeline:
+  * lay documents out into fixed-length context windows ("sequences")
+  * for an LLM trainer. Two public layouts:
+  *
+  *  - [[packChopped]] — concatenate-and-chop: the shard's token
+  *    stream is cut at every `seqLen` boundary regardless of document
+  *    edges (the classic GPT-style pretraining layout — zero padding,
+  *    documents may span sequences). Pure window arithmetic.
+  *  - [[packGreedy]] — non-splitting first-fit-sequential: a document
+  *    never crosses a sequence; a sequence closes when the next
+  *    document doesn't fit (the SFT/packing-with-doc-boundaries
+  *    layout — some padding, no cross-doc attention leakage).
+  *    Inherently a sequential fold, run per shard in one
+  *    sorted-partition pass.
+  *
+  * Both derive shard and within-shard order from md5(id·seed) — the
+  * [[Mix]] selection primitive — so the layout is reproducible
+  * bit-for-bit across runs, cluster sizes, retries, AND engines (the
+  * driver oracles both layouts in DuckDB: chopped via the same window
+  * arithmetic, greedy via a recursive CTE folding the same rule).
+  *
+  * Scale shape: ONE shuffle on `shard` (plus the in-partition sort
+  * that hash-aggregation-free window/fold both need). Each shard is
+  * corpus/shards rows — pick `shards` ≫ executor count so no window
+  * partition exceeds executor memory; there is no global ordering
+  * anywhere, which is what makes this layout valid at 100 TB (a
+  * single global cumsum would serialize on one task).
+  */
+object Pack {
+
+  /** md5-hex order key (portable across engines, uniform). */
+  private def ordHex(id: Column, seed: Long): Column =
+    md5(concat(id.cast(StringType), lit("#" + seed)).cast(BinaryType))
+
+  /** Shard in [0, shards) from the first two hex nibbles of the order
+    * hash — independent of the within-shard order bits in practice
+    * (the ord compare is dominated by the full 32-digit string). */
+  private def shardOf(h: Column, shards: Int): Column =
+    conv(substring(h, 1, 2), 16, 10).cast(LongType) % shards
+
+  /** Concatenate-and-chop layout. Output, one row per document:
+    * (doc_id, shard, n_tokens, seq_first, seq_last, off) — the
+    * document's tokens occupy the half-open span
+    * [seq_first·L + off, …) of its shard's token stream, ending in
+    * sequence `seq_last`. Documents with zero tokens are dropped
+    * (they occupy no span). */
+  def packChopped(docs: DataFrame, id: Column, nTokens: Column,
+      seqLen: Int, shards: Int = 32, seed: Long = 0L): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val h = ordHex(id, seed)
+    val base = docs.select(id.as("doc_id"),
+        nTokens.cast(LongType).as("n_tokens"), h.as("__ord"))
+      .withColumn("shard", shardOf(col("__ord"), shards))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy("shard").orderBy(col("__ord"), col("doc_id"))
+    base
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / seqLen).as("seq_first"),
+        floor((col("__cum") - 1) / seqLen).as("seq_last"),
+        ((col("__cum") - col("n_tokens")) % seqLen).as("off"))
+  }
+
+  /** Non-splitting first-fit-sequential layout. Output, one row per
+    * document: (doc_id, shard, bin, n_tokens) — `bin` is the 0-based
+    * sequence index within the shard. Rule, folded over the shard's
+    * md5 order: a document joins the open sequence iff its tokens
+    * still fit in `seqLen`, else it opens the next one. A document
+    * longer than `seqLen` gets a sequence of its own (callers decide
+    * whether to truncate or reject oversize docs upstream — the
+    * layout never silently drops them). Zero-token documents are
+    * dropped, as in [[packChopped]].
+    *
+    * Implementation: the fold is genuinely sequential per shard, so
+    * it runs as one `mapPartitions` pass over shard-hash-partitioned,
+    * (shard, ord)-sorted rows — the secondary-sort pattern; state is
+    * two longs, reset at every shard boundary. mapPartitions (not a
+    * window) because no SQL window can express "depends on my OWN
+    * assigned bin" — same justified-imperative-kernel bar as the
+    * multimodal codec pass. */
+  def packGreedy(docs: DataFrame, id: Column, nTokens: Column,
+      seqLen: Int, shards: Int = 32, seed: Long = 0L): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = ordHex(id, seed)
+    val base = docs.select(id.as("doc_id"),
+        nTokens.cast(LongType).as("n_tokens"), h.as("__ord"))
+      .withColumn("shard", shardOf(col("__ord"), shards))
+      .filter(col("n_tokens") > 0)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), col("doc_id"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+    base.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var bin = -1L
+      var fill = 0L
+      it.map { case (docId, shard, n) =>
+        if (shard != curShard) { curShard = shard; bin = -1L; fill = 0L }
+        if (bin < 0 || fill + n > seqLen) { bin += 1; fill = n }
+        else fill += n
+        (docId, shard, bin, n)
+      }
+    }.toDF("doc_id", "shard", "bin", "n_tokens")
+  }
+
+  /** Per-sequence utilization summary for a [[packGreedy]] layout:
+    * (shard, bin, n_docs, fill, pad) — the padding-waste audit a
+    * packing job reports. One hash aggregation over the layout. */
+  def greedyUtilization(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill"))
+      .withColumn("pad",
+        when(col("fill") < seqLen, lit(seqLen) - col("fill")).otherwise(lit(0L)))
+}

@@ -32,6 +32,21 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     df.filter(uniform(key, seed) < lit(frac))
 
+  /** Portable deterministic Bernoulli: the same determinism/nesting
+    * contract as [[bernoulli]], but selection is a lexicographic
+    * compare of md5hex(key·seed) against an exact hex threshold
+    * ([[Mix.hexThreshold]]) — byte-identical in ANY engine with md5
+    * (the [[Mix]] selection primitive), at ~2× the per-row cost of
+    * xxhash64. Use this when the kept set must reproduce outside
+    * Spark (an audit replica, a DuckDB/Python twin of the pipeline);
+    * use [[bernoulli]] when only Spark-side reproducibility matters.
+    * Still a plain pushdown-able filter: no shuffle, no RNG state. */
+  def bernoulliPortable(df: DataFrame, key: Column, frac: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(
+      md5(concat(key.cast(StringType), lit("#" + seed)).cast(BinaryType)) <
+        lit(Mix.hexThreshold(frac)))
+
   /** Stratified deterministic sampling: a per-stratum keep fraction
     * (e.g. downsample dominant languages/domains in a data mix),
     * `default` for strata not in the map. The fraction table is a

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout invariants of the sequence packers: chopped spans tile the
+  * shard token stream exactly; greedy bins respect the capacity and
+  * first-fit-sequential rule; both are deterministic under physical
+  * reordering (the contract a resumable 100 TB packing job needs). */
+class PackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def docs = spark.range(0, 2000).toDF("doc_id")
+    .withColumn("n", (col("doc_id") % 97 + 1).cast("long"))
+
+  test("packChopped: spans tile each shard's token stream with no gaps") {
+    val L = 128
+    val got = Pack.packChopped(docs, col("doc_id"), col("n"), L, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === 2000)
+    // reconstruct each shard's stream: orders are disjoint spans whose
+    // concatenation is [0, total) — start of doc k = sum of n before it
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(r => (r._4, r._6, r._1)) // (seq_first, off) is stream order
+      var cursor = 0L
+      inOrder.foreach { case (_, _, n, sf, sl, off) =>
+        assert(sf * L + off === cursor, "span must start where the previous ended")
+        val end = cursor + n
+        assert(sl === (end - 1) / L, "seq_last must cover the span end")
+        cursor = end
+      }
+    }
+  }
+
+  test("packGreedy: capacity, first-fit-sequential rule, oversize isolation") {
+    val L = 128
+    val withBig = docs.union(
+      Seq((9001L, 500L), (9002L, 500L)).toDF("doc_id", "n"))
+    val got = Pack.packGreedy(withBig, col("doc_id"), col("n"), L, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 2002)
+    val ord = Pack.packChopped(withBig, col("doc_id"), col("n"), L, shards = 8)
+      .select("doc_id", "shard", "seq_first", "off")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      // same md5 order as chopped (stream position is order-faithful)
+      val inOrder = rows.sortBy(r => ord(r._1))
+      // re-fold the rule: fits -> same bin, else next bin; oversize alone
+      var bin = -1L; var fill = 0L
+      inOrder.foreach { case (id, _, gotBin, n) =>
+        if (bin < 0 || fill + n > L) { bin += 1; fill = n } else fill += n
+        assert(gotBin === bin, s"doc $id bin")
+      }
+      // capacity: every bin with >1 doc fits in L
+      inOrder.groupBy(_._3).foreach { case (_, binRows) =>
+        if (binRows.length > 1)
+          assert(binRows.map(_._4).sum <= L, "multi-doc bins must fit")
+      }
+      // bins are contiguous from 0
+      val bins = rows.map(_._3).distinct.sorted
+      assert(bins === (0L until bins.length).toArray)
+    }
+  }
+
+  test("packers are deterministic under physical reordering") {
+    val L = 64
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val shuffled = docs.repartition(13, col("doc_id") % 7)
+    assert(sig(Pack.packGreedy(docs, col("doc_id"), col("n"), L)) ===
+      sig(Pack.packGreedy(shuffled, col("doc_id"), col("n"), L)))
+    assert(sig(Pack.packChopped(docs, col("doc_id"), col("n"), L)) ===
+      sig(Pack.packChopped(shuffled, col("doc_id"), col("n"), L)))
+  }
+
+  test("greedyUtilization: fill+pad = seqLen for every multi-possible bin") {
+    val L = 128
+    val packed = Pack.packGreedy(docs, col("doc_id"), col("n"), L, shards = 4)
+    val util = Pack.greedyUtilization(packed, L).collect()
+    util.foreach { r =>
+      val (fill, pad) = (r.getLong(r.fieldIndex("fill")), r.getLong(r.fieldIndex("pad")))
+      if (fill <= L) assert(fill + pad === L)
+      else assert(pad === 0L) // oversize single-doc bin
+    }
+    // conservation: every doc's tokens appear in exactly one bin
+    assert(util.map(_.getLong(util.head.fieldIndex("fill"))).sum ===
+      docs.agg(sum("n")).head().getLong(0))
+  }
+}

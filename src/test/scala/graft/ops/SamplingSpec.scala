@@ -34,6 +34,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(shuffled === s10)
   }
 
+  test("bernoulliPortable: bit-parity with reference md5, nested, rate-accurate") {
+    def take(frac: Double) =
+      Sampling.bernoulliPortable(ids, col("id"), frac)
+        .collect().map(_.getLong(0)).toSet
+    val s25 = take(0.25)
+    // bit-parity: an independent JVM md5 over the same key·seed string
+    // reproduces the kept set EXACTLY (this is the portability claim —
+    // any engine's md5 yields these bytes)
+    val thr = Mix.hexThreshold(0.25)
+    val expected = (0L until 20000L).filter { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i#42".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString < thr
+    }.toSet
+    assert(s25 === expected)
+    // nested + rate, same contracts as the xxhash64 sampler
+    assert(take(0.1).subsetOf(s25))
+    assert(math.abs(s25.size - 5000.0) < 3 * math.sqrt(20000 * 0.25 * 0.75), s25.size)
+  }
+
   test("stratified: per-stratum fractions with a default") {
     val df = ids.withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
     val got = Sampling.stratified(df, col("id"), col("lang"),
