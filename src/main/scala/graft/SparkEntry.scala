@@ -1168,6 +1168,14 @@ object SparkEntry {
           TextOps.tokenCount(col("text")), seqLen = 2048, shards = 16,
           seed = 3L)
         .orderBy("shard", "bin", "doc_id")),
+
+    // PERPLEXITY FILTER (graft.ops.LangModel): add-k bigram NLL of
+    // each document under the corpus's own statistics — the KenLM/
+    // CCNet-style quality signal, fit+scored in one declarative plan
+    "lm_bigram_score" -> ((s, dir) =>
+      LangModel.scoreBigram(table(s, dir, "documents"), col("text"),
+          col("doc_id"))
+        .orderBy("doc_id")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1725,6 +1733,23 @@ object SparkEntry {
            FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
          SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
          FROM f ORDER BY shard, bin, doc_id""",
+
+    "lm_bigram_score" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         d AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM d GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT u.tok) AS v
+           FROM (SELECT unnest(t) AS tok FROM toks) u)
+         SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+           round(sum(d.c * -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)))
+                 / sum(d.c), 6) AS nll
+         FROM d JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         GROUP BY 1 ORDER BY 1""",
 
     "vocab_top200" ->
       """WITH toks AS (SELECT doc_id,

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed add-k bigram arithmetic plus the discrimination
+  * property the perplexity filter exists for. */
+class LangModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("scoreBigram: add-k arithmetic matches a hand computation") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val got = LangModel.scoreBigram(docs, col("text"), col("doc_id"), k = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // bigrams: doc1 = (a,b)×2,(b,a); doc2 = (a,b),(b,b)
+    // C2: (a,b)=3 (b,a)=1 (b,b)=1; C1(history): a=3, b=2; V=2, k=0.5
+    // P(a,b) = 3.5/(3+1) = 0.875; P(b,a) = 1.5/(2+1) = 0.5; P(b,b) = 0.5
+    val pab = -math.log(0.875); val pba = -math.log(0.5)
+    val d1 = (2 * pab + pba) / 3
+    val d2 = (pab + pba) / 2
+    assert(got(1L)._1 === 3L)
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-6, got(1L))
+    assert(math.abs(got(2L)._2 - d2) < 1e-6, got(2L))
+  }
+
+  test("scoreBigram: sub-2-token docs emit nothing; gibberish scores worse") {
+    val normal = (0 until 50).map(i => (i.toLong, "the cat sat on the mat"))
+    val weird = Seq((100L, "zq xv qqj zzk pf"), (101L, "one"), (102L, " "))
+    val docs = (normal ++ weird).toDF("doc_id", "text")
+    val got = LangModel.scoreBigram(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(101L) && !got.contains(102L), "no bigrams, no row")
+    val normalMax = normal.map(_._1).map(got).max
+    assert(got(100L) > normalMax,
+      s"corpus-atypical transitions must score above every normal doc: " +
+        s"${got(100L)} vs $normalMax")
+  }
+}
