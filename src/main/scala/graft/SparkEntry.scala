@@ -1169,6 +1169,23 @@ object SparkEntry {
           seed = 3L)
         .orderBy("shard", "bin", "doc_id")),
 
+    // INCREMENTAL packing: the layout store built once over
+    // doc_id >= 50, the increment (doc_id < 50) folds ONTO each
+    // shard's open sequence — continuing the stored fold is exactly
+    // "stored corpus first, then increment", so even this stateful
+    // indexed twin is FULLY ORACLED (recursive CTE with store-first
+    // ordering, filtered to the increment)
+    "pack_greedy_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("packidx", dir)(p =>
+        Pack.buildGreedyLayout(docs.filter(col("doc_id") >= 50),
+          col("doc_id"), TextOps.tokenCount(col("text")), p,
+          seqLen = 2048, shards = 16, seed = 3L))
+      Pack.packGreedyAppend(s, store, docs.filter(col("doc_id") < 50),
+          col("doc_id"), TextOps.tokenCount(col("text")))
+        .orderBy("shard", "bin", "doc_id")
+    }),
+
     // PERPLEXITY FILTER (graft.ops.LangModel): add-k bigram NLL of
     // each document under the corpus's own statistics — the KenLM/
     // CCNet-style quality signal, fit+scored in one declarative plan
@@ -1733,6 +1750,34 @@ object SparkEntry {
            FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
          SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
          FROM f ORDER BY shard, bin, doc_id""",
+
+    "pack_greedy_indexed" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, n_tokens, h,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16 AS shard
+           FROM (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || '#3') AS h FROM documents)
+           WHERE n_tokens > 0),
+         r AS (SELECT doc_id, n_tokens, h, shard,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY (doc_id < 50), h, doc_id) AS rn
+           FROM d),
+         f AS (
+           SELECT doc_id, shard, rn, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.doc_id, r.shard, r.rn, r.n_tokens,
+             CASE WHEN f.fill + r.n_tokens <= 2048
+                  THEN f.bin ELSE f.bin + 1 END,
+             CASE WHEN f.fill + r.n_tokens <= 2048
+                  THEN f.fill + r.n_tokens ELSE r.n_tokens END
+           FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
+         FROM f WHERE doc_id < 50 ORDER BY shard, bin, doc_id""",
 
     "lm_bigram_score" ->
       """WITH toks AS (SELECT doc_id,

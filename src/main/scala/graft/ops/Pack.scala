@@ -112,6 +112,78 @@ object Pack {
     }.toDF("doc_id", "shard", "bin", "n_tokens")
   }
 
+  /** Persist a [[packGreedy]] layout for incremental growth:
+    * `path/layout` = the packed rows, `path/meta` = (seq_len, shards,
+    * seed) written LAST as the commit marker (the index-store
+    * convention) — pinning the geometry so every append folds under
+    * the SAME rule and hash as the stored corpus. */
+  def buildGreedyLayout(docs: DataFrame, id: Column, nTokens: Column,
+      path: String, seqLen: Int, shards: Int = 32, seed: Long = 0L): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    packGreedy(docs, id, nTokens, seqLen, shards, seed)
+      .write.mode("overwrite").parquet(s"$path/layout")
+    Seq((seqLen, shards, seed)).toDF("seq_len", "shards", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Pack an increment ONTO a stored greedy layout: new documents
+    * fold in md5 order AFTER everything already packed, continuing
+    * each shard's open sequence (its last bin and fill) — exactly the
+    * fold [[packGreedy]] would produce over "stored corpus, then
+    * increment". Already-stored doc_ids are skipped (idempotent under
+    * replay, the appendTo* anti-join convention). Returns the
+    * increment's assignments only; [[appendToGreedyLayout]] persists
+    * them. Per-shard state is one (last_bin, fill) row — a broadcast
+    * join, never a layout rescan per new doc. */
+  def packGreedyAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, id: Column,
+      nTokens: Column): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (seqLen, shards, seed) = (meta.getAs[Int]("seq_len"),
+      meta.getAs[Int]("shards"), meta.getAs[Long]("seed"))
+    val layout = spark.read.parquet(s"$path/layout")
+    val binFills = layout.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("fill"))
+    val state = binFills.groupBy("shard")
+      .agg(max_by(struct(col("bin"), col("fill")), col("bin")).as("st"))
+      .select(col("shard"), col("st.bin").as("last_bin"),
+        col("st.fill").as("last_fill"))
+    val h = ordHex(id, seed)
+    val base = newDocs.select(id.as("doc_id"),
+        nTokens.cast(LongType).as("n_tokens"), h.as("__ord"))
+      .withColumn("shard", shardOf(col("__ord"), shards))
+      .filter(col("n_tokens") > 0)
+      .join(layout.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(broadcast(state), Seq("shard"), "left")
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("__ord"),
+        coalesce(col("last_bin"), lit(-1L)).as("last_bin"),
+        coalesce(col("last_fill"), lit(0L)).as("last_fill"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), col("doc_id"))
+      .select("doc_id", "shard", "n_tokens", "last_bin", "last_fill")
+      .as[(Long, Long, Long, Long, Long)]
+    base.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var bin = -1L
+      var fill = 0L
+      it.map { case (docId, shard, n, lastBin, lastFill) =>
+        if (shard != curShard) { curShard = shard; bin = lastBin; fill = lastFill }
+        if (bin < 0 || fill + n > seqLen) { bin += 1; fill = n }
+        else fill += n
+        (docId, shard, bin, n)
+      }
+    }.toDF("doc_id", "shard", "bin", "n_tokens")
+  }
+
+  /** Compute [[packGreedyAppend]] and persist it into the layout. */
+  def appendToGreedyLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, id: Column,
+      nTokens: Column): Unit =
+    packGreedyAppend(spark, path, newDocs, id, nTokens)
+      .write.mode("append").parquet(s"$path/layout")
+
   /** Per-sequence utilization summary for a [[packGreedy]] layout:
     * (shard, bin, n_docs, fill, pad) — the padding-waste audit a
     * packing job reports. One hash aggregation over the layout. */

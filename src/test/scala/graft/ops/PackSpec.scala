@@ -82,6 +82,51 @@ class PackSpec extends AnyFunSuite {
       sig(Pack.packChopped(shuffled, col("doc_id"), col("n"), L)))
   }
 
+  test("greedy layout append: continues each shard's open bin; idempotent replay") {
+    val L = 128
+    val storeDocs = docs.filter(col("doc_id") >= 500)
+    val inc = docs.filter(col("doc_id") < 500)
+    val path = java.nio.file.Files.createTempDirectory("pack_layout").toString
+    Pack.buildGreedyLayout(storeDocs, col("doc_id"), col("n"), path, L, shards = 8)
+    val stored = spark.read.parquet(path + "/layout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Pack.appendToGreedyLayout(spark, path, inc, col("doc_id"), col("n"))
+    val after = spark.read.parquet(path + "/layout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val appended = after.toSet -- stored.toSet
+    assert(appended.map(_._1) === (0L until 500L).toSet)
+
+    // reference fold: each shard seeds (last bin, fill) from the store,
+    // then the increment folds in md5 order — an independent JVM md5
+    // reproduces the operator's order and shard bit-for-bit
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ord(id: Long) = md5hex(s"$id#0")
+    def shardOf(id: Long) = java.lang.Long.parseLong(ord(id).take(2), 16) % 8
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    (0 until 8).foreach { sh =>
+      val st = stored.filter(_._2 == sh)
+      var bin = -1L; var fill = 0L
+      if (st.nonEmpty) {
+        bin = st.map(_._3).max
+        fill = st.filter(_._3 == bin).map(_._4).sum
+      }
+      (0L until 500L).filter(shardOf(_) == sh).sortBy(i => (ord(i), i))
+        .foreach { i =>
+          val n = i % 97 + 1
+          if (bin < 0 || fill + n > L) { bin += 1; fill = n } else fill += n
+          expected(i) = bin
+        }
+    }
+    appended.foreach { case (id, _, bin, _) =>
+      assert(bin === expected(id), s"doc $id bin")
+    }
+
+    // replay: the stored ids anti-join away, nothing re-appends
+    assert(Pack.packGreedyAppend(spark, path, inc, col("doc_id"), col("n"))
+      .count() === 0L)
+  }
+
   test("greedyUtilization: fill+pad = seqLen for every multi-possible bin") {
     val L = 128
     val packed = Pack.packGreedy(docs, col("doc_id"), col("n"), L, shards = 4)
