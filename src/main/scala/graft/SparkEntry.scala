@@ -1169,6 +1169,16 @@ object SparkEntry {
           seed = 3L)
         .orderBy("shard", "bin", "doc_id")),
 
+    // the loader-facing manifest of the chopped layout: one row per
+    // (document, sequence) segment; segments tile every sequence
+    // exactly (PackSpec), so a trainer materializes any sequence by
+    // range-reading just the docs listed under it
+    "pack_manifest" -> ((s, dir) =>
+      Pack.chopManifest(table(s, dir, "documents"), col("doc_id"),
+          TextOps.tokenCount(col("text")), seqLen = 2048, shards = 16,
+          seed = 3L)
+        .orderBy("shard", "seq", "off_in_seq")),
+
     // INCREMENTAL packing: the layout store built once over
     // doc_id >= 50, the increment (doc_id < 50) folds ONTO each
     // shard's open sequence — continuing the stored fold is exactly
@@ -1193,6 +1203,20 @@ object SparkEntry {
       LangModel.scoreBigram(table(s, dir, "documents"), col("text"),
           col("doc_id"))
         .orderBy("doc_id")),
+
+    // INCREMENTAL perplexity: stats fit once on doc_id >= 50 (the
+    // trusted-corpus store, CCNet shape), the increment scores against
+    // the STORED counts with add-k OOV smoothing — fully oracled
+    // (left joins + coalesce reproduce the store-miss arithmetic)
+    "lm_bigram_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("lmstats", dir)(p =>
+        LangModel.buildBigramStats(docs.filter(col("doc_id") >= 50),
+          col("text"), col("doc_id"), p))
+      LangModel.scoreBigramAgainst(s, store, docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1750,6 +1774,56 @@ object SparkEntry {
            FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
          SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
          FROM f ORDER BY shard, bin, doc_id""",
+
+    "pack_manifest" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '#3') AS h FROM documents),
+         s AS (SELECT doc_id, n_tokens, h,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16 AS shard
+           FROM d WHERE n_tokens > 0),
+         c AS (SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM s),
+         p AS (SELECT doc_id, shard, n_tokens,
+             CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first,
+             CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last,
+             (cum - n_tokens) % 2048 AS off
+           FROM c),
+         m0 AS (SELECT doc_id, shard, n_tokens, off, seq_first,
+             unnest(range(seq_first, seq_last + 1)) AS seq FROM p),
+         m1 AS (SELECT doc_id, shard, seq, n_tokens,
+             CASE WHEN seq = seq_first THEN 0
+                  ELSE (seq - seq_first) * 2048 - off END AS tok_start,
+             CASE WHEN seq = seq_first THEN off ELSE 0 END AS off_in_seq
+           FROM m0)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq, tok_start,
+           off_in_seq,
+           least(n_tokens - tok_start, 2048 - off_in_seq) AS seg_len
+         FROM m1 ORDER BY shard, seq, off_in_seq""",
+
+    "lm_bigram_indexed" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         d AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM d
+           WHERE doc_id >= 50 GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT u.tok) AS v
+           FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id >= 50) u)
+         SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+           round(sum(d.c * -ln((coalesce(c2.c2, 0) + 0.5) /
+                 (coalesce(c1.c1, 0) + 0.5 * v.v))) / sum(d.c), 6) AS nll
+         FROM d LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+           CROSS JOIN v
+         WHERE d.doc_id < 50 GROUP BY 1 ORDER BY 1""",
 
     "pack_greedy_indexed" ->
       """WITH RECURSIVE d AS (

@@ -45,6 +45,54 @@ object LangModel {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Persist bigram statistics fit on a reference corpus — the
+    * write-once half of the CCNet shape (fit on a trusted corpus,
+    * score every crawl increment against it): `path/pairs` =
+    * (w1, w2, c2), `path/hist` = (w1, c1) derived FROM the stored
+    * pairs (one source of truth), `path/meta` = the vocabulary size,
+    * written LAST as the commit marker. */
+  def buildBigramStats(docs: DataFrame, text: Column, id: Column,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docBigramCounts(docs, text, id)
+      .groupBy("w1", "w2").agg(sum("c").as("c2"))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    spark.read.parquet(s"$path/pairs")
+      .groupBy("w1").agg(sum("c2").as("c1"))
+      .write.mode("overwrite").parquet(s"$path/hist")
+    val v = docs.select(explode(tokens(text)).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0)
+    Seq(v).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents against STORED bigram statistics
+    * ([[buildBigramStats]]) — add-k smoothing handles what the
+    * reference corpus never saw: an unseen bigram of a seen history
+    * scores k/(c1+kV), a fully-unseen history k/(kV) = 1/V. Same
+    * output contract as [[scoreBigram]]; when the stats were fit on
+    * the scored corpus itself the two are identical (spec-proven). */
+  def scoreBigramAgainst(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, text: Column, id: Column,
+      k: Double = 0.5, roundTo: Int = 6): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val pairs = spark.read.parquet(s"$path/pairs")
+    val hist = spark.read.parquet(s"$path/hist")
+    val vDf = spark.read.parquet(s"$path/meta")
+    docBigramCounts(docs, text, id)
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .crossJoin(broadcast(vDf))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        round(
+          sum(col("c") * -log((coalesce(col("c2"), lit(0L)) + k) /
+            (coalesce(col("c1"), lit(0L)) + lit(k) * col("v")))) /
+            sum(col("c")),
+          roundTo).as("nll"))
+  }
+
   /** Score every document against bigram statistics of the SAME
     * corpus. Output (doc_id, n_bigrams, nll): mean per-bigram negative
     * log-likelihood, rounded to `roundTo` for engine-portable

@@ -112,6 +112,37 @@ object Pack {
     }.toDF("doc_id", "shard", "bin", "n_tokens")
   }
 
+  /** The loader-facing manifest of a [[packChopped]] layout: one row
+    * per (document, sequence) SEGMENT — (doc_id, shard, seq,
+    * tok_start, off_in_seq, seg_len), meaning tokens
+    * [tok_start, tok_start+seg_len) of the document occupy positions
+    * [off_in_seq, off_in_seq+seg_len) of sequence `seq` in its shard.
+    * Segments of one sequence tile [0, seqLen) exactly (no padding
+    * except the shard's final sequence), which is what lets a trainer
+    * materialize any sequence by range-reading just the documents
+    * listed under it. Pure per-row arithmetic + a bounded explode
+    * (⌈n/L⌉+1 segments per doc) — no extra shuffle beyond
+    * [[packChopped]]'s one. */
+  def chopManifest(docs: DataFrame, id: Column, nTokens: Column,
+      seqLen: Int, shards: Int = 32, seed: Long = 0L): DataFrame = {
+    val packed = packChopped(docs, id, nTokens, seqLen, shards, seed)
+    packed
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("off"),
+        col("seq_first"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .select(col("doc_id"), col("shard"), col("seq"),
+        when(col("seq") === col("seq_first"), lit(0L))
+          .otherwise((col("seq") - col("seq_first")) * seqLen - col("off"))
+          .as("tok_start"),
+        when(col("seq") === col("seq_first"), col("off")).otherwise(lit(0L))
+          .as("off_in_seq"),
+        col("n_tokens"))
+      .withColumn("seg_len",
+        least(col("n_tokens") - col("tok_start"),
+          lit(seqLen.toLong) - col("off_in_seq")))
+      .drop("n_tokens")
+  }
+
   /** Persist a [[packGreedy]] layout for incremental growth:
     * `path/layout` = the packed rows, `path/meta` = (seq_len, shards,
     * seed) written LAST as the commit marker (the index-store

@@ -32,6 +32,27 @@ class LangModelSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._2 - d2) < 1e-6, got(2L))
   }
 
+  test("stored stats: self-fit score equals scoreBigram; OOV smoothing exact") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("lm_stats").toString
+    LangModel.buildBigramStats(docs, col("text"), col("doc_id"), path)
+    // fit == scored corpus → identical to the inline self-score
+    val inline = LangModel.scoreBigram(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = LangModel.scoreBigramAgainst(spark, path, docs,
+        col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline)
+    // OOV: "a z" = seen history a (c1=3), unseen bigram (c2=0);
+    // "q q" = unseen history entirely. V=2, k=0.5
+    val oov = Seq((10L, "a z"), (11L, "q q")).toDF("doc_id", "text")
+    val got = LangModel.scoreBigramAgainst(spark, path, oov,
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(10L) - (-math.log(0.5 / 4.0))) < 1e-6, got(10L))
+    assert(math.abs(got(11L) - (-math.log(0.5 / 1.0))) < 1e-6, got(11L))
+  }
+
   test("scoreBigram: sub-2-token docs emit nothing; gibberish scores worse") {
     val normal = (0 until 50).map(i => (i.toLong, "the cat sat on the mat"))
     val weird = Seq((100L, "zq xv qqj zzk pf"), (101L, "one"), (102L, " "))

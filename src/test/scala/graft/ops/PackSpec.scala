@@ -82,6 +82,35 @@ class PackSpec extends AnyFunSuite {
       sig(Pack.packChopped(shuffled, col("doc_id"), col("n"), L)))
   }
 
+  test("chopManifest: segments tile every document and every sequence") {
+    val L = 128
+    val man = Pack.chopManifest(docs, col("doc_id"), col("n"), L, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(man.forall(_._6 > 0), "no zero-length segments")
+    // per doc: contiguous token ranges summing to n_tokens
+    man.groupBy(_._1).foreach { case (id, segs) =>
+      val inOrder = segs.sortBy(_._3)
+      assert(inOrder.map(_._6).sum === id % 97 + 1, s"doc $id token total")
+      var cursor = 0L
+      inOrder.foreach { case (_, _, _, tokStart, _, segLen) =>
+        assert(tokStart === cursor, s"doc $id contiguity"); cursor += segLen
+      }
+    }
+    // per (shard, seq): segments tile [0, L) — full L except the
+    // shard's final sequence, which ends at the stream end
+    man.groupBy(m => (m._2, m._3)).foreach { case ((sh, seq), segs) =>
+      val lastSeq = man.filter(_._2 == sh).map(_._3).max
+      var cursor = 0L
+      segs.sortBy(_._5).foreach { case (_, _, _, _, off, segLen) =>
+        assert(off === cursor, s"shard $sh seq $seq offset tiling")
+        cursor += segLen
+      }
+      if (seq < lastSeq) assert(cursor === L, s"shard $sh seq $seq full")
+      else assert(cursor <= L)
+    }
+  }
+
   test("greedy layout append: continues each shard's open bin; idempotent replay") {
     val L = 128
     val storeDocs = docs.filter(col("doc_id") >= 500)
