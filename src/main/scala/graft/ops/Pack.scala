@@ -152,8 +152,13 @@ object Pack {
       path: String, seqLen: Int, shards: Int = 32, seed: Long = 0L): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // partitioned by shard: the consumer of a layout is a trainer
+    // reading ONE shard per worker — a shard filter must prune to one
+    // directory (PackSpec asserts PartitionFilters), not scan the
+    // whole layout
     packGreedy(docs, id, nTokens, seqLen, shards, seed)
-      .write.mode("overwrite").parquet(s"$path/layout")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/layout")
     Seq((seqLen, shards, seed)).toDF("seq_len", "shards", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -174,7 +179,10 @@ object Pack {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (seqLen, shards, seed) = (meta.getAs[Int]("seq_len"),
       meta.getAs[Int]("shards"), meta.getAs[Long]("seed"))
+    // shard comes back as an inferred-int PARTITION column — restore
+    // the layout's logical long type before joining against it
     val layout = spark.read.parquet(s"$path/layout")
+      .withColumn("shard", col("shard").cast(LongType))
     val binFills = layout.groupBy("shard", "bin")
       .agg(sum("n_tokens").as("fill"))
     val state = binFills.groupBy("shard")
@@ -208,12 +216,13 @@ object Pack {
     }.toDF("doc_id", "shard", "bin", "n_tokens")
   }
 
-  /** Compute [[packGreedyAppend]] and persist it into the layout. */
+  /** Compute [[packGreedyAppend]] and persist it into the layout
+    * (same shard partitioning as the build). */
   def appendToGreedyLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, id: Column,
       nTokens: Column): Unit =
     packGreedyAppend(spark, path, newDocs, id, nTokens)
-      .write.mode("append").parquet(s"$path/layout")
+      .write.mode("append").partitionBy("shard").parquet(s"$path/layout")
 
   /** Per-sequence utilization summary for a [[packGreedy]] layout:
     * (shard, bin, n_docs, fill, pad) — the padding-waste audit a

@@ -117,6 +117,24 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream documents into a persisted greedy pack layout
+    * ([[graft.ops.Pack.appendToGreedyLayout]] per micro-batch): each
+    * arrival folds onto its shard's open sequence under the
+    * meta-pinned geometry, so the training layout GROWS as the corpus
+    * streams in — no terminal repack job. Micro-batch size only moves
+    * sequence boundaries (each batch continues the previous state),
+    * never violates capacity; replays are idempotent on the store
+    * (doc_id anti-join). */
+  def appendStreamToPackLayout(docs: DataFrame, layoutPath: String,
+      checkpoint: String, id: Column, nTokens: Column) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pack.appendToGreedyLayout(batch.sparkSession, layoutPath,
+          batch, id, nTokens)
+      }
+      .start()
+
   /** Streaming rolling z-score anomaly detection — the streaming twin
     * of [[graft.ops.Features.zscoreAnomaly]]: a watermarked window
     * aggregation closes (name, bucket) sums in event-time order, and

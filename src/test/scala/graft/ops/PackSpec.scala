@@ -117,13 +117,22 @@ class PackSpec extends AnyFunSuite {
     val inc = docs.filter(col("doc_id") < 500)
     val path = java.nio.file.Files.createTempDirectory("pack_layout").toString
     Pack.buildGreedyLayout(storeDocs, col("doc_id"), col("n"), path, L, shards = 8)
-    val stored = spark.read.parquet(path + "/layout").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def readLayout() = spark.read.parquet(path + "/layout")
+      .select(col("doc_id"), col("shard").cast("long"), col("bin"),
+        col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val stored = readLayout()
     Pack.appendToGreedyLayout(spark, path, inc, col("doc_id"), col("n"))
-    val after = spark.read.parquet(path + "/layout").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val after = readLayout()
     val appended = after.toSet -- stored.toSet
     assert(appended.map(_._1) === (0L until 500L).toSet)
+
+    // the store is shard-partitioned: a one-shard read must prune to
+    // one directory, not scan the layout
+    val plan = spark.read.parquet(path + "/layout")
+      .filter(col("shard") === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      plan.take(2000))
 
     // reference fold: each shard seeds (last bin, fill) from the store,
     // then the increment folds in md5 order — an independent JVM md5

@@ -478,6 +478,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(("cpu", T0 + 600))._3, "spike must flag")
   }
 
+  test("appendStreamToPackLayout: streamed layout equals sequential batch appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val L = 128
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("doc_id")
+      .withColumn("n", (col("doc_id") % 97 + 1).cast("long"))
+    val pathA = java.nio.file.Files.createTempDirectory("pack_stream").toString
+    val pathB = java.nio.file.Files.createTempDirectory("pack_batch").toString
+    graft.ops.Pack.buildGreedyLayout(mk(1000, 1500), col("doc_id"), col("n"),
+      pathA, L, shards = 8)
+    graft.ops.Pack.buildGreedyLayout(mk(1000, 1500), col("doc_id"), col("n"),
+      pathB, L, shards = 8)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("pack_ck").toString
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().select(col("value").as("doc_id"))
+      .withColumn("n", (col("doc_id") % 97 + 1).cast("long"))
+    val q = StreamingIngest.appendStreamToPackLayout(stream, pathA, ckpt,
+      col("doc_id"), col("n"))
+    mem.addData(0L until 250L: _*); q.processAllAvailable()
+    mem.addData(250L until 500L: _*); q.processAllAvailable()
+    q.stop()
+
+    graft.ops.Pack.appendToGreedyLayout(spark, pathB, mk(0, 250),
+      col("doc_id"), col("n"))
+    graft.ops.Pack.appendToGreedyLayout(spark, pathB, mk(250, 500),
+      col("doc_id"), col("n"))
+
+    def sig(p: String) = spark.read.parquet(p + "/layout")
+      .select(col("doc_id"), col("shard").cast("long"), col("bin"),
+        col("n_tokens"))
+      .collect().map(_.toSeq).toSet
+    assert(sig(pathA) === sig(pathB),
+      "streamed folds must equal the same batch folds")
+  }
+
   test("anomalyStream bucket log is idempotent under batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
