@@ -1179,6 +1179,21 @@ object SparkEntry {
           seed = 3L)
         .orderBy("shard", "seq", "off_in_seq")),
 
+    // INCREMENTAL chopped packing: chopped layout store built once
+    // over doc_id >= 50; the increment's stream continues at each
+    // shard's stored token total — oracled with the same window SQL
+    // under store-first ordering
+    "pack_chopped_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("chopidx", dir)(p =>
+        Pack.buildChoppedLayout(docs.filter(col("doc_id") >= 50),
+          col("doc_id"), TextOps.tokenCount(col("text")), p,
+          seqLen = 2048, shards = 16, seed = 3L))
+      Pack.packChoppedAppend(s, store, docs.filter(col("doc_id") < 50),
+          col("doc_id"), TextOps.tokenCount(col("text")))
+        .orderBy("shard", "seq_first", "off")
+    }),
+
     // INCREMENTAL packing: the layout store built once over
     // doc_id >= 50, the increment (doc_id < 50) folds ONTO each
     // shard's open sequence — continuing the stored fold is exactly
@@ -1774,6 +1789,27 @@ object SparkEntry {
            FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
          SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
          FROM f ORDER BY shard, bin, doc_id""",
+
+    "pack_chopped_indexed" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '#3') AS h FROM documents),
+         s AS (SELECT doc_id, n_tokens, h,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16 AS shard
+           FROM d WHERE n_tokens > 0),
+         c AS (SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY (doc_id < 50), h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM s)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first,
+           CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last,
+           (cum - n_tokens) % 2048 AS off
+         FROM c WHERE doc_id < 50 ORDER BY shard, seq_first, off""",
 
     "pack_manifest" ->
       """WITH d AS (SELECT doc_id,

@@ -112,6 +112,62 @@ object Pack {
     }.toDF("doc_id", "shard", "bin", "n_tokens")
   }
 
+  /** Persist a [[packChopped]] layout (same store conventions as
+    * [[buildGreedyLayout]]: shard-partitioned rows, meta commit-marker
+    * written last). */
+  def buildChoppedLayout(docs: DataFrame, id: Column, nTokens: Column,
+      path: String, seqLen: Int, shards: Int = 32, seed: Long = 0L): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    packChopped(docs, id, nTokens, seqLen, shards, seed)
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/layout")
+    Seq((seqLen, shards, seed)).toDF("seq_len", "shards", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Chop an increment ONTO a stored chopped layout: each shard's
+    * token stream continues from its stored total (the chopped twin
+    * of [[packGreedyAppend]] — equivalent to chopping "stored corpus
+    * first, then increment"). Per-shard state is ONE total-tokens
+    * row, broadcast; stored doc_ids anti-join away for replay
+    * idempotency. Returns the increment's rows;
+    * [[appendToChoppedLayout]] persists them. */
+  def packChoppedAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, id: Column,
+      nTokens: Column): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (seqLen, shards, seed) = (meta.getAs[Int]("seq_len"),
+      meta.getAs[Int]("shards"), meta.getAs[Long]("seed"))
+    val layout = spark.read.parquet(s"$path/layout")
+      .withColumn("shard", col("shard").cast(LongType))
+    // the chopped stream is contiguous, so a shard's write cursor is
+    // simply the sum of its stored documents' tokens
+    val state = layout.groupBy("shard")
+      .agg(sum("n_tokens").as("base_tokens"))
+    val h = ordHex(id, seed)
+    val w = Window.partitionBy("shard").orderBy(col("__ord"), col("doc_id"))
+    newDocs.select(id.as("doc_id"),
+        nTokens.cast(LongType).as("n_tokens"), h.as("__ord"))
+      .withColumn("shard", shardOf(col("__ord"), shards))
+      .filter(col("n_tokens") > 0)
+      .join(layout.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(broadcast(state), Seq("shard"), "left")
+      .withColumn("__cum",
+        sum(col("n_tokens")).over(w) + coalesce(col("base_tokens"), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / seqLen).as("seq_first"),
+        floor((col("__cum") - 1) / seqLen).as("seq_last"),
+        ((col("__cum") - col("n_tokens")) % seqLen).as("off"))
+  }
+
+  /** Compute [[packChoppedAppend]] and persist it into the layout. */
+  def appendToChoppedLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, id: Column,
+      nTokens: Column): Unit =
+    packChoppedAppend(spark, path, newDocs, id, nTokens)
+      .write.mode("append").partitionBy("shard").parquet(s"$path/layout")
+
   /** The loader-facing manifest of a [[packChopped]] layout: one row
     * per (document, sequence) SEGMENT — (doc_id, shard, seq,
     * tok_start, off_in_seq, seg_len), meaning tokens

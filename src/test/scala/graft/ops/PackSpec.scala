@@ -165,6 +165,37 @@ class PackSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("chopped layout append: stream continues at each shard's stored total") {
+    val L = 128
+    val storeDocs = docs.filter(col("doc_id") >= 500)
+    val inc = docs.filter(col("doc_id") < 500)
+    val path = java.nio.file.Files.createTempDirectory("chop_layout").toString
+    Pack.buildChoppedLayout(storeDocs, col("doc_id"), col("n"), path, L, shards = 8)
+    val appended = Pack.packChoppedAppend(spark, path, inc, col("doc_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(appended.map(_._1).toSet === (0L until 500L).toSet)
+    // per shard: the appended spans continue contiguously from the
+    // stored token total, in md5 order
+    val storedTotals = spark.read.parquet(path + "/layout")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    appended.groupBy(_._2).foreach { case (sh, rows) =>
+      var cursor = storedTotals(sh)
+      rows.sortBy(r => (r._4, r._6, r._1)).foreach {
+        case (_, _, n, sf, sl, off) =>
+          assert(sf * L + off === cursor, s"shard $sh continuation")
+          cursor += n
+          assert(sl === (cursor - 1) / L)
+      }
+    }
+    // replay: nothing re-appends
+    Pack.appendToChoppedLayout(spark, path, inc, col("doc_id"), col("n"))
+    assert(Pack.packChoppedAppend(spark, path, inc, col("doc_id"), col("n"))
+      .count() === 0L)
+  }
+
   test("greedyUtilization: fill+pad = seqLen for every multi-possible bin") {
     val L = 128
     val packed = Pack.packGreedy(docs, col("doc_id"), col("n"), L, shards = 4)
