@@ -1219,6 +1219,13 @@ object SparkEntry {
           col("doc_id"))
         .orderBy("doc_id")),
 
+    // interpolated trigram NLL (Jelinek–Mercer λ3/λ2/λ1 with an add-k
+    // unigram floor) — the higher-order member of the LM family
+    "lm_trigram_score" -> ((s, dir) =>
+      LangModel.scoreTrigram(table(s, dir, "documents"), col("text"),
+          col("doc_id"))
+        .orderBy("doc_id")),
+
     // INCREMENTAL perplexity: stats fit once on doc_id >= 50 (the
     // trusted-corpus store, CCNet shape), the increment scores against
     // the STORED counts with add-k OOV smoothing — fully oracled
@@ -1841,6 +1848,44 @@ object SparkEntry {
            off_in_seq,
            least(n_tokens - tok_start, 2048 - off_in_seq) AS seg_len
          FROM m1 ORDER BY shard, seq, off_in_seq""",
+
+    "lm_trigram_score" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         flat AS (SELECT unnest(t) AS tok FROM toks),
+         tri0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+           FROM toks),
+         tri AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+           FROM tri0),
+         d3 AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri
+           GROUP BY 1, 2, 3, 4),
+         c123 AS (SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS c123
+           FROM d3 GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+           FROM c123 GROUP BY 1, 2),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         d2 AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM d2
+           GROUP BY 1, 2),
+         c2h AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c2h FROM c2 GROUP BY 1),
+         c1 AS (SELECT tok, count(*) AS c1 FROM flat GROUP BY 1),
+         nv AS (SELECT count(*) AS n_total, count(DISTINCT tok) AS v FROM flat)
+         SELECT d3.doc_id, CAST(sum(d3.c) AS BIGINT) AS n_trigrams,
+           round(sum(d3.c * -ln(
+             0.6 * (c123.c123 * 1.0 / c12.c12) +
+             0.3 * (c2.c2 * 1.0 / c2h.c2h) +
+             0.1 * ((c1.c1 + 0.5) / (nv.n_total + 0.5 * nv.v))))
+             / sum(d3.c), 6) AS nll
+         FROM d3
+           JOIN c123 USING (w1, w2, w3)
+           JOIN c12 USING (w1, w2)
+           JOIN c2 ON c2.w1 = d3.w2 AND c2.w2 = d3.w3
+           JOIN c2h ON c2h.w1 = d3.w2
+           JOIN c1 ON c1.tok = d3.w3
+           CROSS JOIN nv
+         GROUP BY 1 ORDER BY 1""",
 
     "lm_bigram_indexed" ->
       """WITH toks AS (SELECT doc_id,

@@ -45,6 +45,66 @@ object LangModel {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** (doc_id, w1, w2, w3, c) — per-document trigram counts. The
+    * `when` guard matters: Spark's `sequence(1, 0)` DESCENDS, so
+    * sub-3-token docs must short-circuit to an empty array (same
+    * guard as Mix.upsample's epoch sequence). */
+  def docTrigramCounts(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = tokens(text)
+    docs.select(id.as("doc_id"), t.as("__t"))
+      .select(col("doc_id"),
+        explode(when(size(col("__t")) >= 3,
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(1), size(col("__t")) - 2),
+            i => struct(element_at(col("__t"), i).as("w1"),
+              element_at(col("__t"), i + 1).as("w2"),
+              element_at(col("__t"), i + 2).as("w3"))))
+          .otherwise(array().cast(ArrayType(StructType(Seq(
+            StructField("w1", StringType), StructField("w2", StringType),
+            StructField("w3", StringType))))))).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+      .groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Jelinek–Mercer interpolated trigram scoring (public: Jelinek &
+    * Mercer 1980; the standard fixed-weight interpolation):
+    * P̂(w3|w1w2) = λ3·c123/c12 + λ2·c23/c2· + λ1·(c3+k)/(N+kV) —
+    * trigram and bigram MLE backed by an add-k unigram floor, so the
+    * score is finite for every in-corpus trigram. Output
+    * (doc_id, n_trigrams, nll); docs under three tokens emit nothing.
+    * Same one-declarative-plan shape as [[scoreBigram]]: one trigram
+    * and one bigram explosion, global counts derived from per-doc
+    * counts, five key-equality joins + one broadcast scalar row. */
+  def scoreTrigram(docs: DataFrame, text: Column, id: Column,
+      k: Double = 0.5, l3: Double = 0.6, l2: Double = 0.3,
+      l1: Double = 0.1, roundTo: Int = 6): DataFrame = {
+    require(k > 0 && l3 >= 0 && l2 >= 0 && l1 > 0,
+      "need k > 0 and a positive unigram floor weight")
+    val d3 = docTrigramCounts(docs, text, id)
+    val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123"))
+    val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
+    val d2 = docBigramCounts(docs, text, id)
+    val c2all = d2.groupBy("w1", "w2").agg(sum("c").as("c2"))
+    val c2hist = c2all.groupBy("w1").agg(sum("c2").as("c2hist"))
+    val toks = docs.select(explode(tokens(text)).as("tok"))
+    val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val nv = toks.agg(count(lit(1)).as("n_total"), countDistinct("tok").as("v"))
+    val p = lit(l3) * (col("c123") / col("c12")) +
+      lit(l2) * (col("c2") / col("c2hist")) +
+      lit(l1) * ((col("c1") + k) / (col("n_total") + lit(k) * col("v")))
+    d3.join(c123, Seq("w1", "w2", "w3"))
+      .join(c12, Seq("w1", "w2"))
+      .join(c2all.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2")), Seq("w2", "w3"))
+      .join(c2hist.select(col("w1").as("w2"), col("c2hist")), Seq("w2"))
+      .join(c1.select(col("tok").as("w3"), col("c1")), Seq("w3"))
+      .crossJoin(broadcast(nv))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trigrams"),
+        round(sum(col("c") * -log(p)) / sum(col("c")), roundTo).as("nll"))
+  }
+
   /** Persist bigram statistics fit on a reference corpus — the
     * write-once half of the CCNet shape (fit on a trusted corpus,
     * score every crawl increment against it): `path/pairs` =

@@ -53,6 +53,41 @@ class LangModelSpec extends AnyFunSuite {
     assert(math.abs(got(11L) - (-math.log(0.5 / 1.0))) < 1e-6, got(11L))
   }
 
+  test("scoreTrigram: interpolated arithmetic matches an independent reference fold") {
+    val texts = Map(1L -> "a b c a b c", 2L -> "a b c b", 3L -> "x y")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = LangModel.scoreTrigram(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(3L), "sub-3-token docs emit nothing")
+
+    // independent reference computation over the same token streams
+    val toks = texts.view.mapValues(_.split("\\s+").toSeq).toMap
+    val allToks = toks.values.flatten.toSeq
+    val (n, v) = (allToks.size.toDouble, allToks.distinct.size.toDouble)
+    val c1 = allToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val bis = toks.values.flatMap(t => t.sliding(2).filter(_.size == 2).map(s => (s(0), s(1)))).toSeq
+    val c2 = bis.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c2h = bis.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val tris = toks.view.mapValues(t => t.sliding(3).filter(_.size == 3)
+      .map(s => (s(0), s(1), s(2))).toSeq).toMap
+    val allTris = tris.values.flatten.toSeq
+    val c123 = allTris.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c12 = allTris.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toDouble).toMap
+    def nll(docTris: Seq[(String, String, String)]): Double = {
+      val terms = docTris.map { case tg @ (w1, w2, w3) =>
+        val p = 0.6 * (c123(tg) / c12((w1, w2))) +
+          0.3 * (c2((w2, w3)) / c2h(w2)) +
+          0.1 * ((c1(w3) + 0.5) / (n + 0.5 * v))
+        -math.log(p)
+      }
+      terms.sum / terms.size
+    }
+    Seq(1L, 2L).foreach { id =>
+      assert(got(id)._1 === tris(id).size.toLong, s"doc $id trigram count")
+      assert(math.abs(got(id)._2 - nll(tris(id))) < 1e-6, s"doc $id nll")
+    }
+  }
+
   test("scoreBigram: sub-2-token docs emit nothing; gibberish scores worse") {
     val normal = (0 until 50).map(i => (i.toLong, "the cat sat on the mat"))
     val weird = Seq((100L, "zq xv qqj zzk pf"), (101L, "one"), (102L, " "))
