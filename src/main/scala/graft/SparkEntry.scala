@@ -1216,14 +1216,14 @@ object SparkEntry {
     // CCNet-style quality signal, fit+scored in one declarative plan
     "lm_bigram_score" -> ((s, dir) =>
       LangModel.scoreBigram(table(s, dir, "documents"), col("text"),
-          col("doc_id"))
+          col("doc_id"), materialize = eagerPairs)
         .orderBy("doc_id")),
 
     // interpolated trigram NLL (Jelinek–Mercer λ3/λ2/λ1 with an add-k
     // unigram floor) — the higher-order member of the LM family
     "lm_trigram_score" -> ((s, dir) =>
       LangModel.scoreTrigram(table(s, dir, "documents"), col("text"),
-          col("doc_id"))
+          col("doc_id"), materialize = eagerPairs)
         .orderBy("doc_id")),
 
     // INCREMENTAL perplexity: stats fit once on doc_id >= 50 (the

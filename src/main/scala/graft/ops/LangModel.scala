@@ -78,22 +78,31 @@ object LangModel {
     * counts, five key-equality joins + one broadcast scalar row. */
   def scoreTrigram(docs: DataFrame, text: Column, id: Column,
       k: Double = 0.5, l3: Double = 0.6, l2: Double = 0.3,
-      l1: Double = 0.1, roundTo: Int = 6): DataFrame = {
+      l1: Double = 0.1, roundTo: Int = 6,
+      materialize: Boolean = true): DataFrame = {
     require(k > 0 && l3 >= 0 && l2 >= 0 && l1 > 0,
       "need k > 0 and a positive unigram floor weight")
-    val d3 = docTrigramCounts(docs, text, id)
+    // the per-doc n-gram tables each feed BOTH their global-count
+    // derivation and the scoring join — Catalyst can't reuse the
+    // scan+explode subplan across different grouping keys, so without
+    // persist() the corpus would re-explode once per count table (the
+    // dominating cost at scale). Same persist/materialize convention
+    // as the dedup funnels.
+    val d3 = docTrigramCounts(docs, text, id).persist()
     val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123"))
     val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
-    val d2 = docBigramCounts(docs, text, id)
+    val d2 = docBigramCounts(docs, text, id).persist()
     val c2all = d2.groupBy("w1", "w2").agg(sum("c").as("c2"))
     val c2hist = c2all.groupBy("w1").agg(sum("c2").as("c2hist"))
-    val toks = docs.select(explode(tokens(text)).as("tok"))
-    val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
-    val nv = toks.agg(count(lit(1)).as("n_total"), countDistinct("tok").as("v"))
+    // one unigram table serves both the floor counts and the (N, V)
+    // scalars — n_total = Σc1, v = |c1| — no second token explode
+    val c1 = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1")).persist()
+    val nv = c1.agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
     val p = lit(l3) * (col("c123") / col("c12")) +
       lit(l2) * (col("c2") / col("c2hist")) +
       lit(l1) * ((col("c1") + k) / (col("n_total") + lit(k) * col("v")))
-    d3.join(c123, Seq("w1", "w2", "w3"))
+    val scored = d3.join(c123, Seq("w1", "w2", "w3"))
       .join(c12, Seq("w1", "w2"))
       .join(c2all.select(col("w1").as("w2"), col("w2").as("w3"),
         col("c2")), Seq("w2", "w3"))
@@ -103,6 +112,12 @@ object LangModel {
       .groupBy("doc_id")
       .agg(sum("c").as("n_trigrams"),
         round(sum(col("c") * -log(p)) / sum(col("c")), roundTo).as("nll"))
+    if (!materialize) scored
+    else {
+      val out = scored.localCheckpoint(true)
+      d3.unpersist(); d2.unpersist(); c1.unpersist()
+      out
+    }
   }
 
   /** Persist bigram statistics fit on a reference corpus — the
@@ -158,14 +173,17 @@ object LangModel {
     * log-likelihood, rounded to `roundTo` for engine-portable
     * comparison. Higher = more atypical for the corpus. */
   def scoreBigram(docs: DataFrame, text: Column, id: Column,
-      k: Double = 0.5, roundTo: Int = 6): DataFrame = {
+      k: Double = 0.5, roundTo: Int = 6,
+      materialize: Boolean = true): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
-    val d = docBigramCounts(docs, text, id)
+    // persisted: the per-doc table feeds both the global-count
+    // derivation and the scoring join — see scoreTrigram
+    val d = docBigramCounts(docs, text, id).persist()
     val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val v = docs.select(explode(tokens(text)).as("tok"))
       .agg(countDistinct("tok").as("v"))
-    d.join(c2, Seq("w1", "w2"))
+    val scored = d.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .groupBy("doc_id")
@@ -174,5 +192,11 @@ object LangModel {
           sum(col("c") * -log((col("c2") + k) /
             (col("c1") + lit(k) * col("v")))) / sum(col("c")),
           roundTo).as("nll"))
+    if (!materialize) scored
+    else {
+      val out = scored.localCheckpoint(true)
+      d.unpersist()
+      out
+    }
   }
 }
