@@ -899,7 +899,7 @@ object SparkEntry {
           col("vec_id"), col("embedding"), p, planes = 8, tables = 16))
       Similarity.cosinePairsAgainstIndex(s, store,
         emb.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
-        threshold = 0.45)
+        threshold = 0.45, materialize = eagerPairs)
     }),
 
     // exact all-pairs cosine over a bounded sample — DuckDB-oracled

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
 /** Token-budget data mixing: compose a training corpus from weighted
   * sources by keeping, per source, the prefix of a DETERMINISTIC
@@ -26,13 +27,23 @@ object Mix {
 
   /** Kept rows: id, source, n_tokens, cum_tokens (≤ the source's
     * budget). `budgets` overrides `defaultBudget` per source name. */
+  /** THE engine-portable order/selection hash: lowercase
+    * md5hex(UTF-8 bytes of "<id>#<seed>"). Every operator that needs
+    * a cross-engine-reproducible order or fractional selection
+    * ([[build]], [[upsample]], [[Sampling.bernoulliPortable]],
+    * [[Pack]]) MUST use this one definition — the concat format,
+    * binary cast, and hex case are load-bearing for the DuckDB
+    * oracles (`md5(CAST(id AS VARCHAR) || '#<seed>')`) and for every
+    * persisted layout/index keyed by it. */
+  def ordHash(id: Column, seed: Long): Column =
+    md5(concat(id.cast(StringType), lit("#" + seed)).cast(BinaryType))
+
   def build(docs: DataFrame, text: Column, id: Column, source: Column,
       defaultBudget: Long, budgets: Map[String, Long] = Map.empty,
       seed: Long = 0L): DataFrame = {
     // resolve against the projected names so caller column names
     // (whatever they are) can't leak into the window/filter
-    val ord = md5(concat(col("doc_id").cast("string"), lit("#" + seed))
-      .cast("binary"))
+    val ord = ordHash(col("doc_id"), seed)
     val w = Window.partitionBy(col("source"))
       .orderBy(ord.asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -93,8 +104,7 @@ object Mix {
       case (acc, (src, f)) =>
         when(col("source") === src, hexThreshold(f % 1)).otherwise(acc)
     }
-    val h = md5(concat(col("doc_id").cast("string"), lit("#" + seed))
-      .cast("binary"))
+    val h = ordHash(col("doc_id"), seed)
     docs
       .select(id.as("doc_id"), source.as("source"))
       .withColumn("epoch",

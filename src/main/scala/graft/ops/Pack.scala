@@ -35,9 +35,10 @@ import org.apache.spark.sql.types._
   */
 object Pack {
 
-  /** md5-hex order key (portable across engines, uniform). */
+  /** md5-hex order key — the ONE shared portability primitive
+    * ([[Mix.ordHash]]). */
   private def ordHex(id: Column, seed: Long): Column =
-    md5(concat(id.cast(StringType), lit("#" + seed)).cast(BinaryType))
+    Mix.ordHash(id, seed)
 
   /** Shard in [0, shards) from the first two hex nibbles of the order
     * hash — independent of the within-shard order bits in practice
@@ -88,28 +89,35 @@ object Pack {
   def packGreedy(docs: DataFrame, id: Column, nTokens: Column,
       seqLen: Int, shards: Int = 32, seed: Long = 0L): DataFrame = {
     require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val h = ordHex(id, seed)
-    val base = docs.select(id.as("doc_id"),
+    val sorted = docs.select(id.as("doc_id"),
         nTokens.cast(LongType).as("n_tokens"), h.as("__ord"))
       .withColumn("shard", shardOf(col("__ord"), shards))
       .filter(col("n_tokens") > 0)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__ord"), col("doc_id"))
       .select(col("doc_id"), col("shard"), col("n_tokens"))
-      .as[(Long, Long, Long)]
-    base.mapPartitions { it =>
+    // Row-encoded fold (not a tuple encoder): doc_id stays whatever
+    // type the caller's id column has — string URLs pack as well as
+    // numeric ids, like every other operator keyed by ordHash
+    val outSchema = StructType(Seq(
+      sorted.schema("doc_id"),
+      StructField("shard", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n_tokens", LongType)))
+    sorted.mapPartitions { it =>
       var curShard = Long.MinValue
       var bin = -1L
       var fill = 0L
-      it.map { case (docId, shard, n) =>
+      it.map { row =>
+        val shard = row.getLong(1)
+        val n = row.getLong(2)
         if (shard != curShard) { curShard = shard; bin = -1L; fill = 0L }
         if (bin < 0 || fill + n > seqLen) { bin += 1; fill = n }
         else fill += n
-        (docId, shard, bin, n)
+        org.apache.spark.sql.Row(row.get(0), shard, bin, n)
       }
-    }.toDF("doc_id", "shard", "bin", "n_tokens")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Persist a [[packChopped]] layout (same store conventions as
@@ -151,6 +159,9 @@ object Pack {
         nTokens.cast(LongType).as("n_tokens"), h.as("__ord"))
       .withColumn("shard", shardOf(col("__ord"), shards))
       .filter(col("n_tokens") > 0)
+      // same two-layer duplicate guard as packGreedyAppend: anti-join
+      // for cross-batch replays, dropDuplicates for in-batch repeats
+      .dropDuplicates(Seq("doc_id"))
       .join(layout.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(broadcast(state), Seq("shard"), "left")
       .withColumn("__cum",
@@ -231,7 +242,6 @@ object Pack {
   def packGreedyAppend(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, id: Column,
       nTokens: Column): DataFrame = {
-    import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").head()
     val (seqLen, shards, seed) = (meta.getAs[Int]("seq_len"),
       meta.getAs[Int]("shards"), meta.getAs[Long]("seed"))
@@ -246,10 +256,15 @@ object Pack {
       .select(col("shard"), col("st.bin").as("last_bin"),
         col("st.fill").as("last_fill"))
     val h = ordHex(id, seed)
-    val base = newDocs.select(id.as("doc_id"),
+    val sorted = newDocs.select(id.as("doc_id"),
         nTokens.cast(LongType).as("n_tokens"), h.as("__ord"))
       .withColumn("shard", shardOf(col("__ord"), shards))
       .filter(col("n_tokens") > 0)
+      // the anti-join makes CROSS-batch replays idempotent; the
+      // dropDuplicates guards an id delivered twice WITHIN one
+      // increment (an at-least-once source retrying inside a single
+      // trigger) — duplicate rows are identical, any survivor is right
+      .dropDuplicates(Seq("doc_id"))
       .join(layout.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(broadcast(state), Seq("shard"), "left")
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("__ord"),
@@ -258,18 +273,27 @@ object Pack {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__ord"), col("doc_id"))
       .select("doc_id", "shard", "n_tokens", "last_bin", "last_fill")
-      .as[(Long, Long, Long, Long, Long)]
-    base.mapPartitions { it =>
+    // Row-encoded fold: doc_id keeps the caller's type (see packGreedy)
+    val outSchema = StructType(Seq(
+      sorted.schema("doc_id"),
+      StructField("shard", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n_tokens", LongType)))
+    sorted.mapPartitions { it =>
       var curShard = Long.MinValue
       var bin = -1L
       var fill = 0L
-      it.map { case (docId, shard, n, lastBin, lastFill) =>
-        if (shard != curShard) { curShard = shard; bin = lastBin; fill = lastFill }
+      it.map { row =>
+        val shard = row.getLong(1)
+        val n = row.getLong(2)
+        if (shard != curShard) {
+          curShard = shard; bin = row.getLong(3); fill = row.getLong(4)
+        }
         if (bin < 0 || fill + n > seqLen) { bin += 1; fill = n }
         else fill += n
-        (docId, shard, bin, n)
+        org.apache.spark.sql.Row(row.get(0), shard, bin, n)
       }
-    }.toDF("doc_id", "shard", "bin", "n_tokens")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Compute [[packGreedyAppend]] and persist it into the layout

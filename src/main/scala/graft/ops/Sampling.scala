@@ -43,9 +43,7 @@ object Sampling {
     * Still a plain pushdown-able filter: no shuffle, no RNG state. */
   def bernoulliPortable(df: DataFrame, key: Column, frac: Double,
       seed: Long = 42L): DataFrame =
-    df.filter(
-      md5(concat(key.cast(StringType), lit("#" + seed)).cast(BinaryType)) <
-        lit(Mix.hexThreshold(frac)))
+    df.filter(Mix.ordHash(key, seed) < lit(Mix.hexThreshold(frac)))
 
   /** Stratified deterministic sampling: a per-stratum keep fraction
     * (e.g. downsample dominant languages/domains in a data mix),

@@ -71,6 +71,26 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("packGreedy accepts non-numeric ids; appends dedupe in-batch repeats") {
+    val sdocs = Seq(("u/alpha", 60L), ("u/beta", 80L), ("u/gamma", 100L),
+      ("u/delta", 40L)).toDF("url", "n")
+    val packed = Pack.packGreedy(sdocs, col("url"), col("n"), 128, shards = 4)
+    assert(packed.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(packed.count() === 4)
+
+    val gPath = java.nio.file.Files.createTempDirectory("pack_sid").toString
+    Pack.buildGreedyLayout(sdocs, col("url"), col("n"), gPath, 128, shards = 4)
+    val dup = Seq(("u/new", 50L), ("u/new", 50L)).toDF("url", "n")
+    assert(Pack.packGreedyAppend(spark, gPath, dup, col("url"), col("n"))
+      .count() === 1, "in-batch repeat must pack once")
+
+    val cPath = java.nio.file.Files.createTempDirectory("chop_sid").toString
+    Pack.buildChoppedLayout(sdocs, col("url"), col("n"), cPath, 128, shards = 4)
+    assert(Pack.packChoppedAppend(spark, cPath, dup, col("url"), col("n"))
+      .count() === 1, "in-batch repeat must chop once")
+  }
+
   test("packers are deterministic under physical reordering") {
     val L = 64
     def sig(df: org.apache.spark.sql.DataFrame) =
