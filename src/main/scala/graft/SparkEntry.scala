@@ -1151,6 +1151,14 @@ object SparkEntry {
           col("doc_id"), 0.25)
         .select("doc_id").orderBy("doc_id")),
 
+    // per-stratum portable sampling: one md5 threshold literal per
+    // source — the cross-engine stratified twin, fully oracled
+    "sample_stratified_portable" -> ((s, dir) =>
+      Sampling.stratifiedPortable(table(s, dir, "documents"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 0.05, "src1" -> 0.5), default = 0.25)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // SEQUENCE PACKING (graft.ops.Pack): the trainer-facing layout
     // step. Chopped = concatenate-and-chop at 2048-token boundaries
     // (GPT-style pretraining; window arithmetic, fully oracled);
@@ -1748,6 +1756,15 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          WHERE md5(CAST(doc_id AS VARCHAR) || '#42') <
            '${graft.ops.Mix.hexThreshold(0.25)}'
+         ORDER BY doc_id""",
+
+    "sample_stratified_portable" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE md5(CAST(doc_id AS VARCHAR) || '#42') <
+           CASE source
+             WHEN 'src0' THEN '${graft.ops.Mix.hexThreshold(0.05)}'
+             WHEN 'src1' THEN '${graft.ops.Mix.hexThreshold(0.5)}'
+             ELSE '${graft.ops.Mix.hexThreshold(0.25)}' END
          ORDER BY doc_id""",
 
     "pack_chopped" ->

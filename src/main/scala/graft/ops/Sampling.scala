@@ -45,6 +45,21 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     df.filter(Mix.ordHash(key, seed) < lit(Mix.hexThreshold(frac)))
 
+  /** Portable stratified sampling: per-stratum keep fractions under
+    * the SAME md5 selection as [[bernoulliPortable]] (one
+    * [[Mix.hexThreshold]] literal per stratum, resolved per row) —
+    * the cross-engine twin of [[stratified]], and nested across
+    * fraction maps the same way. Still a per-row pushdown filter. */
+  def stratifiedPortable(df: DataFrame, key: Column, stratum: Column,
+      fracs: Map[String, Double], default: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val thr = fracs.foldLeft(lit(Mix.hexThreshold(default))) {
+      case (acc, (s, f)) =>
+        when(stratum.cast(StringType) === s, Mix.hexThreshold(f)).otherwise(acc)
+    }
+    df.filter(Mix.ordHash(key, seed) < thr)
+  }
+
   /** Stratified deterministic sampling: a per-stratum keep fraction
     * (e.g. downsample dominant languages/domains in a data mix),
     * `default` for strata not in the map. The fraction table is a

@@ -54,6 +54,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(s25.size - 5000.0) < 3 * math.sqrt(20000 * 0.25 * 0.75), s25.size)
   }
 
+  test("stratifiedPortable: per-stratum md5 selection, consistent with bernoulliPortable") {
+    val df = ids.withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
+    val got = Sampling.stratifiedPortable(df, col("id"), col("lang"),
+      Map("en" -> 0.05), default = 0.5)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(math.abs(byLang("en") - 500.0) < 3 * math.sqrt(10000 * 0.05 * 0.95), byLang)
+    assert(math.abs(byLang("de") - 5000.0) < 3 * math.sqrt(10000 * 0.5 * 0.5), byLang)
+    // an empty frac map degenerates to the portable Bernoulli sampler
+    val uniform = Sampling.stratifiedPortable(df, col("id"), col("lang"),
+      Map.empty, default = 0.25).select("id").collect().map(_.getLong(0)).toSet
+    val bern = Sampling.bernoulliPortable(ids, col("id"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(uniform === bern)
+  }
+
   test("stratified: per-stratum fractions with a default") {
     val df = ids.withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
     val got = Sampling.stratified(df, col("id"), col("lang"),
