@@ -779,6 +779,16 @@ object SparkEntry {
         .select("doc_id", "quality", "pred_lang", "top2", "stage", "keep")
         .orderBy("doc_id")),
 
+    // the funnel with the CCNet-style perplexity ceiling as its LAST
+    // stage (self-fit bigram NLL over the dedup survivors) — the LM
+    // arithmetic composes into the same oracle, so the full
+    // five-stage ledger stays hash-verified end-to-end
+    "curate_ledger_lm" -> ((s, dir) =>
+      Curate.ledger(table(s, dir, "documents"), col("text"), col("doc_id"),
+          Curate.Config(maxNll = Some(3.45)))
+        .select("doc_id", "quality", "pred_lang", "top2", "stage", "keep")
+        .orderBy("doc_id")),
+
     // KEYWORDS: top-5 tf-idf terms per document (Search.tfidfKeywords)
     // — integer tf/df/N make scores bit-identical across engines, so
     // the rank cut is exact. DuckDB-oracled with the same arithmetic
@@ -2128,6 +2138,78 @@ object SparkEntry {
            coalesce(p.pre_stage, surv.dd, 'kept') AS stage,
            (coalesce(p.pre_stage, surv.dd) IS NULL) AS keep
          FROM pre p LEFT JOIN surv USING (doc_id) ORDER BY 1""",
+
+    "curate_ledger_lm" ->
+      """WITH t AS (SELECT doc_id, text,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, text, toks,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','with'], x))) AS s_en,
+           len(list_filter(toks, x -> list_contains(['der','und','die','das','ist','mit','von'], x))) AS s_de,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','avec'], x))) AS s_fr,
+           len(list_filter(toks, x -> list_contains(['el','los','las','es','con','por','una'], x))) AS s_es,
+           len(list_filter(toks, x -> list_contains(['的','是','在','了','和'], x))) AS s_zh
+           FROM t),
+         f AS (SELECT doc_id, text,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           round(least(length(text)/500.0, 1.0)*0.25
+             + (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/greatest(length(text), 1))*0.35
+             + least((len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x)))
+                 / greatest(len(toks), 1))*5.0, 1.0)*0.2
+             + CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))/greatest(len(toks), 1))
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END*0.2, 6) AS quality
+           FROM s),
+         g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(0, len(toks)-2),
+                    i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)])
+                  ELSE [] END) AS g FROM t),
+         a2 AS (SELECT doc_id, max(cnt * len(g)) AS m FROM
+                  (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+                GROUP BY 1),
+         nl AS (SELECT doc_id, len(array_to_string(toks, ' ')) AS norm_len FROM t),
+         top2t AS (SELECT nl.doc_id,
+             round(least(CAST(1.0 AS DOUBLE), CASE WHEN nl.norm_len = 0 THEN 0
+               ELSE CAST(coalesce(a2.m, 0) AS DOUBLE) / nl.norm_len END), 6) AS top2
+           FROM nl LEFT JOIN a2 USING (doc_id)),
+         pre AS (SELECT f.doc_id, f.text, f.quality, f.pred_lang, top2t.top2,
+             CASE WHEN f.text IS NULL THEN 'invalid'
+                  WHEN f.quality < 0.62 THEN 'quality'
+                  WHEN top2t.top2 > 0.14 THEN 'repetition'
+                  WHEN f.pred_lang NOT IN ('en') THEN 'lang' END AS pre_stage
+           FROM f JOIN top2t USING (doc_id)),
+         surv AS (SELECT doc_id,
+             CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+                  THEN 'exact_dup' END AS dd
+           FROM pre WHERE pre_stage IS NULL),
+         lmpool AS (SELECT p.doc_id, p.text FROM pre p
+             LEFT JOIN surv USING (doc_id)
+             WHERE coalesce(p.pre_stage, surv.dd) IS NULL),
+         ltoks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS lt
+           FROM lmpool),
+         lbig0 AS (SELECT doc_id, lt, unnest(range(1, len(lt))) AS i FROM ltoks),
+         lbig AS (SELECT doc_id, lt[i] AS w1, lt[i + 1] AS w2 FROM lbig0),
+         ld AS (SELECT doc_id, w1, w2, count(*) AS c FROM lbig GROUP BY 1, 2, 3),
+         lc2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM ld GROUP BY 1, 2),
+         lc1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM lc2 GROUP BY 1),
+         lv AS (SELECT count(DISTINCT u.tok) AS v
+           FROM (SELECT unnest(lt) AS tok FROM ltoks) u),
+         lnll AS (SELECT ld.doc_id,
+             round(sum(ld.c * -ln((lc2.c2 + 0.5) / (lc1.c1 + 0.5 * lv.v)))
+               / sum(ld.c), 6) AS nll
+           FROM ld JOIN lc2 USING (w1, w2) JOIN lc1 USING (w1) CROSS JOIN lv
+           GROUP BY 1)
+         SELECT p.doc_id, p.quality, p.pred_lang, p.top2,
+           coalesce(p.pre_stage, surv.dd,
+             CASE WHEN lnll.nll > 3.45 THEN 'perplexity' END, 'kept') AS stage,
+           (coalesce(p.pre_stage, surv.dd,
+             CASE WHEN lnll.nll > 3.45 THEN 'perplexity' END) IS NULL) AS keep
+         FROM pre p LEFT JOIN surv USING (doc_id)
+           LEFT JOIN lnll USING (doc_id) ORDER BY 1""",
 
     "search_tfidf_keywords" ->
       """WITH post AS (SELECT term, doc_id, count(*) AS tf FROM

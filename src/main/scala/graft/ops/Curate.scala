@@ -28,7 +28,14 @@ object Curate {
       nearDupThreshold: Option[Double] = None,
       minhashHashes: Int = 128,
       minhashBands: Int = 32,
-      ccMaxIter: Int = 30)
+      ccMaxIter: Int = 30,
+      // perplexity ceiling (LangModel bigram NLL, rounded 6): the
+      // CCNet-style LM filter, run LAST over the dedup survivors —
+      // the most expensive stage sees the fewest rows. None = off.
+      maxNll: Option[Double] = None,
+      // fit source for the NLL: a buildBigramStats store (trusted
+      // reference corpus), or None = self-fit on the surviving pool
+      lmStatsPath: Option[String] = None)
 
   /** Per-document verdict: every input row, plus `stage` ("kept" or
     * the first stage that dropped it) and `keep`. Map-only up to the
@@ -87,7 +94,28 @@ object Curate {
           .drop("__nd")
     }
 
-    afterExact
+    val afterLm = cfg.maxNll match {
+      case None => afterExact
+      case Some(maxNll) =>
+        // survivors only: perplexity is the costliest stage (two
+        // n-gram explosions + joins), so it runs over the funnel's
+        // smallest set. Docs under two tokens have no bigrams and no
+        // NLL — they pass this stage (their fate was decided by the
+        // scalar filters above).
+        val pool = afterExact.filter(col("stage").isNull)
+        val scored = cfg.lmStatsPath match {
+          case Some(p) => LangModel.scoreBigramAgainst(
+            pool.sparkSession, p, pool, col("__text"), col("doc_id"))
+          case None => LangModel.scoreBigram(pool, col("__text"), col("doc_id"))
+        }
+        val drops = scored.filter(col("nll") > maxNll)
+          .select(col("doc_id"), lit("perplexity").as("__lm"))
+        afterExact.join(drops, Seq("doc_id"), "left")
+          .withColumn("stage", coalesce(col("stage"), col("__lm")))
+          .drop("__lm")
+    }
+
+    afterLm
       .withColumn("stage", coalesce(col("stage"), lit("kept")))
       .withColumn("keep", col("stage") === "kept")
       .drop("__pre", "__text")

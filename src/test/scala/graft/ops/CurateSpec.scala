@@ -74,6 +74,32 @@ class CurateSpec extends AnyFunSuite {
     assert(got(3L) === "kept")
   }
 
+  test("perplexity stage drops the corpus-atypical survivor, runs last") {
+    import spark.implicits._
+    // many near-identical good docs pin the corpus statistics; one doc
+    // passes every scalar filter but has atypical transitions
+    val normals = (10L until 40L).map(i => i -> goodEn.replace("fox",
+      if (i % 2 == 0) "fox" else "hound"))
+    val weird = goodEn.split(" ").reverse.mkString(" ") // same words, reversed order
+    val rows = normals ++ Seq(1L -> weird, 2L -> german)
+    // threshold between the normals' NLL and the reversed doc's NLL
+    val df = rows.toDF("doc_id", "text")
+    val pool = Curate.ledger(df, col("text"), col("doc_id"))
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pool.contains(1L), "reversed doc passes the scalar filters")
+    val nll = LangModel.scoreBigram(
+        df.join(pool.toSeq.toDF("doc_id"), Seq("doc_id")),
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val thr = (nll.filterKeys(_ != 1L).values.max + nll(1L)) / 2
+    assert(nll(1L) > nll.filterKeys(_ != 1L).values.max,
+      "reversed transitions must score atypical")
+    val got = run(rows, Curate.Config(maxNll = Some(thr)))
+    assert(got(1L) === "perplexity")
+    assert(got(2L) === "lang", "perplexity runs AFTER the scalar stages")
+    assert(normals.forall(n => got(n._1) === "kept" || got(n._1) === "exact_dup"))
+  }
+
   test("plan: one scan, one window exchange, no branch-and-union") {
     import spark.implicits._
     val docs = Seq((1L, goodEn)).toDF("doc_id", "text")
