@@ -1197,6 +1197,16 @@ object SparkEntry {
           seed = 3L)
         .orderBy("shard", "seq", "off_in_seq")),
 
+    // padding-waste audit of the greedy layout: per-sequence doc
+    // count, fill, and pad — the number a packing job reports
+    "pack_utilization" -> ((s, dir) =>
+      Pack.greedyUtilization(
+        Pack.packGreedy(table(s, dir, "documents"), col("doc_id"),
+          TextOps.tokenCount(col("text")), seqLen = 2048, shards = 16,
+          seed = 3L),
+        seqLen = 2048)
+        .orderBy("shard", "bin")),
+
     // INCREMENTAL chopped packing: chopped layout store built once
     // over doc_id >= 50; the increment's stream continues at each
     // shard's stored token total — oracled with the same window SQL
@@ -1823,6 +1833,37 @@ object SparkEntry {
            FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
          SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
          FROM f ORDER BY shard, bin, doc_id""",
+
+    "pack_utilization" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, n_tokens, h,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16 AS shard
+           FROM (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || '#3') AS h FROM documents)
+           WHERE n_tokens > 0),
+         r AS (SELECT doc_id, n_tokens, h, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+           FROM d),
+         f AS (
+           SELECT doc_id, shard, rn, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.doc_id, r.shard, r.rn, r.n_tokens,
+             CASE WHEN f.fill + r.n_tokens <= 2048
+                  THEN f.bin ELSE f.bin + 1 END,
+             CASE WHEN f.fill + r.n_tokens <= 2048
+                  THEN f.fill + r.n_tokens ELSE r.n_tokens END
+           FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+         SELECT CAST(shard AS BIGINT) AS shard, bin,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS fill,
+           CASE WHEN sum(n_tokens) < 2048
+                THEN 2048 - CAST(sum(n_tokens) AS BIGINT)
+                ELSE 0 END AS pad
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "pack_chopped_indexed" ->
       """WITH d AS (SELECT doc_id,
