@@ -929,6 +929,25 @@ object SparkEntry {
           col("text"), col("doc_id"), n = 3, threshold = 0.5))
         .orderBy("id")),
 
+    // leakage-safe split, oracled end-to-end over the bounded sample:
+    // exact pairs -> recursive closure -> portable md5 split of the
+    // cluster representative — the oracle twin of split_leakfree
+    "split_leakfree_exact_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      Curate.leakSafeSplitFromPairs(docs, col("doc_id"),
+        Dedup.ngramJaccardExact(docs, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5),
+        evalFrac = 0.2, seed = 7)
+        .orderBy("doc_id")
+    }),
+
+    // production shape: minhash-funnel pairs over the full corpus
+    // (rows-only; leakage-freedom and fraction measured in CurateSpec)
+    "split_leakfree" -> ((s, dir) =>
+      Curate.leakSafeSplit(table(s, dir, "documents"), col("text"),
+        col("doc_id"), evalFrac = 0.2, seed = 7)
+        .orderBy("doc_id")),
+
     // brute-force cosine top-k (the exact baseline)
     "ann_brute_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -2342,6 +2361,33 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
          m AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1)
          SELECT id, least(id, mn) AS cluster FROM m ORDER BY id""",
+
+    "split_leakfree_exact_sample" ->
+      s"""WITH RECURSIVE g AS (SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(t)-2, 1)),
+             i -> substring(t, CAST(i AS INT), 3))) AS grams
+           FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                 FROM documents WHERE doc_id < 300)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         m AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1),
+         lab AS (SELECT id, least(id, mn) AS cluster FROM m),
+         j AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+               FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+               LEFT JOIN lab l ON d.doc_id = l.id)
+         SELECT doc_id, cluster,
+           CASE WHEN md5(CAST(cluster AS VARCHAR) || '#7') <
+             '${graft.ops.Mix.hexThreshold(0.2)}'
+           THEN 'eval' ELSE 'train' END AS split
+         FROM j ORDER BY doc_id""",
 
     "dedup_embed_exact_sample" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

@@ -121,6 +121,53 @@ object Curate {
       .drop("__pre", "__text")
   }
 
+  /** Leakage-safe train/eval split from a precomputed near-dup pair
+    * set: documents are clustered (connected components over the
+    * pairs), every document gets its cluster representative (its own
+    * id when unpaired), and the split is decided by the PORTABLE
+    * selection hash of the REPRESENTATIVE — so any two documents
+    * linked by a pair land on the same side, by construction. Splitting
+    * at document level instead would plant eval near-dups in train
+    * (benchmark contamination, the thing decontamination chases after
+    * the fact); splitting by cluster prevents it structurally.
+    *
+    * Output: every input id as (doc_id, cluster, split∈{eval,train}).
+    * The eval fraction applies to CLUSTERS (uniform via [[Mix.ordHash]]
+    * on the representative), so the realized document fraction drifts
+    * with cluster mass — the price of zero leakage, measured in
+    * CurateSpec. Engine-portable verbatim: cluster = recursive closure,
+    * selection = md5 hex compare ([[Mix.hexThreshold]]). */
+  def leakSafeSplitFromPairs(docs: DataFrame, id: Column, pairs: DataFrame,
+      evalFrac: Double, seed: Long = 42L, ccMaxIter: Int = 30,
+      algorithm: String = "star"): DataFrame = {
+    val cc = Dedup.connectedComponentsResult(pairs, ccMaxIter, algorithm)
+    require(cc.converged,
+      s"near-dup clustering did not converge in $ccMaxIter rounds; raise ccMaxIter")
+    docs.select(id.as("doc_id"))
+      .join(cc.labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(Mix.ordHash(col("cluster"), seed) <
+          lit(Mix.hexThreshold(evalFrac)), "eval").otherwise("train"))
+  }
+
+  /** [[leakSafeSplitFromPairs]] with the pair set produced by the
+    * engine's own minhash funnel — the shape that runs at corpus
+    * scale (banded LSH candidate generation, never all-pairs). The
+    * funnel finds exact duplicates too (Jaccard 1), so both dup
+    * families are split-safe. */
+  def leakSafeSplit(docs: DataFrame, text: Column, id: Column,
+      evalFrac: Double, seed: Long = 42L, nearDupThreshold: Double = 0.5,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      ccMaxIter: Int = 30): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val pairs = Dedup.minhashLSH(base, col("__text"), col("doc_id"),
+      shingleK = shingleK, numHashes = numHashes, bands = bands,
+      jaccardThreshold = nearDupThreshold)
+    leakSafeSplitFromPairs(base, col("doc_id"), pairs, evalFrac, seed,
+      ccMaxIter)
+  }
+
   /** The kept corpus — [[ledger]]'s survivors joined back to the full
     * input rows (semi join on id, so every original column survives). */
   def kept(docs: DataFrame, text: Column, id: Column,

@@ -168,6 +168,30 @@ object LangModel {
           roundTo).as("nll"))
   }
 
+  /** Per-batch body of [[graft.streaming.StreamingIngest
+    * .scoreStreamAgainstBigramStats]], callable directly so replay
+    * semantics are testable: score `batch` against the stored bigram
+    * statistics and append (doc_id, n_bigrams, nll) rows to `outPath`.
+    * Idempotent under foreachBatch replay (normal at-least-once
+    * restart behavior) via the same doc_id anti-join the incremental
+    * dedup indexes use — a replayed batch appends nothing, so the sink
+    * holds exactly one scored row per document. */
+  def appendScoredAgainst(spark: org.apache.spark.sql.SparkSession,
+      statsPath: String, outPath: String, batch: DataFrame, text: Column,
+      id: Column, k: Double = 0.5, roundTo: Int = 6): Unit = {
+    val scored = scoreBigramAgainst(spark, statsPath, batch, text, id, k, roundTo)
+    // existence via the Hadoop FileSystem API (HDFS/S3-safe), as
+    // anomalyStream and Layout.compactFiles do
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(outP))
+        scored.join(spark.read.parquet(outPath).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else scored
+    fresh.write.mode("append").parquet(outPath)
+  }
+
   /** Score every document against bigram statistics of the SAME
     * corpus. Output (doc_id, n_bigrams, nll): mean per-bigram negative
     * log-likelihood, rounded to `roundTo` for engine-portable

@@ -83,8 +83,13 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def isData(p: Path): Boolean =
-      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    // mirrors Spark's InMemoryFileIndex hidden-path rule: "." names are
+    // always metadata, "_" names are metadata UNLESS they contain "="
+    // (partition dirs like __list=0 are data — the IVF store uses them)
+    def isData(p: Path): Boolean = {
+      val n = p.getName
+      !(n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
+    }
     // leaves = dirs whose data entries are exclusively files; mixed
     // file+subdir dirs are not valid partition trees and are left
     // alone. A `_spark_metadata` log ANYWHERE prunes its whole

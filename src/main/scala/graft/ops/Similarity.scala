@@ -384,6 +384,21 @@ object Similarity {
       .write.mode("append").partitionBy("__list").parquet(s"$indexPath/lists")
   }
 
+  /** Compact a persisted IVF index's list partitions
+    * ([[graft.ops.Layout.compactFiles]] over `path/lists` only — the
+    * centroid table is a single file by construction and never needs
+    * it). Streaming/incremental appends ([[appendToIvfIndex]]) leave
+    * one parquet file per (micro-batch × partition); a probed read
+    * then opens batch-count files per list, and at ingest rates that
+    * is the classic small-file death. Returns compactFiles' tuple
+    * (partitions rewritten, files before, files after). Safe against
+    * concurrent readers the same way compactFiles is (atomic dir
+    * rename swap); run it from the maintenance schedule, like
+    * Timeseries store compaction. */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+      targetFileBytes: Long = 128L << 20): (Int, Long, Long) =
+    Layout.compactFiles(spark, s"$indexPath/lists", targetFileBytes)
+
   /** Query a persisted IVF index: read the (tiny) centroid table,
     * select each query's nprobe lists, and scan ONLY those list
     * partitions. The probed list ids are collected to the driver —

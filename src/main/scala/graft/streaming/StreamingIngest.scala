@@ -135,6 +135,29 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream documents through perplexity scoring against STORED bigram
+    * statistics ([[graft.ops.LangModel.buildBigramStats]]) — the CCNet
+    * quality-filter shape made streaming: fit once on a trusted corpus
+    * (a batch job), score every arriving crawl increment against it as
+    * it lands. Scoring is stateless per micro-batch (two key-equality
+    * joins against the stored stats plus one broadcast vocabulary
+    * scalar — [[graft.ops.LangModel.scoreBigramAgainst]]), so there is
+    * NO stream state at all: the stats store is the state, and it
+    * never changes under the stream. Scored rows
+    * (doc_id, n_bigrams, nll) append to `outPath`; replayed
+    * micro-batches are idempotent on the sink (doc_id anti-join,
+    * [[graft.ops.LangModel.appendScoredAgainst]]). */
+  def scoreStreamAgainstBigramStats(docs: DataFrame, statsPath: String,
+      outPath: String, checkpoint: String, text: Column, id: Column,
+      k: Double = 0.5, roundTo: Int = 6) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.LangModel.appendScoredAgainst(batch.sparkSession,
+          statsPath, outPath, batch, text, id, k, roundTo)
+      }
+      .start()
+
   /** Streaming rolling z-score anomaly detection — the streaming twin
     * of [[graft.ops.Features.zscoreAnomaly]]: a watermarked window
     * aggregation closes (name, bucket) sums in event-time order, and

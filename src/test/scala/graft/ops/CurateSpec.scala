@@ -113,6 +113,43 @@ class CurateSpec extends AnyFunSuite {
     assert("LocalTableScan".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("leakSafeSplit: no near-dup pair straddles the split; fraction tracks evalFrac") {
+    import spark.implicits._
+    // realistic corpus slice: planted near-dup families would also
+    // work, but the real one already HAS near-dups (sf0.001 documents)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = Curate.leakSafeSplit(docs, col("text"), col("doc_id"),
+      evalFrac = 0.2, seed = 7).localCheckpoint(true)
+    assert(split.count() === docs.count(), "every doc gets a verdict")
+    // the invariant that defines the operator: recompute the SAME pair
+    // set and assert zero pairs straddle train/eval
+    val pairs = Dedup.minhashLSH(
+      docs.select(col("doc_id"), col("text")), col("text"), col("doc_id"),
+      shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.5)
+    val lab = split.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(lab.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), Seq("id_a"))
+      .join(lab.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(pairs.count() > 0, "fixture must actually contain near-dups")
+    assert(straddle === 0L, "a near-dup pair crossed the train/eval split")
+    // cluster-level uniform selection ⇒ document fraction near 0.2
+    val evalFrac = split.filter(col("split") === "eval").count().toDouble /
+      split.count()
+    assert(evalFrac > 0.1 && evalFrac < 0.3, s"eval fraction $evalFrac")
+    // exact dups (jaccard 1) are pairs too: plant one and re-split
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val ps = Curate.leakSafeSplit(planted, col("text"), col("doc_id"),
+        evalFrac = 0.2, seed = 7)
+      .filter(col("doc_id") === 0 || col("doc_id") === 100000L)
+      .select("split").distinct().count()
+    assert(ps === 1L, "an exact dup and its source must share a side")
+  }
+
   test("kept() preserves original rows exactly for keep=true ids") {
     import spark.implicits._
     val docs = Seq((1L, goodEn, "m1"), (4L, german, "m4"))

@@ -475,6 +475,39 @@ class DedupSpec extends AnyFunSuite {
       s"appended vectors must find themselves: ${self.mkString(",")}")
   }
 
+  test("compactIvfIndex: append-fragmented lists shrink, query rows identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcmp").toString
+    // fragment the store the way streaming ingest does: a base build
+    // plus several small appends, each leaving its own files per list
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < n / 2), s"$dir/ivf",
+      nlist = 8)
+    (0 until 4).foreach { i =>
+      Similarity.appendToIvfIndex(spark, s"$dir/ivf",
+        emb.filter(col("vec_id") >= n / 2 + i * 50 &&
+          col("vec_id") < n / 2 + (i + 1) * 50))
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = rows(Similarity.ivfTopKIndexed(spark, s"$dir/ivf", queries,
+      k = 10, nprobe = 4))
+    val (rewritten, filesBefore, filesAfter) =
+      Similarity.compactIvfIndex(spark, s"$dir/ivf", targetFileBytes = 1L << 30)
+    assert(rewritten > 0 && filesAfter < filesBefore,
+      s"expected fewer files: $filesBefore -> $filesAfter ($rewritten dirs)")
+    // partition layout intact (pruned reads still work), one file per list
+    val listDirs = new java.io.File(s"$dir/ivf/lists").listFiles()
+      .filter(_.getName.startsWith("__list="))
+    assert(listDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    val after = rows(Similarity.ivfTopKIndexed(spark, s"$dir/ivf", queries,
+      k = 10, nprobe = 4))
+    assert(after === before, "compaction must not change query results")
+    assert(spark.read.parquet(s"$dir/ivf/lists").count() === n / 2 + 200)
+  }
+
   test("stored int8 corpus: byte-native scoring identical to on-the-fly SQ8") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

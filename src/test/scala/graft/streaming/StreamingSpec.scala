@@ -553,4 +553,55 @@ class StreamingSpec extends AnyFunSuite {
       scored.select("name", "i_time").distinct().count(),
       "replay must reproduce identical verdicts per bucket")
   }
+
+  test("streaming bigram scoring equals batch scoring and is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmstream").toString
+    // trusted reference corpus: repeated common transitions plus a few
+    // rare ones, so scores spread
+    val ref = (0L until 30L).map(i =>
+      (i, s"the quick fox w$i jumps over the lazy dog")).toDF("doc_id", "text")
+    graft.ops.LangModel.buildBigramStats(ref, col("text"), col("doc_id"),
+      s"$dir/stats")
+
+    // the scored stream: in-vocabulary, out-of-vocabulary, and a
+    // sub-2-token doc (no bigrams — must emit nothing, as in batch)
+    val arrivals = Seq(
+      (100L, "the quick fox jumps"), (101L, "zebra quokka axolotl"),
+      (102L, "the lazy dog"), (103L, "single"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingIngest.scoreStreamAgainstBigramStats(docs,
+      s"$dir/stats", s"$dir/scores", s"$dir/ckpt", col("text"), col("doc_id"))
+    mem.addData(arrivals.take(2): _*); q.processAllAvailable()
+    mem.addData(arrivals.drop(2): _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/scores")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll")))).toMap
+    val batch = graft.ops.LangModel.scoreBigramAgainst(spark, s"$dir/stats",
+        arrivals.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll")))).toMap
+    assert(streamed === batch, "streamed scores must equal the batch operator")
+    assert(!streamed.contains(103L), "a bigram-less doc emits no score")
+    // OOV text is finite-scored (add-k floor), and costlier than in-vocab
+    assert(streamed(101L)._2 > streamed(100L)._2)
+
+    // worst-case at-least-once restart: re-append the whole stream's
+    // batches directly through the per-batch body — the sink must not
+    // grow and scores must not change
+    graft.ops.LangModel.appendScoredAgainst(spark, s"$dir/stats",
+      s"$dir/scores", arrivals.toDF("doc_id", "text"), col("text"),
+      col("doc_id"))
+    val replayed = spark.read.parquet(s"$dir/scores")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll")))).toMap
+    assert(spark.read.parquet(s"$dir/scores").count() === 3L,
+      "replayed batches must append nothing")
+    assert(replayed === batch)
+  }
 }
