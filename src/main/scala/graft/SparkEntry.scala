@@ -1071,6 +1071,13 @@ object SparkEntry {
         .select((col("doc_id") +: TextOps.statsColumns(col("text"))): _*)
         .orderBy("doc_id")),
 
+    // token-aligned sliding-window chunking (context-window shaping);
+    // chunk content rides as md5 so the result stays narrow
+    "text_chunk_tokens" -> ((s, dir) =>
+      TextOps.chunkTokens(table(s, dir, "documents"), col("text"),
+          col("doc_id"), chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     // rolling-hash document fingerprint (codepoint polynomial mod 1e9+7
     // — engine-independent, custom codegen expression)
     "text_rolling_fp" -> ((s, dir) =>
@@ -2424,6 +2431,21 @@ object SparkEntry {
            / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS mean_word_len,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "text_chunk_tokens" ->
+      """WITH d AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS tok FROM documents),
+         n AS (SELECT doc_id, tok,
+           CASE WHEN len(tok) <= 64 THEN 1
+                ELSE 1 + CAST(ceil((len(tok) - 64) / 48.0) AS BIGINT)
+           END AS n_chunks FROM d),
+         c AS (SELECT doc_id, tok, unnest(range(n_chunks)) AS chunk_id FROM n)
+         SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS token_start,
+           len(list_slice(tok, CAST(chunk_id * 48 + 1 AS BIGINT),
+             CAST(chunk_id * 48 + 64 AS BIGINT))) AS n_tokens,
+           md5(array_to_string(list_slice(tok, CAST(chunk_id * 48 + 1 AS BIGINT),
+             CAST(chunk_id * 48 + 64 AS BIGINT)), ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
 
     "text_rolling_fp" ->
       """WITH n AS (SELECT doc_id,

@@ -210,6 +210,46 @@ object TextOps {
       k: Int, path: String): Unit =
     topVocabulary(docs, text, id, k).write.mode("overwrite").parquet(path)
 
+  /** Token-aligned sliding-window chunking — the context-window
+    * shaping step of a training/RAG pipeline: each document becomes
+    * ⌈(n_tok − chunk)/step⌉ + 1 chunks of up to `chunkTokens`
+    * whitespace tokens, consecutive chunks sharing `overlapTokens`
+    * (step = chunk − overlap), the LAST start chosen so the final
+    * chunk reaches the document's end without a redundant
+    * fully-contained tail. Output one row per chunk:
+    * (doc_id, chunk_id 0-based, token_start 1-based, n_tokens,
+    * chunk_md5) — the md5 of the space-joined token slice stands in
+    * for chunk text so the result stays narrow at corpus scale (and
+    * hash-comparable across engines); re-derive text downstream by
+    * slicing, the same contract as [[Pack.chop]].
+    *
+    * Whole operator is one codegen'd projection over the scan (split,
+    * slice, join, md5 — no UDFs, no shuffle); documents chunk
+    * independently, so it partitions trivially at any corpus size. */
+  def chunkTokens(docs: DataFrame, text: Column, id: Column,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    docs
+      .select(id.as("doc_id"), split(trim(text), "\\s+").as("__tok"))
+      .withColumn("__nt", size(col("__tok")))
+      .withColumn("__n",
+        when(col("__nt") <= chunkTokens, 1L)
+          .otherwise(lit(1L) + ceil((col("__nt") - chunkTokens)
+            .cast(DoubleType) / step).cast(LongType)))
+      .select(col("doc_id"), col("__tok"),
+        explode(sequence(lit(0L), col("__n") - 1L)).as("chunk_id"))
+      .withColumn("__chunk",
+        slice(col("__tok"), (col("chunk_id") * step + 1).cast(IntegerType),
+          lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * step + 1).as("token_start"),
+        size(col("__chunk")).cast(LongType).as("n_tokens"),
+        md5(array_join(col("__chunk"), " ").cast(BinaryType)).as("chunk_md5"))
+  }
+
   /** Out-of-vocabulary rate per group against a stored vocabulary:
     * fraction of token OCCURRENCES not in the vocab — the tokenizer
     * health metric for a data mix (rising OOV on a new source means

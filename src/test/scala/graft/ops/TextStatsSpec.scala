@@ -100,4 +100,49 @@ class TextStatsSpec extends AnyFunSuite {
     // not@tld has no dot-suffix in the domain
     assert(got(2) === ((0L, 0L, 0L, "almost: 1234-45-6789 and 10.0.0 and not@tld")))
   }
+
+  test("chunkTokens: tiling, overlap, and tail invariants") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 (step 3): ceil((10-4)/3)+1 = 3
+    // chunks at token starts 1, 4, 7 — the last one reaches token 10
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val fixtures = Seq(
+      (1L, doc),               // multi-chunk
+      (2L, "w1 w2 w3"),        // shorter than one chunk → 1 chunk
+      (3L, "w1 w2 w3 w4"),     // exactly one chunk → 1 chunk
+      (4L, ""))                // empty → 1 chunk of [""] (split contract)
+    val got = TextOps.chunkTokens(fixtures.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), chunkTokens = 4, overlapTokens = 1)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    assert(got(1L) === Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L)))
+    assert(got(2L) === Seq((0L, 1L, 3L)))
+    assert(got(3L) === Seq((0L, 1L, 4L)))
+    assert(got(4L) === Seq((0L, 1L, 1L))) // split("") = [""], as tokenCount
+    // invariants on the real corpus: chunks cover every token exactly
+    // (union of [start, start+n) == [1, n_tok]), consecutive chunks
+    // overlap exactly `overlap` tokens except via the shifted tail
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = TextOps.chunkTokens(docs, col("text"), col("doc_id"),
+      chunkTokens = 64, overlapTokens = 16).localCheckpoint(true)
+    val bad = chunks
+      .groupBy("doc_id")
+      .agg(max(col("token_start") + col("n_tokens") - 1).as("covered"),
+        min("token_start").as("first"),
+        max(col("n_tokens")).as("maxlen"))
+      .join(docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt")), Seq("doc_id"))
+      .filter(col("covered") =!= col("nt") || col("first") =!= 1L ||
+        col("maxlen") > 64L)
+      .count()
+    assert(bad === 0L, "every token covered, starts at 1, chunk size bounded")
+    // every non-final chunk is FULL (64 tokens): the tail rule only
+    // shortens the last chunk's start, never emits a short middle chunk
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val shortMiddles = chunks
+      .withColumn("__last", col("chunk_id") === max("chunk_id").over(w))
+      .filter(!col("__last") && col("n_tokens") =!= 64L).count()
+    assert(shortMiddles === 0L)
+  }
 }
