@@ -707,6 +707,20 @@ object SparkEntry {
           budgets = Map("src0" -> 200L, "src1" -> 1200L), seed = 7L)
         .orderBy("source", "cum_tokens", "doc_id")),
 
+    // temperature-scaled mixture: per-source weights n^alpha/sum and
+    // the budgets they allocate (Mix.temperatureBudgets), plus the
+    // full selection under those budgets (Mix.buildTemperature)
+    "mix_temperature_weights" -> ((s, dir) =>
+      Mix.temperatureBudgets(table(s, dir, "documents"), col("text"),
+          col("source"), totalBudget = 12000L, alpha = 0.5)
+        .orderBy("source")),
+
+    "mix_temperature_build" -> ((s, dir) =>
+      Mix.buildTemperature(table(s, dir, "documents"), col("text"),
+          col("doc_id"), col("source"), totalBudget = 12000L, alpha = 0.5,
+          seed = 7L)
+        .orderBy("source", "cum_tokens", "doc_id")),
+
     // EPOCH UPSAMPLING: the multiplicity half of the data mix — per
     // source, ⌈f⌉ deterministic epochs with the fractional last epoch
     // hash-selected (graft.ops.Mix.upsample); md5 hex-threshold
@@ -2095,6 +2109,38 @@ object SparkEntry {
                                          WHEN 'src1' THEN 1200
                                          ELSE 700 END
          ORDER BY source, cum_tokens, doc_id""",
+
+    "mix_temperature_weights" ->
+      """WITH tok AS (SELECT source,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+           FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens
+               FROM tok GROUP BY 1),
+         p AS (SELECT source, src_tokens,
+               power(CAST(src_tokens AS DOUBLE), 0.5) AS pp FROM s)
+         SELECT source, src_tokens,
+           round(pp / sum(pp) OVER (), 6) AS weight,
+           CAST(floor(12000 * round(pp / sum(pp) OVER (), 6)) AS BIGINT) AS budget
+         FROM p ORDER BY source""",
+
+    "mix_temperature_build" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR) || '#7') AS ord
+           FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT source, power(CAST(sum(n_tokens) AS DOUBLE), 0.5) AS pp
+               FROM d GROUP BY 1),
+         b AS (SELECT source,
+               CAST(floor(12000 * round(pp / sum(pp) OVER (), 6)) AS BIGINT)
+                 AS budget FROM s),
+         c AS (SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens FROM d)
+         SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+         FROM c JOIN b USING (source) WHERE c.cum_tokens <= b.budget
+         ORDER BY c.source, c.cum_tokens, c.doc_id""",
 
     "profile_orders" ->
       """WITH t AS (SELECT * FROM orders)

@@ -85,6 +85,60 @@ object Mix {
     }
   }
 
+  /** Temperature-scaled source weights (public recipe: Conneau &
+    * Lample 2019's multilingual sampling; the Gopher/PaLM mixture
+    * table): weight_i = n_i^α / Σ_j n_j^α over per-source token counts.
+    * α = 1 keeps natural proportions, α = 0 is uniform, the usual
+    * 0.2–0.7 range lifts small sources without letting them dominate.
+    * Output one row per source: (source, src_tokens, weight rounded 6,
+    * budget = ⌊totalBudget · weight⌋) — budgets derive from the ROUNDED
+    * weight so the allocation is engine-portable verbatim.
+    *
+    * One map-side-combined aggregate over the corpus; the normalizing
+    * sum is an unpartitioned window over the per-SOURCE rows (a
+    * handful), not the corpus. */
+  def temperatureBudgets(docs: DataFrame, text: Column, source: Column,
+      totalBudget: Long, alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"temperature alpha out of [0,1]: $alpha")
+    require(totalBudget > 0, "totalBudget must be positive")
+    docs.filter(text.isNotNull)
+      .select(source.as("source"),
+        size(Dedup.tokens(text)).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("src_tokens"))
+      .withColumn("__p", pow(col("src_tokens").cast("double"), alpha))
+      .withColumn("weight",
+        round(col("__p") / sum("__p").over(Window.partitionBy()), 6))
+      .withColumn("budget", floor(lit(totalBudget) * col("weight")).cast("long"))
+      .drop("__p")
+  }
+
+  /** [[build]] with per-source budgets ALLOCATED by temperature
+    * ([[temperatureBudgets]]) instead of passed in: "spend B total
+    * tokens across sources at temperature α" as one declarative plan.
+    * Two corpus passes by construction — the allocation needs global
+    * counts before any row can be kept — but the first is a
+    * map-side-combined count and its result joins back as a broadcast
+    * (rows = #sources). Same determinism contract as [[build]]. */
+  def buildTemperature(docs: DataFrame, text: Column, id: Column,
+      source: Column, totalBudget: Long, alpha: Double,
+      seed: Long = 0L): DataFrame = {
+    val alloc = broadcast(
+      temperatureBudgets(docs, text, source, totalBudget, alpha)
+        .select(col("source"), col("budget")))
+    val ord = ordHash(col("doc_id"), seed)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(ord.asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .filter(text.isNotNull)
+      .select(id.as("doc_id"), source.as("source"),
+        size(Dedup.tokens(text)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(alloc, Seq("source"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Deterministic upsampling (the "epochs per source" half of a data
     * mix — e.g. 3.5 epochs of wikipedia, 1.0 of web): each doc emits
     * `epoch` rows 1..⌈f⌉, the fractional last epoch kept only for the

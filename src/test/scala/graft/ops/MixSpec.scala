@@ -60,6 +60,44 @@ class MixSpec extends AnyFunSuite {
     assert(!plan.contains("Union") && !plan.contains("Join"), plan)
   }
 
+  test("temperature: alpha=1 proportional, alpha=0 uniform, budgets respected") {
+    import spark.implicits._
+    // skewed corpus: source a has 4x the tokens of b
+    val skewed = (0L until 50L).map { i =>
+      val src = if (i < 40) "a" else "b"
+      (i, src, ("w " * 10).trim)
+    }.toSeq.toDF("doc_id", "source", "text")
+    def weights(alpha: Double): Map[String, Double] =
+      Mix.temperatureBudgets(skewed, col("text"), col("source"),
+          totalBudget = 100L, alpha = alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val w1 = weights(1.0)
+    assert(math.abs(w1("a") - 0.8) < 1e-6 && math.abs(w1("b") - 0.2) < 1e-6,
+      s"alpha=1 must reproduce natural proportions: $w1")
+    val w0 = weights(0.0)
+    assert(math.abs(w0("a") - 0.5) < 1e-6 && math.abs(w0("b") - 0.5) < 1e-6,
+      s"alpha=0 must be uniform: $w0")
+    val wh = weights(0.5)
+    assert(wh("a") > 0.5 && wh("a") < 0.8,
+      s"alpha=0.5 must sit between uniform and proportional: $wh")
+    assert(math.abs(wh.values.sum - 1.0) < 1e-5)
+    // the allocated build never exceeds a source's temperature budget,
+    // and equals build() driven by the same budgets passed explicitly
+    val alloc = Mix.temperatureBudgets(skewed, col("text"), col("source"),
+        totalBudget = 100L, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val built = Mix.buildTemperature(skewed, col("text"), col("doc_id"),
+      col("source"), totalBudget = 100L, alpha = 0.5, seed = 3L)
+    val perSrc = built.groupBy("source").agg(max("cum_tokens").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (s, m) => assert(m <= alloc(s), s"$s: $m > ${alloc(s)}") }
+    val viaExplicit = Mix.build(skewed, col("text"), col("doc_id"),
+        col("source"), defaultBudget = 0L, budgets = alloc, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(built.collect().map(r => (r.getLong(0), r.getLong(3))).toSet ===
+      viaExplicit, "temperature build == explicit build under its own budgets")
+  }
+
   test("upsample: integer factors exact, zero drops, fraction within 3 sigma") {
     import spark.implicits._
     val many = (0 until 2000).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
