@@ -603,6 +603,23 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("name")),
 
+    // the scale path for quantiles: Spark's built-in Greenwald-Khanna
+    // sketch (approx_percentile) — mergeable partial state instead of
+    // the exact percentile's per-group sorted buffer, the same
+    // exact→approx pairing as ts_set_card_hour→ts_set_approx_hour.
+    // Rows-only (the sketch is engine-specific); rank-error measured
+    // against the exact operator in FeaturesSpec
+    "events_value_quantiles_approx" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type").as("name"))
+        .agg(
+          round(expr("approx_percentile(value, 0.25, 10000)"), 6).as("p25"),
+          round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+          round(expr("approx_percentile(value, 0.75, 10000)"), 6).as("p75"),
+          round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90"),
+          round(avg(col("value")), 6).as("mean"),
+          count(lit(1)).as("n"))
+        .orderBy("name")),
+
     // TS ANOMALY: rolling z-score outlier detection over the hourly
     // count series (graft.ops.Features.zscoreAnomaly) — each bucket
     // scored against its trailing 24 buckets excluding itself, one
@@ -752,6 +769,17 @@ object SparkEntry {
       TextOps.oovRate(s, store, docs, col("text"), col("source"))
         .select(col("group").as("source"), col("n_tokens"), col("n_oov"),
           col("oov_rate"))
+        .orderBy("source")
+    }),
+
+    // domain-drift audit: KL(source ‖ corpus) over the stored top-20
+    // vocabulary with add-k smoothing (TextOps.klBySource)
+    "vocab_kl_by_source" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("vocab20", dir)(p =>
+        TextOps.buildVocabIndex(docs, col("text"), col("doc_id"), k = 20, p))
+      TextOps.klBySource(s, store, docs, col("text"), col("source"))
+        .select(col("group").as("source"), col("n_tokens"), col("kl"))
         .orderBy("source")
     }),
 
@@ -2093,6 +2121,40 @@ object SparkEntry {
                  / CAST(count(*) AS DOUBLE), 6) AS oov_rate
          FROM occ LEFT JOIN top ON occ.token = top.token
          GROUP BY 1 ORDER BY 1""",
+
+    "vocab_kl_by_source" ->
+      """WITH toks AS (SELECT doc_id, source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         t AS (SELECT token, doc_id, source, count(*) AS n FROM toks
+               WHERE token <> '' GROUP BY 1, 2, 3),
+         v AS (SELECT token, count(*) AS df, CAST(sum(n) AS BIGINT) AS tf
+               FROM t GROUP BY 1),
+         top AS (SELECT token FROM v
+                 ORDER BY df DESC, tf DESC, token LIMIT 20),
+         occ AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                 FROM toks WHERE token <> ''
+                   AND token IN (SELECT token FROM top)
+                 GROUP BY 1, 2),
+         ng AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g FROM occ
+                GROUP BY 1),
+         ct AS (SELECT top.token, CAST(coalesce(sum(occ.c), 0) AS BIGINT)
+                  AS c_t
+                FROM top LEFT JOIN occ ON top.token = occ.token GROUP BY 1),
+         na AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_all FROM ct),
+         grid AS (SELECT ng.source, ng.n_g, top.token FROM ng CROSS JOIN top),
+         g2 AS (SELECT grid.source, grid.n_g, grid.token,
+                  CAST(coalesce(occ.c, 0) AS BIGINT) AS c, ct.c_t, na.n_all
+                FROM grid
+                LEFT JOIN occ ON grid.source = occ.source
+                             AND grid.token = occ.token
+                JOIN ct ON grid.token = ct.token
+                CROSS JOIN na)
+         SELECT source, max(n_g) AS n_tokens,
+           round(sum(((c + 0.5) / (n_g + 0.5 * 20))
+             * ln(((c + 0.5) / (n_g + 0.5 * 20))
+                / ((c_t + 0.5) / (n_all + 0.5 * 20)))), 6) AS kl
+         FROM g2 GROUP BY 1 ORDER BY 1""",
 
     "mix_token_budget" ->
       """WITH d AS (SELECT doc_id, source,

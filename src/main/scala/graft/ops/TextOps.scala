@@ -250,6 +250,60 @@ object TextOps {
         md5(array_join(col("__chunk"), " ").cast(BinaryType)).as("chunk_md5"))
   }
 
+  /** Per-group KL divergence of the vocabulary-restricted unigram
+    * distribution from the corpus-wide one — the domain-drift audit
+    * over a data mix: KL(P_group ‖ P_corpus) rising for a source means
+    * its token distribution is pulling away from the blend (new crawl
+    * behaving differently, a source gone off-topic, a language
+    * mislabel). Distributions are over the STORED vocabulary
+    * ([[buildVocabIndex]]) with add-k smoothing, so every group is
+    * comparable on the same support and zero counts stay finite:
+    * p_t = (c_{g,t}+k)/(n_g+kV), q_t = (c_t+k)/(N+kV),
+    * kl = Σ_t p_t·ln(p_t/q_t), rounded 6.
+    *
+    * Shape: one token explode filtered by a broadcast vocab join (the
+    * vocab is k rows by construction), two map-side-combined counts,
+    * and a dense (group × vocab) grid built by a broadcast cross join —
+    * grid rows = #groups · |vocab|, never corpus-scale. Groups with no
+    * vocabulary occurrences at all are absent (no distribution to
+    * compare); vocab tokens missing from a group enter at the smoothing
+    * floor. */
+  def klBySource(spark: org.apache.spark.sql.SparkSession, vocabPath: String,
+      docs: DataFrame, text: Column, group: Column,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val vocab = spark.read.parquet(vocabPath).select(col("token"))
+    // |vocab| is a driver scalar by the same contract that lets the
+    // vocab broadcast: the store is top-k rows, bounded at build time
+    val v = vocab.count()
+    val occ = docs
+      .select(group.as("group"), explode(Dedup.tokens(text)).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy("group", "token").agg(count(lit(1)).as("c"))
+      .persist()
+    val nG = occ.groupBy("group").agg(sum("c").as("n_g"))
+    val cT = vocab.join(
+        occ.groupBy("token").agg(sum("c").as("c_t")), Seq("token"), "left")
+      .na.fill(0L, Seq("c_t"))
+    val nAll = cT.agg(sum("c_t").as("n_all"))
+    val grid = nG.crossJoin(broadcast(vocab))
+      .join(occ, Seq("group", "token"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(cT), Seq("token"))
+      .crossJoin(broadcast(nAll))
+    val p = (col("c") + k) / (col("n_g") + lit(k) * v)
+    val q = (col("c_t") + k) / (col("n_all") + lit(k) * v)
+    // materialized (rows = #groups) so occ can release eagerly — the
+    // same localCheckpoint+unpersist convention as the dedup funnels
+    val out = grid.groupBy("group")
+      .agg(first(col("n_g")).as("n_tokens"),
+        round(sum(p * log(p / q)), 6).as("kl"))
+      .localCheckpoint(true)
+    occ.unpersist()
+    out
+  }
+
   /** Out-of-vocabulary rate per group against a stored vocabulary:
     * fraction of token OCCURRENCES not in the vocab — the tokenizer
     * health metric for a data mix (rising OOV on a new source means

@@ -116,4 +116,34 @@ class FeaturesSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
     assert("Sort \\[".r.findAllIn(plan).length === 1, plan)
   }
+
+  test("approx_percentile rank error vs exact is within the GK accuracy bound") {
+    import spark.implicits._
+    // skewed + heavy-tie distribution, the shape that breaks naive
+    // sketches: zipf-ish values with a long tail
+    val n = 50000
+    val rows = (0 until n).map { i =>
+      val v = if (i % 10 < 7) (i % 97).toDouble
+              else math.pow(1.3, (i % 40).toDouble)
+      (s"g${i % 3}", v)
+    }.toDF("k", "v")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val acc = 10000 // accuracy parameter used by events_value_quantiles_approx
+    val approx = rows.groupBy("k")
+      .agg(expr(s"approx_percentile(v, array(${ps.mkString(",")}), $acc)").as("a"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val sorted = rows.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((k, vs) <- sorted; (p, i) <- ps.zipWithIndex) {
+      val got = approx(k)(i)
+      // rank of the returned value must be within eps*n of the target
+      // rank (the GK guarantee, eps = 1/accuracy)
+      val lo = vs.count(_ < got)
+      val hi = vs.count(_ <= got)
+      val target = p * (vs.length - 1)
+      val tol = math.max(1.0, vs.length.toDouble / acc * 2)
+      assert(target >= lo - tol && target <= hi + tol,
+        s"$k p$p: value $got rank [$lo,$hi] vs target $target (n=${vs.length})")
+    }
+  }
 }
