@@ -117,6 +117,41 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream training documents into a persisted decontamination gram
+    * index ([[graft.ops.Decontaminate.appendToTrainIndex]] per
+    * micro-batch): the train corpus' distinct-gram set grows as
+    * documents arrive, and eval sets can be contamination-checked
+    * against everything ingested so far
+    * ([[graft.ops.Decontaminate.contaminationIndexed]]) without a
+    * train-corpus rescan. The append's gram anti-join keeps the store
+    * DISTINCT — which also makes replayed micro-batches idempotent (a
+    * replayed gram is by definition already stored). */
+  def appendStreamToTrainIndex(docs: DataFrame, indexPath: String,
+      checkpoint: String, text: Column, n: Int) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Decontaminate.appendToTrainIndex(batch.sparkSession,
+          indexPath, batch, text, n)
+      }
+      .start()
+
+  /** Stream embeddings into a persisted cosine near-dup index
+    * ([[graft.ops.Similarity.appendToCosineIndex]] per micro-batch):
+    * arrivals are signed once against the meta-pinned hyperplanes and
+    * each increment can be near-dup-checked against the whole stored
+    * corpus ([[graft.ops.Similarity.cosinePairsAgainstIndex]]).
+    * Replays are idempotent on the store (vec_id anti-join). */
+  def appendStreamToCosineIndex(vectors: DataFrame, indexPath: String,
+      checkpoint: String, id: Column, vec: Column) =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity.appendToCosineIndex(batch.sparkSession,
+          indexPath, batch, id, vec)
+      }
+      .start()
+
   /** Stream documents into a persisted greedy pack layout
     * ([[graft.ops.Pack.appendToGreedyLayout]] per micro-batch): each
     * arrival folds onto its shard's open sequence under the

@@ -554,6 +554,72 @@ class StreamingSpec extends AnyFunSuite {
       "replay must reproduce identical verdicts per bucket")
   }
 
+  test("streamed train docs extend the decontamination gram index like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontstream").toString
+    val train = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma d$i delta epsilon zeta eta")).toDF("doc_id", "text")
+    val (seed, late) = (train.filter(col("doc_id") < 20),
+      train.filter(col("doc_id") >= 20))
+    graft.ops.Decontaminate.buildTrainIndex(seed, col("text"), n = 3,
+      s"$dir/idx")
+
+    val lateRows = late.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingIngest.appendStreamToTrainIndex(docs, s"$dir/idx",
+      s"$dir/ckpt", col("text"), n = 3)
+    mem.addData(lateRows.take(10).toSeq: _*); q.processAllAvailable()
+    mem.addData(lateRows.drop(10).toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    // the streamed index scores an eval set exactly like a batch-built
+    // index over the full train corpus
+    val test = Seq((100L, "alpha beta gamma d25 delta"), // d25 arrived via stream
+      (101L, "nothing shared here at all x y z")).toDF("doc_id", "text")
+    def score(path: String) =
+      graft.ops.Decontaminate.contaminationIndexed(spark, path, test,
+          col("text"), col("doc_id"), n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ops.Decontaminate.buildTrainIndex(train, col("text"), n = 3,
+      s"$dir/batch")
+    assert(score(s"$dir/idx") === score(s"$dir/batch"))
+    // store stays DISTINCT under replay (the same anti-join is the
+    // idempotency mechanism), so scoring never double-counts
+    val before = spark.read.parquet(s"$dir/idx").count()
+    graft.ops.Decontaminate.appendToTrainIndex(spark, s"$dir/idx",
+      late, col("text"), n = 3)
+    assert(spark.read.parquet(s"$dir/idx").count() === before)
+  }
+
+  test("streamed vectors extend the cosine near-dup index and stay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cosstream").toString
+    graft.ops.Similarity.buildCosineIndex(emb.filter(col("vec_id") < n / 2),
+      col("vec_id"), col("embedding"), s"$dir/idx")
+
+    val late = emb.filter(col("vec_id") >= n / 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val vectors = mem.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = StreamingIngest.appendStreamToCosineIndex(vectors, s"$dir/idx",
+      s"$dir/ckpt", col("vec_id"), col("embedding"))
+    mem.addData(late.take(3).toSeq: _*); q.processAllAvailable()
+    mem.addData(late.drop(3).toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val stored = spark.read.parquet(s"$dir/idx/docs")
+    assert(stored.count() === n, "every vector exactly once after the stream")
+    assert(stored.select("vec_id").distinct().count() === n)
+  }
+
   test("streaming bigram scoring equals batch scoring and is replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
