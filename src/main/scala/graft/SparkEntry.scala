@@ -1255,6 +1255,21 @@ object SparkEntry {
           seed = 3L)
         .orderBy("shard", "bin", "doc_id")),
 
+    // the composed funnel: documents -> overlapping token chunks
+    // (TextOps.chunkTokens) -> greedy-packed training sequences
+    // (Pack.packGreedy over chunk ids) — chunking bounds every unit at
+    // 64 tokens so bins fill tightly; generic string ids ("doc:chunk")
+    // exercise the caller-typed id contract end-to-end
+    "pack_chunks_greedy" -> ((s, dir) => {
+      val chunks = TextOps.chunkTokens(table(s, dir, "documents"),
+          col("text"), col("doc_id"), chunkTokens = 64, overlapTokens = 16)
+        .select(concat(col("doc_id").cast(StringType), lit(":"),
+          col("chunk_id").cast(StringType)).as("cid"), col("n_tokens"))
+      Pack.packGreedy(chunks, col("cid"), col("n_tokens"), seqLen = 256,
+          shards = 16, seed = 3L)
+        .orderBy("shard", "bin", "doc_id")
+    }),
+
     // the loader-facing manifest of the chopped layout: one row per
     // (document, sequence) segment; segments tile every sequence
     // exactly (PackSpec), so a trainer materializes any sequence by
@@ -1897,6 +1912,44 @@ object SparkEntry {
              CASE WHEN f.fill + r.n_tokens <= 2048
                   THEN f.bin ELSE f.bin + 1 END,
              CASE WHEN f.fill + r.n_tokens <= 2048
+                  THEN f.fill + r.n_tokens ELSE r.n_tokens END
+           FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
+         FROM f ORDER BY shard, bin, doc_id""",
+
+    "pack_chunks_greedy" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS tok FROM documents),
+         nc AS (SELECT doc_id, tok,
+           CASE WHEN len(tok) <= 64 THEN 1
+                ELSE 1 + CAST(ceil((len(tok) - 64) / 48.0) AS BIGINT)
+           END AS n_chunks FROM t0),
+         ch AS (SELECT doc_id, tok, unnest(range(n_chunks)) AS chunk_id
+                FROM nc),
+         c2 AS (SELECT
+             CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
+               AS cid,
+             CAST(len(list_slice(tok, CAST(chunk_id * 48 + 1 AS BIGINT),
+               CAST(chunk_id * 48 + 64 AS BIGINT))) AS BIGINT) AS n_tokens
+           FROM ch),
+         d AS (
+           SELECT cid AS doc_id, n_tokens, h,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16 AS shard
+           FROM (SELECT cid, n_tokens, md5(cid || '#3') AS h FROM c2)
+           WHERE n_tokens > 0),
+         r AS (SELECT doc_id, n_tokens, h, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+           FROM d),
+         f AS (
+           SELECT doc_id, shard, rn, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.doc_id, r.shard, r.rn, r.n_tokens,
+             CASE WHEN f.fill + r.n_tokens <= 256
+                  THEN f.bin ELSE f.bin + 1 END,
+             CASE WHEN f.fill + r.n_tokens <= 256
                   THEN f.fill + r.n_tokens ELSE r.n_tokens END
            FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
          SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
