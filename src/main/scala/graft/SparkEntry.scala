@@ -772,6 +772,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // language-ID evaluation against the corpus' labeled lang column:
+    // the confusion table (label × prediction × count) that calibrates
+    // the n-gram heuristic before it gates a curation funnel
+    "text_langid_confusion" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"), TextOps.langIdFused(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+
     // domain-drift audit: KL(source ‖ corpus) over the stored top-20
     // vocabulary with add-k smoothing (TextOps.klBySource)
     "vocab_kl_by_source" -> ((s, dir) => {
@@ -2174,6 +2183,27 @@ object SparkEntry {
                  / CAST(count(*) AS DOUBLE), 6) AS oov_rate
          FROM occ LEFT JOIN top ON occ.token = top.token
          GROUP BY 1 ORDER BY 1""",
+
+    "text_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, lang,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','with'], x))) AS s_en,
+           len(list_filter(toks, x -> list_contains(['der','und','die','das','ist','mit','von'], x))) AS s_de,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','avec'], x))) AS s_fr,
+           len(list_filter(toks, x -> list_contains(['el','los','las','es','con','por','una'], x))) AS s_es,
+           len(list_filter(toks, x -> list_contains(['的','是','在','了','和'], x))) AS s_zh
+           FROM t),
+         p AS (SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang
+           FROM s)
+         SELECT lang, pred_lang, count(*) AS n FROM p
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "vocab_kl_by_source" ->
       """WITH toks AS (SELECT doc_id, source,
