@@ -43,17 +43,13 @@ object Curate {
     * survivors; near-dup (when enabled) runs the minhash funnel +
     * connected components over the exact-dedup survivors and keeps
     * each cluster's minimum id. */
-  def ledger(docs: DataFrame, text: Column, id: Column,
-      cfg: Config = Config()): DataFrame = {
-    // single pass: the three filter scores are kernel projections over
-    // one scan; exact dedup is "rank among SURVIVORS of my fingerprint
-    // partition" — a conditional running sum over one window shuffle,
-    // so no dropped/survivors branch-and-union (which would evaluate
-    // the kernel projection twice)
-    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val survRank = sum(when(col("__pre").isNull, 1L).otherwise(0L)).over(w)
-    val base = docs.select(id.as("doc_id"), text.as("__text"))
+  /** The map-only scalar stages shared by batch [[ledger]] and
+    * streaming [[appendCuratedAgainst]]: kernel scores, first-drop
+    * attribution of the scalar filters (`__pre`), and the content
+    * fingerprint (`__fp`). One projection over one scan. */
+  private def scalarBase(docs: DataFrame, text: Column, id: Column,
+      cfg: Config): DataFrame =
+    docs.select(id.as("doc_id"), text.as("__text"))
       .withColumn("quality", TextOps.qualityScoreFused(col("__text")))
       .withColumn("pred_lang", TextOps.langIdFused(col("__text")))
       .withColumn("top2",
@@ -67,6 +63,22 @@ object Curate {
           .when(col("top2") > cfg.maxTop2CharFrac, "repetition")
           .when(!col("pred_lang").isin(cfg.langs: _*), "lang"))
       .withColumn("__fp", md5(col("__text").cast("binary")))
+
+  /** "rank among SURVIVORS of my fingerprint partition" — a
+    * conditional running sum, one window shuffle. */
+  private def survRank: Column = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sum(when(col("__pre").isNull, 1L).otherwise(0L)).over(w)
+  }
+
+  def ledger(docs: DataFrame, text: Column, id: Column,
+      cfg: Config = Config()): DataFrame = {
+    // single pass: the three filter scores are kernel projections over
+    // one scan; exact dedup rides the one window shuffle, so no
+    // dropped/survivors branch-and-union (which would evaluate the
+    // kernel projection twice)
+    val base = scalarBase(docs, text, id, cfg)
       .withColumn("stage",
         coalesce(col("__pre"), when(survRank > 1, "exact_dup")))
       .drop("__fp")
@@ -119,6 +131,77 @@ object Curate {
       .withColumn("stage", coalesce(col("stage"), lit("kept")))
       .withColumn("keep", col("stage") === "kept")
       .drop("__pre", "__text")
+  }
+
+  /** Per-batch body of [[graft.streaming.StreamingIngest
+    * .curateStream]], callable directly so replay semantics are
+    * testable: run the curation funnel over one micro-batch with
+    * cross-batch exact-dedup state in a fingerprint store.
+    *
+    * Stages per batch: the scalar filters are stateless kernel
+    * projections; exact dedup combines the batch-internal survivor
+    * rank (same window as [[ledger]]) with a fingerprint-store lookup
+    * (a doc whose fp matches any EARLIER batch's fingerprint winner is
+    * `exact_dup` — first-arrival keeps, the streaming analogue of
+    * batch's min-id-keeps, identical when ids arrive in id order);
+    * the optional perplexity ceiling scores against STORED bigram
+    * stats (`cfg.lmStatsPath` — self-fit has no streaming meaning and
+    * is rejected, as is the near-dup stage, whose streaming shape is
+    * the minhash index stream). Fingerprint winners append to the
+    * store; ledger rows append to `outPath`. Both appends are
+    * idempotent under foreachBatch replay: the ledger sink anti-joins
+    * on doc_id — which also discards the replayed batch's WRONG
+    * self-collision verdicts (its own fps are in the store by then),
+    * so the sink keeps exactly the first delivery's verdicts. */
+  def appendCuratedAgainst(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, outPath: String, batch: DataFrame, text: Column,
+      id: Column, cfg: Config = Config()): Unit = {
+    require(cfg.nearDupThreshold.isEmpty,
+      "near-dup stage is batch-only; stream near-dups via the minhash index")
+    require(cfg.maxNll.isEmpty || cfg.lmStatsPath.isDefined,
+      "the streaming perplexity stage needs stored stats (lmStatsPath)")
+    def readIfExists(path: String, schema: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(path) else schema.limit(0)
+    }
+    val b = scalarBase(batch, text, id, cfg)
+      .withColumn("__rk", survRank)
+      .persist()
+    val storedFp = readIfExists(storePath, b.select("__fp"))
+    val withDup = b
+      .join(storedFp.withColumn("__seen", lit(1)).dropDuplicates("__fp"),
+        Seq("__fp"), "left")
+      .withColumn("stage", coalesce(col("__pre"),
+        when(col("__rk") > 1 || col("__seen") === 1, "exact_dup")))
+    val withLm = cfg.maxNll match {
+      case None => withDup
+      case Some(maxNll) =>
+        val pool = withDup.filter(col("stage").isNull)
+        val drops = LangModel.scoreBigramAgainst(spark, cfg.lmStatsPath.get,
+            pool, col("__text"), col("doc_id"))
+          .filter(col("nll") > maxNll)
+          .select(col("doc_id"), lit("perplexity").as("__lm"))
+        withDup.join(drops, Seq("doc_id"), "left")
+          .withColumn("stage", coalesce(col("stage"), col("__lm")))
+          .drop("__lm")
+    }
+    val ledgerRows = withLm
+      .withColumn("stage", coalesce(col("stage"), lit("kept")))
+      .withColumn("keep", col("stage") === "kept")
+      .select("doc_id", "quality", "pred_lang", "top2", "stage", "keep")
+    val sunk = readIfExists(outPath, ledgerRows)
+    ledgerRows
+      .join(sunk.select("doc_id"), Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(outPath)
+    // fingerprint winners (scalar-surviving, first of their fp, not
+    // already stored) claim their fp for all later batches — even if
+    // the LM stage dropped them, matching batch rank semantics
+    withDup.filter(col("__pre").isNull && col("__rk") === 1 &&
+        col("__seen").isNull)
+      .select("__fp")
+      .write.mode("append").parquet(storePath)
+    b.unpersist()
   }
 
   /** Leakage-safe train/eval split from a precomputed near-dup pair

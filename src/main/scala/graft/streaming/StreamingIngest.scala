@@ -193,6 +193,27 @@ object StreamingIngest {
       }
       .start()
 
+  /** The curation funnel as a stream — the flagship batch operator's
+    * streaming twin ([[graft.ops.Curate.appendCuratedAgainst]] per
+    * micro-batch): scalar filters are stateless projections, exact
+    * dedup keeps first-arrival via a growing fingerprint store (the
+    * store IS the stream state, like every index stream here), and the
+    * optional perplexity ceiling scores against stored bigram stats.
+    * Near-dup clustering is deliberately absent — its streaming shape
+    * is [[appendStreamToMinhashIndex]] + reconciliation, not a
+    * per-batch CC. Ledger rows land append-only at `outPath`; replays
+    * are idempotent on both the store and the sink. */
+  def curateStream(docs: DataFrame, storePath: String, outPath: String,
+      checkpoint: String, text: Column, id: Column,
+      cfg: graft.ops.Curate.Config = graft.ops.Curate.Config()) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Curate.appendCuratedAgainst(batch.sparkSession,
+          storePath, outPath, batch, text, id, cfg)
+      }
+      .start()
+
   /** Streaming rolling z-score anomaly detection — the streaming twin
     * of [[graft.ops.Features.zscoreAnomaly]]: a watermarked window
     * aggregation closes (name, bucket) sums in event-time order, and

@@ -554,6 +554,82 @@ class StreamingSpec extends AnyFunSuite {
       "replay must reproduce identical verdicts per bucket")
   }
 
+  test("curateStream: verdicts equal batch ledger; replay changes nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val goodEn =
+      "the quick brown fox jumps over a lazy dog and then it runs down to " +
+      "the wide river with great speed because that is what young foxes do " +
+      "in the early morning when light spreads across the quiet valley and " +
+      "birds begin to call from tall trees near the old stone bridge while " +
+      "farmers walk out to their green fields carrying baskets of fresh " +
+      "seed for the long day of honest work ahead of them all"
+    val goodEn2 = goodEn.replace("fox", "wolf").replace("river", "stream")
+    val goodEn3 = goodEn.replace("morning", "evening").replace("quick", "calm")
+    val german =
+      "der alte hund und die junge katze sind mit dem kind von dem haus zu " +
+      "dem garten gegangen und das wetter ist heute sehr gut weil die sonne " +
+      "mit voller kraft von dem blauen himmel scheint und der wind ist " +
+      "ruhig und das gras ist weich und die kinder spielen mit dem ball"
+    val batch1 = Seq(
+      (1L, goodEn), (2L, "1234 5678 9999 @@@@ #### 0000"),
+      (3L, german), (4L, goodEn2))
+    val batch2 = Seq(
+      (5L, goodEn),   // cross-batch exact dup of 1
+      (6L, goodEn2),  // cross-batch exact dup of 4
+      (7L, goodEn3),  // fresh → kept
+      (8L, goodEn3))  // in-batch exact dup of 7
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_curstream").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingIngest.curateStream(docs, s"$dir/fp", s"$dir/ledger",
+      s"$dir/ckpt", col("text"), col("doc_id"))
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    def stages(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamed = stages(spark.read.parquet(s"$dir/ledger"))
+    // ids arrive in id order, so first-arrival-keeps == batch's
+    // min-id-keeps and the two ledgers agree exactly
+    val batch = stages(graft.ops.Curate.ledger(
+      (batch1 ++ batch2).toDF("doc_id", "text"), col("text"), col("doc_id")))
+    assert(streamed === batch)
+    assert(streamed(5L) === "exact_dup" && streamed(8L) === "exact_dup")
+    assert(streamed(1L) === "kept" && streamed(7L) === "kept")
+
+    // worst-case replay: re-run batch2 through the per-batch body —
+    // sink row set unchanged, including the would-be self-collision
+    // verdicts (discarded by the doc_id anti-join)
+    graft.ops.Curate.appendCuratedAgainst(spark, s"$dir/fp", s"$dir/ledger",
+      batch2.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    assert(stages(spark.read.parquet(s"$dir/ledger")) === batch)
+    assert(spark.read.parquet(s"$dir/ledger").count() === 8L)
+
+    // the streaming perplexity ceiling against STORED stats: the
+    // corpus-atypical doc drops at the LM stage, the typical one keeps
+    val ref = (0L until 30L).map(i =>
+      (i, s"the quick fox w$i jumps over the lazy dog")).toDF("doc_id", "text")
+    graft.ops.LangModel.buildBigramStats(ref, col("text"), col("doc_id"),
+      s"$dir/stats")
+    val probe = Seq((100L, "the quick fox jumps"), (101L, "zebra quokka axolotl"))
+    val nll = graft.ops.LangModel.scoreBigramAgainst(spark, s"$dir/stats",
+        probe.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cfg = graft.ops.Curate.Config(minQuality = 0.0,
+      maxTop2CharFrac = 1.0, langs = Seq("en", "und"),
+      maxNll = Some((nll(100L) + nll(101L)) / 2),
+      lmStatsPath = Some(s"$dir/stats"))
+    graft.ops.Curate.appendCuratedAgainst(spark, s"$dir/fp2", s"$dir/ledger2",
+      probe.toDF("doc_id", "text"), col("text"), col("doc_id"), cfg)
+    val lm = stages(spark.read.parquet(s"$dir/ledger2"))
+    assert(lm === Map(100L -> "kept", 101L -> "perplexity"))
+  }
+
   test("streamed train docs extend the decontamination gram index like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
