@@ -1359,6 +1359,19 @@ object SparkEntry {
           col("text"), col("doc_id"))
         .orderBy("doc_id")
     }),
+
+    // incremental Jelinek-Mercer: trigram stats stored once, the
+    // increment scored with graceful per-term store-miss degradation
+    // (unseen trigram/bigram slots coalesce to 0, unigram add-k floor)
+    "lm_trigram_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("lm3stats", dir)(p =>
+        LangModel.buildTrigramStats(docs.filter(col("doc_id") >= 50),
+          col("text"), col("doc_id"), p))
+      LangModel.scoreTrigramAgainst(s, store, docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2103,6 +2116,44 @@ object SparkEntry {
          FROM d LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
            CROSS JOIN v
          WHERE d.doc_id < 50 GROUP BY 1 ORDER BY 1""",
+
+    "lm_trigram_indexed" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         flat AS (SELECT unnest(t) AS tok FROM toks WHERE doc_id >= 50),
+         tri0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+           FROM toks),
+         tri AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+           FROM tri0),
+         d3 AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri
+           GROUP BY 1, 2, 3, 4),
+         c123 AS (SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS c123
+           FROM d3 WHERE doc_id >= 50 GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+           FROM c123 GROUP BY 1, 2),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         d2 AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM d2
+           WHERE doc_id >= 50 GROUP BY 1, 2),
+         c2h AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c2h FROM c2 GROUP BY 1),
+         c1 AS (SELECT tok, count(*) AS c1 FROM flat GROUP BY 1),
+         nv AS (SELECT count(*) AS n_total, count(DISTINCT tok) AS v FROM flat)
+         SELECT d3.doc_id, CAST(sum(d3.c) AS BIGINT) AS n_trigrams,
+           round(sum(d3.c * -ln(
+             0.6 * coalesce(c123.c123 * 1.0 / c12.c12, 0) +
+             0.3 * coalesce(c2.c2 * 1.0 / c2h.c2h, 0) +
+             0.1 * ((coalesce(c1.c1, 0) + 0.5) / (nv.n_total + 0.5 * nv.v))))
+             / sum(d3.c), 6) AS nll
+         FROM d3
+           LEFT JOIN c123 USING (w1, w2, w3)
+           LEFT JOIN c12 USING (w1, w2)
+           LEFT JOIN c2 ON c2.w1 = d3.w2 AND c2.w2 = d3.w3
+           LEFT JOIN c2h ON c2h.w1 = d3.w2
+           LEFT JOIN c1 ON c1.tok = d3.w3
+           CROSS JOIN nv
+         WHERE d3.doc_id < 50 GROUP BY 1 ORDER BY 1""",
 
     "pack_greedy_indexed" ->
       """WITH RECURSIVE d AS (

@@ -168,6 +168,71 @@ object LangModel {
           roundTo).as("nll"))
   }
 
+  /** Persist trigram statistics — [[buildBigramStats]]'s higher-order
+    * sibling, the write-once half of stored Jelinek–Mercer scoring:
+    * `path/tri` = (w1, w2, w3, c123), `path/pairs` = (w1, w2, c2),
+    * `path/uni` = (tok, c1), `path/meta` = (n_total, v) derived FROM
+    * the stored unigrams (one source of truth) and written LAST as the
+    * commit marker. The history tables (c12, c2hist) are NOT stored:
+    * they derive from tri/pairs at read time — aggregations of the
+    * stats tables, never a corpus rescan. */
+  def buildTrigramStats(docs: DataFrame, text: Column, id: Column,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    docTrigramCounts(docs, text, id)
+      .groupBy("w1", "w2", "w3").agg(sum("c").as("c123"))
+      .write.mode("overwrite").parquet(s"$path/tri")
+    docBigramCounts(docs, text, id)
+      .groupBy("w1", "w2").agg(sum("c").as("c2"))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    docs.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$path/uni")
+    spark.read.parquet(s"$path/uni")
+      .agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Jelinek–Mercer scoring against STORED trigram statistics
+    * ([[buildTrigramStats]]). Reference-corpus misses degrade
+    * gracefully term by term: an unseen trigram (or bigram) simply
+    * contributes nothing to its interpolation slot (coalesce to 0 —
+    * the history denominators come from the same stored tables, so a
+    * present numerator always has its denominator), and the add-k
+    * unigram floor keeps every probability positive, unseen words
+    * scoring k/(N+kV). Stats fit on the scored corpus itself make this
+    * identical to [[scoreTrigram]] (spec-proven). Same output
+    * contract: (doc_id, n_trigrams, nll); sub-3-token docs emit
+    * nothing. */
+  def scoreTrigramAgainst(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, text: Column, id: Column,
+      k: Double = 0.5, l3: Double = 0.6, l2: Double = 0.3,
+      l1: Double = 0.1, roundTo: Int = 6): DataFrame = {
+    require(k > 0 && l3 >= 0 && l2 >= 0 && l1 > 0,
+      "need k > 0 and a positive unigram floor weight")
+    val c123 = spark.read.parquet(s"$path/tri")
+    val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
+    val c2 = spark.read.parquet(s"$path/pairs")
+    val c2h = c2.groupBy("w1").agg(sum("c2").as("c2hist"))
+    val c1 = spark.read.parquet(s"$path/uni")
+    val nv = spark.read.parquet(s"$path/meta")
+    val p = lit(l3) * coalesce(col("c123") / col("c12"), lit(0.0)) +
+      lit(l2) * coalesce(col("c2") / col("c2hist"), lit(0.0)) +
+      lit(l1) * ((coalesce(col("c1"), lit(0L)) + k) /
+        (col("n_total") + lit(k) * col("v")))
+    docTrigramCounts(docs, text, id)
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"), col("c2")),
+        Seq("w2", "w3"), "left")
+      .join(c2h.select(col("w1").as("w2"), col("c2hist")), Seq("w2"), "left")
+      .join(c1.select(col("tok").as("w3"), col("c1")), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trigrams"),
+        round(sum(col("c") * -log(p)) / sum(col("c")), roundTo).as("nll"))
+  }
+
   /** Per-batch body of [[graft.streaming.StreamingIngest
     * .scoreStreamAgainstBigramStats]], callable directly so replay
     * semantics are testable: score `batch` against the stored bigram

@@ -88,6 +88,40 @@ class LangModelSpec extends AnyFunSuite {
     }
   }
 
+  test("stored trigram stats: self-fit equals scoreTrigram; store-miss terms degrade per slot") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c b")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("lm3_stats").toString
+    LangModel.buildTrigramStats(docs, col("text"), col("doc_id"), path)
+    val inline = LangModel.scoreTrigram(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = LangModel.scoreTrigramAgainst(spark, path, docs,
+        col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline)
+    // store-miss arithmetic, slot by slot (corpus: N=10 tokens, V=3,
+    // c1: a=3,b=4,c=3):
+    //  "a b x": trigram abx unseen (0), bigram bx unseen (0),
+    //           unigram x unseen → p = 0.1*(0.5/11.5)
+    //  "q q q": everything unseen → same floor p per trigram
+    val oov = Seq((10L, "a b x"), (11L, "q q q")).toDF("doc_id", "text")
+    val got = LangModel.scoreTrigramAgainst(spark, path, oov,
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val floor = 0.1 * (0.5 / (10 + 0.5 * 3))
+    assert(math.abs(got(10L) - -math.log(floor)) < 1e-6, got(10L))
+    assert(math.abs(got(11L) - -math.log(floor)) < 1e-6, got(11L))
+    // a fully-seen trigram gets all three slots: c123(abc)=3 (doc1
+    // twice + doc2 once), c12(ab)=3; bigram bc: c2=3, and c2h(b)=3
+    // (every stored w1=b bigram is bc); c1(c)=3
+    // → p = .6*(3/3) + .3*(3/3) + .1*(3.5/11.5)
+    val seen = Seq((20L, "a b c")).toDF("doc_id", "text")
+    val pSeen = 0.6 * 1.0 + 0.3 * 1.0 + 0.1 * (3.5 / 11.5)
+    val gotSeen = LangModel.scoreTrigramAgainst(spark, path, seen,
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(gotSeen(20L) - -math.log(pSeen)) < 1e-6, gotSeen(20L))
+  }
+
   test("scoreBigram: sub-2-token docs emit nothing; gibberish scores worse") {
     val normal = (0 until 50).map(i => (i.toLong, "the cat sat on the mat"))
     val weird = Seq((100L, "zq xv qqj zzk pf"), (101L, "one"), (102L, " "))
