@@ -98,6 +98,20 @@ class MixSpec extends AnyFunSuite {
       viaExplicit, "temperature build == explicit build under its own budgets")
   }
 
+  test("plan: buildTemperature = one window exchange + broadcast allocation") {
+    val built = Mix.buildTemperature(docs, col("text"), col("doc_id"),
+      col("source"), totalBudget = 100L, alpha = 0.5, seed = 3L)
+    built.collect() // finalize the adaptive plan
+    val plan = built.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the corpus-side shuffle is the per-source window ONLY; the
+    // allocation side reaches the join as a broadcast, never a
+    // shuffled join on the corpus
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Window".r.findAllIn(plan).length === 2, plan) // corpus + tiny alloc normalizer
+  }
+
   test("upsample: integer factors exact, zero drops, fraction within 3 sigma") {
     import spark.implicits._
     val many = (0 until 2000).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")

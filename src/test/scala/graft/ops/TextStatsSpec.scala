@@ -101,6 +101,19 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(2) === ((0L, 0L, 0L, "almost: 1234-45-6789 and 10.0.0 and not@tld")))
   }
 
+  test("plan: chunkTokens is shuffle-free — one scan, one generate, no exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = TextOps.chunkTokens(docs, col("text"), col("doc_id"),
+      chunkTokens = 64, overlapTokens = 16)
+    chunks.collect()
+    val plan = chunks.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan)
+    assert("Generate".r.findAllIn(plan).length === 1, plan)
+    // column pruning reaches the scan: only the two needed columns
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("chunkTokens: tiling, overlap, and tail invariants") {
     import spark.implicits._
     // 10 tokens, chunk 4, overlap 1 (step 3): ceil((10-4)/3)+1 = 3
