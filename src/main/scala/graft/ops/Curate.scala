@@ -147,12 +147,14 @@ object Curate {
     * the optional perplexity ceiling scores against STORED bigram
     * stats (`cfg.lmStatsPath` — self-fit has no streaming meaning and
     * is rejected, as is the near-dup stage, whose streaming shape is
-    * the minhash index stream). Fingerprint winners append to the
-    * store; ledger rows append to `outPath`. Both appends are
-    * idempotent under foreachBatch replay: the ledger sink anti-joins
-    * on doc_id — which also discards the replayed batch's WRONG
-    * self-collision verdicts (its own fps are in the store by then),
-    * so the sink keeps exactly the first delivery's verdicts. */
+    * the minhash index stream). Both appends are driven by ONE
+    * materialized set of genuinely-new ledger rows (doc_id anti-join
+    * against the sink), so the fp store only ever claims fingerprints
+    * whose verdicts the ledger actually recorded: a replayed
+    * micro-batch appends nothing anywhere (its would-be self-collision
+    * verdicts are discarded with it), and a re-delivered doc_id with
+    * CHANGED text claims nothing either — first delivery wins for both
+    * the verdict and the fingerprint. */
   def appendCuratedAgainst(spark: org.apache.spark.sql.SparkSession,
       storePath: String, outPath: String, batch: DataFrame, text: Column,
       id: Column, cfg: Config = Config()): Unit = {
@@ -160,48 +162,54 @@ object Curate {
       "near-dup stage is batch-only; stream near-dups via the minhash index")
     require(cfg.maxNll.isEmpty || cfg.lmStatsPath.isDefined,
       "the streaming perplexity stage needs stored stats (lmStatsPath)")
-    def readIfExists(path: String, schema: DataFrame): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(path) else schema.limit(0)
-    }
-    val b = scalarBase(batch, text, id, cfg)
-      .withColumn("__rk", survRank)
-      .persist()
-    val storedFp = readIfExists(storePath, b.select("__fp"))
+    val b = scalarBase(batch, text, id, cfg).withColumn("__rk", survRank)
+    val storedFp = Layout.readIfExists(spark, storePath)(b.select("__fp"))
+    // persisted: withDup feeds the ledger append, the optional LM pool,
+    // and the fingerprint-winner append — unpersisted, every one of
+    // those jobs would rescan and re-deduplicate the corpus-scale fp
+    // store; try/finally so a failed batch (retried by the stream)
+    // can't leak the cache
     val withDup = b
       .join(storedFp.withColumn("__seen", lit(1)).dropDuplicates("__fp"),
         Seq("__fp"), "left")
       .withColumn("stage", coalesce(col("__pre"),
         when(col("__rk") > 1 || col("__seen") === 1, "exact_dup")))
-    val withLm = cfg.maxNll match {
-      case None => withDup
-      case Some(maxNll) =>
-        val pool = withDup.filter(col("stage").isNull)
-        val drops = LangModel.scoreBigramAgainst(spark, cfg.lmStatsPath.get,
-            pool, col("__text"), col("doc_id"))
-          .filter(col("nll") > maxNll)
-          .select(col("doc_id"), lit("perplexity").as("__lm"))
-        withDup.join(drops, Seq("doc_id"), "left")
-          .withColumn("stage", coalesce(col("stage"), col("__lm")))
-          .drop("__lm")
-    }
-    val ledgerRows = withLm
-      .withColumn("stage", coalesce(col("stage"), lit("kept")))
-      .withColumn("keep", col("stage") === "kept")
-      .select("doc_id", "quality", "pred_lang", "top2", "stage", "keep")
-    val sunk = readIfExists(outPath, ledgerRows)
-    ledgerRows
-      .join(sunk.select("doc_id"), Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(outPath)
-    // fingerprint winners (scalar-surviving, first of their fp, not
-    // already stored) claim their fp for all later batches — even if
-    // the LM stage dropped them, matching batch rank semantics
-    withDup.filter(col("__pre").isNull && col("__rk") === 1 &&
-        col("__seen").isNull)
-      .select("__fp")
-      .write.mode("append").parquet(storePath)
-    b.unpersist()
+      .persist()
+    try {
+      val withLm = cfg.maxNll match {
+        case None => withDup
+        case Some(maxNll) =>
+          val pool = withDup.filter(col("stage").isNull)
+          val drops = LangModel.scoreBigramAgainst(spark, cfg.lmStatsPath.get,
+              pool, col("__text"), col("doc_id"))
+            .filter(col("nll") > maxNll)
+            .select(col("doc_id"), lit("perplexity").as("__lm"))
+          withDup.join(drops, Seq("doc_id"), "left")
+            .withColumn("stage", coalesce(col("stage"), col("__lm")))
+            .drop("__lm")
+      }
+      val ledgerRows = withLm
+        .withColumn("stage", coalesce(col("stage"), lit("kept")))
+        .withColumn("keep", col("stage") === "kept")
+        .select("doc_id", "quality", "pred_lang", "top2", "stage", "keep")
+      val sunk = Layout.readIfExists(spark, outPath)(ledgerRows)
+      val fresh = ledgerRows
+        .join(sunk.select("doc_id"), Seq("doc_id"), "left_anti")
+        .persist()
+      try {
+        fresh.write.mode("append").parquet(outPath)
+        // fingerprint winners (scalar-surviving, first of their fp, fp
+        // not already stored) claim their fp for all later batches —
+        // even if the LM stage dropped them, matching batch rank
+        // semantics — but only when their ledger row actually landed
+        withDup.filter(col("__pre").isNull && col("__rk") === 1 &&
+            col("__seen").isNull)
+          .join(fresh.select("doc_id"), Seq("doc_id"), "leftsemi")
+          .select("__fp")
+          .write.mode("append").parquet(storePath)
+      } finally fresh.unpersist()
+    } finally withDup.unpersist()
+    ()
   }
 
   /** Leakage-safe train/eval split from a precomputed near-dup pair

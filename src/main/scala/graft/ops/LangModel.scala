@@ -245,16 +245,10 @@ object LangModel {
       statsPath: String, outPath: String, batch: DataFrame, text: Column,
       id: Column, k: Double = 0.5, roundTo: Int = 6): Unit = {
     val scored = scoreBigramAgainst(spark, statsPath, batch, text, id, k, roundTo)
-    // existence via the Hadoop FileSystem API (HDFS/S3-safe), as
-    // anomalyStream and Layout.compactFiles do
-    val outP = new org.apache.hadoop.fs.Path(outPath)
-    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (fs.exists(outP))
-        scored.join(spark.read.parquet(outPath).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else scored
-    fresh.write.mode("append").parquet(outPath)
+    scored
+      .join(Layout.readIfExists(spark, outPath)(scored).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(outPath)
   }
 
   /** Score every document against bigram statistics of the SAME

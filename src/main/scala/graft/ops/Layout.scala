@@ -78,6 +78,19 @@ object Layout {
     * Ordering inside rewritten files is not preserved (coalesce-style
     * compaction never guarantees it); run [[writeZOrdered]] instead
     * where a sort-derived layout must survive. */
+  /** Read a store if it exists, else an empty frame with `template`'s
+    * schema — THE shared probe of every incremental append body.
+    * Existence goes through the Hadoop FileSystem API: a
+    * `java.io.File` check would be silently false on HDFS/S3/ABFS and
+    * every downstream anti-join would treat a populated store as
+    * empty. `template` is only used for its schema (limit(0)). */
+  def readIfExists(spark: SparkSession, path: String)
+      (template: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path) else template.limit(0)
+  }
+
   def compactFiles(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): (Int, Long, Long) = {
     import org.apache.hadoop.fs.Path

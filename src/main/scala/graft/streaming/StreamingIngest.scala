@@ -253,15 +253,10 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
-        // existence via the Hadoop FileSystem API (as Layout
-        // .compactFiles does), not java.io.File — the store may live
-        // on HDFS/S3/ABFS where a local-file probe is always false and
+        // Hadoop-FS existence probe (not java.io.File): the store may
+        // live on HDFS/S3/ABFS where a local probe is always false and
         // would silently score every batch against an empty history
-        val storeP = new org.apache.hadoop.fs.Path(storePath)
-        val storeFs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val stored =
-          if (storeFs.exists(storeP)) spark.read.parquet(storePath)
-          else b.limit(0)
+        val stored = graft.ops.Layout.readIfExists(spark, storePath)(b)
         // trailing rows per scored bucket: all earlier buckets of the
         // name (stored + earlier same-batch), most recent `window`.
         // dropDuplicates: under replay a batch's buckets are ALREADY in

@@ -610,6 +610,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(stages(spark.read.parquet(s"$dir/ledger")) === batch)
     assert(spark.read.parquet(s"$dir/ledger").count() === 8L)
 
+    // re-delivered id with CHANGED text: the sink keeps the first
+    // delivery's verdict AND the new fingerprint is not claimed — the
+    // store only holds fps whose verdicts the ledger recorded
+    val fpCount = spark.read.parquet(s"$dir/fp").count()
+    graft.ops.Curate.appendCuratedAgainst(spark, s"$dir/fp", s"$dir/ledger",
+      Seq((7L, goodEn.replace("valley", "canyon"))).toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    assert(stages(spark.read.parquet(s"$dir/ledger")) === batch)
+    assert(spark.read.parquet(s"$dir/fp").count() === fpCount)
+
     // the streaming perplexity ceiling against STORED stats: the
     // corpus-atypical doc drops at the LM stage, the typical one keeps
     val ref = (0L until 30L).map(i =>
