@@ -999,6 +999,27 @@ object SparkEntry {
         col("doc_id"), evalFrac = 0.2, seed = 7)
         .orderBy("doc_id")),
 
+    // cluster-MASS-aware split: greedy fill in hash order until the
+    // document (not cluster) eval target is met — oracled end-to-end
+    // against a single global window (the distributed two-phase
+    // prefix sum must equal it exactly)
+    "split_balanced_exact_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      Curate.leakSafeSplitBalancedFromPairs(docs, col("doc_id"),
+        Dedup.ngramJaccardExact(docs, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5),
+        evalFrac = 0.2, seed = 7)
+        .orderBy("doc_id")
+    }),
+
+    // full-corpus balanced split over the minhash funnel (rows-only;
+    // realized-fraction tightness vs the plain split measured in
+    // CurateSpec)
+    "split_balanced" -> ((s, dir) =>
+      Curate.leakSafeSplitBalanced(table(s, dir, "documents"),
+        col("text"), col("doc_id"), evalFrac = 0.2, seed = 7)
+        .orderBy("doc_id")),
+
     // brute-force cosine top-k (the exact baseline)
     "ann_brute_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -2637,6 +2658,40 @@ object SparkEntry {
              '${graft.ops.Mix.hexThreshold(0.2)}'
            THEN 'eval' ELSE 'train' END AS split
          FROM j ORDER BY doc_id""",
+
+    "split_balanced_exact_sample" ->
+      """WITH RECURSIVE g AS (SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(t)-2, 1)),
+             i -> substring(t, CAST(i AS INT), 3))) AS grams
+           FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                 FROM documents WHERE doc_id < 300)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         m AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1),
+         lab AS (SELECT id, least(id, mn) AS cluster FROM m),
+         j AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+               FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+               LEFT JOIN lab l ON d.doc_id = l.id),
+         mass AS (SELECT cluster, count(*) AS m,
+                  md5(CAST(cluster AS VARCHAR) || '#7') AS hh
+                  FROM j GROUP BY 1),
+         c AS (SELECT cluster,
+                 coalesce(sum(m) OVER (ORDER BY hh
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+                 sum(m) OVER () AS tot FROM mass),
+         sel AS (SELECT cluster,
+                 CASE WHEN CAST(prev AS DOUBLE) < 0.2 * CAST(tot AS DOUBLE)
+                 THEN 'eval' ELSE 'train' END AS split FROM c)
+         SELECT j.doc_id, j.cluster, sel.split
+         FROM j JOIN sel USING (cluster) ORDER BY doc_id""",
 
     "dedup_embed_exact_sample" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

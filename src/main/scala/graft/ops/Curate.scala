@@ -242,6 +242,73 @@ object Curate {
           lit(Mix.hexThreshold(evalFrac)), "eval").otherwise("train"))
   }
 
+  /** [[leakSafeSplitFromPairs]] with the SAME leakage guarantee but a
+    * cluster-MASS-aware eval target: instead of selecting each cluster
+    * independently with probability evalFrac (realized document
+    * fraction then drifts with cluster mass — heavy clusters landing
+    * in eval overshoot, and at evalFrac·#clusters ≈ a handful the
+    * variance is all there is), clusters are laid out in [[Mix.ordHash]]
+    * order and greedily assigned to eval while the running DOCUMENT
+    * mass before the cluster is under ⌊evalFrac · total⌋. Realized
+    * eval fraction then overshoots the target by at most one cluster,
+    * deterministically, instead of by binomial noise.
+    *
+    * Scale shape: the running mass is a distributed two-phase prefix
+    * sum — per-cluster masses are grouped into 256 hash-prefix
+    * buckets (first two hex chars of the order hash), the 256 bucket
+    * totals are collected and prefix-summed on the driver (constant
+    * work at any corpus size), and the within-bucket remainder is a
+    * window partitioned BY bucket — never a global single-partition
+    * window, which at 10⁹ clusters would serialize the whole layout
+    * through one task.
+    *
+    * Engine-portable verbatim: the hash order, the ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING running sum, and the
+    * `prev < evalFrac · total` comparison reproduce exactly as one
+    * global window in any SQL engine (bucket-prefix + within-bucket
+    * window ≡ global window because bucket = hash prefix). */
+  def leakSafeSplitBalancedFromPairs(docs: DataFrame, id: Column,
+      pairs: DataFrame, evalFrac: Double, seed: Long = 42L,
+      ccMaxIter: Int = 30, algorithm: String = "star"): DataFrame = {
+    val cc = Dedup.connectedComponentsResult(pairs, ccMaxIter, algorithm)
+    require(cc.converged,
+      s"near-dup clustering did not converge in $ccMaxIter rounds; raise ccMaxIter")
+    val labeled = docs.select(id.as("doc_id"))
+      .join(cc.labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val mass = labeled.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("__mass"))
+      .withColumn("__h", Mix.ordHash(col("cluster"), seed))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    mass.persist()
+    try {
+      // 256 rows at any scale: the driver-side half of the prefix sum
+      val bucketTotals = mass.groupBy("__b").agg(sum("__mass").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val total = bucketTotals.map(_._2).sum
+      val offsets = bucketTotals
+        .scanLeft(("", 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+        .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }
+        .toMap
+      val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+        when(col("__b") === b, lit(off)).otherwise(acc)
+      }
+      val w = Window.partitionBy("__b").orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prev = offsetCol + coalesce(sum("__mass").over(w), lit(0L))
+      // materialize the CLUSTER-level selection (one row per cluster,
+      // not per document) before releasing `mass`; the per-doc join
+      // below then consumes the checkpointed plan lazily
+      val sel = mass.withColumn("split",
+        when(prev.cast("double") < lit(evalFrac) * lit(total.toDouble),
+          "eval").otherwise("train"))
+        .select(col("cluster"), col("split"))
+        .localCheckpoint(true)
+      labeled.join(sel, Seq("cluster"), "left")
+        .select(col("doc_id"), col("cluster"), col("split"))
+    } finally { mass.unpersist(); () }
+  }
+
   /** [[leakSafeSplitFromPairs]] with the pair set produced by the
     * engine's own minhash funnel — the shape that runs at corpus
     * scale (banded LSH candidate generation, never all-pairs). The
@@ -257,6 +324,20 @@ object Curate {
       jaccardThreshold = nearDupThreshold)
     leakSafeSplitFromPairs(base, col("doc_id"), pairs, evalFrac, seed,
       ccMaxIter)
+  }
+
+  /** [[leakSafeSplitBalancedFromPairs]] over the engine's minhash
+    * funnel — the corpus-scale shape of the mass-aware split. */
+  def leakSafeSplitBalanced(docs: DataFrame, text: Column, id: Column,
+      evalFrac: Double, seed: Long = 42L, nearDupThreshold: Double = 0.5,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      ccMaxIter: Int = 30): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val pairs = Dedup.minhashLSH(base, col("__text"), col("doc_id"),
+      shingleK = shingleK, numHashes = numHashes, bands = bands,
+      jaccardThreshold = nearDupThreshold)
+    leakSafeSplitBalancedFromPairs(base, col("doc_id"), pairs, evalFrac,
+      seed, ccMaxIter)
   }
 
   /** The kept corpus — [[ledger]]'s survivors joined back to the full

@@ -150,6 +150,38 @@ class CurateSpec extends AnyFunSuite {
     assert(ps === 1L, "an exact dup and its source must share a side")
   }
 
+  test("leakSafeSplitBalanced: zero straddle; eval mass in [target, target+maxCluster)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = Curate.leakSafeSplitBalanced(docs, col("text"),
+      col("doc_id"), evalFrac = 0.2, seed = 7).localCheckpoint(true)
+    assert(split.count() === docs.count(), "every doc gets a verdict")
+    // leakage invariant is inherited: same pair set, zero straddle
+    val pairs = Dedup.minhashLSH(
+      docs.select(col("doc_id"), col("text")), col("text"), col("doc_id"),
+      shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.5)
+    val lab = split.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(lab.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), Seq("id_a"))
+      .join(lab.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle === 0L, "a near-dup pair crossed the balanced split")
+    // the guarantee that distinguishes balanced from plain: greedy
+    // fill in hash order bounds the realized eval DOCUMENT mass to
+    // [target, target + heaviest cluster) — deterministic, not
+    // binomial-noisy
+    val total = split.count()
+    val evalN = split.filter(col("split") === "eval").count()
+    val target = 0.2 * total
+    val maxMass = split.groupBy("cluster").count()
+      .agg(max("count")).head().getLong(0)
+    assert(evalN.toDouble >= target - 1e-9,
+      s"eval mass $evalN under target $target")
+    assert(evalN.toDouble < target + maxMass,
+      s"eval mass $evalN overshot target $target by more than one cluster ($maxMass)")
+  }
+
   test("kept() preserves original rows exactly for keep=true ids") {
     import spark.implicits._
     val docs = Seq((1L, goodEn, "m1"), (4L, german, "m4"))
