@@ -1167,6 +1167,30 @@ object SparkEntry {
         TextOps.qualityScoreFused(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // adaptive per-source quality gate: each source cut at its OWN
+    // quality percentile (fixed global thresholds over-prune
+    // low-register sources); per-source audit of cutoff + survival
+    "quality_adaptive_by_source" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = docs.select(col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val cuts = Curate.adaptiveQualityCutoffs(docs, col("text"),
+        col("source"), pct = 0.1)
+      scored.join(broadcast(cuts), Seq("source"))
+        .groupBy(col("source"), col("cutoff"))
+        .agg(sum(when(col("quality") >= col("cutoff"), 1L).otherwise(0L))
+          .as("kept"),
+          count(lit(1)).as("total"))
+        .orderBy("source")
+    }),
+
+    // the surviving documents themselves (broadcast cutoff join, no
+    // corpus shuffle)
+    "quality_adaptive_kept" -> ((s, dir) =>
+      Curate.adaptiveQualityKept(table(s, dir, "documents"), col("text"),
+        col("doc_id"), col("source"), pct = 0.1)
+        .orderBy("doc_id")),
+
     // multimodal: stubbed decode over BINARY media column (real plumbing)
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents")))
@@ -2779,6 +2803,41 @@ object SparkEntry {
              + CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))/greatest(len(toks), 1))
                  BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END*0.2, 6) AS quality
          FROM s ORDER BY doc_id""",
+
+    "quality_adaptive_by_source" ->
+      """WITH t0 AS (SELECT doc_id, source, text,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+         t AS (SELECT doc_id, source,
+           round(least(length(text)/500.0, 1.0)*0.25
+             + (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/greatest(length(text), 1))*0.35
+             + least((len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x)))
+                 / greatest(len(toks), 1))*5.0, 1.0)*0.2
+             + CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))/greatest(len(toks), 1))
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END*0.2, 6) AS quality
+           FROM t0),
+         c AS (SELECT source, round(quantile_cont(quality, 0.1), 6) AS cutoff
+               FROM t GROUP BY 1)
+         SELECT t.source, c.cutoff,
+           CAST(sum(CASE WHEN t.quality >= c.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           count(*) AS total
+         FROM t JOIN c USING (source) GROUP BY 1, 2 ORDER BY 1""",
+
+    "quality_adaptive_kept" ->
+      """WITH t0 AS (SELECT doc_id, source, text,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+         t AS (SELECT doc_id, source,
+           round(least(length(text)/500.0, 1.0)*0.25
+             + (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/greatest(length(text), 1))*0.35
+             + least((len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x)))
+                 / greatest(len(toks), 1))*5.0, 1.0)*0.2
+             + CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))/greatest(len(toks), 1))
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END*0.2, 6) AS quality
+           FROM t0),
+         c AS (SELECT source, round(quantile_cont(quality, 0.1), 6) AS cutoff
+               FROM t GROUP BY 1)
+         SELECT t.doc_id, t.source, t.quality, c.cutoff
+         FROM t JOIN c USING (source)
+         WHERE t.quality >= c.cutoff ORDER BY t.doc_id""",
 
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id,

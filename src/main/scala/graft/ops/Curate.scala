@@ -340,6 +340,42 @@ object Curate {
       seed, ccMaxIter)
   }
 
+  /** Per-source adaptive quality cutoffs: the `pct` quantile of
+    * [[TextOps.qualityScore]] WITHIN each source, rounded 6 dp. A
+    * fixed global threshold over-prunes sources whose score
+    * distribution sits low (different registers, languages, media) and
+    * under-prunes high-scoring ones; cutting each source at its own
+    * percentile drops the same FRACTION everywhere — the standard
+    * per-domain quality gate. One map-side-combined aggregate; output
+    * is one row per source (tiny at any corpus size). Exact
+    * `percentile` (p·(n−1) interpolation, = DuckDB quantile_cont);
+    * swap for percentile_approx at trillions-of-docs scale if the
+    * per-source sort memory ever matters. */
+  def adaptiveQualityCutoffs(docs: DataFrame, text: Column, source: Column,
+      pct: Double): DataFrame =
+    docs.select(source.as("source"),
+        TextOps.qualityScore(text).as("__q"))
+      .groupBy("source")
+      .agg(round(percentile(col("__q"), lit(pct)), 6).as("cutoff"))
+
+  /** Documents at-or-above their source's adaptive cutoff, as
+    * (doc_id, source, quality, cutoff). Two passes over the corpus —
+    * one aggregate for the cutoffs, one map-side filter through a
+    * BROADCAST join of the per-source cutoff table (a handful of
+    * rows) — the canonical shape for a data-dependent threshold: no
+    * shuffle of the corpus itself, ever. Both sides of the keep
+    * comparison are rounded 6 dp, so the decision is engine-portable
+    * verbatim. */
+  def adaptiveQualityKept(docs: DataFrame, text: Column, id: Column,
+      source: Column, pct: Double): DataFrame = {
+    val cuts = broadcast(adaptiveQualityCutoffs(docs, text, source, pct))
+    docs.select(id.as("doc_id"), source.as("source"),
+        TextOps.qualityScore(text).as("quality"))
+      .join(cuts, Seq("source"))
+      .filter(col("quality") >= col("cutoff"))
+      .select(col("doc_id"), col("source"), col("quality"), col("cutoff"))
+  }
+
   /** The kept corpus — [[ledger]]'s survivors joined back to the full
     * input rows (semi join on id, so every original column survives). */
   def kept(docs: DataFrame, text: Column, id: Column,

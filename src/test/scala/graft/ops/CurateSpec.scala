@@ -182,6 +182,26 @@ class CurateSpec extends AnyFunSuite {
       s"eval mass $evalN overshot target $target by more than one cluster ($maxMass)")
   }
 
+  test("adaptiveQualityKept: per-source survival >= 1-pct; cutoff join broadcasts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Curate.adaptiveQualityKept(docs, col("text"), col("doc_id"),
+      col("source"), pct = 0.1).localCheckpoint(true)
+    // >= because keep is at-or-ABOVE the interpolated quantile and
+    // score ties cluster: never drop more than the pct fraction
+    val bySrc = docs.groupBy("source").count()
+      .withColumnRenamed("count", "n_total")
+      .join(kept.groupBy("source").count()
+        .withColumnRenamed("count", "n_kept"), Seq("source"))
+    val violations = bySrc
+      .filter(col("n_kept").cast("double") < col("n_total") * 0.9 - 1).count()
+    assert(violations === 0L, "a source lost more than pct of its docs")
+    assert(kept.count() < docs.count(), "the gate must actually drop docs")
+    // the corpus never shuffles: the cutoff table is broadcast
+    val plan = Curate.adaptiveQualityKept(docs, col("text"), col("doc_id"),
+      col("source"), pct = 0.1).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("kept() preserves original rows exactly for keep=true ids") {
     import spark.implicits._
     val docs = Seq((1L, goodEn, "m1"), (4L, german, "m4"))
