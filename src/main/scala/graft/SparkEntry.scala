@@ -1191,6 +1191,21 @@ object SparkEntry {
         col("doc_id"), col("source"), pct = 0.1)
         .orderBy("doc_id")),
 
+    // exact-substring dedup primitive (Lee et al. 2022): maximal
+    // cross-document duplicated token spans (>= 10 tokens), keep-first
+    // ownership — the repeats document-level near-dup funnels miss
+    "span_dup_spans" -> ((s, dir) =>
+      Spans.duplicatedSpans(table(s, dir, "documents"), col("text"),
+        col("doc_id"), n = 10)
+        .orderBy("doc_id", "span_start")),
+
+    // the scrubbed corpus: duplicated spans deleted everywhere but
+    // their first-owner document
+    "span_scrub_clean" -> ((s, dir) =>
+      Spans.removeDuplicatedSpans(table(s, dir, "documents"), col("text"),
+        col("doc_id"), n = 10)
+        .orderBy("doc_id")),
+
     // multimodal: stubbed decode over BINARY media column (real plumbing)
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents")))
@@ -2838,6 +2853,46 @@ object SparkEntry {
          SELECT t.doc_id, t.source, t.quality, c.cutoff
          FROM t JOIN c USING (source)
          WHERE t.quality >= c.cutoff ORDER BY t.doc_id""",
+
+    "span_dup_spans" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         g0 AS (SELECT doc_id, t,
+           CASE WHEN len(t) >= 10 THEN generate_series(1, len(t)-9) ELSE [] END AS idxs FROM d),
+         g AS (SELECT doc_id, CAST(unnest(idxs) AS BIGINT) AS pos, t FROM g0),
+         g2 AS (SELECT doc_id, pos, lower(array_to_string(t[pos:pos+9], ' ')) AS gram FROM g),
+         s AS (SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+               FROM g2 GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         cov0 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN s USING (gram)
+                  WHERE g2.doc_id <> s.owner),
+         cov AS (SELECT DISTINCT doc_id, p FROM
+                 (SELECT doc_id, unnest(generate_series(pos, pos+9)) AS p FROM cov0)),
+         isl AS (SELECT doc_id, p,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov)
+         SELECT doc_id, min(p) AS span_start, count(*) AS span_len
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    "span_scrub_clean" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         g0 AS (SELECT doc_id, t,
+           CASE WHEN len(t) >= 10 THEN generate_series(1, len(t)-9) ELSE [] END AS idxs FROM d),
+         g AS (SELECT doc_id, CAST(unnest(idxs) AS BIGINT) AS pos, t FROM g0),
+         g2 AS (SELECT doc_id, pos, lower(array_to_string(t[pos:pos+9], ' ')) AS gram FROM g),
+         s AS (SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+               FROM g2 GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         cov0 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN s USING (gram)
+                  WHERE g2.doc_id <> s.owner),
+         cov AS (SELECT DISTINCT doc_id, p FROM
+                 (SELECT doc_id, unnest(generate_series(pos, pos+9)) AS p FROM cov0)),
+         tok AS (SELECT doc_id, unnest(t) AS tok,
+                 CAST(unnest(generate_series(1, len(t))) AS BIGINT) AS p FROM d),
+         keptt AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+                   LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                   WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                 count(*) AS n_kept FROM keptt GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+           CAST(len(d.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
 
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id,
