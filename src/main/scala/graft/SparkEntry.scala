@@ -1206,6 +1206,37 @@ object SparkEntry {
         col("doc_id"), n = 10)
         .orderBy("doc_id")),
 
+    // BPE trainer, iteration-0 statistics: weighted adjacent char-pair
+    // frequencies over the distinct-word table (the corpus-scale pass
+    // reduces to vocabulary-scale state) — oracled top-50
+    "bpe_pair_counts" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.seedSymbols(
+          Bpe.wordCounts(table(s, dir, "documents"), col("text"))))
+        .orderBy(col("freq").desc, col("a"), col("b")).limit(50)),
+
+    // the learned merge table after 12 iterations (rows-only; BpeSpec
+    // matches it against an independent single-node reference BPE)
+    "bpe_merges" -> ((s, dir) => {
+      val m = Bpe.train(table(s, dir, "documents"), col("text"),
+        numMerges = 12)
+      s.createDataFrame(m)
+        .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+          col("freq"))
+        .orderBy("rank")
+    }),
+
+    // the tokenizer those merges induce, applied back over the corpus
+    // (rows-only; per-doc counts matched against the reference in
+    // BpeSpec)
+    "bpe_token_count" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = Bpe.train(docs, col("text"), numMerges = 12)
+        .map(m => (m.a, m.b))
+      docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: stubbed decode over BINARY media column (real plumbing)
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents")))
@@ -2893,6 +2924,18 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
            CAST(len(d.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
+
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT word, count(*) AS wcount FROM
+           (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+            FROM documents) t
+           WHERE length(word) > 0 GROUP BY 1),
+         c AS (SELECT wcount, regexp_split_to_array(word, '') AS ch FROM w),
+         p0 AS (SELECT wcount, ch, unnest(generate_series(1, len(ch)-1)) AS i
+                FROM c WHERE len(ch) >= 2),
+         p AS (SELECT ch[i] AS a, ch[i+1] AS b, wcount FROM p0)
+         SELECT a, b, CAST(sum(wcount) AS BIGINT) AS freq FROM p GROUP BY 1, 2
+         ORDER BY freq DESC, a, b LIMIT 50""",
 
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id,

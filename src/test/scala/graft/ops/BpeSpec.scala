@@ -1,0 +1,123 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed BPE trainer matched against an independent
+  * single-node reference implementation (plain Scala, no Spark) on
+  * the real sf0.001 corpus, plus planted fixtures for tie-breaking,
+  * merged-symbol reuse, and early stop. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- reference BPE (independent of the engine code) ----
+
+  private def refWords(texts: Seq[String]): Map[Vector[String], Long] =
+    texts.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.size.toLong
+      }
+
+  private def refMergeOnce(syms: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(texts: Seq[String],
+      k: Int): (Seq[(Int, String, String, Long)], Map[Vector[String], Long]) = {
+    var words = refWords(texts)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= k && !stop) {
+      val pc = mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) stop = true
+      else {
+        val ((a, b), f) = pc.minBy { case ((a, b), f) => (-f, a, b) }
+        merges += ((r, a, b, f))
+        words = words.toSeq
+          .map { case (s, c) => refMergeOnce(s, a, b) -> c }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  private def refTokenCount(text: String,
+      merges: Seq[(String, String)]): Long =
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map { w =>
+      merges.foldLeft(w.map(_.toString).toVector) { case (s, (a, b)) =>
+        refMergeOnce(s, a, b)
+      }.length.toLong
+    }.sum
+
+  // ---- tests ----
+
+  test("train on the real corpus equals the single-node reference, 8 merges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val texts = docs.select("text").as[String].collect().toSeq
+    val engine = Bpe.train(docs, col("text"), numMerges = 8)
+      .map(m => (m.rank, m.a, m.b, m.freq))
+    val (ref, _) = refTrain(texts, 8)
+    assert(engine === ref)
+  }
+
+  test("applied tokenizer counts equal the reference per document") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val merges = Bpe.train(docs, col("text"), numMerges = 8)
+      .map(m => (m.a, m.b))
+    val engine = docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(engine(id) === refTokenCount(t, merges), s"doc $id")
+    }
+  }
+
+  test("frequency ties break to the lexicographically smallest pair") {
+    val docs = Seq((1L, "cd cd ab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, col("text"), numMerges = 2)
+    assert(m.map(x => (x.a, x.b)) === Seq(("a", "b"), ("c", "d")))
+    assert(m.map(_.freq) === Seq(2L, 2L))
+  }
+
+  test("merged symbols participate in later merges") {
+    val docs = Seq((1L, "abc abc abc ab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, col("text"), numMerges = 2)
+    // (a,b) wins at 4, then ("ab","c") at 3
+    assert(m.map(x => (x.a, x.b, x.freq)) ===
+      Seq(("a", "b", 4L), ("ab", "c", 3L)))
+  }
+
+  test("early stop when no adjacent pairs remain") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, col("text"), numMerges = 5).isEmpty)
+  }
+}
