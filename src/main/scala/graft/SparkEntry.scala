@@ -1463,6 +1463,25 @@ object SparkEntry {
           col("text"), col("doc_id"))
         .orderBy("doc_id")
     }),
+
+    // DSIR IMPORTANCE WEIGHTS (graft.ops.Dsir, public: Xie et al.
+    // 2023): hashed unigram∪bigram bucket counts, add-α target-vs-raw
+    // log-likelihood ratio per document — target domain = the labeled
+    // English slice, raw = the whole corpus. Fully oracled: the md5
+    // 4-nibble bucket hash is engine-portable verbatim
+    "dsir_logweights" -> ((s, dir) =>
+      Dsir.logWeights(table(s, dir, "documents"), col("text"),
+          col("doc_id"), col("lang") === "en", materialize = eagerPairs)
+        .orderBy("doc_id")),
+
+    // DSIR GUMBEL TOP-N RESAMPLE: selection key = logw/τ + Gumbel
+    // noise from the portable md5 uniform — sampling-without-
+    // replacement ∝ exp(logw/τ), reproduced exactly by the oracle
+    "dsir_resample" -> ((s, dir) =>
+      Dsir.resampleTopN(
+        Dsir.logWeights(table(s, dir, "documents"), col("text"),
+          col("doc_id"), col("lang") === "en", materialize = eagerPairs),
+        n = 150, temperature = 2.0, seed = 7L)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1473,6 +1492,41 @@ object SparkEntry {
   // =====================================================================
 
   private val minuteAxisDay = "SELECT unnest(generate_series(28401120, 28402559)) AS b"
+
+  /** DuckDB integer value of the first `n` hex digits of SQL
+    * expression `h` (a lowercase md5 string) — the portable twin of
+    * Spark's `conv(substring(h, 1, n), 16, 10)`, built from the same
+    * strpos nibble parse the pack oracles use. */
+  private def hexValSql(h: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (n - i))}")
+      .mkString("(", " + ", ")")
+
+  /** Shared CTE chain of the two DSIR oracles: hashed unigram∪bigram
+    * bucket counts (4-nibble md5 bucket, B=4096), add-α target/raw
+    * log-ratio per document — `w` = (doc_id, n_grams, logw). */
+  private val dsirWeightsCte: String =
+    s"""toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM big0),
+         grams AS (SELECT doc_id, g FROM uni
+           UNION ALL SELECT doc_id, g FROM big),
+         d AS (SELECT doc_id, ${hexValSql("md5(g)", 4)} % 4096 AS b,
+             count(*) AS c
+           FROM grams GROUP BY 1, 2),
+         fl AS (SELECT doc_id, (lang = 'en') AS is_t FROM documents),
+         gb AS (SELECT b, sum(c) AS cr,
+             sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct
+           FROM d JOIN fl USING (doc_id) GROUP BY 1),
+         tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM gb),
+         w AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_grams,
+             round(sum(d.c * (ln((gb.ct + 0.25) / (tot.nt + 0.25 * 4096))
+                            - ln((gb.cr + 0.25) / (tot.nr + 0.25 * 4096)))),
+               6) AS logw
+           FROM d JOIN gb USING (b) CROSS JOIN tot GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2981,5 +3035,19 @@ object SparkEntry {
          SELECT doc_id, CAST(1 + n % 300 AS INT) AS n_frames,
            unnest(generate_series(0, n % 300, 10)) AS frame_idx
          FROM m ORDER BY 1, 3""",
+
+    "dsir_logweights" ->
+      s"""WITH $dsirWeightsCte
+         SELECT doc_id, n_grams, logw FROM w ORDER BY doc_id""",
+
+    "dsir_resample" ->
+      s"""WITH $dsirWeightsCte,
+         k AS (SELECT doc_id, logw,
+             round(logw / 2.0 - ln(-ln(
+               (${hexValSql("md5(CAST(doc_id AS VARCHAR) || '#7')", 6)} + 0.5)
+                 / 16777216.0)), 6) AS skey
+           FROM w)
+         SELECT doc_id, logw, skey FROM k
+         ORDER BY skey DESC, doc_id LIMIT 150""",
   )
 }
