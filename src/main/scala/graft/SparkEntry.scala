@@ -1482,6 +1482,29 @@ object SparkEntry {
         Dsir.logWeights(table(s, dir, "documents"), col("text"),
           col("doc_id"), col("lang") === "en", materialize = eagerPairs),
         n = 150, temperature = 2.0, seed = 7L)),
+
+    // SEMDEDUP (graft.ops.Similarity.semanticDedup, public: Abbas et
+    // al. 2023): k-means-clustered embedding space, within-cluster
+    // cosine pairs → connected duplicate groups → one keeper per group
+    // by the paper's low-centroid-similarity rule. Rows-only (k-means
+    // fit isn't oracle-portable); the funnel arithmetic is oracled by
+    // the label-blocked twin below and recall by DedupSpec
+    "semdedup_kept" -> ((s, dir) =>
+      Similarity.semanticDedup(table(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), nClusters = 16,
+          threshold = 0.4, materialize = eagerPairs)
+        .orderBy("vec_id")),
+
+    // fully-oracled SemDeDup twin: clusters = the labeled domain
+    // column, centroids = 6dp-rounded per-label means — every stage
+    // (pair cosine, component closure, centroid cosine, keeper
+    // marking) deterministic and reproduced verbatim in DuckDB
+    "semdedup_label_exact" -> ((s, dir) =>
+      Similarity.semanticDedupByCluster(
+          table(s, dir, "embeddings").filter(col("vec_id") < 300),
+          col("vec_id"), col("embedding"), col("label"),
+          threshold = 0.35, materialize = eagerPairs)
+        .orderBy("vec_id")),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -3049,5 +3072,43 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, logw, skey FROM k
          ORDER BY skey DESC, doc_id LIMIT 150""",
+
+    "semdedup_label_exact" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label, embedding
+           FROM embeddings WHERE vec_id < 300),
+         cent AS (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+           FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos FROM e)
+           GROUP BY 1, 2),
+         cl AS (SELECT label, list(m ORDER BY pos) AS cvec
+           FROM cent GROUP BY 1),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   q -> CAST(q[1] AS DOUBLE) * q[2]))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               4) >= 0.35),
+         ed AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM ed
+           UNION
+           SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src),
+         mm AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1),
+         comp AS (SELECT e.vec_id, e.label, e.embedding,
+             coalesce(least(mm.id, mm.mn), e.vec_id) AS component
+           FROM e LEFT JOIN mm ON e.vec_id = mm.id),
+         cs AS (SELECT c.vec_id, c.label, c.component,
+             round(list_sum(list_transform(list_zip(c.embedding, cl.cvec),
+                     q -> CAST(q[1] AS DOUBLE) * q[2]))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(cl.cvec, x -> x * x)))),
+                 4) AS ccos
+           FROM comp c JOIN cl ON c.label = cl.label)
+         SELECT vec_id, CAST(label AS BIGINT) AS cluster, component, ccos,
+           CAST(row_number() OVER (PARTITION BY component
+               ORDER BY ccos ASC, vec_id ASC) = 1 AS BIGINT) AS keep
+         FROM cs ORDER BY vec_id""",
   )
 }

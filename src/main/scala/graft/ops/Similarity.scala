@@ -558,4 +558,121 @@ object Similarity {
         round(cosine(col("q_emb"), col("embedding")), roundTo).as("score"))
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
   }
+
+  /** Semantic deduplication (public: Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with the IVF k-means
+    * quantizer, generate within-cluster cosine pairs above
+    * `threshold`, close them into duplicate groups (star-contraction
+    * connected components — O(log n) rounds on any shape), and mark
+    * ONE keeper per group. Output, one row per input vector:
+    * (vec_id, cluster, component, ccos, keep) with `component` = the
+    * duplicate group (its min member id; singletons label themselves),
+    * `ccos` = cosine to the cluster centroid, `keep` ∈ {0,1}.
+    *
+    * `keepRule` = "low_centroid_sim" is the paper's rule — within a
+    * duplicate group keep the member LEAST similar to its centroid,
+    * pruning toward diversity; "min_id" is the engine-portable
+    * deterministic rule the oracle twin can reproduce verbatim.
+    *
+    * Scale shape: pair generation is cluster-blocked (never
+    * all-pairs — nClusters grows with the corpus so occupancy stays
+    * bounded), an oversized cluster is skipped for PAIRING only
+    * (`clusterCap`, the [[Dedup.dropOversizedBuckets]] insurance)
+    * while its members remain singleton keepers — output coverage is
+    * total by construction; keeper marking is one window over
+    * components. */
+  def semanticDedup(emb: DataFrame, id: Column, vec: Column,
+      nClusters: Int = 16, threshold: Double = 0.4,
+      keepRule: String = "low_centroid_sim", clusterCap: Int = 100000,
+      seed: Long = 42L, maxIter: Int = 10, fitSample: Int = 262144,
+      roundTo: Int = 4, ccMaxIter: Int = 50,
+      materialize: Boolean = true): DataFrame = {
+    val base = emb.select(id.as("vec_id"), vec.as("embedding"))
+    val (centersDf, assigned) = fitIvf(base, nClusters, seed, maxIter, fitSample)
+    semanticDedupAssigned(assigned, centersDf, threshold, keepRule,
+      clusterCap, roundTo, ccMaxIter, materialize)
+  }
+
+  /** [[semanticDedup]] with a caller-provided cluster column (a domain
+    * label, a stored IVF assignment) standing in for the k-means fit,
+    * and centroids = per-cluster mean vectors rounded to
+    * `centroidRoundTo` — every stage deterministic and portable, which
+    * is what lets the exact oracle twin reproduce the WHOLE funnel
+    * (pairs → components → keeper marking) verbatim in SQL. */
+  def semanticDedupByCluster(emb: DataFrame, id: Column, vec: Column,
+      cluster: Column, threshold: Double = 0.4,
+      keepRule: String = "low_centroid_sim", clusterCap: Int = 100000,
+      roundTo: Int = 4, centroidRoundTo: Int = 6,
+      ccMaxIter: Int = 50, materialize: Boolean = true): DataFrame = {
+    val assigned = emb.select(id.as("vec_id"), vec.as("embedding"),
+      cluster.cast(LongType).as("__list"))
+    // per-cluster mean vector, assembled back into an array ordered by
+    // position — same posexplode + map-side-combined avg shape as
+    // [[labelCentroids]]; rounding makes the centroid (and so every
+    // downstream ccos compare) engine-portable
+    val centersDf = assigned
+      .select(col("__list"), posexplode(col("embedding")).as(Seq("__p", "__x")))
+      .groupBy("__list", "__p")
+      .agg(round(avg(col("__x").cast(DoubleType)), centroidRoundTo).as("__m"))
+      .groupBy("__list")
+      .agg(F.transform(
+        array_sort(collect_list(struct(col("__p"), col("__m")))),
+        s => s.getField("__m")).as("__centroid"))
+    semanticDedupAssigned(assigned, centersDf, threshold, keepRule,
+      clusterCap, roundTo, ccMaxIter, materialize)
+  }
+
+  private def semanticDedupAssigned(assigned: DataFrame, centersDf: DataFrame,
+      threshold: Double, keepRule: String, clusterCap: Int, roundTo: Int,
+      ccMaxIter: Int, materialize: Boolean): DataFrame = {
+    require(Seq("low_centroid_sim", "min_id").contains(keepRule),
+      s"unknown keepRule '$keepRule' (low_centroid_sim|min_id)")
+    import org.apache.spark.sql.expressions.Window
+    // the assignment feeds pair generation AND the output join — persist
+    // so the (potentially k-means) assignment runs once
+    val a = assigned.select(col("vec_id"), col("embedding"), col("__list"))
+      .persist()
+    val capped = Dedup.dropOversizedBuckets(a, Seq("__list"), clusterCap)
+    val lhs = capped.select(col("__list"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"))
+    val rhs = capped.select(col("__list"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"))
+    val pairs = lhs.join(rhs, Seq("__list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("v_a"), col("v_b")), roundTo) >= threshold)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(pairs, ccMaxIter)
+    require(cc.converged,
+      s"semantic-dedup components unconverged after ${cc.iterations} rounds" +
+        " — an unconverged labeling would split duplicate groups and" +
+        " keep extra members; raise ccMaxIter")
+    val withComp = a
+      .join(cc.labels.select(col("id").as("vec_id"),
+        col("cluster").as("component")), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+    val withCos = withComp.join(centersDf, Seq("__list"))
+      .withColumn("ccos",
+        round(cosine(col("embedding").cast("array<double>"),
+          col("__centroid").cast("array<double>")), roundTo))
+    val keep = keepRule match {
+      case "min_id" =>
+        (col("vec_id") ===
+          min("vec_id").over(Window.partitionBy(col("component"))))
+          .cast(LongType)
+      case _ =>
+        (row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col("ccos").asc, col("vec_id").asc)) === 1)
+          .cast(LongType)
+    }
+    val sel = withCos.select(col("vec_id"),
+      col("__list").cast(LongType).as("cluster"), col("component"),
+      col("ccos"), keep.as("keep"))
+    if (!materialize) sel
+    else {
+      val out = sel.localCheckpoint(true)
+      a.unpersist()
+      out
+    }
+  }
 }
