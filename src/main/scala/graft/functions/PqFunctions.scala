@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (public: Jégou, Douze, Schmid 2011,
+  * "Product Quantization for Nearest Neighbor Search"): a vector is
+  * split into `m` subspaces of `ds` dims; each subspace is vector-
+  * quantized against its own `ks`-entry codebook, so the vector is
+  * stored as `m` byte codes (16-32× less scan bandwidth than
+  * float32). A query never reconstructs vectors: it precomputes one
+  * dot-product lookup table against every codebook entry (m·ks
+  * doubles, ONCE per query) and scores each corpus row with m table
+  * lookups — the classic ADC (asymmetric distance computation) scan.
+  *
+  * The codebook rides into generated code as a codegen reference
+  * object (a plain double[], laid out [(s·ks + c)·ds + d]), so all
+  * three expressions stay inside whole-stage codegen with zero
+  * per-row allocation beyond their output arrays.
+  */
+object PqKernels {
+
+  /** argmin-L2 code per subspace; strict `<` keeps the LOWEST code on
+    * ties (the rule the oracle reproduces with ORDER BY d2, code). */
+  def pqEncode(vec: ArrayData, cb: Array[Double], m: Int, ks: Int,
+      ds: Int): ArrayData = {
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD2 = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        val off = (s * ks + c) * ds
+        var d2 = 0.0
+        var d = 0
+        while (d < ds) {
+          val diff = vec.getFloat(s * ds + d).toDouble - cb(off + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD2) { bestD2 = d2; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Raw subspace dot products of the query against every codebook
+    * entry: lut[s·ks + c] = ⟨q_sub(s), C[s][c]⟩ — m·ks doubles,
+    * computed once per query row. */
+  def pqLut(q: ArrayData, cb: Array[Double], m: Int, ks: Int,
+      ds: Int): ArrayData = {
+    val out = new Array[Double](m * ks)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ks) {
+        val off = (s * ks + c) * ds
+        var dot = 0.0
+        var d = 0
+        while (d < ds) {
+          dot += q.getFloat(s * ds + d).toDouble * cb(off + d)
+          d += 1
+        }
+        out(s * ks + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC cosine: Σ_s lut[s·ks+code_s] / (qnorm · ‖x̂‖) with
+    * ‖x̂‖² = Σ_s n2[s·ks+code_s] (n2 = precomputed codeword norms²).
+    * Zero norms score 0 (same guard as the cosine kernels). */
+  def pqAdcCosine(lut: ArrayData, codes: ArrayData, qnorm: Double,
+      n2: Array[Double], ks: Int): Double = {
+    val m = codes.numElements()
+    var sdot = 0.0
+    var sn2 = 0.0
+    var s = 0
+    while (s < m) {
+      val idx = s * ks + (codes.getByte(s) & 0xff)
+      sdot += lut.getDouble(idx)
+      sn2 += n2(idx)
+      s += 1
+    }
+    val denom = qnorm * math.sqrt(sn2)
+    if (denom == 0.0) 0.0 else sdot / denom
+  }
+
+  /** Driver-side: codeword norms² in lut layout, derived once from
+    * the codebook. */
+  def codewordNorms2(cb: Array[Double], m: Int, ks: Int,
+      ds: Int): Array[Double] = {
+    val out = new Array[Double](m * ks)
+    var i = 0
+    while (i < m * ks) {
+      var n2 = 0.0
+      var d = 0
+      while (d < ds) { val v = cb(i * ds + d); n2 += v * v; d += 1 }
+      out(i) = n2
+      i += 1
+    }
+    out
+  }
+}
+
+/** ARRAY<FLOAT> → ARRAY<TINYINT>: the m PQ codes of a vector. */
+case class PqEncode(child: Expression, codebook: Array[Double], m: Int,
+    ks: Int, ds: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode needs ARRAY<FLOAT>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.pqEncode(input.asInstanceOf[ArrayData], codebook, m, ks, ds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", codebook, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernels.pqEncode($c, $cbRef, $m, $ks, $ds)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** ARRAY<FLOAT> (query) → ARRAY<DOUBLE>: the m·ks ADC dot table. */
+case class PqLut(child: Expression, codebook: Array[Double], m: Int,
+    ks: Int, ds: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_lut needs ARRAY<FLOAT>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.pqLut(input.asInstanceOf[ArrayData], codebook, m, ks, ds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", codebook, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernels.pqLut($c, $cbRef, $m, $ks, $ds)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** (lut ARRAY<DOUBLE>, codes ARRAY<TINYINT>, qnorm DOUBLE) → the ADC
+  * approximate cosine. */
+case class PqAdcCosine(first: Expression, second: Expression,
+    third: Expression, norms2: Array[Double], ks: Int)
+    extends TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ByteType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs (ARRAY<DOUBLE>, ARRAY<TINYINT>, DOUBLE), got $a / $b / $c")
+    }
+  override protected def nullSafeEval(lut: Any, codes: Any, qn: Any): Any =
+    PqKernels.pqAdcCosine(lut.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], qn.asInstanceOf[Double], norms2, ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n2Ref = ctx.addReferenceObj("pqn2", norms2, "double[]")
+    defineCodeGen(ctx, ev, (l, c, q) =>
+      s"graft.functions.PqKernels.pqAdcCosine($l, $c, $q, $n2Ref, $ks)")
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqAdcCosine =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PqFunctions {
+  private def e(c: Column): Expression = GraftColumnBridge.expression(c)
+  def pqEncode(vec: Column, cb: Array[Double], m: Int, ks: Int, ds: Int): Column =
+    GraftColumnBridge.column(PqEncode(e(vec), cb, m, ks, ds))
+  def pqLut(q: Column, cb: Array[Double], m: Int, ks: Int, ds: Int): Column =
+    GraftColumnBridge.column(PqLut(e(q), cb, m, ks, ds))
+  def pqAdcCosine(lut: Column, codes: Column, qnorm: Column,
+      norms2: Array[Double], ks: Int): Column =
+    GraftColumnBridge.column(PqAdcCosine(e(lut), e(codes), e(qnorm), norms2, ks))
+}

@@ -513,6 +513,203 @@ object Similarity {
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
   }
 
+  // ===================================================================
+  // Product quantization (PQ/ADC) — the compressed-corpus ANN path
+  // ===================================================================
+
+  /** Fit a PQ codebook (public: Jégou et al. 2011): the vector space
+    * splits into `m` subspaces of `dims/m` dims, each quantized by its
+    * own `ks`-entry codebook. Returns the flattened codebook
+    * [(s·ks+c)·ds+d].
+    *
+    * `mode = "kmeans"` — m independent MLlib k-means fits over
+    * subspace slices of the bounded deterministic [[quantizerFitSet]]
+    * sample (m driver-loop iterations over SUBSPACES, never over
+    * data; each fit input is O(fitSample)).
+    * `mode = "firstk"` — closed-form codebook: subspace slices of the
+    * ks smallest-id corpus vectors (code c = c-th vector). No
+    * iteration, so an oracle can derive the IDENTICAL codebook in
+    * SQL — the exact-twin mode; also a k-medoid-style fallback when a
+    * corpus is too small to fit. */
+  def pqFitCodebook(corpus: DataFrame, m: Int = 16, ks: Int = 16,
+      dims: Int = 64, seed: Long = 42L, maxIter: Int = 10,
+      fitSample: Int = 262144, mode: String = "kmeans"): Array[Double] = {
+    require(dims % m == 0, s"dims $dims must split evenly into m=$m subspaces")
+    require(ks >= 1 && ks <= 128, s"ks must fit a signed byte code: $ks")
+    val ds = dims / m
+    val cb = new Array[Double](m * ks * ds)
+    mode match {
+      case "firstk" =>
+        val rows = corpus.select(col("vec_id"), col("embedding"))
+          .orderBy(col("vec_id").asc).limit(ks).collect()
+        require(rows.length == ks,
+          s"firstk codebook needs >= $ks corpus vectors, got ${rows.length}")
+        var c = 0
+        while (c < ks) {
+          val emb = rows(c).getSeq[Float](1)
+          var s = 0
+          while (s < m) {
+            var d = 0
+            while (d < ds) {
+              cb((s * ks + c) * ds + d) = emb(s * ds + d).toDouble
+              d += 1
+            }
+            s += 1
+          }
+          c += 1
+        }
+      case "kmeans" =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val fit = quantizerFitSet(
+          corpus.select(col("vec_id"), col("embedding")), fitSample).persist()
+        try {
+          var s = 0
+          while (s < m) {
+            val sub = fit.select(array_to_vector(
+              slice(col("embedding"), s * ds + 1, ds)).as("__feat"))
+            val model = new KMeans().setK(ks).setSeed(seed + s)
+              .setMaxIter(maxIter).setFeaturesCol("__feat")
+              .setPredictionCol("__c").fit(sub)
+            val centers = model.clusterCenters
+            var c = 0
+            while (c < ks) {
+              val arr = centers(c).toArray
+              var d = 0
+              while (d < ds) { cb((s * ks + c) * ds + d) = arr(d); d += 1 }
+              c += 1
+            }
+            s += 1
+          }
+        } finally fit.unpersist()
+      case other => throw new IllegalArgumentException(
+        s"unknown PQ codebook mode '$other' (kmeans|firstk)")
+    }
+    cb
+  }
+
+  /** PQ/ADC approximate cosine top-k: the corpus is scanned as m-byte
+    * code rows (16-32× less bandwidth than float32); each query
+    * precomputes its dot-product lookup table ONCE
+    * ([[graft.functions.PqKernels.pqLut]]) and every corpus row
+    * scores with m table lookups — no reconstruction, no per-row
+    * float-vector read. Same output contract as [[bruteForceTopK]];
+    * recall < 1 by construction (quantization error), measured in
+    * PqSpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
+      ks: Int = 16, dims: Int = 64, seed: Long = 42L, maxIter: Int = 10,
+      fitSample: Int = 262144, roundTo: Int = 4, mode: String = "kmeans",
+      refine: Int = 1): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1: $refine")
+    val cb = pqFitCodebook(corpus, m, ks, dims, seed, maxIter, fitSample, mode)
+    val ds = dims / m
+    val codes = corpus.select(col("vec_id"),
+      graft.functions.PqFunctions.pqEncode(col("embedding"), cb, m, ks, ds)
+        .as("__codes"))
+    val adc = scoreAdc(codes, queries, cb, m, ks, ds, k * refine, roundTo)
+    if (refine == 1) adc else pqRefine(adc, corpus, queries, k, roundTo)
+  }
+
+  /** Exact re-rank of an over-fetched ADC candidate list — the
+    * standard PQ refine stage (FAISS `IndexRefineFlat` shape): the
+    * compressed scan nominates k·refine candidates per query, and
+    * ONLY those rows re-read their float vectors (a key-equality join
+    * against the corpus — never a second corpus scan) for exact
+    * cosine re-scoring. Buys back the quantization-error recall loss
+    * at O(k·refine) exact distances per query. */
+  def pqRefine(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, roundTo: Int = 4): DataFrame = {
+    val scored = candidates.select(col("query_id"), col("vec_id"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), roundTo).as("score"))
+    topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+  }
+
+  private def scoreAdc(codes: DataFrame, queries: DataFrame,
+      cb: Array[Double], m: Int, ks: Int, ds: Int, k: Int,
+      roundTo: Int): DataFrame = {
+    val n2 = graft.functions.PqKernels.codewordNorms2(cb, m, ks, ds)
+    // index-ordered left fold — matches the kernel/oracle norm order
+    val qn = sqrt(F.aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (a, x) => a + x * x))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      graft.functions.PqFunctions.pqLut(col("embedding"), cb, m, ks, ds)
+        .as("__lut"),
+      qn.as("__qn")))
+    val scored = codes.join(q) // broadcast nested loop: one codes pass
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.PqFunctions.pqAdcCosine(col("__lut"),
+          col("__codes"), col("__qn"), n2, ks), roundTo).as("score"))
+    topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+  }
+
+  /** Persist a PQ index: `path/codes` = (vec_id, codes
+    * ARRAY<TINYINT>) — the m-byte compressed corpus the ADC scan
+    * reads INSTEAD of float vectors (the bandwidth win is the whole
+    * point of stored PQ); `path/codebook` = the flattened codebook as
+    * (idx, v) rows; `path/meta` = (m, ks, dims), written LAST as the
+    * commit marker. */
+  def buildPqIndex(corpus: DataFrame, path: String, m: Int = 16,
+      ks: Int = 16, dims: Int = 64, seed: Long = 42L, maxIter: Int = 10,
+      fitSample: Int = 262144, mode: String = "kmeans"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = pqFitCodebook(corpus, m, ks, dims, seed, maxIter, fitSample, mode)
+    val ds = dims / m
+    corpus.select(col("vec_id"),
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, m, ks, ds)
+          .as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cb.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, ks, dims)).toDF("m", "ks", "dims").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append new vectors to a persisted PQ index: encode against the
+    * STORED codebook (the quantizer is frozen at build time — an
+    * increment must code in the same cells as the stored corpus, the
+    * same pin-the-config contract as [[appendToCosineIndex]]'s plane
+    * meta), anti-join out vec_ids already present, append the rest as
+    * code rows. Idempotent under replay; the codebook is never
+    * refit — periodic refit is a rebuild ([[buildPqIndex]]), not an
+    * append. */
+  def appendToPqIndex(spark: SparkSession, indexPath: String,
+      vectors: DataFrame, id: Column, vec: Column): Unit = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (m, ks, dims) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
+      meta.getAs[Int]("dims"))
+    val cb = spark.read.parquet(s"$indexPath/codebook").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    val stored = spark.read.parquet(s"$indexPath/codes").select("vec_id")
+    vectors.select(id.as("vec_id"), vec.as("embedding"))
+      .join(stored, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, m, ks,
+          dims / m).as("codes"))
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** ADC top-k over a STORED PQ index ([[buildPqIndex]]): the scan
+    * reads only (vec_id, m bytes) per corpus row — same seed/mode ⇒
+    * identical rows to the inline [[pqTopK]] (doubles round-trip
+    * parquet losslessly; spec-proven). */
+  def pqTopKStored(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, roundTo: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, ks, dims) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
+      meta.getAs[Int]("dims"))
+    val cb = spark.read.parquet(s"$path/codebook").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("codes").as("__codes"))
+    scoreAdc(codes, queries, cb, m, ks, dims / m, k, roundTo)
+  }
+
   /** LSH-bucketed ANN: only corpus vectors sharing a hyperplane bucket
     * with the query — in any of `tables` independent hash tables — are
     * scored. The 100 TB path: bucket-equality join instead of a full

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PQ/ADC ANN: code-range sanity, self-coding under a medoid
+  * codebook, measured recall vs brute force, and stored-index
+  * round-trip parity. */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dims = 64
+
+  private def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def vec(i: Long): Seq[Float] =
+    (0 until dims).map(d =>
+      (Math.floorMod(mix(i * 1000003L + d), 2000L) / 1000.0 - 1.0).toFloat)
+
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    (0L until 300L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  private def queries: DataFrame = {
+    import spark.implicits._
+    (0L until 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  private def recallAt10(got: DataFrame, want: DataFrame): Double = {
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = want.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (g intersect w).size.toDouble / w.size
+  }
+
+  test("codes are m bytes in [0, ks)") {
+    val cb = Similarity.pqFitCodebook(corpus, mode = "firstk")
+    val codes = corpus.select(
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, 16, 16, 4)
+          .as("c"))
+      .collect().map(_.getSeq[Byte](0))
+    assert(codes.forall(c => c.length == 16 && c.forall(b => b >= 0 && b < 16)))
+  }
+
+  test("a codebook vector codes to itself and self-scores ~1 under ADC") {
+    // firstk: vector c IS codeword c of every subspace, so its exact
+    // reconstruction is itself — codes all equal c, ADC cosine = 1
+    val cb = Similarity.pqFitCodebook(corpus, mode = "firstk")
+    val codes = corpus.filter(col("vec_id") < 16)
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, 16, 16, 4)
+          .as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    (0 until 16).foreach { c =>
+      assert(codes(c.toLong).forall(_ == c.toByte),
+        s"vector $c should code to itself in every subspace")
+    }
+    val self = Similarity.pqTopK(corpus, queries.filter(col("vec_id") < 5),
+        k = 1, mode = "firstk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    self.foreach { case (q, v, s) =>
+      assert(q === v && s === 1.0, s"query $q should self-match at 1.0, got ($v, $s)")
+    }
+  }
+
+  test("k-means PQ recall@10 vs brute force; refine buys recall back") {
+    // structureless uniform vectors are ANN's worst case (neighbor
+    // gaps ~ quantization error) — the floors are measured values
+    // minus slack, not aspirations
+    val want = Similarity.bruteForceTopK(corpus, queries, 10)
+    val pure = recallAt10(Similarity.pqTopK(corpus, queries, 10), want)
+    assert(pure >= 0.45, s"pure-ADC recall@10 regressed: $pure") // measured 0.55
+    val refined = recallAt10(
+      Similarity.pqTopK(corpus, queries, 10, refine = 4), want)
+    assert(refined >= pure, s"refine must not lose recall: $refined < $pure")
+    assert(refined >= 0.80, s"refined recall@10 regressed: $refined")
+  }
+
+  test("appendToPqIndex codes against the frozen codebook; replay appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx2").toString
+    Similarity.buildPqIndex(corpus.filter(col("vec_id") < 250), dir)
+    val inc = corpus.filter(col("vec_id") >= 250)
+    Similarity.appendToPqIndex(spark, dir, inc, col("vec_id"), col("embedding"))
+    Similarity.appendToPqIndex(spark, dir, inc, col("vec_id"), col("embedding"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === 300) // replay appended nothing
+    // appended rows carry exactly the codes the STORED codebook
+    // assigns (the quantizer froze at build; no refit on append)
+    val cb = spark.read.parquet(s"$dir/codebook").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    val expected = inc.select(col("vec_id"),
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, 16, 16, 4)
+          .as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    val got = codes.filter(col("vec_id") >= 250)
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    assert(got === expected)
+  }
+
+  test("the ADC scan plan broadcasts queries and never shuffle-joins") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx3").toString
+    Similarity.buildPqIndex(corpus, dir)
+    val plan = Similarity.pqTopKStored(spark, dir, queries, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
+  test("stored PQ index reproduces the inline rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.buildPqIndex(corpus, dir)
+    val stored = Similarity.pqTopKStored(spark, dir, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Similarity.pqTopK(corpus, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline)
+  }
+}
