@@ -1483,6 +1483,21 @@ object SparkEntry {
           col("doc_id"), col("lang") === "en", materialize = eagerPairs),
         n = 150, temperature = 2.0, seed = 7L)),
 
+    // INCREMENTAL DSIR: bucket statistics fit once on doc_id >= 50
+    // (the reference-corpus store, the CCNet shape), the increment
+    // scores against the STORED counts with add-α store-miss
+    // smoothing — fully oracled (left join + coalesce reproduces the
+    // miss arithmetic)
+    "dsir_logweights_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("dsirstats", dir)(p =>
+        Dsir.buildStats(docs.filter(col("doc_id") >= 50), col("text"),
+          col("doc_id"), col("lang") === "en", p))
+      Dsir.logWeightsAgainst(s, store, docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // SEMDEDUP (graft.ops.Similarity.semanticDedup, public: Abbas et
     // al. 2023): k-means-clustered embedding space, within-cluster
     // cosine pairs → connected duplicate groups → one keeper per group
@@ -1505,6 +1520,41 @@ object SparkEntry {
           col("vec_id"), col("embedding"), col("label"),
           threshold = 0.35, materialize = eagerPairs)
         .orderBy("vec_id")),
+
+    // PQ/ADC ANN (graft.ops.Similarity.pqTopK, public: Jégou et al.
+    // 2011): the corpus scanned as 16-byte code rows (16× less
+    // bandwidth than float32), each query scoring via its precomputed
+    // dot lookup table, then the standard exact refine of the
+    // over-fetched candidates. Rows-only: recall + refine measured in
+    // PqSpec; the ADC arithmetic is oracled by the firstk twin below
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          refine = 4)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // the same scan over a PERSISTED code table (buildPqIndex):
+    // spec-proven to reproduce the inline rows exactly
+    "ann_pq_indexed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val store = memoStore("pqidx", dir)(p =>
+        Similarity.buildPqIndex(emb, p))
+      Similarity.pqTopKStored(s, store, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // fully-oracled ADC twin: the closed-form "firstk" codebook
+    // (codeword c = subspace slices of corpus vector c) lets DuckDB
+    // derive the IDENTICAL codebook, encoding (argmin-L2, ties to the
+    // lower code), lookup tables, and ADC cosine — the kernel
+    // arithmetic verified end to end
+    "ann_pq_adc_exact_sample" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.pqTopK(emb.filter(col("vec_id") < 200),
+          emb.filter(col("vec_id") < 5), k = 10, mode = "firstk")
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -3073,6 +3123,32 @@ object SparkEntry {
          SELECT doc_id, logw, skey FROM k
          ORDER BY skey DESC, doc_id LIMIT 150""",
 
+    "dsir_logweights_indexed" ->
+      s"""WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM big0),
+         grams AS (SELECT doc_id, g FROM uni
+           UNION ALL SELECT doc_id, g FROM big),
+         d AS (SELECT doc_id, ${hexValSql("md5(g)", 4)} % 4096 AS b,
+             count(*) AS c
+           FROM grams GROUP BY 1, 2),
+         fl AS (SELECT doc_id, (lang = 'en') AS is_t FROM documents),
+         gb AS (SELECT b, sum(c) AS cr,
+             sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct
+           FROM d JOIN fl USING (doc_id)
+           WHERE d.doc_id >= 50 GROUP BY 1),
+         tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM gb)
+         SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_grams,
+           round(sum(d.c *
+             (ln((coalesce(gb.ct, 0) + 0.25) / (tot.nt + 0.25 * 4096))
+            - ln((coalesce(gb.cr, 0) + 0.25) / (tot.nr + 0.25 * 4096)))),
+             6) AS logw
+         FROM d LEFT JOIN gb USING (b) CROSS JOIN tot
+         WHERE d.doc_id < 50 GROUP BY 1 ORDER BY 1""",
+
     "semdedup_label_exact" ->
       """WITH RECURSIVE e AS (SELECT vec_id, label, embedding
            FROM embeddings WHERE vec_id < 300),
@@ -3110,5 +3186,39 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY component
                ORDER BY ccos ASC, vec_id ASC) = 1 AS BIGINT) AS keep
          FROM cs ORDER BY vec_id""",
+
+    "ann_pq_adc_exact_sample" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         subs AS (SELECT unnest(range(0, 16)) AS s),
+         cb AS (SELECT subs.s, b.vec_id AS code,
+             list_transform(range(1, 5), d ->
+               CAST(b.embedding[CAST(subs.s * 4 + d AS INT)] AS DOUBLE)) AS cvec
+           FROM subs CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) b),
+         d2 AS (SELECT c.vec_id, cb.s, cb.code,
+             list_sum(list_transform(range(1, 5), d ->
+               (CAST(c.embedding[CAST(cb.s * 4 + d AS INT)] AS DOUBLE) - cb.cvec[CAST(d AS INT)])
+               * (CAST(c.embedding[CAST(cb.s * 4 + d AS INT)] AS DOUBLE) - cb.cvec[CAST(d AS INT)]))) AS d2
+           FROM c CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn FROM d2)
+           WHERE rn = 1),
+         n2 AS (SELECT s, code, list_sum(list_transform(cvec, x -> x * x)) AS n2 FROM cb),
+         lut AS (SELECT q.query_id, cb.s, cb.code,
+             list_sum(list_transform(range(1, 5), d ->
+               CAST(q.qe[CAST(cb.s * 4 + d AS INT)] AS DOUBLE) * cb.cvec[CAST(d AS INT)])) AS dot
+           FROM q CROSS JOIN cb),
+         qn AS (SELECT query_id, sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x))) AS qn FROM q),
+         sc AS (SELECT l.query_id, e.vec_id, sum(l.dot) AS sdot, sum(n2.n2) AS sn2
+           FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
+           JOIN n2 ON e.s = n2.s AND e.code = n2.code
+           GROUP BY 1, 2),
+         scored AS (SELECT sc.query_id, sc.vec_id,
+             round(sc.sdot / (qn.qn * sqrt(sc.sn2)), 4) AS score
+           FROM sc JOIN qn USING (query_id)),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) AS rn FROM scored)
+         SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+         ORDER BY query_id, score DESC, vec_id""",
   )
 }

@@ -101,6 +101,70 @@ object Dsir {
     }
   }
 
+  /** Persist DSIR bucket statistics — the write-once half of the
+    * incremental shape (fit target/raw distributions on a reference
+    * corpus ONCE, score every crawl increment against them):
+    * `path/buckets` = (b, cr, ct), `path/meta` = (nr, nt, buckets)
+    * with totals derived FROM the stored bucket table (one source of
+    * truth) and written LAST as the commit marker. */
+  def buildStats(docs: DataFrame, text: Column, id: Column,
+      targetPred: Column, path: String, buckets: Int = 4096): Unit = {
+    val spark = docs.sparkSession
+    val flags = docs.select(id.as("doc_id"),
+      targetPred.cast(BooleanType).as("__is_t"))
+    docBucketCounts(docs, text, id, buckets)
+      .join(flags, Seq("doc_id"))
+      .groupBy("b").agg(sum("c").as("cr"),
+        sum(when(col("__is_t"), col("c")).otherwise(0L)).as("ct"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    spark.read.parquet(s"$path/buckets")
+      .agg(sum("cr").as("nr"), sum("ct").as("nt"),
+        lit(buckets).as("buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents against STORED bucket statistics
+    * ([[buildStats]]). Add-α smoothing handles what the reference
+    * corpus never saw: a bucket absent from the store scores
+    * ln(α/(nt+αB)) − ln(α/(nr+αB)) (coalesce to 0 on both counts).
+    * Same output contract as [[logWeights]]; stats fit on the scored
+    * corpus itself make the two identical (spec-proven). */
+  def logWeightsAgainst(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, text: Column, id: Column,
+      alpha: Double = 0.25, roundTo: Int = 6): DataFrame = {
+    require(alpha > 0, "add-alpha smoothing needs alpha > 0")
+    val gb = spark.read.parquet(s"$path/buckets")
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val buckets = metaDf.head().getAs[Int]("buckets")
+    val aB = lit(alpha) * col("buckets")
+    val lratio =
+      log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + aB)) -
+      log((coalesce(col("cr"), lit(0L)) + alpha) / (col("nr") + aB))
+    docBucketCounts(docs, text, id, buckets)
+      .join(gb, Seq("b"), "left")
+      .crossJoin(broadcast(metaDf))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        round(sum(col("c") * lratio), roundTo).as("logw"))
+  }
+
+  /** Per-batch body of [[graft.streaming.StreamingIngest
+    * .scoreStreamAgainstDsirStats]], callable directly so replay
+    * semantics are testable: score `batch` against the stored bucket
+    * statistics and append (doc_id, n_grams, logw) rows to `outPath`.
+    * Idempotent under foreachBatch replay via the same doc_id
+    * anti-join every incremental appender uses. */
+  def appendScoredAgainst(spark: org.apache.spark.sql.SparkSession,
+      statsPath: String, outPath: String, batch: DataFrame, text: Column,
+      id: Column, alpha: Double = 0.25, roundTo: Int = 6): Unit = {
+    val scored = logWeightsAgainst(spark, statsPath, batch, text, id,
+      alpha, roundTo)
+    scored
+      .join(Layout.readIfExists(spark, outPath)(scored).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(outPath)
+  }
+
   /** Deterministic standard-Gumbel noise for `id`: u ∈ (0,1) from the
     * first 6 hex nibbles of the order hash (u = (v+0.5)/16^6, exactly
     * representable), then −ln(−ln u) — the Gumbel-max construction

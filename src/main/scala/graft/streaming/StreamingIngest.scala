@@ -152,6 +152,22 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream vectors into a persisted PQ index
+    * ([[graft.ops.Similarity.appendToPqIndex]] per micro-batch): each
+    * arrival encodes against the FROZEN stored codebook into m-byte
+    * code rows, so the compressed ADC-scannable corpus grows as the
+    * stream lands — no refit, no float-vector rescan; replays are
+    * idempotent on the store (vec_id anti-join). */
+  def appendStreamToPqIndex(vectors: DataFrame, indexPath: String,
+      checkpoint: String, id: Column, vec: Column) =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity.appendToPqIndex(batch.sparkSession,
+          indexPath, batch, id, vec)
+      }
+      .start()
+
   /** Stream documents into a persisted greedy pack layout
     * ([[graft.ops.Pack.appendToGreedyLayout]] per micro-batch): each
     * arrival folds onto its shard's open sequence under the
@@ -190,6 +206,27 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.LangModel.appendScoredAgainst(batch.sparkSession,
           statsPath, outPath, batch, text, id, k, roundTo)
+      }
+      .start()
+
+  /** Stream documents through DSIR importance scoring against STORED
+    * bucket statistics ([[graft.ops.Dsir.buildStats]]) — the
+    * domain-tilt filter made streaming, same shape as the perplexity
+    * scorer above: the stats store IS the state (fit once on the
+    * reference corpus, never touched by the stream), scoring is one
+    * key-equality join per micro-batch, and add-α smoothing absorbs
+    * buckets the reference never saw. Scored rows
+    * (doc_id, n_grams, logw) append to `outPath`; replays are
+    * idempotent on the sink (doc_id anti-join,
+    * [[graft.ops.Dsir.appendScoredAgainst]]). */
+  def scoreStreamAgainstDsirStats(docs: DataFrame, statsPath: String,
+      outPath: String, checkpoint: String, text: Column, id: Column,
+      alpha: Double = 0.25, roundTo: Int = 6) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dsir.appendScoredAgainst(batch.sparkSession,
+          statsPath, outPath, batch, text, id, alpha, roundTo)
       }
       .start()
 

@@ -69,6 +69,31 @@ class DsirSpec extends AnyFunSuite {
       s"resample should enrich the 1/3 target base rate, got $targetRate")
   }
 
+  test("stats fit on the scored corpus reproduce logWeights exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("dsirstats").toString
+    Dsir.buildStats(corpus, col("text"), col("doc_id"),
+      col("domain") === "t", dir)
+    val against = Dsir.logWeightsAgainst(spark, dir, corpus, col("text"),
+        col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dsir.logWeights(corpus, col("text"), col("doc_id"),
+        col("domain") === "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(against === inline)
+  }
+
+  test("appendScoredAgainst is idempotent under replay") {
+    val stats = java.nio.file.Files.createTempDirectory("dsirstats2").toString
+    val out = java.nio.file.Files.createTempDirectory("dsirout").toString + "/scored"
+    Dsir.buildStats(corpus, col("text"), col("doc_id"),
+      col("domain") === "t", stats)
+    val batch = corpus.filter(col("doc_id") < 30)
+    Dsir.appendScoredAgainst(spark, stats, out, batch, col("text"), col("doc_id"))
+    Dsir.appendScoredAgainst(spark, stats, out, batch, col("text"), col("doc_id"))
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length === 30) // the replay appended nothing
+  }
+
   test("temperature → 0 degenerates to hard top-n by weight") {
     val w = Dsir.logWeights(corpus, col("text"), col("doc_id"),
       col("domain") === "t")
