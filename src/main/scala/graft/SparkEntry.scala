@@ -1521,6 +1521,33 @@ object SparkEntry {
           threshold = 0.35, materialize = eagerPairs)
         .orderBy("vec_id")),
 
+    // COMPOSED PIPELINE: DSIR Gumbel resample → greedy sequence
+    // packing — the domain-tilted selection flowing straight into a
+    // trainer-ready layout, oracled END TO END (the selection CTEs
+    // feed the pack fold inside one oracle query)
+    "dsir_pack_greedy" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sel = Dsir.resampleTopN(
+        Dsir.logWeights(docs, col("text"), col("doc_id"),
+          col("lang") === "en", materialize = eagerPairs),
+        n = 150, temperature = 2.0, seed = 7L)
+      Pack.packGreedy(docs.join(sel.select("doc_id"), Seq("doc_id")),
+          col("doc_id"), TextOps.tokenCount(col("text")), seqLen = 2048,
+          shards = 8, seed = 3L)
+        .orderBy("shard", "bin", "doc_id")
+    }),
+
+    // HARD-NEGATIVE MINING (graft.ops.Similarity.hardNegatives, DPR
+    // practice): per anchor, top-k corpus vectors inside a cosine
+    // band — similar enough to be hard, under the near-dup ceiling.
+    // Fully oracled (banded brute-force arithmetic)
+    "mine_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          k = 10, lo = 0.15, hi = 0.30)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
     // PQ/ADC ANN (graft.ops.Similarity.pqTopK, public: Jégou et al.
     // 2011): the corpus scanned as 16-byte code rows (16× less
     // bandwidth than float32), each query scoring via its precomputed
@@ -3186,6 +3213,55 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY component
                ORDER BY ccos ASC, vec_id ASC) = 1 AS BIGINT) AS keep
          FROM cs ORDER BY vec_id""",
+
+    "dsir_pack_greedy" ->
+      s"""WITH RECURSIVE $dsirWeightsCte,
+         k AS (SELECT doc_id, logw,
+             round(logw / 2.0 - ln(-ln(
+               (${hexValSql("md5(CAST(doc_id AS VARCHAR) || '#7')", 6)} + 0.5)
+                 / 16777216.0)), 6) AS skey
+           FROM w),
+         sel AS (SELECT doc_id FROM k ORDER BY skey DESC, doc_id LIMIT 150),
+         pd AS (SELECT d0.doc_id, d0.n_tokens, d0.h,
+             ${hexValSql("d0.h", 2)} % 8 AS shard
+           FROM (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || '#3') AS h
+             FROM documents JOIN sel USING (doc_id)) d0
+           WHERE n_tokens > 0),
+         pr AS (SELECT doc_id, n_tokens, h, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+           FROM pd),
+         pf AS (
+           SELECT doc_id, shard, rn, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM pr WHERE rn = 1
+           UNION ALL
+           SELECT pr.doc_id, pr.shard, pr.rn, pr.n_tokens,
+             CASE WHEN pf.fill + pr.n_tokens <= 2048
+                  THEN pf.bin ELSE pf.bin + 1 END,
+             CASE WHEN pf.fill + pr.n_tokens <= 2048
+                  THEN pf.fill + pr.n_tokens ELSE pr.n_tokens END
+           FROM pf JOIN pr ON pr.shard = pf.shard AND pr.rn = pf.rn + 1)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
+         FROM pf ORDER BY shard, bin, doc_id""",
+
+    "mine_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+         pairs AS (SELECT q.query_id, e.vec_id,
+           round(list_sum(list_transform(list_zip(q.qe, e.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * p[2]))
+             / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               4) AS score
+           FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id),
+         banded AS (SELECT * FROM pairs WHERE score >= 0.15 AND score < 0.30),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) AS rn FROM banded)
+         SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+         ORDER BY query_id, score DESC, vec_id""",
 
     "ann_pq_adc_exact_sample" ->
       """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

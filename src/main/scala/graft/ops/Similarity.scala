@@ -756,6 +756,32 @@ object Similarity {
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training (public
+    * practice: DPR, Karpukhin et al. 2020 — mined hard negatives beat
+    * in-batch random ones): for each anchor, the top-k most similar
+    * corpus vectors INSIDE a cosine band [lo, hi) — similar enough to
+    * be hard, and below the near-dup/positive ceiling so duplicates
+    * and same-item pairs are excluded (self-pairs always are). Same
+    * broadcast-anchors/one-corpus-pass/O(k)-heap shape as
+    * [[bruteForceTopK]]; the band filter runs BEFORE the heap, so the
+    * shuffle carries only in-band candidates. At 100 TB compose the
+    * band filter over an ANN candidate stage instead ([[pqTopK]] with
+    * an over-fetch, or [[ivfTopK]]) — the scoring contract is
+    * unchanged. Output: (query_id, vec_id, score). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      lo: Double = 0.3, hi: Double = 0.9, roundTo: Int = 4): DataFrame = {
+    require(lo < hi, s"empty cosine band [$lo, $hi)")
+    val a = broadcast(anchors.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(a)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), roundTo).as("score"))
+      .filter(col("score") >= lo && col("score") < hi)
+    topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+  }
+
   /** Semantic deduplication (public: Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): cluster the embedding space with the IVF k-means
