@@ -205,6 +205,56 @@ object Similarity {
     }
   }
 
+  /** Per-batch body of [[graft.streaming.StreamingIngest
+    * .vectorGateStream]] — the online vector-dedup admission gate:
+    * verdict every batch vector against the stored corpus AND the
+    * batch itself ([[cosinePairsAgainstIndex]]), admit only the fresh
+    * ones to the index, and append one verdict row
+    * (vec_id, dup_of, is_dup) per vector to `outPath`.
+    *
+    * Duplicate rule (first-wins, the vector twin of the curateStream
+    * ledger): a batch vector is a duplicate iff it has a pair partner
+    * that is already STORED, or a batch partner with a SMALLER id —
+    * so exactly one member of an all-new duplicate group (its
+    * smallest id) is admitted. `dup_of` is the smallest such partner;
+    * over a near-dup CHAIN it may itself be a duplicate (the chain
+    * collapses transitively toward the minimum across batches — an
+    * online gate keeps one representative per group in the index, it
+    * does not re-cluster history).
+    *
+    * Replay-idempotent end to end: verdicts anti-join the sink on
+    * vec_id, index admission anti-joins the store
+    * ([[appendToCosineIndex]]) — a replayed batch changes neither. */
+  def appendGatedToCosineIndex(spark: SparkSession, indexPath: String,
+      outPath: String, batch: DataFrame, id: Column, vec: Column,
+      threshold: Double = 0.9, roundTo: Int = 4,
+      bucketCap: Int = 100000): Unit = {
+    val base = batch.select(id.as("vec_id"), vec.as("v"))
+    val pairs = cosinePairsAgainstIndex(spark, indexPath, base,
+      col("vec_id"), col("v"), threshold, roundTo, bucketCap)
+    val storedIds = spark.read.parquet(s"$indexPath/docs")
+      .select(col("vec_id").as("y"), lit(1L).as("__stored"))
+    val newIds = base.select(col("vec_id").as("x"))
+    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionByName(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+      .join(newIds, Seq("x"))
+    val dupOf = edges.join(storedIds, Seq("y"), "left")
+      .filter(col("__stored").isNotNull || col("y") < col("x"))
+      .groupBy("x").agg(min("y").as("dup_of"))
+    val verdicts = newIds.select(col("x").as("vec_id"))
+      .join(dupOf.select(col("x").as("vec_id"), col("dup_of")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"),
+        col("dup_of").isNotNull.cast(LongType).as("is_dup"))
+    verdicts
+      .join(Layout.readIfExists(spark, outPath)(verdicts).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(outPath)
+    val fresh = base.join(dupOf.select(col("x").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    appendToCosineIndex(spark, indexPath, fresh, col("vec_id"), col("v"))
+  }
+
   /** Exact all-pairs cosine over a BOUNDED sample — oracle twin of
     * [[cosinePairs]] (quadratic by construction). */
   def cosinePairsExact(emb: DataFrame, id: Column, vec: Column,
@@ -559,28 +609,47 @@ object Similarity {
           c += 1
         }
       case "kmeans" =>
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
+        // joint Lloyd over ALL m subspaces at once: init = the
+        // deterministic firstk medoid codebook, then maxIter rounds of
+        // [assign every sample vector with the fused PqEncode kernel →
+        // one (s, code, dim) mean aggregation → collect the m·ks·ds
+        // cell means (tiny by construction)]. One Spark job per round
+        // for every subspace TOGETHER — m sequential per-subspace
+        // MLlib fits cost ~m× the jobs for the same math (measured
+        // 23.8s warm vs ~2s at m=16 on the sf0.1 bench corpus).
+        // Centroids round to 6dp per round so the fit is stable under
+        // aggregation-order wobble (same rationale as the semdedup
+        // centroid rounding); empty cells keep their previous
+        // centroid, the standard Lloyd dead-cell rule.
         val fit = quantizerFitSet(
           corpus.select(col("vec_id"), col("embedding")), fitSample).persist()
         try {
-          var s = 0
-          while (s < m) {
-            val sub = fit.select(array_to_vector(
-              slice(col("embedding"), s * ds + 1, ds)).as("__feat"))
-            val model = new KMeans().setK(ks).setSeed(seed + s)
-              .setMaxIter(maxIter).setFeaturesCol("__feat")
-              .setPredictionCol("__c").fit(sub)
-            val centers = model.clusterCenters
-            var c = 0
-            while (c < ks) {
-              val arr = centers(c).toArray
-              var d = 0
-              while (d < ds) { cb((s * ks + c) * ds + d) = arr(d); d += 1 }
-              c += 1
+          var cur = pqFitCodebook(corpus, m, ks, dims, seed, maxIter,
+            fitSample, "firstk")
+          var it = 0
+          var moved = true
+          while (it < maxIter && moved) {
+            val stats = fit
+              .select(posexplode(graft.functions.PqFunctions.pqEncode(
+                col("embedding"), cur, m, ks, ds)).as(Seq("s", "c")),
+                col("embedding"))
+              .select(col("s"), col("c"),
+                posexplode(slice(col("embedding"), col("s") * ds + 1,
+                  lit(ds))).as(Seq("d", "v")))
+              .groupBy("s", "c", "d")
+              .agg(sum(col("v").cast(DoubleType)).as("sv"),
+                count(lit(1)).as("n"))
+              .collect()
+            val next = cur.clone()
+            stats.foreach { r =>
+              val idx = (r.getInt(0) * ks + r.getByte(1)) * ds + r.getInt(2)
+              next(idx) = math.rint(r.getDouble(3) / r.getLong(4) * 1e6) / 1e6
             }
-            s += 1
+            moved = !java.util.Arrays.equals(next, cur)
+            cur = next
+            it += 1
           }
+          System.arraycopy(cur, 0, cb, 0, cb.length)
         } finally fit.unpersist()
       case other => throw new IllegalArgumentException(
         s"unknown PQ codebook mode '$other' (kmeans|firstk)")

@@ -152,6 +152,25 @@ object StreamingIngest {
       }
       .start()
 
+  /** The online vector-dedup admission gate
+    * ([[graft.ops.Similarity.appendGatedToCosineIndex]] per
+    * micro-batch): every arriving vector is verdicted against the
+    * stored corpus and its own batch, duplicates are rejected with a
+    * (vec_id, dup_of, is_dup) ledger row, and only fresh vectors
+    * enter the index — the embedding-space twin of the curateStream
+    * fingerprint gate. Replays change neither the ledger nor the
+    * index (anti-joins both sides). */
+  def vectorGateStream(vectors: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, id: Column, vec: Column,
+      threshold: Double = 0.9) =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity.appendGatedToCosineIndex(batch.sparkSession,
+          indexPath, outPath, batch, id, vec, threshold)
+      }
+      .start()
+
   /** Stream vectors into a persisted PQ index
     * ([[graft.ops.Similarity.appendToPqIndex]] per micro-batch): each
     * arrival encodes against the FROZEN stored codebook into m-byte

@@ -706,6 +706,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored.select("vec_id").distinct().count() === n)
   }
 
+  test("vectorGateStream admits one representative per duplicate group") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def basis(d: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == d) 1.0f else 0.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vgate").toString
+    val stored = Seq((0L, basis(0)), (1L, basis(1)), (2L, basis(2)))
+      .toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildCosineIndex(stored, col("vec_id"),
+      col("embedding"), s"$dir/idx", planes = 4, dims = 8, tables = 4)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val vectors = mem.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = StreamingIngest.vectorGateStream(vectors, s"$dir/idx",
+      s"$dir/verdicts", s"$dir/ckpt", col("vec_id"), col("embedding"),
+      threshold = 0.95)
+    // batch 1: a copy of stored 0 (dup) and a genuinely new direction
+    mem.addData((100L, basis(0)), (101L, basis(3)))
+    q.processAllAvailable()
+    // batch 2: an all-new duplicate pair (102 admits, 103 rejected)
+    // and a copy of stored 1
+    mem.addData((102L, basis(4)), (103L, basis(4)), (104L, basis(1)))
+    q.processAllAvailable()
+    q.stop()
+
+    val verdicts = spark.read.parquet(s"$dir/verdicts")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+    assert(verdicts === Map(
+      100L -> (0L, 1L), 101L -> (-1L, 0L), 102L -> (-1L, 0L),
+      103L -> (102L, 1L), 104L -> (1L, 1L)))
+    val admitted = spark.read.parquet(s"$dir/idx/docs")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(0L, 1L, 2L, 101L, 102L))
+
+    // worst-case replay of batch 2 straight through the body: neither
+    // the ledger nor the index may change
+    graft.ops.Similarity.appendGatedToCosineIndex(spark, s"$dir/idx",
+      s"$dir/verdicts",
+      Seq((102L, basis(4)), (103L, basis(4)), (104L, basis(1)))
+        .toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), threshold = 0.95)
+    assert(spark.read.parquet(s"$dir/verdicts").count() === 5L)
+    assert(spark.read.parquet(s"$dir/idx/docs").count() === 5L)
+  }
+
+  test("streaming DSIR scoring equals batch scoring and is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsirstream").toString
+    val ref = (0L until 24L).map { i =>
+      val reg = if (i % 3 == 0) "alpha beta gamma delta" else "kappa sigma omega zeta"
+      (i, i % 3 == 0, s"$reg doc w$i")
+    }.toDF("doc_id", "is_t", "text")
+    graft.ops.Dsir.buildStats(ref, col("text"), col("doc_id"),
+      col("is_t"), s"$dir/stats")
+
+    val arrivals = Seq((100L, "alpha beta gamma"), (101L, "kappa sigma omega"),
+      (102L, "totally unseen words"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingIngest.scoreStreamAgainstDsirStats(docs,
+      s"$dir/stats", s"$dir/scores", s"$dir/ckpt", col("text"), col("doc_id"))
+    mem.addData(arrivals.take(1): _*); q.processAllAvailable()
+    mem.addData(arrivals.drop(1): _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/scores")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.ops.Dsir.logWeightsAgainst(spark, s"$dir/stats",
+        arrivals.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed === batch, "streamed weights must equal the batch operator")
+    assert(streamed(100L)._2 > 0 && streamed(101L)._2 < 0,
+      "target-register doc scores positive, raw-register negative")
+
+    graft.ops.Dsir.appendScoredAgainst(spark, s"$dir/stats", s"$dir/scores",
+      arrivals.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    assert(spark.read.parquet(s"$dir/scores").count() === 3L,
+      "replayed batches must append nothing")
+  }
+
   test("streaming bigram scoring equals batch scoring and is replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
