@@ -1521,6 +1521,16 @@ object SparkEntry {
           threshold = 0.35, materialize = eagerPairs)
         .orderBy("vec_id")),
 
+    // FEATURE-HASHED TF-IDF (graft.ops.TextOps.hashedTfIdf, the
+    // hashing trick + smooth idf): the text→vector bridge, emitted
+    // sparse as (doc_id, pos, w) — fully oracled (portable md5
+    // bucketing + idf + L2 arithmetic verbatim in DuckDB)
+    "text_hash_tfidf" -> ((s, dir) =>
+      TextOps.hashedTfIdf(table(s, dir, "documents")
+          .filter(col("doc_id") < 100), col("text"), col("doc_id"),
+          materialize = eagerPairs)
+        .orderBy("doc_id", "pos")),
+
     // COMPOSED PIPELINE: DSIR Gumbel resample → greedy sequence
     // packing — the domain-tilted selection flowing straight into a
     // trainer-ready layout, oracled END TO END (the selection CTEs
@@ -3213,6 +3223,23 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY component
                ORDER BY ccos ASC, vec_id ASC) = 1 AS BIGINT) AS keep
          FROM cs ORDER BY vec_id""",
+
+    "text_hash_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(
+             regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+           FROM documents WHERE doc_id < 100),
+         d AS (SELECT doc_id, ${hexValSql("md5(token)", 4)} % 1024 AS pos,
+             count(*) AS tf
+           FROM toks WHERE token <> '' GROUP BY 1, 2),
+         df AS (SELECT pos, count(*) AS df FROM d GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+         wt AS (SELECT d.doc_id, d.pos,
+             d.tf * (ln((n.n_docs + 1) / (df.df + 1.0)) + 1) AS w0
+           FROM d JOIN df USING (pos) CROSS JOIN n),
+         nrm AS (SELECT doc_id, sqrt(sum(w0 * w0)) AS nn
+           FROM wt GROUP BY 1)
+         SELECT wt.doc_id, wt.pos, round(wt.w0 / nrm.nn, 6) AS w
+         FROM wt JOIN nrm USING (doc_id) ORDER BY doc_id, pos""",
 
     "dsir_pack_greedy" ->
       s"""WITH RECURSIVE $dsirWeightsCte,

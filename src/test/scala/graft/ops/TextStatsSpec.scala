@@ -158,4 +158,33 @@ class TextStatsSpec extends AnyFunSuite {
       .filter(!col("__last") && col("n_tokens") =!= 64L).count()
     assert(shortMiddles === 0L)
   }
+
+  test("hashedTfIdf rows are unit-norm; dense vectors match the sparse form") {
+    import spark.implicits._
+    val docs = Seq((0L, "the cat sat on the mat"),
+      (1L, "a dog and a dog"), (2L, "cat dog cat dog cat")).toDF("doc_id", "text")
+    val sparse = TextOps.hashedTfIdf(docs, col("text"), col("doc_id"),
+      buckets = 256)
+    // L2 normalization: per-doc Σw² ≈ 1 (6dp rounding tolerance)
+    val norms = sparse.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("n2"))
+      .collect().map(_.getDouble(1))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-4))
+    // the dense assembly carries exactly the sparse weights, zeros
+    // elsewhere
+    val dense = TextOps.hashedVectors(docs, col("text"), col("doc_id"),
+        buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val sp = sparse.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sp.foreach { case ((id, pos), w) =>
+      assert(math.abs(dense(id)(pos.toInt) - w) < 1e-6)
+    }
+    val nnz = sp.keys.groupBy(_._1).view.mapValues(_.map(_._2.toInt).toSet)
+    dense.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, i) =>
+        if (!nnz(id).contains(i)) assert(x === 0.0f)
+      }
+    }
+  }
 }
