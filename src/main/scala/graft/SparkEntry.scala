@@ -1531,6 +1531,18 @@ object SparkEntry {
           materialize = eagerPairs)
         .orderBy("doc_id", "pos")),
 
+    // SPARSE ALL-PAIRS SIMILARITY (Similarity.sparseCosinePairs,
+    // Bayardo et al. 2007): inverted-index join over the hashed
+    // TF-IDF rows — text near-dup pairs with NO embedding model,
+    // composed from the oracled sparse form and oracled end to end
+    "text_sparse_cosine_pairs" -> ((s, dir) =>
+      Similarity.sparseCosinePairs(
+          TextOps.hashedTfIdf(table(s, dir, "documents")
+            .filter(col("doc_id") < 100), col("text"), col("doc_id"),
+            materialize = eagerPairs),
+          threshold = 0.85)
+        .orderBy("id_a", "id_b")),
+
     // COMPOSED PIPELINE: DSIR Gumbel resample → greedy sequence
     // packing — the domain-tilted selection flowing straight into a
     // trainer-ready layout, oracled END TO END (the selection CTEs
@@ -3240,6 +3252,29 @@ object SparkEntry {
            FROM wt GROUP BY 1)
          SELECT wt.doc_id, wt.pos, round(wt.w0 / nrm.nn, 6) AS w
          FROM wt JOIN nrm USING (doc_id) ORDER BY doc_id, pos""",
+
+    "text_sparse_cosine_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(
+             regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+           FROM documents WHERE doc_id < 100),
+         d AS (SELECT doc_id, ${hexValSql("md5(token)", 4)} % 1024 AS pos,
+             count(*) AS tf
+           FROM toks WHERE token <> '' GROUP BY 1, 2),
+         df AS (SELECT pos, count(*) AS df FROM d GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+         wt AS (SELECT d.doc_id, d.pos,
+             d.tf * (ln((n.n_docs + 1) / (df.df + 1.0)) + 1) AS w0
+           FROM d JOIN df USING (pos) CROSS JOIN n),
+         nrm AS (SELECT doc_id, sqrt(sum(w0 * w0)) AS nn
+           FROM wt GROUP BY 1),
+         s AS (SELECT wt.doc_id, wt.pos, round(wt.w0 / nrm.nn, 6) AS w
+           FROM wt JOIN nrm USING (doc_id)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(sum(a.w * b.w), 4) AS cos
+           FROM s a JOIN s b ON a.pos = b.pos AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.85
+         ORDER BY id_a, id_b""",
 
     "dsir_pack_greedy" ->
       s"""WITH RECURSIVE $dsirWeightsCte,

@@ -825,6 +825,35 @@ object Similarity {
     topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
   }
 
+  /** All-pairs cosine over SPARSE L2-normalized vectors
+    * (doc_id, pos, w — the [[TextOps.hashedTfIdf]] form) via an
+    * inverted-index join (public: Bayardo et al. 2007, "Scaling Up
+    * All Pairs Similarity Search"): cosine(a, b) = Σ_{shared pos}
+    * w_a·w_b, so candidates meet ONLY through shared posting lists —
+    * a key-equality join on `pos`, never an all-pairs product, and
+    * docs sharing no bucket never materialize a row.
+    *
+    * `dfCap` drops posting lists longer than the cap (the hot-bucket
+    * insurance every funnel carries): a stopword-like bucket shared
+    * by B documents mints B² partial rows on one shuffle key.
+    * Dropping a list underestimates affected cosines by at most that
+    * bucket's weight mass — and idf has already made exactly those
+    * buckets near-weightless, which is what makes the cap safe to
+    * size aggressively at scale. */
+  def sparseCosinePairs(sparse: DataFrame, threshold: Double,
+      dfCap: Int = 100000, roundTo: Int = 4): DataFrame = {
+    val capped = Dedup.dropOversizedBuckets(
+      sparse.select(col("doc_id"), col("pos"), col("w")), Seq("pos"), dfCap)
+    val lhs = capped.select(col("pos"), col("doc_id").as("id_a"),
+      col("w").as("w_a"))
+    val rhs = capped.select(col("pos"), col("doc_id").as("id_b"),
+      col("w").as("w_b"))
+    lhs.join(rhs, Seq("pos")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(round(sum(col("w_a") * col("w_b")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Hard-negative mining for contrastive/embedding training (public
     * practice: DPR, Karpukhin et al. 2020 — mined hard negatives beat
     * in-batch random ones): for each anchor, the top-k most similar

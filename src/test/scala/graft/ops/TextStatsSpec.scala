@@ -187,4 +187,32 @@ class TextStatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sparseCosinePairs equals dense cosine; the posting cap drops hot buckets") {
+    import spark.implicits._
+    val docs = Seq((0L, "the cat sat on the mat"),
+      (1L, "the cat sat on a hat"), (2L, "dogs bark loudly at night"),
+      (3L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val sparse = TextOps.hashedTfIdf(docs, col("text"), col("doc_id"),
+      buckets = 256)
+    val pairs = Similarity.sparseCosinePairs(sparse, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact duplicates cosine to 1 under any weighting
+    assert(math.abs(pairs((0L, 3L)) - 1.0) < 1e-3)
+    // inverted-index pairs match the dense-kernel cosine (float cast
+    // tolerance) for every materialized pair
+    val dense = TextOps.hashedVectors(docs, col("text"), col("doc_id"),
+        buckets = 256)
+    val d2 = dense.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(dense.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { case (k, c) => assert(math.abs(c - d2(k)) < 1e-3, s"$k") }
+    // docs sharing no bucket never materialize (2 is disjoint from 0/3)
+    assert(!pairs.contains((0L, 2L)) || pairs((0L, 2L)) == 0.0)
+    // a cap of 1 drops every shared posting list → no pairs at all
+    assert(Similarity.sparseCosinePairs(sparse, 0.0, dfCap = 1).count() === 0L)
+  }
 }
