@@ -798,6 +798,20 @@ object SparkEntry {
     "profile_orders" -> ((s, dir) =>
       Profile.table(table(s, dir, "orders"), exactDistinct = true)),
 
+    // EQUI-DEPTH HISTOGRAM: exact ntile cut on (value, tiebreak) —
+    // the audit path; the approx_percentile scale path is spec-tested
+    // (ProfileSpec) since sketch bins aren't engine-portable
+    "profile_hist_totalprice" -> ((s, dir) =>
+      Profile.histogram(table(s, dir, "orders"), col("o_totalprice"),
+        col("o_orderkey"), buckets = 8, exact = true)),
+
+    // HEAVY HITTERS: exact per-column top-k values by frequency via
+    // the salted two-stage funnel; (n desc, v asc) total order makes
+    // the cut engine-independent
+    "profile_heavy_hitters" -> ((s, dir) =>
+      Profile.heavyHitters(table(s, dir, "documents"),
+        Seq("source", "lang", "n_chars"), k = 5)),
+
     // PII SCRUB: detect + redact emails/IPv4/SSNs
     // (graft.ops.TextOps.piiCounts/redactPii, portable-regex-subset
     // patterns). The corpus is synthetic, so the fixture PII is
@@ -2639,6 +2653,30 @@ object SparkEntry {
            count(DISTINCT o_orderpriority), NULL, NULL,
            min(o_orderpriority), max(o_orderpriority) FROM t
          ORDER BY col_name""",
+
+    "profile_hist_totalprice" ->
+      """WITH r AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+           CAST(ntile(8) OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
+             o_orderkey) AS BIGINT) AS bucket
+           FROM orders WHERE o_totalprice IS NOT NULL)
+         SELECT bucket, count(*) AS n, count(DISTINCT v) AS nd,
+           round(min(v), 6) AS lo, round(max(v), 6) AS hi
+         FROM r GROUP BY bucket ORDER BY bucket""",
+
+    "profile_heavy_hitters" ->
+      """WITH p AS (
+           SELECT 'source' AS col_name, source AS v FROM documents
+             WHERE source IS NOT NULL
+           UNION ALL SELECT 'lang', lang FROM documents
+             WHERE lang IS NOT NULL
+           UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+             FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT col_name, v, count(*) AS n FROM p GROUP BY 1, 2),
+         r AS (SELECT col_name, v, n,
+           CAST(row_number() OVER (PARTITION BY col_name
+             ORDER BY n DESC, v) AS BIGINT) AS "rank" FROM c)
+         SELECT col_name, v, n, "rank" FROM r WHERE "rank" <= 5
+         ORDER BY col_name, "rank"""",
 
     "text_pii_redact" ->
       """WITH a AS (SELECT doc_id,

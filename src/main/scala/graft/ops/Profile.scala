@@ -100,22 +100,105 @@ object Profile {
     * and a per-column count. String casts are distinct-preserving per
     * type: binary goes through base64, and −0.0 is normalized to 0.0
     * first (native `count_distinct` merges them; their strings don't). */
-  private def exactDistincts(df: DataFrame): DataFrame = {
-    val hashable = df.schema.fields.filterNot(_.dataType.isInstanceOf[MapType])
-    val pairs = df.select(explode(array(hashable.map { f =>
-      val c = col(f.name)
-      val s = f.dataType match {
+  private def exactDistincts(df: DataFrame): DataFrame =
+    unpivotPairs(df, df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[MapType]).map(_.name))
+      .distinct()
+      .groupBy("col_name").agg(count(lit(1)).as("nd_exact"))
+
+  /** The table as `(col_name, value-as-string)` rows, nulls dropped.
+    * String casts are distinct-preserving per type: binary goes
+    * through base64, and −0.0 is normalized to 0.0 first (native
+    * `count_distinct` merges them; their strings don't). */
+  private def unpivotPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(explode(array(cols.map { name =>
+      val c = col(name)
+      val s = byName(name) match {
         case BinaryType => base64(c)
         case FloatType | DoubleType =>
-          when(c === lit(0.0), lit(0.0).cast(f.dataType)).otherwise(c)
+          when(c === lit(0.0), lit(0.0).cast(byName(name))).otherwise(c)
             .cast(StringType)
         case _ => c.cast(StringType)
       }
-      struct(lit(f.name).as("col_name"), s.as("v"))
+      struct(lit(name).as("col_name"), s.as("v"))
     }: _*)).as("p"))
       .select("p.*")
       .filter(col("v").isNotNull)
-    pairs.distinct()
-      .groupBy("col_name").agg(count(lit(1)).as("nd_exact"))
+  }
+
+  /** Equi-depth histogram of one numeric column: rows ranked by
+    * `(value, tiebreak)` and cut into `buckets` equal-count bins, one
+    * output row per bin with its count, exact value cardinality, and
+    * lo/hi edges (rounded to 6 dp — bin populations are
+    * order-insensitive but edge doubles travel through an oracle
+    * hash). The tiebreak must be unique per row so the cut is a total
+    * order — bin-for-bin reproducible in any engine with SQL `ntile`.
+    *
+    * `exact = true` is the audit/oracle path: one global `ntile`
+    * window — a single-reducer sort, the right trade only at
+    * verification scale. `exact = false` is the 100 TB path: bin
+    * edges from `approx_percentile` (one mergeable-sketch pass), then
+    * a codegen'd edge-comparison bin assignment — no global sort, two
+    * scans, and bins are approximately (sketch-accuracy) equal-depth.
+    * Both paths emit the same schema. */
+  def histogram(df: DataFrame, value: Column, tiebreak: Column,
+      buckets: Int, exact: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = value.cast(DoubleType)
+    val src = df.filter(v.isNotNull)
+    val binned =
+      if (exact)
+        src.select(v.as("v"),
+          ntile(buckets).over(Window.orderBy(v, tiebreak))
+            .cast(LongType).as("bucket"))
+      else {
+        // sketch pass: interior edges at i/B quantiles; values bin by
+        // first edge >= v (ties -> the lower bin, matching ntile's
+        // placement of a run of equal values around a cut)
+        val qs = (1 until buckets).map(_.toDouble / buckets)
+        val edges = src.agg(
+          percentile_approx(v, lit(qs.toArray), lit(100000)).as("e"))
+          .head().getSeq[Double](0)
+        val bin = edges.zipWithIndex.foldRight(lit(buckets.toLong)) {
+          case ((e, i), rest) => when(v <= e, lit(i + 1L)).otherwise(rest)
+        }
+        src.select(v.as("v"), bin.as("bucket"))
+      }
+    binned.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), count_distinct(col("v")).as("nd"),
+        round(min(col("v")), 6).as("lo"), round(max(col("v")), 6).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Exact per-column top-`k` most frequent values, with the total
+    * order `(count desc, value asc)` making the cut engine-portable.
+    * Output `(col_name, v, n, rank)`, values stringified as in the
+    * cardinality unpivot.
+    *
+    * The 100 TB shape: counts come from one hash aggregation on
+    * `(col_name, v)`; the global per-column top-k then runs as a
+    * salted two-stage funnel — top-k within `(col_name, salt)` in
+    * parallel (any global top-k value is a fortiori top-k in its salt
+    * group, so this prunes EXACTLY), then top-k over the surviving
+    * `salts × k` candidates per column. No column's full distinct set
+    * ever sorts in one task, which is what a bare
+    * `row_number() over (partition by col_name)` would do. */
+  def heavyHitters(df: DataFrame, cols: Seq[String], k: Int,
+      salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = unpivotPairs(df, cols)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+    val bySalt = Window
+      .partitionBy(col("col_name"), pmod(xxhash64(col("v")), lit(salts)))
+      .orderBy(col("n").desc, col("v"))
+    val byCol = Window.partitionBy(col("col_name"))
+      .orderBy(col("n").desc, col("v"))
+    counts
+      .withColumn("sr", row_number().over(bySalt)).filter(col("sr") <= k)
+      .withColumn("rank", row_number().over(byCol).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("col_name", "v", "n", "rank")
+      .orderBy("col_name", "rank")
   }
 }

@@ -48,6 +48,54 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows("num").getLong(3) === 2L) // others unaffected
   }
 
+  test("histogram: exact ntile cut gives equal-depth bins with true edges") {
+    import spark.implicits._
+    // 97 rows over 8 buckets: first 97%8=1 bucket gets 13 rows, rest 12
+    val df = (1 to 97).map(i => (i.toLong, (i % 50).toDouble)).toDF("id", "x")
+    val rows = Profile.histogram(df, col("x"), col("id"), 8, exact = true)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 8L))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(13L) ++ Seq.fill(7)(12L))
+    // bins tile the sorted domain: each lo <= hi and his are ascending
+    rows.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+    assert(rows.map(_.getDouble(4)).toSeq.sorted === rows.map(_.getDouble(4)).toSeq)
+    assert(rows.map(_.getLong(1)).sum === 97L)
+  }
+
+  test("histogram: approx path bins the full column, near-equal depth") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, math.pow(i.toDouble, 1.7)))
+      .toDF("id", "x")
+    val rows = Profile.histogram(df, col("x"), col("id"), 10).collect()
+    assert(rows.map(_.getLong(1)).sum === 2000L) // nothing dropped
+    // sketch accuracy 1e5 on 2000 distinct values => near-exact cuts
+    rows.foreach(r => assert(math.abs(r.getLong(1) - 200L) <= 10,
+      rows.map(_.getLong(1)).toSeq))
+  }
+
+  test("heavy hitters: salted funnel is exact vs a brute-force rank") {
+    import spark.implicits._
+    // zipf-ish counts with deliberate count ties (tie broken by value)
+    val vals = (1 to 40).flatMap(i => Seq.fill(1 + 40 / i)(s"v${i % 13}"))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (v, (i % 7).toLong) }.toDF("s", "num")
+    val got = Profile.heavyHitters(df, Seq("s", "num"), k = 4, salts = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val brute = df.select(explode(array(
+      struct(lit("s").as("col_name"), col("s").as("v")),
+      struct(lit("num").as("col_name"), col("num").cast("string").as("v"))))
+      .as("p")).select("p.*")
+      .groupBy("col_name", "v").count()
+      .collect().toSeq.groupBy(_.getString(0)).flatMap { case (c, rs) =>
+        rs.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (v, n) => (-n, v) }.take(4).zipWithIndex
+          .map { case ((v, n), i) => (c, v, n, i + 1L) }
+      }.toSet
+    assert(got.toSet === brute)
+    assert(got.sorted === got.toSeq.sortBy(t => (t._1, t._4)))
+  }
+
   test("plan: a single aggregation job, no per-column scans") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("num", "s")
