@@ -572,6 +572,31 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // BLOOM-GATED DECONTAMINATION: same contract as
+    // decontaminate_ngram (the bitmap gate admits every true member,
+    // so the exact join behind it yields identical fractions — the
+    // oracle proves exactly that), but the train gram stream passes a
+    // zero-shuffle broadcast bit-test before the distinct shuffle —
+    // the 100 TB plan (graft.ops.Bloom + contaminationBloomGated)
+    "decon_bloom_gated" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Decontaminate.contaminationBloomGated(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), n = 3, mBits = 1L << 17, k = 4,
+          seed = 11L)
+        .orderBy("test_id")
+    }),
+
+    // BLOOM BITMAP INTERNALS: the (word, bits) table fit over the
+    // document ids — md5-probe positions, 32-bit words, bit_or fold
+    // all rebuilt verbatim by the DuckDB oracle, proving the filter
+    // is bit-for-bit engine-portable (graft.ops.Bloom.fit)
+    "bloom_words" -> ((s, dir) =>
+      Bloom.fit(table(s, dir, "documents"), col("doc_id"),
+          mBits = 4096L, k = 3, seed = 1L)
+        .orderBy("word")),
+
     // ROLLING FEATURES: per-user lag/delta/rolling-window stats
     // (graft.ops.Features) — stacked windows over one Exchange+Sort.
     // DuckDB-oracled against identical window SQL
@@ -2006,6 +2031,38 @@ object SparkEntry {
              / count(*), 6) AS contamination
          FROM te LEFT JOIN tr ON te.gram = tr.gram
          GROUP BY 1 ORDER BY 1""",
+
+    // identical SQL to decontaminate_ngram: the bloom gate is a plan
+    // optimization with no semantic footprint (no false negatives +
+    // exact verify join), and THAT is the property under test
+    "decon_bloom_gated" ->
+      """WITH s AS (SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(0, len(toks)-3),
+                  i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                       || ' ' || toks[CAST(i+3 AS INT)]) END AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents)),
+         tr AS (SELECT DISTINCT unnest(list_distinct(sh)) AS gram FROM s
+                WHERE doc_id % 5 != 0),
+         te AS (SELECT doc_id AS test_id, unnest(list_distinct(sh)) AS gram FROM s
+                WHERE doc_id % 5 = 0)
+         SELECT test_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           round(CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS contamination
+         FROM te LEFT JOIN tr ON te.gram = tr.gram
+         GROUP BY 1 ORDER BY 1""",
+
+    "bloom_words" ->
+      """WITH pos AS (SELECT
+           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+              || '#1:' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) % 4096 AS p
+           FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) u)
+         SELECT p // 32 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         FROM pos GROUP BY 1 ORDER BY 1""",
 
     "events_rolling_features" ->
       """WITH o AS (SELECT user_id, event_id, value,

@@ -31,18 +31,21 @@ object Decontaminate {
     * is the fused one-pass kernel [[graft.functions.WordGramHashes]]
     * — no gram-string arrays materialize. */
   def trainGrams(train: DataFrame, text: Column, n: Int): DataFrame =
-    // exchange BELOW the gram projection: a coarse parquet scan would
-    // otherwise serialize the projection on a few tasks. Round-robin,
-    // NOT keyed on the text payload: crawl corpora are duplicate-heavy
-    // (that's why dedup exists), and hashing duplicated texts would
-    // re-concentrate them on one task — the downstream distinct()
-    // reshuffles by gram hash regardless.
+    gramStream(train, text, n).distinct()
+
+  /** The raw (pre-distinct) gram-hash stream. The exchange sits BELOW
+    * the gram projection: a coarse parquet scan would otherwise
+    * serialize the projection on a few tasks. Round-robin, NOT keyed
+    * on the text payload: crawl corpora are duplicate-heavy (that's
+    * why dedup exists), and hashing duplicated texts would
+    * re-concentrate them on one task — downstream consumers reshuffle
+    * by gram hash regardless. */
+  private def gramStream(train: DataFrame, text: Column, n: Int): DataFrame =
     train.select(text.as("__text"))
       .repartition(train.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(
         graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
         .as("gh"))
-      .distinct()
 
   /** Persist the train corpus' distinct gram hashes — the write-once
     * half of the check. Overwrite-safe; layout is a plain parquet of
@@ -91,6 +94,33 @@ object Decontaminate {
       id: Column, n: Int, threshold: Double): DataFrame =
     contamination(train, test, text, id, n)
       .filter(col("contamination") >= threshold)
+
+  /** Bloom-gated inline contamination — output IDENTICAL to
+    * [[contamination]]: a Bloom filter admits every true member (no
+    * false negatives), so gating the train gram stream loses no
+    * matches, and its false positives are non-matching grams the
+    * exact left join scores as misses anyway.
+    *
+    * The difference is the plan: the test set's grams are folded into
+    * a [[Bloom]] bitmap (sized `mBits`, `k` probes — a few MB for any
+    * real eval suite), and the TRAIN corpus' raw gram stream passes a
+    * zero-shuffle broadcast bit-test gate BEFORE the distinct
+    * shuffle. At 100 TB that's the difference between shuffling
+    * ~10^12 train grams and shuffling only (true overlap +
+    * [[Bloom.fpRate]]·10^12 false positives): the scan still reads
+    * everything, the network carries almost nothing. */
+  def contaminationBloomGated(train: DataFrame, test: DataFrame,
+      text: Column, id: Column, n: Int, mBits: Long, k: Int,
+      seed: Long = 0L): DataFrame = {
+    val testGrams = test.select(text.as("__text"))
+      .select(explode(
+        graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
+        .as("gh"))
+    val bloom = Bloom.fit(testGrams, col("gh"), mBits, k, seed)
+    val gated = Bloom.mightContain(gramStream(train, text, n), col("gh"),
+      bloom, mBits, k, seed).distinct()
+    contaminationAgainst(gated, test, text, id, n)
+  }
 
   private def contaminationAgainst(grams: DataFrame, test: DataFrame,
       text: Column, id: Column, n: Int): DataFrame = {
