@@ -597,6 +597,37 @@ object SparkEntry {
           mBits = 4096L, k = 3, seed = 1L)
         .orderBy("word")),
 
+    // MODEL-BASED QUALITY: multinomial Naive-Bayes classifier
+    // (graft.ops.Classify) — the closed-form fastText-style filter;
+    // trained on the train split's lang=='en' label, scored on the
+    // test split. Counting-only training makes the fitted model
+    // engine-exact, so per-doc scores oracle at 6 dp
+    "classify_nb_score" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (w, m) = Classify.fitNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"),
+        col("lang") === "en", alpha = 0.5)
+      Classify.scoreNaiveBayes(docs.filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), w, m)
+        .orderBy("doc_id")
+    }),
+
+    // the classifier's held-out confusion + precision/recall/F1 —
+    // the one-row health report a quality-filter fit job emits
+    "classify_nb_eval" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (w, m) = Classify.fitNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"),
+        col("lang") === "en", alpha = 0.5)
+      val scored = Classify.scoreNaiveBayes(
+        docs.filter(col("doc_id") % 5 === 0), col("text"), col("doc_id"),
+        w, m)
+      Classify.evalBinary(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), Seq("doc_id")),
+        col("y"))
+    }),
+
     // ROLLING FEATURES: per-user lag/delta/rolling-window stats
     // (graft.ops.Features) — stacked windows over one Exchange+Sort.
     // DuckDB-oracled against identical window SQL
@@ -2063,6 +2094,81 @@ object SparkEntry {
          SELECT p // 32 AS word,
            bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
          FROM pos GROUP BY 1 ORDER BY 1""",
+
+    "classify_nb_score" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, y, unnest(toks) AS token FROM d),
+         trc AS (SELECT token, sum(y) AS c1, sum(1.0 - y) AS c0
+                 FROM tok WHERE doc_id % 5 != 0 GROUP BY 1),
+         tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0,
+                        CAST(count(*) AS DOUBLE) AS v FROM trc),
+         pri AS (SELECT sum(y) AS d1, sum(1.0 - y) AS d0 FROM d
+                 WHERE doc_id % 5 != 0),
+         w AS (SELECT token,
+                 ln((c1 + 0.5) / (n1 + 0.5 * v)) -
+                 ln((c0 + 0.5) / (n0 + 0.5 * v)) AS w FROM trc, tot),
+         meta AS (SELECT ln(d1) - ln(d0) AS intercept,
+                    ln(0.5 / (n1 + 0.5 * v)) - ln(0.5 / (n0 + 0.5 * v))
+                      AS w_oov FROM tot, pri),
+         tc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS n
+                FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tc.doc_id, sum(tc.n) AS nt,
+                  max(meta.intercept) +
+                    sum(tc.n * coalesce(w.w, meta.w_oov)) AS s
+                FROM tc LEFT JOIN w ON tc.token = w.token
+                CROSS JOIN meta GROUP BY tc.doc_id)
+         SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           round(s, 6) AS score,
+           round(1.0 / (1.0 + exp(-s)), 6) AS prob,
+           CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         FROM sc ORDER BY doc_id""",
+
+    "classify_nb_eval" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, y, unnest(toks) AS token FROM d),
+         trc AS (SELECT token, sum(y) AS c1, sum(1.0 - y) AS c0
+                 FROM tok WHERE doc_id % 5 != 0 GROUP BY 1),
+         tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0,
+                        CAST(count(*) AS DOUBLE) AS v FROM trc),
+         pri AS (SELECT sum(y) AS d1, sum(1.0 - y) AS d0 FROM d
+                 WHERE doc_id % 5 != 0),
+         w AS (SELECT token,
+                 ln((c1 + 0.5) / (n1 + 0.5 * v)) -
+                 ln((c0 + 0.5) / (n0 + 0.5 * v)) AS w FROM trc, tot),
+         meta AS (SELECT ln(d1) - ln(d0) AS intercept,
+                    ln(0.5 / (n1 + 0.5 * v)) - ln(0.5 / (n0 + 0.5 * v))
+                      AS w_oov FROM tot, pri),
+         tc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS n
+                FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tc.doc_id, max(meta.intercept) +
+                    sum(tc.n * coalesce(w.w, meta.w_oov)) AS s
+                FROM tc LEFT JOIN w ON tc.token = w.token
+                CROSS JOIN meta GROUP BY tc.doc_id),
+         ev AS (SELECT CASE WHEN s >= 0 THEN 1 ELSE 0 END AS p,
+                  CAST(d.y AS INT) AS yy
+                FROM sc JOIN d ON sc.doc_id = d.doc_id),
+         cf AS (SELECT
+             CAST(sum(CASE WHEN yy = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN yy = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN yy = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN yy = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM ev)
+         SELECT tp, fp, fn, tn,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+           round(CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS "precision",
+           round(CASE WHEN tp + fn = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+           round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                      ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6)
+             AS f1
+         FROM cf""",
 
     "events_rolling_features" ->
       """WITH o AS (SELECT user_id, event_id, value,

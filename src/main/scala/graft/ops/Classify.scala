@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-based document scoring: a multinomial Naive-Bayes text
+  * classifier — the closed-form cousin of the fastText linear filter
+  * every published curation pipeline runs (CCNet's wiki-vs-crawl
+  * quality model, the LLaMA "references Wikipedia" filter). Training
+  * is counting, so the fitted model is EXACTLY reproducible in any
+  * engine (no SGD order-dependence), and scoring is one token join +
+  * one aggregate — the same 100 TB shape as the perplexity scorers in
+  * [[LangModel]].
+  *
+  * Model algebra (binary, add-α smoothed): per token
+  * `w(t) = ln((c₁+α)/(N₁+αV)) − ln((c₀+α)/(N₀+αV))`; a doc scores
+  * `intercept + Σ_t count(t)·w(t)` with unseen tokens taking the
+  * all-α `w_oov`, `intercept = ln(n₁docs) − ln(n₀docs)`, and
+  * `P(y=1|doc) = σ(score)`. Tokenization matches the corpus-wide
+  * convention ([[Dedup.tokens]]).
+  *
+  * Persisted layout mirrors [[LangModel.buildBigramStats]]:
+  * `path/tokens` = (token, w), `path/meta` = the 1-row
+  * (intercept, w_oov) — fit once on the labeled seed set, score every
+  * crawl increment against it without touching the seed corpus. */
+object Classify {
+
+  /** Fit on labeled docs (`label` coerced to 0/1; null-text or
+    * null-label rows are not evidence and are dropped). Returns
+    * (tokenWeights: (token, w), meta: (intercept, w_oov)). */
+  def fitNaiveBayes(docs: DataFrame, text: Column, label: Column,
+      alpha: Double = 0.5): (DataFrame, DataFrame) = {
+    val base = docs.filter(text.isNotNull && label.isNotNull)
+      .select(label.cast(IntegerType).cast(DoubleType).as("y"),
+        text.as("__text"))
+    val toks = base.select(col("y"),
+      explode(Dedup.tokens(col("__text"))).as("token"))
+    // one hash agg keyed on token gives both class counts at once —
+    // no per-class scans, no Expand
+    val counts = toks.groupBy("token").agg(
+      sum(col("y")).as("c1"), sum(lit(1.0) - col("y")).as("c0"))
+    // class totals + vocabulary from the token table (tiny second agg
+    // over |V| rows, not the corpus), doc priors from one corpus agg
+    val totals = counts.agg(sum("c1").as("n1"), sum("c0").as("n0"),
+      count(lit(1)).cast(DoubleType).as("v"))
+    val priors = base.agg(sum(col("y")).as("d1"),
+      sum(lit(1.0) - col("y")).as("d0"))
+    val a = lit(alpha)
+    val tokenW = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (log((col("c1") + a) / (col("n1") + a * col("v"))) -
+         log((col("c0") + a) / (col("n0") + a * col("v")))).as("w"))
+    val meta = totals.crossJoin(priors)
+      .select((log(col("d1")) - log(col("d0"))).as("intercept"),
+        (log(a / (col("n1") + a * col("v"))) -
+         log(a / (col("n0") + a * col("v")))).as("w_oov"))
+    (tokenW, meta)
+  }
+
+  /** Score docs against a fitted model: `(id, n_tokens, score, prob,
+    * pred)` with `pred` = 1 iff score ≥ 0 (BIGINT 0/1 — flags never
+    * leave as booleans). `roundTo` rounds the order-sensitive double
+    * sums; pass a negative value to keep raw doubles. One shuffle on
+    * (doc, token), one broadcast of the model if it's small — at
+    * vocabulary sizes past broadcast range the join degrades to a
+    * key-equality shuffle, never a scan of the seed corpus. */
+  def scoreNaiveBayes(docs: DataFrame, text: Column, id: Column,
+      tokenW: DataFrame, meta: DataFrame, roundTo: Int = 6): DataFrame = {
+    val perTok = docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), explode(Dedup.tokens(text)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast(DoubleType).as("n"))
+    val r = (c: Column) => if (roundTo < 0) c else round(c, roundTo)
+    perTok
+      .join(tokenW, Seq("token"), "left")
+      .crossJoin(broadcast(meta))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).cast(LongType).as("n_tokens"),
+        (first(col("intercept")) +
+          sum(col("n") * coalesce(col("w"), col("w_oov")))).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        r(col("__s")).as("score"),
+        r(lit(1.0) / (lit(1.0) + exp(-col("__s")))).as("prob"),
+        (col("__s") >= 0).cast(LongType).as("pred"))
+  }
+
+  /** Binary-classification quality of scored output against the true
+    * label: one row — confusion counts plus accuracy / precision /
+    * recall / F1 (0.0 where undefined, rounded to 6 dp). */
+  def evalBinary(scored: DataFrame, label: Column,
+      pred: Column = col("pred")): DataFrame = {
+    val y = label.cast(IntegerType).cast(LongType)
+    val p = pred.cast(LongType)
+    val agg = scored.agg(
+      sum(when(y === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(y === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(y === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(y === 0 && p === 0, 1L).otherwise(0L)).as("tn"))
+    val tp = col("tp").cast(DoubleType)
+    val safe = (num: Column, den: Column) =>
+      round(when(den === 0.0, 0.0).otherwise(num / den), 6)
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      safe(tp + col("tn"), tp + col("fp") + col("fn") + col("tn"))
+        .as("accuracy"),
+      safe(tp, tp + col("fp")).as("precision"),
+      safe(tp, tp + col("fn")).as("recall"),
+      safe(tp * 2, tp * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Persist a fitted model (overwrite-safe; meta is one row). */
+  def saveModel(tokenW: DataFrame, meta: DataFrame, path: String): Unit = {
+    tokenW.write.mode("overwrite").parquet(s"$path/tokens")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score against a stored model — no seed-corpus access. */
+  def scoreIndexed(spark: SparkSession, path: String, docs: DataFrame,
+      text: Column, id: Column, roundTo: Int = 6): DataFrame =
+    scoreNaiveBayes(docs, text, id,
+      spark.read.parquet(s"$path/tokens"),
+      spark.read.parquet(s"$path/meta"), roundTo)
+
+  /** Append newly scored docs to `outPath`, replay-idempotent via the
+    * doc_id anti-join — the foreachBatch body for streaming scoring
+    * (same contract as [[LangModel.appendScoredAgainst]]). */
+  def appendScoredAgainst(spark: SparkSession, modelPath: String,
+      outPath: String, docs: DataFrame, text: Column, id: Column,
+      roundTo: Int = 6): Unit = {
+    val scored = scoreIndexed(spark, modelPath, docs, text, id, roundTo)
+    val prev = Layout.readIfExists(spark, outPath)(scored)
+    scored.join(prev.select("doc_id"), Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(outPath)
+  }
+}

@@ -228,6 +228,26 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream documents through Naive-Bayes classifier scoring against
+    * a STORED model ([[graft.ops.Classify.saveModel]]) — the
+    * model-based quality filter made streaming, same shape as the
+    * perplexity scorer above: the model store IS the state (fit once
+    * on the labeled seed set, never touched by the stream), scoring
+    * is one token join per micro-batch. Scored rows
+    * (doc_id, n_tokens, score, prob, pred) append to `outPath`;
+    * replays are idempotent on the sink (doc_id anti-join,
+    * [[graft.ops.Classify.appendScoredAgainst]]). */
+  def scoreStreamAgainstNbModel(docs: DataFrame, modelPath: String,
+      outPath: String, checkpoint: String, text: Column, id: Column,
+      roundTo: Int = 6) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Classify.appendScoredAgainst(batch.sparkSession,
+          modelPath, outPath, batch, text, id, roundTo)
+      }
+      .start()
+
   /** Stream documents through DSIR importance scoring against STORED
     * bucket statistics ([[graft.ops.Dsir.buildStats]]) — the
     * domain-tilt filter made streaming, same shape as the perplexity

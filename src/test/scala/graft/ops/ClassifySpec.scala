@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Naive-Bayes classifier contracts: it learns a separable vocabulary,
+  * the persisted model round-trips, and the streaming append body is
+  * replay-idempotent. */
+class ClassifySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixture = {
+    import spark.implicits._
+    // two vocabularies with some shared filler; labels follow the
+    // vocabulary, so a correct fit must recover them on held-out docs
+    (1 to 120).map { i =>
+      val pos = i % 2 == 0
+      val core = if (pos) s"apple banana cherry fruit$i" else s"rock iron slate stone$i"
+      (i.toLong, s"the a of $core the", pos)
+    }.toDF("doc_id", "text", "y")
+  }
+
+  test("fit + score recovers a separable label on held-out docs") {
+    import spark.implicits._
+    val docs = fixture
+    val train = docs.filter($"doc_id" % 3 =!= 0)
+    val test = docs.filter($"doc_id" % 3 === 0)
+    val (w, m) = Classify.fitNaiveBayes(train, $"text", $"y")
+    val scored = Classify.scoreNaiveBayes(test, $"text", $"doc_id", w, m)
+      .join(test.select($"doc_id", $"y".cast("int").as("label")), Seq("doc_id"))
+    val ev = Classify.evalBinary(scored, col("label")).head()
+    assert(ev.getDouble(4) >= 0.95, s"accuracy ${ev.getDouble(4)}") // accuracy
+    assert(ev.getDouble(7) >= 0.95, s"f1 ${ev.getDouble(7)}")       // f1
+  }
+
+  test("persisted model scores identically to the in-memory fit") {
+    import spark.implicits._
+    val docs = fixture
+    val (w, m) = Classify.fitNaiveBayes(docs, $"text", $"y")
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    Classify.saveModel(w, m, dir)
+    val direct = Classify.scoreNaiveBayes(docs, $"text", $"doc_id", w, m)
+      .orderBy("doc_id").collect().toSeq
+    val stored = Classify.scoreIndexed(spark, dir, docs, $"text", $"doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(stored === direct)
+  }
+
+  test("append body is replay-idempotent on the sink") {
+    import spark.implicits._
+    val docs = fixture
+    val (w, m) = Classify.fitNaiveBayes(docs, $"text", $"y")
+    val model = java.nio.file.Files.createTempDirectory("nbmodel2").toString
+    Classify.saveModel(w, m, model)
+    val out = java.nio.file.Files.createTempDirectory("nbout").toString + "/scored"
+    val batch = docs.limit(40)
+    Classify.appendScoredAgainst(spark, model, out, batch, $"text", $"doc_id")
+    Classify.appendScoredAgainst(spark, model, out, batch, $"text", $"doc_id")
+    assert(spark.read.parquet(out).count() === 40L)
+  }
+}
