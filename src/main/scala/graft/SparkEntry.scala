@@ -597,6 +597,22 @@ object SparkEntry {
           mBits = 4096L, k = 3, seed = 1L)
         .orderBy("word")),
 
+    // COUNT-MIN SKETCH: fixed-size token-frequency estimation
+    // (graft.ops.Sketch) — md5 probe grid is cell-for-cell
+    // engine-portable; the query pits the estimate against the true
+    // count for the top-50 tokens (total order makes the cut exact)
+    "cms_token_freq" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+      val sketch = Sketch.countMinFit(toks, col("token"), depth = 4,
+        width = 2048L, seed = 2L)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("token")).limit(50)
+      Sketch.countMinEstimate(top, col("token"), sketch, depth = 4,
+          width = 2048L, seed = 2L)
+        .orderBy(col("n_true").desc, col("token"))
+    }),
+
     // MODEL-BASED QUALITY: multinomial Naive-Bayes classifier
     // (graft.ops.Classify) — the closed-form fastText-style filter;
     // trained on the train split's lang=='en' label, scored on the
@@ -2094,6 +2110,24 @@ object SparkEntry {
          SELECT p // 32 AS word,
            bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
          FROM pos GROUP BY 1 ORDER BY 1""",
+
+    "cms_token_freq" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+             '\s+')) AS token FROM documents),
+         rows_ AS (SELECT unnest(range(4)) AS r),
+         cells AS (SELECT r,
+             (CAST(concat('0x', substr(md5(token || '#2:'
+                || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)) % 2048 AS c,
+             count(*) AS n
+           FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+         top AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1
+                 ORDER BY n_true DESC, token LIMIT 50)
+         SELECT t.token, t.n_true, min(coalesce(cl.n, 0)) AS est
+         FROM top t CROSS JOIN rows_ u
+         LEFT JOIN cells cl ON cl.r = u.r AND cl.c =
+           (CAST(concat('0x', substr(md5(t.token || '#2:'
+              || CAST(u.r AS VARCHAR)), 1, 15)) AS BIGINT)) % 2048
+         GROUP BY 1, 2 ORDER BY n_true DESC, token""",
 
     "classify_nb_score" ->
       """WITH d AS (SELECT doc_id,

@@ -228,6 +228,27 @@ object StreamingIngest {
       }
       .start()
 
+  /** Maintain a count-min sketch over a key stream: each micro-batch
+    * folds to its own counter grid and lands as the `batch=<id>`
+    * partition of the store — REPLAYS OVERWRITE THE SAME PARTITION,
+    * so at-least-once delivery stays exactly-once on the sketch
+    * without any anti-join (additive state + deterministic batch ids
+    * is the cheapest idempotence in the repo). Read the live grid
+    * with [[graft.ops.Sketch.countMinLoad]] (sums partitions);
+    * collapse old batches with [[graft.ops.Sketch.compactCountMin]].
+    * A batch is ≤ depth·width rows no matter how many keys it
+    * carried. */
+  def sketchStreamCountMin(keys: DataFrame, outPath: String,
+      checkpoint: String, key: Column, depth: Int, width: Long,
+      seed: Long = 0L) =
+    keys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Sketch.countMinFit(batch, key, depth, width, seed)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$id")
+      }
+      .start()
+
   /** Stream documents through Naive-Bayes classifier scoring against
     * a STORED model ([[graft.ops.Classify.saveModel]]) — the
     * model-based quality filter made streaming, same shape as the

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-min contracts: one-sided error (never undercounts), additive
+  * shard merging, and a shuffle-free estimate plan. */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val D = 4
+  val W = 1024L
+
+  private def stream = {
+    import spark.implicits._
+    // zipf-ish: key i appears ~200/i times
+    (1 to 60).flatMap(i => Seq.fill(200 / i)(s"k$i")).toDF("k")
+  }
+
+  test("estimates never undercount, and overcount stays within eN") {
+    import spark.implicits._
+    val sk = Sketch.countMinFit(stream, col("k"), D, W, seed = 9L)
+    val truth = stream.groupBy("k").agg(count(lit(1)).as("n_true"))
+    val est = Sketch.countMinEstimate(truth, col("k"), sk, D, W, seed = 9L)
+      .collect()
+    val n = stream.count()
+    est.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), r.toString) // one-sided
+      // eps = e/W; slack 3x for the small grid
+      assert(r.getLong(2) - r.getLong(1) <= 3 * math.E / W * n + 1,
+        r.toString)
+    }
+  }
+
+  test("shard sketches union-merge by summing cells") {
+    import spark.implicits._
+    val all = stream
+    val a = all.filter(xxhash64(col("k")) % 2 === 0)
+    val b = all.filter(xxhash64(col("k")) % 2 =!= 0)
+    val merged = Sketch.countMinFit(a, col("k"), D, W, seed = 9L)
+      .union(Sketch.countMinFit(b, col("k"), D, W, seed = 9L))
+      .groupBy("r", "c").agg(sum("n").as("n"))
+      .orderBy("r", "c").collect().toSeq
+    val whole = Sketch.countMinFit(all, col("k"), D, W, seed = 9L)
+      .orderBy("r", "c").collect().toSeq
+    assert(merged === whole)
+  }
+
+  test("streamed sketch equals the batch sketch; replays are exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    val store = s"$dir/sketch"
+    val mem = MemoryStream[String]
+    val q = graft.streaming.StreamingIngest.sketchStreamCountMin(
+      mem.toDF().select(col("value").as("k")), store, s"$dir/ckpt",
+      col("k"), D, W, seed = 9L)
+    val data = stream.collect().map(_.getString(0)).toSeq
+    mem.addData(data.take(300): _*); q.processAllAvailable()
+    mem.addData(data.drop(300): _*); q.processAllAvailable()
+    q.stop()
+    // batch 0's partition re-written by hand = a replayed micro-batch
+    Sketch.countMinFit(data.take(300).toDF("k"), col("k"), D, W, seed = 9L)
+      .write.mode("overwrite").parquet(s"$store/batch=0")
+    val live = Sketch.countMinLoad(spark, store)
+      .orderBy("r", "c").collect().toSeq
+    val batch = Sketch.countMinFit(stream, col("k"), D, W, seed = 9L)
+      .orderBy("r", "c").collect().toSeq
+    assert(live === batch)
+    // compaction preserves the grid and collapses to one partition
+    Sketch.compactCountMin(spark, store)
+    assert(Sketch.countMinLoad(spark, store)
+      .orderBy("r", "c").collect().toSeq === batch)
+  }
+
+  test("estimate plan is shuffle-free against a materialized sketch") {
+    import spark.implicits._
+    val sk = Sketch.countMinFit(stream, col("k"), D, W, seed = 9L)
+    val grid = sk.collect().toSeq
+    val l = new java.util.ArrayList[org.apache.spark.sql.Row](grid.size)
+    grid.foreach(l.add)
+    val mat = spark.createDataFrame(l, sk.schema)
+    val plan = Sketch.countMinEstimate(stream.limit(5), col("k"), mat, D, W,
+      seed = 9L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
