@@ -35,12 +35,18 @@ object Spans {
   /** Token n-gram start hits: (doc_id, pos 1-based, gram). The gram
     * is the lowercased space-join of tokens pos..pos+n-1. */
   def gramHits(docs: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
-    val toks = split(trim(text), "\\s+")
+    val toks = split(trim(col("__text")), "\\s+")
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => lower(array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
-    docs.select(id.as("doc_id"), posexplode(grams).as(Seq("__p0", "gram")))
+    // exchange BELOW the gram projection: transform/slice/array_join
+    // are interpreted higher-order expressions, and a coarse parquet
+    // scan would serialize them on a task or two (same rule as
+    // Decontaminate's gram stream) — round-robin them wide first
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), posexplode(grams).as(Seq("__p0", "gram")))
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
         col("gram"))
   }
@@ -82,8 +88,10 @@ object Spans {
     * that was nothing but duplicated text comes back as ''. */
   def removeDuplicatedSpans(docs: DataFrame, text: Column, id: Column,
       n: Int): DataFrame = {
-    val toksArr = split(trim(text), "\\s+")
-    val base = docs.select(id.as("doc_id"), toksArr.as("__t"))
+    val toksArr = split(trim(col("__text")), "\\s+")
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), toksArr.as("__t"))
     val toks = base
       .select(col("doc_id"), posexplode(col("__t")).as(Seq("__p0", "tok")))
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("p"),
