@@ -843,16 +843,33 @@ object Dedup {
     * equality — an O(1)-row aggregate per round instead of a full
     * anti-join; a 64-bit checksum collision declaring a false
     * fixpoint is ~2^-64 and would still be caught by the paper's
-    * invariant that the edge set only shrinks lexicographically. */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): CCResult = {
+    * invariant that the edge set only shrinks lexicographically.
+    *
+    * ADAPTIVE: when the (already-funneled) edge set is tiny —
+    * `smallGraphEdges` or fewer edges, the same size class Spark
+    * broadcasts a join side at — the multi-round loop is pure
+    * scheduling overhead: each round is ~4 shuffle jobs over a few
+    * hundred rows, ~0.5 s of fixed cost per round at local[32]. Such
+    * graphs take one collect + a driver union-find (identical labels:
+    * min id per component) and zero loop rounds. Near-dup graphs AT
+    * scale stay distributed — the gate is an edge/node count, checked
+    * on the checkpointed edge set before any round runs. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+      smallGraphEdges: Long = 100000L): CCResult = {
+    // materialize the pair set ONCE before deriving nodes and edges —
+    // each derivation is its own checkpoint action, and `pairs` is
+    // typically the unmaterialized tail of a full dedup funnel that
+    // would otherwise run twice (measured: the whole split query paid
+    // the minhash funnel 2x before this)
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // nodes from the RAW pair set (a self-pair-only node is a
     // singleton component and must still get a label), edges as
     // canonical down-edges (src > dst) with self-loops dropped
-    val nodes = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id")))
+    val nodes = p0.select(col("id_a").as("id"))
+      .unionAll(p0.select(col("id_b").as("id")))
       .distinct()
       .localCheckpoint(true)
-    var edges = pairs
+    var edges = p0
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -884,6 +901,47 @@ object Dedup {
       relinked.unionAll(self)
         .filter(col("src") =!= col("dst"))
         .distinct()
+    }
+
+    val idType = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
+    val fastTypeOk = idType match {
+      case _: org.apache.spark.sql.types.NumericType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (fastTypeOk && edges.count() <= smallGraphEdges &&
+        nodes.count() <= 2 * smallGraphEdges) {
+      import scala.jdk.CollectionConverters._
+      val es = edges.collect().map(r => (r.get(0), r.get(1)))
+      val ns = nodes.collect().map(_.get(0))
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      def lt(a: Any, b: Any) =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+      ns.foreach { n =>
+        val r = find(n)
+        if (!minOf.get(r).exists(m => lt(m, n))) minOf(r) = n
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      val rows = ns.toSeq
+        .map(n => org.apache.spark.sql.Row(n, minOf(find(n)))).asJava
+      return CCResult(
+        pairs.sparkSession.createDataFrame(rows, schema), true, 0)
     }
 
     var sig = checksum(edges)

@@ -393,11 +393,18 @@ class DedupSpec extends AnyFunSuite {
     // O(diameter) — ~255 rounds — star contraction must finish in
     // O(log n) alternating rounds (+1 fixpoint-confirmation round)
     val path = (0L until 255L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val r = Dedup.connectedComponentsStar(path)
+    // smallGraphEdges = 0 forces the DISTRIBUTED loop (the property
+    // under test); the default gate would take the driver fast path
+    val r = Dedup.connectedComponentsStar(path, smallGraphEdges = 0L)
     assert(r.converged)
     assert(r.iterations <= 12, s"took ${r.iterations} rounds for a 256-chain")
     val labels = r.labels.collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(labels.length === 256 && labels.forall(_._2 == 0L))
+    // the small-graph fast path must produce identical labels in 0 rounds
+    val fast = Dedup.connectedComponentsStar(path)
+    assert(fast.iterations === 0 && fast.converged)
+    assert(fast.labels.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(_._1).toSeq === labels.sortBy(_._1).toSeq)
     // identical clustering on a realistic near-dup pair set
     val pairs = Dedup.ngramJaccardExact(docs, col("text"), col("doc_id"),
       n = 3, threshold = 0.5).localCheckpoint(true)
