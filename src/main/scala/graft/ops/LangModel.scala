@@ -30,11 +30,22 @@ object LangModel {
   private def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
+  /** Round-robin the docs wide BELOW the n-gram projection: the
+    * zip_with/transform explosions are interpreted higher-order
+    * expressions, and a small parquet corpus scans as 1-2 partitions
+    * — without this every count table serializes its explosion on a
+    * task or two (same rule as the decontamination and span gram
+    * streams). */
+  private def spread(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** (doc_id, w1, w2, c) — per-document bigram counts. Documents with
     * fewer than two tokens emit nothing. */
   def docBigramCounts(docs: DataFrame, text: Column, id: Column): DataFrame = {
-    val t = tokens(text)
-    docs.select(id.as("doc_id"), t.as("__t"))
+    val t = tokens(col("__text"))
+    spread(docs, text, id)
+      .select(col("doc_id"), t.as("__t"))
       .select(col("doc_id"),
         explode(zip_with(
           slice(col("__t"), lit(1), size(col("__t")) - 1),
@@ -50,8 +61,9 @@ object LangModel {
     * sub-3-token docs must short-circuit to an empty array (same
     * guard as Mix.upsample's epoch sequence). */
   def docTrigramCounts(docs: DataFrame, text: Column, id: Column): DataFrame = {
-    val t = tokens(text)
-    docs.select(id.as("doc_id"), t.as("__t"))
+    val t = tokens(col("__text"))
+    spread(docs, text, id)
+      .select(col("doc_id"), t.as("__t"))
       .select(col("doc_id"),
         explode(when(size(col("__t")) >= 3,
           org.apache.spark.sql.functions.transform(
@@ -96,7 +108,9 @@ object LangModel {
     val c2hist = c2all.groupBy("w1").agg(sum("c2").as("c2hist"))
     // one unigram table serves both the floor counts and the (N, V)
     // scalars — n_total = Σc1, v = |c1| — no second token explode
-    val c1 = docs.select(explode(tokens(text)).as("tok"))
+    val c1 = docs.select(text.as("__text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("__text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1")).persist()
     val nv = c1.agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
     val p = lit(l3) * (col("c123") / col("c12")) +
@@ -136,7 +150,9 @@ object LangModel {
     spark.read.parquet(s"$path/pairs")
       .groupBy("w1").agg(sum("c2").as("c1"))
       .write.mode("overwrite").parquet(s"$path/hist")
-    val v = docs.select(explode(tokens(text)).as("tok"))
+    val v = docs.select(text.as("__text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("__text"))).as("tok"))
       .agg(countDistinct("tok")).head().getLong(0)
     Seq(v).toDF("v").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -185,7 +201,9 @@ object LangModel {
     docBigramCounts(docs, text, id)
       .groupBy("w1", "w2").agg(sum("c").as("c2"))
       .write.mode("overwrite").parquet(s"$path/pairs")
-    docs.select(explode(tokens(text)).as("tok"))
+    docs.select(text.as("__text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("__text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
       .write.mode("overwrite").parquet(s"$path/uni")
     spark.read.parquet(s"$path/uni")
@@ -264,7 +282,9 @@ object LangModel {
     val d = docBigramCounts(docs, text, id).persist()
     val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val v = docs.select(explode(tokens(text)).as("tok"))
+    val v = docs.select(text.as("__text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("__text"))).as("tok"))
       .agg(countDistinct("tok").as("v"))
     val scored = d.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
