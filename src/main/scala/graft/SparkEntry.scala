@@ -613,6 +613,19 @@ object SparkEntry {
         .orderBy(col("n_true").desc, col("token"))
     }),
 
+    // INCREMENTAL CARDINALITY: per-source distinct-token estimates
+    // from persisted-mergeable HLL registers (graft.ops.Sketch over
+    // Spark's DataSketches natives) — rows-only (sketch binaries
+    // aren't engine-portable); estimate accuracy, shard-merge
+    // identity, and streaming equivalence measured in SketchSpec
+    "hll_tokens_by_source" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
+      Sketch.hllEstimate(Sketch.hllFit(toks, col("token"), Seq("source")),
+          Seq("source"))
+        .orderBy("source")
+    }),
+
     // MODEL-BASED QUALITY: multinomial Naive-Bayes classifier
     // (graft.ops.Classify) — the closed-form fastText-style filter;
     // trained on the train split's lang=='en' label, scored on the

@@ -249,6 +249,24 @@ object StreamingIngest {
       }
       .start()
 
+  /** Maintain per-group HLL cardinality registers over a stream:
+    * each micro-batch folds to its own per-group sketches in the
+    * `batch=<id>` store partition (replays overwrite — the same
+    * exactly-once-without-anti-join trick as the count-min store;
+    * HLL registers are union-mergeable, so per-batch sketches ARE the
+    * state). Read live estimates with [[graft.ops.Sketch.hllLoad]] +
+    * [[graft.ops.Sketch.hllEstimate]]. */
+  def sketchStreamHll(rows: DataFrame, outPath: String,
+      checkpoint: String, key: Column, groups: Seq[String],
+      lgK: Int = 12) =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Sketch.hllFit(batch, key, groups, lgK)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$id")
+      }
+      .start()
+
   /** Stream documents through Naive-Bayes classifier scoring against
     * a STORED model ([[graft.ops.Classify.saveModel]]) — the
     * model-based quality filter made streaming, same shape as the

@@ -81,6 +81,61 @@ class SketchSpec extends AnyFunSuite {
       .orderBy("r", "c").collect().toSeq === batch)
   }
 
+  test("hll: estimates within the register error bound; shard merge is identical") {
+    import spark.implicits._
+    val rows = (1 to 20000).map(i => (s"g${i % 3}", s"v${i % (700 * (1 + i % 3))}"))
+      .toDF("g", "k")
+    val est = Sketch.hllEstimate(Sketch.hllFit(rows, col("k"), Seq("g")),
+      Seq("g")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.distinct().groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= 0.05 * n + 2, s"$g est=${est(g)} n=$n")
+    }
+    // shard-fit + union must stay within the same error bound as the
+    // whole fit (DataSketches unions are estimate-equivalent, not
+    // register-identical: sparse->dense promotion paths differ)
+    val a = Sketch.hllFit(rows.filter(xxhash64(col("k")) % 2 === 0),
+      col("k"), Seq("g"))
+    val b = Sketch.hllFit(rows.filter(xxhash64(col("k")) % 2 =!= 0),
+      col("k"), Seq("g"))
+    val merged = Sketch.hllEstimate(a.unionAll(b), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(merged(g) - n) <= 0.05 * n + 2,
+        s"$g merged=${merged(g)} n=$n")
+    }
+  }
+
+  test("hll: streamed per-batch registers equal the batch fit; replays exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    val store = s"$dir/sketch"
+    val rows = (1 to 3000).map(i => (s"g${i % 2}", s"v${i % 800}"))
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingIngest.sketchStreamHll(
+      mem.toDF().toDF("g", "k"), store, s"$dir/ckpt", col("k"), Seq("g"))
+    mem.addData(rows.take(1500): _*); q.processAllAvailable()
+    mem.addData(rows.drop(1500): _*); q.processAllAvailable()
+    q.stop()
+    def live() = Sketch.hllEstimate(Sketch.hllLoad(spark, store, Seq("g")),
+      Seq("g")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = live()
+    // replay batch 0 by hand — the overwrite must not change anything
+    Sketch.hllFit(rows.take(1500).toDF("g", "k"), col("k"), Seq("g"))
+      .write.mode("overwrite").parquet(s"$store/batch=0")
+    assert(live() === before)
+    // and the streamed registers track the true cardinality
+    val exact = rows.toDF("g", "k").distinct().groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(before(g) - n) <= 0.05 * n + 2,
+        s"$g live=${before(g)} n=$n")
+    }
+  }
+
   test("estimate plan is shuffle-free against a materialized sketch") {
     import spark.implicits._
     val sk = Sketch.countMinFit(stream, col("k"), D, W, seed = 9L)
