@@ -53,6 +53,22 @@ class ClassifySpec extends AnyFunSuite {
     assert(stored === direct)
   }
 
+  test("plan: scoring is one (doc,token) aggregation + a broadcast model join") {
+    import spark.implicits._
+    val docs = fixture
+    val (w, m) = Classify.fitNaiveBayes(docs, $"text", $"y")
+    val wMat = w.localCheckpoint(true)
+    val mMat = m.localCheckpoint(true)
+    val plan = Classify.scoreNaiveBayes(docs, $"text", $"doc_id", wMat, mMat)
+      .queryExecution.executedPlan.toString
+    // the model sides broadcast; the only hash shuffles are the
+    // (doc_id, token) count and the per-doc score aggregation
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("append body is replay-idempotent on the sink") {
     import spark.implicits._
     val docs = fixture

@@ -73,6 +73,20 @@ class ProfileSpec extends AnyFunSuite {
       rows.map(_.getLong(1)).toSeq))
   }
 
+  test("plan: approx histogram never plans a window or a global sort") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val plan = Profile.histogram(df, col("x"), col("id"), 8)
+      .queryExecution.executedPlan.toString
+    // the exact path's ntile window (single-reducer sort over the
+    // DATA) must be absent from the scale path: edges come from one
+    // sketch pass, binning is a codegen'd conditional. The one range
+    // exchange allowed is the presentation orderBy over <= `buckets`
+    // aggregate rows.
+    assert(!plan.contains("Window"), plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1, plan)
+  }
+
   test("heavy hitters: salted funnel is exact vs a brute-force rank") {
     import spark.implicits._
     // zipf-ish counts with deliberate count ties (tie broken by value)
