@@ -613,6 +613,18 @@ object SparkEntry {
         .orderBy(col("n_true").desc, col("token"))
     }),
 
+    // EDIT-DISTANCE FUZZY MATCHING: exact levenshtein<=2 pairs via
+    // PassJoin segment blocking (graft.ops.EditDistance) — candidates
+    // from a key-equality join on (len, segment_idx, segment_text),
+    // threshold-verified; oracled against DuckDB's brute-force
+    // quadratic levenshtein on the sample, proving the funnel misses
+    // nothing
+    "fuzzy_name_pairs_exact_sample" -> ((s, dir) =>
+      EditDistance.editPairs(
+          table(s, dir, "customer").filter(col("c_custkey") < 300),
+          col("c_name"), col("c_custkey"), maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
     // INCREMENTAL CARDINALITY: per-source distinct-token estimates
     // from persisted-mergeable HLL registers (graft.ops.Sketch over
     // Spark's DataSketches natives) — rows-only (sketch binaries
@@ -2123,6 +2135,15 @@ object SparkEntry {
          SELECT p // 32 AS word,
            bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
          FROM pos GROUP BY 1 ORDER BY 1""",
+
+    "fuzzy_name_pairs_exact_sample" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_custkey < 300)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 2
+         ORDER BY id_a, id_b""",
 
     "cms_token_freq" ->
       """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
