@@ -625,6 +625,21 @@ object SparkEntry {
           col("c_name"), col("c_custkey"), maxDist = 2)
         .orderBy("id_a", "id_b")),
 
+    // the indexed twin: new names (custkey 300-399) against the
+    // stored segment index of custkey < 300, plus new-vs-new inline —
+    // oracled against DuckDB brute force over exactly the
+    // at-least-one-side-new pair space
+    "fuzzy_name_indexed" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      val store = memoStore("fuzzyidx", dir)(p =>
+        EditDistance.buildIndex(cust.filter(col("c_custkey") < 300),
+          col("c_name"), col("c_custkey"), maxDist = 2, p))
+      EditDistance.editPairsAgainstIndex(s, store,
+          cust.filter(col("c_custkey") >= 300 && col("c_custkey") < 400),
+          col("c_name"), col("c_custkey"), maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // INCREMENTAL CARDINALITY: per-source distinct-token estimates
     // from persisted-mergeable HLL registers (graft.ops.Sketch over
     // Spark's DataSketches natives) — rows-only (sketch binaries
@@ -2143,6 +2158,24 @@ object SparkEntry {
            CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          FROM c a JOIN c b ON a.id < b.id
          WHERE levenshtein(a.s, b.s) <= 2
+         ORDER BY id_a, id_b""",
+
+    "fuzzy_name_indexed" ->
+      """WITH old AS (SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_custkey < 300),
+         nw AS (SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_custkey >= 300 AND c_custkey < 400),
+         no_ AS (SELECT least(a.id, b.id) AS id_a,
+             greatest(a.id, b.id) AS id_b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+           FROM nw a JOIN old b ON true
+           WHERE levenshtein(a.s, b.s) <= 2),
+         nn AS (SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+           FROM nw a JOIN nw b ON a.id < b.id
+           WHERE levenshtein(a.s, b.s) <= 2)
+         SELECT id_a, id_b, dist FROM no_
+         UNION SELECT id_a, id_b, dist FROM nn
          ORDER BY id_a, id_b""",
 
     "cms_token_freq" ->

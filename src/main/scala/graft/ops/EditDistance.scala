@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,7 +32,10 @@ import org.apache.spark.sql.types._
   * `cap` strings (a constant prefix in machine-generated keys) is
   * dropped from BLOCKING — pairs whose every other segment also
   * exceeds the cap are lost, which the caller fixes by stripping the
-  * constant prefix, not by an uncapped quadratic join. */
+  * constant prefix, not by an uncapped quadratic join. Like every
+  * match family in the engine, the blocking table persists
+  * ([[buildIndex]]) and crawl increments match against it with no
+  * old-vs-old recompute ([[editPairsAgainstIndex]]). */
 object EditDistance {
 
   private def segStart(len: Column, k: Int, d: Int): Column =
@@ -41,29 +44,27 @@ object EditDistance {
     (floor(len * lit(k + 1) / lit(d + 1)) -
       floor(len * lit(k) / lit(d + 1))).cast(IntegerType)
 
-  /** All unordered pairs `(id_a, id_b, dist)` with
-    * `levenshtein ≤ maxDist`, ids ordered `id_a < id_b`. Both sides
-    * restricted to strings of ≥ `maxDist + 1` chars (see object doc). */
-  def editPairs(df: DataFrame, str: Column, id: Column, maxDist: Int,
-      bucketCap: Int = 100000): DataFrame = {
-    require(maxDist >= 1, "maxDist must be >= 1")
-    val d = maxDist
-    val base = df.filter(str.isNotNull)
+  /** `(id, s, len)` with nulls and sub-(d+1)-char strings screened. */
+  private def normalized(df: DataFrame, str: Column, id: Column,
+      d: Int): DataFrame =
+    df.filter(str.isNotNull)
       .select(id.as("id"), str.as("s"), length(str).as("len"))
       .filter(col("len") >= d + 1)
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("id"))
 
-    // target role: the d+1 segments of every string, keyed by length
-    val segs = base.select(col("id").as("tid"), col("len").as("tl"),
+  /** Target role: the d+1 segments of every string, keyed by length. */
+  private def segmentsOf(base: DataFrame, d: Int): DataFrame =
+    base.select(col("id").as("tid"), col("len").as("tl"),
       explode(array((0 to d).map(k => struct(lit(k).as("k"),
         substring(col("s"), segStart(col("len"), k, d),
           segLen(col("len"), k, d)).as("seg"))): _*)).as("g"))
       .select(col("tid"), col("tl"), col("g.k"), col("g.seg"))
       .filter(length(col("seg")) >= 1)
 
-    // probe role: for every target length within ±d and every segment,
-    // the substrings at the segment's position shifted by ±d
+  /** Probe role: for every target length within ±d and every segment,
+    * the substrings at the segment's position shifted by ±d. */
+  private def probesOf(base: DataFrame, d: Int): DataFrame = {
     val probeStructs = for {
       dl <- -d to d
       k <- 0 to d
@@ -76,7 +77,7 @@ object EditDistance {
         pos.as("pos"), sl.as("sl"),
         substring(col("s"), pos, sl).as("sub"))
     }
-    val probes = base.select(col("id").as("pid"), col("len").as("pl"),
+    base.select(col("id").as("pid"), col("len").as("pl"),
       explode(array(probeStructs: _*)).as("g"))
       .select(col("pid"), col("pl"), col("g.tl"), col("g.k"),
         col("g.pos"), col("g.sl"), col("g.sub"))
@@ -84,25 +85,99 @@ object EditDistance {
         col("pos") + col("sl") - 1 <= col("pl") &&
         length(col("sub")) === col("sl"))
       .select(col("pid"), col("tl"), col("k"), col("sub")).distinct()
+  }
 
-    val cand = Dedup.dropOversizedBuckets(segs, Seq("tl", "k", "seg"), bucketCap)
-      .join(Dedup.dropOversizedBuckets(probes, Seq("tl", "k", "sub"), bucketCap)
-          .withColumnRenamed("sub", "seg"), Seq("tl", "k", "seg"))
-      .filter(col("tid") =!= col("pid"))
-      .select(least(col("tid"), col("pid")).as("id_a"),
-        greatest(col("tid"), col("pid")).as("id_b"))
-      .distinct()
-
-    val a = base.select(col("id").as("id_a"), col("s").as("__sa"),
-      col("len").as("__la"))
-    val b = base.select(col("id").as("id_b"), col("s").as("__sb"),
-      col("len").as("__lb"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+  /** Threshold-verify candidate id pairs against their strings:
+    * keeps `(id_a, id_b, dist)` with `dist ≤ d`, ids ordered. */
+  private def verify(cand: DataFrame, left: DataFrame, right: DataFrame,
+      d: Int): DataFrame =
+    cand
+      .join(left.select(col("id").as("id_l"), col("s").as("__sa"),
+        col("len").as("__la")), Seq("id_l"))
+      .join(right.select(col("id").as("id_r"), col("s").as("__sb"),
+        col("len").as("__lb")), Seq("id_r"))
       .filter(abs(col("__la") - col("__lb")) <= d)
       // threshold variant early-exits the DP once the distance is
       // provably > d (returns -1 there)
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("dist").cast(LongType).as("dist"))
+
+  /** All unordered pairs `(id_a, id_b, dist)` with
+    * `levenshtein ≤ maxDist`, ids ordered `id_a < id_b`. Both sides
+    * restricted to strings of ≥ `maxDist + 1` chars (see object doc). */
+  def editPairs(df: DataFrame, str: Column, id: Column, maxDist: Int,
+      bucketCap: Int = 100000): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val base = normalized(df, str, id, d)
+    val cand = Dedup.dropOversizedBuckets(segmentsOf(base, d),
+        Seq("tl", "k", "seg"), bucketCap)
+      .join(Dedup.dropOversizedBuckets(probesOf(base, d),
+          Seq("tl", "k", "sub"), bucketCap)
+          .withColumnRenamed("sub", "seg"), Seq("tl", "k", "seg"))
+      .filter(col("tid") =!= col("pid"))
+      .select(least(col("tid"), col("pid")).as("id_l"),
+        greatest(col("tid"), col("pid")).as("id_r"))
+      .distinct()
+    verify(cand, base, base, d)
+  }
+
+  /** Persist the blocking index of a corpus: `path/strings` =
+    * (id, s, len), `path/segments` = (tl, k, seg, tid) — so
+    * increments match against the store WITHOUT re-segmenting (or
+    * re-pairing) old data. */
+  def buildIndex(df: DataFrame, str: Column, id: Column, maxDist: Int,
+      path: String): Unit = {
+    val base = normalized(df, str, id, maxDist)
+    base.write.mode("overwrite").parquet(s"$path/strings")
+    segmentsOf(base, maxDist).write.mode("overwrite")
+      .parquet(s"$path/segments")
+  }
+
+  /** Append genuinely-new ids to a stored index (id anti-join — the
+    * same replay-idempotence contract as every other store append). */
+  def appendToIndex(spark: SparkSession, path: String, df: DataFrame,
+      str: Column, id: Column, maxDist: Int): Unit = {
+    val fresh = normalized(df, str, id, maxDist)
+      .join(spark.read.parquet(s"$path/strings").select("id"), Seq("id"),
+        "left_anti")
+      .localCheckpoint(true)
+    fresh.write.mode("append").parquet(s"$path/strings")
+    segmentsOf(fresh, maxDist).write.mode("append")
+      .parquet(s"$path/segments")
+  }
+
+  /** Match an increment against a stored index: all pairs
+    * `(id_a, id_b, dist)` within `maxDist` where at least one side is
+    * NEW — new-vs-stored via the persisted blocking table (the
+    * PassJoin lemma holds with the stored side as target, so that one
+    * direction is complete), plus new-vs-new inline. Old-vs-old pairs
+    * were reported when the old data arrived; nothing rescans them. A
+    * re-delivered id matches its own stored twin at distance 0 — that
+    * self-pair is dropped, everything else about redelivery is the
+    * store append's anti-join problem, not the matcher's. */
+  def editPairsAgainstIndex(spark: SparkSession, path: String,
+      increment: DataFrame, str: Column, id: Column, maxDist: Int,
+      bucketCap: Int = 100000): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val inc = normalized(increment, str, id, d).localCheckpoint(true)
+    val stored = spark.read.parquet(s"$path/strings")
+    val segs = Dedup.dropOversizedBuckets(
+      spark.read.parquet(s"$path/segments"), Seq("tl", "k", "seg"),
+      bucketCap)
+    val probes = Dedup.dropOversizedBuckets(probesOf(inc, d),
+        Seq("tl", "k", "sub"), bucketCap)
+      .withColumnRenamed("sub", "seg")
+    val candNewOld = segs.join(probes, Seq("tl", "k", "seg"))
+      .filter(col("tid") =!= col("pid"))
+      .select(col("pid").as("id_l"), col("tid").as("id_r")).distinct()
+    verify(candNewOld, inc, stored, d)
+      .filter(col("id_a") =!= col("id_b"))
+      .unionAll(editPairs(inc, col("s"), col("id"), d, bucketCap))
+      .distinct()
   }
 }

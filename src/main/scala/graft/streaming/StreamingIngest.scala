@@ -228,6 +228,22 @@ object StreamingIngest {
       }
       .start()
 
+  /** Append a stream of keyed strings to a persisted edit-distance
+    * blocking index ([[graft.ops.EditDistance.buildIndex]] layout) —
+    * the fuzzy-match family's crawl-increment path: each arriving
+    * batch can be matched against everything before it with
+    * [[graft.ops.EditDistance.editPairsAgainstIndex]], no old-vs-old
+    * recompute. Replays are idempotent on the store (id anti-join). */
+  def appendStreamToEditIndex(rows: DataFrame, indexPath: String,
+      checkpoint: String, str: Column, id: Column, maxDist: Int) =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.EditDistance.appendToIndex(batch.sparkSession,
+          indexPath, batch, str, id, maxDist)
+      }
+      .start()
+
   /** Maintain a count-min sketch over a key stream: each micro-batch
     * folds to its own counter grid and lands as the `batch=<id>`
     * partition of the store — REPLAYS OVERWRITE THE SAME PARTITION,

@@ -74,6 +74,41 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(got === brute(rows, 2))
   }
 
+  test("indexed twin: new-vs-stored plus new-vs-new equals the inline funnel") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val alphabet = "abcdefgh"
+    val all: Seq[(Long, String)] = (0 until 60).map { i =>
+      (i.toLong,
+        (0 until 10 + i % 6).map(_ => alphabet(rng.nextInt(8))).mkString)
+    } ++ Seq(100L -> "planted-string-one", 101L -> "planted-string-one!",
+      102L -> "planted-string-0ne", 103L -> "planted-string")
+    val old = all.filter(_._1 % 2 == 0)
+    val nw = all.filter(_._1 % 2 == 1)
+    val dir = java.nio.file.Files.createTempDirectory("fuzzyidx").toString
+    EditDistance.buildIndex(old.toDF("id", "s"), $"s", $"id", 2, dir)
+    val got = EditDistance.editPairsAgainstIndex(spark, dir,
+        nw.toDF("id", "s"), $"s", $"id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val newIds = nw.map(_._1).toSet
+    val expected = brute(all, 2)
+      .filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+    assert(got === expected)
+    // append the new batch twice (a replay): store stays duplicate-free
+    EditDistance.appendToIndex(spark, dir, nw.toDF("id", "s"), $"s", $"id", 2)
+    EditDistance.appendToIndex(spark, dir, nw.toDF("id", "s"), $"s", $"id", 2)
+    assert(spark.read.parquet(s"$dir/strings").count() ===
+      spark.read.parquet(s"$dir/strings").select("id").distinct().count())
+    // and a later increment sees the appended strings
+    val later = Seq(200L -> "planted-string-one?")
+    val got2 = EditDistance.editPairsAgainstIndex(spark, dir,
+        later.toDF("id", "s"), $"s", $"id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected2 = brute(all ++ later, 2)
+      .filter(p => p._1 == 200L || p._2 == 200L)
+    assert(got2 === expected2)
+  }
+
   test("plan: candidates come from an equality join, never a cartesian") {
     import spark.implicits._
     val rows = (1L to 30L).map(i => (i, s"prefix$i suffix")).toDF("id", "s")
