@@ -91,11 +91,12 @@ object Classify {
       pred: Column = col("pred")): DataFrame = {
     val y = label.cast(IntegerType).cast(LongType)
     val p = pred.cast(LongType)
+    // coalesce: an EMPTY scored set must report zeros, not a null row
     val agg = scored.agg(
-      sum(when(y === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
-      sum(when(y === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
-      sum(when(y === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
-      sum(when(y === 0 && p === 0, 1L).otherwise(0L)).as("tn"))
+      coalesce(sum(when(y === 1 && p === 1, 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(y === 0 && p === 1, 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(y === 1 && p === 0, 1L).otherwise(0L)), lit(0L)).as("fn"),
+      coalesce(sum(when(y === 0 && p === 0, 1L).otherwise(0L)), lit(0L)).as("tn"))
     val tp = col("tp").cast(DoubleType)
     val safe = (num: Column, den: Column) =>
       round(when(den === 0.0, 0.0).otherwise(num / den), 6)

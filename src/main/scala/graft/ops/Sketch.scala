@@ -71,6 +71,27 @@ object Sketch {
       new org.apache.hadoop.fs.Path(path))
   }
 
+  /** Streaming approximate top-k support: given the live counter grid
+    * and a candidate key set (typically the keys seen in a batch plus
+    * the previously stored candidates), return the `k` keys with the
+    * highest CMS estimates, `(key, est, rank)` by `(est desc, key)`.
+    * One-sided error makes this conservative in the right direction:
+    * a truly frequent key's estimate only exceeds its true count, so
+    * it cannot be pushed out by undercounting — only by another key's
+    * overcount (bounded by εN). The candidate set keeps the state
+    * O(k + batch keys): keys never seen in any batch's top set can't
+    * re-enter, which is the SpaceSaving trade every streaming top-k
+    * makes. */
+  def countMinTopK(candidates: DataFrame, key: Column, sketch: DataFrame,
+      depth: Int, width: Long, k: Int, seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    countMinEstimate(candidates.select(key.as("key")).distinct(),
+      col("key"), sketch, depth, width, seed)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("est").desc, col("key"))).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------------------------------------------------------
   // Incremental cardinality: persisted HLL register stores
   // ---------------------------------------------------------------

@@ -265,6 +265,35 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming approximate top-k: maintain a count-min grid (per-batch
+    * `batch=<id>` partitions, replay-overwrite exactly-once) AND a
+    * top-k candidate store — each batch re-ranks its own keys plus the
+    * stored candidates against the LIVE grid and overwrites
+    * `<store>/topk`. State is O(k + batch keys) rows; estimates are
+    * one-sided, so a frequent key can only be displaced by overcount
+    * (≤ εN), never undercount — the SpaceSaving-style trade,
+    * measured in SketchSpec. */
+  def sketchStreamTopK(rows: DataFrame, storePath: String,
+      checkpoint: String, key: Column, depth: Int, width: Long, k: Int,
+      seed: Long = 0L) =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Sketch.countMinFit(batch, key, depth, width, seed)
+          .write.mode("overwrite").parquet(s"$storePath/sketch/batch=$id")
+        val live = graft.ops.Sketch.countMinLoad(spark, s"$storePath/sketch")
+        val batchKeys = batch.select(key.as("key")).distinct()
+        val prev = graft.ops.Layout.readIfExists(spark, s"$storePath/topk")(
+          graft.ops.Sketch.countMinTopK(batchKeys, col("key"), live,
+            depth, width, k, seed))
+        val cands = batchKeys.unionByName(prev.select("key")).distinct()
+        val top = graft.ops.Sketch.countMinTopK(cands, col("key"), live,
+          depth, width, k, seed).localCheckpoint(true)
+        top.write.mode("overwrite").parquet(s"$storePath/topk")
+      }
+      .start()
+
   /** Maintain per-group HLL cardinality registers over a stream:
     * each micro-batch folds to its own per-group sketches in the
     * `batch=<id>` store partition (replays overwrite — the same

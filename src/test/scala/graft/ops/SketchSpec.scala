@@ -81,6 +81,38 @@ class SketchSpec extends AnyFunSuite {
       .orderBy("r", "c").collect().toSeq === batch)
   }
 
+  test("streaming top-k over the CMS store recovers the exact top set") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cmstopk").toString
+    val store = s"$dir/store"
+    val data = stream.collect().map(_.getString(0)).toSeq
+    val mem = MemoryStream[String]
+    val q = graft.streaming.StreamingIngest.sketchStreamTopK(
+      mem.toDF().select(col("value").as("k")), store, s"$dir/ckpt",
+      col("k"), D, W, k = 10, seed = 9L)
+    mem.addData(data.take(400): _*); q.processAllAvailable()
+    mem.addData(data.drop(400): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$store/topk")
+      .orderBy("rank").collect().map(r => (r.getString(0), r.getLong(1)))
+    // W=1024 over ~60 keys: no practical collisions, so the streamed
+    // ranking equals the exact one including counts
+    val exact = stream.groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (key, n) => (-n, key) }.take(10)
+    assert(got.toSeq === exact.toSeq)
+    // replaying batch 0's grid write changes nothing downstream
+    Sketch.countMinFit(data.take(400).toDF("k"), col("k"), D, W, seed = 9L)
+      .write.mode("overwrite").parquet(s"$store/sketch/batch=0")
+    val rescored = Sketch.countMinTopK(
+      spark.read.parquet(s"$store/topk").select("key"), col("key"),
+      Sketch.countMinLoad(spark, s"$store/sketch"), D, W, 10, seed = 9L)
+      .orderBy("rank").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rescored.toSeq === exact.toSeq)
+  }
+
   test("hll: estimates within the register error bound; shard merge is identical") {
     import spark.implicits._
     val rows = (1 to 20000).map(i => (s"g${i % 3}", s"v${i % (700 * (1 + i % 3))}"))
@@ -134,6 +166,28 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(before(g) - n) <= 0.05 * n + 2,
         s"$g live=${before(g)} n=$n")
     }
+  }
+
+  test("empty inputs degrade to empty/zero, never to errors") {
+    import spark.implicits._
+    val none = Seq.empty[String].toDF("k")
+    val some = Seq("a", "b").toDF("k")
+    // empty fit -> empty grid; estimates against it are all 0
+    val emptyGrid = Sketch.countMinFit(none, col("k"), D, W)
+    assert(emptyGrid.count() === 0L)
+    val est = Sketch.countMinEstimate(some, col("k"), emptyGrid, D, W)
+      .collect().map(_.getLong(1))
+    assert(est.toSeq === Seq(0L, 0L))
+    // empty bloom admits nothing
+    val emptyBloom = Bloom.fit(none, col("k"), 1024L, 3)
+    assert(Bloom.mightContain(some, col("k"), emptyBloom, 1024L, 3)
+      .count() === 0L)
+    // empty edit-distance corpus and empty classifier eval are empty/zero
+    assert(EditDistance.editPairs(Seq.empty[(Long, String)].toDF("id", "s"),
+      col("s"), col("id"), 2).count() === 0L)
+    val ev = Classify.evalBinary(
+      Seq.empty[(Long, Long)].toDF("y", "pred"), col("y")).head()
+    assert(ev.getLong(0) === 0L && ev.getDouble(4) === 0.0)
   }
 
   test("estimate plan is shuffle-free against a materialized sketch") {
