@@ -78,10 +78,17 @@ object Curate {
     // one scan; exact dedup rides the one window shuffle, so no
     // dropped/survivors branch-and-union (which would evaluate the
     // kernel projection twice)
-    val base = scalarBase(docs, text, id, cfg)
+    val base0 = scalarBase(docs, text, id, cfg)
       .withColumn("stage",
         coalesce(col("__pre"), when(survRank > 1, "exact_dup")))
       .drop("__fp")
+    // with near-dup and/or LM stages on, `base` feeds each stage's
+    // pool AND each stage's verdict join AND the final projection —
+    // persist it for the funnel's duration (kernel projections are
+    // the scan-dominating cost; without this they re-run per
+    // consumer), releasing via the materialize convention below
+    val multiConsumer = cfg.nearDupThreshold.isDefined || cfg.maxNll.isDefined
+    val base = if (multiConsumer) base0.persist() else base0
 
     val afterExact = cfg.nearDupThreshold match {
       case None => base
@@ -127,10 +134,18 @@ object Curate {
           .drop("__lm")
     }
 
-    afterLm
+    val out = afterLm
       .withColumn("stage", coalesce(col("stage"), lit("kept")))
       .withColumn("keep", col("stage") === "kept")
       .drop("__pre", "__text")
+    if (!multiConsumer) out
+    else {
+      // the ledger (text dropped) is compact; checkpoint it so the
+      // cached base can release NOW instead of leaking past return
+      val res = out.localCheckpoint(true)
+      base.unpersist()
+      res
+    }
   }
 
   /** Per-batch body of [[graft.streaming.StreamingIngest
@@ -256,11 +271,12 @@ object Curate {
     * Scale shape: the running mass is a distributed two-phase prefix
     * sum — per-cluster masses are grouped into 256 hash-prefix
     * buckets (first two hex chars of the order hash), the 256 bucket
-    * totals are collected and prefix-summed on the driver (constant
-    * work at any corpus size), and the within-bucket remainder is a
-    * window partitioned BY bucket — never a global single-partition
-    * window, which at 10⁹ clusters would serialize the whole layout
-    * through one task.
+    * totals prefix-sum through one 256-ROW window and broadcast-join
+    * back (constant work at any corpus size, and no driver collect —
+    * the whole split stays one lazy plan), and the within-bucket
+    * remainder is a window partitioned BY bucket — never a global
+    * single-partition window over the clusters, which at 10⁹ of them
+    * would serialize the whole layout through one task.
     *
     * Engine-portable verbatim: the hash order, the ROWS BETWEEN
     * UNBOUNDED PRECEDING AND 1 PRECEDING running sum, and the
@@ -282,26 +298,29 @@ object Curate {
       .withColumn("__b", substring(col("__h"), 1, 2))
     mass.persist()
     try {
-      // 256 rows at any scale: the driver-side half of the prefix sum
-      val bucketTotals = mass.groupBy("__b").agg(sum("__mass").as("t"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-      val total = bucketTotals.map(_._2).sum
-      val offsets = bucketTotals
-        .scanLeft(("", 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
-        .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }
-        .toMap
-      val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-        when(col("__b") === b, lit(off)).otherwise(acc)
-      }
+      // 256 rows at any scale: the bucket-level half of the prefix
+      // sum — a single-partition window over the BUCKET TOTALS only,
+      // broadcast back, so no driver collect breaks the lazy plan
+      val wOff = Window.orderBy("__b")
+      val offsets = mass.groupBy("__b").agg(sum("__mass").as("__bt"))
+        .withColumn("__off",
+          coalesce(sum("__bt").over(wOff.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__total",
+          sum("__bt").over(wOff.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("__b"), col("__off"), col("__total"))
       val w = Window.partitionBy("__b").orderBy("__h")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val prev = offsetCol + coalesce(sum("__mass").over(w), lit(0L))
+      val prev = col("__off") + coalesce(sum("__mass").over(w), lit(0L))
       // materialize the CLUSTER-level selection (one row per cluster,
       // not per document) before releasing `mass`; the per-doc join
       // below then consumes the checkpointed plan lazily
-      val sel = mass.withColumn("split",
-        when(prev.cast("double") < lit(evalFrac) * lit(total.toDouble),
-          "eval").otherwise("train"))
+      val sel = mass.join(broadcast(offsets), Seq("__b"))
+        .withColumn("split",
+          when(prev.cast("double") <
+            lit(evalFrac) * col("__total").cast("double"),
+            "eval").otherwise("train"))
         .select(col("cluster"), col("split"))
         .localCheckpoint(true)
       labeled.join(sel, Seq("cluster"), "left")
