@@ -749,6 +749,24 @@ object SparkEntry {
         .orderBy("name", "i_time")
     }),
 
+    // SEASONAL ANOMALY: z-score vs the SAME HOUR-OF-DAY's trailing
+    // history (graft.ops.Features.seasonalAnomaly) — the phase joins
+    // the partition key, so a daily peak is normal at peak hour and
+    // anomalous at 3 am; still one Exchange+Sort
+    "ts_seasonal_anomaly_hour" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, Map("hour" -> IntervalSpec(TimeStep(3600L))))
+      Features.seasonalAnomaly(grouped(t, "hour"), Seq("name"), "i_time",
+          col("value"), period = 24L, nRows = 5, threshold = 2.5)
+        .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
+          (col("phase") * 3600).as("phase"),
+          round(col("value"), 6).as("value"),
+          round(col("base_mean"), 6).as("base_mean"),
+          round(col("base_std"), 6).as("base_std"),
+          round(col("z"), 6).as("z"),
+          col("is_anomaly").cast(LongType).as("is_anomaly"))
+        .orderBy("name", "i_time")
+    }),
+
     // TS INTERPOLATE: linear gap fill of a sparse gauge series over a
     // dense day axis (graft.ops.Features.interpolateLinear) — interior
     // nulls become the line through their non-null neighbors, edges
@@ -2305,6 +2323,26 @@ object SparkEntry {
          FROM h
          WINDOW f AS (PARTITION BY name ORDER BY i_time
                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         ORDER BY 1, 2""",
+
+    "ts_seasonal_anomaly_hour" ->
+      """WITH h AS (SELECT event_type AS name,
+                    CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS i_time,
+                    sum(value) AS v
+             FROM events GROUP BY 1,2)
+         SELECT name, i_time, i_time % 86400 AS phase,
+           round(v, 6) AS value,
+           round(avg(v) OVER f, 6) AS base_mean,
+           round(stddev_samp(v) OVER f, 6) AS base_std,
+           round(CASE WHEN count(v) OVER f = 5 AND stddev_samp(v) OVER f > 0
+                 THEN (v - avg(v) OVER f) / (stddev_samp(v) OVER f) END, 6) AS z,
+           CAST(coalesce(
+             abs(CASE WHEN count(v) OVER f = 5 AND stddev_samp(v) OVER f > 0
+                 THEN (v - avg(v) OVER f) / (stddev_samp(v) OVER f) END) >= 2.5,
+             false) AS BIGINT) AS is_anomaly
+         FROM h
+         WINDOW f AS (PARTITION BY name, i_time % 86400 ORDER BY i_time
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
          ORDER BY 1, 2""",
 
     "ts_interpolate_minute" ->

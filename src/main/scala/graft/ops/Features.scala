@@ -65,6 +65,41 @@ object Features {
       .withColumn("is_anomaly", coalesce(abs(z) >= threshold, lit(false)))
   }
 
+  /** Seasonal-baseline anomaly detection: each point z-scores against
+    * the trailing window of points at the SAME PHASE of a fixed cycle
+    * (`time mod period` — e.g. period = 86400 on epoch seconds means
+    * "compare 3 am with the last `nRows` 3 ams", period = 7·86400 on
+    * day-starts means same-weekday) instead of its immediate
+    * neighbors. The monitoring read [[zscoreAnomaly]] cannot express:
+    * a daily traffic peak is NORMAL at peak hour and anomalous at
+    * 3 am, and a plain trailing window flags every peak.
+    *
+    * Same null discipline as [[zscoreAnomaly]] (full frame + positive
+    * spread or no verdict), and the same single-window posture — the
+    * phase joins the PARTITION key, so the whole analysis is still
+    * one Exchange+Sort over (keys, phase, time). Output adds `phase`,
+    * `base_mean`, `base_std`, `z`, `is_anomaly`. */
+  def seasonalAnomaly(series: DataFrame, keys: Seq[String], time: String,
+      value: Column, period: Long, nRows: Int, threshold: Double = 3.0,
+      tieBreak: Option[String] = None): DataFrame = {
+    require(period > 0, "seasonalAnomaly needs a positive period")
+    require(nRows >= 2, "seasonalAnomaly needs a trailing frame of >= 2 rows")
+    val withPhase = series.withColumn("phase", pmod(col(time), lit(period)))
+    val order = col(time).asc +: tieBreak.map(col(_).asc).toSeq
+    val w = Window.partitionBy((keys.map(col) :+ col("phase")): _*)
+      .orderBy(order: _*)
+    val frame = w.rowsBetween(-nRows.toLong, -1)
+    val m = avg(value).over(frame)
+    val s = stddev_samp(value).over(frame)
+    val c = count(value).over(frame)
+    val z = when(c === nRows && s > 0, (value - m) / s)
+    withPhase
+      .withColumn("base_mean", m)
+      .withColumn("base_std", s)
+      .withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(z) >= threshold, lit(false)))
+  }
+
   /** Linear interpolation of null gaps in a keyed series: a null value
     * between two non-null neighbors becomes the line through them,
     * weighted by the NUMERIC `time` column (so irregular spacing

@@ -85,6 +85,28 @@ class FeaturesSpec extends AnyFunSuite {
     assert(!got.getBoolean(1))
   }
 
+  test("seasonalAnomaly: flags the off-phase spike a plain rolling window can't isolate") {
+    import spark.implicits._
+    // 10 days of hourly data with a strong daily peak at phase 12;
+    // day 8 carries an equally strong spike at phase 3 (the anomaly)
+    val rows = for (d <- 0 until 10; h <- 0 until 24) yield {
+      val base = if (h == 12) 100.0 else 10.0
+      val v = if (d == 8 && h == 3) 100.0 else base + (d % 3) * 0.5
+      (("k"), (d * 24 + h).toLong, v)
+    }
+    val df = rows.toDF("k", "t", "v")
+    val out = Features.seasonalAnomaly(df, Seq("k"), "t", col("v"),
+      period = 24L, nRows = 5, threshold = 3.0)
+    val flagged = out.filter(col("is_anomaly")).select("t", "phase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly the planted point: the daily peaks are NORMAL in their
+    // phase partition (constant-ish baseline at phase 12)
+    assert(flagged.toSeq === Seq((8L * 24 + 3, 3L)))
+    // warm-up rows (fewer than nRows same-phase predecessors) have no z
+    assert(out.filter(col("t") < 5 * 24).filter(col("z").isNotNull)
+      .count() === 0L)
+  }
+
   test("interpolateLinear: interior gaps weighted by time, edges stay null") {
     import spark.implicits._
     val rows = Seq(
