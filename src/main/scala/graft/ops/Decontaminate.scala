@@ -112,10 +112,14 @@ object Decontaminate {
   def contaminationBloomGated(train: DataFrame, test: DataFrame,
       text: Column, id: Column, n: Int, mBits: Long, k: Int,
       seed: Long = 0L): DataFrame = {
+    // the test set is the SMALL side by contract (an eval suite, not
+    // a corpus) — materialize its gram set once instead of re-scanning
+    // the test docs for the bloom fit AND the scoring join
     val testGrams = test.select(text.as("__text"))
       .select(explode(
         graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
         .as("gh"))
+      .localCheckpoint(true)
     val bloom = Bloom.fit(testGrams, col("gh"), mBits, k, seed)
     val gated = Bloom.mightContain(gramStream(train, text, n), col("gh"),
       bloom, mBits, k, seed).distinct()
