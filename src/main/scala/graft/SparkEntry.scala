@@ -684,6 +684,21 @@ object SparkEntry {
         col("y"))
     }),
 
+    // multi-class NB: predict the language directly (5-way argmax
+    // over dense token x class weights, tie broken by class name so
+    // the prediction is engine-deterministic); output is the held-out
+    // confusion matrix against the labeled lang column
+    "classify_nb_lang_confusion" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (w, m) = Classify.fitNaiveBayesMulti(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang"))
+      Classify.scoreNaiveBayesMulti(docs.filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), w, m)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
     // ROLLING FEATURES: per-user lag/delta/rolling-window stats
     // (graft.ops.Features) — stacked windows over one Exchange+Sort.
     // DuckDB-oracled against identical window SQL
@@ -2244,6 +2259,44 @@ object SparkEntry {
            round(1.0 / (1.0 + exp(-s)), 6) AS prob,
            CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          FROM sc ORDER BY doc_id""",
+
+    "classify_nb_lang_confusion" ->
+      """WITH d AS (SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM d),
+         trc AS (SELECT lang AS cls, token, CAST(count(*) AS DOUBLE) AS ctc
+                 FROM tok WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+         ct AS (SELECT cls, sum(ctc) AS nc FROM trc GROUP BY 1),
+         vocab AS (SELECT DISTINCT token FROM trc),
+         vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS ndocs FROM d
+                WHERE doc_id % 5 != 0),
+         meta AS (SELECT lang AS cls,
+             ln(CAST(count(*) AS DOUBLE) / (SELECT ndocs FROM nd)) AS prior
+           FROM d WHERE doc_id % 5 != 0 GROUP BY 1),
+         mo AS (SELECT cls, ln(0.5 / (nc + 0.5 * (SELECT v FROM vv)))
+                  AS w_oov FROM ct),
+         dense AS (SELECT v2.token, c.cls,
+             ln((coalesce(t.ctc, 0) + 0.5) /
+                (c.nc + 0.5 * (SELECT v FROM vv))) AS w
+           FROM vocab v2 CROSS JOIN ct c
+           LEFT JOIN trc t ON t.cls = c.cls AND t.token = v2.token),
+         tc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS n
+                FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tc.doc_id, mo.cls,
+             sum(tc.n * coalesce(dense.w, mo.w_oov)) AS s
+           FROM tc CROSS JOIN mo
+           LEFT JOIN dense ON dense.cls = mo.cls AND dense.token = tc.token
+           GROUP BY 1, 2),
+         fin AS (SELECT sc.doc_id, sc.cls,
+             row_number() OVER (PARTITION BY sc.doc_id
+               ORDER BY sc.s + meta.prior DESC, sc.cls) AS rk
+           FROM sc JOIN meta ON meta.cls = sc.cls),
+         pred AS (SELECT doc_id, cls AS pred FROM fin WHERE rk = 1)
+         SELECT d.lang, p.pred, count(*) AS n
+         FROM pred p JOIN d ON d.doc_id = p.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "classify_nb_eval" ->
       """WITH d AS (SELECT doc_id,

@@ -84,6 +84,67 @@ object Classify {
         (col("__s") >= 0).cast(LongType).as("pred"))
   }
 
+  /** Multi-class fit: one weight per (token, class) over a DENSE
+    * token × class grid — a token never seen in some class carries
+    * that class's all-α floor weight explicitly, so scoring is ONE
+    * complete join with no per-class null handling. Returns
+    * (tokenW: (token, cls, w), meta: (cls, prior, w_oov)); class
+    * grids stay |V|·|C| rows — classes are few by construction
+    * (languages, domains, quality tiers). */
+  def fitNaiveBayesMulti(docs: DataFrame, text: Column, label: Column,
+      alpha: Double = 0.5): (DataFrame, DataFrame) = {
+    val base = docs.filter(text.isNotNull && label.isNotNull)
+      .select(label.cast(StringType).as("cls"), text.as("__text"))
+    val toks = base.select(col("cls"),
+      explode(Dedup.tokens(col("__text"))).as("token"))
+    val counts = toks.groupBy("cls", "token").agg(
+      count(lit(1)).cast(DoubleType).as("ctc"))
+    val clsTot = counts.groupBy("cls").agg(sum("ctc").as("nc"))
+    val vocab = counts.select("token").distinct()
+    val v = vocab.agg(count(lit(1)).cast(DoubleType).as("v"))
+    val a = lit(alpha)
+    val nDocs = base.agg(count(lit(1)).cast(DoubleType).as("nd"))
+    val meta = base.groupBy("cls").agg(count(lit(1)).cast(DoubleType).as("dc"))
+      .crossJoin(broadcast(nDocs))
+      .join(clsTot, Seq("cls"))
+      .crossJoin(broadcast(v))
+      .select(col("cls"), log(col("dc") / col("nd")).as("prior"),
+        log(a / (col("nc") + a * col("v"))).as("w_oov"))
+    val dense = vocab.crossJoin(clsTot.select("cls"))
+      .join(counts, Seq("cls", "token"), "left")
+      .join(clsTot, Seq("cls")).crossJoin(broadcast(v))
+      .select(col("token"), col("cls"),
+        log((coalesce(col("ctc"), lit(0.0)) + a) /
+          (col("nc") + a * col("v"))).as("w"))
+    (dense, meta)
+  }
+
+  /** Multi-class scoring: `(id, pred, score)` — the argmax class and
+    * its rounded log-posterior, tie broken by class name so the
+    * prediction is engine-deterministic. One (doc, token) shuffle,
+    * one model join fanning each doc token to |C| rows, one
+    * per-(doc, class) aggregate, one per-doc top-1 window. Unseen
+    * tokens take each class's floor via the meta join. */
+  def scoreNaiveBayesMulti(docs: DataFrame, text: Column, id: Column,
+      tokenW: DataFrame, meta: DataFrame, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perTok = docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), explode(Dedup.tokens(text)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast(DoubleType).as("n"))
+    val scored = perTok
+      .crossJoin(broadcast(meta.select("cls", "w_oov")))
+      .join(tokenW, Seq("cls", "token"), "left")
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("n") * coalesce(col("w"), col("w_oov"))).as("__s"))
+      .join(broadcast(meta.select("cls", "prior")), Seq("cls"))
+      .withColumn("__s", col("__s") + col("prior"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("__s").desc, col("cls"))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("doc_id"), col("cls").as("pred"),
+        round(col("__s"), roundTo).as("score"))
+  }
+
   /** Binary-classification quality of scored output against the true
     * label: one row — confusion counts plus accuracy / precision /
     * recall / F1 (0.0 where undefined, rounded to 6 dp). */

@@ -53,6 +53,27 @@ class ClassifySpec extends AnyFunSuite {
     assert(stored === direct)
   }
 
+  test("multi-class fit + argmax recovers a 3-way separable label") {
+    import spark.implicits._
+    val docs = (1 to 150).map { i =>
+      val cls = Seq("fruit", "rock", "fish")(i % 3)
+      val core = cls match {
+        case "fruit" => s"apple banana cherry f$i"
+        case "rock" => s"granite slate basalt r$i"
+        case _ => s"salmon trout herring h$i"
+      }
+      (i.toLong, s"the a of $core and", cls)
+    }.toDF("doc_id", "text", "cls")
+    val train = docs.filter($"doc_id" % 4 =!= 0)
+    val test = docs.filter($"doc_id" % 4 === 0)
+    val (w, m) = Classify.fitNaiveBayesMulti(train, $"text", $"cls")
+    val scored = Classify.scoreNaiveBayesMulti(test, $"text", $"doc_id", w, m)
+      .join(test.select($"doc_id", $"cls"), Seq("doc_id"))
+    val acc = scored.filter($"pred" === $"cls").count().toDouble /
+      scored.count()
+    assert(acc >= 0.95, s"accuracy $acc")
+  }
+
   test("plan: scoring is one (doc,token) aggregation + a broadcast model join") {
     import spark.implicits._
     val docs = fixture
