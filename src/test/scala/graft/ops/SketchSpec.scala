@@ -39,6 +39,18 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted fit equals unweighted fit over multiplicity-exploded rows") {
+    import spark.implicits._
+    val weighted = Seq(("a", 5L), ("b", 2L), ("c", 1L), ("a", 3L))
+      .toDF("k", "w")
+    val exploded = Seq.fill(8)("a") ++ Seq.fill(2)("b") ++ Seq("c")
+    val wGrid = Sketch.countMinFit(weighted, col("k"), D, W, seed = 9L,
+      weight = col("w")).orderBy("r", "c").collect().toSeq
+    val eGrid = Sketch.countMinFit(exploded.toDF("k"), col("k"), D, W,
+      seed = 9L).orderBy("r", "c").collect().toSeq
+    assert(wGrid === eGrid)
+  }
+
   test("shard sketches union-merge by summing cells") {
     import spark.implicits._
     val all = stream
