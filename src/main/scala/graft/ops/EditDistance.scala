@@ -63,29 +63,34 @@ object EditDistance {
       .filter(length(col("seg")) >= 1)
 
   /** Probe role: for every target length within ±d and every segment,
-    * the substrings at the segment's position shifted by ±d. */
-  private def probesOf(base: DataFrame, d: Int): DataFrame = {
-    val probeStructs = for {
-      dl <- -d to d
-      k <- 0 to d
-      shift <- -d to d
-    } yield {
-      val tl = col("len") + lit(dl)
-      val pos = (segStart(tl, k, d) + lit(shift)).cast(IntegerType)
-      val sl = segLen(tl, k, d)
-      struct(tl.cast(IntegerType).as("tl"), lit(k).as("k"),
-        pos.as("pos"), sl.as("sl"),
-        substring(col("s"), pos, sl).as("sub"))
-    }
-    base.select(col("id").as("pid"), col("len").as("pl"),
-      explode(array(probeStructs: _*)).as("g"))
-      .select(col("pid"), col("pl"), col("g.tl"), col("g.k"),
-        col("g.pos"), col("g.sl"), col("g.sub"))
-      .filter(col("tl") >= d + 1 && col("pos") >= 1 && col("sl") >= 1 &&
-        col("pos") + col("sl") - 1 <= col("pl") &&
-        length(col("sub")) === col("sl"))
-      .select(col("pid"), col("tl"), col("k"), col("sub")).distinct()
-  }
+    * the substrings at the segment's position shifted by ±d. Built as
+    * THREE chained small explodes (lengths → segments → shifts), not
+    * one (2d+1)²·(d+1)-struct explode: the flat version repeats every
+    * floor-division subexpression per struct, blows Janino's 64 KB
+    * method limit, and silently drops the whole stage out of codegen
+    * (Spark falls back to interpreted with an ERROR per plan). Staged,
+    * each boundary is computed once per intermediate row and every
+    * Generate stays codegen-sized. */
+  private def probesOf(base: DataFrame, d: Int): DataFrame =
+    base
+      .select(col("id").as("pid"), col("s"), col("len").as("pl"),
+        explode(array((-d to d).map(dl =>
+          (col("len") + lit(dl)).cast(IntegerType)): _*)).as("tl"))
+      .filter(col("tl") >= d + 1)
+      .select(col("pid"), col("s"), col("pl"), col("tl"),
+        explode(array((0 to d).map(k => struct(lit(k).as("k"),
+          segStart(col("tl"), k, d).as("start"),
+          segLen(col("tl"), k, d).as("sl"))): _*)).as("g"))
+      .select(col("pid"), col("s"), col("pl"), col("tl"),
+        col("g.k").as("k"), col("g.sl").as("sl"),
+        explode(array((-d to d).map(sh =>
+          (col("g.start") + lit(sh)).cast(IntegerType)): _*)).as("pos"))
+      .filter(col("pos") >= 1 && col("sl") >= 1 &&
+        col("pos") + col("sl") - 1 <= col("pl"))
+      .select(col("pid"), col("tl"), col("k"),
+        substring(col("s"), col("pos"), col("sl")).as("sub"))
+      .filter(length(col("sub")) === col("sl"))
+      .distinct()
 
   /** Threshold-verify candidate id pairs against their strings:
     * keeps `(id_a, id_b, dist)` with `dist ≤ d`, ids ordered. */
