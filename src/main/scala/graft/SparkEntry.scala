@@ -1766,7 +1766,8 @@ object SparkEntry {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parityQueries ++ relationalQueries ++ pipelineQueries
+    parityQueries ++ relationalQueries ++ pipelineQueries ++
+      graft.streaming.StreamQueries.queries
 
   // =====================================================================
   // DuckDB oracles (column names/types must match the Spark side)
@@ -3751,5 +3752,5 @@ object SparkEntry {
              ORDER BY score DESC, vec_id) AS rn FROM scored)
          SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
          ORDER BY query_id, score DESC, vec_id""",
-  )
+  ) ++ graft.streaming.StreamQueries.oracleSql
 }
