@@ -1451,6 +1451,51 @@ object SparkEntry {
         col("media"), maxHamming = 3, materialize = eagerPairs)
     }),
 
+    // multimodal REAL decode (r6 verdict item 5): payloads are real
+    // BMP/PPM/PGM containers built in closed form over doc_id
+    // (Multimodal.syntheticContainer), parsed back by the pure-JVM
+    // byte decoders (graft.ops.Codecs — magic detect, LE/BE header
+    // parse, netpbm tokenizer); every 5th doc is raw text exercising
+    // the stub fallback with decoded=0. The oracle recomputes format,
+    // byte length (incl. BMP 4-byte row padding and the exact netpbm
+    // header string), and dimensions without ever seeing the bytes —
+    // a round-trip proof the decoder reads actual header fields
+    "mm_decode_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticContainer(id, txt))
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), lit("image").as("media_type"),
+          mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeMetaAuto(media)
+        .select(col("doc_id"), col("format"), col("byte_len"), col("width"),
+          col("height"), col("channels"), col("n_frames"),
+          col("decoded").cast(IntegerType).as("decoded"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal REAL pixel decode: luma-plane sums of the decodable
+    // containers — the oracle recomputes BT.601 integer luma of the
+    // closed-form pixel pattern per (x, y) and sums it, so a stride,
+    // padding, bottom-up, or channel-order mistake in the BMP/PPM/PGM
+    // pixel walk shifts the sum and fails the hash. This is the
+    // end-to-end pixel path the phash kernel consumes via
+    // decodeGrayStage
+    "mm_gray_stats" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticContainer(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var s = 0L; var i = 0
+        while (i < b.length) { s += (b(i) & 0xff); i += 1 }; s
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: frame sampling plan for video rows
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -3551,6 +3596,47 @@ object SparkEntry {
          SELECT doc_id, CAST(1 + n % 300 AS INT) AS n_frames,
            unnest(generate_series(0, n % 300, 10)) AS frame_idx
          FROM m ORDER BY 1, 3""",
+
+    "mm_decode_real" ->
+      """WITH m AS (SELECT doc_id, doc_id % 5 AS k,
+           1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h,
+           octet_length(CAST(text AS BLOB)) AS n FROM documents)
+         SELECT doc_id,
+           CASE WHEN k = 0 THEN 'unknown' WHEN k <= 2 THEN 'bmp'
+                WHEN k = 3 THEN 'ppm' ELSE 'pgm' END AS format,
+           CAST(CASE WHEN k = 0 THEN n
+                WHEN k <= 2 THEN 54 + h * ((3 * w + 3) // 4 * 4)
+                WHEN k = 3 THEN octet_length(CAST('P6' || chr(10)
+                  || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                  || chr(10) || '255' || chr(10) AS BLOB)) + 3 * w * h
+                ELSE octet_length(CAST('P5' || chr(10)
+                  || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                  || chr(10) || '255' || chr(10) AS BLOB)) + w * h END AS BIGINT) AS byte_len,
+           CAST(CASE WHEN k = 0 THEN 256 + n % 256 ELSE w END AS INT) AS width,
+           CAST(CASE WHEN k = 0 THEN 256 + (n * 31) % 256 ELSE h END AS INT) AS height,
+           CAST(CASE WHEN k = 4 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(1 AS INT) AS n_frames,
+           CAST(CASE WHEN k = 0 THEN 0 ELSE 1 END AS INT) AS decoded
+         FROM m ORDER BY doc_id""",
+
+    "mm_gray_stats" ->
+      """WITH m AS (SELECT doc_id, doc_id % 5 AS k,
+           1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h
+           FROM documents WHERE doc_id % 5 <> 0),
+         gx AS (SELECT doc_id, k, w, h,
+           unnest(generate_series(0, w - 1)) AS x FROM m),
+         gxy AS (SELECT doc_id, k, w, h, x,
+           unnest(generate_series(0, h - 1)) AS y FROM gx),
+         lum AS (SELECT doc_id, w, h,
+           CASE WHEN k = 4 THEN (x * 31 + y * 17 + doc_id) % 256
+                ELSE (299 * ((x * 31 + y * 17 + doc_id) % 256)
+                    + 587 * (((x * 31 + y * 17 + doc_id) % 256 + 85) % 256)
+                    + 114 * (((x * 31 + y * 17 + doc_id) % 256 + 170) % 256))
+                    // 1000
+           END AS l FROM gxy)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(l) AS BIGINT) AS sum_luma
+         FROM lum GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "dsir_logweights" ->
       s"""WITH $dsirWeightsCte

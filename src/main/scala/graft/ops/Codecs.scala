@@ -1,0 +1,200 @@
+package graft.ops
+
+/** Pure-JVM media codecs (r6 verdict item 5): real byte-level parsers
+  * for the uncompressed raster formats a codec-less container can
+  * still decode honestly — BMP (24bpp BI_RGB), binary PPM/PGM (P6/P5),
+  * and PNG header metadata (IHDR only; pixel data is DEFLATE and out
+  * of scope here). Everything is deterministic byte math: no native
+  * libraries, no JNI, no ImageIO.
+  *
+  * [[Multimodal.decodeMetaAuto]] tries these first and falls back to
+  * the stub for undecodable payloads, surfacing which path ran in a
+  * `decoded` flag; [[decodeGray]] produces REAL luma pixels for the
+  * phash kernel, making one media family end-to-end genuine.
+  */
+object Codecs {
+
+  /** Decoded header metadata: (format, width, height, channels). */
+  final case class MediaHeader(format: String, width: Int, height: Int,
+    channels: Int)
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def i32be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  // ---------------------------------------------------------------- BMP
+
+  /** BMP row stride: 24bpp rows pad to 4-byte boundaries. */
+  def bmpStride(w: Int): Int = (3 * w + 3) / 4 * 4
+
+  /** Build a real 24bpp bottom-up BI_RGB BMP. `pix(x, y)` returns
+    * (r, g, b) for the TOP-LEFT-origin pixel grid. */
+  def encodeBmp(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = bmpStride(w)
+    val size = 54 + h * stride
+    val b = new Array[Byte](size)
+    def putLe(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; putLe(2, size); putLe(10, 54)
+    putLe(14, 40); putLe(18, w); putLe(22, h)
+    b(26) = 1; b(28) = 24
+    putLe(34, h * stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = pix(x, y)
+        val o = rowOff + 3 * x
+        b(o) = bl.toByte; b(o + 1) = g.toByte; b(o + 2) = r.toByte // BGR
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Build a real binary PPM (P6) with header `P6\nW H\n255\n`. */
+  def encodePpm(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val b = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = pix(x, y)
+        val o = header.length + 3 * (y * w + x)
+        b(o) = r.toByte; b(o + 1) = g.toByte; b(o + 2) = bl.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Build a real binary PGM (P5) with header `P5\nW H\n255\n`. */
+  def encodePgm(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val b = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        b(header.length + y * w + x) = pix(x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Parse a netpbm header: magic, then whitespace/comment-separated
+    * width, height, maxval; returns (w, h, pixel data offset). */
+  private def pnmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var i = 2
+    val vals = new Array[Int](3)
+    var nv = 0
+    while (nv < 3 && i < b.length) {
+      val c = b(i) & 0xff
+      if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+      else if (Character.isWhitespace(c)) i += 1
+      else if (c >= '0' && c <= '9') {
+        var v = 0
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0'); i += 1
+        }
+        vals(nv) = v; nv += 1
+      } else return None
+    }
+    // exactly one whitespace byte separates maxval from pixel data
+    if (nv == 3 && i < b.length && Character.isWhitespace(b(i) & 0xff))
+      Some((vals(0), vals(1), i + 1))
+    else None
+  }
+
+  /** Parse real header metadata from payload bytes, format detected by
+    * magic. BMP height may be negative (top-down) — reported absolute. */
+  def decodeHeader(b: Array[Byte]): Option[MediaHeader] = {
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      val w = i32le(b, 18); val h = math.abs(i32le(b, 22))
+      val bpp = u16le(b, 28)
+      if (w > 0 && h > 0 && bpp % 8 == 0 && bpp > 0)
+        Some(MediaHeader("bmp", w, h, bpp / 8))
+      else None
+    } else if (b.length > 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
+      val ch = if (b(1) == '6') 3 else 1
+      pnmHeader(b).map { case (w, h, _) =>
+        MediaHeader(if (ch == 3) "ppm" else "pgm", w, h, ch)
+      }
+    } else if (b.length >= 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && b(12) == 'I' && b(13) == 'H' &&
+        b(14) == 'D' && b(15) == 'R') {
+      val colorType = b(25) & 0xff
+      val ch = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      Some(MediaHeader("png", i32be(b, 16), i32be(b, 20), ch))
+    } else None
+  }
+
+  /** Full pixel decode to TOP-LEFT-origin luma (BT.601 integer:
+    * (299r + 587g + 114b) / 1000) — BMP 24bpp and binary P6/P5 only
+    * (PNG pixels are DEFLATE-compressed; header-only there). */
+  def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeHeader(b).flatMap {
+      case MediaHeader("bmp", w, h, 3) =>
+        val stride = bmpStride(w)
+        val off = i32le(b, 10)
+        if (b.length < off + h.toLong * stride) None
+        else {
+          val topDown = i32le(b, 22) < 0
+          val g = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            val srcRow = off + (if (topDown) y else h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              val o = srcRow + 3 * x
+              val lum = (299 * (b(o + 2) & 0xff) + 587 * (b(o + 1) & 0xff) +
+                114 * (b(o) & 0xff)) / 1000
+              g(y * w + x) = lum.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, g))
+        }
+      case MediaHeader("ppm", w, h, 3) =>
+        pnmHeader(b).flatMap { case (_, _, off) =>
+          if (b.length < off + 3L * w * h) None
+          else {
+            val g = new Array[Byte](w * h)
+            var i = 0
+            while (i < w * h) {
+              val o = off + 3 * i
+              val lum = (299 * (b(o) & 0xff) + 587 * (b(o + 1) & 0xff) +
+                114 * (b(o + 2) & 0xff)) / 1000
+              g(i) = lum.toByte
+              i += 1
+            }
+            Some((w, h, g))
+          }
+        }
+      case MediaHeader("pgm", w, h, 1) =>
+        pnmHeader(b).flatMap { case (_, _, off) =>
+          if (b.length < off + w.toLong * h) None
+          else Some((w, h, java.util.Arrays.copyOfRange(b, off, off + w * h)))
+        }
+      case _ => None
+    }
+}

@@ -73,6 +73,73 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[decodeMetaAuto]]'s schema: real-decode columns plus the
+    * `decoded` honesty flag and the detected container format. */
+  val mediaMetaAutoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("format", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("decoded", BooleanType)))
+
+  /** REAL decode stage with stub fallback: payloads whose magic bytes
+    * parse as BMP / binary PPM/PGM / PNG get their ACTUAL header
+    * dimensions ([[Codecs.decodeHeader]] — pure-JVM byte parsing, no
+    * codec libraries) and `decoded = true`; anything else falls back
+    * to [[StubCodec]] with `decoded = false`, so downstream stages can
+    * tell honest metadata from fabricated. Same iterator/batching
+    * shape as [[decodeMeta]]; raster formats are single-frame. */
+  def decodeMetaAuto(media: DataFrame): DataFrame = {
+    val pruned = media.select("doc_id", "media_type", "media")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaMetaAutoSchema)
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val mt = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        Codecs.decodeHeader(bytes) match {
+          case Some(h) =>
+            Row(id, mt, h.format, bytes.length.toLong, h.width, h.height,
+              h.channels, 1, true)
+          case None =>
+            val (w, hh, c, f) = StubCodec.decode(mt, bytes)
+            Row(id, mt, "unknown", bytes.length.toLong, w, hh, c, f, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Pixel decode stage: (doc_id, width, height, gray, decoded) with
+    * `gray` = REAL top-left-origin luma bytes for decodable payloads
+    * ([[Codecs.decodeGray]]), or the raw payload (decoded = false)
+    * otherwise — so [[phash64]] over `gray` is the classic block-mean
+    * image hash on real pixels when the format allows, and degrades to
+    * the byte fingerprint where it doesn't. Media bytes still never
+    * ride a shuffle: this stage runs before any exchange and emits
+    * w×h-byte luma planes. */
+  def decodeGrayStage(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("gray", BinaryType),
+      StructField("decoded", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Codecs.decodeGray(bytes) match {
+          case Some((w, h, g)) => Row(id, w, h, g, true)
+          case None            => Row(id, 0, 0, bytes, false)
+        }
+      }
+    }(enc)
+  }
+
   /** Feature stage on decoded metadata: pure column math (aspect
     * ratio, pixel count, duration-ish) — stays in codegen. */
   def mediaFeatures(meta: DataFrame): DataFrame =
@@ -147,6 +214,26 @@ object Multimodal {
     Dedup.hammingAgainstIndex(spark, indexPath,
       media.select(id.as("doc_id"), phash64(payload).as("fp")),
       maxHamming, chunks, bucketCap, materialize)
+
+  /** Deterministic REAL-container fixture for the decode oracles:
+    * docs cycle through raw-text (undecodable, exercises the stub
+    * fallback), real BMP ×2, real PPM, real PGM, with dimensions and
+    * pixel values in closed form over doc_id — so a DuckDB oracle can
+    * recompute byte lengths, header dimensions, AND pixel sums that
+    * the pure-JVM decoders must reproduce from actual bytes. */
+  def syntheticContainer(id: Long, text: String): Array[Byte] = {
+    val w = (1 + id % 37).toInt; val h = (1 + id % 23).toInt
+    def pix(x: Int, y: Int): (Int, Int, Int) = {
+      val v = ((x * 31 + y * 17 + id) % 256).toInt
+      (v, (v + 85) % 256, (v + 170) % 256)
+    }
+    id % 5 match {
+      case 0     => text.getBytes("UTF-8")
+      case 1 | 2 => Codecs.encodeBmp(w, h, pix)
+      case 3     => Codecs.encodePpm(w, h, pix)
+      case _     => Codecs.encodePgm(w, h, (x, y) => pix(x, y)._1)
+    }
+  }
 
   /** Frame-sampling plan: every `stride`-th frame index per video —
     * an explode, not a decode; the decode of selected frames would be

@@ -142,6 +142,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(found.contains((1000L, 5000L)))
   }
 
+  // ------------------------------------------------------- real codecs
+
+  private def pix(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 7 + y * 3) % 256, (x + y * 11) % 256, (x * 5 + y) % 256)
+
+  test("BMP/PPM/PGM encode→decodeHeader round-trips real dimensions") {
+    for ((bytes, fmt, w, h, ch) <- Seq(
+        (Codecs.encodeBmp(17, 9, pix), "bmp", 17, 9, 3),
+        (Codecs.encodePpm(5, 21, pix), "ppm", 5, 21, 3),
+        (Codecs.encodePgm(33, 2, (x, y) => pix(x, y)._1), "pgm", 33, 2, 1))) {
+      val m = Codecs.decodeHeader(bytes).get
+      assert((m.format, m.width, m.height, m.channels) === ((fmt, w, h, ch)))
+    }
+    // undecodable payloads must not parse
+    assert(Codecs.decodeHeader("just some text".getBytes).isEmpty)
+  }
+
+  test("PNG IHDR header parse reads big-endian dims and color type") {
+    // hand-built signature + IHDR chunk (CRC irrelevant to the parse)
+    val b = new Array[Byte](33)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    System.arraycopy(sig, 0, b, 0, 8)
+    b(11) = 13 // IHDR length
+    b(12) = 'I'; b(13) = 'H'; b(14) = 'D'; b(15) = 'R'
+    b(16) = 0; b(17) = 0; b(18) = 0x01; b(19) = 0x40 // w = 320
+    b(20) = 0; b(21) = 0; b(22) = 0; b(23) = 0xb4.toByte // h = 180
+    b(24) = 8; b(25) = 6 // bit depth 8, RGBA
+    val m = Codecs.decodeHeader(b).get
+    assert((m.format, m.width, m.height, m.channels) === (("png", 320, 180, 4)))
+  }
+
+  test("decodeGray reproduces BT.601 luma of every pixel, all formats") {
+    def luma(rgb: (Int, Int, Int)): Int =
+      (299 * rgb._1 + 587 * rgb._2 + 114 * rgb._3) / 1000
+    val w = 19; val h = 7
+    for (bytes <- Seq(Codecs.encodeBmp(w, h, pix), Codecs.encodePpm(w, h, pix))) {
+      val (dw, dh, g) = Codecs.decodeGray(bytes).get
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((g(y * w + x) & 0xff) === luma(pix(x, y)),
+          s"pixel ($x,$y) — bottom-up/stride/channel-order walk broken")
+    }
+    val (dw, dh, g) = Codecs.decodeGray(
+      Codecs.encodePgm(w, h, (x, y) => pix(x, y)._1)).get
+    assert((dw, dh) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((g(y * w + x) & 0xff) === pix(x, y)._1)
+  }
+
+  test("decodeGrayStage feeds real pixels to phash; stub path flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Codecs.encodeBmp(32, 16, pix)),
+      (2L, Codecs.encodePpm(32, 16, pix)),
+      (3L, "not an image at all".getBytes)).toDF("doc_id", "media")
+    val out = Multimodal.decodeGrayStage(rows)
+      .select(col("doc_id"), col("width"), col("decoded"),
+        Multimodal.phash64(col("gray")).as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(out(1L)._1 === 32 && out(1L)._2 && out(2L)._2 && !out(3L)._2)
+    // same image content through two containers → same decoded pixels
+    // → identical phash; the undecodable payload hashes its raw bytes
+    assert(out(1L)._3 === out(2L)._3,
+      "BMP and PPM of the same pixel grid must phash identically")
+    assert(out(3L)._3 !== out(1L)._3)
+  }
+
   test("phashPairs bucket cap drops clone floods, keeps base pairs") {
     import spark.implicits._
     val clone = new Array[Byte](256) // all zeros -> identical fp
