@@ -120,4 +120,50 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
     assert(Bpe.train(docs, col("text"), numMerges = 5).isEmpty)
   }
+
+  test("trainBatched with maxBatch=1 IS strict BPE (corpus equality)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val strict = Bpe.train(docs, col("text"), numMerges = 6)
+      .map(m => (m.rank, m.a, m.b, m.freq))
+    val batched = Bpe.trainBatched(docs, col("text"), numMerges = 6,
+        maxBatch = 1)
+      .map(m => (m.rank, m.a, m.b, m.freq))
+    assert(batched === strict)
+  }
+
+  test("one batched round applies symbol-disjoint merges like sequential") {
+    // four independent top pairs with distinct freqs; no shared
+    // symbols, no concatenation collisions → one round must accept
+    // all four with the same ranks and freqs strict BPE assigns
+    val docs = Seq((1L,
+      "ab ab ab ab ab cd cd cd cd ef ef ef gh gh")).toDF("doc_id", "text")
+    val strict = Bpe.train(docs, col("text"), numMerges = 4)
+      .map(m => (m.rank, m.a, m.b, m.freq))
+    val batched = Bpe.trainBatched(docs, col("text"), numMerges = 4,
+        maxBatch = 8)
+      .map(m => (m.rank, m.a, m.b, m.freq))
+    assert(batched === strict)
+    assert(strict === Seq((1, "a", "b", 5L), (2, "c", "d", 4L),
+      (3, "e", "f", 3L), (4, "g", "h", 2L)))
+  }
+
+  test("batched round defers dependent pairs to the next round") {
+    // (a,b) dominates; ("ab","c") only exists after it — a batch must
+    // not accept (b,c) or chain within the round, and the final merge
+    // list still reaches ("ab","c") one round later
+    val docs = Seq((1L, "abc abc abc ab")).toDF("doc_id", "text")
+    val batched = Bpe.trainBatched(docs, col("text"), numMerges = 2,
+        maxBatch = 8)
+    assert(batched.map(x => (x.a, x.b, x.freq)) ===
+      Seq(("a", "b", 4L), ("ab", "c", 3L)))
+  }
+
+  test("mergeBatch on one pair equals mergeOnce") {
+    val df = Seq((Seq("a", "b", "c", "a", "b"), 1L)).toDF("syms", "wcount")
+    val one = df.select(Bpe.mergeOnce(col("syms"), "a", "b").as("s"))
+      .as[Seq[String]].head()
+    val batch = df.select(Bpe.mergeBatch(col("syms"), Seq(("a", "b"))).as("s"))
+      .as[Seq[String]].head()
+    assert(one === batch && batch === Seq("ab", "c", "ab"))
+  }
 }
