@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.{SparkEntry, Timeseries}
 import graft.model._
-import graft.ops.{Dedup, Sketch}
+import graft.ops.{Classify, Dedup, Sketch}
 import graft.time._
 
 /** Driver-oracled streaming queries (r6 verdict item 4): each one
@@ -236,6 +236,64 @@ object StreamQueries {
           width = 2048L, seed = 2L)
         .orderBy(col("n_true").desc, col("token"))
     }),
+
+    // Watermarked streaming exact dedup (dropDuplicatesWithinWatermark
+    // state): originals arrive in batch 1, verbatim copies of every
+    // 7th doc in batch 2 — every copy must hit retained hash state and
+    // be dropped, so each surviving content hash appears exactly once
+    "stream_dedup_exact" -> ((s, dir) => {
+      implicit val sq = s.sqlContext
+      import s.implicits._
+      val originals = SparkEntry.table(s, dir, "documents")
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id").cast(LongType), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val copies = originals.filter(_._1 % 7 == 0)
+        .map { case (id, t) => (id + 100000L, t) }
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().select(col("_1").as("doc_id"),
+        col("_2").as("text"),
+        timestamp_seconds(lit(SparkEntry.START)).as("ts"))
+      val dd = StreamingIngest.dedupStream(docs, col("ts"), col("text"),
+        horizonSec = 86400L)
+      val qn = s"graft_stream_q${qid.incrementAndGet()}"
+      val q = dd.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      mem.addData(originals.toSeq: _*); q.processAllAvailable()
+      mem.addData(copies.toSeq: _*); q.processAllAvailable()
+      q.stop()
+      s.table(qn).groupBy("content_hash")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("content_hash")
+    }),
+
+    // Streaming model-based quality scoring: NB model fit ONCE batch-
+    // side and persisted; the held-out docs stream through
+    // scoreStreamAgainstNbModel (foreachBatch scoreIndexed + doc_id
+    // anti-join append) — the stored-model path oracled against the
+    // same closed-form training math as batch classify_nb_score
+    "stream_nb_score" -> ((s, dir) => {
+      implicit val sq = s.sqlContext
+      import s.implicits._
+      val docs = SparkEntry.table(s, dir, "documents")
+      val (w, m) = Classify.fitNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"),
+        col("lang") === "en", alpha = 0.5)
+      val mp = tmp("graft_stream_nbm")
+      Classify.saveModel(w, m, mp)
+      val held = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").cast(LongType), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String)]
+      val sdf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      // subpath of the fresh temp dir: must NOT pre-exist, so the
+      // appender's readIfExists takes its empty-store branch
+      val out = tmp("graft_stream_nbo") + "/out"
+      val q = StreamingIngest.scoreStreamAgainstNbModel(sdf, mp, out,
+        tmp("graft_stream_nbo_ck"), col("text"), col("doc_id"))
+      runChunks(mem, q, held.toSeq, 2); q.stop()
+      s.read.parquet(out).orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,5 +358,43 @@ object StreamQueries {
            (CAST(concat('0x', substr(md5(t.token || '#2:'
               || CAST(u.r AS VARCHAR)), 1, 15)) AS BIGINT)) % 2048
          GROUP BY 1, 2 ORDER BY n_true DESC, token""",
+
+    "stream_dedup_exact" ->
+      """SELECT DISTINCT md5(text) AS content_hash,
+           CAST(1 AS BIGINT) AS n_rows
+         FROM documents WHERE doc_id < 400 ORDER BY 1""",
+
+    // identical math to the batch classify_nb_score oracle: the
+    // streamed stored-model path must reproduce the closed-form fit
+    "stream_nb_score" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, y, unnest(toks) AS token FROM d),
+         trc AS (SELECT token, sum(y) AS c1, sum(1.0 - y) AS c0
+                 FROM tok WHERE doc_id % 5 != 0 GROUP BY 1),
+         tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0,
+                        CAST(count(*) AS DOUBLE) AS v FROM trc),
+         pri AS (SELECT sum(y) AS d1, sum(1.0 - y) AS d0 FROM d
+                 WHERE doc_id % 5 != 0),
+         w AS (SELECT token,
+                 ln((c1 + 0.5) / (n1 + 0.5 * v)) -
+                 ln((c0 + 0.5) / (n0 + 0.5 * v)) AS w FROM trc, tot),
+         meta AS (SELECT ln(d1) - ln(d0) AS intercept,
+                    ln(0.5 / (n1 + 0.5 * v)) - ln(0.5 / (n0 + 0.5 * v))
+                      AS w_oov FROM tot, pri),
+         tc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS n
+                FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tc.doc_id, sum(tc.n) AS nt,
+                  max(meta.intercept) +
+                    sum(tc.n * coalesce(w.w, meta.w_oov)) AS s
+                FROM tc LEFT JOIN w ON tc.token = w.token
+                CROSS JOIN meta GROUP BY tc.doc_id)
+         SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           round(s, 6) AS score,
+           round(1.0 / (1.0 + exp(-s)), 6) AS prob,
+           CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         FROM sc ORDER BY doc_id""",
   )
 }
