@@ -18,6 +18,17 @@ object Bench {
       // vs cold 2.8s purely from cleanup landing mid-measurement)
       .config("spark.cleaner.referenceTracking.blocking", "true")
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      // the app-status stores keep LIVE references to every past
+      // execution's job/stage/task metadata (default: 1000 SQL
+      // executions) — ~450 runs in, that's unreclaimable heap the
+      // per-query GC cannot touch, and late queries pay for it in GC
+      // pressure (r7: span_scrub_clean warm 2.7s isolated vs 10.9s at
+      // position ~135). Keep only a handful.
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "20")
+      .config("spark.ui.retainedStages", "20")
+      .config("spark.ui.retainedTasks", "200")
+      .config("spark.worker.ui.retainedExecutors", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala

@@ -67,6 +67,18 @@ object StreamQueries {
     }
   }
 
+  /** Collect the (bounded) memory-sink table into a fresh local
+    * DataFrame and DROP the sink view — repeated invocations (bench
+    * runs each query 3×) must not accumulate live driver-held result
+    * tables that the per-query GC can never reclaim. */
+  private def drain(s: SparkSession, qn: String): DataFrame = {
+    val t = s.table(qn)
+    val rows = java.util.Arrays.asList(t.collect(): _*)
+    val schema = t.schema
+    s.catalog.dropTempView(qn)
+    s.createDataFrame(rows, schema)
+  }
+
   /** Streamed (name, ts, value, seq) frame off the shared event tuple
     * shape. */
   private def eventFrame(mem: MemoryStream[(Long, String, Long, Double, Long)]): DataFrame =
@@ -98,7 +110,7 @@ object StreamQueries {
       val q = agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete").start()
       runChunks(mem, q, rows.toSeq, 3); q.stop()
-      s.table(qn)
+      drain(s, qn)
         .select(col("name"),
           TimeColumns.fromBucket(col("i_time"), TimeStep(60L)).as("i_time"),
           round(col("value"), 6).as("value"))
@@ -119,7 +131,7 @@ object StreamQueries {
       val q = agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete").start()
       runChunks(mem, q, rows.toSeq, 3); q.stop()
-      s.table(qn)
+      drain(s, qn)
         .select(col("name"),
           TimeColumns.fromBucket(col("i_time"), TimeStep(3600L)).as("i_time"),
           size(col("value")).cast(LongType).as("value"))
@@ -140,7 +152,7 @@ object StreamQueries {
       val q = agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete").start()
       runChunks(mem, q, rows.toSeq, 3); q.stop()
-      s.table(qn)
+      drain(s, qn)
         .select(col("name"),
           TimeColumns.fromBucket(col("i_time"), TimeStep(3600L)).as("i_time"),
           explode(col("value")).as(Seq("v", "cnt")))
@@ -199,7 +211,7 @@ object StreamQueries {
       // real session's end+gap; its own still-open session never emits
       mem.addData((-1L, "", maxSec + horizon + 1800 + 100000, 0.0, -1L))
       q.processAllAvailable(); q.stop()
-      s.table(qn).filter(col("user_id") >= 0)
+      drain(s, qn).filter(col("user_id") >= 0)
         .select(col("user_id"),
           unix_timestamp(col("session_start")).as("start_sec"),
           unix_timestamp(col("session_end")).as("end_sec"),
@@ -262,7 +274,7 @@ object StreamQueries {
       mem.addData(originals.toSeq: _*); q.processAllAvailable()
       mem.addData(copies.toSeq: _*); q.processAllAvailable()
       q.stop()
-      s.table(qn).groupBy("content_hash")
+      drain(s, qn).groupBy("content_hash")
         .agg(count(lit(1)).as("n_rows"))
         .orderBy("content_hash")
     }),
