@@ -147,9 +147,135 @@ object Codecs {
     } else None
   }
 
+  /** Build a real non-interlaced 8-bit truecolor PNG: signature,
+    * IHDR, one IDAT (java.util.zip.Deflater), IEND — correct CRC32s
+    * and row filter byte 0. A fixture generator whose output any
+    * standards-compliant reader accepts. */
+  def encodePng(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val off = y * (1 + 3 * w)
+      raw(off) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pix(x, y)
+        raw(off + 1 + 3 * x) = r.toByte
+        raw(off + 2 + 3 * x) = g.toByte
+        raw(off + 3 + 3 * x) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    wrapPng(w, h, colorType = 2, raw)
+  }
+
+  /** Deflate filtered scanlines and wrap them as a complete PNG
+    * (signature + IHDR + IDAT + IEND, correct CRC32s). Exposed to the
+    * spec so filter-reversal can be tested on hand-filtered rows. */
+  private[ops] def wrapPng(w: Int, h: Int, colorType: Int,
+      scanlines: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(scanlines); deflater.finish()
+    val buf = new Array[Byte](scanlines.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    val ihdr = new Array[Byte](13)
+    def be(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v >> 24).toByte; a(o + 1) = (v >> 16).toByte
+      a(o + 2) = (v >> 8).toByte; a(o + 3) = v.toByte
+    }
+    be(ihdr, 0, w); be(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      be(out, 0, data.length)
+      val t = tag.getBytes("US-ASCII")
+      System.arraycopy(t, 0, out, 4, 4)
+      System.arraycopy(data, 0, out, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      be(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Inflate-and-unfilter a non-interlaced 8-bit PNG's scanlines:
+    * IDAT chunks concatenated → Inflater → per-row reversal of the
+    * five standard filters (None/Sub/Up/Average/Paeth). Returns the
+    * raw per-pixel channel bytes, top-left origin, `ch` channels.
+    * None for palette, sub-8-bit, 16-bit, or interlaced images. */
+  private def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val w = i32be(b, 16); val h = i32be(b, 20)
+    val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // palette needs PLTE expansion
+    }
+    if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    // concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var o = 8
+    var ok = true
+    while (ok && o + 8 <= b.length) {
+      val len = i32be(b, o)
+      val tag = new String(b, o + 4, 4, "US-ASCII")
+      if (len < 0 || o + 12 + len > b.length) ok = false
+      else {
+        if (tag == "IDAT") idat.write(b, o + 8, len)
+        if (tag == "IEND") ok = false
+        o += 12 + len
+      }
+    }
+    val stride = ch * w
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val got = try inf.inflate(raw) finally inf.end()
+    if (got < raw.length) return None
+    // in-place filter reversal, rows top to bottom
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + stride)) & 0xff
+      val row = y * (1 + stride) + 1
+      var i = 0
+      while (i < stride) {
+        val x = raw(row + i) & 0xff
+        val a = if (i >= ch) out(y * stride + i - ch) & 0xff else 0 // left
+        val u = if (y > 0) out((y - 1) * stride + i) & 0xff else 0 // up
+        val ul = if (y > 0 && i >= ch) out((y - 1) * stride + i - ch) & 0xff
+          else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + u
+          case 3 => x + (a + u) / 2
+          case 4 =>
+            val p = a + u - ul
+            val pa = math.abs(p - a); val pb = math.abs(p - u)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else ul)
+          case _ => return None
+        }
+        out(y * stride + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, ch, out))
+  }
+
   /** Full pixel decode to TOP-LEFT-origin luma (BT.601 integer:
-    * (299r + 587g + 114b) / 1000) — BMP 24bpp and binary P6/P5 only
-    * (PNG pixels are DEFLATE-compressed; header-only there). */
+    * (299r + 587g + 114b) / 1000) — BMP 24bpp, binary P6/P5, and
+    * non-interlaced 8-bit PNG (gray / truecolor / +alpha, alpha
+    * ignored; DEFLATE via java.util.zip.Inflater, all five row
+    * filters reversed). */
   def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeHeader(b).flatMap {
       case MediaHeader("bmp", w, h, 3) =>
@@ -194,6 +320,22 @@ object Codecs {
         pnmHeader(b).flatMap { case (_, _, off) =>
           if (b.length < off + w.toLong * h) None
           else Some((w, h, java.util.Arrays.copyOfRange(b, off, off + w * h)))
+        }
+      case MediaHeader("png", _, _, _) =>
+        pngPixels(b).map { case (w, h, ch, px) =>
+          val g = new Array[Byte](w * h)
+          var i = 0
+          while (i < w * h) {
+            val o = ch * i
+            val lum = ch match {
+              case 1 | 2 => px(o) & 0xff // gray (+alpha ignored)
+              case _ => (299 * (px(o) & 0xff) + 587 * (px(o + 1) & 0xff) +
+                114 * (px(o + 2) & 0xff)) / 1000
+            }
+            g(i) = lum.toByte
+            i += 1
+          }
+          (w, h, g)
         }
       case _ => None
     }

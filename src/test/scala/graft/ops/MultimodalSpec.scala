@@ -191,6 +191,58 @@ class MultimodalSpec extends AnyFunSuite {
       assert((g(y * w + x) & 0xff) === pix(x, y)._1)
   }
 
+  test("PNG encode→decodeGray equals the BMP twin through DEFLATE") {
+    val w = 19; val h = 7
+    val png = Codecs.encodePng(w, h, pix)
+    val m = Codecs.decodeHeader(png).get
+    assert((m.format, m.width, m.height, m.channels) === (("png", w, h, 3)))
+    val (pw, ph, pg) = Codecs.decodeGray(png).get
+    val (_, _, bg) = Codecs.decodeGray(Codecs.encodeBmp(w, h, pix)).get
+    assert((pw, ph) === ((w, h)))
+    assert(pg.toSeq === bg.toSeq,
+      "same pixel grid through PNG (inflate) and BMP must decode identically")
+  }
+
+  test("PNG filter reversal: Sub/Up/Average/Paeth rows round-trip") {
+    val w = 5; val h = 4; val ch = 3
+    val stride = ch * w
+    def raw(x: Int, y: Int, c: Int): Int = {
+      val (r, g, b) = pix(x, y); Seq(r, g, b)(c)
+    }
+    // forward-apply filter y+1 (Sub/Up/Average/Paeth) to row y, per
+    // the PNG spec's predictors over the RECONSTRUCTED bytes
+    val lines = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = y + 1
+      lines(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val x = raw(i / ch, y, i % ch)
+        val a = if (i >= ch) raw((i - ch) / ch, y, i % ch) else 0
+        val u = if (y > 0) raw(i / ch, y - 1, i % ch) else 0
+        val ul = if (y > 0 && i >= ch) raw((i - ch) / ch, y - 1, i % ch) else 0
+        val pred = f match {
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) / 2
+          case 4 =>
+            val p = a + u - ul
+            val pa = math.abs(p - a); val pb = math.abs(p - u)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) u else ul
+        }
+        lines(y * (1 + stride) + 1 + i) = (x - pred).toByte
+      }
+    }
+    val png = Codecs.wrapPng(w, h, colorType = 2, lines)
+    val (dw, dh, g) = Codecs.decodeGray(png).get
+    assert((dw, dh) === ((w, h)))
+    def luma(rgb: (Int, Int, Int)): Int =
+      (299 * rgb._1 + 587 * rgb._2 + 114 * rgb._3) / 1000
+    for (y <- 0 until h; x <- 0 until w)
+      assert((g(y * w + x) & 0xff) === luma(pix(x, y)),
+        s"pixel ($x,$y) after filter ${y + 1} reversal")
+  }
+
   test("decodeGrayStage feeds real pixels to phash; stub path flagged") {
     import spark.implicits._
     val rows = Seq(
