@@ -39,6 +39,32 @@ object SparkEntry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Result presentation for BOUNDED outputs (metadata listings, small
+    * aggregate grids, top-k): fold the final stage to one task and sort
+    * locally. A global `orderBy` plans a RangePartitioning exchange
+    * whose bounds require a separate SAMPLING JOB on every execution —
+    * for a query whose whole result is a few hundred rows that job
+    * dominates warm latency (measured: ts_list 0.39s → the sample job
+    * and extra exchange are most of it). Single-task sort of a bounded
+    * result is also the right 100 TB shape: the ordering here is
+    * presentation, applied AFTER the distributed aggregation has
+    * reduced the data, not a distributed sort of raw rows. Unbounded
+    * outputs (per-doc tables, pair lists) keep their range-sort. */
+  private def presentSorted(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** Postfix form of [[presentSorted]], overload-compatible with
+    * `orderBy` so a bounded-output query swaps sorts with a one-token
+    * change. Only used where the result is bounded by the QUERY
+    * contract (a stat×bucket grid, a rollup, a confusion matrix) — not
+    * by the corpus size; per-doc/per-pair dumps keep `orderBy`. */
+  private implicit class BoundedPresentation(df: DataFrame) {
+    def presentSorted(cols: Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
+    def presentSorted(c0: String, cs: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(c0, cs: _*)
+  }
+
   /** Pair queries eagerly checkpoint their verified pair sets so the
     * LSH signature caches release immediately (session cache hygiene).
     * SPARK_GRAFT_EAGER_PAIRS=0 keeps those plans lazy — used by
@@ -134,7 +160,7 @@ object SparkEntry {
       grouped(t, "minute")
         .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
           round(col("value"), 6).as("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // §1.3: DecimalType value end-to-end — the reference's SQL/CQL type
@@ -156,7 +182,7 @@ object SparkEntry {
         .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
           (col("value").cast(DecimalType(18, 2)) * lit(100))
             .cast(LongType).as("value_c"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // A4/G1+G4: gauge condensed hour from minute resolution
@@ -164,7 +190,7 @@ object SparkEntry {
       val t = eventLog(s, dir, GaugeT, hourFine)
       grouped(t, "hour")
         .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"), col("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // A5: set cardinality at hour buckets
@@ -173,7 +199,7 @@ object SparkEntry {
       grouped(t, "hour")
         .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
           size(col("value")).cast(LongType).as("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // A2: histogram fold exploded to rows
@@ -182,7 +208,7 @@ object SparkEntry {
       grouped(t, "daily")
         .select(col("name"), fromB(col("i_time"), TimeStep("daily")).as("i_time"),
           explode(col("value")).as(Seq("v", "cnt")))
-        .orderBy("name", "i_time", "v")
+        .presentSorted("name", "i_time", "v")
     }),
 
     // A1 + T1-T5: series fold + transform matrix
@@ -198,7 +224,7 @@ object SparkEntry {
         SeriesT.transformExpr("max", col("value"), stepCol).get.as("t_max"),
         round(SeriesT.transformExpr("sum", col("value"), stepCol).get, 6).as("t_sum"),
         round(SeriesT.transformExpr("rate", col("value"), stepCol).get, 6).as("t_rate"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // S2/G6: fine uncondensed read — sparse (i_time, r_time) grid
@@ -211,7 +237,7 @@ object SparkEntry {
           fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
           fromB(col("r_time"), TimeStep(60L)).as("r_time"),
           round(col("value"), 6).as("value"))
-        .orderBy("name", "i_time", "r_time")
+        .presentSorted("name", "i_time", "r_time")
     }),
 
     // G2+G6: series() range read with dense empty-bucket fill
@@ -260,7 +286,7 @@ object SparkEntry {
       CountT.aggregate(prepared, Seq("name", "i_time"))
         .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
           round(col("value"), 6).as("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // D3/D4: retention — drop buckets past the TTL horizon at read
@@ -272,22 +298,25 @@ object SparkEntry {
       CountT.aggregate(kept, Seq("name", "i_time"))
         .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
           round(col("value"), 6).as("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // G8: properties — first/last bucket timestamps per stat
     "ts_properties_minute" -> ((s, dir) => {
       val t = eventLog(s, dir, CountT, minuteOnly)
-      t.log.filter(col("interval") === "minute")
-        .groupBy("name")
-        .agg(fromB(min(col("i_time")), TimeStep(60L)).as("first"),
-          fromB(max(col("i_time")), TimeStep(60L)).as("last"))
-        .orderBy("name")
+      presentSorted(
+        t.log.filter(col("interval") === "minute")
+          .groupBy("name")
+          .agg(fromB(min(col("i_time")), TimeStep(60L)).as("first"),
+            fromB(max(col("i_time")), TimeStep(60L)).as("last")),
+        col("name"))
     }),
 
     // G9: list — all stat names
     "ts_list" -> ((s, dir) =>
-      events(s, dir).select(col("event_type").as("name")).distinct().orderBy("name")),
+      presentSorted(
+        events(s, dir).select(col("event_type").as("name")).distinct(),
+        col("name"))),
 
     // §1.2: Gregorian weekly %Y%U bucket (custom weekly expression)
     "ts_gregorian_weekly" -> ((s, dir) => {
@@ -296,7 +325,7 @@ object SparkEntry {
         .select(col("name"), col("i_time"), col("value"))
       CountT.aggregate(prepared, Seq("name", "i_time"))
         .select(col("name"), col("i_time").as("bucket"), round(col("value"), 6).as("value"))
-        .orderBy("name", "bucket")
+        .presentSorted("name", "bucket")
     }),
 
     // I7: count default increment (insert with no value counts 1)
@@ -307,7 +336,7 @@ object SparkEntry {
         .select(col("name"), col("i_time"), col("value"))
       CountT.aggregate(prepared, Seq("name", "i_time"))
         .select(col("name"), col("i_time").as("bucket"), round(col("value"), 6).as("value"))
-        .orderBy("name", "bucket")
+        .presentSorted("name", "bucket")
     }),
 
     // §2.10/G4: CUSTOM condense callable — the README variance example
@@ -353,7 +382,7 @@ object SparkEntry {
           size(col("value")).cast(LongType).as("n_vals"),
           array_min(col("value")).as("min_v"),
           array_max(col("value")).as("max_v"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // §1.3/P2/P3: StringType gauge with write_func + read_func casts
@@ -367,7 +396,7 @@ object SparkEntry {
         col("user_id"), col("event_id")))
       grouped(t, "hour")
         .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"), col("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // §1.2: Gregorian yearly bucket end-to-end
@@ -377,7 +406,7 @@ object SparkEntry {
         .select(col("name"), col("i_time"), col("value"))
       CountT.aggregate(prepared, Seq("name", "i_time"))
         .select(col("name"), col("i_time").as("bucket"), round(col("value"), 6).as("value"))
-        .orderBy("name", "bucket")
+        .presentSorted("name", "bucket")
     }),
 
     // D1: delete(name) — log rewrite drops the stat everywhere
@@ -387,7 +416,7 @@ object SparkEntry {
       grouped(t, "minute")
         .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
           round(col("value"), 6).as("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // I12: write-time TTL guard — rows already past the retention
@@ -402,7 +431,7 @@ object SparkEntry {
       CountT.aggregate(prepared, Seq("name", "i_time"))
         .select(col("name"), fromB(col("i_time"), TimeStep(60L)).as("i_time"),
           round(col("value"), 6).as("value"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // T5 with variable Gregorian step: monthly rate (per-second)
@@ -414,7 +443,7 @@ object SparkEntry {
         .select(col("name"), col("i_time").as("bucket"),
           round(CountT.transformExpr("rate", col("value"),
             TimeColumns.stepSize(col("i_time"), TimeStep("monthly"))).get, 6).as("rate"))
-        .orderBy("name", "bucket")
+        .presentSorted("name", "bucket")
     }),
   )
 
@@ -438,7 +467,7 @@ object SparkEntry {
           round(avg(col("l_extendedprice")), 6).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .presentSorted("l_returnflag", "l_linestatus")
     }),
 
     // TPC-H Q3 shape: broadcast dim join + shuffle join + top-k
@@ -484,7 +513,7 @@ object SparkEntry {
         .agg(approx_count_distinct(col("value")).as("approx_card"))
         .select(col("name"), fromB(col("i_time"), TimeStep(3600L)).as("i_time"),
           col("approx_card"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // top-k without global sort (TakeOrdered path)
@@ -554,7 +583,7 @@ object SparkEntry {
       val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
       Sessions.funnel(ev, Seq("user_id"), "sec", col("event_type"),
           Seq("view", "click", "purchase"), tieBreak = Some("event_id"))
-        .orderBy("user_id")
+        .presentSorted("user_id")
     }),
 
     // DECONTAMINATION: eval-leakage check (GPT-3 appendix C shape) —
@@ -569,7 +598,7 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 =!= 0),
           docs.filter(col("doc_id") % 5 === 0),
           col("text"), col("doc_id"), n = 3)
-        .orderBy("test_id")
+        .presentSorted("test_id")
     }),
 
     // BLOOM-GATED DECONTAMINATION: same contract as
@@ -585,7 +614,7 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 === 0),
           col("text"), col("doc_id"), n = 3, mBits = 1L << 17, k = 4,
           seed = 11L)
-        .orderBy("test_id")
+        .presentSorted("test_id")
     }),
 
     // BLOOM BITMAP INTERNALS: the (word, bits) table fit over the
@@ -610,7 +639,7 @@ object SparkEntry {
         .orderBy(col("n_true").desc, col("token")).limit(50)
       Sketch.countMinEstimate(top, col("token"), sketch, depth = 4,
           width = 2048L, seed = 2L)
-        .orderBy(col("n_true").desc, col("token"))
+        .presentSorted(col("n_true").desc, col("token"))
     }),
 
     // EDIT-DISTANCE FUZZY MATCHING: exact levenshtein<=2 pairs via
@@ -650,7 +679,7 @@ object SparkEntry {
         .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
       Sketch.hllEstimate(Sketch.hllFit(toks, col("token"), Seq("source")),
           Seq("source"))
-        .orderBy("source")
+        .presentSorted("source")
     }),
 
     // MODEL-BASED QUALITY: multinomial Naive-Bayes classifier
@@ -696,7 +725,7 @@ object SparkEntry {
           col("text"), col("doc_id"), w, m)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred")
+        .presentSorted("lang", "pred")
     }),
 
     // ROLLING FEATURES: per-user lag/delta/rolling-window stats
@@ -728,7 +757,7 @@ object SparkEntry {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(avg(col("value")), 6).as("mean"),
           count(lit(1)).as("n"))
-        .orderBy("name")),
+        .presentSorted("name")),
 
     // the scale path for quantiles: Spark's built-in Greenwald-Khanna
     // sketch (approx_percentile) — mergeable partial state instead of
@@ -745,7 +774,7 @@ object SparkEntry {
           round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90"),
           round(avg(col("value")), 6).as("mean"),
           count(lit(1)).as("n"))
-        .orderBy("name")),
+        .presentSorted("name")),
 
     // TS ANOMALY: rolling z-score outlier detection over the hourly
     // count series (graft.ops.Features.zscoreAnomaly) — each bucket
@@ -761,7 +790,7 @@ object SparkEntry {
           round(col("base_std"), 6).as("base_std"),
           round(col("z"), 6).as("z"),
           col("is_anomaly").cast(LongType).as("is_anomaly"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // SEASONAL ANOMALY: z-score vs the SAME HOUR-OF-DAY's trailing
@@ -779,7 +808,7 @@ object SparkEntry {
           round(col("base_std"), 6).as("base_std"),
           round(col("z"), 6).as("z"),
           col("is_anomaly").cast(LongType).as("is_anomaly"))
-        .orderBy("name", "i_time")
+        .presentSorted("name", "i_time")
     }),
 
     // TS INTERPOLATE: linear gap fill of a sparse gauge series over a
@@ -797,7 +826,7 @@ object SparkEntry {
           round(col("value"), 6).as("value"),
           round(col("filled"), 6).as("filled"),
           col("interpolated").cast(LongType).as("interpolated"))
-        .orderBy("i_time")
+        .presentSorted("i_time")
     }),
 
     // EMBEDDING CENTROIDS: per-label elementwise mean vector
@@ -809,7 +838,7 @@ object SparkEntry {
           col("label"), col("embedding"))
         .select(col("label"), col("pos").cast(LongType).as("pos"),
           col("centroid"), col("n"))
-        .orderBy("label", "pos")),
+        .presentSorted("label", "pos")),
 
     // NEAREST-CENTROID ASSIGNMENT: each vector classified to its
     // max-cosine label centroid — centroids rebuilt from the rounded
@@ -875,7 +904,7 @@ object SparkEntry {
     "mix_temperature_weights" -> ((s, dir) =>
       Mix.temperatureBudgets(table(s, dir, "documents"), col("text"),
           col("source"), totalBudget = 12000L, alpha = 0.5)
-        .orderBy("source")),
+        .presentSorted("source")),
 
     "mix_temperature_build" -> ((s, dir) =>
       Mix.buildTemperature(table(s, dir, "documents"), col("text"),
@@ -901,7 +930,7 @@ object SparkEntry {
     "vocab_top200" -> ((s, dir) =>
       TextOps.topVocabulary(table(s, dir, "documents"), col("text"),
           col("doc_id"), k = 200)
-        .orderBy(col("df").desc, col("tf").desc, col("token"))),
+        .presentSorted(col("df").desc, col("tf").desc, col("token"))),
 
     // OOV RATE: per-source fraction of token occurrences outside the
     // stored top-20 vocabulary (graft.ops.TextOps.oovRate) — the
@@ -914,7 +943,7 @@ object SparkEntry {
       TextOps.oovRate(s, store, docs, col("text"), col("source"))
         .select(col("group").as("source"), col("n_tokens"), col("n_oov"),
           col("oov_rate"))
-        .orderBy("source")
+        .presentSorted("source")
     }),
 
     // language-ID evaluation against the corpus' labeled lang column:
@@ -924,7 +953,7 @@ object SparkEntry {
       table(s, dir, "documents")
         .select(col("lang"), TextOps.langIdFused(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred_lang")),
+        .presentSorted("lang", "pred_lang")),
 
     // domain-drift audit: KL(source ‖ corpus) over the stored top-20
     // vocabulary with add-k smoothing (TextOps.klBySource)
@@ -934,7 +963,7 @@ object SparkEntry {
         TextOps.buildVocabIndex(docs, col("text"), col("doc_id"), k = 20, p))
       TextOps.klBySource(s, store, docs, col("text"), col("source"))
         .select(col("group").as("source"), col("n_tokens"), col("kl"))
-        .orderBy("source")
+        .presentSorted("source")
     }),
 
     // TABLE PROFILE: schema-driven per-column stats in one pass
@@ -987,7 +1016,7 @@ object SparkEntry {
     "curate_ledger" -> ((s, dir) =>
       Curate.ledger(table(s, dir, "documents"), col("text"), col("doc_id"))
         .select("doc_id", "quality", "pred_lang", "top2", "stage", "keep")
-        .orderBy("doc_id")),
+        .presentSorted("doc_id")),
 
     // the funnel with the CCNet-style perplexity ceiling as its LAST
     // stage (self-fit bigram NLL over the dedup survivors) — the LM
@@ -997,7 +1026,7 @@ object SparkEntry {
       Curate.ledger(table(s, dir, "documents"), col("text"), col("doc_id"),
           Curate.Config(maxNll = Some(3.45)))
         .select("doc_id", "quality", "pred_lang", "top2", "stage", "keep")
-        .orderBy("doc_id")),
+        .presentSorted("doc_id")),
 
     // KEYWORDS: top-5 tf-idf terms per document (Search.tfidfKeywords)
     // — integer tf/df/N make scores bit-identical across engines, so
@@ -1340,7 +1369,7 @@ object SparkEntry {
         .agg(sum(when(col("quality") >= col("cutoff"), 1L).otherwise(0L))
           .as("kept"),
           count(lit(1)).as("total"))
-        .orderBy("source")
+        .presentSorted("source")
     }),
 
     // the surviving documents themselves (broadcast cutoff join, no
@@ -1381,7 +1410,7 @@ object SparkEntry {
       s.createDataFrame(m)
         .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
           col("freq"))
-        .orderBy("rank")
+        .presentSorted("rank")
     }),
 
     // the tokenizer those merges induce, applied back over the corpus

@@ -147,11 +147,20 @@ class Timeseries(
         seq.cast(LongType).as("seq"),
         fanout.cast(IntegerType).as("fanout"))
       // offsets: 0, plus 1..N (or -1..-N); offset≠0 uses the simulated
-      // timestamp normalize(ts, offset)
-      val exploded = base
-        .withColumn("off", explode(sequence(least(col("fanout"), lit(0)), greatest(col("fanout"), lit(0)))))
-        .withColumn("sim_ts", when(col("off") === 0, col("ts"))
-          .otherwise(TimeColumns.shiftNormalize(col("ts"), spec.step, col("off"))))
+      // timestamp normalize(ts, offset). fanout == literal 0 (the
+      // default, and every non-`intervals=±N` insert) skips the
+      // Generate entirely — explode(sequence(0,0)) is an identity row
+      // multiplier but still costs a plan node in every bucket scan.
+      val noFanout = org.apache.spark.sql.GraftColumnBridge.expression(fanout) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v == 0
+        case _ => false
+      }
+      val exploded =
+        if (noFanout) base.withColumn("sim_ts", col("ts"))
+        else base
+          .withColumn("off", explode(sequence(least(col("fanout"), lit(0)), greatest(col("fanout"), lit(0)))))
+          .withColumn("sim_ts", when(col("off") === 0, col("ts"))
+            .otherwise(TimeColumns.shiftNormalize(col("ts"), spec.step, col("off"))))
       val rows = exploded.select(
         col("name"),
         lit(iname).as("interval"),
