@@ -1533,6 +1533,77 @@ object SparkEntry {
           col("frame_idx").cast(LongType).as("frame_idx"))
         .orderBy("doc_id", "frame_idx")),
 
+    // AUDIO real decode: payloads are real RIFF/WAVE PCM containers
+    // built in closed form over doc_id (Multimodal.syntheticWav — 1-2
+    // channels, 3 sample rates, 4 clip lengths, 16-bit samples), parsed
+    // back by the pure-JVM chunk walker (Codecs.decodeWavHeader). The
+    // oracle recomputes every header field and the exact container byte
+    // length without seeing the bytes — a fmt-chunk, block-align, or
+    // data-length mistake fails the hash. Every 7th doc is raw text
+    // exercising the undecodable fallback (excluded here, counted by
+    // the decoded filter matching the oracle's doc_id % 7 <> 0).
+    "audio_decode_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticWav(id, txt))
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeAudioMeta(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_samples"), col("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+    // AUDIO windowed features over REAL decoded PCM: the decode stage
+    // de-interleaves actual 16-bit LE frames to the integer channel-sum
+    // mixdown (exact — no division), then per-256-sample window energy
+    // / peak / zero-crossings as higher-order-function column math (no
+    // shuffle before the final grid). The oracle regenerates the PCM
+    // closed form and recomputes all three features per window — a
+    // sign-extension, interleave, or window-boundary mistake fails.
+    "audio_features_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticWav(id, txt))
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.audioWindowFeatures(
+        Multimodal.decodeAudioMixStage(media), 256)
+        .orderBy("doc_id", "win")
+    }),
+
+    // VIDEO real decode: payloads are real YUV4MPEG2 streams built in
+    // closed form (Multimodal.syntheticY4m — C420 planes, 2-5 frames),
+    // parsed by the pure-JVM tag walker that verifies every FRAME
+    // marker (Codecs.decodeY4mHeader). Oracle recomputes dimensions,
+    // fps, frame count, and total byte length incl. the ASCII header's
+    // variable width.
+    "video_decode_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticY4m(id, txt))
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeVideoMeta(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("fps_num"), col("fps_den"), col("n_frames"), col("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+    // VIDEO real frame sampling: every 2nd frame's ACTUAL luma plane
+    // out of the container, summed — the oracle recomputes the Y-plane
+    // closed form per (frame, x, y), so a plane-stride, chroma-skip, or
+    // frame-offset mistake shifts the sum and fails the hash. This is
+    // the real-bytes twin of the planning-only mm_frame_sample.
+    "video_frame_luma" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticY4m(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.sampleFrameLuma(media, 2)
+        .select(col("doc_id"), col("frame_idx"), byteSum(col("gray")).as("sum_y"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // deterministic 25% Bernoulli sample of documents — the data-mix
     // primitive: hash-derived (reproducible across runs/cluster
     // sizes, nested across fractions, plain pushdown filter). The
@@ -3666,6 +3737,63 @@ object SparkEntry {
          SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(sum(l) AS BIGINT) AS sum_luma
          FROM lum GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "audio_decode_real" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+           8000 * (1 + doc_id % 3) AS sr, 512 + (doc_id % 4) * 256 AS n
+           FROM documents WHERE doc_id % 7 <> 0)
+         SELECT doc_id, 'wav' AS format, CAST(sr AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels, CAST(16 AS INT) AS bits,
+           CAST(n AS INT) AS n_samples,
+           CAST(44 + 2 * ch * n AS BIGINT) AS byte_len
+         FROM d ORDER BY doc_id""",
+
+    "audio_features_real" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+           512 + (doc_id % 4) * 256 AS n
+           FROM documents WHERE doc_id % 7 <> 0),
+         s AS (SELECT d.doc_id, i,
+             ((d.doc_id * 131 + i * 71) % 65536) - 32768
+             + CASE WHEN d.ch = 2
+                 THEN ((d.doc_id * 131 + i * 71 + 53) % 65536) - 32768
+                 ELSE 0 END AS v
+           FROM d, unnest(generate_series(0, d.n - 1)) AS t(i)),
+         w AS (SELECT doc_id, i, i // 256 AS win, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM s)
+         SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN i % 256 <> 0 AND ((pv < 0) <> (v < 0))
+             THEN 1 ELSE 0 END) AS BIGINT) AS zc
+         FROM w GROUP BY doc_id, win ORDER BY doc_id, win""",
+
+    "video_decode_real" ->
+      """WITH d AS (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
+           6 + 2 * (doc_id % 3) AS h, 2 + doc_id % 4 AS fr
+           FROM documents WHERE doc_id % 7 <> 0)
+         SELECT doc_id, 'y4m' AS format, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height, CAST(25 AS INT) AS fps_num,
+           CAST(1 AS INT) AS fps_den, CAST(fr AS INT) AS n_frames,
+           CAST(length('YUV4MPEG2 W' || w || ' H' || h
+             || ' F25:1 Ip A1:1 C420jpeg') + 1
+             + fr * (6 + w * h + 2 * ((w // 2) * (h // 2))) AS BIGINT)
+             AS byte_len
+         FROM d ORDER BY doc_id""",
+
+    "video_frame_luma" ->
+      """WITH d AS (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
+           6 + 2 * (doc_id % 3) AS h, 2 + doc_id % 4 AS fr
+           FROM documents WHERE doc_id % 7 <> 0),
+         f AS (SELECT d.doc_id, d.w, d.h, fi
+           FROM d, unnest(generate_series(0, d.fr - 1, 2)) AS t(fi)),
+         p AS (SELECT f.doc_id, f.fi,
+             (f.doc_id + 11 * f.fi + 3 * x + 5 * y) % 256 AS yv
+           FROM f, unnest(generate_series(0, f.w - 1)) AS tx(x),
+             unnest(generate_series(0, f.h - 1)) AS ty(y))
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(sum(yv) AS BIGINT) AS sum_y
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "dsir_logweights" ->
       s"""WITH $dsirWeightsCte

@@ -339,4 +339,217 @@ object Codecs {
         }
       case _ => None
     }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Decoded audio container metadata: per-channel sample count in
+    * `nSamples` (audio "frames"). */
+  final case class AudioHeader(format: String, sampleRate: Int,
+    channels: Int, bitsPerSample: Int, nSamples: Int)
+
+  /** Build a real RIFF/WAVE container, PCM 16-bit little-endian.
+    * `sample(ch, i)` returns the signed 16-bit value of channel `ch`
+    * at frame `i`; channels interleave per the spec. */
+  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    val dataLen = 2 * channels * nSamples
+    val b = new Array[Byte](44 + dataLen)
+    def putLe32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    def putLe16(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    }
+    def tag(o: Int, s: String): Unit = {
+      val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, b, o, 4)
+    }
+    tag(0, "RIFF"); putLe32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1) // PCM
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * 2 * channels) // byte rate
+    putLe16(32, 2 * channels) // block align
+    putLe16(34, 16) // bits per sample
+    tag(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) {
+        putLe16(44 + 2 * (i * channels + c), sample(c, i))
+        c += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** Walk RIFF chunks to the named one; skips unknown chunks (LIST,
+    * fact, …) honoring the spec's even-byte chunk padding. Returns
+    * (payload offset, declared length) clamped to the buffer. */
+  private def riffChunk(b: Array[Byte], name: String): Option[(Int, Int)] = {
+    var o = 12
+    while (o + 8 <= b.length) {
+      val tag = new String(b, o, 4, "US-ASCII")
+      val len = i32le(b, o + 4)
+      if (len < 0) return None
+      if (tag == name)
+        return Some((o + 8, math.min(len, b.length - o - 8)))
+      o += 8 + len + (len & 1)
+    }
+    None
+  }
+
+  /** Parse a RIFF/WAVE header: PCM (format tag 1) at 8 or 16 bits.
+    * nSamples derives from the data chunk length / block align. */
+  def decodeWavHeader(b: Array[Byte]): Option[AudioHeader] = {
+    if (b.length < 44 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    riffChunk(b, "fmt ").flatMap { case (fo, fl) =>
+      val ch = u16le(b, fo + 2)
+      val bits = u16le(b, fo + 14)
+      if (fl < 16 || u16le(b, fo) != 1 /* PCM only */ || ch <= 0 ||
+          (bits != 8 && bits != 16)) None
+      else riffChunk(b, "data").map { case (_, dl) =>
+        AudioHeader("wav", i32le(b, fo + 4), ch, bits,
+          dl / (ch * bits / 8))
+      }
+    }
+  }
+
+  /** Decode PCM frames to per-frame CHANNEL-SUM values (the integer
+    * mono mixdown: Σ over channels, no division so the math is exact
+    * in any reimplementation). 16-bit LE signed or 8-bit unsigned
+    * (rebased to signed around 128 per the WAV convention). */
+  def decodeWavMix(b: Array[Byte]): Option[(AudioHeader, Array[Int])] =
+    decodeWavHeader(b).flatMap { h =>
+      riffChunk(b, "data").map { case (off, _) =>
+        val out = new Array[Int](h.nSamples)
+        var i = 0
+        while (i < h.nSamples) {
+          var s = 0; var c = 0
+          while (c < h.channels) {
+            if (h.bitsPerSample == 16) {
+              val o = off + 2 * (i * h.channels + c)
+              s += (u16le(b, o) << 16) >> 16 // sign-extend
+            } else
+              s += (b(off + i * h.channels + c) & 0xff) - 128
+            c += 1
+          }
+          out(i) = s
+          i += 1
+        }
+        (h, out)
+      }
+    }
+
+  // ---------------------------------------------------------------- Y4M
+
+  /** Decoded video container metadata (YUV4MPEG2). */
+  final case class VideoHeader(format: String, width: Int, height: Int,
+    fpsNum: Int, fpsDen: Int, colorspace: String, nFrames: Int,
+    firstFrameOff: Int, frameBytes: Int)
+
+  /** Chroma plane bytes per frame for a Y4M colorspace tag. */
+  private def chromaBytes(cs: String, w: Int, h: Int): Option[Int] =
+    if (cs.startsWith("420")) Some(2 * ((w / 2) * (h / 2)))
+    else if (cs.startsWith("422")) Some(2 * ((w / 2) * h))
+    else if (cs.startsWith("444")) Some(2 * (w * h))
+    else if (cs == "mono") Some(0)
+    else None
+
+  /** Build a real YUV4MPEG2 stream: ASCII stream header with W/H/F
+    * tags, then per frame a `FRAME\n` marker + planar Y, U, V
+    * (C420jpeg chroma siting; w and h must be even). `y(f, x, yy)`,
+    * `u(f, x, yy)`, `v(f, x, yy)` give plane bytes (chroma planes
+    * indexed over the w/2 × h/2 grid). */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, frames: Int,
+      y: (Int, Int, Int) => Int, u: (Int, Int, Int) => Int,
+      v: (Int, Int, Int) => Int): Array[Byte] = {
+    val header =
+      s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+    val cw = w / 2; val chh = h / 2
+    val frameBytes = 6 + w * h + 2 * cw * chh
+    val b = new Array[Byte](header.length + frames * frameBytes)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var f = 0
+    while (f < frames) {
+      var o = header.length + f * frameBytes
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      System.arraycopy(marker, 0, b, o, 6); o += 6
+      var yy = 0
+      while (yy < h) {
+        var x = 0
+        while (x < w) { b(o) = y(f, x, yy).toByte; o += 1; x += 1 }
+        yy += 1
+      }
+      yy = 0
+      while (yy < chh) {
+        var x = 0
+        while (x < cw) { b(o) = u(f, x, yy).toByte; o += 1; x += 1 }
+        yy += 1
+      }
+      yy = 0
+      while (yy < chh) {
+        var x = 0
+        while (x < cw) { b(o) = v(f, x, yy).toByte; o += 1; x += 1 }
+        yy += 1
+      }
+      f += 1
+    }
+    b
+  }
+
+  /** Parse a YUV4MPEG2 stream header and count its frames. Tolerant
+    * tag walk (order-free, unknown tags skipped); frame count comes
+    * from the byte length against the per-frame plane size, with each
+    * FRAME marker's presence verified (a stride bug would desync the
+    * markers and fail the parse, not silently misread). */
+  def decodeY4mHeader(b: Array[Byte]): Option[VideoHeader] = {
+    val magic = "YUV4MPEG2"
+    if (b.length < magic.length ||
+        new String(b, 0, magic.length, "US-ASCII") != magic) return None
+    var eol = magic.length
+    while (eol < b.length && b(eol) != '\n') eol += 1
+    if (eol >= b.length) return None
+    val tags = new String(b, magic.length, eol - magic.length, "US-ASCII")
+      .trim.split("\\s+").filter(_.nonEmpty)
+    var w = -1; var h = -1; var fn = 30; var fd = 1; var cs = "420jpeg"
+    tags.foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'F' =>
+          val p = t.drop(1).split(":")
+          if (p.length == 2) { fn = p(0).toInt; fd = p(1).toInt }
+        case 'C' => cs = t.drop(1)
+        case _   => // Ip, A1:1, Xmeta — irrelevant here
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    chromaBytes(cs, w, h).flatMap { cb =>
+      val frameBytes = 6 + w * h + cb
+      val avail = b.length - (eol + 1)
+      val n = avail / frameBytes
+      // verify every FRAME marker lines up
+      var f = 0
+      while (f < n) {
+        val o = eol + 1 + f * frameBytes
+        if (new String(b, o, 5, "US-ASCII") != "FRAME") return None
+        f += 1
+      }
+      Some(VideoHeader("y4m", w, h, fn, fd, cs, n, eol + 1, frameBytes))
+    }
+  }
+
+  /** Extract one frame's REAL luma plane (w×h bytes, top-left
+    * origin). */
+  def y4mFrameLuma(b: Array[Byte], hdr: VideoHeader,
+      frame: Int): Option[Array[Byte]] =
+    if (frame < 0 || frame >= hdr.nFrames) None
+    else {
+      val o = hdr.firstFrameOff + frame * hdr.frameBytes + 6
+      Some(java.util.Arrays.copyOfRange(b, o, o + hdr.width * hdr.height))
+    }
 }

@@ -242,4 +242,172 @@ object Multimodal {
     meta.filter(col("media_type") === "video")
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  // ------------------------------------------------------------- audio
+
+  /** REAL audio decode stage: RIFF/WAVE headers parsed from actual
+    * bytes ([[Codecs.decodeWavHeader]] — PCM 8/16-bit, chunk-walk
+    * tolerant of LIST/fact chunks). Same mapPartitions batching as the
+    * image stages; undecodable payloads surface `decoded = false` with
+    * zeroed fields rather than fabricated ones. */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("byte_len", LongType),
+      StructField("decoded", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        Codecs.decodeWavHeader(b) match {
+          case Some(h) =>
+            Row(id, h.format, h.sampleRate, h.channels, h.bitsPerSample,
+              h.nSamples, b.length.toLong, true)
+          case None => Row(id, "unknown", 0, 0, 0, 0, b.length.toLong, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** PCM decode to the integer mono mixdown (per-frame CHANNEL SUM —
+    * no division, so the values are exact in any engine): one pass
+    * over payload bytes; everything downstream carries int arrays,
+    * never media bytes. */
+  def decodeAudioMixStage(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mix", ArrayType(IntegerType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        Codecs.decodeWavMix(b).map { case (h, mix) =>
+          Row(id, h.sampleRate, h.channels, mix.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Windowed audio features over the decoded mixdown — pure
+    * higher-order-function column math (stays in codegen, no shuffle
+    * until the caller aggregates): per `window`-sample window the
+    * energy (Σv², 64-bit), peak (max |v|), and zero-crossing count
+    * (sign flips between consecutive in-window samples). The classic
+    * cheap audio-quality triple: energy gates silence, ZCR separates
+    * tonal from noisy content. */
+  def audioWindowFeatures(mixed: DataFrame, window: Int): DataFrame = {
+    val w = lit(window)
+    val starts = sequence(lit(0), greatest(size(col("mix")) - 1, lit(0)), w)
+    val sl = slice(col("mix"), col("start") + 1, w)
+    mixed
+      .withColumn("start", explode(starts))
+      .filter(col("start") < size(col("mix")))
+      .select(
+        col("doc_id"),
+        (col("start").cast(LongType) / window).cast(LongType).as("win"),
+        aggregate(sl, lit(0L),
+          (acc, x) => acc + x.cast(LongType) * x.cast(LongType)).as("sum_sq"),
+        aggregate(sl, lit(0L),
+          (acc, x) => greatest(acc, abs(x.cast(LongType)))).as("peak"),
+        aggregate(
+          zip_with(slice(sl, 1, window - 1), slice(sl, 2, window - 1),
+            (a, b) => when((a < 0) =!= (b < 0), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("zc"))
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** REAL video decode stage: YUV4MPEG2 stream headers parsed from
+    * actual bytes ([[Codecs.decodeY4mHeader]] — tag walk, frame count
+    * verified against every FRAME marker). */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("fps_num", IntegerType),
+      StructField("fps_den", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("byte_len", LongType),
+      StructField("decoded", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        Codecs.decodeY4mHeader(b) match {
+          case Some(h) =>
+            Row(id, h.format, h.width, h.height, h.fpsNum, h.fpsDen,
+              h.nFrames, b.length.toLong, true)
+          case None => Row(id, "unknown", 0, 0, 0, 0, 0, b.length.toLong, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling: every `stride`-th frame's ACTUAL luma plane
+    * out of the container — one payload pass per doc, emitting
+    * (doc_id, frame_idx, width, height, gray). The luma planes feed
+    * the same downstream consumers as still images (phash, stats);
+    * media bytes are dropped at this stage and never shuffle. */
+  def sampleFrameLuma(media: DataFrame, stride: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("gray", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        Codecs.decodeY4mHeader(b).toSeq.flatMap { h =>
+          (0 until h.nFrames by stride).flatMap { f =>
+            Codecs.y4mFrameLuma(b, h, f).map(g =>
+              Row(id, f, h.width, h.height, g))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL-WAV fixture: stereo on odd ids, three sample
+    * rates, four clip lengths, 16-bit samples in closed form over
+    * (doc_id, channel, i) — every 7th doc is raw text exercising the
+    * undecodable fallback. */
+  def syntheticWav(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val ch = 1 + (id % 2).toInt
+      val sr = 8000 * (1 + (id % 3).toInt)
+      val n = 512 + (id % 4).toInt * 256
+      Codecs.encodeWav(sr, ch, n, (c, i) =>
+        (((id * 131 + i.toLong * 71 + c.toLong * 53) % 65536) - 32768).toInt)
+    }
+
+  /** Deterministic REAL-Y4M fixture: even dimensions (C420), 2–5
+    * frames, every plane byte in closed form over (doc_id, frame, x,
+    * y) — every 7th doc raw text for the fallback path. */
+  def syntheticY4m(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 8 + 2 * (id % 5).toInt
+      val h = 6 + 2 * (id % 3).toInt
+      val frames = 2 + (id % 4).toInt
+      Codecs.encodeY4m(w, h, 25, 1, frames,
+        (f, x, y) => ((id + 11L * f + 3L * x + 5L * y) % 256).toInt,
+        (f, x, y) => ((id * 3 + 5L * f + 7L * x + 11L * y) % 256).toInt,
+        (f, x, y) => ((id * 5 + 7L * f + 11L * x + 13L * y) % 256).toInt)
+    }
 }

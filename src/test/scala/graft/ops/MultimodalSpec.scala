@@ -272,4 +272,92 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!capped.exists { case (a, b) => a >= 9000L || b >= 9000L })
     assert(capped.nonEmpty, "base near-dups must survive the cap")
   }
+
+  test("WAV round trip: header fields, byte length, stereo mixdown") {
+    val wav = Codecs.encodeWav(16000, 2, 300,
+      (c, i) => ((i * 37 + c * 11) % 65536) - 32768)
+    val h = Codecs.decodeWavHeader(wav).get
+    assert(h.format === "wav" && h.sampleRate === 16000 &&
+      h.channels === 2 && h.bitsPerSample === 16 && h.nSamples === 300)
+    assert(wav.length === 44 + 2 * 2 * 300)
+    val (_, mix) = Codecs.decodeWavMix(wav).get
+    assert(mix.length === 300)
+    // mixdown = channel sum of the closed-form samples, sign-extended
+    (0 until 300).foreach { i =>
+      val l = ((i * 37) % 65536) - 32768
+      val r = ((i * 37 + 11) % 65536) - 32768
+      assert(mix(i) === l + r, s"frame $i")
+    }
+    assert(Codecs.decodeWavHeader("RIFFgarbage".getBytes).isEmpty)
+    assert(Codecs.decodeWavHeader("plain text".getBytes).isEmpty)
+  }
+
+  test("audioWindowFeatures matches a hand fold (incl. short last window)") {
+    import spark.implicits._
+    // 10 samples, window 4 -> windows of 4, 4, 2
+    val vals = Seq(3, -1, -4, 2, 0, 5, -2, -3, 7, 1)
+    val df = Seq((1L, 8000, 1, vals)).toDF("doc_id", "sample_rate", "channels", "mix")
+    val rows = Multimodal.audioWindowFeatures(df, 4)
+      .orderBy("win").collect()
+    val wins = vals.grouped(4).toSeq
+    assert(rows.length === 3)
+    rows.zipWithIndex.foreach { case (r, w) =>
+      val vs = wins(w)
+      assert(r.getLong(2) === vs.map(v => v.toLong * v).sum, s"sum_sq w$w")
+      assert(r.getLong(3) === vs.map(math.abs).max.toLong, s"peak w$w")
+      val zc = vs.sliding(2).count(p => p.length == 2 && (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(4) === zc.toLong, s"zc w$w")
+    }
+  }
+
+  test("Y4M round trip: tags, frame count, real luma planes; marker desync fails") {
+    val y4m = Codecs.encodeY4m(8, 6, 25, 1, 3,
+      (f, x, y) => (f * 11 + x * 3 + y * 5) % 256,
+      (f, x, y) => (f + x + y) % 256,
+      (f, x, y) => (f * 2 + x + y) % 256)
+    val h = Codecs.decodeY4mHeader(y4m).get
+    assert(h.width === 8 && h.height === 6 && h.fpsNum === 25 &&
+      h.fpsDen === 1 && h.nFrames === 3 && h.colorspace === "420jpeg")
+    val f2 = Codecs.y4mFrameLuma(y4m, h, 2).get
+    assert(f2.length === 48)
+    (0 until 6).foreach(y => (0 until 8).foreach { x =>
+      assert((f2(y * 8 + x) & 0xff) === (22 + x * 3 + y * 5) % 256)
+    })
+    // corrupt the second FRAME marker: the tolerant parser must refuse
+    // rather than silently misread shifted planes
+    val bad = y4m.clone()
+    val off = h.firstFrameOff + h.frameBytes
+    bad(off) = 'X'
+    assert(Codecs.decodeY4mHeader(bad).isEmpty)
+    assert(Codecs.decodeY4mHeader("not video".getBytes).isEmpty)
+  }
+
+  test("decodeAudioMeta / decodeVideoMeta stages: decoded flag honest") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticWav(1L, "x")),
+      (7L, Multimodal.syntheticWav(7L, "fallback text")), // id%7==0 -> raw
+      (2L, Multimodal.syntheticY4m(2L, "y"))).toDF("doc_id", "media")
+    val audio = Multimodal.decodeAudioMeta(rows).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(audio(1L) && !audio(7L) && !audio(2L)) // y4m is not wav
+    val video = Multimodal.decodeVideoMeta(rows).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(video(2L) && !video(1L) && !video(7L))
+  }
+
+  test("sampleFrameLuma: sampled indices and plane sums match closed form") {
+    import spark.implicits._
+    val id = 3L
+    val rows = Seq((id, Multimodal.syntheticY4m(id, ""))).toDF("doc_id", "media")
+    // id=3: w=14, h=6, frames=5 -> sampled 0, 2, 4
+    val out = Multimodal.sampleFrameLuma(rows, 2).collect()
+      .map(r => r.getInt(1) -> r.getAs[Array[Byte]](4)).toMap
+    assert(out.keySet === Set(0, 2, 4))
+    out.foreach { case (f, g) =>
+      val expect = (for { y <- 0 until 6; x <- 0 until 14 }
+        yield (id + 11L * f + 3L * x + 5L * y) % 256).sum
+      assert(g.map(_ & 0xff).map(_.toLong).sum === expect, s"frame $f")
+    }
+  }
 }
