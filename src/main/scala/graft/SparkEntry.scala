@@ -1604,6 +1604,28 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL resize execution (the stage mm_resize_plan only plans):
+    // nearest-neighbor resample of genuinely-decoded luma planes to
+    // 8x8 — the oracle recomputes the closed-form luma at the exact
+    // integer source coordinates (x*w//8, y*h//8) and sums, so an
+    // off-by-one in the coordinate mapping, a transposed axis, or a
+    // stride mistake in the resampled plane fails the hash.
+    "mm_resize_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticContainer(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.resizeGrayStage(
+        Multimodal.decodeGrayStage(media).filter(col("decoded")), 8, 8)
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          byteSum(col("gray")).as("sum_gray"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic 25% Bernoulli sample of documents — the data-mix
     // primitive: hash-derived (reproducible across runs/cluster
     // sizes, nested across fractions, plain pushdown filter). The
@@ -3737,6 +3759,27 @@ object SparkEntry {
          SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(sum(l) AS BIGINT) AS sum_luma
          FROM lum GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_resize_real" ->
+      """WITH m AS (SELECT doc_id, doc_id % 5 AS k,
+           1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h
+           FROM documents WHERE doc_id % 5 <> 0),
+         gx AS (SELECT doc_id, k, w, h,
+           unnest(generate_series(0, 7)) AS x FROM m),
+         gxy AS (SELECT doc_id, k, w, h, x,
+           unnest(generate_series(0, 7)) AS y FROM gx),
+         src AS (SELECT doc_id, k,
+           (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM gxy),
+         lum AS (SELECT doc_id,
+           CASE WHEN k = 4 THEN (sx * 31 + sy * 17 + doc_id) % 256
+                ELSE (299 * ((sx * 31 + sy * 17 + doc_id) % 256)
+                    + 587 * (((sx * 31 + sy * 17 + doc_id) % 256 + 85) % 256)
+                    + 114 * (((sx * 31 + sy * 17 + doc_id) % 256 + 170) % 256))
+                    // 1000
+           END AS l FROM src)
+         SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           CAST(sum(l) AS BIGINT) AS sum_gray
+         FROM lum GROUP BY 1 ORDER BY doc_id""",
 
     "audio_decode_real" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,

@@ -552,4 +552,24 @@ object Codecs {
       val o = hdr.firstFrameOff + frame * hdr.frameBytes + 6
       Some(java.util.Arrays.copyOfRange(b, o, o + hdr.width * hdr.height))
     }
+
+  /** Nearest-neighbor resample of a gray plane to outW×outH: source
+    * coordinate = floor(dst * src / out) — exact integer math in both
+    * directions (up- and downscale), so any reimplementation lands on
+    * identical bytes. */
+  def resizeNearest(g: Array[Byte], w: Int, h: Int, outW: Int,
+      outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = g(sy * w + x * w / outW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

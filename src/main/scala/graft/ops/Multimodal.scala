@@ -385,6 +385,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL resize stage: nearest-neighbor resample of decoded luma
+    * planes ([[Codecs.resizeNearest]] — exact integer source mapping,
+    * up- and downscale) to a fixed outW×outH. The execution-stage twin
+    * of the planning-only [[resizePlan]]: consumes
+    * [[decodeGrayStage]] / [[sampleFrameLuma]] output, emits
+    * fixed-size planes ready for batched feature extraction (the
+    * uniform-shape contract ML preprocessing needs). Same
+    * mapPartitions batching; planes stay out of shuffles. */
+  def resizeGrayStage(gray: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("gray", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    gray.select("doc_id", "width", "height", "gray").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val w = r.getInt(1); val h = r.getInt(2)
+        if (w <= 0 || h <= 0) None
+        else Some(Row(r.getLong(0), outW, outH,
+          Codecs.resizeNearest(r.getAs[Array[Byte]](3), w, h, outW, outH)))
+      }
+    }(enc)
+  }
+
   /** Deterministic REAL-WAV fixture: stereo on odd ids, three sample
     * rates, four clip lengths, 16-bit samples in closed form over
     * (doc_id, channel, i) — every 7th doc is raw text exercising the

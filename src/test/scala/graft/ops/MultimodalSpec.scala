@@ -360,4 +360,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert(g.map(_ & 0xff).map(_.toLong).sum === expect, s"frame $f")
     }
   }
+
+  test("resizeNearest: identity, hand-checked 2x down, upscale repeats") {
+    val g = Array.tabulate(4 * 4)(i => i.toByte)
+    assert(Codecs.resizeNearest(g, 4, 4, 4, 4).toSeq === g.toSeq)
+    // 2x downscale keeps every even row/col pixel: (0,0),(2,0),(0,2),(2,2)
+    assert(Codecs.resizeNearest(g, 4, 4, 2, 2).toSeq ===
+      Seq[Byte](0, 2, 8, 10))
+    // upscale 2x2 -> 4x4 repeats each source pixel in a 2x2 block
+    val s = Array[Byte](1, 2, 3, 4)
+    assert(Codecs.resizeNearest(s, 2, 2, 4, 4).toSeq ===
+      Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  test("resizeGrayStage emits fixed-size planes over decoded input") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Codecs.encodeBmp(32, 16, pix)),
+      (2L, Codecs.encodePgm(5, 3, (x, y) => (x + y) % 256))).toDF("doc_id", "media")
+    val out = Multimodal.resizeGrayStage(
+      Multimodal.decodeGrayStage(rows).filter(col("decoded")), 8, 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](3)).toMap
+    assert(out.size === 2)
+    assert(out.values.forall(_.length === 64))
+    // doc 2 upscales 5x3 -> 8x8; corner pixels map to source corners
+    val g2 = out(2L)
+    assert((g2(0) & 0xff) === 0)          // (0,0) -> src (0,0) = 0
+    assert((g2(63) & 0xff) === (4 + 2))   // (7,7) -> src (7*5/8, 7*3/8) = (4,2)
+  }
 }
