@@ -100,13 +100,26 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0); val mt = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
+        // universal magic-byte dispatch: stills, then audio (n_frames
+        // = PCM sample frames, the audio meaning of "frame"), then
+        // video, then the stub fallback
         Codecs.decodeHeader(bytes) match {
           case Some(h) =>
             Row(id, mt, h.format, bytes.length.toLong, h.width, h.height,
               h.channels, 1, true)
-          case None =>
-            val (w, hh, c, f) = StubCodec.decode(mt, bytes)
-            Row(id, mt, "unknown", bytes.length.toLong, w, hh, c, f, false)
+          case None => Codecs.decodeWavHeader(bytes) match {
+            case Some(a) =>
+              Row(id, mt, a.format, bytes.length.toLong, 0, 0, a.channels,
+                a.nSamples, true)
+            case None => Codecs.decodeY4mHeader(bytes) match {
+              case Some(v) =>
+                Row(id, mt, v.format, bytes.length.toLong, v.width,
+                  v.height, 3, v.nFrames, true)
+              case None =>
+                val (w, hh, c, f) = StubCodec.decode(mt, bytes)
+                Row(id, mt, "unknown", bytes.length.toLong, w, hh, c, f, false)
+            }
+          }
         }
       }
     }(enc)

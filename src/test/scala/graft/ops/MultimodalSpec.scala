@@ -388,4 +388,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert((g2(0) & 0xff) === 0)          // (0,0) -> src (0,0) = 0
     assert((g2(63) & 0xff) === (4 + 2))   // (7,7) -> src (7*5/8, 7*3/8) = (4,2)
   }
+
+  test("decodeMetaAuto dispatches stills, wav, and y4m by magic bytes") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", Codecs.encodePgm(4, 3, (x, y) => x + y)),
+      (2L, "audio", Codecs.encodeWav(8000, 2, 100, (c, i) => i - 50)),
+      (3L, "video", Codecs.encodeY4m(8, 6, 30, 1, 4,
+        (f, x, y) => f, (f, x, y) => 128, (f, x, y) => 128)),
+      (4L, "image", "undecodable".getBytes)).toDF("doc_id", "media_type", "media")
+    val out = Multimodal.decodeMetaAuto(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7),
+          r.getBoolean(8)))).toMap
+    assert(out(1L) === (("pgm", 4, 3, 1, 1, true)))
+    assert(out(2L) === (("wav", 0, 0, 2, 100, true)))
+    assert(out(3L) === (("y4m", 8, 6, 3, 4, true)))
+    assert(out(4L)._1 === "unknown" && !out(4L)._6)
+  }
 }
