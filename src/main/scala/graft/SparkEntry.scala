@@ -1604,6 +1604,29 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL JPEG decode: payloads are baseline grayscale JPEGs (pure-JVM
+    // graft.ops.Jpeg — Annex-K Huffman tables, byte stuffing, marker
+    // walk, dequantize + IDCT) of flat 8x8 blocks in closed form, so
+    // the oracle recomputes decoded pixel sums with no DCT in SQL
+    // while the engine runs the full baseline path on real bytes. A
+    // Huffman, DC-prediction, stuffing, dequant, or IDCT mistake
+    // shifts the sums and fails the hash.
+    "mm_jpeg_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticJpeg(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // REAL resize execution (the stage mm_resize_plan only plans):
     // nearest-neighbor resample of genuinely-decoded luma planes to
     // 8x8 — the oracle recomputes the closed-form luma at the exact
@@ -3759,6 +3782,19 @@ object SparkEntry {
          SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(sum(l) AS BIGINT) AS sum_luma
          FROM lum GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_jpeg_real" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+           FROM documents WHERE doc_id % 5 <> 0),
+         gx AS (SELECT doc_id, bw, bh,
+           unnest(generate_series(0, bw - 1)) AS bx FROM m),
+         gxy AS (SELECT doc_id, bw, bh, bx,
+           unnest(generate_series(0, bh - 1)) AS byy FROM gx)
+         SELECT doc_id, CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height,
+           CAST(sum(64 * ((doc_id + 7 * bx + 13 * byy) % 256)) AS BIGINT)
+             AS sum_luma
+         FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "mm_resize_real" ->
       """WITH m AS (SELECT doc_id, doc_id % 5 AS k,

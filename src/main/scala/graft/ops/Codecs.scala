@@ -144,6 +144,12 @@ object Codecs {
         case _ => return None
       }
       Some(MediaHeader("png", i32be(b, 16), i32be(b, 20), ch))
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8) {
+      // baseline grayscale JPEG (graft.ops.Jpeg): dims from SOF0
+      Jpeg.decodeJpegHeader(b).map { case (w, h) =>
+        MediaHeader("jpeg", w, h, 1)
+      }
     } else None
   }
 
@@ -321,6 +327,8 @@ object Codecs {
           if (b.length < off + w.toLong * h) None
           else Some((w, h, java.util.Arrays.copyOfRange(b, off, off + w * h)))
         }
+      case MediaHeader("jpeg", _, _, _) =>
+        Jpeg.decodeJpegGray(b).map { case (w, h, px) => (w, h, px) }
       case MediaHeader("png", _, _, _) =>
         pngPixels(b).map { case (w, h, ch, px) =>
           val g = new Array[Byte](w * h)

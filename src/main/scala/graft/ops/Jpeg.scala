@@ -1,0 +1,452 @@
+package graft.ops
+
+/** Pure-JVM baseline JPEG codec, grayscale (single component, 8-bit,
+  * no subsampling) — the encoder/decoder pair that makes the most
+  * common image container genuinely decodable in a codec-less
+  * environment. Everything here is from the public JPEG spec
+  * (ITU-T T.81): baseline sequential DCT, the Annex K.3 typical
+  * luminance Huffman tables, byte stuffing, marker structure.
+  *
+  * The decoder implements the FULL baseline grayscale path (DC
+  * prediction, AC run-length incl. ZRL and EOB, arbitrary
+  * DQT/DHT/restart-free streams, APPn/COM skipping); the fixture
+  * generator emits flat 8×8 blocks, whose quantized spectrum (DC
+  * only) reconstructs EXACTLY under a uniform quant step that divides
+  * the scaled DC — that exactness is what lets a DuckDB oracle
+  * recompute decoded pixel sums in closed form without a DCT in SQL.
+  */
+object Jpeg {
+
+  // Annex K.3.3.1 — typical luminance DC table (code counts by length
+  // 1..16, then symbol values = coefficient categories 0..11)
+  private val DcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate(12)(identity)
+
+  // Annex K.3.3.2 — typical luminance AC table
+  private val AcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Zigzag scan order: position k in the scan → raster index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Uniform quantization step used by [[encodeJpegGray]]. 8 divides
+    * the flat-block DC scale (FDCT S00 = 8·(v−128)), so flat blocks
+    * round-trip bit-exact — the closed-form-oracle property. */
+  val QStep = 8
+
+  // ------------------------------------------------------------ tables
+
+  /** Canonical Huffman codes from (counts-by-length, values):
+    * (code, length) per symbol — T.81 C.2. */
+  private def canonical(bits: Array[Int],
+      vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](vals.length)
+    var code = 0; var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(k) = (code, len); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out
+  }
+
+  /** Decode table: (length, code) → symbol. */
+  private def decodeTable(bits: Array[Int],
+      vals: Array[Int]): Map[(Int, Int), Int] =
+    canonical(bits, vals).zip(vals).map { case ((c, l), v) =>
+      (l, c) -> v
+    }.toMap
+
+  private val DcEnc = canonical(DcBits, DcVals)
+  private val AcEnc: Map[Int, (Int, Int)] =
+    canonical(AcBits, AcVals).zip(AcVals).map { case (cl, v) => v -> cl }.toMap
+
+  // --------------------------------------------------------- bit I/O
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        val b = ((acc >> (n - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        n -= 8
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (n > 0) put(0xff, 8 - n)
+  }
+
+  private final class BitReader(b: Array[Byte], private var pos: Int) {
+    private var acc = 0L; private var n = 0
+    var truncated = false
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) { truncated = true; return 0 }
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          // stuffed zero follows a literal FF; a marker here ends scan
+          if (pos < b.length && b(pos) == 0x00) pos += 1
+          else { truncated = true; v = 0 }
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      ((acc >> n) & 1).toInt
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** DC/AC coefficient magnitude category (T.81 F.1.2.1.2). */
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var c = 0
+    while (a != 0) { a >>= 1; c += 1 }
+    c
+  }
+
+  /** EXTEND (T.81 F.2.2.1): low `t` bits back to a signed value. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0
+    else if (v < (1 << (t - 1))) v - (1 << t) + 1
+    else v
+
+  // ---------------------------------------------------------- encoder
+
+  /** Precomputed basis: Cos(u)(x) = cos((2x+1)·u·π/16); C(u) = the
+    * DC normalization. Both DCTs run separably off these tables —
+    * 8·8·8 multiply-adds per pass instead of 64·64 trig calls (the
+    * trig-in-inner-loop version measured 9 s warm for the sf0.1
+    * fixture query; this one is sub-second). */
+  private val Cos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val Cn: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1 / math.sqrt(2) else 1.0)
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    // rows first: tmp(y,u) = Σx s(y,x)·Cos(u)(x)
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += block(y * 8 + x) * Cos(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * Cos(v)(yy); yy += 1 }
+        out(v * 8 + u) = 0.25 * Cn(u) * Cn(v) * s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private def idct(coef: Array[Double]): Array[Double] = {
+    // columns first: tmp(y,u) = Σv Cv·S(v,u)·Cos(v)(y)
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += Cn(v) * coef(v * 8 + u) * Cos(v)(y); v += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](64)
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += Cn(u) * tmp(y * 8 + u) * Cos(u)(x); u += 1 }
+        out(y * 8 + x) = 0.25 * s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode an 8-bit grayscale image as a baseline sequential JPEG
+    * (SOI, DQT, SOF0, DHT×2, SOS, entropy data, EOI). Dimensions need
+    * not be block-aligned — edge pixels replicate into the padding. */
+  def encodeJpegGray(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    // DQT: precision 0, table id 0, uniform QStep in zigzag order
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(QStep))
+    // SOF0: 8-bit, h×w, 1 component (id 1, sampling 1×1, quant table 0)
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    // DHT: DC class 0 id 0, then AC class 1 id 0
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xc4, Array(0x10) ++ AcBits ++ AcVals)
+    // SOS: 1 component, DC table 0 / AC table 0, spectral 0..63
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+
+    val bw = new BitWriter(out)
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    var prevDc = 0
+    var byI = 0
+    while (byI < by) {
+      var bxI = 0
+      while (bxI < bx) {
+        val block = new Array[Double](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bxI * 8 + x, w - 1)
+            val sy = math.min(byI * 8 + y, h - 1)
+            block(y * 8 + x) = (pix(sx, sy) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val coef = fdct(block)
+        val q = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          q(k) = math.round(coef(Zigzag(k)) / QStep).toInt
+          k += 1
+        }
+        // DC difference
+        val diff = q(0) - prevDc; prevDc = q(0)
+        val dcat = category(diff)
+        val (dcode, dlen) = DcEnc(dcat)
+        bw.put(dcode, dlen)
+        if (dcat > 0)
+          bw.put(if (diff < 0) diff + (1 << dcat) - 1 else diff, dcat)
+        // AC run-length
+        var run = 0
+        k = 1
+        while (k < 64) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = AcEnc(0xf0) // ZRL
+              bw.put(zc, zl); run -= 16
+            }
+            val acat = category(q(k))
+            val (c, l) = AcEnc((run << 4) | acat)
+            bw.put(c, l)
+            bw.put(if (q(k) < 0) q(k) + (1 << acat) - 1 else q(k), acat)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c, l) = AcEnc(0x00); bw.put(c, l) } // EOB
+        bxI += 1
+      }
+      byI += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------- decoder
+
+  /** Parsed stream state up to SOS. */
+  private final case class ScanInfo(w: Int, h: Int, quant: Array[Int],
+    dcTable: Map[(Int, Int), Int], acTable: Map[(Int, Int), Int],
+    dataOff: Int)
+
+  private def parseToScan(b: Array[Byte]): Option[ScanInfo] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var w = -1; var h = -1
+    val quants = new Array[Array[Int]](4)
+    val dcs = new Array[Map[(Int, Int), Int]](4)
+    val acs = new Array[Map[(Int, Int), Int]](4)
+    var compQuant = 0; var compDc = 0; var compAc = 0
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      val p = i + 4
+      if (p + len - 2 > b.length) return None
+      m match {
+        case 0xdb => // DQT (possibly several tables per segment)
+          var o = p
+          while (o < p + len - 2) {
+            val pq = (b(o) & 0xff) >> 4; val tq = b(o) & 0x0f
+            val n = if (pq == 0) 64 else 128
+            if (pq == 0)
+              quants(tq) = Array.tabulate(64)(k => b(o + 1 + k) & 0xff)
+            else
+              quants(tq) = Array.tabulate(64)(k =>
+                ((b(o + 1 + 2 * k) & 0xff) << 8) | (b(o + 2 + 2 * k) & 0xff))
+            o += 1 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if ((b(p) & 0xff) != 8) return None // 8-bit only
+          h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+          w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+          val nComp = b(p + 5) & 0xff
+          if (nComp != 1) return None // grayscale only
+          if ((b(p + 7) & 0xff) != 0x11) return None // 1×1 sampling
+          compQuant = b(p + 8) & 0x0f
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline SOF
+        case 0xc4 => // DHT (possibly several tables per segment)
+          var o = p
+          while (o < p + len - 2) {
+            val tc = (b(o) & 0xff) >> 4; val th = b(o) & 0x0f
+            val bits = Array.tabulate(16)(k => b(o + 1 + k) & 0xff)
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(k => b(o + 17 + k) & 0xff)
+            if (tc == 0) dcs(th) = decodeTable(bits, vals)
+            else acs(th) = decodeTable(bits, vals)
+            o += 17 + nv
+          }
+        case 0xda => // SOS
+          val nComp = b(p) & 0xff
+          if (nComp != 1) return None
+          compDc = (b(p + 2) & 0xff) >> 4
+          compAc = b(p + 2) & 0x0f
+          if (w <= 0 || h <= 0 || quants(compQuant) == null ||
+              dcs(compDc) == null || acs(compAc) == null) return None
+          return Some(ScanInfo(w, h, quants(compQuant), dcs(compDc),
+            acs(compAc), p + len - 2))
+        case _ => // APPn, COM, DRI (restarts unsupported but len-skipped)
+      }
+      i = p + len - 2
+    }
+    None
+  }
+
+  /** Image dimensions from the SOF0 header (magic + marker walk). */
+  def decodeJpegHeader(b: Array[Byte]): Option[(Int, Int)] =
+    parseToScan(b).map(s => (s.w, s.h))
+
+  private def huffDecode(br: BitReader,
+      table: Map[(Int, Int), Int]): Option[Int] = {
+    var code = 0; var len = 0
+    while (len < 16) {
+      code = (code << 1) | br.bit()
+      len += 1
+      table.get((len, code)) match {
+        case Some(v) => return Some(v)
+        case None    =>
+      }
+    }
+    None
+  }
+
+  /** Full baseline grayscale decode to 8-bit pixels (top-left
+    * origin). */
+  def decodeJpegGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseToScan(b).flatMap { s =>
+      val bx = (s.w + 7) / 8; val by = (s.h + 7) / 8
+      val out = new Array[Byte](s.w * s.h)
+      val br = new BitReader(b, s.dataOff)
+      var prevDc = 0
+      var byI = 0
+      while (byI < by) {
+        var bxI = 0
+        while (bxI < bx) {
+          val coef = new Array[Double](64)
+          // DC
+          huffDecode(br, s.dcTable) match {
+            case None => return None
+            case Some(t) =>
+              prevDc += extend(br.bits(t), t)
+              coef(0) = prevDc.toDouble * s.quant(0)
+          }
+          // AC
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            huffDecode(br, s.acTable) match {
+              case None => return None
+              case Some(rs) =>
+                val run = rs >> 4; val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  coef(Zigzag(k)) = extend(br.bits(size), size).toDouble *
+                    s.quant(k)
+                  k += 1
+                }
+            }
+          }
+          if (br.truncated) return None
+          val px = idct(coef)
+          var y = 0
+          while (y < 8) {
+            val sy = byI * 8 + y
+            var x = 0
+            while (x < 8) {
+              val sx = bxI * 8 + x
+              if (sx < s.w && sy < s.h) {
+                val v = math.round(px(y * 8 + x) + 128).toInt
+                out(sy * s.w + sx) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              }
+              x += 1
+            }
+            y += 1
+          }
+          bxI += 1
+        }
+        byI += 1
+      }
+      Some((s.w, s.h, out))
+    }
+}

@@ -423,6 +423,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic REAL-JPEG fixture: baseline grayscale JPEGs of
+    * flat 8×8 blocks whose values are closed-form over (doc_id, bx,
+    * by). Flat blocks quantize to a DC-only spectrum that
+    * reconstructs EXACTLY under [[Jpeg.QStep]] (it divides the DC
+    * scale), so a DuckDB oracle can recompute decoded pixel sums with
+    * no DCT — while the decoder still runs the full entropy-decode /
+    * dequantize / IDCT path on real marker-structured bytes. Every
+    * 5th doc raw text for the fallback. */
+  def syntheticJpeg(id: Long, text: String): Array[Byte] =
+    if (id % 5 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 8 * (1 + (id % 4).toInt)
+      val h = 8 * (1 + (id % 3).toInt)
+      Jpeg.encodeJpegGray(w, h,
+        (x, y) => ((id + 7L * (x / 8) + 13L * (y / 8)) % 256).toInt)
+    }
+
   /** Deterministic REAL-WAV fixture: stereo on odd ids, three sample
     * rates, four clip lengths, 16-bit samples in closed form over
     * (doc_id, channel, i) — every 7th doc is raw text exercising the
