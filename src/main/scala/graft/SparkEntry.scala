@@ -1569,6 +1569,33 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // AUDIO fingerprint dedup over REAL decoded PCM: 63-bit
+    // energy-delta sign profiles (Haitsma-Kalker shape) through the
+    // exact multi-index hamming funnel. Planted near-dups are
+    // CHANNEL-SWAPPED re-encodes of the stereo clips - byte-different
+    // payloads with identical channel-sum mixdowns, the transform
+    // byte hashing cannot see. FULLY oracled: DuckDB regenerates the
+    // PCM closed form, recomputes window energies, delta bits, packed
+    // fingerprints, and brute-force hamming pairs - the engine's
+    // banded funnel must land on the identical pair list.
+    "audio_dedup_pairs" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticWav(id, txt))
+      val mkSwap = udf((id: Long) => Multimodal.syntheticWavSwapped(id))
+      val docs = table(s, dir, "documents")
+      val media = docs
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      val swapped = docs
+        .filter(pmod(col("doc_id"), lit(10)) === 1 &&
+          pmod(col("doc_id"), lit(7)) =!= 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          mkSwap(col("doc_id")).as("media"))
+      Multimodal.audioFingerprintPairs(media.unionByName(swapped),
+        maxHamming = 3, materialize = eagerPairs)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast(IntegerType).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // VIDEO real decode: payloads are real YUV4MPEG2 streams built in
     // closed form (Multimodal.syntheticY4m — C420 planes, 2-5 frames),
     // parsed by the pure-JVM tag walker that verifies every FRAME
@@ -3846,6 +3873,36 @@ object SparkEntry {
            CAST(sum(CASE WHEN i % 256 <> 0 AND ((pv < 0) <> (v < 0))
              THEN 1 ELSE 0 END) AS BIGINT) AS zc
          FROM w GROUP BY doc_id, win ORDER BY doc_id, win""",
+
+    "audio_dedup_pairs" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+           512 + (doc_id % 4) * 256 AS n
+           FROM documents WHERE doc_id % 7 <> 0),
+         dd AS (SELECT doc_id, doc_id AS base, ch, n FROM d
+                UNION ALL
+                SELECT doc_id + 1000000, doc_id, ch, n FROM d
+                WHERE doc_id % 10 = 1),
+         s AS (SELECT dd.doc_id, (i * 64) // dd.n AS win,
+             CAST(((dd.base * 131 + i * 71) % 65536) - 32768 AS BIGINT)
+             + CASE WHEN dd.ch = 2
+                 THEN ((dd.base * 131 + i * 71 + 53) % 65536) - 32768
+                 ELSE 0 END AS v
+           FROM dd, unnest(generate_series(0, dd.n - 1)) AS t(i)),
+         e AS (SELECT doc_id, win, sum(v * v) AS e
+           FROM s GROUP BY 1, 2),
+         bt AS (SELECT doc_id, win,
+             CASE WHEN e >= lag(e) OVER (PARTITION BY doc_id ORDER BY win)
+               THEN 1 ELSE 0 END AS bit
+           FROM e),
+         fp AS (SELECT doc_id,
+             CAST(sum(CASE WHEN win >= 1 AND bit = 1
+               THEN (1::BIGINT << (win - 1)) ELSE 0 END) AS BIGINT) AS fp
+           FROM bt GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         FROM fp a, fp b
+         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY 1, 2""",
 
     "video_decode_real" ->
       """WITH d AS (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,

@@ -340,6 +340,43 @@ object Multimodal {
           .otherwise(0L)).as("zc"))
   }
 
+  /** 63-bit audio fingerprint over the decoded mixdown — the
+    * energy-delta sign profile (the public Haitsma–Kalker robust-hash
+    * shape, collapsed to one band): the clip splits into 64
+    * position-equal windows, and bit i−1 = [E_i ≥ E_{i−1}] for
+    * i = 1..63 (63 bits: no sign-bit overflow in any engine's signed
+    * 64-bit int). Exact integer math end-to-end, so it is invariant
+    * under transforms that preserve the energy ORDER profile —
+    * channel swaps (the mixdown is a channel sum), container header
+    * relabeling, plane reordering — while raw-byte hashes miss all of
+    * them. Clips shorter than 64 samples are dropped (no stable
+    * profile). Plan: one posexplode + two hash aggregations; the
+    * per-doc fold runs over exactly 64 collected window energies. */
+  def audioFingerprint(mixed: DataFrame): DataFrame =
+    mixed.select(col("doc_id"), size(col("mix")).as("n"),
+        posexplode(col("mix")).as(Seq("pos", "v")))
+      .filter(col("n") >= 64)
+      .groupBy(col("doc_id"),
+        (col("pos") * 64 / col("n")).cast(IntegerType).as("win"))
+      .agg(sum(col("v").cast(LongType) * col("v")).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("win"), col("e")))).as("es"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(1, size(es) - 1), CAST(0 AS BIGINT),
+           (acc, i) -> acc + IF(es[i].e >= es[i - 1].e,
+                                shiftleft(CAST(1 AS BIGINT), i - 1),
+                                CAST(0 AS BIGINT)))""").as("fp"))
+
+  /** Near-duplicate AUDIO pairs by fingerprint hamming distance: the
+    * same exact multi-index blocking as phash/simhash
+    * ([[Dedup.hammingPairs]]), fed by [[audioFingerprint]] — payload
+    * bytes are read once by the decode stage and only (doc_id, fp)
+    * ever shuffles. */
+  def audioFingerprintPairs(media: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame =
+    Dedup.hammingPairs(audioFingerprint(decodeAudioMixStage(media)),
+      maxHamming, 0, bucketCap, materialize)
+
   // ------------------------------------------------------------- video
 
   /** REAL video decode stage: YUV4MPEG2 stream headers parsed from
@@ -453,6 +490,16 @@ object Multimodal {
       Codecs.encodeWav(sr, ch, n, (c, i) =>
         (((id * 131 + i.toLong * 71 + c.toLong * 53) % 65536) - 32768).toInt)
     }
+
+  /** Channel-swapped re-encode of [[syntheticWav]] (stereo ids only):
+    * byte-level different payload, identical channel-sum mixdown —
+    * what audio fingerprint dedup catches and byte hashing cannot. */
+  def syntheticWavSwapped(id: Long): Array[Byte] = {
+    val sr = 8000 * (1 + (id % 3).toInt)
+    val n = 512 + (id % 4).toInt * 256
+    Codecs.encodeWav(sr, 2, n, (c, i) =>
+      (((id * 131 + i.toLong * 71 + (1 - c).toLong * 53) % 65536) - 32768).toInt)
+  }
 
   /** Deterministic REAL-Y4M fixture: even dimensions (C420), 2–5
     * frames, every plane byte in closed form over (doc_id, frame, x,

@@ -406,4 +406,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) === (("y4m", 8, 6, 3, 4, true)))
     assert(out(4L)._1 === "unknown" && !out(4L)._6)
   }
+
+  test("audioFingerprint: channel swap preserves fp; pairs funnel finds it") {
+    import spark.implicits._
+    val base = (1 to 9).map(i => (i.toLong, Multimodal.syntheticWav(i, "t")))
+    // ids 1, 3, 5, 7(raw text - dropped), 9 are stereo; swap id 3
+    val rows = (base :+ (1000003L, Multimodal.syntheticWavSwapped(3L)))
+      .toDF("doc_id", "media")
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.decodeAudioMixStage(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fps.contains(7L), "undecodable clip must be dropped")
+    assert(fps(1000003L) === fps(3L),
+      "channel-swapped payload must fingerprint identically")
+    val pairs = Multimodal.audioFingerprintPairs(rows, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 1000003L)))
+  }
 }
