@@ -1596,6 +1596,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL audio dedup: fingerprint index built once over the
+    // original clips (memoized write-once job, 16 B/doc); the
+    // channel-swapped increment decodes only its own payloads and
+    // joins the store - no payload rescan. Oracled as the >= 1 side
+    // new restriction of the brute-force pair list.
+    "audio_dedup_indexed" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticWav(id, txt))
+      val mkSwap = udf((id: Long) => Multimodal.syntheticWavSwapped(id))
+      val docs = table(s, dir, "documents")
+      val media = docs
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      val store = memoStore("audiofp", dir)(p =>
+        Multimodal.buildAudioFpIndex(media, p))
+      val swapped = docs
+        .filter(pmod(col("doc_id"), lit(10)) === 1 &&
+          pmod(col("doc_id"), lit(7)) =!= 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          mkSwap(col("doc_id")).as("media"))
+      Multimodal.audioFpAgainstIndex(s, store, swapped, maxHamming = 3,
+        materialize = eagerPairs)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast(IntegerType).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // VIDEO real decode: payloads are real YUV4MPEG2 streams built in
     // closed form (Multimodal.syntheticY4m — C420 planes, 2-5 frames),
     // parsed by the pure-JVM tag walker that verifies every FRAME
@@ -3902,6 +3927,37 @@ object SparkEntry {
            CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
          FROM fp a, fp b
          WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY 1, 2""",
+
+    "audio_dedup_indexed" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+           512 + (doc_id % 4) * 256 AS n
+           FROM documents WHERE doc_id % 7 <> 0),
+         dd AS (SELECT doc_id, doc_id AS base, ch, n FROM d
+                UNION ALL
+                SELECT doc_id + 1000000, doc_id, ch, n FROM d
+                WHERE doc_id % 10 = 1),
+         s AS (SELECT dd.doc_id, (i * 64) // dd.n AS win,
+             CAST(((dd.base * 131 + i * 71) % 65536) - 32768 AS BIGINT)
+             + CASE WHEN dd.ch = 2
+                 THEN ((dd.base * 131 + i * 71 + 53) % 65536) - 32768
+                 ELSE 0 END AS v
+           FROM dd, unnest(generate_series(0, dd.n - 1)) AS t(i)),
+         e AS (SELECT doc_id, win, sum(v * v) AS e
+           FROM s GROUP BY 1, 2),
+         bt AS (SELECT doc_id, win,
+             CASE WHEN e >= lag(e) OVER (PARTITION BY doc_id ORDER BY win)
+               THEN 1 ELSE 0 END AS bit
+           FROM e),
+         fp AS (SELECT doc_id,
+             CAST(sum(CASE WHEN win >= 1 AND bit = 1
+               THEN (1::BIGINT << (win - 1)) ELSE 0 END) AS BIGINT) AS fp
+           FROM bt GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         FROM fp a, fp b
+         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+           AND b.doc_id >= 1000000
          ORDER BY 1, 2""",
 
     "video_decode_real" ->

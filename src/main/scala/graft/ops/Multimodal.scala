@@ -377,6 +377,30 @@ object Multimodal {
     Dedup.hammingPairs(audioFingerprint(decodeAudioMixStage(media)),
       maxHamming, 0, bucketCap, materialize)
 
+  /** Persist the corpus' audio fingerprints (write-once, 16 B/doc) —
+    * the audio family's incremental path, same store layout as
+    * phash/simhash ([[Dedup.buildFingerprintIndex]]). */
+  def buildAudioFpIndex(media: DataFrame, path: String): Unit =
+    Dedup.buildFingerprintIndex(
+      audioFingerprint(decodeAudioMixStage(media)), path)
+
+  /** Append an increment's audio fingerprints (idempotent on doc_id). */
+  def appendToAudioFpIndex(spark: SparkSession, indexPath: String,
+      media: DataFrame): Unit =
+    Dedup.appendToFingerprintIndex(spark, indexPath,
+      audioFingerprint(decodeAudioMixStage(media)))
+
+  /** Near-dup audio pairs between an increment and the stored
+    * fingerprint index — [[audioFingerprintPairs]]' incremental twin:
+    * the increment decodes its own payloads; stored docs join at 16
+    * bytes each with no payload rescan. */
+  def audioFpAgainstIndex(spark: SparkSession, indexPath: String,
+      media: DataFrame, maxHamming: Int = 3, bucketCap: Int = 100000,
+      materialize: Boolean = true): DataFrame =
+    Dedup.hammingAgainstIndex(spark, indexPath,
+      audioFingerprint(decodeAudioMixStage(media)),
+      maxHamming, 0, bucketCap, materialize)
+
   // ------------------------------------------------------------- video
 
   /** REAL video decode stage: YUV4MPEG2 stream headers parsed from
