@@ -1656,6 +1656,28 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL GIF decode: literal-LZW GIF89a fixtures through the full
+    // LZW decompressor (variable-width codes, CLEAR handling,
+    // sub-block framing) and the grayscale palette lookup - the
+    // oracle recomputes pixel sums from the closed form, so a bit-
+    // unpacking, dictionary, palette, or framing mistake fails the
+    // hash on real container bytes.
+    "mm_gif_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticGif(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // REAL JPEG decode: payloads are baseline grayscale JPEGs (pure-JVM
     // graft.ops.Jpeg — Annex-K Huffman tables, byte stuffing, marker
     // walk, dequantize + IDCT) of flat 8x8 blocks in closed form, so
@@ -3834,6 +3856,17 @@ object SparkEntry {
          SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(sum(l) AS BIGINT) AS sum_luma
          FROM lum GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_gif_real" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+           FROM documents WHERE doc_id % 5 <> 0),
+         gx AS (SELECT doc_id, w, h,
+           unnest(generate_series(0, w - 1)) AS x FROM m),
+         gxy AS (SELECT doc_id, w, h, x,
+           unnest(generate_series(0, h - 1)) AS y FROM gx)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum((doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_luma
+         FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "mm_jpeg_real" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh

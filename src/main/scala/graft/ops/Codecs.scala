@@ -150,6 +150,11 @@ object Codecs {
       Jpeg.decodeJpegHeader(b).map { case (w, h) =>
         MediaHeader("jpeg", w, h, 1)
       }
+    } else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+      // GIF87a/89a (graft.ops.Gif): palette images are 3-channel
+      Gif.decodeGifHeader(b).map { case (w, h, _) =>
+        MediaHeader("gif", w, h, 3)
+      }
     } else None
   }
 
@@ -329,6 +334,8 @@ object Codecs {
         }
       case MediaHeader("jpeg", _, _, _) =>
         Jpeg.decodeJpegGray(b).map { case (w, h, px) => (w, h, px) }
+      case MediaHeader("gif", _, _, _) =>
+        Gif.decodeGifGray(b)
       case MediaHeader("png", _, _, _) =>
         pngPixels(b).map { case (w, h, ch, px) =>
           val g = new Array[Byte](w * h)

@@ -105,8 +105,14 @@ object Multimodal {
         // video, then the stub fallback
         Codecs.decodeHeader(bytes) match {
           case Some(h) =>
+            // rasters are single-frame except GIF, whose descriptor
+            // walk counts animation frames
+            val frames =
+              if (h.format == "gif")
+                Gif.decodeGifHeader(bytes).map(_._3).getOrElse(1)
+              else 1
             Row(id, mt, h.format, bytes.length.toLong, h.width, h.height,
-              h.channels, 1, true)
+              h.channels, frames, true)
           case None => Codecs.decodeWavHeader(bytes) match {
             case Some(a) =>
               Row(id, mt, a.format, bytes.length.toLong, 0, 0, a.channels,
@@ -483,6 +489,19 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Deterministic REAL-GIF fixture: literal-LZW GIF89a with a
+    * grayscale palette (palette[i] = (i,i,i), so decoded luma equals
+    * the pixel index exactly) and closed-form pixels; every 5th doc
+    * raw text for the fallback. */
+  def syntheticGif(id: Long, text: String): Array[Byte] =
+    if (id % 5 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 4 + (id % 13).toInt
+      val h = 3 + (id % 11).toInt
+      Gif.encodeGifGray(w, h,
+        (x, y) => ((id + 3L * x + 5L * y) % 256).toInt)
+    }
 
   /** Deterministic REAL-JPEG fixture: baseline grayscale JPEGs of
     * flat 8×8 blocks whose values are closed-form over (doc_id, bx,
