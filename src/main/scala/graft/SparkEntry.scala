@@ -1394,6 +1394,33 @@ object SparkEntry {
         col("doc_id"), n = 10)
         .orderBy("doc_id")),
 
+    // link-graph centrality over the corpus: 3 damped PageRank
+    // iterations with exact dangling redistribution, on the portable
+    // md5-derived link graph (the crawl-frontier / corpus-inclusion
+    // quality prior). Ranks ride Graph's 2^-30 dyadic grid, so the
+    // bits are engine-identical and the 6-digit presentation floor
+    // has NO boundary luck (ranks are rationals that structurally
+    // land on decimal half-boundaries — round() would flip rows)
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = n)
+      Graph.pageRank(edges, docs, col("doc_id"), iters = 3)
+        .select(col("node"),
+          (floor(col("rank") * lit(n.toDouble) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("rank_norm"))
+        .orderBy("node")
+    }),
+
+    // in/out-degree audit of the same graph (zero-filled from the
+    // node table) — the pre-flight skew profile a 100 TB PageRank
+    // run reads before picking AQE/salting knobs
+    "graph_degrees" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = docs.count())
+      Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
+    }),
+
     // BPE trainer, iteration-0 statistics: weighted adjacent char-pair
     // frequencies over the distinct-word table (the corpus-scale pass
     // reduces to vocabulary-scale state) — oracled top-50
@@ -2047,6 +2074,37 @@ object SparkEntry {
     (1 to n).map(i =>
       s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (n - i))}")
       .mkString("(", " + ", ")")
+
+  /** Shared CTE pair of the graph oracles: `nn` (node count as BIGINT
+    * `nb` for the modulus / DOUBLE `nd` for rank arithmetic) and `e`,
+    * the portable md5-derived link graph — dst_j = first-8-nibble
+    * value of md5("<doc_id>#l<j>") mod N, j = 1..3, self-loops out,
+    * parallel edges collapsed; the DuckDB twin of
+    * [[graft.ops.Graph.linkGraph]]. */
+  /** The 2^-30 dyadic rank quantizer of the PageRank oracle — the SQL
+    * twin of `Graph.quant`. */
+  private def prQuant(x: String): String =
+    s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+
+  /** One PageRank update in oracle SQL: base + d·(contrib + dang/N),
+    * with the same double literal arithmetic Spark's plan evaluates
+    * ((1.0 − 0.85) computed IN double — a DuckDB 0.15 decimal literal
+    * is a different double). */
+  private def prStep(c: String, d: String): String =
+    s"""(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.nd
+        + CAST(0.85 AS DOUBLE) * (coalesce($c.c, 0) + $d.dang / nn.nd)"""
+
+  private val linkGraphCte: String = {
+    val arms = (1 to 3).map { j =>
+      s"""SELECT CAST(doc_id AS BIGINT) AS src,
+          ${hexValSql(s"md5(CAST(doc_id AS VARCHAR) || '#l$j')", 8)}
+            % (SELECT nb FROM nn) AS dst FROM documents"""
+    }.mkString("\n           UNION ALL ")
+    s"""nn AS (SELECT count(*) AS nb, CAST(count(*) AS DOUBLE) AS nd
+             FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+           $arms) WHERE src <> dst)"""
+  }
 
   /** Shared CTE chain of the two DSIR oracles: hashed unigram∪bigram
     * bucket counts (4-nibble md5 bucket, B=4096), add-α target/raw
@@ -3758,6 +3816,49 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
            CAST(len(d.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
+
+    // quantization contract mirrors Graph.quant: floor(x·2^30 + ½)/2^30
+    // on every stored rank and every per-edge term — grid sums are
+    // exact doubles, so the two engines agree BIT-exactly and the
+    // 6-digit presentation floor is luck-free
+    "graph_pagerank" ->
+      s"""WITH $linkGraphCte,
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1),
+         r0 AS (SELECT CAST(doc_id AS BIGINT) AS node,
+             ${prQuant("CAST(1.0 AS DOUBLE) / nn.nd")} AS r
+             FROM documents CROSS JOIN nn),
+         d1 AS (SELECT coalesce(sum(r), 0) AS dang FROM r0
+                LEFT JOIN deg ON r0.node = deg.src WHERE deg.d IS NULL),
+         c1 AS (SELECT e.dst AS node, sum(${prQuant("r0.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+         r1 AS (SELECT r0.node, ${prQuant(prStep("c1", "d1"))} AS r
+             FROM r0 LEFT JOIN c1 USING (node) CROSS JOIN d1 CROSS JOIN nn),
+         d2 AS (SELECT coalesce(sum(r), 0) AS dang FROM r1
+                LEFT JOIN deg ON r1.node = deg.src WHERE deg.d IS NULL),
+         c2 AS (SELECT e.dst AS node, sum(${prQuant("r1.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+         r2 AS (SELECT r1.node, ${prQuant(prStep("c2", "d2"))} AS r
+             FROM r1 LEFT JOIN c2 USING (node) CROSS JOIN d2 CROSS JOIN nn),
+         d3 AS (SELECT coalesce(sum(r), 0) AS dang FROM r2
+                LEFT JOIN deg ON r2.node = deg.src WHERE deg.d IS NULL),
+         c3 AS (SELECT e.dst AS node, sum(${prQuant("r2.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+         r3 AS (SELECT r2.node, ${prQuant(prStep("c3", "d3"))} AS r
+             FROM r2 LEFT JOIN c3 USING (node) CROSS JOIN d3 CROSS JOIN nn)
+         SELECT r3.node,
+           floor(r3.r * nn.nd * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS rank_norm
+         FROM r3 CROSS JOIN nn ORDER BY node""",
+
+    "graph_degrees" ->
+      s"""WITH $linkGraphCte,
+         od AS (SELECT src, count(*) AS c FROM e GROUP BY 1),
+         ind AS (SELECT dst, count(*) AS c FROM e GROUP BY 1)
+         SELECT CAST(doc_id AS BIGINT) AS node,
+           coalesce(od.c, 0) AS out_deg, coalesce(ind.c, 0) AS in_deg
+         FROM documents LEFT JOIN od ON doc_id = od.src
+         LEFT JOIN ind ON doc_id = ind.dst
+         ORDER BY node""",
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT word, count(*) AS wcount FROM

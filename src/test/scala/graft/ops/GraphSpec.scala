@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank semantics against hand-computed values, the Σrank = 1
+  * mass-conservation invariant (which fails the moment dangling
+  * redistribution is wrong), degree zero-fill, and the portability
+  * contract of the derived link graph. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // 0→{1,2}, 1→{2}; nodes 2 and 3 dangle. Hand-computed iteration 1
+  // (d=0.85, N=4): dangling mass 0.5; contribs 1←0.125, 2←0.375;
+  // base (1−d)/N = 0.0375, redistributed 0.85·0.5/4 = 0.10625.
+  private def fixture = (
+    Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst"),
+    Seq(0L, 1L, 2L, 3L).toDF("node"))
+
+  test("one iteration matches the closed-form values") {
+    val (edges, nodes) = fixture
+    val r = Graph.pageRank(edges, nodes, col("node"), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(0L) - 0.14375) < 1e-8)
+    assert(math.abs(r(1L) - 0.25) < 1e-8)
+    assert(math.abs(r(2L) - 0.4625) < 1e-8)
+    assert(math.abs(r(3L) - 0.14375) < 1e-8)
+  }
+
+  test("rank mass stays 1 across iterations incl. a checkpoint cut") {
+    val (edges, nodes) = fixture
+    val total = Graph.pageRank(edges, nodes, col("node"), iters = 7,
+        checkpointEvery = 3)
+      .agg(sum(col("rank"))).collect()(0).getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6)
+  }
+
+  test("a sink-heavy hub ranks above its spokes") {
+    // star: every spoke points at node 0
+    val edges = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
+    val nodes = (0L to 9L).toDF("node")
+    val r = Graph.pageRank(edges, nodes, col("node"), iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > 5 * r(1L))
+    assert((1L to 9L).map(r).distinct.size === 1)
+  }
+
+  test("degrees zero-fill nodes absent from the edge list") {
+    val (edges, nodes) = fixture
+    val d = Graph.degrees(edges, nodes, col("node"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(d(0L) === ((2L, 0L)))
+    assert(d(1L) === ((1L, 1L)))
+    assert(d(2L) === ((0L, 2L)))
+    assert(d(3L) === ((0L, 0L)))
+  }
+
+  test("linkGraph is deterministic, self-loop-free, in-range") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val e1 = Graph.linkGraph(docs, col("doc_id"), nNodes = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e2 = Graph.linkGraph(docs, col("doc_id"), nNodes = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e1 === e2)
+    assert(e1.forall { case (s, d) => s != d && d >= 0 && d < 40 })
+    // fanout 3 minus collisions/self-loops: strictly more than 2 per node
+    assert(e1.size > 80 && e1.size <= 120)
+  }
+}
