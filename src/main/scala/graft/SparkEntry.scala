@@ -1421,6 +1421,33 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // incremental-crawl delta: yesterday's snapshot (doc_id%13==5
+    // not yet crawled; %7==0 docs carried a 40-char truncation) vs
+    // today's (%17==3 dropped) — per-id added/removed/changed/
+    // unchanged off one fingerprint-only full-outer join
+    "snapshot_delta" -> ((s, dir) => {
+      val (o, n) = snapshotPair(table(s, dir, "documents"))
+      Snapshot.delta(o, n, col("doc_id"), col("text")).orderBy("id")
+    }),
+
+    // the delta rollup an incremental pipeline alerts on
+    "snapshot_delta_counts" -> ((s, dir) => {
+      val (o, n) = snapshotPair(table(s, dir, "documents"))
+      Snapshot.delta(o, n, col("doc_id"), col("text"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .presentSorted("status")
+    }),
+
+    // what downstream stages actually reprocess: added|changed ids
+    // semi-joined back to the new snapshot (content materialized for
+    // the delta only — the whole point of diffing first)
+    "snapshot_reprocess_feed" -> ((s, dir) => {
+      val (o, n) = snapshotPair(table(s, dir, "documents"))
+      Snapshot.reprocessFeed(o, n, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("status"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // BPE trainer, iteration-0 statistics: weighted adjacent char-pair
     // frequencies over the distinct-word table (the corpus-scale pass
     // reduces to vocabulary-scale state) — oracled top-50
@@ -2081,6 +2108,36 @@ object SparkEntry {
     * value of md5("<doc_id>#l<j>") mod N, j = 1..3, self-loops out,
     * parallel edges collapsed; the DuckDB twin of
     * [[graft.ops.Graph.linkGraph]]. */
+  /** Deterministic snapshot pair for the incremental-delta queries,
+    * derived from the documents table so the oracle can rebuild both
+    * sides: OLD = docs not yet crawled removed (doc_id % 13 == 5
+    * absent) with %7==0 docs truncated to 40 chars (yesterday's
+    * content); NEW = today's crawl (doc_id % 17 == 3 dropped). */
+  private def snapshotPair(docs: DataFrame): (DataFrame, DataFrame) = {
+    val old = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, substring(col("text"), 1, 40))
+          .otherwise(col("text")).as("text"))
+    val neu = docs.filter(col("doc_id") % 17 =!= 3)
+    (old, neu)
+  }
+
+  /** Shared snapshot CTEs of the three delta oracles. */
+  private val snapshotCte: String =
+    """o AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40) ELSE text END AS text
+         FROM documents WHERE doc_id % 13 <> 5),
+       nw AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 17 <> 3),
+       j AS (SELECT coalesce(o.doc_id, nw.doc_id) AS id,
+           md5(o.text) AS old_fp, md5(nw.text) AS new_fp
+         FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id),
+       cls AS (SELECT id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp <> new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status, old_fp, new_fp
+         FROM j)"""
+
   /** The 2^-30 dyadic rank quantizer of the PageRank oracle — the SQL
     * twin of `Graph.quant`. */
   private def prQuant(x: String): String =
@@ -3859,6 +3916,21 @@ object SparkEntry {
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
          ORDER BY node""",
+
+    "snapshot_delta" ->
+      s"""WITH $snapshotCte
+         SELECT id, status, old_fp, new_fp FROM cls ORDER BY id""",
+
+    "snapshot_delta_counts" ->
+      s"""WITH $snapshotCte
+         SELECT status, count(*) AS n FROM cls GROUP BY 1 ORDER BY status""",
+
+    "snapshot_reprocess_feed" ->
+      s"""WITH $snapshotCte
+         SELECT nw.doc_id, cls.status, nw.n_chars
+         FROM nw JOIN cls ON nw.doc_id = cls.id
+         WHERE cls.status IN ('added', 'changed')
+         ORDER BY nw.doc_id""",
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT word, count(*) AS wcount FROM
