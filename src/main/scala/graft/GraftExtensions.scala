@@ -53,6 +53,7 @@ object GraftExtensions {
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       fn("graft_simhash64", classOf[SimHash64], 1)(es => SimHash64(es.head)),
+      fn("graft_deflate_len", classOf[DeflateLen], 1)(es => DeflateLen(es.head)),
       fn("graft_phash64", classOf[PHash64], 1)(es => PHash64(es.head)),
       fn("graft_word_gram_hashes", classOf[WordGramHashes], 2)(
         es => WordGramHashes(es.head, intLit(es(1), "graft_word_gram_hashes", 1))),

@@ -1323,6 +1323,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // compression-ratio quality signal (zlib kernel in the scan):
+    // the redundancy-structure filter counted n-gram classes miss.
+    // Deflate bytes are the JVM zlib's → rows-only (like minhash
+    // signatures); structural semantics spec'd in TextOpsSpec
+    "text_compression_signal" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select((col("doc_id") +:
+          TextOps.compressionColumns(col("text"))): _*)
+        .orderBy("doc_id")),
+
     // text stats: token counts, ratios, fingerprint
     "text_stats" -> ((s, dir) =>
       // one fused kernel pass for the six counters (codegen CSE

@@ -22,6 +22,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
+  /** Per-thread reusable zlib state for [[deflateLen]] — Deflater
+    * allocation is the expensive part; reset() between rows keeps one
+    * native stream per executor thread for the whole scan. */
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6, true))
+
+  /** Raw-DEFLATE (zlib level 6) compressed byte length of the UTF-8
+    * text. The compression-ratio quality signal of the CCNet /
+    * RefinedWeb lineage: highly compressible documents are template
+    * boilerplate and repetition (the failure mode Gopher's repetition
+    * ratios also target, but sensitive to ANY redundancy structure,
+    * not just counted n-gram classes); incompressible ones are
+    * random-ish junk. Byte lengths depend on the JVM's bundled zlib,
+    * so this is an engine-specific signal (rows-only driver check,
+    * structural ScalaTest spec) — like the minhash signatures. */
+  def deflateLen(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   /** 64-bit SimHash of whitespace-lowercased tokens: per-token hash
     * votes on each bit, sign of the vote sum becomes the bit.
     * Locale.ROOT lowercase — the default-locale form would produce
@@ -783,6 +810,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → raw-DEFLATE byte length (zlib level 6). */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"deflate_len needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.deflateLen(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
 /** media BINARY → 64-bit block-mean perceptual hash. */
 case class PHash64(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -1100,6 +1142,7 @@ case class CosineSimQ8(left: Expression, right: Expression)
 object GraftFunctions {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
   def simhash64(text: Column): Column = GraftColumnBridge.column(SimHash64(e(text)))
+  def deflateLen(text: Column): Column = GraftColumnBridge.column(DeflateLen(e(text)))
   def phash64(media: Column): Column = GraftColumnBridge.column(PHash64(e(media)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))

@@ -21,6 +21,30 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Compression-ratio quality columns (CCNet/RefinedWeb-lineage
+    * signal, computed by the codegen'd [[graft.functions.Kernels
+    * .deflateLen]] zlib kernel inside the scan): raw UTF-8 byte
+    * length, raw-DEFLATE byte length, their ratio, and a three-way
+    * verdict — highly compressible text is template boilerplate /
+    * repetition ('boilerplate', ratio < `loRatio`), incompressible
+    * text is random-ish junk ('junk', ratio > `hiRatio`). Catches
+    * ANY redundancy structure, complementing the counted n-gram
+    * classes of [[repetitionColumns]]. Deflate bytes depend on the
+    * JVM's zlib, so the signal is engine-specific (rows-only driver
+    * check; structural spec). */
+  def compressionColumns(text: Column, loRatio: Double = 0.25,
+      hiRatio: Double = 1.0): Seq[Column] = {
+    val raw = octet_length(text).cast(LongType)
+    val dl = graft.functions.GraftFunctions.deflateLen(text)
+    val ratio = dl.cast(DoubleType) / greatest(raw, lit(1L)).cast(DoubleType)
+    Seq(raw.as("raw_len"), dl.as("deflate_len"),
+      round(ratio, 4).as("compression_ratio"),
+      when(raw === 0, lit("empty"))
+        .when(ratio < loRatio, lit("boilerplate"))
+        .when(ratio > hiRatio, lit("junk"))
+        .otherwise(lit("ok")).as("compression_verdict"))
+  }
+
   /** Quality signals: length, alpha ratio, digit ratio, punctuation
     * ratio, mean word length, stopword ratio. Returned as separate
     * columns; `qualityScore` combines them. */

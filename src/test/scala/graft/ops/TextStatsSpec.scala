@@ -215,4 +215,45 @@ class TextStatsSpec extends AnyFunSuite {
     // a cap of 1 drops every shared posting list → no pairs at all
     assert(Similarity.sparseCosinePairs(sparse, 0.0, dfCap = 1).count() === 0L)
   }
+  test("compression ratio separates repetition from high-entropy text") {
+    import spark.implicits._
+    val boiler = ("lorem ipsum dolor sit amet " * 80).trim
+    // full printable-range bytes (~6.5 bits/char) — hex strings are
+    // NOT junk-entropy (16 symbols ≈ 4 bits/char deflates to ~0.56)
+    val junk = (1 to 60).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"j$i".getBytes("UTF-8"))
+        .map(b => (33 + math.floorMod(b, 94)).toChar).mkString)
+      .mkString(" ")
+    val normal = "The quick brown fox jumps over the lazy dog near the " +
+      "river bank, while sparrows argue about crumbs and a barge drifts by."
+    val docs = Seq((1L, boiler), (2L, junk), (3L, normal), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select((col("doc_id") +:
+        TextOps.compressionColumns(col("text"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    // raw_len is the UTF-8 byte length
+    assert(out(1L)._1 === boiler.getBytes("UTF-8").length.toLong)
+    // 80x repetition deflates to a tiny fraction; entropy text doesn't
+    assert(out(1L)._3 < 0.1 && out(1L)._4 === "boilerplate")
+    assert(out(2L)._3 > 0.5, s"junk ratio ${out(2L)._3}")
+    assert(out(3L)._4 === "ok")
+    assert(out(4L)._4 === "empty" && out(4L)._1 === 0L)
+    // ratio ordering is the signal: boiler < normal < junk
+    assert(out(1L)._3 < out(3L)._3 && out(3L)._3 < out(2L)._3)
+  }
+
+  test("deflate_len is stable per JVM and registered in SQL") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val df = Seq(("abc abc abc abc abc abc abc abc")).toDF("t")
+    val a = df.select(graft.functions.GraftFunctions.deflateLen(col("t")))
+      .collect()(0).getLong(0)
+    val b = df.selectExpr("graft_deflate_len(t)").collect()(0).getLong(0)
+    assert(a === b && a > 0)
+    val again = df.select(graft.functions.GraftFunctions.deflateLen(col("t")))
+      .collect()(0).getLong(0)
+    assert(again === a)
+  }
 }
