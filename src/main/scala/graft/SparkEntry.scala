@@ -1323,6 +1323,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // top collocations by LIFT (= e^PMI, but a pure ratio of integer
+    // counts → bit-exact cross-engine where PMI's log would pull in
+    // libm): window-3 pairs generated inside each doc's token array,
+    // two count shuffles, broadcast totals, deterministic tiebreak
+    "colloc_top_lift" -> ((s, dir) =>
+      Colloc.topCollocations(table(s, dir, "documents"), col("text"),
+          window = 3, minCount = 5, k = 100)
+        .select(col("tok_a"), col("tok_b"), col("pair_n"),
+          (floor(col("lift") * lit(1e6) + lit(0.5)) / lit(1e6)).as("lift"))),
+
     // compression-ratio quality signal (zlib kernel in the scan):
     // the redundancy-structure filter counted n-gram classes miss.
     // Deflate bytes are the JVM zlib's → rows-only (like minhash
@@ -3941,6 +3951,37 @@ object SparkEntry {
          FROM nw JOIN cls ON nw.doc_id = cls.id
          WHERE cls.status IN ('added', 'changed')
          ORDER BY nw.doc_id""",
+
+    // lift association tree mirrors Colloc.topCollocations exactly:
+    // ((c_ab/c_a) * (ntok/c_b)) * (ntok/npairs), left-assoc doubles
+    // over exact integer counts — identical bits, luck-free floor
+    "colloc_top_lift" ->
+      """WITH t0 AS (SELECT list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> length(x) > 0) AS t FROM documents),
+         p0 AS (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+                FROM t0 WHERE len(t) >= 2),
+         p1 AS (SELECT t, i,
+                unnest(generate_series(i+1, least(i+3, len(t)))) AS j FROM p0),
+         pc AS (SELECT least(t[i], t[j]) AS tok_a,
+                greatest(t[i], t[j]) AS tok_b, count(*) AS pair_n
+                FROM p1 GROUP BY 1, 2),
+         uc AS (SELECT tok, count(*) AS tok_n FROM
+                (SELECT unnest(t) AS tok FROM t0) GROUP BY 1),
+         tot AS (SELECT CAST(sum(tok_n) AS DOUBLE) AS ntok FROM uc),
+         totp AS (SELECT CAST(sum(pair_n) AS DOUBLE) AS npair FROM pc),
+         l AS (SELECT pc.tok_a, pc.tok_b, pc.pair_n,
+               CAST(pc.pair_n AS DOUBLE) / CAST(ca.tok_n AS DOUBLE)
+                 * (tot.ntok / CAST(cb.tok_n AS DOUBLE))
+                 * (tot.ntok / totp.npair) AS lift
+               FROM pc JOIN uc ca ON pc.tok_a = ca.tok
+               JOIN uc cb ON pc.tok_b = cb.tok
+               CROSS JOIN tot CROSS JOIN totp
+               WHERE pc.pair_n >= 5)
+         SELECT tok_a, tok_b, pair_n,
+           floor(lift * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS lift
+         FROM l ORDER BY l.lift DESC, tok_a, tok_b LIMIT 100""",
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT word, count(*) AS wcount FROM
