@@ -1333,6 +1333,17 @@ object SparkEntry {
         .select(col("tok_a"), col("tok_b"), col("pair_n"),
           (floor(col("lift") * lit(1e6) + lit(0.5)) / lit(1e6)).as("lift"))),
 
+    // multi-pattern blocklist screen: one Aho-Corasick O(len) pass
+    // per doc for the whole pattern set (per-pattern contains() is
+    // O(len×patterns) passes — the naive blocklist scale trap).
+    // Oracled: AC totals equal per-pattern regex occurrence counts
+    // for non-self-overlapping patterns
+    "text_blocklist_screen" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select((col("doc_id") +: TextOps.blocklistColumns(col("text"),
+          Seq("slow", "hash", "the part", "query"))): _*)
+        .orderBy("doc_id")),
+
     // compression-ratio quality signal (zlib kernel in the scan):
     // the redundancy-structure filter counted n-gram classes miss.
     // Deflate bytes are the JVM zlib's → rows-only (like minhash
@@ -3951,6 +3962,22 @@ object SparkEntry {
          FROM nw JOIN cls ON nw.doc_id = cls.id
          WHERE cls.status IN ('added', 'changed')
          ORDER BY nw.doc_id""",
+
+    // per-pattern non-overlapping regex counts equal AC's all-end-
+    // positions totals because none of the four patterns self-overlap
+    // and the corpus is space-tokenized (no periodic runs)
+    "text_blocklist_screen" -> {
+      val pats = Seq("slow", "hash", "the part", "query")
+      val cnt = pats.map(p =>
+        s"len(regexp_extract_all(lower(text), '$p'))")
+      val hits = cnt.mkString(" + ")
+      val matched = cnt.map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($hits AS BIGINT) AS block_hits,
+         CAST($matched AS BIGINT) AS block_patterns,
+         ($hits) > 0 AS blocked
+         FROM documents ORDER BY doc_id"""
+    },
 
     // lift association tree mirrors Colloc.topCollocations exactly:
     // ((c_ab/c_a) * (ntok/c_b)) * (ntok/npairs), left-assoc doubles

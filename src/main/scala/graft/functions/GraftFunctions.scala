@@ -49,6 +49,88 @@ object Kernels {
     total
   }
 
+  /** Aho-Corasick automaton: goto/fail/merged-output over exact
+    * chars. The multi-pattern blocklist primitive — one O(len) scan
+    * per document regardless of pattern count, where per-pattern
+    * contains() is O(len × patterns) passes. Counts EVERY match end
+    * position (overlapping included: "aa" hits "aaaa" 3 times). */
+  final class AcAutomaton(patterns: Array[String]) {
+    private val kids = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.LongMap.empty[Int])
+    private val ends = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    for (pi <- patterns.indices) {
+      val p = patterns(pi)
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i).toLong
+        val m = kids(s)
+        s = m.getOrElse(c, {
+          kids += scala.collection.mutable.LongMap.empty[Int]
+          ends += Nil
+          val id = kids.length - 1; m(c) = id; id
+        })
+        i += 1
+      }
+      if (p.nonEmpty) ends(s) = pi :: ends(s)
+    }
+    private val fail = new Array[Int](kids.length)
+    private val outs = new Array[Array[Int]](kids.length)
+    locally {
+      val q = scala.collection.mutable.Queue.empty[Int]
+      outs(0) = ends(0).toArray
+      kids(0).foreach { case (_, v) => fail(v) = 0; q.enqueue(v) }
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        // BFS order guarantees fail(u) was finished first, so output
+        // lists merge down the dict-suffix chain without walking it
+        // at match time
+        outs(u) = (ends(u) ++ outs(fail(u))).toArray
+        kids(u).foreach { case (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !kids(f).contains(c)) f = fail(f)
+          fail(v) = kids(f).getOrElse(c, 0) match {
+            case `v` => 0
+            case w   => w
+          }
+          q.enqueue(v)
+        }
+      }
+    }
+    /** Total match count; sets the bit of every matched pattern. */
+    def run(str: String, matched: java.util.BitSet): Long = {
+      var hits = 0L
+      var s = 0
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i).toLong
+        while (s != 0 && !kids(s).contains(c)) s = fail(s)
+        s = kids(s).getOrElse(c, 0)
+        val o = outs(s)
+        var k = 0
+        while (k < o.length) { hits += 1; matched.set(o(k)); k += 1 }
+        i += 1
+      }
+      hits
+    }
+  }
+
+  /** One automaton per distinct pattern set per JVM — the build is
+    * the broadcast-side cost, the scan side stays O(len). */
+  private val acMemo =
+    new scala.collection.concurrent.TrieMap[Seq[String], AcAutomaton]()
+
+  /** text × patterns → (n_hits, n_matched): total Aho-Corasick match
+    * occurrences and distinct patterns hit. */
+  def blocklistStats(s: UTF8String, patterns: Array[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val ac = acMemo.getOrElseUpdate(patterns.toSeq, new AcAutomaton(patterns))
+    val bs = new java.util.BitSet(patterns.length)
+    val hits = ac.run(s.toString, bs)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hits, bs.cardinality().toLong))
+  }
+
   /** 64-bit SimHash of whitespace-lowercased tokens: per-token hash
     * votes on each bit, sign of the vote sum becomes the bit.
     * Locale.ROOT lowercase — the default-locale form would produce
@@ -810,6 +892,28 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING × pattern set → STRUCT(n_hits, n_matched): total
+  * Aho-Corasick occurrence count and distinct patterns matched. */
+case class BlocklistStats(child: Expression, patterns: Array[String])
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("n_matched", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"blocklist_stats needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.blocklistStats(input.asInstanceOf[UTF8String], patterns)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("blockPatterns", patterns, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.blocklistStats($c, $pRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BlocklistStats =
+    copy(child = newChild)
+}
+
 /** text STRING → raw-DEFLATE byte length (zlib level 6). */
 case class DeflateLen(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -1143,6 +1247,8 @@ object GraftFunctions {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
   def simhash64(text: Column): Column = GraftColumnBridge.column(SimHash64(e(text)))
   def deflateLen(text: Column): Column = GraftColumnBridge.column(DeflateLen(e(text)))
+  def blocklistStats(text: Column, patterns: Array[String]): Column =
+    GraftColumnBridge.column(BlocklistStats(e(text), patterns))
   def phash64(media: Column): Column = GraftColumnBridge.column(PHash64(e(media)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))

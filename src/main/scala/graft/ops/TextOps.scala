@@ -45,6 +45,23 @@ object TextOps {
         .otherwise(lit("ok")).as("compression_verdict"))
   }
 
+  /** Multi-pattern blocklist screening via the Aho-Corasick kernel
+    * ([[graft.functions.Kernels.AcAutomaton]]): total match
+    * occurrences, distinct patterns hit, and the pass/block verdict,
+    * in ONE O(len) scan per document however long the blocklist —
+    * the per-pattern `contains()` alternative is O(len × patterns)
+    * passes and is how naive blocklist stages melt at 100 TB. The
+    * automaton builds once per executor JVM per pattern set (the
+    * broadcast-variable shape, carried in the expression); matching
+    * is case-insensitive via lower() on both sides. */
+  def blocklistColumns(text: Column, patterns: Seq[String]): Seq[Column] = {
+    val pats = patterns.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+    val st = graft.functions.GraftFunctions.blocklistStats(lower(text), pats)
+    Seq(st.getField("n_hits").as("block_hits"),
+      st.getField("n_matched").as("block_patterns"),
+      (st.getField("n_hits") > 0).as("blocked"))
+  }
+
   /** Quality signals: length, alpha ratio, digit ratio, punctuation
     * ratio, mean word length, stopword ratio. Returned as separate
     * columns; `qualityScore` combines them. */
