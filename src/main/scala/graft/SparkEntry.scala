@@ -1452,6 +1452,23 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // HITS hubs/authorities on the same link graph (2 iterations,
+    // L1-normalized each half-step, same bit-exact dyadic grid) —
+    // the directory-page-vs-content split PageRank's single score
+    // conflates
+    "graph_hits" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = n)
+      Graph.hits(edges, docs, col("doc_id"), iters = 2)
+        .select(col("node"),
+          (floor(col("hub") * lit(n.toDouble) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("hub_norm"),
+          (floor(col("auth") * lit(n.toDouble) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("auth_norm"))
+        .orderBy("node")
+    }),
+
     // incremental-crawl delta: yesterday's snapshot (doc_id%13==5
     // not yet crawled; %7==0 docs carried a 40-char truncation) vs
     // today's (%17==3 dropped) — per-id added/removed/changed/
@@ -3947,6 +3964,32 @@ object SparkEntry {
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
          ORDER BY node""",
+
+    "graph_hits" -> {
+      def half(src: String, inCol: String, outCol: String, from: String,
+          to: String): String =
+        s"""${outCol}r AS (SELECT e.$to AS node, sum($src.v) AS s
+              FROM e JOIN $src ON $src.node = e.$from GROUP BY 1),
+           ${outCol}t AS (SELECT coalesce(sum(s), 0.0) AS t FROM ${outCol}r),
+           $outCol AS (SELECT h0.node,
+              CASE WHEN ${outCol}t.t > 0
+                THEN ${prQuant(s"coalesce(${outCol}r.s, 0) / ${outCol}t.t")}
+                ELSE 0.0 END AS v
+              FROM h0 LEFT JOIN ${outCol}r USING (node) CROSS JOIN ${outCol}t)"""
+      s"""WITH $linkGraphCte,
+         h0 AS (SELECT CAST(doc_id AS BIGINT) AS node,
+             CAST(1.0 AS DOUBLE) AS v FROM documents),
+         ${half("h0", "h0", "a1", "src", "dst")},
+         ${half("a1", "a1", "h1", "dst", "src")},
+         ${half("h1", "h1", "a2", "src", "dst")},
+         ${half("a2", "a2", "h2", "dst", "src")}
+         SELECT h2.node,
+           floor(h2.v * nn.nd * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS hub_norm,
+           floor(a2.v * nn.nd * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS auth_norm
+         FROM h2 JOIN a2 USING (node) CROSS JOIN nn ORDER BY node"""
+    },
 
     "snapshot_delta" ->
       s"""WITH $snapshotCte

@@ -130,4 +130,45 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg): a(v) = Σ_{u→v} h(u),
+    * h(v) = Σ_{v→u} a(u), each half-step L1-normalized then snapped
+    * to the [[quant]] grid — initial hubs are 1.0 (grid-exact), so
+    * every aggregation sums grid multiples and the whole computation
+    * is bit-identical across engines, like [[pageRank]]. Output:
+    * (node, hub, auth), both sides summing to 1 (±grid). Same
+    * per-iteration plan shape as pageRank: two key-equality shuffles
+    * plus one-row broadcast totals, lineage cut every
+    * `checkpointEvery` rounds. */
+  def hits(edges: DataFrame, nodes: DataFrame, node: Column,
+      iters: Int, checkpointEvery: Int = 5): DataFrame = {
+    val n = nodes.select(node.cast("long").as("node"))
+    var hubs = n.withColumn("hub", lit(1.0))
+    var auths = n.withColumn("auth", lit(0.0))
+    for (i <- 1 to iters) {
+      val a0 = edges
+        .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__a"))
+      val aTot = a0.agg(coalesce(sum(col("__a")), lit(0.0)).as("__t"))
+      auths = n.join(a0, Seq("node"), "left").crossJoin(aTot)
+        .select(col("node"),
+          when(col("__t") > 0,
+            quant(coalesce(col("__a"), lit(0.0)) / col("__t")))
+            .otherwise(lit(0.0)).as("auth"))
+      val h0 = edges
+        .join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("__h"))
+      val hTot = h0.agg(coalesce(sum(col("__h")), lit(0.0)).as("__t"))
+      hubs = n.join(h0, Seq("node"), "left").crossJoin(hTot)
+        .select(col("node"),
+          when(col("__t") > 0,
+            quant(coalesce(col("__h"), lit(0.0)) / col("__t")))
+            .otherwise(lit(0.0)).as("hub"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        auths = auths.localCheckpoint(false)
+        hubs = hubs.localCheckpoint(false)
+      }
+    }
+    hubs.join(auths, Seq("node"))
+  }
 }

@@ -75,4 +75,26 @@ class GraphSpec extends AnyFunSuite {
     // fanout 3 minus collisions/self-loops: strictly more than 2 per node
     assert(e1.size > 80 && e1.size <= 120)
   }
+  test("one HITS iteration matches the closed-form hub/auth values") {
+    val (edges, nodes) = fixture
+    val r = Graph.hits(edges, nodes, col("node"), iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2))))
+      .toMap
+    // a1 raw: 1←1, 2←2, t=3; h1 raw: 0←a(1)+a(2)=1, 1←a(2)=2/3, t=5/3
+    assert(math.abs(r(0L)._1 - 0.6) < 1e-8)
+    assert(math.abs(r(1L)._1 - 0.4) < 1e-8)
+    assert(math.abs(r(1L)._2 - 1.0 / 3) < 1e-8)
+    assert(math.abs(r(2L)._2 - 2.0 / 3) < 1e-8)
+    assert(r(2L)._1 === 0.0 && r(3L)._1 === 0.0)
+    assert(r(0L)._2 === 0.0 && r(3L)._2 === 0.0)
+  }
+
+  test("HITS hub and auth masses each stay 1 across iterations") {
+    val (edges, nodes) = fixture
+    val t = Graph.hits(edges, nodes, col("node"), iters = 5,
+        checkpointEvery = 2)
+      .agg(sum(col("hub")), sum(col("auth"))).collect()(0)
+    assert(math.abs(t.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(t.getDouble(1) - 1.0) < 1e-6)
+  }
 }
