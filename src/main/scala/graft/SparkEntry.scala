@@ -1110,6 +1110,19 @@ object SparkEntry {
         n = 3, threshold = 0.8, materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // sorted-neighborhood (merge/purge) near-dup: the SORT-based
+    // blocking family — global rank by a 24-char key prefix (two-
+    // phase bucket rank, no single-task sort), verify only pairs
+    // within rank-window 10, exact shingle-Jaccard kernel. Fully
+    // oracled: rank and verify are both engine-portable
+    "dedup_snm_pairs" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(table(s, dir, "documents"),
+          col("text"), col("doc_id"),
+          sortKeyLen = 24, window = 10, shingleK = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // INCREMENTAL char-n-gram near-dup: the same persisted-signature
     // store as dedup_minhash_indexed in "chargram" mode (the steep
     // 128×16 S-curve funnel) — increment joins stored signatures, no
@@ -2442,6 +2455,27 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
          ORDER BY 1,2""",
+
+    "dedup_snm_pairs" ->
+      """WITH k AS (SELECT doc_id, lower(substr(trim(text), 1, 24)) AS key
+           FROM documents),
+         r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rnk
+           FROM k),
+         cand AS (SELECT a.doc_id AS da, b.doc_id AS db FROM r a JOIN r b
+           ON b.rnk > a.rnk AND b.rnk <= a.rnk + 9),
+         s AS (SELECT doc_id,
+           CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(0, len(toks)-2),
+                  i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents)),
+         j AS (SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
+           CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           FROM cand JOIN s a ON a.doc_id = cand.da
+           JOIN s b ON b.doc_id = cand.db)
+         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+         WHERE jac >= 0.3 ORDER BY 1, 2""",
 
     "dedup_shingle_exact_sample" ->
       """WITH s AS (SELECT doc_id,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 
 /** Large-scale deduplication operators over a documents table.
   *
@@ -1003,5 +1004,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+  /** Sorted-neighborhood (SNM) candidate pairs — the SORT-based
+    * blocking family, complementing the hash funnels above (minhash
+    * bands, simhash chunks) and [[EditDistance]]'s segment blocking:
+    * order the corpus by a cheap sort key (here the lowercased first
+    * `sortKeyLen` chars), then verify only pairs whose global ranks
+    * lie within `window` of each other (Hernández & Stolfo's
+    * merge/purge, public). Catches the near-dup mode where documents
+    * share a long common PREFIX (templated titles, boilerplate
+    * headers) at O(n·w) verify cost.
+    *
+    * The global rank is computed WITHOUT a single-task sort — the
+    * same two-phase shape as Curate's balanced split: partition by
+    * the key's first byte (order-preserving for the binary-collated
+    * key), rank within each bucket in parallel, then add broadcast
+    * per-bucket offsets from a ≤256-row prefix sum. The neighbor join
+    * is rank-equality (each row probes its next `window−1` ranks), so
+    * it shuffles on an integer key with fan-in bounded by `window` —
+    * no skew, no cartesian corner. Verification is the exact
+    * set-Jaccard codegen kernel over word shingles. */
+  def sortedNeighborhoodPairs(docs: DataFrame, text: Column, id: Column,
+      sortKeyLen: Int = 24, window: Int = 10, shingleK: Int = 2,
+      threshold: Double = 0.3): DataFrame = {
+    require(window >= 2, "SNM needs a window of at least 2")
+    val key = lower(substring(trim(text), 1, sortKeyLen))
+    val withB = docs.select(id.cast("long").as("doc_id"), key.as("__k"),
+        shingles(text, shingleK).as("__e"))
+      .withColumn("__b",
+        when(length(col("__k")) === 0, lit(0))
+          .otherwise(ascii(substring(col("__k"), 1, 1))))
+    val wB = Window.partitionBy("__b").orderBy(col("__k"), col("doc_id"))
+    val ranked = withB.withColumn("__r0", row_number().over(wB).cast("long"))
+    val counts = ranked.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .drop("__c")
+    val r = ranked.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__rank", col("__r0") + col("__off"))
+      .select(col("doc_id"), col("__e"), col("__rank"))
+    val probe = r.select(col("doc_id").as("__pid"), col("__e").as("__pe"),
+      explode(sequence(col("__rank") + 1,
+        col("__rank") + lit(window.toLong - 1))).as("__rank"))
+    probe.join(r, Seq("__rank"))
+      .select(least(col("__pid"), col("doc_id")).as("id_a"),
+        greatest(col("__pid"), col("doc_id")).as("id_b"),
+        jaccard(col("__pe"), col("__e")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -570,4 +570,33 @@ class DedupSpec extends AnyFunSuite {
     }
     info(s"recall@10: ${measured.mkString(" ")}")
   }
+  test("SNM: prefix-sorted neighbors pair, distant ranks do not, " +
+      "and ranks run globally across first-char buckets") {
+    import spark.implicits._
+    // aaa-prefixed near-identical pair; "azz" then "b.." adjacent in
+    // the GLOBAL order but in different first-char buckets — a wrong
+    // bucket-offset sum would miss their pairing; "zzz" doc similar
+    // to doc 1 but rank-distant, so SNM must NOT emit it
+    val docs = Seq(
+      (1L, "aaa common header alpha beta gamma delta"),
+      (2L, "aaa common header alpha beta gamma epsilon"),
+      (3L, "azz shared tail words one two"),
+      (4L, "baa shared tail words one two"),
+      (5L, "zzz common header alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, col("text"),
+        col("doc_id"), sortKeyLen = 8, window = 2, shingleK = 2,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)), "cross-bucket neighbors must pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "rank-distant similar docs are out of SNM reach by design")
+    // widening the window to cover the whole corpus finds 1-5 too
+    val wide = Dedup.sortedNeighborhoodPairs(docs, col("text"),
+        col("doc_id"), sortKeyLen = 8, window = 5, shingleK = 2,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((1L, 5L)))
+  }
 }
