@@ -56,4 +56,16 @@ class CollocSpec extends AnyFunSuite {
     // (new,york) outranks every the-pair
     assert(top.head._2 === "new" && top.head._1 === "york")
   }
+  test("plan: pair counting is one widen + one aggregation exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = Colloc.pairCounts(docs, col("text"), window = 3)
+      .queryExecution.executedPlan.toString
+    // round-robin widen below the interpreted pair projection, then
+    // the count shuffle - and nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert("Exchange RoundRobinPartitioning".r.findAllIn(plan).length === 1,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -599,4 +599,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide.contains((1L, 5L)))
   }
+  test("plan: SNM ranks without a global range sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa x y"), (2L, "ab x y")).toDF("doc_id", "text")
+    val plan = Dedup.sortedNeighborhoodPairs(docs, col("text"),
+        col("doc_id"), window = 2)
+      .queryExecution.executedPlan.toString
+    // the two-phase bucket rank must not plan the single-task global
+    // sort (rangepartitioning) the naive row_number-over-all does
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition) hashpartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -97,4 +97,14 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(t.getDouble(0) - 1.0) < 1e-6)
     assert(math.abs(t.getDouble(1) - 1.0) < 1e-6)
   }
+  test("plan: pageRank iterations never plan a cartesian product") {
+    val (edges, nodes) = fixture
+    val plan = Graph.pageRank(edges, nodes, col("node"), iters = 2)
+      .queryExecution.executedPlan.toString
+    // the one-row dangling/total scalars ride BroadcastNestedLoop
+    // cross joins by construction; a CartesianProduct would mean a
+    // non-broadcast cross got planned
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

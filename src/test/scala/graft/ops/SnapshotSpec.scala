@@ -54,4 +54,20 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d === Map(1L -> "unchanged", 2L -> "changed"))
   }
+  test("plan: only (id, fingerprint) reaches the full-outer exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val (o, n) = fixture
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Snapshot.delta(o, n, col("doc_id"), col("text"))
+        .queryExecution.executedPlan
+      val ex = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size === 2, plan.toString)
+      // text is fingerprinted BELOW the shuffle: the exchanged rows
+      // are (id, 16-byte fp), never the content column
+      ex.foreach(e => assert(
+        e.output.map(_.name).toSet.subsetOf(Set("id", "old_fp", "new_fp")),
+        e.output.mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
