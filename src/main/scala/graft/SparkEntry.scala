@@ -1465,6 +1465,21 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // per-node triangle participation + local clustering coefficient
+    // via the degree-ORIENTED wedge join (√m out-degree bound: a
+    // celebrity hub never enumerates its quadratic neighbor pairs) —
+    // enumeration is orientation-independent, so the plain id-ordered
+    // oracle matches exactly
+    "graph_triangles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = docs.count())
+      Graph.triangles(edges, docs, col("doc_id"))
+        .select(col("node"), col("deg"), col("tri"),
+          (floor(col("clust") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("clust"))
+        .orderBy("node")
+    }),
+
     // HITS hubs/authorities on the same link graph (2 iterations,
     // L1-normalized each half-step, same bit-exact dyadic grid) —
     // the directory-page-vs-content split PageRank's single score
@@ -3997,6 +4012,29 @@ object SparkEntry {
            coalesce(od.c, 0) AS out_deg, coalesce(ind.c, 0) AS in_deg
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
+         ORDER BY node""",
+
+    "graph_triangles" ->
+      s"""WITH $linkGraphCte,
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM e),
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+               JOIN und e2 ON e2.a = e1.b
+               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         corners AS (SELECT x AS node FROM t UNION ALL
+                     SELECT y FROM t UNION ALL SELECT z FROM t),
+         tc AS (SELECT node, count(*) AS tri FROM corners GROUP BY 1),
+         dg AS (SELECT node, count(*) AS deg FROM
+                (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY 1)
+         SELECT d.node, coalesce(dg.deg, 0) AS deg, coalesce(tc.tri, 0) AS tri,
+           floor(CASE WHEN coalesce(dg.deg, 0) >= 2
+             THEN (CAST(2.0 AS DOUBLE) * CAST(coalesce(tc.tri, 0) AS DOUBLE))
+               / (CAST(dg.deg AS DOUBLE) * (CAST(dg.deg AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+             ELSE 0.0 END * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS clust
+         FROM (SELECT CAST(doc_id AS BIGINT) AS node FROM documents) d
+         LEFT JOIN dg USING (node) LEFT JOIN tc USING (node)
          ORDER BY node""",
 
     "graph_hits" -> {

@@ -107,4 +107,24 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+  test("triangles: K4 counts, star has none, reverse/parallel edges collapse") {
+    import spark.implicits._
+    // K4 (as directed edges with a duplicate and a reversal thrown in)
+    val k4 = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L),
+      (1L,0L),(0L,1L)).toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("node")
+    val r = Graph.triangles(k4, nodes, col("node"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    (0L to 3L).foreach { v =>
+      assert(r(v) === ((3L, 3L, 1.0)), s"node $v")
+    }
+    assert(r(4L) === ((0L, 0L, 0.0)))
+    // star: hub with 4 spokes, no closing edges -> zero triangles,
+    // and the oriented wedge join must not blow up on the hub
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val rs = Graph.triangles(star, (0L to 4L).toDF("node"), col("node"))
+      .agg(sum(col("tri"))).collect()(0).getLong(0)
+    assert(rs === 0L)
+  }
 }
