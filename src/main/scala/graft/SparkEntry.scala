@@ -1506,6 +1506,19 @@ object SparkEntry {
       Snapshot.delta(o, n, col("doc_id"), col("text")).orderBy("id")
     }),
 
+    // the same delta against the PERSISTED fingerprint store (built
+    // once, ~24 bytes/doc): yesterday's content is never re-read —
+    // and because the fingerprints are portable md5, this indexed
+    // variant is FULLY oracled, same SQL as the inline twin
+    "snapshot_delta_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (o, n) = snapshotPair(docs)
+      val store = memoStore("snapfp", dir)(p =>
+        Snapshot.buildFingerprintStore(o, col("doc_id"), col("text"), p))
+      Snapshot.deltaAgainstStore(s, store, n, col("doc_id"), col("text"))
+        .orderBy("id")
+    }),
+
     // the delta rollup an incremental pipeline alerts on
     "snapshot_delta_counts" -> ((s, dir) => {
       val (o, n) = snapshotPair(table(s, dir, "documents"))
@@ -4064,6 +4077,10 @@ object SparkEntry {
     },
 
     "snapshot_delta" ->
+      s"""WITH $snapshotCte
+         SELECT id, status, old_fp, new_fp FROM cls ORDER BY id""",
+
+    "snapshot_delta_indexed" ->
       s"""WITH $snapshotCte
          SELECT id, status, old_fp, new_fp FROM cls ORDER BY id""",
 

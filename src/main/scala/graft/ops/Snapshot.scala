@@ -56,4 +56,53 @@ object Snapshot {
       .select(col("id"), col("status"))
     newSnap.join(todo, id.cast("long") === todo("id")).drop("id")
   }
+
+  /** Persist a snapshot's fingerprint table — (id, md5 fp) only, the
+    * 24-bytes-per-document state that makes tomorrow's diff run
+    * WITHOUT re-reading yesterday's content. The production loop is
+    * build once → [[deltaAgainstStore]] per crawl → [[advanceStore]]
+    * after the delta is consumed. */
+  def buildFingerprintStore(snap: DataFrame, id: Column, content: Column,
+      path: String): Unit =
+    snap.select(id.cast("long").as("id"),
+        md5(content.cast("binary")).as("fp"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[delta]] of a new snapshot against the STORED fingerprints:
+    * classification is identical to the inline form (fp equality is
+    * fp equality wherever the old fp came from), but the old side is
+    * a ~24-byte-per-row parquet scan instead of a full content pass —
+    * the read-side half of the incremental contract the persisted
+    * dedup indexes already follow. */
+  def deltaAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, newSnap: DataFrame, id: Column,
+      content: Column): DataFrame = {
+    val o = spark.read.parquet(path).select(col("id"), col("fp").as("old_fp"))
+    val n = newSnap.select(id.cast("long").as("id"),
+      md5(content.cast("binary")).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
+  /** Replace the stored fingerprints with the new snapshot's — write
+    * to a dot-prefixed sibling temp dir, then swap, the same
+    * concurrent-reader-safe pattern as Timeseries.save/compact. */
+  def advanceStore(snap: DataFrame, id: Column, content: Column,
+      path: String): Unit = {
+    val spark = snap.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}-advance-tmp")
+    fs.delete(tmp, true)
+    buildFingerprintStore(snap, id, content, tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"advanceStore: rename $tmp -> $target failed")
+  }
 }

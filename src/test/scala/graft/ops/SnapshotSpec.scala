@@ -70,4 +70,23 @@ class SnapshotSpec extends AnyFunSuite {
         e.output.mkString(",")))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+  test("indexed delta == inline delta; advanceStore settles the diff") {
+    val (o, n) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("snapfp").toString
+    val store = dir + "/fp"
+    Snapshot.buildFingerprintStore(o, col("doc_id"), col("text"), store)
+    val inline = Snapshot.delta(o, n, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val indexed = Snapshot.deltaAgainstStore(spark, store, n,
+        col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(indexed === inline)
+    // after advancing the store to the new snapshot, a re-diff of the
+    // same crawl reports nothing but 'unchanged'
+    Snapshot.advanceStore(n, col("doc_id"), col("text"), store)
+    val settled = Snapshot.deltaAgainstStore(spark, store, n,
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getString(1)).toSet
+    assert(settled === Set("unchanged"))
+  }
 }
