@@ -1465,6 +1465,23 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // personalized PageRank from a deterministic trusted-seed set
+    // (doc_id%50==0): teleport + dangling mass restart at the seeds,
+    // unreachable nodes score exactly 0 — seed-based corpus
+    // expansion / trust propagation, same bit-exact grid
+    "graph_ppr" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = n)
+      val seeds = docs.filter(col("doc_id") % 50 === 0).select("doc_id")
+      Graph.personalizedPageRank(edges, docs, col("doc_id"), seeds,
+          iters = 3)
+        .select(col("node"),
+          (floor(col("rank") * lit(n.toDouble) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("rank_norm"))
+        .orderBy("node")
+    }),
+
     // per-node triangle participation + local clustering coefficient
     // via the degree-ORIENTED wedge join (√m out-degree bound: a
     // celebrity hub never enumerates its quadratic neighbor pairs) —
@@ -4026,6 +4043,44 @@ object SparkEntry {
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
          ORDER BY node""",
+
+    "graph_ppr" -> {
+      // one PPR update: r' = quant(CASE seed: ((1−d) + d·dang)/|S|
+      // ELSE 0 END + d·coalesce(c, 0)) — literal arithmetic pinned to
+      // Spark's (1.0 − 0.85)-in-double, like the global oracle
+      def step(prev: String, c: String, d: String): String =
+        prQuant(s"""CASE WHEN $prev.isseed
+             THEN ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * $d.dang) / sc.s
+             ELSE 0.0 END
+           + CAST(0.85 AS DOUBLE) * coalesce($c.c, 0)""")
+      def iter(prev: String, k: Int): String =
+        s"""d$k AS (SELECT coalesce(sum(r), 0) AS dang FROM $prev
+              LEFT JOIN deg ON $prev.node = deg.src WHERE deg.d IS NULL),
+           c$k AS (SELECT e.dst AS node, sum(${prQuant(s"$prev.r / deg.d")}) AS c
+              FROM e JOIN deg USING (src) JOIN $prev ON $prev.node = e.src
+              GROUP BY 1),
+           r$k AS (SELECT $prev.node, $prev.isseed,
+              ${step(prev, s"c$k", s"d$k")} AS r
+              FROM $prev LEFT JOIN c$k USING (node)
+              CROSS JOIN d$k CROSS JOIN sc)"""
+      s"""WITH $linkGraphCte,
+         sc AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM documents
+                WHERE doc_id % 50 = 0),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1),
+         r0 AS (SELECT CAST(doc_id AS BIGINT) AS node,
+             (doc_id % 50 = 0) AS isseed,
+             CASE WHEN doc_id % 50 = 0
+               THEN ${prQuant("CAST(1.0 AS DOUBLE) / sc.s")} ELSE 0.0 END AS r
+             FROM documents CROSS JOIN sc),
+         ${iter("r0", 1)},
+         ${iter("r1", 2)},
+         ${iter("r2", 3)}
+         SELECT r3.node,
+           floor(r3.r * nn.nd * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS rank_norm
+         FROM r3 CROSS JOIN nn ORDER BY node"""
+    },
 
     "graph_triangles" ->
       s"""WITH $linkGraphCte,

@@ -172,6 +172,53 @@ object Graph {
     hubs.join(auths, Seq("node"))
   }
 
+  /** Personalized PageRank: teleport (and dangling mass) go to the
+    * SEED set instead of the uniform vector — r'(v) = d·Σ_{u→v}
+    * r(u)/outdeg(u), plus ((1−d) + d·dangling)/|S| if v ∈ S. The
+    * locality score behind seed-based corpus expansion ("find more
+    * pages like this trusted set") and trust-propagation filters;
+    * nodes unreachable from the seeds score exactly 0. Same dyadic
+    * grid, same per-iteration plan (two key shuffles + one-row
+    * broadcast scalars, seed membership as a broadcast semi-join
+    * flag), same Σ rank = 1 invariant as [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+      node: Column, seeds: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 5): DataFrame = {
+    val n = nodes.select(node.cast("long").as("node"))
+    val s = seeds.select(seeds.columns.head).toDF("node")
+      .select(col("node").cast("long").as("node")).distinct()
+    val sCount = s.agg(count(lit(1)).cast("double").as("__s"))
+    val outDeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("__deg"))
+    val flagged = n.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
+    var ranks = flagged.crossJoin(sCount)
+      .select(col("node"), col("__seed"),
+        when(col("__seed").isNotNull, quant(lit(1.0) / col("__s")))
+          .otherwise(lit(0.0)).as("rank"))
+    for (i <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      val dangling = withDeg.filter(col("__deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
+      val contribs = edges
+        .join(withDeg.filter(col("__deg").isNotNull)
+          .select(col("node").as("src"), col("rank"), col("__deg")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(quant(col("rank") / col("__deg"))).as("__c"))
+      ranks = flagged.join(contribs, Seq("node"), "left")
+        .crossJoin(dangling).crossJoin(sCount)
+        .select(col("node"), col("__seed"),
+          quant(
+            when(col("__seed").isNotNull,
+              (lit(1.0 - damping) + lit(damping) * col("__dangling")) /
+                col("__s")).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(false)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Canonical undirected edge set: (a, b) with a < b, parallel and
     * reverse duplicates collapsed. */
   def undirected(edges: DataFrame): DataFrame =

@@ -127,4 +127,40 @@ class GraphSpec extends AnyFunSuite {
       .agg(sum(col("tri"))).collect()(0).getLong(0)
     assert(rs === 0L)
   }
+  test("PPR: mass conserves, unreachable nodes score zero, seeds localize") {
+    import spark.implicits._
+    // cycle 0->1->2->0 (no sink accumulation, so rank decays with
+    // seed distance); island 3->4 unreachable from seed 0
+    val edges = Seq((0L,1L),(1L,2L),(2L,0L),(3L,4L)).toDF("src","dst")
+    val nodes = (0L to 4L).toDF("node")
+    val seeds = Seq(0L).toDF("node")
+    val r = Graph.personalizedPageRank(edges, nodes, col("node"), seeds,
+        iters = 4, checkpointEvery = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    assert(r(3L) === 0.0 && r(4L) === 0.0,
+      "teleport goes to seeds only - the island must stay at zero")
+    // mass circulates the seed cycle only (finite-iteration ranks
+    // oscillate around the cycle, so no monotone-decay claim here)
+    assert(r(0L) > 0 && r(1L) > 0 && r(2L) > 0)
+  }
+
+  test("PPR at steady state decays with distance from the seed") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nodes = (0L to 2L).toDF("node")
+    val seeds = Seq(0L).toDF("node")
+    // contraction 0.85^3 per lap: 30 iterations pin the fixed point
+    // r0 = 0.15/(1-0.85^3), r1 = 0.85 r0, r2 = 0.85^2 r0
+    val r = Graph.personalizedPageRank(edges, nodes, col("node"), seeds,
+        iters = 30, checkpointEvery = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val r0 = 0.15 / (1.0 - math.pow(0.85, 3))
+    // contraction 0.614/lap leaves ~5e-3 after 10 laps - the 1e-2
+    // bound is tight enough to pin the fixed point (gaps are ~0.05)
+    assert(math.abs(r(0L) - r0) < 1e-2)
+    assert(math.abs(r(1L) - 0.85 * r0) < 1e-2)
+    assert(math.abs(r(2L) - 0.85 * 0.85 * r0) < 1e-2)
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+  }
 }
