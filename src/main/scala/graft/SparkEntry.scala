@@ -1110,6 +1110,29 @@ object SparkEntry {
         n = 3, threshold = 0.8, materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // cross-modal consistency audit: exact text near-dup pairs
+    // (shingle Jaccard >= 0.5, bounded sample) joined to the
+    // embedding cosine of the SAME ids — on real data the
+    // inconsistent rows (duplicate text, distant vectors) are the
+    // embedding-pipeline bugs; text and vector sides share nothing
+    // but the id, so this is the integration check
+    "audit_dup_text_embedding" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      val emb = table(s, dir, "embeddings")
+      val pairs = Dedup.shingleJaccardExact(docs, col("text"),
+        col("doc_id"), shingleK = 2, threshold = 0.5)
+      val cosR = round(Similarity.cosine(col("__va"), col("__vb")), 4)
+      pairs
+        .join(emb.select(col("vec_id").as("id_a"),
+          col("embedding").as("__va")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"),
+          col("embedding").as("__vb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          cosR.as("cos"), (cosR >= 0.35).as("consistent"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // sorted-neighborhood (merge/purge) near-dup: the SORT-based
     // blocking family — global rank by a 24-char key prefix (two-
     // phase bucket rank, no single-task sort), verify only pairs
@@ -2500,6 +2523,31 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
          ORDER BY 1,2""",
+
+    "audit_dup_text_embedding" ->
+      """WITH s AS (SELECT doc_id,
+           CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(0, len(toks)-2),
+                  i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents WHERE doc_id < 300)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         j AS (SELECT p.id_a, p.id_b, p.jac,
+           round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                   q -> CAST(q[1] AS DOUBLE) * q[2]))
+             / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               4) AS cos
+           FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+           JOIN embeddings eb ON eb.vec_id = p.id_b)
+         SELECT id_a, id_b, round(jac, 6) AS jaccard, cos,
+           cos >= 0.35 AS consistent
+         FROM j ORDER BY 1, 2""",
 
     "dedup_snm_pairs" ->
       """WITH k AS (SELECT doc_id, lower(substr(trim(text), 1, 24)) AS key
