@@ -2242,7 +2242,7 @@ object SparkEntry {
     * sides: OLD = docs not yet crawled removed (doc_id % 13 == 5
     * absent) with %7==0 docs truncated to 40 chars (yesterday's
     * content); NEW = today's crawl (doc_id % 17 == 3 dropped). */
-  private def snapshotPair(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def snapshotPair(docs: DataFrame): (DataFrame, DataFrame) = {
     val old = docs.filter(col("doc_id") % 13 =!= 5)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0, substring(col("text"), 1, 40))

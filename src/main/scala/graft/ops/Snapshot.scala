@@ -89,6 +89,31 @@ object Snapshot {
         col("old_fp"), col("new_fp"))
   }
 
+  /** Streaming-side micro-batch of [[deltaAgainstStore]]: classify a
+    * batch of crawled docs against the stored fingerprints (a LEFT
+    * join — 'removed' is undetectable from an arrival stream; absent
+    * ids are reconciled by a batch anti-join once the crawl closes)
+    * and append (id, status, old_fp, new_fp) to `outPath`. Replays
+    * are idempotent on the sink (id anti-join against what is already
+    * written — the Classify/Dsir appender contract). */
+  def appendDeltaAgainst(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, outPath: String, docs: DataFrame, id: Column,
+      content: Column): Unit = {
+    val o = spark.read.parquet(storePath)
+      .select(col("id"), col("fp").as("old_fp"))
+    val d = docs.select(id.cast("long").as("id"),
+        md5(content.cast("binary")).as("new_fp"))
+      .join(o, Seq("id"), "left")
+      .select(col("id"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_fp"), col("new_fp"))
+    val prev = Layout.readIfExists(spark, outPath)(d)
+    d.join(prev.select("id"), Seq("id"), "left_anti")
+      .write.mode("append").parquet(outPath)
+  }
+
   /** Replace the stored fingerprints with the new snapshot's — write
     * to a dot-prefixed sibling temp dir, then swap, the same
     * concurrent-reader-safe pattern as Timeseries.save/compact. */

@@ -311,6 +311,35 @@ object StreamQueries {
         .orderBy("content_hash")
     }),
 
+    // Streaming snapshot delta: yesterday's fingerprint store built
+    // ONCE batch-side (~24 bytes/doc); today's crawl STREAMS through
+    // the foreachBatch classifier — one id-keyed left join per
+    // micro-batch, added/changed/unchanged appended to parquet
+    // ('removed' is the post-crawl batch reconciliation; absent ids
+    // never arrive on a stream, and the oracle mirrors that)
+    "stream_snapshot_delta" -> ((s, dir) => withStreamPartitions(s, 8) {
+      implicit val sq = s.sqlContext
+      import s.implicits._
+      val store = memo(s"snapfp|$dir") {
+        val (o, _) = SparkEntry.snapshotPair(
+          SparkEntry.table(s, dir, "documents"))
+        val p = tmp("graft_stream_snapfp") + "/fp"
+        graft.ops.Snapshot.buildFingerprintStore(o, col("doc_id"),
+          col("text"), p)
+        p
+      }
+      val crawl = docSubset(s, dir, "snapnew", col("doc_id") % 17 =!= 3)
+      val mem = MemoryStream[(Long, String)]
+      val sdf = mem.toDF().select(col("_1").as("doc_id"),
+        col("_2").as("text"))
+      val out = tmp("graft_stream_snapd") + "/out"
+      val q = StreamingIngest.deltaStreamAgainstFingerprintStore(sdf,
+        store, out, tmp("graft_stream_snapd_ck"), col("doc_id"),
+        col("text"))
+      runChunks(mem, q, crawl.toSeq, 2); q.stop()
+      s.read.parquet(out).orderBy("id")
+    }),
+
     // Streaming model-based quality scoring: NB model fit ONCE batch-
     // side and persisted; the held-out docs stream through
     // scoreStreamAgainstNbModel (foreachBatch scoreIndexed + doc_id
@@ -345,6 +374,18 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "stream_snapshot_delta" ->
+      """WITH o AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40) ELSE text END AS text
+           FROM documents WHERE doc_id % 13 <> 5),
+         nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3)
+         SELECT nw.doc_id AS id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN md5(o.text) <> md5(nw.text) THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           md5(o.text) AS old_fp, md5(nw.text) AS new_fp
+         FROM nw LEFT JOIN o ON nw.doc_id = o.doc_id ORDER BY id""",
 
     "stream_ts_count_minute" ->
       s"""WITH sub AS ($subsetSql)

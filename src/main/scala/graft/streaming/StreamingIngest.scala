@@ -332,6 +332,23 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream crawled documents through snapshot-delta classification
+    * against the STORED fingerprint table
+    * ([[graft.ops.Snapshot.buildFingerprintStore]]): each micro-batch
+    * is one (id-keyed) left join against yesterday's ~24-byte/doc
+    * state, appending added/changed/unchanged rows; 'removed' is a
+    * batch reconciliation after the crawl closes (absent ids never
+    * arrive on a stream). Replay-idempotent on the sink. */
+  def deltaStreamAgainstFingerprintStore(docs: DataFrame, storePath: String,
+      outPath: String, checkpoint: String, id: Column, content: Column) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Snapshot.appendDeltaAgainst(batch.sparkSession,
+          storePath, outPath, batch, id, content)
+      }
+      .start()
+
   /** Stream documents through DSIR importance scoring against STORED
     * bucket statistics ([[graft.ops.Dsir.buildStats]]) — the
     * domain-tilt filter made streaming, same shape as the perplexity

@@ -89,4 +89,22 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().map(r => r.getString(1)).toSet
     assert(settled === Set("unchanged"))
   }
+  test("streaming appender is replay-idempotent on the sink") {
+    val (o, n) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("snapstream").toString
+    val store = dir + "/fp"; val out = dir + "/out"
+    Snapshot.buildFingerprintStore(o, col("doc_id"), col("text"), store)
+    Snapshot.appendDeltaAgainst(spark, store, out, n, col("doc_id"),
+      col("text"))
+    val once = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // a replayed micro-batch appends nothing new
+    Snapshot.appendDeltaAgainst(spark, store, out, n, col("doc_id"),
+      col("text"))
+    val twice = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(once === twice)
+    // stream-side classification: no 'removed' (absent ids never arrive)
+    assert(once.map(_._2).toSet === Set("added", "changed", "unchanged"))
+  }
 }
