@@ -697,6 +697,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // calibration curve of the held-out NB probabilities: decile
+    // buckets of predicted prob vs observed positive rate — the
+    // reliability diagram that tells you whether a 0.9-score doc is
+    // actually 90% likely English before you trust the filter's
+    // threshold at scale
+    "classify_nb_calibration" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (w, m) = Classify.fitNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"),
+        col("lang") === "en", alpha = 0.5)
+      val scored = Classify.scoreNaiveBayes(docs.filter(col("doc_id") % 5 === 0),
+        col("text"), col("doc_id"), w, m)
+      scored
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("__y")), Seq("doc_id"))
+        .select(least(floor(col("prob") * lit(10)), lit(9L)).cast("long")
+          .as("bucket"), col("__y"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("pos"))
+        .select(col("bucket"), col("n"), col("pos"),
+          (floor(col("pos").cast("double") / col("n").cast("double") *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("obs_rate"),
+          ((col("bucket").cast("double") + lit(0.5)) / lit(10.0)).as("mid"))
+        .presentSorted("bucket")
+    }),
+
     // the classifier's held-out confusion + precision/recall/F1 —
     // the one-row health report a quality-filter fit job emits
     "classify_nb_eval" -> ((s, dir) => {
@@ -2814,6 +2840,47 @@ object SparkEntry {
            round(1.0 / (1.0 + exp(-s)), 6) AS prob,
            CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          FROM sc ORDER BY doc_id""",
+
+    "classify_nb_calibration" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, y, unnest(toks) AS token FROM d),
+         trc AS (SELECT token, sum(y) AS c1, sum(1.0 - y) AS c0
+                 FROM tok WHERE doc_id % 5 != 0 GROUP BY 1),
+         tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0,
+                        CAST(count(*) AS DOUBLE) AS v FROM trc),
+         pri AS (SELECT sum(y) AS d1, sum(1.0 - y) AS d0 FROM d
+                 WHERE doc_id % 5 != 0),
+         w AS (SELECT token,
+                 ln((c1 + 0.5) / (n1 + 0.5 * v)) -
+                 ln((c0 + 0.5) / (n0 + 0.5 * v)) AS w FROM trc, tot),
+         meta AS (SELECT ln(d1) - ln(d0) AS intercept,
+                    ln(0.5 / (n1 + 0.5 * v)) - ln(0.5 / (n0 + 0.5 * v))
+                      AS w_oov FROM tot, pri),
+         tc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS n
+                FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tc.doc_id,
+                  max(meta.intercept) +
+                    sum(tc.n * coalesce(w.w, meta.w_oov)) AS s
+                FROM tc LEFT JOIN w ON tc.token = w.token
+                CROSS JOIN meta GROUP BY tc.doc_id),
+         sc2 AS (SELECT doc_id, round(1.0 / (1.0 + exp(-s)), 6) AS prob
+                 FROM sc),
+         yb AS (SELECT sc2.doc_id, sc2.prob,
+                  CASE WHEN d2.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM sc2 JOIN documents d2 USING (doc_id)),
+         b AS (SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bucket,
+                 count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+               FROM yb GROUP BY 1)
+         SELECT bucket, n, pos,
+           floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS obs_rate,
+           (CAST(bucket AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10 AS DOUBLE) AS mid
+         FROM b ORDER BY bucket""",
 
     "classify_nb_lang_confusion" ->
       """WITH d AS (SELECT doc_id, lang,
