@@ -1698,6 +1698,22 @@ object SparkEntry {
     // byte length (incl. BMP 4-byte row padding and the exact netpbm
     // header string), and dimensions without ever seeing the bytes —
     // a round-trip proof the decoder reads actual header fields
+    // WARC/1.0 crawl-container ingest: real byte-level record walk
+    // (version line, case-insensitive headers, Content-Length-
+    // delimited payloads). Oracle recomputes every field closed-form
+    // WITHOUT the bytes — payload md5 == md5(text) proves the parser
+    // cut exact payload boundaries
+    "ingest_warc_records" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Ingest.warcFixture(id, txt))
+      val containers = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("warc"))
+      Ingest.warcRecords(containers)
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     "mm_decode_real" -> ((s, dir) => {
       val mk = udf((id: Long, txt: String) =>
         Multimodal.syntheticContainer(id, txt))
@@ -4368,6 +4384,21 @@ object SparkEntry {
          SELECT doc_id, CAST(1 + n % 300 AS INT) AS n_frames,
            unnest(generate_series(0, n % 300, 10)) AS frame_idx
          FROM m ORDER BY 1, 3""",
+
+    "ingest_warc_records" ->
+      """WITH info AS (SELECT 'software: graft-crawler/1.0'
+             || chr(13) || chr(10) AS ip)
+         SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+           CAST(NULL AS VARCHAR) AS target_uri,
+           CAST(strlen(ip) AS BIGINT) AS content_length,
+           md5(ip) AS payload_md5
+         FROM documents CROSS JOIN info
+         UNION ALL
+         SELECT doc_id, 1, 'response',
+           'http://example.com/doc/' || doc_id,
+           CAST(strlen(text) AS BIGINT), md5(text)
+         FROM documents
+         ORDER BY doc_id, rec_idx""",
 
     "mm_decode_real" ->
       """WITH m AS (SELECT doc_id, doc_id % 5 AS k,

@@ -587,4 +587,77 @@ object Codecs {
     }
     out
   }
+  /** One parsed WARC record: type, target URI (null where the record
+    * type carries none, e.g. warcinfo), declared content length, and
+    * the exact payload bytes. */
+  final case class WarcRecord(warcType: String, targetUri: String,
+    contentLength: Long, payload: Array[Byte])
+
+  /** Encode records as a WARC/1.0 container (ISO 28500, public):
+    * version line, CRLF header block, Content-Length-delimited
+    * payload, double-CRLF record terminator. The fixture-side
+    * encoder, like the PNG/BMP/WAV encoders above. */
+  def encodeWarc(records: Seq[(Map[String, String], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (headers, payload) =>
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    out.toByteArray
+  }
+
+  /** Parse a WARC/1.0 container. Length-delimited by contract: the
+    * payload is read as exactly Content-Length bytes, so payloads
+    * containing "WARC/1.0" text can never desynchronize the walk
+    * (spec-pinned). Header names are case-insensitive per ISO 28500;
+    * unknown headers are skipped. Returns None on a malformed
+    * container (bad version line, missing Content-Length, truncated
+    * payload) — the quarantine contract, not an exception. */
+  def parseWarc(b: Array[Byte]): Option[Seq[WarcRecord]] = {
+    val recs = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var p = 0
+    def line(): String = {
+      val start = p
+      while (p + 1 < b.length && !(b(p) == '\r' && b(p + 1) == '\n')) p += 1
+      if (p + 1 >= b.length) return null
+      val s = new String(b, start, p - start, "UTF-8")
+      p += 2
+      s
+    }
+    while (p < b.length) {
+      val v = line()
+      if (v == null || !v.startsWith("WARC/")) return None
+      var wtype: String = null; var uri: String = null; var clen = -1L
+      var h = line()
+      while (h != null && h.nonEmpty) {
+        val i = h.indexOf(':')
+        if (i > 0) {
+          val k = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = h.substring(i + 1).trim
+          k match {
+            case "warc-type" => wtype = value
+            case "warc-target-uri" => uri = value
+            case "content-length" =>
+              clen = try value.toLong catch { case _: NumberFormatException => -1L }
+            case _ => ()
+          }
+        }
+        h = line()
+      }
+      if (h == null || clen < 0 || p + clen > b.length) return None
+      val payload = java.util.Arrays.copyOfRange(b, p, p + clen.toInt)
+      p += clen.toInt
+      // record terminator CRLF CRLF
+      if (p + 4 > b.length || b(p) != '\r' || b(p + 1) != '\n' ||
+          b(p + 2) != '\r' || b(p + 3) != '\n') return None
+      p += 4
+      recs += WarcRecord(if (wtype == null) "unknown" else wtype, uri,
+        clen, payload)
+    }
+    Some(recs.toSeq)
+  }
 }

@@ -58,4 +58,56 @@ object Ingest {
         col("text"), col("source"), col("lang"))
     (docs, quarantine)
   }
+  /** Deterministic WARC fixture for the ingest oracle: a 2-record
+    * WARC/1.0 container per document — a `warcinfo` record with a
+    * fixed software banner and a `response` whose payload is the
+    * document text's UTF-8 bytes, so every oracle field (lengths,
+    * URIs, payload md5) is recomputable in SQL without the bytes. */
+  val WarcInfoPayload = "software: graft-crawler/1.0\r\n"
+  def warcFixture(id: Long, text: String): Array[Byte] =
+    Codecs.encodeWarc(Seq(
+      (Map("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> s"<urn:uuid:info-$id>"),
+        WarcInfoPayload.getBytes("UTF-8")),
+      (Map("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://example.com/doc/$id",
+        "WARC-Record-ID" -> s"<urn:uuid:resp-$id>"),
+        text.getBytes("UTF-8"))))
+
+  private val warcRecordSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("rec_idx", IntegerType, nullable = false),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType)))
+
+  /** Explode WARC containers into records: (doc_id, rec_idx,
+    * warc_type, target_uri, content_length, payload). A malformed
+    * container yields a single quarantine row (rec_idx −1, type
+    * 'malformed') instead of failing the job — the same
+    * data-not-exceptions contract as the JSONL path. mapPartitions is
+    * the per-partition imperative codec path (like
+    * Multimodal.decodeMetaAuto); at crawl scale the input is one row
+    * per WARC member (the gzip-member split the format was designed
+    * for), so partitions parallelize by container. */
+  def warcRecords(containers: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val pruned = containers.select("doc_id", "warc")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(warcRecordSchema)
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Codecs.parseWarc(bytes) match {
+          case Some(recs) => recs.zipWithIndex.map { case (w, i) =>
+            Row(id, i, w.warcType, w.targetUri, w.contentLength, w.payload)
+          }
+          case None =>
+            Seq(Row(id, -1, "malformed", null, -1L, null))
+        }
+      }
+    }(enc)
+  }
 }
