@@ -1698,6 +1698,26 @@ object SparkEntry {
     // byte length (incl. BMP 4-byte row padding and the exact netpbm
     // header string), and dimensions without ever seeing the bytes —
     // a round-trip proof the decoder reads actual header fields
+    // HTML → text extraction over a deterministic page fixture both
+    // engines construct identically: script/style/comment content
+    // drops, tags become spaces, entities decode (&amp; last),
+    // whitespace collapses — all with RE2-safe patterns, fully
+    // oracled (the extracted text itself hashes, not a summary)
+    "text_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script>var x = 1 < 2;</script>" +
+          "<style>p { color: red }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p>"), col("text"),
+        lit(" &amp; more &lt;tags&gt;</p><!-- crawler note -->" +
+          "</body></html>"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.htmlToText(html).as("extracted"))
+        .withColumn("n_chars_out", length(col("extracted")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // WARC/1.0 crawl-container ingest: real byte-level record walk
     // (version line, case-insensitive headers, Content-Length-
     // delimited payloads). Oracle recomputes every field closed-form
@@ -4384,6 +4404,33 @@ object SparkEntry {
          SELECT doc_id, CAST(1 + n % 300 AS INT) AS n_frames,
            unnest(generate_series(0, n % 300, 10)) AS frame_idx
          FROM m ORDER BY 1, 3""",
+
+    "text_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><script>var x = 1 < 2;</script>'
+           || '<style>p { color: red }</style></head><body><h1>Doc '
+           || doc_id || '</h1>' || chr(10) || '<p>' || text
+           || ' &amp; more &lt;tags&gt;</p><!-- crawler note -->'
+           || '</body></html>' AS html FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t,
+             '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(t,
+             '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s5 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+           FROM s4),
+         s6 AS (SELECT doc_id,
+             trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+           FROM s5)
+         SELECT doc_id, extracted,
+           CAST(length(extracted) AS BIGINT) AS n_chars_out
+         FROM s6 ORDER BY doc_id""",
 
     "ingest_warc_records" ->
       """WITH info AS (SELECT 'software: graft-crawler/1.0'

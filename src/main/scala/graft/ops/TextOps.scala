@@ -45,6 +45,38 @@ object TextOps {
         .otherwise(lit("ok")).as("compression_verdict"))
   }
 
+  /** HTML → text extraction, the first stage of every web-crawl
+    * pipeline. Deliberately a COMPOSITION of built-in regexp/replace
+    * columns (codegen'd, no UDF, engine-portable) with a precise
+    * contract rather than a browser-grade parser: script/style
+    * blocks and comments drop WITH their content, every remaining
+    * tag becomes a space (so '</p><p>' never glues words), the five
+    * core entities + &nbsp; decode (&amp; LAST, so '&amp;lt;' yields
+    * the literal '&lt;' and double-decoding cannot manufacture
+    * tags), whitespace collapses. Patterns are the RE2-safe subset
+    * ((?is), lazy .*?, [^>]) so the same expressions run verbatim in
+    * any engine. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = F.replace(
+      F.replace(
+        F.replace(
+          F.replace(
+            F.replace(
+              F.replace(noTags, lit("&nbsp;"), lit(" ")),
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Multi-pattern blocklist screening via the Aho-Corasick kernel
     * ([[graft.functions.Kernels.AcAutomaton]]): total match
     * occurrences, distinct patterns hit, and the pass/block verdict,

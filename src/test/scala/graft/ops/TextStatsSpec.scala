@@ -256,4 +256,16 @@ class TextStatsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(again === a)
   }
+  test("htmlToText: scripts/styles/comments drop, tags space, entities last") {
+    import spark.implicits._
+    val html = "<html><script>if (a<b) { alert('x') }</script>" +
+      "<style>h1 {}</style><body><h1>Title</h1><p>one</p><p>two</p>" +
+      "<!-- hidden -->three &amp;lt; &lt;b&gt; &nbsp;&#39;q&#39;</body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextOps.htmlToText(col("h"))).collect()(0).getString(0)
+    // </p><p> becomes a space (no word gluing); &amp;lt; decodes to
+    // the LITERAL '&lt;' (amp last, no double decode); decoded <b>
+    // survives as text because stripping ran first
+    assert(out === "Title one two three &lt; <b> 'q'")
+  }
 }
