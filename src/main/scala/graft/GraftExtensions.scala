@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.functions._
 
@@ -37,6 +37,13 @@ object GraftExtensions {
       s"$fn: argument ${pos + 1} must be an INTEGER literal, got $other")
   }
 
+  private def strLit(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a STRING literal, got $other")
+  }
+
   /** Registration combinator: arity-checked builder + ExpressionInfo.
     * A wrong argument count raises a named, counted error instead of
     * the builder's raw IndexOutOfBounds. */
@@ -54,6 +61,9 @@ object GraftExtensions {
     Seq(
       fn("graft_simhash64", classOf[SimHash64], 1)(es => SimHash64(es.head)),
       fn("graft_deflate_len", classOf[DeflateLen], 1)(es => DeflateLen(es.head)),
+      fn("graft_unicode_normalize", classOf[UnicodeNormalize], 2)(
+        es => UnicodeNormalize(es.head,
+          strLit(es(1), "graft_unicode_normalize", 1))),
       fn("graft_phash64", classOf[PHash64], 1)(es => PHash64(es.head)),
       fn("graft_word_gram_hashes", classOf[WordGramHashes], 2)(
         es => WordGramHashes(es.head, intLit(es(1), "graft_word_gram_hashes", 1))),

@@ -1698,6 +1698,28 @@ object SparkEntry {
     // byte length (incl. BMP 4-byte row padding and the exact netpbm
     // header string), and dimensions without ever seeing the bytes —
     // a round-trip proof the decoder reads actual header fields
+    // Unicode NFC canonicalization (custom codegen kernel — Spark has
+    // no built-in): decomposed sequences planted on every doc compose
+    // to their precomposed forms; byte-level fingerprints downstream
+    // depend on this pass, since unnormalized twins never dedup. The
+    // oracle runs DuckDB's independent utf8proc nfc_normalize and
+    // compares md5 of the normalized TEXT — two implementations of
+    // the Unicode spec agreeing byte-for-byte
+    "text_nfc_normalize" -> ((s, dir) => {
+      val fixture = concat(col("text"),
+        // decomposed escapes (e+U+0301, a+U+030A, a+U+0308): NFC must do
+      // real composition work, and escapes keep the source encoding-proof
+        lit(" cafe\u0301 bla\u030Aba\u0308r"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.unicodeNormalize(fixture, "NFC")
+            .as("__n"))
+        .select(col("doc_id"),
+          length(col("__n")).cast("long").as("n_chars_norm"),
+          md5(col("__n").cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // HTML → text extraction over a deterministic page fixture both
     // engines construct identically: script/style/comment content
     // drops, tags become spaces, entities decode (&amp; last),
@@ -4404,6 +4426,15 @@ object SparkEntry {
          SELECT doc_id, CAST(1 + n % 300 AS INT) AS n_frames,
            unnest(generate_series(0, n % 300, 10)) AS frame_idx
          FROM m ORDER BY 1, 3""",
+
+    "text_nfc_normalize" ->
+      """WITH f AS (SELECT doc_id, text || ' cafe' || chr(769)
+             || ' bla' || chr(778) || 'ba' || chr(776) || 'r' AS x
+           FROM documents),
+         n AS (SELECT doc_id, nfc_normalize(x) AS nx FROM f)
+         SELECT doc_id, CAST(length(nx) AS BIGINT) AS n_chars_norm,
+           md5(nx) AS norm_md5
+         FROM n ORDER BY doc_id""",
 
     "text_html_extract" ->
       """WITH h AS (SELECT doc_id,

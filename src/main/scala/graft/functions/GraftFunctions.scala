@@ -49,6 +49,28 @@ object Kernels {
     total
   }
 
+  /** Unicode normalization (java.text.Normalizer): the NFC/NFKC
+    * canonicalization pass a multilingual crawl needs BEFORE any
+    * hashing/dedup — "café" arrives both precomposed (U+00E9) and
+    * decomposed (e + U+0301), and every fingerprint in this engine
+    * is byte-level, so unnormalized twins silently never dedup.
+    * Spark has no built-in for this. */
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String = {
+    val f = form match {
+      case "NFC"  => java.text.Normalizer.Form.NFC
+      case "NFD"  => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case "NFKD" => java.text.Normalizer.Form.NFKD
+      case other  => throw new IllegalArgumentException(
+        s"unicode_normalize: unknown form '$other' (NFC|NFD|NFKC|NFKD)")
+    }
+    val str = s.toString
+    // fast path: most crawl text is already normalized; isNormalized
+    // is a cheap scan, normalize allocates
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
   /** Aho-Corasick automaton: goto/fail/merged-output over exact
     * chars. The multi-pattern blocklist primitive — one O(len) scan
     * per document regardless of pattern count, where per-pattern
@@ -892,6 +914,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING × form → Unicode-normalized STRING (NFC|NFD|NFKC|NFKD). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"unicode_normalize needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.unicodeNormalize(input.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("normForm", form, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.unicodeNormalize($c, $fRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** text STRING × pattern set → STRUCT(n_hits, n_matched): total
   * Aho-Corasick occurrence count and distinct patterns matched. */
 case class BlocklistStats(child: Expression, patterns: Array[String])
@@ -1249,6 +1290,8 @@ object GraftFunctions {
   def deflateLen(text: Column): Column = GraftColumnBridge.column(DeflateLen(e(text)))
   def blocklistStats(text: Column, patterns: Array[String]): Column =
     GraftColumnBridge.column(BlocklistStats(e(text), patterns))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    GraftColumnBridge.column(UnicodeNormalize(e(text), form))
   def phash64(media: Column): Column = GraftColumnBridge.column(PHash64(e(media)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))

@@ -268,4 +268,28 @@ class TextStatsSpec extends AnyFunSuite {
     // survives as text because stripping ran first
     assert(out === "Title one two three &lt; <b> 'q'")
   }
+  test("unicodeNormalize: NFC composes, NFKC folds, idempotent, SQL-registered") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.unicodeNormalize
+    val decomposed = "cafe\u0301 bla\u030Aba\u0308r"
+    val df = Seq(decomposed).toDF("t")
+    val nfc = df.select(unicodeNormalize(col("t"), "NFC"))
+      .collect()(0).getString(0)
+    assert(nfc === "caf\u00e9 bl\u00e5b\u00e4r")
+    assert(nfc.length === decomposed.length - 3)
+    // NFKC folds compatibility chars NFC leaves alone
+    val liga = Seq("\ufb01le \uff21wide").toDF("t")
+    assert(liga.select(unicodeNormalize(col("t"), "NFC"))
+      .collect()(0).getString(0) === "\ufb01le \uff21wide")
+    assert(liga.select(unicodeNormalize(col("t"), "NFKC"))
+      .collect()(0).getString(0) === "file Awide")
+    // idempotence + the isNormalized fast path return the same value
+    val twice = df.select(
+      unicodeNormalize(unicodeNormalize(col("t"), "NFC"), "NFC"))
+      .collect()(0).getString(0)
+    assert(twice === nfc)
+    graft.GraftExtensions.register(spark)
+    assert(df.selectExpr("graft_unicode_normalize(t, 'NFC')")
+      .collect()(0).getString(0) === nfc)
+  }
 }
