@@ -1514,6 +1514,29 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // weakly-connected components of the induced subgraph on nodes
+    // <100 (the full random graph is one giant component — the
+    // induced slice is sparse enough to have real structure) via the
+    // O(log n) star contraction, convergence-asserted; singleton
+    // nodes label themselves. Oracle = recursive-CTE reachability
+    "graph_components" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = docs.count())
+        .filter(col("src") < 100 && col("dst") < 100)
+      val und = Graph.undirected(edges)
+      val cc = Dedup.connectedComponentsResult(
+        und.select(col("a").as("id_a"), col("b").as("id_b")),
+        maxIter = 50, algorithm = "star")
+      require(cc.converged, "CC must converge before labels are usable")
+      docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long").as("node"))
+        .join(cc.labels.select(col("id").as("node"),
+          col("cluster").as("component")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("node")).as("component"))
+        .orderBy("node")
+    }),
+
     // personalized PageRank from a deterministic trusted-seed set
     // (doc_id%50==0): teleport + dangling mass restart at the seeds,
     // unreachable nodes score exactly 0 — seed-based corpus
@@ -4216,6 +4239,23 @@ object SparkEntry {
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
          ORDER BY node""",
+
+    "graph_components" ->
+      s"""WITH RECURSIVE $linkGraphCte,
+         ef AS (SELECT src, dst FROM e WHERE src < 100 AND dst < 100),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM ef),
+         ed AS (SELECT a AS src, b AS dst FROM und
+                UNION SELECT b, a FROM und),
+         reach(src, dst) AS (
+           SELECT src, dst FROM ed
+           UNION
+           SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src),
+         mm AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1)
+         SELECT CAST(doc_id AS BIGINT) AS node,
+           coalesce(least(mm.id, mm.mn), CAST(doc_id AS BIGINT)) AS component
+         FROM documents LEFT JOIN mm ON doc_id = mm.id
+         WHERE doc_id < 100 ORDER BY node""",
 
     "graph_ppr" -> {
       // one PPR update: r' = quant(CASE seed: ((1−d) + d·dang)/|S|
