@@ -1136,6 +1136,15 @@ object SparkEntry {
         n = 3, threshold = 0.8, materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // MMR diverse top-5 (Carbonell & Goldstein): most representative
+    // AND mutually different — plain top-k by centroid relevance
+    // returns k near-copies of the best item. Every cosine rounds
+    // before comparison with id tiebreaks, so the greedy argmax
+    // chain is engine-portable and fully oracled (5 unrolled steps)
+    "ann_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(table(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), k = 5)),
+
     // cross-modal consistency audit: exact text near-dup pairs
     // (shingle Jaccard >= 0.5, bounded sample) joined to the
     // embedding cosine of the SAME ids — on real data the
@@ -2630,6 +2639,54 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
          ORDER BY 1,2""",
+
+    "ann_mmr_select" -> {
+      def cos(a: String, b: String): String =
+        s"""(list_sum(list_transform(list_zip($a, $b),
+              q -> CAST(q[1] AS DOUBLE) * q[2]))
+           / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x)))))"""
+      // λ-combination quantized by the luck-free floor, mirroring
+      // Similarity.mmrSelect exactly (see its 5th-decimal-half note)
+      def stepScore(prev: Seq[Int]): String = {
+        val maxSim = prev.map(i =>
+          s"round(${cos("sc.embedding", s"w$i.embedding")}, 4)")
+          .reduce((a, b) => s"greatest($a, $b)")
+        s"""floor((CAST(0.7 AS DOUBLE) * sc.rel
+             - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ($maxSim))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / CAST(10000 AS DOUBLE)"""
+      }
+      val steps = (2 to 5).map { s =>
+        val prev = 1 until s
+        val crosses = prev.map(i => s"CROSS JOIN w$i").mkString(" ")
+        val notIn = prev.map(i => s"w$i.id").mkString(", ")
+        s"""sc$s AS (SELECT sc.id, sc.embedding,
+              ${stepScore(prev)} AS score
+              FROM sc $crosses WHERE sc.id NOT IN ($notIn)),
+           w$s AS (SELECT id, embedding, score FROM sc$s
+              ORDER BY score DESC, id LIMIT 1)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+         cx AS (SELECT generate_subscripts(embedding, 1) AS p,
+                unnest(embedding) AS x FROM e),
+         cent AS (SELECT p, round(avg(CAST(x AS DOUBLE)), 6) AS m
+                  FROM cx GROUP BY 1),
+         cv AS (SELECT list(m ORDER BY p) AS c FROM cent),
+         sc AS (SELECT e.id, e.embedding,
+                round(${cos("e.embedding", "cv.c")}, 4) AS rel
+                FROM e CROSS JOIN cv),
+         w1 AS (SELECT id, embedding, rel AS score FROM sc
+                ORDER BY rel DESC, id LIMIT 1),
+         $steps
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS sel_rank, id, score FROM w1
+           UNION ALL SELECT 2, id, score FROM w2
+           UNION ALL SELECT 3, id, score FROM w3
+           UNION ALL SELECT 4, id, score FROM w4
+           UNION ALL SELECT 5, id, score FROM w5)
+         ORDER BY sel_rank"""
+    },
 
     "audit_dup_text_embedding" ->
       """WITH s AS (SELECT doc_id,

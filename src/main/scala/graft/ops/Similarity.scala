@@ -996,4 +996,68 @@ object Similarity {
       out
     }
   }
+  /** MMR diverse top-k selection (Carbonell & Goldstein 1998,
+    * public): greedily pick `k` vectors maximizing
+    * λ·rel(v) − (1−λ)·max_{s∈S} sim(v, s) — the demo/eval-set
+    * curation primitive ("most representative AND mutually
+    * different"), where plain top-k by relevance returns k near-
+    * duplicates of the best item. rel = cosine to the corpus
+    * centroid (per-dim mean rounded like the SemDeDup centroid).
+    *
+    * Determinism contract: every cosine is rounded to `roundTo`
+    * decimals BEFORE comparison and ties break by id, so the argmax
+    * chain is engine-portable (raw-ulp argmax would let a 1-ulp
+    * divergence cascade through all later picks). Greedy selection
+    * is inherently sequential: each of the k steps collects exactly
+    * ONE winner row (id + vector) — the bounded-by-contract driver
+    * collect of the properties()/IVF-probe class; candidates never
+    * move, and the scan side stays distributed (one TakeOrdered(1)
+    * job per step over the pinned candidate set). */
+  def mmrSelect(emb: DataFrame, id: Column, vec: Column, k: Int,
+      lambda: Double = 0.7, roundTo: Int = 4,
+      centroidRoundTo: Int = 6): DataFrame = {
+    require(k >= 1, "mmrSelect needs k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(id.cast("long").as("id"),
+      vec.cast("array<double>").as("v")).localCheckpoint(true)
+    val cent = e.select(posexplode(col("v")).as(Seq("__p", "__x")))
+      .groupBy("__p").agg(round(avg(col("__x")), centroidRoundTo).as("__m"))
+      .orderBy("__p").collect().map(_.getDouble(1))
+    val centCol = array(cent.map(lit(_)): _*)
+    val scored = e
+      .withColumn("__rel", round(cosine(col("v"), centCol), roundTo))
+      .localCheckpoint(true)
+    var selected = Vector.empty[(Long, Seq[Double], Double)]
+    for (_ <- 1 to k) {
+      val base =
+        if (selected.isEmpty) scored
+        else scored.filter(!col("id").isin(selected.map(_._1): _*))
+      val scoreCol =
+        if (selected.isEmpty) col("__rel")
+        else {
+          val maxSim = selected
+            .map { case (_, sv, _) =>
+              round(cosine(col("v"), array(sv.map(lit(_)): _*)), roundTo) }
+            .reduce(greatest(_, _))
+          // the λ-combination of 1e-4-grid inputs lands on EXACT
+          // 5th-decimal halves whenever 7m−3n is odd — round() would
+          // flip between engines' tie rules; the dyadic floor is
+          // luck-free on identical bits (PageRank-grid analysis)
+          val q = math.pow(10, roundTo)
+          floor((lit(lambda) * col("__rel") -
+            (lit(1.0) - lit(lambda)) * maxSim) * lit(q) + lit(0.5)) / lit(q)
+        }
+      val w = base.withColumn("__score", scoreCol)
+        .orderBy(col("__score").desc, col("id").asc)
+        .limit(1)
+        .select(col("id"), col("v"), col("__score"))
+        .collect()(0)
+      selected = selected :+
+        ((w.getLong(0), w.getSeq[Double](1), w.getDouble(2)))
+    }
+    selected.zipWithIndex
+      .map { case ((i, _, sc), ix) => (ix + 1L, i, sc) }
+      .toDF("sel_rank", "id", "score")
+  }
 }

@@ -104,4 +104,29 @@ class SemDedupSpec extends AnyFunSuite {
     assert(rows.length === 34)       // nothing dropped
     assert(rows.forall(_._2 == 1L))  // every member a singleton keeper
   }
+  test("mmrSelect spreads picks across clusters; top-k would not") {
+    import spark.implicits._
+    // three tight clusters along different axes; cluster A nearest
+    // the centroid direction. Plain top-3 by relevance = 3 copies of
+    // A; MMR must take one per cluster.
+    def jitter(base: Seq[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, j) =>
+        x + (if (j == i % 4) 0.001f else 0f) }
+    val a = Seq(1f, 0.3f, 0.3f, 0f); val b = Seq(0f, 1f, 0f, 0.3f)
+    val c = Seq(0.3f, 0f, 1f, 0f)
+    val rows = (0 until 3).map(i => (i.toLong, jitter(a, i))) ++
+      (3 until 6).map(i => (i.toLong, jitter(b, i))) ++
+      (6 until 9).map(i => (i.toLong, jitter(c, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelect(df, col("vec_id"), col("embedding"),
+        k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val clusters = sel.map(_._2 / 3).toSet
+    assert(clusters.size === 3,
+      "one pick per cluster expected, got " + sel.mkString(","))
+    // k=1 is the plain relevance argmax with id tiebreak
+    val one = Similarity.mmrSelect(df, col("vec_id"), col("embedding"),
+      k = 1).collect()(0)
+    assert(one.getLong(0) === 1L)
+  }
 }
