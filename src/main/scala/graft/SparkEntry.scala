@@ -1136,6 +1136,28 @@ object SparkEntry {
         n = 3, threshold = 0.8, materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // the one-row dataset datasheet a corpus release ships with:
+    // volume, vocabulary-of-languages/sources, exact-dup mass, short-
+    // doc mass, mean length — one aggregation pass, all-integer
+    // internals, the mean presented on the luck-free floor grid
+    "corpus_datasheet" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)) -
+            countDistinct(md5(col("text").cast("binary"))))
+            .as("n_exact_dups"),
+          sum(when(length(col("text")) < 100, 1L).otherwise(0L))
+            .as("n_short"))
+        .withColumn("mean_tokens",
+          floor(col("n_tokens").cast("double") / col("n_docs").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+    }),
+
     // MMR diverse top-5 (Carbonell & Goldstein): most representative
     // AND mutually different — plain top-k by centroid relevance
     // returns k near-copies of the best item. Every cosine rounds
@@ -2639,6 +2661,22 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
          ORDER BY 1,2""",
+
+    "corpus_datasheet" ->
+      """SELECT count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+         CAST(sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short,
+         floor(CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / CAST(1000000 AS DOUBLE) AS mean_tokens
+         FROM documents""",
 
     "ann_mmr_select" -> {
       def cos(a: String, b: String): String =
