@@ -1136,6 +1136,21 @@ object SparkEntry {
         n = 3, threshold = 0.8, materialize = eagerPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // document-shape heuristics: Flesch-style readability (vowel-
+    // group syllables) + code-ness (symbol density, keyword rate) —
+    // the routing signals that split code from prose and gate
+    // readability slices before language-specific stages
+    "text_doc_heuristics" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.sentenceCount(col("text")).cast("long").as("n_sent"),
+          TextOps.syllableEstimate(col("text")).cast("long").as("n_syll"),
+          (floor(TextOps.fleschScore(col("text")) * lit(1e4) + lit(0.5)) /
+            lit(1e4)).as("flesch"),
+          TextOps.codeSymbolCount(col("text")).cast("long").as("n_sym"),
+          TextOps.codeKeywordCount(col("text")).cast("long").as("n_kw"))
+        .orderBy("doc_id")),
+
     // the one-row dataset datasheet a corpus release ships with:
     // volume, vocabulary-of-languages/sources, exact-dup mass, short-
     // doc mass, mean length — one aggregation pass, all-integer
@@ -1260,6 +1275,23 @@ object SparkEntry {
           table(s, dir, "documents").filter(col("doc_id") < 300),
           col("text"), col("doc_id"), n = 3, threshold = 0.5))
         .orderBy("id")),
+
+    // duplicate-cluster census over the same exact sample: how much
+    // of the corpus sits in clusters of which size (singletons
+    // included) — the number a dedup run is judged by before anyone
+    // looks at pairs. Oracled through the same recursive closure
+    "dedup_cluster_census" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      val labels = Dedup.connectedComponents(
+        Dedup.ngramJaccardExact(docs, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5))
+      docs.select(col("doc_id").cast("long").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(coalesce(col("cluster"), col("id")).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .presentSorted("sz")
+    }),
 
     // leakage-safe split, oracled end-to-end over the bounded sample:
     // exact pairs -> recursive closure -> portable md5 split of the
@@ -2661,6 +2693,26 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
          ORDER BY 1,2""",
+
+    "text_doc_heuristics" ->
+      """WITH b AS (SELECT doc_id,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy,
+           greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS w,
+           len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS sym,
+           len(regexp_extract_all(lower(text),
+             '\b(?:def|class|return|import|if|else|for|while|var|val|function)\b'))
+             AS kw
+           FROM documents)
+         SELECT doc_id, CAST(ns AS BIGINT) AS n_sent,
+           CAST(sy AS BIGINT) AS n_syll,
+           floor((CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(ns AS DOUBLE))
+               - CAST(84.6 AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS flesch,
+           CAST(sym AS BIGINT) AS n_sym, CAST(kw AS BIGINT) AS n_kw
+         FROM b ORDER BY doc_id""",
 
     "corpus_datasheet" ->
       """SELECT count(*) AS n_docs,
@@ -4068,6 +4120,30 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
          m AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1)
          SELECT id, least(id, mn) AS cluster FROM m ORDER BY id""",
+
+    "dedup_cluster_census" ->
+      """WITH RECURSIVE g AS (SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(t)-2, 1)),
+             i -> substring(t, CAST(i AS INT), 3))) AS grams
+           FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                 FROM documents WHERE doc_id < 300)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         m AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1),
+         lbl AS (SELECT d.doc_id AS id,
+             coalesce(least(m.id, m.mn), d.doc_id) AS cluster
+           FROM documents d LEFT JOIN m ON d.doc_id = m.id
+           WHERE d.doc_id < 300),
+         cs AS (SELECT cluster, count(*) AS sz FROM lbl GROUP BY 1)
+         SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1 ORDER BY sz""",
 
     "split_leakfree_exact_sample" ->
       s"""WITH RECURSIVE g AS (SELECT doc_id,

@@ -45,6 +45,31 @@ object TextOps {
         .otherwise(lit("ok")).as("compression_verdict"))
   }
 
+  /** Document-shape heuristics: Flesch-style readability (vowel-group
+    * syllable estimate — the classic public approximation) and
+    * code-ness (structural-symbol density + keyword rate). Both are
+    * routing signals: readability gates conversational/educational
+    * slices, code-ness splits code from prose BEFORE language-specific
+    * stages. Pure regex-count column compositions (codegen, RE2-safe,
+    * engine-portable); ratios are pinned-tree int quotients presented
+    * on the luck-free floor grid by callers. */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+  def syllableEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+  def fleschScore(text: Column): Column = {
+    val w = greatest(tokenCount(text), lit(1)).cast(DoubleType)
+    val s = sentenceCount(text).cast(DoubleType)
+    val sy = syllableEstimate(text).cast(DoubleType)
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)
+  }
+  def codeSymbolCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[{}();=<>\\[\\]]"), lit(0)))
+  def codeKeywordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(?:def|class|return|import|if|else|for|while|var|val|function)\\b"),
+      lit(0)))
+
   /** HTML → text extraction, the first stage of every web-crawl
     * pipeline. Deliberately a COMPOSITION of built-in regexp/replace
     * columns (codegen'd, no UDF, engine-portable) with a precise
