@@ -866,6 +866,27 @@ object SparkEntry {
           col("centroid"), col("n"))
         .presentSorted("label", "pos")),
 
+    // embedding drift monitor: per-label centroid cosine to the
+    // GLOBAL centroid — the slice-vs-corpus shift a pipeline watches
+    // when a source or labeling run goes off-distribution; both
+    // centroids on the rounded grid, cosine rounded, fully oracled
+    "embed_label_drift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val lv = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+        .groupBy("label")
+        .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("centroid")))),
+            x => x("centroid")).as("__cv"),
+          max(col("n")).as("n"))
+      val gc = emb.select(posexplode(col("embedding")).as(Seq("__p", "__x")))
+        .groupBy("__p").agg(round(avg(col("__x").cast("double")), 6).as("__m"))
+        .orderBy("__p").collect().map(_.getDouble(1))
+      lv.select(col("label").cast("int").as("label"), col("n"),
+          round(Similarity.cosine(col("__cv"),
+            array(gc.map(lit(_)): _*)), 4).as("drift_cos"))
+        .presentSorted("label")
+    }),
+
     // NEAREST-CENTROID ASSIGNMENT: each vector classified to its
     // max-cosine label centroid — centroids rebuilt from the rounded
     // (label, pos) rows so BOTH engines score bit-identical inputs;
@@ -3281,6 +3302,25 @@ object SparkEntry {
            count(*) AS n
          FROM embeddings, generate_series(1, 64) AS g(pos)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "embed_label_drift" ->
+      """WITH c AS (SELECT label, g.pos,
+             round(avg(CAST(embedding[g.pos] AS DOUBLE)), 6) AS v,
+             count(*) AS n
+           FROM embeddings, generate_series(1, 64) AS g(pos) GROUP BY 1, 2),
+         lv AS (SELECT label, list(v ORDER BY pos) AS cv,
+             CAST(max(n) AS BIGINT) AS n FROM c GROUP BY 1),
+         gx AS (SELECT g.pos,
+             round(avg(CAST(embedding[g.pos] AS DOUBLE)), 6) AS m
+           FROM embeddings, generate_series(1, 64) AS g(pos) GROUP BY 1),
+         gv AS (SELECT list(m ORDER BY pos) AS c FROM gx)
+         SELECT label, n,
+           round(list_sum(list_transform(list_zip(lv.cv, gv.c),
+               q -> CAST(q[1] AS DOUBLE) * q[2]))
+             / (sqrt(list_sum(list_transform(lv.cv, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(gv.c, x -> CAST(x AS DOUBLE) * x)))),
+             4) AS drift_cos
+         FROM lv CROSS JOIN gv ORDER BY label""",
 
     "embed_centroid_assign" ->
       """WITH c AS (SELECT label, g.pos,

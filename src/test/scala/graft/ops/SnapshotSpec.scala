@@ -107,4 +107,39 @@ class SnapshotSpec extends AnyFunSuite {
     // stream-side classification: no 'removed' (absent ids never arrive)
     assert(once.map(_._2).toSet === Set("added", "changed", "unchanged"))
   }
+  test("plan: BUCKETED fingerprint stores diff with zero exchanges") {
+    // the 100 TB claim made concrete: two snapshot fingerprint tables
+    // bucketed+sorted by id join full-outer with NO shuffle and NO
+    // sort - the co-located daily-diff layout
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.md5
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("snapbkt").toString
+    val tag = System.nanoTime()
+    try {
+      import spark.implicits._
+      def fp(df: org.apache.spark.sql.DataFrame, name: String, path: String) =
+        df.select(col("doc_id").cast("long").as("id"),
+            md5(col("text").cast("binary")).as("fp"))
+          .write.bucketBy(8, "id").sortBy("id")
+          .option("path", path).saveAsTable(name)
+      val o = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      val n = (100L until 300L).map(i => (i, s"text${i % 7} $i"))
+        .toDF("doc_id", "text")
+      fp(o, s"fp_old_$tag", dir + "/old"); fp(n, s"fp_new_$tag", dir + "/new")
+      val j = spark.table(s"fp_old_$tag")
+        .join(spark.table(s"fp_new_$tag")
+          .withColumnRenamed("fp", "fp2"), Seq("id"), "full_outer")
+      val plan = j.queryExecution.executedPlan
+      val ex = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.isEmpty, plan.toString)
+      assert(j.count() === 300L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS fp_old_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS fp_new_$tag")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
