@@ -565,6 +565,32 @@ object SparkEntry {
     // (graft.ops.Sessions). DuckDB-oracled against the identical
     // lag/running-sum window SQL; event_id tie-break makes equal-second
     // ordering engine-independent
+    // pre-flight key-skew profile of a prospective shuffle key
+    // (events.user_id): rows per md5 bucket — read before choosing
+    // partitioning/AQE-skew/salting for a big join; md5 bucketing
+    // keeps the profile engine-portable, so fully oracled
+    "profile_key_skew" -> ((s, dir) =>
+      Profile.keySkew(events(s, dir), col("user_id"), buckets = 32)
+        .presentSorted("bucket")),
+
+    // RETENTION COHORTS: users grouped by first-seen day, activity
+    // counted at day offsets — the classic product-analytics triangle
+    // (kairos-adjacent event analytics the reference's bucket reads
+    // feed into). Two aggregations: first-seen per user (map-side
+    // combined min), then distinct users per (cohort, offset)
+    "events_retention_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .presentSorted("cohort_day", "day_offset")
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
       Sessions.sessionize(ev, Seq("user_id"), "sec", gapSec = 1800,
@@ -2917,6 +2943,20 @@ object SparkEntry {
          SELECT c.click_id, e.error_id, c.user_id
          FROM c JOIN e ON c.user_id = e.user_id AND c.x BETWEEN e.lo AND e.hi
          ORDER BY 1, 2""",
+
+    "profile_key_skew" ->
+      s"""SELECT ${hexValSql("md5(CAST(user_id AS VARCHAR))", 4)} % 32
+           AS bucket, count(*) AS n_rows
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "events_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, ev.day) AS INT) AS day_offset,
+           count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, value,

@@ -201,4 +201,18 @@ object Profile {
       .select("col_name", "v", "n", "rank")
       .orderBy("col_name", "rank")
   }
+  /** Engine-portable key-skew profile: row counts per md5 bucket of a
+    * prospective join/aggregation key — the pre-flight diagnostic
+    * read before choosing shuffle partitioning, AQE skew thresholds,
+    * or salting for a 100 TB stage. md5-bucketing (the Mix.portableKey
+    * idiom, seedless) rather than the engine's own hash partitioner
+    * keeps the profile reproducible across engines and versions; a
+    * hot key dominates SOME bucket under any uniform hash, so the
+    * max/mean bucket ratio reads the same skew either way. */
+  def keySkew(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column, buckets: Int = 32)
+      : org.apache.spark.sql.DataFrame =
+    df.select((conv(substring(md5(key.cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long") % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
 }
