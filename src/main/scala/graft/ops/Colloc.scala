@@ -68,8 +68,12 @@ object Colloc {
     * tok_b), so the top-k cut is deterministic. */
   def topCollocations(docs: DataFrame, text: Column, window: Int,
       minCount: Long, k: Int): DataFrame = {
-    val pc = pairCounts(docs, text, window)
-    val uc = unigramCounts(docs, text)
+    // the count tables feed BOTH the lift join and their own totals:
+    // unpinned, Catalyst rebuilds each branch from the raw corpus and
+    // the heavy pair/unigram explodes run twice (plan-audited). The
+    // aggregates are vocabulary-bounded — pin them once
+    val pc = pairCounts(docs, text, window).localCheckpoint(true)
+    val uc = unigramCounts(docs, text).localCheckpoint(true)
     val totTok = uc.agg(sum(col("tok_n")).cast("double").as("__ntok"))
     val totPair = pc.agg(sum(col("pair_n")).cast("double").as("__npair"))
     val d = (c: Column) => c.cast("double")
