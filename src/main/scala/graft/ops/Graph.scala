@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * the JOIN side skew is bounded because rank rows are one per node).
   * The dangling-rank mass is a one-row aggregate CROSS-JOINED back in
   * (broadcast by construction) — no driver-side collect per
-  * iteration, so an N-iteration run is one lazily-built plan per
-  * iteration with lineage truncated every few steps. At 100 TB:
+  * iteration, so an N-iteration run is one plan per iteration with
+  * the rank table pinned eagerly each round. At 100 TB:
   * bucket the edge table by src so the per-iteration rank join is
   * co-located, and the per-iteration cost is one exchange of the
   * (node, rank) table — |V| rows, not |E|.
@@ -97,13 +97,15 @@ object Graph {
     * a single row — deliberately the one place a cross join is
     * correct), contributions = edges⋈ranks on src then agg on dst,
     * final left join back to the full node set so sink-only nodes
-    * keep receiving base rank. Lineage is truncated with a
-    * non-eager localCheckpoint every `checkpointEvery` iterations —
-    * without it a 20-iteration plan nests 40 joins and analysis cost
-    * grows quadratically. */
+    * keep receiving base rank. Each iteration's rank table is pinned
+    * EAGERLY (one |V|-row localCheckpoint job per round): the update
+    * reads the previous ranks TWICE (dangling + contributions), so an
+    * unpinned chain recomputes with branch factor 2^k — at 3
+    * iterations that is 8 rebuilds of the base scan, at 20 it is the
+    * end of the job (plan-audited; the same double-branch trap as
+    * Colloc's totals). */
   def pageRank(edges: DataFrame, nodes: DataFrame, node: Column,
-      iters: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 5): DataFrame = {
+      iters: Int, damping: Double = 0.85): DataFrame = {
     val n = nodes.select(node.cast("long").as("node"))
     val outDeg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("__deg"))
@@ -125,8 +127,7 @@ object Graph {
           quant(lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dangling") / col("__n"))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(false)
+      if (i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -138,10 +139,11 @@ object Graph {
     * is bit-identical across engines, like [[pageRank]]. Output:
     * (node, hub, auth), both sides summing to 1 (±grid). Same
     * per-iteration plan shape as pageRank: two key-equality shuffles
-    * plus one-row broadcast totals, lineage cut every
-    * `checkpointEvery` rounds. */
+    * plus one-row broadcast totals, each half-step's table pinned
+    * eagerly (each feeds its own total AND the next half-step — the
+    * 2^k branch trap pageRank's scaladoc describes). */
   def hits(edges: DataFrame, nodes: DataFrame, node: Column,
-      iters: Int, checkpointEvery: Int = 5): DataFrame = {
+      iters: Int): DataFrame = {
     val n = nodes.select(node.cast("long").as("node"))
     var hubs = n.withColumn("hub", lit(1.0))
     var auths = n.withColumn("auth", lit(0.0))
@@ -164,10 +166,8 @@ object Graph {
           when(col("__t") > 0,
             quant(coalesce(col("__h"), lit(0.0)) / col("__t")))
             .otherwise(lit(0.0)).as("hub"))
-      if (i % checkpointEvery == 0 && i < iters) {
-        auths = auths.localCheckpoint(false)
-        hubs = hubs.localCheckpoint(false)
-      }
+      auths = auths.localCheckpoint(true)
+      if (i < iters) hubs = hubs.localCheckpoint(true)
     }
     hubs.join(auths, Seq("node"))
   }
@@ -182,8 +182,8 @@ object Graph {
     * broadcast scalars, seed membership as a broadcast semi-join
     * flag), same Σ rank = 1 invariant as [[pageRank]]. */
   def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
-      node: Column, seeds: DataFrame, iters: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 5): DataFrame = {
+      node: Column, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
     val n = nodes.select(node.cast("long").as("node"))
     val s = seeds.select(seeds.columns.head).toDF("node")
       .select(col("node").cast("long").as("node")).distinct()
@@ -213,8 +213,7 @@ object Graph {
               (lit(1.0 - damping) + lit(damping) * col("__dangling")) /
                 col("__s")).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(false)
+      if (i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("rank"))
   }

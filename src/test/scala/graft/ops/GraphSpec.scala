@@ -36,10 +36,9 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r(3L) - 0.14375) < 1e-8)
   }
 
-  test("rank mass stays 1 across iterations incl. a checkpoint cut") {
+  test("rank mass stays 1 across eagerly-pinned iterations") {
     val (edges, nodes) = fixture
-    val total = Graph.pageRank(edges, nodes, col("node"), iters = 7,
-        checkpointEvery = 3)
+    val total = Graph.pageRank(edges, nodes, col("node"), iters = 7)
       .agg(sum(col("rank"))).collect()(0).getDouble(0)
     assert(math.abs(total - 1.0) < 1e-6)
   }
@@ -91,8 +90,7 @@ class GraphSpec extends AnyFunSuite {
 
   test("HITS hub and auth masses each stay 1 across iterations") {
     val (edges, nodes) = fixture
-    val t = Graph.hits(edges, nodes, col("node"), iters = 5,
-        checkpointEvery = 2)
+    val t = Graph.hits(edges, nodes, col("node"), iters = 5)
       .agg(sum(col("hub")), sum(col("auth"))).collect()(0)
     assert(math.abs(t.getDouble(0) - 1.0) < 1e-6)
     assert(math.abs(t.getDouble(1) - 1.0) < 1e-6)
@@ -135,7 +133,7 @@ class GraphSpec extends AnyFunSuite {
     val nodes = (0L to 4L).toDF("node")
     val seeds = Seq(0L).toDF("node")
     val r = Graph.personalizedPageRank(edges, nodes, col("node"), seeds,
-        iters = 4, checkpointEvery = 2)
+        iters = 4)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
     assert(r(3L) === 0.0 && r(4L) === 0.0,
@@ -153,7 +151,7 @@ class GraphSpec extends AnyFunSuite {
     // contraction 0.85^3 per lap: 30 iterations pin the fixed point
     // r0 = 0.15/(1-0.85^3), r1 = 0.85 r0, r2 = 0.85^2 r0
     val r = Graph.personalizedPageRank(edges, nodes, col("node"), seeds,
-        iters = 30, checkpointEvery = 5)
+        iters = 30)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     val r0 = 0.15 / (1.0 - math.pow(0.85, 3))
     // contraction 0.614/lap leaves ~5e-3 after 10 laps - the 1e-2
