@@ -243,7 +243,11 @@ object Graph {
     * orientation-independent (the oracle enumerates by plain id
     * order and matches). Three key-equality joins, no cartesian. */
   def triangles(edges: DataFrame, nodes: DataFrame, node: Column): DataFrame = {
-    val und = undirected(edges)
+    // und feeds the degree agg AND the orientation join's base; the
+    // oriented table o is consumed THREE times (two wedge sides + the
+    // closing probe) — pin both or the wedge join rebuilds the whole
+    // orientation pipeline per consumer (the 2^k branch trap)
+    val und = undirected(edges).localCheckpoint(true)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -259,6 +263,7 @@ object Graph {
           .otherwise(struct(col("b").as("u"), col("a").as("v"),
             key(col("__da"), col("a")).as("kv"))).as("__e"))
       .select(col("__e.u").as("u"), col("__e.v").as("v"), col("__e.kv"))
+      .localCheckpoint(true)
     val wedges = o.select(col("u"), col("v"), col("kv"))
       .join(o.select(col("u"), col("v").as("w"), col("kv").as("kw")),
         Seq("u"))
