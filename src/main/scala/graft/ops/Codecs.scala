@@ -185,7 +185,7 @@ object Codecs {
     * (signature + IHDR + IDAT + IEND, correct CRC32s). Exposed to the
     * spec so filter-reversal can be tested on hand-filtered rows. */
   private[ops] def wrapPng(w: Int, h: Int, colorType: Int,
-      scanlines: Array[Byte]): Array[Byte] = {
+      scanlines: Array[Byte], plte: Array[Byte] = null): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(scanlines); deflater.finish()
     val buf = new Array[Byte](scanlines.length + 64)
@@ -211,26 +211,49 @@ object Codecs {
       out
     }
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IHDR", ihdr) ++
+      (if (plte != null) chunk("PLTE", plte) else Array.empty[Byte]) ++
+      chunk("IDAT", idat) ++
       chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Palette (color type 3) PNG from explicit PLTE bytes and one
+    * index byte per pixel, filter-0 rows — the fixture-side encoder
+    * for the palette decode path. */
+  private[ops] def encodePalettePng(w: Int, h: Int, plte: Array[Byte],
+      indices: Array[Byte]): Array[Byte] = {
+    require(indices.length == w * h, "one index byte per pixel")
+    val raw = new Array[Byte](h * (1 + w))
+    var y = 0
+    while (y < h) {
+      System.arraycopy(indices, y * w, raw, y * (1 + w) + 1, w)
+      y += 1
+    }
+    wrapPng(w, h, colorType = 3, raw, plte)
   }
 
   /** Inflate-and-unfilter a non-interlaced 8-bit PNG's scanlines:
     * IDAT chunks concatenated → Inflater → per-row reversal of the
     * five standard filters (None/Sub/Up/Average/Paeth). Returns the
-    * raw per-pixel channel bytes, top-left origin, `ch` channels.
-    * None for palette, sub-8-bit, 16-bit, or interlaced images. */
+    * raw per-pixel channel bytes, top-left origin, `ch` channels;
+    * palette images (color type 3) expand through their PLTE to
+    * 3-channel RGB, with out-of-range indices and missing/ragged
+    * palettes rejected. None for sub-8-bit, 16-bit, or interlaced
+    * images. */
   private def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val w = i32be(b, 16); val h = i32be(b, 20)
     val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
+    // filter-pass channel width: palette rows carry 1 index byte per
+    // pixel; the PLTE expansion to RGB happens after unfiltering
     val ch = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => return None // palette needs PLTE expansion
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None
     }
     if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
-    // concatenate IDAT payloads
+    // concatenate IDAT payloads; pick up the palette on the way
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var o = 8
     var ok = true
     while (ok && o + 8 <= b.length) {
@@ -239,6 +262,8 @@ object Codecs {
       if (len < 0 || o + 12 + len > b.length) ok = false
       else {
         if (tag == "IDAT") idat.write(b, o + 8, len)
+        if (tag == "PLTE")
+          plte = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + len)
         if (tag == "IEND") ok = false
         o += 12 + len
       }
@@ -279,7 +304,21 @@ object Codecs {
       }
       y += 1
     }
-    Some((w, h, ch, out))
+    if (colorType == 3) {
+      if (plte == null || plte.length % 3 != 0 || plte.isEmpty) return None
+      val n = plte.length / 3
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = out(i) & 0xff
+        if (idx >= n) return None
+        rgb(3 * i) = plte(3 * idx)
+        rgb(3 * i + 1) = plte(3 * idx + 1)
+        rgb(3 * i + 2) = plte(3 * idx + 2)
+        i += 1
+      }
+      Some((w, h, 3, rgb))
+    } else Some((w, h, ch, out))
   }
 
   /** Full pixel decode to TOP-LEFT-origin luma (BT.601 integer:

@@ -423,4 +423,38 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((3L, 1000003L)))
   }
+  test("palette PNG expands through PLTE to the same luma as truecolor") {
+    // a 4x3 image over a 5-color palette vs the same pixels as RGB
+    val w = 4; val h = 3
+    val palette = Array[Int](
+      10, 20, 30,   200, 100, 50,   0, 0, 0,   255, 255, 255,   7, 99, 180)
+      .map(_.toByte)
+    val idx = Array[Int](0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1).map(_.toByte)
+    val pal = Codecs.encodePalettePng(w, h, palette, idx)
+    val rgb = idx.flatMap(i => Seq(palette(3 * (i & 0xff)),
+      palette(3 * (i & 0xff) + 1), palette(3 * (i & 0xff) + 2)))
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    (0 until h).foreach(y =>
+      System.arraycopy(rgb, y * 3 * w, raw, y * (1 + 3 * w) + 1, 3 * w))
+    val tc = Codecs.wrapPng(w, h, colorType = 2, raw)
+    val gp = Codecs.decodeGray(pal).get
+    val gt = Codecs.decodeGray(tc).get
+    assert(gp._1 === w && gp._2 === h)
+    assert(java.util.Arrays.equals(gp._3, gt._3),
+      "palette and truecolor decodes of the same pixels must agree")
+    // header path reports the palette container too
+    val hd = Codecs.decodeHeader(pal).get
+    assert(hd.format === "png" && hd.width === w && hd.height === h)
+  }
+
+  test("palette PNG rejects out-of-range indices and missing PLTE") {
+    val palette = Array[Int](1, 2, 3).map(_.toByte) // 1 entry
+    val bad = Codecs.encodePalettePng(2, 1, palette,
+      Array[Byte](0, 5)) // index 5 out of range
+    assert(Codecs.decodeGray(bad).isEmpty)
+    // color type 3 with no PLTE chunk at all
+    val noPlte = Codecs.wrapPng(2, 1, colorType = 3,
+      Array[Byte](0, 0, 0))
+    assert(Codecs.decodeGray(noPlte).isEmpty)
+  }
 }
