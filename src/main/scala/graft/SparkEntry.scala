@@ -1925,6 +1925,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // palette-PNG pixel path end-to-end: indices expand through the
+    // PLTE and the oracle recomputes every luma closed-form (ramp
+    // palette v=16i makes BT.601 luma exactly the palette value) —
+    // a wrong palette lookup, index byte, or filter pass shifts the
+    // sum and fails the hash
+    "mm_palette_real" -> ((s, dir) => {
+      val mk = udf((id: Long) => Multimodal.syntheticPalettePng(id))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: frame sampling plan for video rows
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -4753,6 +4773,14 @@ object SparkEntry {
          SELECT doc_id, extracted,
            CAST(length(extracted) AS BIGINT) AS n_chars_out
          FROM s6 ORDER BY doc_id""",
+
+    "mm_palette_real" ->
+      """WITH px AS (SELECT doc_id, gx.x, gy.y FROM documents,
+           generate_series(0, 7) AS gx(x), generate_series(0, 5) AS gy(y)),
+         l AS (SELECT doc_id, 16 * ((doc_id + x + y) % 16) AS v FROM px)
+         SELECT doc_id, 8 AS width, 6 AS height,
+           CAST(sum(v) AS BIGINT) AS sum_luma
+         FROM l GROUP BY 1 ORDER BY doc_id""",
 
     "ingest_warc_records" ->
       """WITH info AS (SELECT 'software: graft-crawler/1.0'

@@ -558,4 +558,17 @@ object Multimodal {
         (f, x, y) => ((id * 3 + 5L * f + 7L * x + 11L * y) % 256).toInt,
         (f, x, y) => ((id * 5 + 7L * f + 11L * x + 13L * y) % 256).toInt)
     }
+  /** Deterministic palette-PNG fixture: 8×6, grayscale-ramp palette
+    * v_i = 16·i (BT.601 integer luma of (v,v,v) is exactly v because
+    * 299+587+114 = 1000), index(x, y) = (doc_id + x + y) mod 16 — so
+    * every decoded luma is closed-form recomputable in SQL without
+    * the bytes, the mm_gray_stats oracle trick applied to the PLTE
+    * expansion path. */
+  def syntheticPalettePng(id: Long): Array[Byte] = {
+    val w = 8; val h = 6
+    val plte = Array.tabulate(48)(i => (16 * (i / 3)).toByte)
+    val idx = Array.tabulate(w * h)(p =>
+      ((id + p % w + p / w) % 16).toByte)
+    Codecs.encodePalettePng(w, h, plte, idx)
+  }
 }
