@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
@@ -1197,6 +1198,38 @@ object SparkEntry {
           TextOps.codeSymbolCount(col("text")).cast("long").as("n_sym"),
           TextOps.codeKeywordCount(col("text")).cast("long").as("n_kw"))
         .orderBy("doc_id")),
+
+    // effective dataset size: raw token mass vs tokens surviving
+    // keep-first exact dedup — the number training-budget planning
+    // actually needs (raw counts overstate a duplicated corpus)
+    "corpus_effective_tokens" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+      docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("__nt"),
+          md5(col("text").cast("binary")).as("__h"))
+        .withColumn("__rn", row_number().over(w))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_unique_docs"),
+          sum(col("__nt")).as("raw_tokens"),
+          sum(when(col("__rn") === 1, col("__nt")).otherwise(0L))
+            .as("effective_tokens"))
+        .withColumn("dup_token_mass",
+          col("raw_tokens") - col("effective_tokens"))
+    }),
+
+    // hard per-source cap (the per-domain crawl cap): keep at most 5
+    // docs per source, chosen by the portable md5 order so the cut is
+    // reproducible across engines, retries, and cluster sizes
+    "sample_cap_per_source" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Mix.ordHash(col("doc_id"), 42L), col("doc_id"))
+      docs.select(col("source"), col("doc_id"))
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter(col("pick_rank") <= 5)
+        .orderBy("source", "pick_rank")
+    }),
 
     // the one-row dataset datasheet a corpus release ships with:
     // volume, vocabulary-of-languages/sources, exact-dup mass, short-
@@ -2780,6 +2813,32 @@ object SparkEntry {
              / CAST(10000 AS DOUBLE) AS flesch,
            CAST(sym AS BIGINT) AS n_sym, CAST(kw AS BIGINT) AS n_kw
          FROM b ORDER BY doc_id""",
+
+    "corpus_effective_tokens" ->
+      """WITH h AS (SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+           md5(text) AS hh FROM documents),
+         r AS (SELECT doc_id, nt,
+           row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+           FROM h)
+         SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_docs,
+           CAST(sum(nt) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN rn = 1 THEN nt ELSE 0 END) AS BIGINT)
+             AS effective_tokens,
+           CAST(sum(nt) - sum(CASE WHEN rn = 1 THEN nt ELSE 0 END) AS BIGINT)
+             AS dup_token_mass
+         FROM r""",
+
+    "sample_cap_per_source" ->
+      """WITH r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id)
+             AS pick_rank
+           FROM documents)
+         SELECT source, doc_id, CAST(pick_rank AS BIGINT) AS pick_rank
+         FROM r WHERE pick_rank <= 5 ORDER BY source, pick_rank""",
 
     "corpus_datasheet" ->
       """SELECT count(*) AS n_docs,
