@@ -92,11 +92,18 @@ object Spans {
     * the gap-and-islands merge in [[duplicatedSpans]]. */
   private def covered(docs: DataFrame, text: Column, id: Column,
       n: Int, maxDocsPerGram: Long = Long.MaxValue): DataFrame = {
-    val hits = gramHits(docs, text, id, n)
-    val dup = hits.groupBy("gram")
+    // the hit stream feeds THREE consumers (dup aggregation, cold
+    // join, salted join) and dup feeds two — unpinned, the gram
+    // explode recomputes per consumer (the 2^k branch trap; at sf0.1
+    // this tripled the heaviest projection in the engine). Both pin
+    // eagerly: hits is one row per token occurrence, dup is the
+    // bounded duplicated-gram table
+    val hits = gramHits(docs, text, id, n).localCheckpoint(true)
+    val dup0 = hits.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("__nd"),
         min(col("doc_id")).as("__owner"))
       .filter(col("__nd") > 1 && col("__nd") <= maxDocsPerGram)
+    val dup = dup0.localCheckpoint(true)
     val occ = { (joined: DataFrame) =>
       joined.filter(col("doc_id") =!= col("__owner"))
         .select(col("doc_id"), col("pos"))
