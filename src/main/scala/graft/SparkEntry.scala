@@ -801,6 +801,32 @@ object SparkEntry {
     // values per type (Spark `percentile` == DuckDB `quantile_cont`,
     // both p·(n−1) linear interpolation) — the column-profiling
     // primitive for corpus curation dashboards
+    // winsorized robust stats per type: clip at the [p05, p95] cuts
+    // and compare raw vs clipped means — the outlier-robust
+    // aggregation a metrics pipeline uses when a bad sensor can put
+    // ±1e9 in `value`. Cuts are floor-quantized BEFORE comparison:
+    // interpolated quantiles can land exactly on the 2-decimal value
+    // grid, where a 1-ulp engine difference would flip a clip count
+    "events_value_winsorized" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type").as("name"),
+        col("value"))
+      val q = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val cuts = ev.groupBy("name").agg(
+        q(expr("percentile(value, 0.05)")).as("__lo"),
+        q(expr("percentile(value, 0.95)")).as("__hi"))
+      ev.join(broadcast(cuts), Seq("name"))
+        .select(col("name"), col("value"), col("__lo"), col("__hi"),
+          greatest(col("__lo"), least(col("__hi"), col("value")))
+            .as("__w"))
+        .groupBy("name")
+        .agg(round(avg(col("__w")), 6).as("wins_mean"),
+          round(avg(col("value")), 6).as("raw_mean"),
+          sum((col("value") > col("__hi") || col("value") < col("__lo"))
+            .cast("long")).as("n_clipped"),
+          count(lit(1)).as("n"))
+        .presentSorted("name")
+    }),
+
     "events_value_quantiles" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type").as("name"))
         .agg(
@@ -3455,6 +3481,23 @@ object SparkEntry {
                  ORDER BY cos DESC, pred_label) AS rk FROM s)
          SELECT vec_id, label, pred_label, cos FROM r WHERE rk = 1
          ORDER BY vec_id""",
+
+    "events_value_winsorized" ->
+      """WITH c AS (SELECT event_type AS name,
+           floor(quantile_cont(value, 0.05) * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS lo,
+           floor(quantile_cont(value, 0.95) * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS hi
+           FROM events GROUP BY 1),
+         j AS (SELECT e.event_type AS name, e.value, c.lo, c.hi,
+           greatest(c.lo, least(c.hi, e.value)) AS w
+           FROM events e JOIN c ON e.event_type = c.name)
+         SELECT name, round(avg(w), 6) AS wins_mean,
+           round(avg(value), 6) AS raw_mean,
+           CAST(sum(CASE WHEN value > hi OR value < lo THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped,
+           count(*) AS n
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     "events_value_quantiles" ->
       """SELECT event_type AS name,
