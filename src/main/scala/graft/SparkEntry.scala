@@ -1683,6 +1683,28 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // cross-family composition: per-source top-3 documents by
+    // PageRank — the "best of each domain" cut a curation pass
+    // exports; the dyadic-grid ranks make the window cut itself
+    // oracle-exact (ties broken by node)
+    "graph_top_ranked_by_source" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = n)
+      val ranks = Graph.pageRank(edges, docs, col("doc_id"), iters = 3)
+        .select(col("node"),
+          (floor(col("rank") * lit(n.toDouble) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("rank_norm"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("rank_norm").desc, col("node"))
+      docs.select(col("doc_id").cast("long").as("node"), col("source"))
+        .join(ranks, Seq("node"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("node"), col("rank_norm"))
+        .orderBy("source", "rk")
+    }),
+
     // weakly-connected components of the induced subgraph on nodes
     // <100 (the full random graph is one giant component — the
     // induced slice is sparse enough to have real structure) via the
@@ -4612,6 +4634,45 @@ object SparkEntry {
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
          ORDER BY node""",
+
+    "graph_top_ranked_by_source" -> {
+      // the full PageRank CTE chain, then a per-source window cut on
+      // the floor-presented rank (bit-exact, so the cut can't flip)
+      val prCte = s"""WITH $linkGraphCte,
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1),
+         r0 AS (SELECT CAST(doc_id AS BIGINT) AS node,
+             ${prQuant("CAST(1.0 AS DOUBLE) / nn.nd")} AS r
+             FROM documents CROSS JOIN nn),
+         d1 AS (SELECT coalesce(sum(r), 0) AS dang FROM r0
+                LEFT JOIN deg ON r0.node = deg.src WHERE deg.d IS NULL),
+         c1 AS (SELECT e.dst AS node, sum(${prQuant("r0.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+         r1 AS (SELECT r0.node, ${prQuant(prStep("c1", "d1"))} AS r
+             FROM r0 LEFT JOIN c1 USING (node) CROSS JOIN d1 CROSS JOIN nn),
+         d2 AS (SELECT coalesce(sum(r), 0) AS dang FROM r1
+                LEFT JOIN deg ON r1.node = deg.src WHERE deg.d IS NULL),
+         c2 AS (SELECT e.dst AS node, sum(${prQuant("r1.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+         r2 AS (SELECT r1.node, ${prQuant(prStep("c2", "d2"))} AS r
+             FROM r1 LEFT JOIN c2 USING (node) CROSS JOIN d2 CROSS JOIN nn),
+         d3 AS (SELECT coalesce(sum(r), 0) AS dang FROM r2
+                LEFT JOIN deg ON r2.node = deg.src WHERE deg.d IS NULL),
+         c3 AS (SELECT e.dst AS node, sum(${prQuant("r2.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+         r3 AS (SELECT r2.node, ${prQuant(prStep("c3", "d3"))} AS r
+             FROM r2 LEFT JOIN c3 USING (node) CROSS JOIN d3 CROSS JOIN nn),
+         rn AS (SELECT r3.node,
+             floor(r3.r * nn.nd * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(1000000 AS DOUBLE) AS rank_norm
+             FROM r3 CROSS JOIN nn)"""
+      s"""$prCte,
+         t AS (SELECT d.source, rn.node, rn.rank_norm,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY rn.rank_norm DESC, rn.node) AS rk
+           FROM rn JOIN documents d ON d.doc_id = rn.node)
+         SELECT source, CAST(rk AS BIGINT) AS rk, node, rank_norm
+         FROM t WHERE rk <= 3 ORDER BY source, rk"""
+    },
 
     "graph_components" ->
       s"""WITH RECURSIVE $linkGraphCte,
