@@ -1683,6 +1683,18 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // k-core of the link graph (k=4, iterative peel to fixpoint —
+    // mean degree is ~6, so the peel genuinely cascades): the link-
+    // spam periphery filter — sparse tendrils peel away,
+    // organically-linked cores survive. Non-monotone peeling has no
+    // SQL-recursive twin → rows-only; semantics spec-pinned on
+    // closed-form fixtures (GraphSpec)
+    "graph_kcore" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = docs.count())
+      Graph.kCore(edges, k = 4).orderBy("node")
+    }),
+
     // cross-family composition: per-source top-3 documents by
     // PageRank — the "best of each domain" cut a curation pass
     // exports; the dyadic-grid ranks make the window cut itself

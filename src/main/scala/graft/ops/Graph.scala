@@ -226,6 +226,45 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
 
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k,
+    * found by iterative peeling (drop all nodes below k, recompute
+    * degrees, repeat to fixpoint) — the classic link-spam / low-
+    * quality-periphery filter: content farms form sparse tendrils
+    * that peel away while organically-linked cores survive. Each
+    * round is one degree aggregation + two semi-joins, the shrinking
+    * edge set pinned per round (each round's table feeds the degree
+    * agg, both semi-joins, AND the convergence count). Convergence is
+    * a bounded one-scalar count per round — the properties()-class
+    * driver read every fixpoint loop needs. Returns the member
+    * nodes; non-monotone peeling has no SQL-recursive twin, so the
+    * driver check is rows-only and the semantics are spec-pinned on
+    * closed-form fixtures (cliques survive, trees peel to nothing). */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    var und = undirected(edges).localCheckpoint(true)
+    var prev = und.count()
+    var done = prev == 0
+    var it = 0
+    while (!done && it < maxIter) {
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select("node")
+      val pruned = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val now = pruned.count()
+      done = now == prev || now == 0
+      prev = now
+      und = pruned
+      it += 1
+    }
+    und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .distinct()
+  }
+
   /** Per-node triangle participation + local clustering coefficient:
     * (node, deg, tri, clust) over the undirected graph, coefficient
     * = 2·tri / (deg·(deg−1)) for deg ≥ 2 else 0.

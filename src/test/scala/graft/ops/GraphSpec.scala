@@ -161,4 +161,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r(2L) - 0.85 * 0.85 * r0) < 1e-2)
     assert(r(0L) > r(1L) && r(1L) > r(2L))
   }
+  test("kCore: cliques survive, trees peel away, k=1 keeps non-isolates") {
+    import spark.implicits._
+    // K4 clique (ids 0-3) + a tree tendril 3->10->11->12
+    val edges = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++
+      Seq((3L,10L),(10L,11L),(11L,12L))).toDF("src","dst")
+    val core3 = Graph.kCore(edges, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(core3 === Set(0L, 1L, 2L, 3L),
+      "the K4 clique is the 3-core; the tendril peels")
+    // a pure path has no 2-core at all
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.kCore(path, k = 2).count() === 0L)
+    // k=1 keeps every non-isolated node
+    assert(Graph.kCore(path, k = 1).count() === 6L)
+    // a cycle IS its own 2-core
+    val cycle = ((0L until 5L).map(i => (i, (i + 1) % 5))).toDF("src", "dst")
+    assert(Graph.kCore(cycle, k = 2)
+      .collect().map(_.getLong(0)).toSet === (0L until 5L).toSet)
+  }
 }
