@@ -1225,6 +1225,25 @@ object SparkEntry {
           TextOps.codeKeywordCount(col("text")).cast("long").as("n_kw"))
         .orderBy("doc_id")),
 
+    // the datasheet's per-source slice: exact-dup rate by source —
+    // dedup is rarely uniform (mirrors and content farms concentrate
+    // in specific sources), and this is the table that shows where
+    "dedup_rate_by_source" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+      docs.select(col("source"), col("doc_id"),
+          md5(col("text").cast("binary")).as("__h"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (floor((col("n_docs") - col("n_kept")).cast("double") /
+            col("n_docs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("dup_rate"))
+        .presentSorted("source")
+    }),
+
     // effective dataset size: raw token mass vs tokens surviving
     // keep-first exact dedup — the number training-budget planning
     // actually needs (raw counts overstate a duplicated corpus)
@@ -2873,6 +2892,19 @@ object SparkEntry {
              / CAST(10000 AS DOUBLE) AS flesch,
            CAST(sym AS BIGINT) AS n_sym, CAST(kw AS BIGINT) AS n_kw
          FROM b ORDER BY doc_id""",
+
+    "dedup_rate_by_source" ->
+      """WITH r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents),
+         g AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM r GROUP BY 1)
+         SELECT source, n_docs, n_kept,
+           floor(CAST(n_docs - n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS dup_rate
+         FROM g ORDER BY source""",
 
     "corpus_effective_tokens" ->
       """WITH h AS (SELECT doc_id,
