@@ -1573,6 +1573,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // INCREMENTAL pair counts: base corpus (doc_id>=250) built once
+    // into the batch-partitioned store, the crawl increment (<250)
+    // appended as its own batch — window pairs never cross documents,
+    // so counts are exactly additive and the indexed top-50 equals
+    // the inline count over the union (fully oracled; replays
+    // overwrite their batch, never double-add)
+    "colloc_counts_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("collocCounts", dir) { p =>
+        Colloc.buildCountsStore(docs.filter(col("doc_id") >= 250),
+          col("text"), window = 3, p)
+        Colloc.appendCountsBatch(docs.filter(col("doc_id") < 250),
+          col("text"), window = 3, p, batchId = 1L)
+      }
+      Colloc.readCounts(s, store)
+        .orderBy(col("pair_n").desc, col("tok_a"), col("tok_b"))
+        .limit(50)
+    }),
+
     // top collocations by LIFT (= e^PMI, but a pure ratio of integer
     // counts → bit-exact cross-engine where PMI's log would pull in
     // libm): window-3 pairs generated inside each doc's token array,
@@ -4856,6 +4875,20 @@ object SparkEntry {
          ($hits) > 0 AS blocked
          FROM documents ORDER BY doc_id"""
     },
+
+    "colloc_counts_indexed" ->
+      """WITH t0 AS (SELECT list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> length(x) > 0) AS t FROM documents),
+         p0 AS (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+                FROM t0 WHERE len(t) >= 2),
+         p1 AS (SELECT t, i,
+                unnest(generate_series(i+1, least(i+3, len(t)))) AS j FROM p0),
+         pc AS (SELECT least(t[i], t[j]) AS tok_a,
+                greatest(t[i], t[j]) AS tok_b, count(*) AS pair_n
+                FROM p1 GROUP BY 1, 2)
+         SELECT tok_a, tok_b, pair_n FROM pc
+         ORDER BY pair_n DESC, tok_a, tok_b LIMIT 50""",
 
     // lift association tree mirrors Colloc.topCollocations exactly:
     // ((c_ab/c_a) * (ntok/c_b)) * (ntok/npairs), left-assoc doubles

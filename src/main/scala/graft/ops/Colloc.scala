@@ -60,6 +60,34 @@ object Colloc {
       .groupBy("tok").agg(count(lit(1)).as("tok_n"))
   }
 
+  /** Persisted ADDITIVE pair-count store: counts are commutative
+    * monoids, so incremental maintenance needs no index structure at
+    * all — each crawl increment writes its own counts into a
+    * `batch=<id>` partition (overwrite semantics make replays
+    * exactly-once, the count-min store's contract applied to EXACT
+    * counts), and reads sum across batches. The crawl-increment
+    * shape for distributional stats: yesterday's corpus is never
+    * re-tokenized. */
+  def buildCountsStore(docs: DataFrame, text: Column, window: Int,
+      path: String): Unit =
+    pairCounts(docs, text, window)
+      .write.mode("overwrite").parquet(s"$path/batch=0")
+
+  /** Write one increment's counts as `batch=<id>` — replaying the
+    * same batch id overwrites, never double-adds. */
+  def appendCountsBatch(docs: DataFrame, text: Column, window: Int,
+      path: String, batchId: Long): Unit = {
+    require(batchId > 0, "batch 0 is the base build")
+    pairCounts(docs, text, window)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** Total pair counts across all batches. */
+  def readCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("tok_a", "tok_b").agg(sum(col("pair_n")).as("pair_n"))
+
   /** Top collocations by lift: (tok_a, tok_b, pair_n, lift) for pairs
     * with `pair_n ≥ minCount`, lift = (c_ab/c_a)·(N_tok/c_b)·
     * (N_tok/N_pairs) — EXACTLY this association order, which is the

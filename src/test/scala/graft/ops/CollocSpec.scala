@@ -68,4 +68,21 @@ class CollocSpec extends AnyFunSuite {
       plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+  test("count store: indexed == inline on the union; replays never double-add") {
+    import spark.implicits._
+    val base = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val inc = Seq((3L, "a b a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("colloc").toString
+    Colloc.buildCountsStore(base, col("text"), window = 2, dir)
+    Colloc.appendCountsBatch(inc, col("text"), window = 2, dir, batchId = 1L)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val indexed = m(Colloc.readCounts(spark, dir))
+    val inline = m(Colloc.pairCounts(base.unionAll(inc), col("text"),
+      window = 2))
+    assert(indexed === inline)
+    // replaying the SAME batch overwrites - totals unchanged
+    Colloc.appendCountsBatch(inc, col("text"), window = 2, dir, batchId = 1L)
+    assert(m(Colloc.readCounts(spark, dir)) === inline)
+  }
 }
