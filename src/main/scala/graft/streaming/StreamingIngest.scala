@@ -332,6 +332,23 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream crawl increments into the additive collocation-count
+    * store ([[graft.ops.Colloc.buildCountsStore]]): each micro-batch
+    * writes its pair counts as `batch=<epochId+1>` (the micro-batch
+    * id keys the partition, so a replayed batch OVERWRITES itself —
+    * exactly-once by layout, the count-min streaming contract applied
+    * to exact counts). Reads sum across batches; no re-tokenization
+    * of anything already counted. */
+  def appendStreamToCollocCounts(docs: DataFrame, path: String,
+      checkpoint: String, text: Column, window: Int) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.ops.Colloc.appendCountsBatch(batch, text, window,
+          path, batchId = epochId + 1)
+      }
+      .start()
+
   /** Stream crawled documents through snapshot-delta classification
     * against the STORED fingerprint table
     * ([[graft.ops.Snapshot.buildFingerprintStore]]): each micro-batch

@@ -841,4 +841,27 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batches must append nothing")
     assert(replayed === batch)
   }
+  test("streamed colloc count batches converge to the batch-union counts") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val incs = Seq((2L, "b c d"), (3L, "a b a b"))
+    val dir = java.nio.file.Files.createTempDirectory("collocStream").toString
+    val store = dir + "/counts"
+    graft.ops.Colloc.buildCountsStore(base, col("text"), 2, store)
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingIngest.appendStreamToCollocCounts(sdf, store,
+      dir + "/ck", col("text"), window = 2)
+    incs.foreach { r => mem.addData(r); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.ops.Colloc.readCounts(spark, store)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.ops.Colloc.pairCounts(
+        base.unionAll(incs.toDF("doc_id", "text")), col("text"), 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed === batch)
+  }
 }
