@@ -801,6 +801,15 @@ object SparkEntry {
     // values per type (Spark `percentile` == DuckDB `quantile_cont`,
     // both p·(n−1) linear interpolation) — the column-profiling
     // primitive for corpus curation dashboards
+    // hour-of-day seasonality profile per event type — the diurnal
+    // fingerprint anomaly baselines and capacity plans read first
+    "events_hourly_profile" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type").as("name"),
+          hour(col("ts")).cast("long").as("hour_of_day"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
+        .presentSorted("name", "hour_of_day")),
+
     // winsorized robust stats per type: clip at the [p05, p95] cuts
     // and compare raw vs clipped means — the outlier-robust
     // aggregation a metrics pipeline uses when a bad sensor can put
@@ -1719,6 +1728,17 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = docs.count())
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
+    }),
+
+    // in-degree distribution of the link graph: the histogram whose
+    // tail shape (power-law vs Poisson) decides whether hub salting
+    // is worth configuring before a big graph job
+    "graph_degree_hist" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = docs.count())
+      Graph.degrees(edges, docs, col("doc_id"))
+        .groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
+        .presentSorted("in_deg")
     }),
 
     // k-core of the link graph (k=4, iterative peel to fixpoint —
@@ -4697,6 +4717,21 @@ object SparkEntry {
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
          ORDER BY node""",
+
+    "graph_degree_hist" ->
+      s"""WITH $linkGraphCte,
+         ind AS (SELECT dst, count(*) AS c FROM e GROUP BY 1),
+         dg AS (SELECT CAST(doc_id AS BIGINT) AS node,
+             coalesce(ind.c, 0) AS in_deg
+           FROM documents LEFT JOIN ind ON doc_id = ind.dst)
+         SELECT in_deg, count(*) AS n_nodes FROM dg
+         GROUP BY 1 ORDER BY in_deg""",
+
+    "events_hourly_profile" ->
+      """SELECT event_type AS name,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+           count(*) AS n, round(avg(value), 6) AS mean_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "graph_top_ranked_by_source" -> {
       // the full PageRank CTE chain, then a per-source window cut on
