@@ -101,8 +101,13 @@ object Snapshot {
       content: Column): Unit = {
     val o = spark.read.parquet(storePath)
       .select(col("id"), col("fp").as("old_fp"))
+    // a crawler that re-delivers the same id WITHIN a batch (retry
+    // storms do this) must not double-append: keep one row per id,
+    // deterministically the min fingerprint — not dropDuplicates,
+    // whose survivor is partition-order-dependent
     val d = docs.select(id.cast("long").as("id"),
         md5(content.cast("binary")).as("new_fp"))
+      .groupBy("id").agg(min(col("new_fp")).as("new_fp"))
       .join(o, Seq("id"), "left")
       .select(col("id"),
         when(col("old_fp").isNull, lit("added"))

@@ -142,4 +142,20 @@ class SnapshotSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+  test("in-batch duplicate ids append once, deterministically") {
+    val (o, _) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("snapdup").toString
+    val store = dir + "/fp"; val out = dir + "/out"
+    Snapshot.buildFingerprintStore(o, col("doc_id"), col("text"), store)
+    import spark.implicits._
+    // id 2 re-delivered twice with different payloads in ONE batch
+    val batch = Seq((2L, "retry one"), (2L, "retry two"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    Snapshot.appendDeltaAgainst(spark, store, out, batch,
+      col("doc_id"), col("text"))
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2L, 4L), "one row per id")
+    assert(rows.toMap.apply(2L) === "changed")
+  }
 }
