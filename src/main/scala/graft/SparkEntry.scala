@@ -1100,6 +1100,38 @@ object SparkEntry {
     // patterns). The corpus is synthetic, so the fixture PII is
     // injected deterministically per doc_id in BOTH engines — the
     // oracle proves the detection/redaction mechanics cross-engine
+    // the compliance slice: PII incidence per source over the same
+    // planted fixture — per-source doc counts, affected-doc counts,
+    // total hits per class, and the affected rate; the table a
+    // release review reads before anything ships
+    "text_pii_by_source" -> ((s, dir) => {
+      val aug = concat(
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 3 > 0,
+          concat(lit(" u"), col("doc_id").cast(StringType), lit("@ex.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 > 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast(StringType),
+            lit(".9")))
+          .otherwise(lit("")),
+        lit(" ref 123-45-6789"))
+      table(s, dir, "documents")
+        .select(col("source") +: TextOps.piiCounts(aug): _*)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("email_hits"),
+          sum(col("n_ipv4")).as("ipv4_hits"),
+          sum(col("n_ssn")).as("ssn_hits"),
+          sum(when(col("n_email") + col("n_ipv4") + col("n_ssn") > 0, 1L)
+            .otherwise(0L)).as("n_affected"))
+        .select(col("source"), col("n_docs"), col("email_hits"),
+          col("ipv4_hits"), col("ssn_hits"), col("n_affected"),
+          (floor(col("n_affected").cast("double") /
+            col("n_docs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("affected_rate"))
+        .presentSorted("source")
+    }),
+
     "text_pii_redact" -> ((s, dir) => {
       val aug = concat(
         substring(col("text"), 1, 40),
@@ -4189,6 +4221,37 @@ object SparkEntry {
              ORDER BY n DESC, v) AS BIGINT) AS "rank" FROM c)
          SELECT col_name, v, n, "rank" FROM r WHERE "rank" <= 5
          ORDER BY col_name, "rank"""",
+
+    "text_pii_by_source" ->
+      """WITH a AS (SELECT source,
+           substr(text, 1, 40)
+           || CASE WHEN doc_id % 3 > 0
+                   THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 > 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.9'
+                   ELSE '' END
+           || ' ref 123-45-6789' AS aug FROM documents),
+         c AS (SELECT source,
+           len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+           len(regexp_extract_all(aug,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ni,
+           len(regexp_extract_all(aug,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS ns
+           FROM a),
+         g AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(ne) AS BIGINT) AS email_hits,
+           CAST(sum(ni) AS BIGINT) AS ipv4_hits,
+           CAST(sum(ns) AS BIGINT) AS ssn_hits,
+           CAST(sum(CASE WHEN ne + ni + ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_affected
+           FROM c GROUP BY 1)
+         SELECT source, n_docs, email_hits, ipv4_hits, ssn_hits, n_affected,
+           floor(CAST(n_affected AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS affected_rate
+         FROM g ORDER BY source""",
 
     "text_pii_redact" ->
       """WITH a AS (SELECT doc_id,
