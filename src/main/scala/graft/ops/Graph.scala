@@ -239,7 +239,7 @@ object Graph {
     * nodes; non-monotone peeling has no SQL-recursive twin, so the
     * driver check is rows-only and the semantics are spec-pinned on
     * closed-form fixtures (cliques survive, trees peel to nothing). */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 1000): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     var und = undirected(edges).localCheckpoint(true)
     var prev = und.count()
@@ -260,6 +260,11 @@ object Graph {
       und = pruned
       it += 1
     }
+    // a silent truncation would return a NON-core (long chains peel
+    // one layer per round, so rounds can approach |V|/2) — refuse
+    // instead, the CC convergence contract
+    require(done,
+      s"kCore did not reach its fixpoint in $maxIter rounds; raise maxIter")
     und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .distinct()

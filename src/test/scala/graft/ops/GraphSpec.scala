@@ -180,4 +180,14 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(cycle, k = 2)
       .collect().map(_.getLong(0)).toSet === (0L until 5L).toSet)
   }
+  test("kCore refuses a truncated fixpoint instead of lying") {
+    import spark.implicits._
+    // a 12-path at k=2 peels one layer per round from each end:
+    // maxIter=2 cannot reach the (empty) fixpoint
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(path, k = 2, maxIter = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
 }
