@@ -1762,6 +1762,24 @@ object SparkEntry {
       Graph.degrees(edges, docs, col("doc_id")).orderBy("node")
     }),
 
+    // edge reciprocity: the share of directed links whose reverse
+    // also exists — organic link neighborhoods reciprocate, link
+    // farms rarely do; one self-semi-join on the flipped key
+    "graph_reciprocity" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = Graph.linkGraph(docs, col("doc_id"), nNodes = docs.count())
+        .localCheckpoint(true) // both sides of the semi-join read it
+      val recip = edges.join(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+        .select(col("n_edges"), col("n_reciprocal"),
+          (floor(col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("reciprocity"))
+    }),
+
     // in-degree distribution of the link graph: the histogram whose
     // tail shape (power-law vs Poisson) decides whether hub salting
     // is worth configuring before a big graph job
@@ -4780,6 +4798,18 @@ object SparkEntry {
          FROM documents LEFT JOIN od ON doc_id = od.src
          LEFT JOIN ind ON doc_id = ind.dst
          ORDER BY node""",
+
+    "graph_reciprocity" ->
+      s"""WITH $linkGraphCte,
+         r AS (SELECT count(*) AS n_reciprocal FROM e
+               WHERE EXISTS (SELECT 1 FROM e e2
+                 WHERE e2.src = e.dst AND e2.dst = e.src)),
+         t AS (SELECT count(*) AS n_edges FROM e)
+         SELECT t.n_edges, r.n_reciprocal,
+           floor(CAST(r.n_reciprocal AS DOUBLE) / CAST(t.n_edges AS DOUBLE)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS reciprocity
+         FROM t CROSS JOIN r""",
 
     "graph_degree_hist" ->
       s"""WITH $linkGraphCte,
