@@ -1017,9 +1017,12 @@ object Dedup {
     *
     * The global rank is computed WITHOUT a single-task sort — the
     * same two-phase shape as Curate's balanced split: partition by
-    * the key's first byte (order-preserving for the binary-collated
-    * key), rank within each bucket in parallel, then add broadcast
-    * per-bucket offsets from a ≤256-row prefix sum. The neighbor join
+    * the key's first CODEPOINT (ascii() returns the leading
+    * character's codepoint, order-preserving for the binary-collated
+    * key; bucket count is bounded by the distinct leading characters
+    * — 256 for ASCII corpora, more on multilingual keys but still
+    * broadcast-small), rank within each bucket in parallel, then add
+    * broadcast per-bucket offsets from a prefix sum. The neighbor join
     * is rank-equality (each row probes its next `window−1` ranks), so
     * it shuffles on an integer key with fan-in bounded by `window` —
     * no skew, no cartesian corner. Verification is the exact

@@ -270,6 +270,65 @@ object Graph {
       .distinct()
   }
 
+  /** Core number of EVERY node in ONE fixpoint — the single-pass
+    * core decomposition that makes [[kCore]]'s per-k peel
+    * unnecessary when more than one k is wanted: run this once,
+    * then every k-core is a filter ([[kCoreFromCores]]).
+    *
+    * Algorithm: distributed H-index iteration (Lü, Zhou, Zhang,
+    * Stanley, "The H-index of a network node and its relation to
+    * degree and coreness", Nature Communications 2016 — public).
+    * c₀(v) = deg(v); cₜ₊₁(v) = H({cₜ(u) : u ∼ v}), the largest h
+    * such that at least h neighbors currently hold value ≥ h. The
+    * sequence is monotone non-increasing and converges exactly to
+    * the coreness. Each round is ONE adjacency⋈values key join, one
+    * per-node window rank (partitioned by node — parallel, never a
+    * global sort), one agg, and a bounded one-scalar convergence
+    * count — same per-round shuffle budget as a PageRank iteration,
+    * and strictly fewer rounds than chaining [[kCore]] over k.
+    * Isolated nodes never enter the edge list and are the caller's
+    * zero-fill, as in [[degrees]]. */
+  def coreNumbers(edges: DataFrame, maxIter: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var cur = adj.groupBy("node").agg(count(lit(1)).as("core"))
+      .localCheckpoint(true)
+    var it = 0
+    var done = adj.isEmpty
+    while (!done && it < maxIter) {
+      val nb = adj.join(
+        cur.select(col("node").as("nbr"), col("core").as("__c")), Seq("nbr"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("__c").desc, col("nbr"))
+      val h = nb.withColumn("__rn", row_number().over(w).cast("long"))
+        .groupBy("node").agg(max(least(col("__rn"), col("__c"))).as("core"))
+      val next = h.localCheckpoint(true)
+      // convergence = zero nodes moved; the H-sequence is monotone
+      // non-increasing so "changed" is exactly "decreased"
+      val changed = next
+        .join(cur.withColumnRenamed("core", "__prev"), Seq("node"))
+        .filter(col("core") =!= col("__prev")).count()
+      done = changed == 0
+      cur = next
+      it += 1
+    }
+    require(done,
+      s"coreNumbers did not converge in $maxIter rounds; raise maxIter")
+    cur
+  }
+
+  /** k-core membership derived from [[coreNumbers]] output: a plain
+    * filter, no peeling — the shape to use when several k values (or
+    * the whole decomposition) are wanted from one job. Spec-equal to
+    * [[kCore]]'s iterative peel (GraphSpec). */
+  def kCoreFromCores(cores: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "kCoreFromCores needs k >= 1")
+    cores.filter(col("core") >= k).select("node")
+  }
+
   /** Per-node triangle participation + local clustering coefficient:
     * (node, deg, tri, clust) over the undirected graph, coefficient
     * = 2·tri / (deg·(deg−1)) for deg ≥ 2 else 0.

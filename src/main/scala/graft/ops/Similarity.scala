@@ -1029,7 +1029,8 @@ object Similarity {
       .withColumn("__rel", round(cosine(col("v"), centCol), roundTo))
       .localCheckpoint(true)
     var selected = Vector.empty[(Long, Seq[Double], Double)]
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
       val base =
         if (selected.isEmpty) scored
         else scored.filter(!col("id").isin(selected.map(_._1): _*))
@@ -1048,13 +1049,20 @@ object Similarity {
           floor((lit(lambda) * col("__rel") -
             (lit(1.0) - lit(lambda)) * maxSim) * lit(q) + lit(0.5)) / lit(q)
         }
-      val w = base.withColumn("__score", scoreCol)
+      val ws = base.withColumn("__score", scoreCol)
         .orderBy(col("__score").desc, col("id").asc)
         .limit(1)
         .select(col("id"), col("v"), col("__score"))
-        .collect()(0)
-      selected = selected :+
-        ((w.getLong(0), w.getSeq[Double](1), w.getDouble(2)))
+        .collect()
+      // candidate pool exhausted before k picks (k > corpus size):
+      // stop and return the selectable prefix rather than throwing
+      // an opaque ArrayIndexOutOfBoundsException
+      if (ws.isEmpty) exhausted = true
+      else {
+        val w = ws(0)
+        selected = selected :+
+          ((w.getLong(0), w.getSeq[Double](1), w.getDouble(2)))
+      }
     }
     selected.zipWithIndex
       .map { case ((i, _, sc), ix) => (ix + 1L, i, sc) }

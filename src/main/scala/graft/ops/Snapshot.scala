@@ -51,10 +51,14 @@ object Snapshot {
     * [[delta]] directly. */
   def reprocessFeed(oldSnap: DataFrame, newSnap: DataFrame, id: Column,
       content: Column): DataFrame = {
+    // the join key rides under a reserved alias so dropping it can
+    // never shadow a caller column literally named "id" (the natural
+    // case when the id param IS col("id"))
     val todo = delta(oldSnap, newSnap, id, content)
       .filter(col("status").isin("added", "changed"))
-      .select(col("id"), col("status"))
-    newSnap.join(todo, id.cast("long") === todo("id")).drop("id")
+      .select(col("id").as("__delta_id"), col("status"))
+    newSnap.join(todo, id.cast("long") === todo("__delta_id"))
+      .drop("__delta_id")
   }
 
   /** Persist a snapshot's fingerprint table — (id, md5 fp) only, the
@@ -120,8 +124,12 @@ object Snapshot {
   }
 
   /** Replace the stored fingerprints with the new snapshot's — write
-    * to a dot-prefixed sibling temp dir, then swap, the same
-    * concurrent-reader-safe pattern as Timeseries.save/compact. */
+    * to a dot-prefixed sibling temp dir, then swap via TWO renames
+    * (target → dot-old, tmp → target, drop dot-old), the same
+    * concurrent-reader-safe pattern as Layout.compactFiles: a reader
+    * racing the swap sees either the old or the new store, never an
+    * empty path, and a crash mid-swap strands at worst a complete
+    * dot-old copy that the next advance cleans up. */
   def advanceStore(snap: DataFrame, id: Column, content: Column,
       path: String): Unit = {
     val spark = snap.sparkSession
@@ -129,10 +137,15 @@ object Snapshot {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}-advance-tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}-advance-old")
     fs.delete(tmp, true)
+    fs.delete(old, true)
     buildFingerprintStore(snap, id, content, tmp.toString)
-    fs.delete(target, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"advanceStore: rename $target -> $old failed")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"advanceStore: rename $tmp -> $target failed")
+    fs.delete(old, true)
   }
 }

@@ -110,9 +110,14 @@ object TextOps {
     * passes and is how naive blocklist stages melt at 100 TB. The
     * automaton builds once per executor JVM per pattern set (the
     * broadcast-variable shape, carried in the expression); matching
-    * is case-insensitive via lower() on both sides. */
+    * is case-insensitive via lower() on both sides — and BOTH sides
+    * go through Spark's UTF8String lowercase, so locale-sensitive
+    * codepoints (Turkish İ, etc.) fold identically; mixing
+    * String.toLowerCase with lower() can silently never match. */
   def blocklistColumns(text: Column, patterns: Seq[String]): Seq[Column] = {
-    val pats = patterns.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+    val pats = patterns.map(p =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(p)
+        .toLowerCase.toString).toArray
     val st = graft.functions.GraftFunctions.blocklistStats(lower(text), pats)
     Seq(st.getField("n_hits").as("block_hits"),
       st.getField("n_matched").as("block_patterns"),

@@ -180,6 +180,36 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(cycle, k = 2)
       .collect().map(_.getLong(0)).toSet === (0L until 5L).toSet)
   }
+  test("coreNumbers: closed-form fixtures and kCore equality") {
+    import spark.implicits._
+    // K4 clique (coreness 3) + tendril 3->10->11->12 (coreness 1)
+    val edges = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++
+      Seq((3L,10L),(10L,11L),(11L,12L))).toDF("src","dst")
+    val cores = Graph.coreNumbers(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cores === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+    // one decomposition serves every k — filter == per-k peel
+    val coresDf = Graph.coreNumbers(edges)
+    for (k <- 1 to 4) {
+      val fromCores = Graph.kCoreFromCores(coresDf, k)
+        .collect().map(_.getLong(0)).toSet
+      val peeled = Graph.kCore(edges, k)
+        .collect().map(_.getLong(0)).toSet
+      assert(fromCores === peeled, s"k=$k decomposition != peel")
+    }
+    // a cycle is uniformly coreness 2; a path uniformly 1
+    val cycle = ((0L until 5L).map(i => (i, (i + 1) % 5))).toDF("src", "dst")
+    assert(Graph.coreNumbers(cycle).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === (0L until 5L).map(_ -> 2L).toMap)
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.coreNumbers(path).collect()
+      .map(_.getLong(1)).toSet === Set(1L))
+    // empty edge set: empty decomposition, no blow-up
+    assert(Graph.coreNumbers(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() === 0L)
+  }
   test("kCore refuses a truncated fixpoint instead of lying") {
     import spark.implicits._
     // a 12-path at k=2 peels one layer per round from each end:
