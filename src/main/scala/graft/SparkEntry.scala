@@ -1803,6 +1803,23 @@ object SparkEntry {
       Graph.kCore(edges, k = 4).orderBy("node")
     }),
 
+    // full core decomposition of a 200-node heavy-tailed sample
+    // graph (powerLawGraph: md5-portable preferential attachment —
+    // the modulus graph's cores collapse to one shell, this one
+    // spans 1..5): ONE H-index fixpoint yields every node's core
+    // number, vs the oracle's per-k unrolled peels (depth chosen
+    // past each k's measured fixpoint; extra rounds are idempotent).
+    // This is the driver-verified twin of the rows-only graph_kcore
+    "graph_kcore_exact_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val edges = Graph.powerLawGraph(docs, col("doc_id"))
+      val cores = Graph.coreNumbers(edges)
+      docs.select(col("doc_id").cast("long").as("node"))
+        .join(cores, Seq("node"), "left")
+        .select(col("node"), coalesce(col("core"), lit(0L)).as("core"))
+        .orderBy("node")
+    }),
+
     // cross-family composition: per-source top-3 documents by
     // PageRank — the "best of each domain" cut a curation pass
     // exports; the dyadic-grid ranks make the window cut itself
@@ -4819,6 +4836,62 @@ object SparkEntry {
            FROM documents LEFT JOIN ind ON doc_id = ind.dst)
          SELECT in_deg, count(*) AS n_nodes FROM dg
          GROUP BY 1 ORDER BY in_deg""",
+
+    "graph_kcore_exact_sample" -> {
+      // independent re-derivation: rebuild the md5 power-law sample
+      // graph, then peel each k = 1..5 to its fixpoint with an
+      // UNROLLED round chain (depth past the measured fixpoint —
+      // extra rounds are idempotent on a converged edge set), and
+      // recover core(v) as the count of k-cores containing v (cores
+      // are nested, so membership-count == max-k == coreness; max
+      // coreness of this graph is 5)
+      val arms = (1 to 6).map { j =>
+        s"""SELECT i AS src,
+            ${hexValSql(s"md5(CAST(i AS VARCHAR) || '#l$j')", 8)}
+              % greatest(i, 1) AS dst FROM fan WHERE f >= $j"""
+      }.mkString("\n           UNION ALL ")
+      // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+      // and each round references its predecessor 3× — inlined, the
+      // chain re-derives the base graph exponentially many times
+      // (observed: fd exhaustion before producing a row)
+      def peel(k: Int, depth: Int): String = {
+        val rounds = (1 to depth).map { t =>
+          s"""n${k}_$t AS MATERIALIZED (SELECT node FROM
+                (SELECT a AS node FROM e${k}_${t - 1} UNION ALL
+                 SELECT b FROM e${k}_${t - 1})
+                GROUP BY 1 HAVING count(*) >= $k),
+             e${k}_$t AS MATERIALIZED (SELECT e.a, e.b FROM e${k}_${t - 1} e
+                JOIN n${k}_$t x ON e.a = x.node
+                JOIN n${k}_$t y ON e.b = y.node)"""
+        }.mkString(",\n         ")
+        s"""e${k}_0 AS MATERIALIZED (SELECT a, b FROM und),
+           $rounds,
+           m$k AS (SELECT DISTINCT node FROM
+             (SELECT a AS node FROM e${k}_$depth UNION ALL
+              SELECT b FROM e${k}_$depth))"""
+      }
+      // measured rounds-to-fixpoint per k: 1,3,3,4,6 — unroll one past
+      val depths = Map(1 -> 2, 2 -> 4, 3 -> 4, 4 -> 5, 5 -> 7)
+      val memb = (1 to 5)
+        .map(k => s"(CASE WHEN m$k.node IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString("\n           + ")
+      val joins = (1 to 5)
+        .map(k => s"LEFT JOIN m$k ON d.i = m$k.node")
+        .mkString("\n                ")
+      s"""WITH d AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS i
+             FROM documents WHERE doc_id < 200),
+         fan AS MATERIALIZED (SELECT i,
+            ${hexValSql("md5(CAST(i AS VARCHAR) || '#f')", 8)} % 6 + 1 AS f
+            FROM d),
+         e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($arms)
+             WHERE src <> dst),
+         und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                 greatest(src, dst) AS b FROM e),
+         ${(1 to 5).map(k => peel(k, depths(k))).mkString(",\n         ")}
+         SELECT d.i AS node, CAST($memb AS BIGINT) AS core
+         FROM d $joins
+         ORDER BY node"""
+    },
 
     "events_hourly_profile" ->
       """SELECT event_type AS name,

@@ -51,6 +51,36 @@ object Graph {
       .distinct()
   }
 
+  /** Deterministic heavy-tailed sibling of [[linkGraph]]: node `i`
+    * emits `1 + hexval(md5("<i>#f"), 8) % maxFanout` out-links, the
+    * j-th to `hexval(md5("<i>#l<j>"), 8) % max(i, 1)` — dsts land
+    * UNIFORMLY BELOW the source id, the md5-portable stand-in for
+    * preferential attachment (early pages accumulate in-links the
+    * way real crawl graphs' old hubs do). Unlike [[linkGraph]]'s
+    * near-regular modulus graph (whose k-core collapses to a single
+    * shell), this one has a genuine core spectrum and hub skew,
+    * which is what a core-decomposition sample query needs to
+    * exercise. Same portability contract: any engine with md5
+    * rebuilds the identical edge set. */
+  def powerLawGraph(docs: DataFrame, id: Column,
+      maxFanout: Int = 6): DataFrame = {
+    require(maxFanout >= 1, "powerLawGraph needs maxFanout >= 1")
+    val i = id.cast("long")
+    val fanout = conv(substring(
+        md5(concat(i.cast("string"), lit("#f"))), 1, 8), 16, 10)
+      .cast("long") % maxFanout + 1
+    val opts = array((1 to maxFanout).map { j =>
+      struct(lit(j).as("j"),
+        (conv(substring(md5(concat(i.cast("string"), lit(s"#l$j"))),
+          1, 8), 16, 10).cast("long") % greatest(i, lit(1L))).as("dst"))
+    }: _*)
+    docs.select(i.as("src"), fanout.as("__f"), explode(opts).as("__o"))
+      .filter(col("__o.j") <= col("__f"))
+      .select(col("src"), col("__o.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** Out-degree / in-degree per node over an edge list, zero-filled
     * from the node table: (node, out_deg, in_deg). Two partial-agg
     * shuffles on src / dst, then two key joins back to nodes. */
