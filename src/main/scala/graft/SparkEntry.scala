@@ -278,6 +278,19 @@ object SparkEntry {
         .select(col("i_time"), round(col("value"), 6).as("value"))
     }),
 
+    // G10: the per-call `fetch` hook (timeseries.py:575-580) driver-
+    // oracled — the hook injects a store-level restriction (even
+    // arrival seq only) into query()'s single read pipeline before
+    // the fold; iterate()'s walk bounds come from the UNhooked log
+    // (the reference walks the store's extant buckets), and the
+    // oracle mirrors both sides of that asymmetry
+    "ts_fetch_hook_minute" -> ((s, dir) => {
+      val t = eventLog(s, dir, CountT, minuteOnly)
+      t.iterate(Seq("error"), "minute",
+          hooks = ReadHooks(fetch = df => df.filter(col("seq") % 2 === 0)))
+        .select(col("i_time"), round(col("value"), 6).as("value"))
+    }),
+
     // I6: insert fan-out intervals=+3 (value lands in bucket..bucket+3)
     "ts_fanout_after3" -> ((s, dir) => {
       val t = new Timeseries(s, CountT, minuteOnly)
@@ -2857,6 +2870,15 @@ object SparkEntry {
          bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM e),
          axis AS (SELECT unnest(generate_series((SELECT b0 FROM bounds), (SELECT b1 FROM bounds))) AS b),
          d AS (SELECT b, sum(value) AS v FROM e GROUP BY 1)
+         SELECT axis.b*60 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
+         FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
+
+    "ts_fetch_hook_minute" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS b, value,
+                    event_id FROM events WHERE event_type='error'),
+         bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM e),
+         axis AS (SELECT unnest(generate_series((SELECT b0 FROM bounds), (SELECT b1 FROM bounds))) AS b),
+         d AS (SELECT b, sum(value) AS v FROM e WHERE event_id % 2 = 0 GROUP BY 1)
          SELECT axis.b*60 AS i_time, round(coalesce(d.v, 0.0), 6) AS value
          FROM axis LEFT JOIN d USING(b) ORDER BY 1""",
 
