@@ -1986,6 +1986,23 @@ object SparkEntry {
         .presentSorted("rank")
     }),
 
+    // first 5 merges, driver-oracled: the batched trainer at
+    // maxBatch=1 (the strict-BPE contract, BpeSpec) vs a DuckDB
+    // oracle that re-derives each round from scratch — long-format
+    // symbol table, argmax pair per round (freq desc, a, b), greedy
+    // non-overlapping application via run-parity position selection.
+    // This pins the trainer's acceptance rule to an independent
+    // engine; larger maxBatch is the documented fastBPE-style
+    // order-approximation (spec-pinned, README)
+    "bpe_merges_exact_sample" -> ((s, dir) => {
+      val m = Bpe.trainBatched(table(s, dir, "documents"), col("text"),
+        numMerges = 5, maxBatch = 1)
+      s.createDataFrame(m)
+        .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+          col("freq"))
+        .presentSorted("rank")
+    }),
+
     // the tokenizer those merges induce, applied back over the corpus
     // (rows-only; per-doc counts matched against the reference in
     // BpeSpec)
@@ -5155,6 +5172,60 @@ object SparkEntry {
          p AS (SELECT ch[i] AS a, ch[i+1] AS b, wcount FROM p0)
          SELECT a, b, CAST(sum(wcount) AS BIGINT) AS freq FROM p GROUP BY 1, 2
          ORDER BY freq DESC, a, b LIMIT 50""",
+
+    "bpe_merges_exact_sample" -> {
+      // strict BPE unrolled: per round, the argmax pair over the
+      // long-format symbol table, then greedy left-to-right
+      // non-overlapping application — candidate positions grouped
+      // into runs of consecutive matches (pos - row_number), keeping
+      // even offsets from each run head, which IS the left-to-right
+      // rule (a freshly merged symbol never re-merges in-pass).
+      // MATERIALIZED everywhere: each round references its
+      // predecessor 3x and plain CTE inlining goes exponential
+      def round(t: Int): String = {
+        val p = s"sl${t - 1}"
+        s"""p$t AS MATERIALIZED (SELECT s.wid, s.pos, s.sym AS a,
+               nx.sym AS b, s.wcount
+             FROM $p s JOIN $p nx ON nx.wid = s.wid AND nx.pos = s.pos + 1),
+           m$t AS MATERIALIZED (SELECT a, b,
+               CAST(sum(wcount) AS BIGINT) AS freq FROM p$t
+             GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1),
+           cand$t AS MATERIALIZED (SELECT p.wid, p.pos FROM p$t p, m$t m
+             WHERE p.a = m.a AND p.b = m.b),
+           keep$t AS MATERIALIZED (SELECT wid, pos FROM
+               (SELECT wid, pos, min(pos) OVER (PARTITION BY wid, grp) AS rs
+                FROM (SELECT wid, pos,
+                    pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
+                  FROM cand$t))
+             WHERE (pos - rs) % 2 = 0),
+           sl$t AS MATERIALIZED (SELECT wid, wcount,
+               row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
+             FROM (SELECT s.wid, s.wcount, s.pos,
+                 CASE WHEN k.pos IS NOT NULL
+                   THEN s.sym || (SELECT b FROM m$t) ELSE s.sym END AS sym
+               FROM $p s
+               LEFT JOIN keep$t k ON s.wid = k.wid AND s.pos = k.pos
+               LEFT JOIN keep$t k2 ON s.wid = k2.wid AND s.pos = k2.pos + 1
+               WHERE k2.pos IS NULL))"""
+      }
+      val rounds = (1 to 5).map(round).mkString(",\n         ")
+      val finalSel = (1 to 5)
+        .map(t => s"SELECT CAST($t AS BIGINT) AS rank, a, b, freq FROM m$t")
+        .mkString("\n           UNION ALL ")
+      s"""WITH w AS MATERIALIZED (SELECT word, count(*) AS wcount FROM
+             (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+              FROM documents) t
+             WHERE length(word) > 0 GROUP BY 1),
+         wi AS MATERIALIZED (SELECT row_number() OVER (ORDER BY word) AS wid,
+             word, wcount FROM w),
+         c AS MATERIALIZED (SELECT wid, wcount,
+             regexp_split_to_array(word, '') AS ch FROM wi),
+         s0 AS MATERIALIZED (SELECT wid, wcount,
+             unnest(generate_series(1, len(ch))) AS pos, ch FROM c),
+         sl0 AS MATERIALIZED (SELECT wid, wcount, pos, ch[pos] AS sym FROM s0),
+         $rounds
+         SELECT * FROM ($finalSel) ORDER BY rank"""
+    },
 
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id,
