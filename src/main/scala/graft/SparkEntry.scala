@@ -2369,6 +2369,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL 3-component color JPEG decode end-to-end: YCbCr baseline
+    // with 420/422/444 chroma subsampling cycling across docs, MCU-
+    // grid-flat fixtures, per-channel pixel sums — the DuckDB oracle
+    // recomputes each block's decoded RGB through the SAME integer
+    // fixed-point conversion chain (RGB→YCbCr, quant round-trip is
+    // exact on flat blocks, YCbCr→RGB with clamp) without any DCT
+    "mm_jpeg_color" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticJpegColor(id, txt))
+      val chanSum = udf((b: Array[Byte], c: Int) => {
+        var t = 0L; var i = c
+        while (i < b.length) { t += (b(i) & 0xff); i += 3 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeRgbStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          chanSum(col("rgb"), lit(0)).as("sum_r"),
+          chanSum(col("rgb"), lit(1)).as("sum_g"),
+          chanSum(col("rgb"), lit(2)).as("sum_b"))
+        .orderBy("doc_id")
+    }),
+
     // REAL resize execution (the stage mm_resize_plan only plans):
     // nearest-neighbor resample of genuinely-decoded luma planes to
     // 8x8 — the oracle recomputes the closed-form luma at the exact
@@ -5395,6 +5419,35 @@ object SparkEntry {
            CAST(sum(64 * ((doc_id + 7 * bx + 13 * byy) % 256)) AS BIGINT)
              AS sum_luma
          FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_jpeg_color" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+           FROM documents WHERE doc_id % 5 <> 0),
+         gx AS (SELECT doc_id, bw, bh,
+           unnest(generate_series(0, bw - 1)) AS bx FROM m),
+         gxy AS (SELECT doc_id, bw, bh, bx,
+           unnest(generate_series(0, bh - 1)) AS byy FROM gx),
+         blk AS (SELECT doc_id, bw, bh,
+           (doc_id + 7 * bx + 13 * byy) % 256 AS r,
+           (3 * doc_id + 11 * bx + 5 * byy) % 256 AS g,
+           (5 * doc_id + 3 * bx + 17 * byy) % 256 AS b
+           FROM gxy),
+         ycc AS (SELECT doc_id, bw, bh,
+           (299 * r + 587 * g + 114 * b + 500) // 1000 AS yv,
+           (-168736 * r - 331264 * g + 500000 * b + 128500000) // 1000000 AS cb,
+           (500000 * r - 418688 * g - 81312 * b + 128500000) // 1000000 AS cr
+           FROM blk),
+         pix AS (SELECT doc_id, bw, bh,
+           least(greatest((1000 * yv + 1402 * (cr - 128) + 256500) // 1000 - 256, 0), 255) AS rp,
+           least(greatest((1000000 * yv - 344136 * (cb - 128) - 714136 * (cr - 128) + 256500000) // 1000000 - 256, 0), 255) AS gp,
+           least(greatest((1000 * yv + 1772 * (cb - 128) + 256500) // 1000 - 256, 0), 255) AS bp
+           FROM ycc)
+         SELECT doc_id, CAST(16 * bw AS INT) AS width,
+           CAST(16 * bh AS INT) AS height,
+           CAST(sum(256 * rp) AS BIGINT) AS sum_r,
+           CAST(sum(256 * gp) AS BIGINT) AS sum_g,
+           CAST(sum(256 * bp) AS BIGINT) AS sum_b
+         FROM pix GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "mm_resize_real" ->
       """WITH m AS (SELECT doc_id, doc_id % 5 AS k,

@@ -146,9 +146,10 @@ object Codecs {
       Some(MediaHeader("png", i32be(b, 16), i32be(b, 20), ch))
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
         (b(1) & 0xff) == 0xd8) {
-      // baseline grayscale JPEG (graft.ops.Jpeg): dims from SOF0
-      Jpeg.decodeJpegHeader(b).map { case (w, h) =>
-        MediaHeader("jpeg", w, h, 1)
+      // baseline JPEG (graft.ops.Jpeg): dims + component count from
+      // SOF0 — 1 channel for grayscale, 3 for YCbCr color
+      Jpeg.decodeJpegHeader(b).map { case (w, h, nc) =>
+        MediaHeader("jpeg", w, h, nc)
       }
     } else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
       // GIF87a/89a (graft.ops.Gif): palette images are 3-channel
@@ -392,6 +393,72 @@ object Codecs {
           (w, h, g)
         }
       case _ => None
+    }
+
+  /** Full pixel decode to TOP-LEFT-origin interleaved RGB (3 bytes
+    * per pixel): native channels for BMP 24bpp, binary P6, PNG
+    * truecolor(+alpha, alpha ignored) and 3-component baseline JPEG
+    * (fixed-point YCbCr→RGB, [[Jpeg.decodeJpegColor]]); single-
+    * channel formats (P5/PGM, gray PNG/JPEG, GIF luma) replicate
+    * luma across channels. */
+  def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeHeader(b).flatMap {
+      case MediaHeader("bmp", w, h, 3) =>
+        val stride = bmpStride(w)
+        val off = i32le(b, 10)
+        if (b.length < off + h.toLong * stride) None
+        else {
+          val topDown = i32le(b, 22) < 0
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val srcRow = off + (if (topDown) y else h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              val o = srcRow + 3 * x; val d = 3 * (y * w + x)
+              rgb(d) = b(o + 2); rgb(d + 1) = b(o + 1); rgb(d + 2) = b(o)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, rgb))
+        }
+      case MediaHeader("ppm", w, h, 3) =>
+        pnmHeader(b).flatMap { case (_, _, off) =>
+          if (b.length < off + 3L * w * h) None
+          else Some((w, h,
+            java.util.Arrays.copyOfRange(b, off, off + 3 * w * h)))
+        }
+      case MediaHeader("jpeg", _, _, _) =>
+        Jpeg.decodeJpegColor(b)
+      case MediaHeader("png", _, _, _) =>
+        pngPixels(b).map { case (w, h, ch, px) =>
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val o = ch * i
+            ch match {
+              case 1 | 2 =>
+                rgb(3 * i) = px(o); rgb(3 * i + 1) = px(o); rgb(3 * i + 2) = px(o)
+              case _ =>
+                rgb(3 * i) = px(o); rgb(3 * i + 1) = px(o + 1)
+                rgb(3 * i + 2) = px(o + 2)
+            }
+            i += 1
+          }
+          (w, h, rgb)
+        }
+      case _ =>
+        // luma-only formats (PGM, GIF): replicate across channels
+        decodeGray(b).map { case (w, h, g) =>
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i); rgb(3 * i + 2) = g(i)
+            i += 1
+          }
+          (w, h, rgb)
+        }
     }
 
   // ---------------------------------------------------------------- WAV

@@ -1,19 +1,25 @@
 package graft.ops
 
-/** Pure-JVM baseline JPEG codec, grayscale (single component, 8-bit,
-  * no subsampling) — the encoder/decoder pair that makes the most
-  * common image container genuinely decodable in a codec-less
-  * environment. Everything here is from the public JPEG spec
-  * (ITU-T T.81): baseline sequential DCT, the Annex K.3 typical
-  * luminance Huffman tables, byte stuffing, marker structure.
+/** Pure-JVM baseline JPEG codec — grayscale AND 3-component YCbCr
+  * color (4:4:4 / 4:2:2 / 4:2:0 chroma subsampling), the
+  * encoder/decoder pair that makes the most common image container
+  * genuinely decodable in a codec-less environment. Everything here
+  * is from the public JPEG spec (ITU-T T.81): baseline sequential
+  * DCT, MCU-interleaved scans, per-component quant/Huffman table
+  * selection, the Annex K.3 typical luminance Huffman tables, byte
+  * stuffing, marker structure. Progressive (SOF2) and hierarchical
+  * streams are still refused, disclosed in README.
   *
-  * The decoder implements the FULL baseline grayscale path (DC
-  * prediction, AC run-length incl. ZRL and EOB, arbitrary
-  * DQT/DHT/restart-free streams, APPn/COM skipping); the fixture
-  * generator emits flat 8×8 blocks, whose quantized spectrum (DC
-  * only) reconstructs EXACTLY under a uniform quant step that divides
-  * the scaled DC — that exactness is what lets a DuckDB oracle
-  * recompute decoded pixel sums in closed form without a DCT in SQL.
+  * The decoder implements the FULL baseline path (DC prediction per
+  * component, AC run-length incl. ZRL and EOB, arbitrary DQT/DHT/
+  * restart-free streams, APPn/COM skipping, replication chroma
+  * upsample); the fixture generator emits MCU-grid-flat blocks,
+  * whose quantized spectrum (DC only) reconstructs EXACTLY under a
+  * uniform quant step that divides the scaled DC — that exactness,
+  * plus INTEGER fixed-point color conversion (millionth-scale JFIF
+  * constants, truncating division on offset-positive numerators), is
+  * what lets a DuckDB oracle recompute decoded RGB channel sums in
+  * closed form without a DCT in SQL.
   */
 object Jpeg {
 
@@ -294,11 +300,175 @@ object Jpeg {
     out.toByteArray
   }
 
+  // ------------------------------------------- fixed-point color math
+
+  /** RGB → YCbCr, integer fixed point (JFIF constants in thousandths
+    * / millionths; +half then TRUNCATING division on numerators kept
+    * positive by construction — identical arithmetic is expressible
+    * in any engine with integer division, which is what the color
+    * oracle does). Returns each in 0..255. */
+  def rgbToY(r: Int, g: Int, b: Int): Int =
+    (299 * r + 587 * g + 114 * b + 500) / 1000
+  def rgbToCb(r: Int, g: Int, b: Int): Int =
+    (-168736 * r - 331264 * g + 500000 * b + 128500000) / 1000000
+  def rgbToCr(r: Int, g: Int, b: Int): Int =
+    (500000 * r - 418688 * g - 81312 * b + 128500000) / 1000000
+
+  /** YCbCr → RGB, the inverse fixed point: numerators offset by
+    * +256·scale so truncating division is floor, then −256 and clamp
+    * to 0..255. */
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  def yccToR(y: Int, cr: Int): Int =
+    clamp8((1000 * y + 1402 * (cr - 128) + 500 + 256000) / 1000 - 256)
+  def yccToG(y: Int, cb: Int, cr: Int): Int =
+    clamp8((1000000 * y - 344136 * (cb - 128) - 714136 * (cr - 128)
+      + 500000 + 256000000) / 1000000 - 256)
+  def yccToB(y: Int, cb: Int): Int =
+    clamp8((1000 * y + 1772 * (cb - 128) + 500 + 256000) / 1000 - 256)
+
+  // ---------------------------------------------------- color encoder
+
+  /** Encode 24-bit RGB (`rgb(x, y)` = packed 0xRRGGBB) as a baseline
+    * 3-component YCbCr JPEG. `sampling`: "444" (no subsampling),
+    * "422" (chroma halved horizontally), or "420" (halved both ways)
+    * — Y carries the max sampling factors, chroma is 1×1, the
+    * standard layout. Chroma planes are box-averaged (+half,
+    * truncating) over each Hmax×Vmax pixel group with edge
+    * replication; both quant tables are the uniform [[QStep]] and all
+    * components share the Annex K luminance Huffman pair, so
+    * MCU-grid-flat fixtures round-trip bit-exact per plane. */
+  def encodeJpegColor(w: Int, h: Int, rgb: (Int, Int) => Int,
+      sampling: String = "420"): Array[Byte] = {
+    val (hy, vy) = sampling match {
+      case "444" => (1, 1)
+      case "422" => (2, 1)
+      case "420" => (2, 2)
+      case other => throw new IllegalArgumentException(
+        s"unsupported sampling '$other' (444|422|420)")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    // DQT: luma table 0, chroma table 1, both uniform QStep
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(QStep))
+    seg(0xdb, Array(0x01) ++ Array.fill(64)(QStep))
+    // SOF0: 3 components — Y id 1 (hy×vy, quant 0), Cb id 2, Cr id 3
+    // (1×1, quant 1)
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xc4, Array(0x10) ++ AcBits ++ AcVals)
+    // SOS: all three components on DC table 0 / AC table 0
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+
+    // full-res YCbCr planes (edge coordinates clamp-replicate)
+    def att(x: Int, y: Int): Int = rgb(math.min(x, w - 1), math.min(y, h - 1))
+    def yAt(x: Int, y: Int): Int = {
+      val p = att(x, y)
+      rgbToY((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    def chromaAt(x: Int, y: Int, cr: Boolean): Int = {
+      // box average over the hy×vy group anchored at (x·hy, y·vy)
+      var s = 0; var j = 0
+      while (j < vy) {
+        var i = 0
+        while (i < hy) {
+          val p = att(x * hy + i, y * vy + j)
+          val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          s += (if (cr) rgbToCr(r, g, b) else rgbToCb(r, g, b))
+          i += 1
+        }
+        j += 1
+      }
+      (s + hy * vy / 2) / (hy * vy)
+    }
+
+    val bw = new BitWriter(out)
+    val mcusX = (w + 8 * hy - 1) / (8 * hy)
+    val mcusY = (h + 8 * vy - 1) / (8 * vy)
+    val prevDc = new Array[Int](3)
+    def writeBlock(ci: Int, sample: (Int, Int) => Int, ox: Int, oy: Int): Unit = {
+      val block = new Array[Double](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          block(y * 8 + x) = sample(ox + x, oy + y) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val coef = fdct(block)
+      val q = new Array[Int](64)
+      var k = 0
+      while (k < 64) { q(k) = math.round(coef(Zigzag(k)) / QStep).toInt; k += 1 }
+      val diff = q(0) - prevDc(ci); prevDc(ci) = q(0)
+      val dcat = category(diff)
+      val (dcode, dlen) = DcEnc(dcat)
+      bw.put(dcode, dlen)
+      if (dcat > 0)
+        bw.put(if (diff < 0) diff + (1 << dcat) - 1 else diff, dcat)
+      var run = 0
+      k = 1
+      while (k < 64) {
+        if (q(k) == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl); run -= 16
+          }
+          val acat = category(q(k))
+          val (c, l) = AcEnc((run << 4) | acat)
+          bw.put(c, l)
+          bw.put(if (q(k) < 0) q(k) + (1 << acat) - 1 else q(k), acat)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = AcEnc(0x00); bw.put(c, l) }
+    }
+    // chroma planes run at mcusX·8 × mcusY·8 resolution, so a chroma
+    // sample (cx, cy) covers source pixels (cx·hy.., cy·vy..)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // Y blocks: vy×hy in raster order, then one Cb, one Cr
+        var bv = 0
+        while (bv < vy) {
+          var bh = 0
+          while (bh < hy) {
+            writeBlock(0, yAt, (mx * hy + bh) * 8, (my * vy + bv) * 8)
+            bh += 1
+          }
+          bv += 1
+        }
+        writeBlock(1, chromaAt(_, _, cr = false), mx * 8, my * 8)
+        writeBlock(2, chromaAt(_, _, cr = true), mx * 8, my * 8)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------- decoder
 
-  /** Parsed stream state up to SOS. */
-  private final case class ScanInfo(w: Int, h: Int, quant: Array[Int],
-    dcTable: Map[(Int, Int), Int], acTable: Map[(Int, Int), Int],
+  /** One scan component: sampling factors, quant table, and the
+    * Huffman pair the SOS selected for it. */
+  private final case class Comp(h: Int, v: Int, quant: Array[Int],
+    dcTable: Map[(Int, Int), Int], acTable: Map[(Int, Int), Int])
+
+  /** Parsed stream state up to SOS — 1 (gray) or 3 (YCbCr)
+    * components, MCU-interleaved baseline scan. */
+  private final case class ScanInfo(w: Int, h: Int, comps: Array[Comp],
     dataOff: Int)
 
   private def parseToScan(b: Array[Byte]): Option[ScanInfo] = {
@@ -308,7 +478,9 @@ object Jpeg {
     val quants = new Array[Array[Int]](4)
     val dcs = new Array[Map[(Int, Int), Int]](4)
     val acs = new Array[Map[(Int, Int), Int]](4)
-    var compQuant = 0; var compDc = 0; var compAc = 0
+    // SOF per-component: id → (h, v, tq), in frame order
+    var frameIds: Array[Int] = null
+    var frameHv: Array[(Int, Int, Int)] = null
     var i = 2
     while (i + 4 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
@@ -335,12 +507,19 @@ object Jpeg {
           h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
           w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
           val nComp = b(p + 5) & 0xff
-          if (nComp != 1) return None // grayscale only
-          if ((b(p + 7) & 0xff) != 0x11) return None // 1×1 sampling
-          compQuant = b(p + 8) & 0x0f
+          if (nComp != 1 && nComp != 3) return None
+          frameIds = new Array[Int](nComp)
+          frameHv = new Array[(Int, Int, Int)](nComp)
+          var c = 0
+          while (c < nComp) {
+            frameIds(c) = b(p + 6 + 3 * c) & 0xff
+            val hv = b(p + 7 + 3 * c) & 0xff
+            frameHv(c) = (hv >> 4, hv & 0x0f, b(p + 8 + 3 * c) & 0x0f)
+            c += 1
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
-          return None // non-baseline SOF
+          return None // non-baseline SOF (progressive etc.)
         case 0xc4 => // DHT (possibly several tables per segment)
           var o = p
           while (o < p + len - 2) {
@@ -354,13 +533,27 @@ object Jpeg {
           }
         case 0xda => // SOS
           val nComp = b(p) & 0xff
-          if (nComp != 1) return None
-          compDc = (b(p + 2) & 0xff) >> 4
-          compAc = b(p + 2) & 0x0f
-          if (w <= 0 || h <= 0 || quants(compQuant) == null ||
-              dcs(compDc) == null || acs(compAc) == null) return None
-          return Some(ScanInfo(w, h, quants(compQuant), dcs(compDc),
-            acs(compAc), p + len - 2))
+          if (frameIds == null || nComp != frameIds.length) return None
+          val comps = new Array[Comp](nComp)
+          var c = 0
+          while (c < nComp) {
+            val cid = b(p + 1 + 2 * c) & 0xff
+            val fi = frameIds.indexOf(cid)
+            if (fi < 0) return None
+            val (ch, cv, tq) = frameHv(fi)
+            val td = (b(p + 2 + 2 * c) & 0xff) >> 4
+            val ta = b(p + 2 + 2 * c) & 0x0f
+            if (quants(tq) == null || dcs(td) == null || acs(ta) == null)
+              return None
+            if (ch < 1 || ch > 2 || cv < 1 || cv > 2) return None
+            comps(fi) = Comp(ch, cv, quants(tq), dcs(td), acs(ta))
+            c += 1
+          }
+          if (w <= 0 || h <= 0) return None
+          // single-component scans are 1×1 by the baseline MCU rule
+          if (nComp == 1 && (comps(0).h != 1 || comps(0).v != 1))
+            return None
+          return Some(ScanInfo(w, h, comps, p + len - 2))
         case _ => // APPn, COM, DRI (restarts unsupported but len-skipped)
       }
       i = p + len - 2
@@ -368,9 +561,10 @@ object Jpeg {
     None
   }
 
-  /** Image dimensions from the SOF0 header (magic + marker walk). */
-  def decodeJpegHeader(b: Array[Byte]): Option[(Int, Int)] =
-    parseToScan(b).map(s => (s.w, s.h))
+  /** (width, height, components) from the SOF0 header (magic +
+    * marker walk). */
+  def decodeJpegHeader(b: Array[Byte]): Option[(Int, Int, Int)] =
+    parseToScan(b).map(s => (s.w, s.h, s.comps.length))
 
   private def huffDecode(br: BitReader,
       table: Map[(Int, Int), Int]): Option[Int] = {
@@ -386,67 +580,142 @@ object Jpeg {
     None
   }
 
-  /** Full baseline grayscale decode to 8-bit pixels (top-left
-    * origin). */
-  def decodeJpegGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+  /** Decode one entropy-coded block into 8-bit samples via the
+    * component's tables; returns false on stream corruption. */
+  private def decodeBlock(br: BitReader, c: Comp, prevDc: Array[Int],
+      ci: Int, px: Array[Double]): Boolean = {
+    val coef = new Array[Double](64)
+    huffDecode(br, c.dcTable) match {
+      case None => return false
+      case Some(t) =>
+        prevDc(ci) += extend(br.bits(t), t)
+        coef(0) = prevDc(ci).toDouble * c.quant(0)
+    }
+    var k = 1
+    var eob = false
+    while (k < 64 && !eob) {
+      huffDecode(br, c.acTable) match {
+        case None => return false
+        case Some(rs) =>
+          val run = rs >> 4; val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += run
+            if (k > 63) return false
+            coef(Zigzag(k)) = extend(br.bits(size), size).toDouble * c.quant(k)
+            k += 1
+          }
+      }
+    }
+    if (br.truncated) return false
+    val d = idct(coef)
+    System.arraycopy(d, 0, px, 0, 64)
+    true
+  }
+
+  /** Full baseline decode to per-component FULL-RESOLUTION planes
+    * (top-left origin; chroma upsampled by replication). One plane
+    * for grayscale streams, three (Y, Cb, Cr) for color. */
+  def decodeJpegPlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
     parseToScan(b).flatMap { s =>
-      val bx = (s.w + 7) / 8; val by = (s.h + 7) / 8
-      val out = new Array[Byte](s.w * s.h)
+      val n = s.comps.length
+      val hmax = s.comps.map(_.h).max; val vmax = s.comps.map(_.v).max
+      val mcusX = (s.w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (s.h + 8 * vmax - 1) / (8 * vmax)
+      // per-component padded plane (whole MCUs)
+      val planeW = Array.tabulate(n)(i => mcusX * 8 * s.comps(i).h)
+      val planeH = Array.tabulate(n)(i => mcusY * 8 * s.comps(i).v)
+      val planes = Array.tabulate(n)(i => new Array[Byte](planeW(i) * planeH(i)))
       val br = new BitReader(b, s.dataOff)
-      var prevDc = 0
-      var byI = 0
-      while (byI < by) {
-        var bxI = 0
-        while (bxI < bx) {
-          val coef = new Array[Double](64)
-          // DC
-          huffDecode(br, s.dcTable) match {
-            case None => return None
-            case Some(t) =>
-              prevDc += extend(br.bits(t), t)
-              coef(0) = prevDc.toDouble * s.quant(0)
-          }
-          // AC
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            huffDecode(br, s.acTable) match {
-              case None => return None
-              case Some(rs) =>
-                val run = rs >> 4; val size = rs & 0x0f
-                if (size == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else eob = true
-                } else {
-                  k += run
-                  if (k > 63) return None
-                  coef(Zigzag(k)) = extend(br.bits(size), size).toDouble *
-                    s.quant(k)
-                  k += 1
+      val prevDc = new Array[Int](n)
+      val px = new Array[Double](64)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < n) {
+            val c = s.comps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bh = 0
+              while (bh < c.h) {
+                if (!decodeBlock(br, c, prevDc, ci, px)) return None
+                val ox = (mx * c.h + bh) * 8; val oy = (my * c.v + bv) * 8
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    val v = math.round(px(y * 8 + x) + 128).toInt
+                    planes(ci)((oy + y) * planeW(ci) + ox + x) =
+                      (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                    x += 1
+                  }
+                  y += 1
                 }
-            }
-          }
-          if (br.truncated) return None
-          val px = idct(coef)
-          var y = 0
-          while (y < 8) {
-            val sy = byI * 8 + y
-            var x = 0
-            while (x < 8) {
-              val sx = bxI * 8 + x
-              if (sx < s.w && sy < s.h) {
-                val v = math.round(px(y * 8 + x) + 128).toInt
-                out(sy * s.w + sx) =
-                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                bh += 1
               }
-              x += 1
+              bv += 1
             }
-            y += 1
+            ci += 1
           }
-          bxI += 1
+          mx += 1
         }
-        byI += 1
+        my += 1
+      }
+      // crop to image size and upsample to full resolution
+      val out = Array.tabulate(n) { i =>
+        val c = s.comps(i)
+        val o = new Array[Byte](s.w * s.h)
+        var y = 0
+        while (y < s.h) {
+          val sy = y * c.v / vmax
+          var x = 0
+          while (x < s.w) {
+            o(y * s.w + x) = planes(i)(sy * planeW(i) + x * c.h / hmax)
+            x += 1
+          }
+          y += 1
+        }
+        o
       }
       Some((s.w, s.h, out))
+    }
+
+  /** Baseline decode to 8-bit luma (top-left origin): the single
+    * plane for grayscale streams, the full-resolution Y plane for
+    * color — bit-identical to the historical grayscale path on
+    * 1-component streams. */
+  def decodeJpegGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeJpegPlanes(b).map { case (w, h, planes) => (w, h, planes(0)) }
+
+  /** Baseline decode to interleaved 8-bit RGB (3 bytes per pixel,
+    * top-left origin): fixed-point YCbCr→RGB for color streams, gray
+    * replicated across channels for 1-component streams. */
+  def decodeJpegColor(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeJpegPlanes(b).map { case (w, h, planes) =>
+      val out = new Array[Byte](w * h * 3)
+      if (planes.length == 1) {
+        var i = 0
+        while (i < w * h) {
+          val g = planes(0)(i)
+          out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < w * h) {
+          val y = planes(0)(i) & 0xff
+          val cb = planes(1)(i) & 0xff
+          val cr = planes(2)(i) & 0xff
+          out(3 * i) = yccToR(y, cr).toByte
+          out(3 * i + 1) = yccToG(y, cb, cr).toByte
+          out(3 * i + 2) = yccToB(y, cb).toByte
+          i += 1
+        }
+      }
+      (w, h, out)
     }
 }

@@ -520,6 +520,55 @@ object Multimodal {
         (x, y) => ((id + 7L * (x / 8) + 13L * (y / 8)) % 256).toInt)
     }
 
+  /** Deterministic REAL-COLOR-JPEG fixture: 16×16-grid-flat RGB
+    * blocks in closed form over (doc_id, bx, by), dims 16·(1+id%3) ×
+    * 16·(1+id%2), chroma sampling cycling 420/422/444 by id%3 —
+    * flat-on-the-MCU-grid color is the property that makes every
+    * decoded pixel the exact fixed-point conversion of the block
+    * color, so a SQL oracle reproduces per-channel sums in integer
+    * arithmetic. Every 5th doc is raw text (undecodable fallback). */
+  def syntheticJpegColor(id: Long, text: String): Array[Byte] =
+    if (id % 5 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 16 * (1 + (id % 3).toInt)
+      val h = 16 * (1 + (id % 2).toInt)
+      val sampling = (id % 3) match {
+        case 0 => "420"; case 1 => "422"; case _ => "444"
+      }
+      Jpeg.encodeJpegColor(w, h, (x, y) => {
+        val bx = x / 16; val by = y / 16
+        val r = ((id + 7L * bx + 13L * by) % 256).toInt
+        val g = ((3L * id + 11L * bx + 5L * by) % 256).toInt
+        val b = ((5L * id + 3L * bx + 17L * by) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }, sampling)
+    }
+
+  /** RGB decode stage: (doc_id, width, height, rgb, decoded) with
+    * `rgb` = REAL interleaved 3-byte pixels for decodable payloads
+    * ([[Codecs.decodeRgb]]) or the raw payload (decoded = false) —
+    * the color sibling of [[decodeGrayStage]], same mapPartitions
+    * shape, payloads never ride a shuffle. */
+  def decodeRgbStage(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("rgb", BinaryType),
+      StructField("decoded", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Codecs.decodeRgb(bytes) match {
+          case Some((w, h, px)) => Row(id, w, h, px, true)
+          case None             => Row(id, 0, 0, bytes, false)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic REAL-WAV fixture: stereo on odd ids, three sample
     * rates, four clip lengths, 16-bit samples in closed form over
     * (doc_id, channel, i) — every 7th doc is raw text exercising the

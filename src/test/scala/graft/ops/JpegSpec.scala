@@ -20,7 +20,7 @@ class JpegSpec extends AnyFunSuite {
 
   test("header parse: dims, SOI/SOF walk; garbage refused") {
     val jpg = Jpeg.encodeJpegGray(40, 16, (x, y) => (x * y) % 256)
-    assert(Jpeg.decodeJpegHeader(jpg) === Some((40, 16)))
+    assert(Jpeg.decodeJpegHeader(jpg) === Some((40, 16, 1)))
     assert(Jpeg.decodeJpegHeader("not a jpeg".getBytes).isEmpty)
     assert(Jpeg.decodeJpegHeader(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
@@ -55,6 +55,82 @@ class JpegSpec extends AnyFunSuite {
     val (_, _, px) = Jpeg.decodeJpegGray(jpg).get
     for (bx <- 0 until 16; x <- 0 until 8)
       assert((px(bx * 8 + x) & 0xff) === v(bx), s"block $bx")
+  }
+
+  test("color: MCU-grid-flat blocks round-trip bit-exact per sampling") {
+    // 16x16-grid-flat color: Y flat per 8x8 block, chroma box-average
+    // of equal values is exact, DC-only spectrum divides QStep — the
+    // decoded YCbCr planes are exactly the encoder's fixed-point
+    // conversion, so reconstructed RGB is closed-form per block
+    val w = 32; val h = 32
+    def rgbAt(bx: Int, by: Int): (Int, Int, Int) =
+      ((7 * bx + 13 * by + 11) % 256, (3 * bx + 5 * by + 101) % 256,
+        (17 * bx + 23 * by + 201) % 256)
+    def packed(x: Int, y: Int): Int = {
+      val (r, g, b) = rgbAt(x / 16, y / 16)
+      (r << 16) | (g << 8) | b
+    }
+    for (sampling <- Seq("444", "422", "420")) {
+      val jpg = Jpeg.encodeJpegColor(w, h, packed, sampling)
+      assert(Jpeg.decodeJpegHeader(jpg) === Some((w, h, 3)), sampling)
+      val (dw, dh, px) = Jpeg.decodeJpegColor(jpg).get
+      assert(dw === w && dh === h && px.length === w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rgbAt(x / 16, y / 16)
+        val yv = Jpeg.rgbToY(r, g, b)
+        val cb = Jpeg.rgbToCb(r, g, b); val cr = Jpeg.rgbToCr(r, g, b)
+        val i = 3 * (y * w + x)
+        assert((px(i) & 0xff) === Jpeg.yccToR(yv, cr), s"$sampling R ($x,$y)")
+        assert((px(i + 1) & 0xff) === Jpeg.yccToG(yv, cb, cr), s"$sampling G ($x,$y)")
+        assert((px(i + 2) & 0xff) === Jpeg.yccToB(yv, cb), s"$sampling B ($x,$y)")
+      }
+      // and the gray stage sees exactly the Y plane
+      val (_, _, luma) = Jpeg.decodeJpegGray(jpg).get
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rgbAt(x / 16, y / 16)
+        assert((luma(y * w + x) & 0xff) === Jpeg.rgbToY(r, g, b),
+          s"$sampling Y ($x,$y)")
+      }
+    }
+  }
+
+  test("color: smooth content round-trips within tolerance; 420 chroma averages") {
+    val w = 24; val h = 24
+    def packed(x: Int, y: Int): Int = {
+      val r = (128 + 80 * math.sin(x * 0.4)).toInt.max(0).min(255)
+      val g = (128 + 80 * math.cos(y * 0.3)).toInt.max(0).min(255)
+      val b = (x * 10 + y * 3) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val jpg = Jpeg.encodeJpegColor(w, h, packed, "420")
+    val (_, _, px) = Jpeg.decodeJpegColor(jpg).get
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = packed(x, y)
+      val i = 3 * (y * w + x)
+      // chroma is subsampled 2x2 then replicated: compare against the
+      // source with generous tolerance (quant + subsample error)
+      maxErr = math.max(maxErr, math.abs((px(i) & 0xff) - ((p >> 16) & 0xff)))
+    }
+    assert(maxErr <= 60, s"max R error $maxErr")
+  }
+
+  test("color: non-MCU-aligned dims crop exactly; 1-component color decode replicates") {
+    val w = 20; val h = 12 // not multiples of 16 (420 MCU)
+    val jpg = Jpeg.encodeJpegColor(w, h, (_, _) => 0x406080, "420")
+    val (dw, dh, px) = Jpeg.decodeJpegColor(jpg).get
+    assert(dw === w && dh === h && px.length === w * h * 3)
+    val yv = Jpeg.rgbToY(0x40, 0x60, 0x80)
+    val cb = Jpeg.rgbToCb(0x40, 0x60, 0x80)
+    val cr = Jpeg.rgbToCr(0x40, 0x60, 0x80)
+    for (i <- 0 until w * h) {
+      assert((px(3 * i) & 0xff) === Jpeg.yccToR(yv, cr))
+      assert((px(3 * i + 1) & 0xff) === Jpeg.yccToG(yv, cb, cr))
+      assert((px(3 * i + 2) & 0xff) === Jpeg.yccToB(yv, cb))
+    }
+    val gray = Jpeg.encodeJpegGray(8, 8, (_, _) => 99)
+    val (_, _, g3) = Jpeg.decodeJpegColor(gray).get
+    assert(g3.length === 8 * 8 * 3 && g3.forall(b => (b & 0xff) === 99))
   }
 
   test("byte stuffing: blocks whose entropy stream emits 0xFF") {
