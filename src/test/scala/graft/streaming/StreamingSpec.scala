@@ -514,6 +514,96 @@ class StreamingSpec extends AnyFunSuite {
       "streamed folds must equal the same batch folds")
   }
 
+  test("checkpointed CMS stream killed between batches recovers to the uninterrupted grid") {
+    // the crash-recovery proof the replay tests don't give: stop a
+    // checkpointLocation-backed query between micro-batches (process
+    // death), deliver more data while it is down, RESTART a fresh
+    // query object from the same checkpoint, and require the final
+    // additive store to equal an uninterrupted run cell-for-cell —
+    // exactly-once across the restart, not just within one query
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tmpDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val data1 = (0L until 400L).map(i => s"tok${i % 7} tok${i % 3} x$i")
+    val data2 = (400L until 800L).map(i => s"tok${i % 5} alpha beta")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("value"), " ")).as("token"))
+    def grid(out: String) = graft.ops.Sketch.countMinLoad(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+
+    // run A: uninterrupted
+    val memA = MemoryStream[String]
+    val outA = tmpDir("cms_crash_a"); val ckA = tmpDir("cms_crash_a_ck")
+    val qA = graft.streaming.StreamingIngest.sketchStreamCountMin(
+      toks(memA.toDF()), outA, ckA, col("token"), depth = 4, width = 256L,
+      seed = 7L)
+    memA.addData(data1: _*); qA.processAllAvailable()
+    memA.addData(data2: _*); qA.processAllAvailable()
+    qA.stop()
+
+    // run B: killed after batch 1, data arrives while down, restarted
+    val memB = MemoryStream[String]
+    val outB = tmpDir("cms_crash_b"); val ckB = tmpDir("cms_crash_b_ck")
+    val qB1 = graft.streaming.StreamingIngest.sketchStreamCountMin(
+      toks(memB.toDF()), outB, ckB, col("token"), depth = 4, width = 256L,
+      seed = 7L)
+    memB.addData(data1: _*); qB1.processAllAvailable()
+    qB1.stop() // the "crash": no more micro-batches from this query
+    memB.addData(data2: _*) // lands while the query is down
+    val qB2 = graft.streaming.StreamingIngest.sketchStreamCountMin(
+      toks(memB.toDF()), outB, ckB, col("token"), depth = 4, width = 256L,
+      seed = 7L)
+    qB2.processAllAvailable()
+    qB2.stop()
+
+    assert(grid(outB).nonEmpty && grid(outB) === grid(outA),
+      "restart from checkpoint must neither lose nor double-count batch 2")
+  }
+
+  test("checkpointed pack-layout stream killed between batches recovers to the uninterrupted layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val L = 128
+    def tmpDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def withN(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("value").as("doc_id"))
+      .withColumn("n", (col("doc_id") % 97 + 1).cast("long"))
+    def seed(p: String): Unit =
+      graft.ops.Pack.buildGreedyLayout(
+        spark.range(1000, 1400).toDF("doc_id")
+          .withColumn("n", (col("doc_id") % 97 + 1).cast("long")),
+        col("doc_id"), col("n"), p, L, shards = 8)
+    def sig(p: String) = spark.read.parquet(p + "/layout")
+      .select(col("doc_id"), col("shard").cast("long"), col("bin"),
+        col("n_tokens"))
+      .collect().map(_.toSeq).toSet
+
+    val pathA = tmpDir("pack_crash_a"); seed(pathA)
+    val memA = MemoryStream[Long]
+    val qA = graft.streaming.StreamingIngest.appendStreamToPackLayout(
+      withN(memA.toDF()), pathA, tmpDir("pack_crash_a_ck"),
+      col("doc_id"), col("n"))
+    memA.addData(0L until 250L: _*); qA.processAllAvailable()
+    memA.addData(250L until 500L: _*); qA.processAllAvailable()
+    qA.stop()
+
+    val pathB = tmpDir("pack_crash_b"); seed(pathB)
+    val ckB = tmpDir("pack_crash_b_ck")
+    val memB = MemoryStream[Long]
+    val qB1 = graft.streaming.StreamingIngest.appendStreamToPackLayout(
+      withN(memB.toDF()), pathB, ckB, col("doc_id"), col("n"))
+    memB.addData(0L until 250L: _*); qB1.processAllAvailable()
+    qB1.stop() // crash between micro-batches
+    memB.addData(250L until 500L: _*)
+    val qB2 = graft.streaming.StreamingIngest.appendStreamToPackLayout(
+      withN(memB.toDF()), pathB, ckB, col("doc_id"), col("n"))
+    qB2.processAllAvailable()
+    qB2.stop()
+
+    assert(sig(pathB) === sig(pathA),
+      "restarted appender must produce the uninterrupted layout exactly")
+  }
+
   test("anomalyStream bucket log is idempotent under batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
