@@ -1,0 +1,365 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Scale-stress harness: measures the engine's heaviest funnels at
+  * several corpus multiples of sf0.1 and writes `SCALING.json` with
+  * per-query wall time, per-stage shuffle rows/bytes, and log-log
+  * scaling exponents — the evidence that the 100×-scale claims
+  * (bucket caps, salted hot-gram joins, df-caps, windowed SNM) hold
+  * under data that actually stresses them, not just plan shape.
+  *
+  * The inflated corpus is DETERMINISTIC (md5-keyed, the engine's
+  * portability idiom — zero `rand()`): any run regenerates the
+  * identical corpus, so numbers are comparable across rounds. Four
+  * pathologies are planted on purpose:
+  *
+  *   1. HOT GRAM — every 10th doc gets the same 38-word boilerplate
+  *      tail, so ~10% of the corpus shares every boilerplate n-gram.
+  *      Stresses [[Spans.duplicatedSpans]]' salted hot-gram join.
+  *   2. CLONE FLOOD — `1500×mult` extra docs from one 60-word
+  *      template (half exact copies, half with a 5-char unique
+  *      suffix; 96k docs at mult=64). All LSH-family buckets for the
+  *      template exceed any sane cap: the funnels must DROP the
+  *      bucket (the documented skew contract) instead of
+  *      materializing ~4.6e9 candidate pairs.
+  *   3. HUB NODE — a PageRank variant over the link graph plus a
+  *      planted celebrity (25% of nodes link to node 0), making one
+  *      reduce key carry 25% of all contributions.
+  *   4. STOPWORD-SCALE POSTINGS — inherent: the base vocabulary is
+  *      ~30 words with ~100% document frequency. The sparse-cosine
+  *      stage runs over 3-word-shingle space where perturbed
+  *      shingles are rare but boilerplate/clone shingles have
+  *      df=10%..100% of the corpus — the df-cap must drop exactly
+  *      those posting lists and keep the rest flowing.
+  *
+  * Replica texts are NOT near-dups of their base doc: ~25% of words
+  * (md5-selected per (doc, position)) are replaced with unique
+  * md5-derived tokens, which pushes inter-replica shingle Jaccard far
+  * below every funnel threshold. Without this, every funnel's true
+  * answer set would itself be quadratic in `mult` and no linear
+  * scaling would be possible even in principle.
+  */
+object Scale {
+
+  final case class StageRow(id: Int, srRecords: Long, srBytes: Long,
+      swRecords: Long, swBytes: Long, spillBytes: Long)
+
+  /** Aggregated per-stage shuffle metrics, drained between queries. */
+  final class StageMetricsListener extends SparkListener {
+    private val q = new ConcurrentLinkedQueue[StageRow]()
+    override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+      val m = ev.stageInfo.taskMetrics
+      if (m != null) q.add(StageRow(ev.stageInfo.stageId,
+        m.shuffleReadMetrics.recordsRead, m.shuffleReadMetrics.totalBytesRead,
+        m.shuffleWriteMetrics.recordsWritten,
+        m.shuffleWriteMetrics.bytesWritten,
+        m.memoryBytesSpilled + m.diskBytesSpilled))
+    }
+    /** Stage-completion events post asynchronously on the listener
+      * bus; a short settle keeps the last stages of a finished job
+      * from leaking into the NEXT query's snapshot. */
+    def drain(): Seq[StageRow] = {
+      Thread.sleep(400)
+      Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
+    }
+  }
+
+  /** 38 fixed boilerplate words appended to every 10th doc. */
+  val boilerplate: String =
+    "subscribe newsletter terms conditions privacy policy all rights " +
+    "reserved click accept cookies sign register home about contact " +
+    "copyright site map follow social media share page related articles " +
+    "trending sponsored content advertisement feedback help center careers press"
+
+  /** 60-word clone-flood template (base vocabulary, twice over). */
+  val cloneTemplate: String = {
+    val half = "spark batch stream table column row value filter group agg " +
+      "join sort hash scan query window merge part line key data fast " +
+      "slow small big vector index cache shuffle partition"
+    half + " " + half
+  }
+
+  /** Deterministic inflation of `baseDir/documents.parquet` by
+    * `mult`: replica `rep` of base doc `d` gets id `rep*baseN + d`
+    * (the id space stays dense, so [[Graph.linkGraph]]'s modulus
+    * graph inflates with it) and a word-perturbed text; pathologies
+    * 1 and 2 are layered on top. Pure column expressions — no UDF,
+    * no rand(), fully re-derivable by any engine with md5. */
+  def inflateDocuments(spark: SparkSession, baseDir: String,
+      mult: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val baseN = base.count()
+    val replicated = base
+      .crossJoin(broadcast(spark.range(mult).toDF("__rep")))
+      .select((col("__rep") * baseN + col("doc_id")).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+    val idStr = col("doc_id").cast("string")
+    // replace each word whose (doc,position) md5 lands in the low
+    // quarter with a unique 7-char token — breaks ~25% of words, so
+    // two replicas of one base doc share almost no 3-word shingle
+    val mutated = replicated.withColumn("text", array_join(
+      transform(split(col("text"), " "), (w, i) => {
+        val sel = conv(substring(md5(
+          concat_ws("#", idStr, lit("w"), i.cast("string"))), 1, 4),
+          16, 10).cast("long")
+        when(sel % 4 === 0, concat(lit("w"), substring(md5(
+          concat_ws("#", idStr, lit("r"), i.cast("string"))), 1, 6)))
+          .otherwise(w)
+      }), " "))
+    val withBoiler = mutated.withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" " + boilerplate)))
+        .otherwise(col("text")))
+    val cloneBase = baseN * mult
+    val clones = spark.range(1500L * mult).select(
+      (lit(cloneBase) + col("id")).as("doc_id"),
+      when(col("id") % 2 === 0, lit(cloneTemplate))
+        .otherwise(concat(lit(cloneTemplate + " c"),
+          substring(md5(col("id").cast("string")), 1, 4))).as("text"),
+      lit("en").as("lang"), lit("srcclone").as("source"))
+    withBoiler.unionByName(clones)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** First id of the clone-flood block for a given mult. */
+  def cloneBase(baseN: Long, mult: Int): Long = baseN * mult
+
+  // caps used across the harness — deliberately SMALLER than the
+  // clone-flood bucket at every measured mult, so engagement is
+  // guaranteed observable (the production defaults of 100000 would
+  // only engage above mult≈67)
+  val BucketCap = 1000
+  val DfCap = 2000
+
+  /** Text re-expressed in 3-word-shingle space ("a_b_c d_e_f …"):
+    * the token stream [[TextOps.hashedTfIdf]] then sees is Zipf-ish
+    * (perturbed shingles are near-unique; boilerplate/clone shingles
+    * are corpus-scale hot) instead of the base corpus's degenerate
+    * 30-word/100%-df vocabulary where EVERY posting list is
+    * stopword-scale. */
+  private def shingleText(text: Column): Column = {
+    val ws = split(text, " ")
+    array_join(transform(sequence(lit(0), greatest(size(ws) - 3, lit(0))),
+      i => concat_ws("_", element_at(ws, i + 1), element_at(ws, i + 2),
+        element_at(ws, i + 3))), " ")
+  }
+
+  /** The measured funnel set — the engine's heaviest shapes, called
+    * with the same parameters as their SparkEntry registrations
+    * except the caps above. */
+  def funnels(spark: SparkSession): Seq[(String, DataFrame => DataFrame)] = Seq(
+    "dedup_exact" -> (d => Dedup.exact(d, col("text"), col("doc_id"))),
+    "dedup_minhash_pairs" -> (d => Dedup.minhashLSH(d, col("text"),
+      col("doc_id"), shingleK = 2, numHashes = 16, bands = 8,
+      jaccardThreshold = 0.3, bucketCap = BucketCap)),
+    "dedup_ngram_pairs" -> (d => Dedup.ngramJaccardPairs(d, col("text"),
+      col("doc_id"), n = 3, threshold = 0.8, bucketCap = BucketCap)),
+    "dedup_simhash_pairs" -> (d => Dedup.simhashPairs(d, col("text"),
+      col("doc_id"), maxHamming = 7, bucketCap = BucketCap)),
+    "dedup_contain_pairs" -> (d => Dedup.containmentPairs(d, col("text"),
+      col("doc_id"), bucketCap = BucketCap)),
+    "dedup_snm_pairs" -> (d => Dedup.sortedNeighborhoodPairs(d,
+      col("text"), col("doc_id"), sortKeyLen = 24, window = 10,
+      shingleK = 2, threshold = 0.3)),
+    "text_sparse_cosine_pairs" -> (d => Similarity.sparseCosinePairs(
+      TextOps.hashedTfIdf(d, shingleText(col("text")), col("doc_id")),
+      threshold = 0.85, dfCap = DfCap)),
+    "span_dup_spans" -> (d => Spans.duplicatedSpans(d, col("text"),
+      col("doc_id"), n = 10)),
+    "split_leakfree" -> (d => Curate.leakSafeSplit(d, col("text"),
+      col("doc_id"), evalFrac = 0.2, seed = 7, bucketCap = BucketCap)),
+    "split_balanced" -> (d => Curate.leakSafeSplitBalanced(d, col("text"),
+      col("doc_id"), evalFrac = 0.2, seed = 7, bucketCap = BucketCap)),
+    "graph_pagerank" -> { d =>
+      val n = d.count()
+      Graph.pageRank(Graph.linkGraph(d, col("doc_id"), nNodes = n),
+        d.select(col("doc_id")), col("doc_id"), iters = 3)
+    },
+    "graph_pagerank_hub" -> { d =>
+      val n = d.count()
+      Graph.pageRank(hubEdges(d, n), d.select(col("doc_id")),
+        col("doc_id"), iters = 3)
+    },
+    "cms_token_freq" -> { d =>
+      val toks = d.select(explode(Dedup.tokens(col("text"))).as("token"))
+      val sketch = Sketch.countMinFit(toks, col("token"), depth = 4,
+        width = 2048L, seed = 2L)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("token")).limit(50)
+      Sketch.countMinEstimate(top, col("token"), sketch, depth = 4,
+        width = 2048L, seed = 2L)
+    })
+
+  /** Link graph plus the planted celebrity: every 4th node also
+    * links to node 0, so one reduce key in PageRank's contribution
+    * aggregation carries ~25% of all edges. */
+  def hubEdges(d: DataFrame, n: Long): DataFrame =
+    Graph.linkGraph(d, col("doc_id"), nNodes = n)
+      .unionByName(d.select(col("doc_id").cast("long").as("src"),
+          lit(0L).as("dst"))
+        .filter(col("src") % 4 === 0 && col("src") =!= 0))
+      .distinct()
+
+  private def jNum(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else f"$v%.4f"
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "4,16,64")
+      .split(",").map(_.trim.toInt).toSeq
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "/root/repo/SCALING.json")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK",
+      "/root/repo/target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "20")
+      .config("spark.ui.retainedStages", "20")
+      .config("spark.ui.retainedTasks", "200")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new StageMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val baseN = spark.read.parquet(s"$baseDir/documents.parquet").count()
+
+    def hygiene(): Unit = {
+      spark.catalog.clearCache(); System.gc(); System.gc()
+    }
+
+    // corpus generation (cached on disk; deterministic, so reuse is safe)
+    val dirs = mults.map { m =>
+      val dir = s"$workDir/m$m"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+        System.err.println(s"[scale] generating corpus mult=$m …")
+        inflateDocuments(spark, baseDir, m).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      m -> dir
+    }
+
+    val sel = funnels(spark).filter { case (n, _) => only.forall(_.contains(n)) }
+    // per mult: query -> (warmSec, stages)
+    val points = dirs.map { case (m, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      System.err.println(s"[scale] ===== mult=$m docs=$nDocs =====")
+      val qres = sel.map { case (name, fn) =>
+        def once(): (Double, Seq[Scale.StageRow]) = {
+          hygiene(); listener.drain()
+          val t0 = System.nanoTime()
+          fn(docs).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, listener.drain())
+        }
+        once() // cold: codegen/classload; discard
+        val (sec, stages) = once()
+        val sr = stages.map(_.srRecords).sum
+        val sw = stages.map(_.swRecords).sum
+        val swb = stages.map(_.swBytes).sum
+        val spill = stages.map(_.spillBytes).sum
+        System.err.println(f"[scale] m=$m%-3d $name%-26s ${sec}%8.2fs  " +
+          f"shufW ${sw}%,12d rows ${swb / 1e6}%9.1f MB  spill ${spill / 1e6}%6.1f MB")
+        name -> (sec, sr, sw, swb, spill, stages)
+      }
+      (m, nDocs, qres)
+    }
+
+    // pathology evidence at the largest mult
+    val (mMax, _, _) = points.last
+    val docsMax = spark.read.parquet(s"${dirs.last._2}/documents.parquet")
+    val cb = cloneBase(baseN, mMax)
+    System.err.println(s"[scale] pathology probes at mult=$mMax …")
+    // clone flood: candidate pairs with BOTH ends in the flood — the
+    // capped funnel must emit ~0 of the ~(1500*m)^2/2 naive pairs
+    val clonePairs = Dedup.minhashLSH(docsMax, col("text"), col("doc_id"),
+      shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.3,
+      bucketCap = BucketCap)
+      .filter(col("id_a") >= cb && col("id_b") >= cb).count()
+    val nClones = 1500L * mMax
+    // hot gram: the boilerplate tail must be marked duplicated in
+    // (nearly) every boilerplate doc — proves the salted join SEES
+    // the hot gram rather than dropping it
+    val boilerDocsHit = Spans.duplicatedSpans(docsMax, col("text"),
+      col("doc_id"), n = 10)
+      .filter(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < cb)
+      .select("doc_id").distinct().count()
+    val boilerDocs = docsMax.filter(
+      pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < cb).count()
+    // stopword postings: how many shingle-space hash buckets the
+    // df-cap dropped (boilerplate/clone shingles) vs kept
+    val dfs = docsMax
+      .select(explode(Dedup.tokens(shingleText(col("text")))).as("t"))
+      .select(pmod(xxhash64(col("t")), lit(1024)).as("b"))
+      .groupBy("b").count()
+    val bucketsDropped = dfs.filter(col("count") > DfCap).count()
+    val bucketsTotal = dfs.count()
+    // hub: node 0 must surface as the top-ranked node
+    val hubTop = Graph.pageRank(hubEdges(docsMax, docsMax.count()),
+      docsMax.select(col("doc_id")), col("doc_id"), iters = 3)
+      .orderBy(col("rank").desc).limit(1)
+      .collect()(0)
+    val hubIsTop = hubTop.getLong(hubTop.fieldIndex("node")) == 0L
+
+    // log-log exponents between first and last scale point
+    val names = sel.map(_._1)
+    val fits = names.map { name =>
+      val series = points.map { case (m, _, qr) =>
+        (m.toDouble, qr.find(_._1 == name).get._2)
+      }
+      val (m1, v1) = series.head; val (mN, vN) = series.last
+      val tExp = math.log(vN._1 / v1._1) / math.log(mN / m1)
+      val sExp =
+        if (v1._3 > 0 && vN._3 > 0)
+          math.log(vN._3.toDouble / v1._3) / math.log(mN / m1)
+        else Double.NaN
+      name -> (tExp, sExp)
+    }
+
+    def qJson(t: (Double, Long, Long, Long, Long, Seq[Scale.StageRow])): String = {
+      val top = t._6.sortBy(-_.swBytes).take(5).map(s =>
+        s"[${s.id},${s.srRecords},${s.swRecords},${s.swBytes}]")
+      s"""{"sec":${jNum(t._1)},"shuffle_read_rows":${t._2},""" +
+      s""""shuffle_write_rows":${t._3},"shuffle_write_bytes":${t._4},""" +
+      s""""spill_bytes":${t._5},"top_stages":[${top.mkString(",")}]}"""
+    }
+    val pointsJson = points.map { case (m, nDocs, qr) =>
+      val qs = qr.map { case (n, t) => s""""$n":${qJson(t)}""" }
+      s"""{"mult":$m,"docs":$nDocs,"queries":{${qs.mkString(",")}}}"""
+    }.mkString("[", ",", "]")
+    val fitsJson = fits.map { case (n, (te, se)) =>
+      val secs = points.map(p => jNum(p._3.find(_._1 == n).get._2._1))
+      s""""$n":{"time_exp":${jNum(te)},"shuffle_exp":${jNum(se)},""" +
+      s""""secs":[${secs.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val pathJson =
+      s"""{"clone_flood":{"clones":$nClones,"naive_pairs":${nClones * (nClones - 1) / 2},""" +
+      s""""pairs_emitted_within_flood":$clonePairs,"cap_engaged":${clonePairs < nClones}},""" +
+      s""""hot_gram":{"boilerplate_docs":$boilerDocs,"docs_with_span_detected":$boilerDocsHit},""" +
+      s""""stopword_postings":{"df_cap":$DfCap,"hash_buckets_dropped":$bucketsDropped,""" +
+      s""""hash_buckets_total":$bucketsTotal},""" +
+      s""""hub_node":{"in_degree_share":0.25,"hub_is_top_ranked":$hubIsTop}}"""
+    val out =
+      s"""{"harness":"graft.Scale","base_sf_dir":"$baseDir","base_docs":$baseN,""" +
+      s""""mults":[${mults.mkString(",")}],"bucket_cap":$BucketCap,"df_cap":$DfCap,""" +
+      s""""warm_runs":1,"points":$pointsJson,"fits":$fitsJson,""" +
+      s""""pathologies":$pathJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      out.getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}

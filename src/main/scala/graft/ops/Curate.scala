@@ -332,29 +332,34 @@ object Curate {
     * engine's own minhash funnel — the shape that runs at corpus
     * scale (banded LSH candidate generation, never all-pairs). The
     * funnel finds exact duplicates too (Jaccard 1), so both dup
-    * families are split-safe. */
+    * families are split-safe. `bucketCap` is the funnel's standard
+    * skew insurance, passed through to [[Dedup.minhashLSH]]: a
+    * clone-flood cluster larger than the cap is dropped from candidate
+    * generation (its members then split independently), which is the
+    * documented trade for never materializing a quadratic bucket. */
   def leakSafeSplit(docs: DataFrame, text: Column, id: Column,
       evalFrac: Double, seed: Long = 42L, nearDupThreshold: Double = 0.5,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      ccMaxIter: Int = 30): DataFrame = {
+      ccMaxIter: Int = 30, bucketCap: Int = 100000): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("__text"))
     val pairs = Dedup.minhashLSH(base, col("__text"), col("doc_id"),
       shingleK = shingleK, numHashes = numHashes, bands = bands,
-      jaccardThreshold = nearDupThreshold)
+      jaccardThreshold = nearDupThreshold, bucketCap = bucketCap)
     leakSafeSplitFromPairs(base, col("doc_id"), pairs, evalFrac, seed,
       ccMaxIter)
   }
 
   /** [[leakSafeSplitBalancedFromPairs]] over the engine's minhash
-    * funnel — the corpus-scale shape of the mass-aware split. */
+    * funnel — the corpus-scale shape of the mass-aware split.
+    * `bucketCap` as in [[leakSafeSplit]]. */
   def leakSafeSplitBalanced(docs: DataFrame, text: Column, id: Column,
       evalFrac: Double, seed: Long = 42L, nearDupThreshold: Double = 0.5,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      ccMaxIter: Int = 30): DataFrame = {
+      ccMaxIter: Int = 30, bucketCap: Int = 100000): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("__text"))
     val pairs = Dedup.minhashLSH(base, col("__text"), col("doc_id"),
       shingleK = shingleK, numHashes = numHashes, bands = bands,
-      jaccardThreshold = nearDupThreshold)
+      jaccardThreshold = nearDupThreshold, bucketCap = bucketCap)
     leakSafeSplitBalancedFromPairs(base, col("doc_id"), pairs, evalFrac,
       seed, ccMaxIter)
   }
