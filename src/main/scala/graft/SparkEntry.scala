@@ -1484,12 +1484,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // production shape: minhash-funnel pairs over the full corpus
-    // (rows-only; leakage-freedom and fraction measured in CurateSpec)
-    "split_leakfree" -> ((s, dir) =>
-      Curate.leakSafeSplit(table(s, dir, "documents"), col("text"),
-        col("doc_id"), evalFrac = 0.2, seed = 7)
-        .orderBy("doc_id")),
+    // production shape: minhash-funnel near-dup clusters built ONCE
+    // into a persisted label store (memoized write-once batch job —
+    // at 100 TB clustering is a day-scale job; split derivation must
+    // not repeat it per variant), the split a cheap join against it.
+    // Same labels ⇒ byte-identical output to the inline funnel
+    // (CurateSpec store==inline identity). (rows-only;
+    // leakage-freedom and fraction measured in CurateSpec)
+    "split_leakfree" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("splitcc", dir)(p =>
+        Curate.buildClusterStore(docs, col("text"), col("doc_id"), p))
+      Curate.leakSafeSplitFromLabels(docs, col("doc_id"),
+          s.read.parquet(store), evalFrac = 0.2, seed = 7)
+        .orderBy("doc_id")
+    }),
 
     // cluster-MASS-aware split: greedy fill in hash order until the
     // document (not cluster) eval target is met — oracled end-to-end
@@ -1504,13 +1513,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // full-corpus balanced split over the minhash funnel (rows-only;
+    // full-corpus balanced split over the SAME persisted cluster
+    // store as split_leakfree — the two splits share one funnel+CC
+    // batch artifact instead of re-running it (rows-only;
     // realized-fraction tightness vs the plain split measured in
     // CurateSpec)
-    "split_balanced" -> ((s, dir) =>
-      Curate.leakSafeSplitBalanced(table(s, dir, "documents"),
-        col("text"), col("doc_id"), evalFrac = 0.2, seed = 7)
-        .orderBy("doc_id")),
+    "split_balanced" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("splitcc", dir)(p =>
+        Curate.buildClusterStore(docs, col("text"), col("doc_id"), p))
+      Curate.leakSafeSplitBalancedFromLabels(docs, col("doc_id"),
+          s.read.parquet(store), evalFrac = 0.2, seed = 7)
+        .orderBy("doc_id")
+    }),
 
     // brute-force cosine top-k (the exact baseline)
     "ann_brute_topk" -> ((s, dir) => {
@@ -2289,6 +2304,48 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // G.711 COMPRESSED audio decode (format tags 6/7): payloads are
+    // real RIFF containers whose 8-bit code stream is the closed-form
+    // fixture contract; the engine expands each code through the CCITT
+    // µ-law/A-law arithmetic (Codecs.mulawDecode/alawDecode) into the
+    // channel-sum mixdown. The oracle restates the code stream AND the
+    // expand (complement/XOR-0x55, segment shift, re-bias) in SQL —
+    // a sign, segment, or bias mistake shifts every aggregate
+    "audio_g711_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticG711(id, txt))
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeAudioMixStage(media)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          size(col("mix")).as("n_samples"),
+          aggregate(col("mix"), lit(0L), (acc, x) => acc + x).as("mix_sum"),
+          array_min(col("mix")).as("mix_min"),
+          array_max(col("mix")).as("mix_max"))
+        .orderBy("doc_id")
+    }),
+
+    // IMA ADPCM audio decode (format tag 0x11): real block-structured
+    // containers — per-block header predictor + step index, then the
+    // 4-bit nibble stream — decoded through the bit-exact predictor
+    // recurrence (step>>3 + conditional halves, ±, clamp, index
+    // advance). All block contents are closed-form, so the oracle
+    // replays the SAME recurrence as a recursive CTE over (doc,
+    // block, nibble); mix_last pins the final state — any mid-stream
+    // divergence propagates to it and to mix_sum
+    "audio_adpcm_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Multimodal.syntheticAdpcm(id, txt))
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeAudioMixStage(media)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          size(col("mix")).as("n_samples"),
+          aggregate(col("mix"), lit(0L), (acc, x) => acc + x).as("mix_sum"),
+          array_min(col("mix")).as("mix_min"),
+          array_max(col("mix")).as("mix_max"),
+          element_at(col("mix"), size(col("mix"))).as("mix_last"))
+        .orderBy("doc_id")
+    }),
+
     // VIDEO real decode: payloads are real YUV4MPEG2 streams built in
     // closed form (Multimodal.syntheticY4m — C420 planes, 2-5 frames),
     // parsed by the pure-JVM tag walker that verifies every FRAME
@@ -2693,8 +2750,11 @@ object SparkEntry {
     // PqSpec; the ADC arithmetic is oracled by the firstk twin below
     "ann_pq_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
+      // refine=8: measured recall@10 0.726 (4x) -> 0.874 (8x) at sf0.1
+      // (METRICS.json) for 80 exact re-scores per query — still <'4% of
+      // the corpus and far cheaper than the recall-equivalent ADC width
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-          refine = 4)
+          refine = 8)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 

@@ -521,48 +521,380 @@ object Codecs {
     None
   }
 
-  /** Parse a RIFF/WAVE header: PCM (format tag 1) at 8 or 16 bits.
-    * nSamples derives from the data chunk length / block align. */
+  /** Parse a RIFF/WAVE header: PCM (tag 1, 8/16-bit), G.711 A-law
+    * (tag 6) / µ-law (tag 7, 8-bit), or IMA ADPCM (tag 0x11, 4-bit).
+    * nSamples derives from the data chunk length / block align; for
+    * ADPCM the `fact` chunk's sample-frame count wins when present
+    * (the spec's contract for compressed formats), else full blocks
+    * × samplesPerBlock. */
   def decodeWavHeader(b: Array[Byte]): Option[AudioHeader] = {
     if (b.length < 44 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
         new String(b, 8, 4, "US-ASCII") != "WAVE") return None
     riffChunk(b, "fmt ").flatMap { case (fo, fl) =>
+      val tag = if (fl >= 16) u16le(b, fo) else -1
       val ch = u16le(b, fo + 2)
+      val sr = i32le(b, fo + 4)
       val bits = u16le(b, fo + 14)
-      if (fl < 16 || u16le(b, fo) != 1 /* PCM only */ || ch <= 0 ||
-          (bits != 8 && bits != 16)) None
-      else riffChunk(b, "data").map { case (_, dl) =>
-        AudioHeader("wav", i32le(b, fo + 4), ch, bits,
-          dl / (ch * bits / 8))
+      if (fl < 16 || ch <= 0) None
+      else tag match {
+        case 1 if bits == 8 || bits == 16 =>
+          riffChunk(b, "data").map { case (_, dl) =>
+            AudioHeader("wav", sr, ch, bits, dl / (ch * bits / 8))
+          }
+        case 6 | 7 if bits == 8 =>
+          riffChunk(b, "data").map { case (_, dl) =>
+            AudioHeader(if (tag == 6) "wav-alaw" else "wav-mulaw",
+              sr, ch, 8, dl / ch)
+          }
+        case 0x11 if bits == 4 && fl >= 20 =>
+          val blockAlign = u16le(b, fo + 12)
+          val spb = u16le(b, fo + 18)
+          if (blockAlign <= 0 || spb <= 0) None
+          else riffChunk(b, "data").map { case (_, dl) =>
+            val fromBlocks = (dl / blockAlign) * spb
+            val n = riffChunk(b, "fact")
+              .filter(_._2 >= 4).map { case (o, _) => i32le(b, o) }
+              .getOrElse(fromBlocks)
+            AudioHeader("wav-adpcm", sr, ch, 4, math.min(n, fromBlocks))
+          }
+        case _ => None
       }
     }
   }
 
-  /** Decode PCM frames to per-frame CHANNEL-SUM values (the integer
-    * mono mixdown: Σ over channels, no division so the math is exact
-    * in any reimplementation). 16-bit LE signed or 8-bit unsigned
-    * (rebased to signed around 128 per the WAV convention). */
+  // ------------------------------------------------- G.711 + IMA ADPCM
+
+  private val MulawBias = 0x84
+
+  /** G.711 µ-law decode, the CCITT reference arithmetic (public
+    * g711.c shape): complement, mantissa/exponent expand, re-bias. */
+  def mulawDecode(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + MulawBias) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) MulawBias - t else t - MulawBias
+  }
+
+  /** G.711 µ-law encode (clip 32635, bias, priority-encode the
+    * exponent, complement). Round-trips [[mulawDecode]] exactly on
+    * every code. */
+  def mulawEncode(sample: Int): Int = {
+    var s = sample
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += MulawBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    ~(sign | (exp << 4) | ((s >> (exp + 3)) & 0x0f)) & 0xff
+  }
+
+  /** G.711 A-law decode (even-bit inversion, segment expand; segment
+    * 0 is linear with half-step offset 8). */
+  def alawDecode(code: Int): Int = {
+    val a = code ^ 0x55
+    val mant = a & 0x0f
+    val seg = (a & 0x70) >> 4
+    val t =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711 A-law encode (13-bit domain per the spec; sign convention:
+    * bit 7 SET = non-negative). Round-trips [[alawDecode]]. */
+  def alawEncode(sample: Int): Int = {
+    var p = sample >> 3
+    val mask = if (p >= 0) 0xd5 else { p = -p - 1; 0x55 }
+    var seg = 0
+    while (seg < 8 && p > ((0x1f << seg) | ((1 << seg) - 1))) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val mant = if (seg < 2) (p >> 1) & 0x0f else (p >> seg) & 0x0f
+      ((seg << 4) | mant) ^ mask
+    }
+  }
+
+  /** IMA ADPCM step-size table (89 entries) and index-advance table —
+    * the public IMA/DVI4 constants. */
+  val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+  val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble through the predictor: returns the new
+    * (clamped) predicted sample and step index. The `(step>>3) +
+    * conditional halves` form is the bit-exact integer recurrence —
+    * NOT the `(2·mag+1)·step/8` approximation. */
+  def imaDecodeNibble(nib: Int, pred: Int, idx: Int): (Int, Int) = {
+    val step = imaStepTable(idx)
+    var diff = step >> 3
+    if ((nib & 4) != 0) diff += step
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 1) != 0) diff += step >> 2
+    val p = if ((nib & 8) != 0) pred - diff else pred + diff
+    (math.max(-32768, math.min(32767, p)),
+      math.max(0, math.min(88, idx + imaIndexTable(nib))))
+  }
+
+  /** Encode one sample against the predictor state: returns (nibble,
+    * new predictor, new index) with the predictor advanced through
+    * [[imaDecodeNibble]] so encoder and decoder states never drift. */
+  def imaEncodeSample(s: Int, pred: Int, idx: Int): (Int, Int, Int) = {
+    val step = imaStepTable(idx)
+    var delta = s - pred
+    var nib = 0
+    if (delta < 0) { nib = 8; delta = -delta }
+    if (delta >= step) { nib |= 4; delta -= step }
+    if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+    if (delta >= (step >> 2)) nib |= 1
+    val (p, ni) = imaDecodeNibble(nib, pred, idx)
+    (nib, p, ni)
+  }
+
+  /** Build a RIFF/WAVE container with G.711-compressed payload:
+    * format tag 6 (A-law) or 7 (µ-law), 8 bits/sample, one code byte
+    * per channel-sample. `code(ch, i)` returns the RAW 0..255 G.711
+    * code — callers encoding linear audio compose with
+    * [[mulawEncode]]/[[alawEncode]]; fixture mints hand the codes
+    * directly so an oracle can restate them in closed form. */
+  def encodeWavG711(sampleRate: Int, channels: Int, nSamples: Int,
+      alaw: Boolean, code: (Int, Int) => Int): Array[Byte] = {
+    val dataLen = channels * nSamples
+    val b = new Array[Byte](46 + dataLen)
+    def putLe32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    def putLe16(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    }
+    def tag(o: Int, s: String): Unit = {
+      val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, b, o, 4)
+    }
+    tag(0, "RIFF"); putLe32(4, 38 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); putLe32(16, 18)
+    putLe16(20, if (alaw) 6 else 7)
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels) // byte rate: 1 B/sample
+    putLe16(32, channels) // block align
+    putLe16(34, 8) // bits per sample
+    putLe16(36, 0) // cbSize
+    tag(38, "data"); putLe32(42, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) {
+        b(46 + i * channels + c) = (code(c, i) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** Build a RIFF/WAVE IMA ADPCM container (format tag 0x11): blocks
+    * of `spb` samples per channel — a 4-byte per-channel header
+    * (predictor = the block's first sample, step index, reserved)
+    * then nibble data in the spec's 4-byte-per-channel interleave
+    * (8 samples per group). Requires `(spb-1) % 8 == 0` and
+    * `nSamples % spb == 0` (whole blocks — the fixture contract; a
+    * general encoder would pad the tail). `sample(ch, i)` is signed
+    * 16-bit linear; `index0` seeds the first block's step index
+    * (clamped), later blocks carry the running index. A `fact` chunk
+    * records the true frame count per the spec. */
+  def encodeWavImaAdpcm(sampleRate: Int, channels: Int, nSamples: Int,
+      spb: Int, index0: Int, sample: (Int, Int) => Int): Array[Byte] = {
+    require(spb >= 9 && (spb - 1) % 8 == 0, s"spb 1+8k required: $spb")
+    require(nSamples % spb == 0, s"whole blocks required: $nSamples/$spb")
+    val blockAlign = 4 * channels + (spb - 1) / 2 * channels
+    val nBlocks = nSamples / spb
+    val dataLen = nBlocks * blockAlign
+    val b = new Array[Byte](58 + dataLen)
+    def putLe32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    def putLe16(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    }
+    def tag(o: Int, s: String): Unit = {
+      val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, b, o, 4)
+    }
+    tag(0, "RIFF"); putLe32(4, 50 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); putLe32(16, 20)
+    putLe16(20, 0x11)
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * blockAlign / spb) // nominal byte rate
+    putLe16(32, blockAlign)
+    putLe16(34, 4) // bits per sample
+    putLe16(36, 2) // cbSize
+    putLe16(38, spb)
+    tag(40, "fact"); putLe32(44, 4); putLe32(48, nSamples)
+    tag(52, "data"); putLe32(56, dataLen)
+    val pred = new Array[Int](channels)
+    val idx = Array.fill(channels)(math.max(0, math.min(88, index0)))
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * spb
+      val bo = 58 + blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        pred(c) = sample(c, base)
+        putLe16(bo + 4 * c, pred(c))
+        b(bo + 4 * c + 2) = idx(c).toByte
+        b(bo + 4 * c + 3) = 0
+        c += 1
+      }
+      var g = 0
+      while (g < (spb - 1) / 8) {
+        c = 0
+        while (c < channels) {
+          val wo = bo + 4 * channels + (g * channels + c) * 4
+          var j = 0
+          while (j < 8) {
+            val (nib, p, ni) =
+              imaEncodeSample(sample(c, base + 1 + g * 8 + j), pred(c), idx(c))
+            pred(c) = p; idx(c) = ni
+            val o = wo + j / 2
+            if ((j & 1) == 0) b(o) = nib.toByte // low nibble first
+            else b(o) = (b(o) | (nib << 4)).toByte
+            j += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      blk += 1
+    }
+    b
+  }
+
+  /** Decode frames to per-frame CHANNEL-SUM values (the integer mono
+    * mixdown: Σ over channels, no division so the math is exact in
+    * any reimplementation). PCM 16-bit LE signed / 8-bit unsigned
+    * (rebased around 128 per the WAV convention), G.711 µ-law/A-law
+    * expanded through the CCITT tables, IMA ADPCM through the
+    * per-block predictor recurrence. */
   def decodeWavMix(b: Array[Byte]): Option[(AudioHeader, Array[Int])] =
     decodeWavHeader(b).flatMap { h =>
-      riffChunk(b, "data").map { case (off, _) =>
+      riffChunk(b, "data").map { case (off, dl) =>
         val out = new Array[Int](h.nSamples)
-        var i = 0
-        while (i < h.nSamples) {
-          var s = 0; var c = 0
-          while (c < h.channels) {
-            if (h.bitsPerSample == 16) {
-              val o = off + 2 * (i * h.channels + c)
-              s += (u16le(b, o) << 16) >> 16 // sign-extend
-            } else
-              s += (b(off + i * h.channels + c) & 0xff) - 128
-            c += 1
-          }
-          out(i) = s
-          i += 1
+        h.format match {
+          case "wav" =>
+            var i = 0
+            while (i < h.nSamples) {
+              var s = 0; var c = 0
+              while (c < h.channels) {
+                if (h.bitsPerSample == 16) {
+                  val o = off + 2 * (i * h.channels + c)
+                  s += (u16le(b, o) << 16) >> 16 // sign-extend
+                } else
+                  s += (b(off + i * h.channels + c) & 0xff) - 128
+                c += 1
+              }
+              out(i) = s
+              i += 1
+            }
+          case "wav-mulaw" | "wav-alaw" =>
+            val alaw = h.format == "wav-alaw"
+            var i = 0
+            while (i < h.nSamples) {
+              var s = 0; var c = 0
+              while (c < h.channels) {
+                val code = b(off + i * h.channels + c) & 0xff
+                s += (if (alaw) alawDecode(code) else mulawDecode(code))
+                c += 1
+              }
+              out(i) = s
+              i += 1
+            }
+          case "wav-adpcm" =>
+            val (fo, _) = riffChunk(b, "fmt ").get
+            val blockAlign = u16le(b, fo + 12)
+            val spb = u16le(b, fo + 18)
+            val ch = h.channels
+            val pred = new Array[Int](ch)
+            val idx = new Array[Int](ch)
+            var filled = 0
+            var bo = off
+            while (filled < h.nSamples && bo + blockAlign <= off + dl) {
+              var c = 0
+              var s0 = 0
+              while (c < ch) {
+                pred(c) = (u16le(b, bo + 4 * c) << 16) >> 16
+                idx(c) = math.max(0, math.min(88, b(bo + 4 * c + 2) & 0xff))
+                s0 += pred(c)
+                c += 1
+              }
+              out(filled) = s0 // block sample 0 IS the header predictor
+              filled += 1
+              var g = 0
+              while (g < (spb - 1 + 7) / 8 && filled < h.nSamples) {
+                val frames = math.min(8, spb - 1 - g * 8)
+                c = 0
+                while (c < ch) {
+                  val wo = bo + 4 * ch + (g * ch + c) * 4
+                  var j = 0
+                  while (j < frames) {
+                    val byte = b(wo + j / 2) & 0xff
+                    val nib = if ((j & 1) == 0) byte & 0x0f else byte >> 4
+                    val (p, ni) = imaDecodeNibble(nib, pred(c), idx(c))
+                    pred(c) = p; idx(c) = ni
+                    if (filled + j < h.nSamples) out(filled + j) += p
+                    j += 1
+                  }
+                  c += 1
+                }
+                filled = math.min(h.nSamples, filled + frames)
+                g += 1
+              }
+              bo += blockAlign
+            }
         }
         (h, out)
       }
     }
+
+  /** MONO IMA ADPCM container with caller-supplied RAW block contents:
+    * per block `b`, header predictor `pred0(b)`, step index
+    * `index0(b)`, and nibble stream `nib(b, j)` for `j ∈ [0, spb-1)`.
+    * The closed-form-fixture twin of [[encodeWavImaAdpcm]]: an oracle
+    * can restate the exact bytes and replay only the DECODE
+    * recurrence, never the encoder's argmin. */
+  def encodeWavImaAdpcmRaw(sampleRate: Int, nSamples: Int, spb: Int,
+      pred0: Int => Int, index0: Int => Int,
+      nib: (Int, Int) => Int): Array[Byte] = {
+    require(spb >= 9 && (spb - 1) % 8 == 0, s"spb 1+8k required: $spb")
+    require(nSamples % spb == 0, s"whole blocks required: $nSamples/$spb")
+    val nBlocks = nSamples / spb
+    val shaped = encodeWavImaAdpcm(sampleRate, 1, nSamples, spb, 0,
+      (_, i) => pred0(i / spb))
+    // overwrite each block's index byte + nibble payload with the raw
+    // closed-form streams (the shape pass above wrote headers/sizes)
+    val blockAlign = 4 + (spb - 1) / 2
+    var b2 = 0
+    while (b2 < nBlocks) {
+      val bo = 58 + b2 * blockAlign
+      shaped(bo + 2) = math.max(0, math.min(88, index0(b2))).toByte
+      var j = 0
+      while (j < spb - 1) {
+        val o = bo + 4 + j / 2
+        val v = nib(b2, j) & 0x0f
+        if ((j & 1) == 0) shaped(o) = v.toByte
+        else shaped(o) = ((shaped(o) & 0x0f) | (v << 4)).toByte
+        j += 1
+      }
+      b2 += 1
+    }
+    shaped
+  }
 
   // ---------------------------------------------------------------- Y4M
 

@@ -249,13 +249,23 @@ object Curate {
     val cc = Dedup.connectedComponentsResult(pairs, ccMaxIter, algorithm)
     require(cc.converged,
       s"near-dup clustering did not converge in $ccMaxIter rounds; raise ccMaxIter")
+    leakSafeSplitFromLabels(docs, id, cc.labels, evalFrac, seed)
+  }
+
+  /** [[leakSafeSplitFromPairs]] over PRECOMPUTED cluster labels
+    * (`(id, cluster)`, e.g. read back from [[buildClusterStore]]):
+    * docs absent from the label table are singletons (cluster =
+    * their own id). Identical output to the from-pairs shape when the
+    * labels came from the same pair set — the split is a pure
+    * function of the labels. */
+  def leakSafeSplitFromLabels(docs: DataFrame, id: Column,
+      labels: DataFrame, evalFrac: Double, seed: Long = 42L): DataFrame =
     docs.select(id.as("doc_id"))
-      .join(cc.labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("split",
         when(Mix.ordHash(col("cluster"), seed) <
           lit(Mix.hexThreshold(evalFrac)), "eval").otherwise("train"))
-  }
 
   /** [[leakSafeSplitFromPairs]] with the SAME leakage guarantee but a
     * cluster-MASS-aware eval target: instead of selecting each cluster
@@ -289,8 +299,15 @@ object Curate {
     val cc = Dedup.connectedComponentsResult(pairs, ccMaxIter, algorithm)
     require(cc.converged,
       s"near-dup clustering did not converge in $ccMaxIter rounds; raise ccMaxIter")
+    leakSafeSplitBalancedFromLabels(docs, id, cc.labels, evalFrac, seed)
+  }
+
+  /** [[leakSafeSplitBalancedFromPairs]] over PRECOMPUTED cluster
+    * labels — see [[leakSafeSplitFromLabels]] for the label contract. */
+  def leakSafeSplitBalancedFromLabels(docs: DataFrame, id: Column,
+      labels: DataFrame, evalFrac: Double, seed: Long = 42L): DataFrame = {
     val labeled = docs.select(id.as("doc_id"))
-      .join(cc.labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
     val mass = labeled.groupBy("cluster")
       .agg(count(lit(1)).cast("long").as("__mass"))
@@ -362,6 +379,30 @@ object Curate {
       jaccardThreshold = nearDupThreshold, bucketCap = bucketCap)
     leakSafeSplitBalancedFromPairs(base, col("doc_id"), pairs, evalFrac,
       seed, ccMaxIter)
+  }
+
+  /** Persist the near-dup CLUSTER LABELS (`(id, cluster)`) that both
+    * split shapes derive from — the expensive shared stage (minhash
+    * funnel + connected components) written ONCE as a batch artifact,
+    * so every split (plain, balanced, re-splits at new eval fractions
+    * or seeds) is a cheap join against the store instead of a full
+    * funnel re-run. At 100 TB this is the only sane shape: clustering
+    * is a day-scale job over the corpus; split derivation must not
+    * repeat it per variant. Deterministic funnel + deterministic CC ⇒
+    * the stored labels reproduce the inline [[leakSafeSplit]] /
+    * [[leakSafeSplitBalanced]] outputs exactly (CurateSpec). */
+  def buildClusterStore(docs: DataFrame, text: Column, id: Column,
+      path: String, nearDupThreshold: Double = 0.5, shingleK: Int = 3,
+      numHashes: Int = 128, bands: Int = 32, ccMaxIter: Int = 30,
+      bucketCap: Int = 100000): Unit = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val pairs = Dedup.minhashLSH(base, col("__text"), col("doc_id"),
+      shingleK = shingleK, numHashes = numHashes, bands = bands,
+      jaccardThreshold = nearDupThreshold, bucketCap = bucketCap)
+    val cc = Dedup.connectedComponentsResult(pairs, ccMaxIter, "star")
+    require(cc.converged,
+      s"near-dup clustering did not converge in $ccMaxIter rounds; raise ccMaxIter")
+    cc.labels.write.mode("overwrite").parquet(path)
   }
 
   /** Per-source adaptive quality cutoffs: the `pct` quantile of

@@ -593,6 +593,38 @@ object Multimodal {
       (((id * 131 + i.toLong * 71 + (1 - c).toLong * 53) % 65536) - 32768).toInt)
   }
 
+  /** Deterministic REAL-G.711 fixture: µ-law/A-law alternating by
+    * `id/2` parity, mono/stereo by `id` parity, RAW code bytes in
+    * closed form over (doc_id, channel, i) — the codes, not the
+    * linear samples, are the fixture contract, so an oracle restates
+    * them and replays only the G.711 expand. Every 7th doc raw text
+    * for the fallback path. */
+  def syntheticG711(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val ch = 1 + (id % 2).toInt
+      val n = 256 + (id % 4).toInt * 128
+      Codecs.encodeWavG711(8000, ch, n, alaw = (id / 2) % 2 == 0,
+        (c, i) => (((id * 37 + i.toLong * 11 + c.toLong * 5) % 256)).toInt)
+    }
+
+  /** Deterministic REAL-IMA-ADPCM fixture (mono, 65-sample blocks,
+    * 1–2 blocks): header predictor, step index, and every nibble in
+    * closed form over (doc_id, block, j) — the oracle replays the
+    * bit-exact predictor recurrence (step>>3 + conditional halves,
+    * clamp, index advance) as a recursive CTE. Every 7th doc raw
+    * text for the fallback path. */
+  def syntheticAdpcm(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val spb = 65
+      val blocks = 1 + (id % 2).toInt
+      Codecs.encodeWavImaAdpcmRaw(8000, spb * blocks, spb,
+        b => (((id * 97 + b.toLong * 41) % 4096) - 2048).toInt,
+        b => ((id * 31 + b.toLong * 17) % 89).toInt,
+        (b, j) => ((id * 13 + b.toLong * 29 + j.toLong * 7) % 16).toInt)
+    }
+
   /** Deterministic REAL-Y4M fixture: even dimensions (C420), 2–5
     * frames, every plane byte in closed form over (doc_id, frame, x,
     * y) — every 7th doc raw text for the fallback path. */

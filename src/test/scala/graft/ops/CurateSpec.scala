@@ -182,6 +182,26 @@ class CurateSpec extends AnyFunSuite {
       s"eval mass $evalN overshot target $target by more than one cluster ($maxMass)")
   }
 
+  test("cluster store: both split shapes from stored labels == inline funnel runs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_splitcc").toString
+    Curate.buildClusterStore(docs, col("text"), col("doc_id"), dir)
+    val labels = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.select("doc_id", "cluster", "split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(rows(Curate.leakSafeSplitFromLabels(docs, col("doc_id"), labels,
+        evalFrac = 0.2, seed = 7)) ===
+      rows(Curate.leakSafeSplit(docs, col("text"), col("doc_id"),
+        evalFrac = 0.2, seed = 7)),
+      "plain split from stored labels diverged from the inline funnel")
+    assert(rows(Curate.leakSafeSplitBalancedFromLabels(docs, col("doc_id"),
+        labels, evalFrac = 0.2, seed = 7)) ===
+      rows(Curate.leakSafeSplitBalanced(docs, col("text"), col("doc_id"),
+        evalFrac = 0.2, seed = 7)),
+      "balanced split from stored labels diverged from the inline funnel")
+  }
+
   test("adaptiveQualityKept: per-source survival >= 1-pct; cutoff join broadcasts") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = Curate.adaptiveQualityKept(docs, col("text"), col("doc_id"),
