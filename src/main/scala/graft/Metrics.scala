@@ -38,10 +38,18 @@ object Metrics {
       floor.forall(value >= _) && ceiling.forall(value <= _)
     private def j(o: Option[Double]): String =
       o.map(v => f"$v%.6f").getOrElse("null")
+    // Escape the free-text fields — a quote/backslash/control char in
+    // `detail` must not produce unparseable METRICS.json.
+    private def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def json: String =
-      f"""{"name":"$name","kind":"$kind","value":$value%.6f,""" +
+      f"""{"name":"${esc(name)}","kind":"${esc(kind)}","value":$value%.6f,""" +
       s""""floor":${j(floor)},"ceiling":${j(ceiling)},"n":$n,""" +
-      s""""pass":$pass,"detail":"$detail"}"""
+      s""""pass":$pass,"detail":"${esc(detail)}"}"""
   }
 
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
@@ -258,7 +266,12 @@ object Metrics {
     val nKeys = keys.count()
     val bloom = Bloom.fit(keys, col("doc_id"), mBits = mBits, k = kHashes,
       seed = 1L)
-    val absent = spark.range(1000000L, 1020000L).toDF("doc_id")
+    // Derive the probe range from max(doc_id)+1 so the keys are absent
+    // BY CONSTRUCTION at any scale factor — a fixed 1e6 base would
+    // collide with real ids on larger corpora and inflate the FPR.
+    val probeBase = keys.agg(max(col("doc_id"))).collect()(0)
+      .getLong(0) + 1L
+    val absent = spark.range(probeBase, probeBase + 20000L).toDF("doc_id")
     val fp = Bloom.mightContain(absent, col("doc_id"), bloom, mBits = mBits,
       k = kHashes, seed = 1L).count()
     val analytic = Bloom.fpRate(nKeys, mBits, kHashes)

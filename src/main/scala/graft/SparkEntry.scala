@@ -5621,6 +5621,93 @@ object SparkEntry {
            AND b.doc_id >= 1000000
          ORDER BY 1, 2""",
 
+    // G.711: restate the closed-form code stream, then the CCITT
+    // expand — µ-law: u = 255-code, t = ((u%16)*8+132) << ((u//16)%8),
+    // sign off bit 7; A-law: a = code XOR 0x55, segment 0 linear else
+    // ((a%16)*16+264) << (seg-1) — and re-aggregate the channel-sum
+    // mixdown. Any sign/segment/bias slip shifts every aggregate.
+    "audio_g711_real" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+           256 + (doc_id % 4) * 128 AS n,
+           ((doc_id // 2) % 2 = 0) AS alaw
+           FROM documents WHERE doc_id % 7 <> 0),
+         cf AS (SELECT d.doc_id, d.alaw, d.n, i, c,
+           (d.doc_id * 37 + i * 11 + c * 5) % 256 AS code
+           FROM d, unnest(generate_series(0, d.n - 1)) AS ti(i),
+                unnest(generate_series(0, d.ch - 1)) AS tc(c)),
+         dec AS (SELECT doc_id, n, i,
+           CASE WHEN alaw THEN
+             (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+             (CASE WHEN ((xor(code, 85) // 16) % 8) = 0
+               THEN (xor(code, 85) % 16) * 16 + 8
+               ELSE ((xor(code, 85) % 16) * 16 + 264)
+                    * (1 << (((xor(code, 85) // 16) % 8) - 1)) END)
+           ELSE
+             CASE WHEN (255 - code) >= 128
+               THEN 132 - ((((255 - code) % 16) * 8 + 132)
+                           * (1 << (((255 - code) // 16) % 8)))
+               ELSE ((((255 - code) % 16) * 8 + 132)
+                     * (1 << (((255 - code) // 16) % 8))) - 132
+             END
+           END AS v
+           FROM cf),
+         mix AS (SELECT doc_id, n, i, sum(v) AS m FROM dec GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(n AS INT) AS n_samples,
+           CAST(sum(m) AS BIGINT) AS mix_sum,
+           CAST(min(m) AS INT) AS mix_min,
+           CAST(max(m) AS INT) AS mix_max
+         FROM mix GROUP BY 1, 2, 3, 4 ORDER BY doc_id""",
+
+    // IMA ADPCM: replay the bit-exact predictor recurrence as a
+    // recursive CTE over (doc, block, nibble) — state j=-1 is the
+    // block-header predictor (sample 0), each step consumes nibble
+    // j+1 via diff = step//8 + nib2*step + nib1*step//2 + nib0*step//4,
+    // ± by bit 3, clamp to int16, index-advance clamp to [0,88].
+    "audio_adpcm_real" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id, 1 + doc_id % 2 AS blocks
+           FROM documents WHERE doc_id % 7 <> 0),
+         blk AS (SELECT doc_id, blocks, b
+           FROM d, unnest(generate_series(0, d.blocks - 1)) AS t(b)),
+         steps AS (SELECT unnest(generate_series(0, 88)) AS i,
+           unnest([""" + graft.ops.Codecs.imaStepTable.mkString(",") +
+        """]) AS s),
+         nb AS (SELECT blk.doc_id, blk.b, j,
+             (blk.doc_id * 13 + blk.b * 29 + j * 7) % 16 AS nib
+           FROM blk, unnest(generate_series(0, 63)) AS t(j)),
+         st AS (
+           SELECT doc_id, blocks, b, -1 AS j,
+             CAST((doc_id * 97 + b * 41) % 4096 - 2048 AS BIGINT) AS pred,
+             CAST((doc_id * 31 + b * 17) % 89 AS BIGINT) AS idx
+           FROM blk
+           UNION ALL
+           SELECT s.doc_id, s.blocks, s.b, s.j + 1,
+             least(greatest(s.pred
+               + (CASE WHEN nb.nib >= 8 THEN -1 ELSE 1 END)
+                 * (t.s // 8
+                    + CASE WHEN (nb.nib % 8) >= 4 THEN t.s ELSE 0 END
+                    + CASE WHEN (nb.nib % 4) >= 2 THEN t.s // 2 ELSE 0 END
+                    + CASE WHEN (nb.nib % 2) = 1 THEN t.s // 4 ELSE 0 END),
+               -32768), 32767),
+             least(greatest(s.idx
+               + CASE WHEN (nb.nib % 8) < 4 THEN -1
+                      ELSE 2 * ((nb.nib % 8) - 3) END, 0), 88)
+           FROM st s
+           JOIN steps t ON t.i = s.idx
+           JOIN nb ON nb.doc_id = s.doc_id AND nb.b = s.b AND nb.j = s.j + 1
+           WHERE s.j < 63
+         )
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(blocks * 65 AS INT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS mix_sum,
+           CAST(min(pred) AS INT) AS mix_min,
+           CAST(max(pred) AS INT) AS mix_max,
+           CAST(max(CASE WHEN b = blocks - 1 AND j = 63 THEN pred END)
+             AS INT) AS mix_last
+         FROM st GROUP BY 1, 2, 3, 4 ORDER BY doc_id"""),
+
     "video_decode_real" ->
       """WITH d AS (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
            6 + 2 * (doc_id % 3) AS h, 2 + doc_id % 4 AS fr

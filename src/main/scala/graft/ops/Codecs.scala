@@ -549,7 +549,13 @@ object Codecs {
         case 0x11 if bits == 4 && fl >= 20 =>
           val blockAlign = u16le(b, fo + 12)
           val spb = u16le(b, fo + 18)
-          if (blockAlign <= 0 || spb <= 0) None
+          // A block must hold the 4-byte per-channel state header plus
+          // the nibble payload in the spec's 4-byte-per-channel word
+          // interleave (ceil((spb-1)/8) groups of 4*ch bytes). A header
+          // advertising less would send decodeWavMix's nibble reads past
+          // the data chunk — reject it like any other malformed header.
+          val minAlign = 4 * ch + ((spb - 1 + 7) / 8) * 4 * ch
+          if (blockAlign <= 0 || spb <= 0 || blockAlign < minAlign) None
           else riffChunk(b, "data").map { case (_, dl) =>
             val fromBlocks = (dl / blockAlign) * spb
             val n = riffChunk(b, "fact")
@@ -575,8 +581,11 @@ object Codecs {
   }
 
   /** G.711 µ-law encode (clip 32635, bias, priority-encode the
-    * exponent, complement). Round-trips [[mulawDecode]] exactly on
-    * every code. */
+    * exponent, complement). `mulawEncode(mulawDecode(c)) == c` for
+    * every code EXCEPT 0x7f: µ-law has two zeros (0x7f and 0xff both
+    * decode to 0) and encode canonicalizes 0 to 0xff, so 0x7f
+    * collapses. The decode-side identity
+    * `mulawDecode(mulawEncode(s))` quantizes per the segment table. */
   def mulawEncode(sample: Int): Int = {
     var s = sample
     val sign = if (s < 0) { s = -s; 0x80 } else 0
@@ -716,7 +725,7 @@ object Codecs {
     val blockAlign = 4 * channels + (spb - 1) / 2 * channels
     val nBlocks = nSamples / spb
     val dataLen = nBlocks * blockAlign
-    val b = new Array[Byte](58 + dataLen)
+    val b = new Array[Byte](60 + dataLen)
     def putLe32(o: Int, v: Int): Unit = {
       b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
       b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
@@ -727,7 +736,7 @@ object Codecs {
     def tag(o: Int, s: String): Unit = {
       val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, b, o, 4)
     }
-    tag(0, "RIFF"); putLe32(4, 50 + dataLen); tag(8, "WAVE")
+    tag(0, "RIFF"); putLe32(4, 52 + dataLen); tag(8, "WAVE")
     tag(12, "fmt "); putLe32(16, 20)
     putLe16(20, 0x11)
     putLe16(22, channels); putLe32(24, sampleRate)
@@ -743,7 +752,7 @@ object Codecs {
     var blk = 0
     while (blk < nBlocks) {
       val base = blk * spb
-      val bo = 58 + blk * blockAlign
+      val bo = 60 + blk * blockAlign
       var c = 0
       while (c < channels) {
         pred(c) = sample(c, base)
@@ -881,7 +890,7 @@ object Codecs {
     val blockAlign = 4 + (spb - 1) / 2
     var b2 = 0
     while (b2 < nBlocks) {
-      val bo = 58 + b2 * blockAlign
+      val bo = 60 + b2 * blockAlign
       shaped(bo + 2) = math.max(0, math.min(88, index0(b2))).toByte
       var j = 0
       while (j < spb - 1) {

@@ -309,7 +309,11 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val b = r.getAs[Array[Byte]](1)
-        Codecs.decodeWavMix(b).map { case (h, mix) =>
+        // Drop zero-sample decodes (truncated/garbled data chunk): a
+        // clip with no frames has no mixdown semantics, and emitting
+        // an empty array would trap every downstream
+        // element_at(mix, size(mix)) consumer.
+        Codecs.decodeWavMix(b).filter(_._2.nonEmpty).map { case (h, mix) =>
           Row(id, h.sampleRate, h.channels, mix.toSeq)
         }
       }
