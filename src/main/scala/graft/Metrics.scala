@@ -223,6 +223,56 @@ object Metrics {
       "dfCap=2000 vs uncapped Bayardo on doc_id<2000 — cost of the stopword-posting drop")
     tfidf.unpersist()
 
+    // ------------- media/audio fingerprint pair recall (r8 verdict #7) --
+    // phash MIH blocking is pigeonhole-exact like simhash: candidate
+    // recall floor is 1.0 against brute-force hamming on the SAME
+    // fixture the media_phash_pairs registration plants (re-encoded
+    // every-10th payloads)
+    val mediaS = Multimodal.asMediaTable(sample)
+    val mediaAll = mediaS.unionByName(SparkEntry.reencodedMedia(mediaS))
+    val mfps = mediaAll.select(col("doc_id"),
+      Multimodal.phash64(col("media")).as("fp")).persist()
+    val exactPhash = pairSet(
+      mfps.select(col("doc_id").as("id_a"), col("fp").as("f_a"))
+        .crossJoin(mfps.select(col("doc_id").as("id_b"), col("fp").as("f_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(bit_count(expr("f_a ^ f_b")) <= 3)
+        .select("id_a", "id_b"))
+    out += Row("media_phash_pairs", "pair_recall",
+      recall(exactPhash, pairSet(Multimodal.phashPairs(mediaAll,
+        col("doc_id"), col("media"), maxHamming = 3))),
+      Some(1.0), None, exactPhash.size,
+      "vs brute-force phash hamming<=3 on doc_id<2000 + re-encodes — MIH blocking is exact")
+    mfps.unpersist()
+
+    // audio fingerprints (63-bit energy-delta profiles over the WAV
+    // mixdown): same exact-blocking contract, fixture = the
+    // audio_dedup_pairs registration's channel-swapped re-encodes
+    val wavMk = udf((id: Long, txt: String) => Multimodal.syntheticWav(id, txt))
+    val wavSwap = udf((id: Long) => Multimodal.syntheticWavSwapped(id))
+    val wavMedia = sample
+      .select(col("doc_id"), wavMk(col("doc_id"), col("text")).as("media"))
+    val wavSwapped = sample
+      .filter(pmod(col("doc_id"), lit(10)) === 1 &&
+        pmod(col("doc_id"), lit(7)) =!= 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        wavSwap(col("doc_id")).as("media"))
+    val afps = Multimodal.audioFingerprint(
+      Multimodal.decodeAudioMixStage(wavMedia.unionByName(wavSwapped)))
+      .persist()
+    val exactAudio = pairSet(
+      afps.select(col("doc_id").as("id_a"), col("fp").as("f_a"))
+        .crossJoin(afps.select(col("doc_id").as("id_b"), col("fp").as("f_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(bit_count(expr("f_a ^ f_b")) <= 3)
+        .select("id_a", "id_b"))
+    out += Row("audio_dedup_pairs", "pair_recall",
+      recall(exactAudio, pairSet(Multimodal.audioFingerprintPairs(
+        wavMedia.unionByName(wavSwapped), maxHamming = 3))),
+      Some(1.0), None, exactAudio.size,
+      "vs brute-force audio-fp hamming<=3 on doc_id<2000 + channel swaps — blocking is exact")
+    afps.unpersist()
+
     // ---------------- sketch error bounds ------------------------------
     // count-min: est >= true always; overestimate <= e/width * N w.p.
     // 1 - e^-depth per key

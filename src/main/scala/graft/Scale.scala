@@ -156,9 +156,19 @@ object Scale {
     * except the caps above. */
   def funnels(spark: SparkSession): Seq[(String, DataFrame => DataFrame)] = Seq(
     "dedup_exact" -> (d => Dedup.exact(d, col("text"), col("doc_id"))),
+    // hotElemFrac engages the boilerplate defense: the planted 38-word
+    // tail puts 10% of the corpus at pairwise Jaccard ≈0.35 — ABOVE
+    // the 0.3 threshold — so without the scrub the truth set itself is
+    // Θ(n²) and no engine can stay subquadratic. Scrubbing shingles
+    // with df > 5% of the corpus removes the boilerplate (and clone-
+    // template) shingles from BOTH candidate generation and the exact
+    // verify, restoring a near-linear truth set; the clone-flood probe
+    // below still calls the funnel scrub-OFF to prove the bucket cap
+    // engages on its own.
     "dedup_minhash_pairs" -> (d => Dedup.minhashLSH(d, col("text"),
       col("doc_id"), shingleK = 2, numHashes = 16, bands = 8,
-      jaccardThreshold = 0.3, bucketCap = BucketCap)),
+      jaccardThreshold = 0.3, bucketCap = BucketCap,
+      hotElemFrac = 0.05)),
     "dedup_ngram_pairs" -> (d => Dedup.ngramJaccardPairs(d, col("text"),
       col("doc_id"), n = 3, threshold = 0.8, bucketCap = BucketCap)),
     "dedup_simhash_pairs" -> (d => Dedup.simhashPairs(d, col("text"),

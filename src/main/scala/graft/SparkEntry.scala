@@ -97,7 +97,7 @@ object SparkEntry {
     * flip near-tie bits across these narrow-range text payloads.
     * Shared by the inline and indexed phash queries — their parity
     * depends on one fixture. */
-  private def reencodedMedia(media: DataFrame): DataFrame =
+  private[graft] def reencodedMedia(media: DataFrame): DataFrame =
     media.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("media_type"),
         overlay(col("media"), substring(col("media"), 33, 8), lit(17))
@@ -2413,6 +2413,31 @@ object SparkEntry {
     "mm_jpeg_real" -> ((s, dir) => {
       val mk = udf((id: Long, txt: String) =>
         Multimodal.syntheticJpeg(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
+    // PROGRESSIVE (SOF2) JPEG decode end-to-end: multi-scan successive
+    // approximation — DC first at Al=1, spectral AC bands, DC and AC
+    // refinement scans — reassembled into one coefficient buffer and
+    // IDCT'd. Fixtures are flat 8x8 blocks (closed form), so the
+    // oracle recomputes decoded pixel sums with no DCT; any scan-
+    // script, point-transform, EOB-run, or refinement mistake shifts
+    // sum_luma and fails the hash. The decoder is additionally cross-
+    // validated against the JDK's libjpeg-backed ImageIO in
+    // JpegProgressiveSpec.
+    "mm_jpeg_progressive" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticJpegProgressive(id, txt))
       val byteSum = udf((b: Array[Byte]) => {
         var t = 0L; var i = 0
         while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
@@ -5477,6 +5502,19 @@ object SparkEntry {
          SELECT doc_id, CAST(8 * bw AS INT) AS width,
            CAST(8 * bh AS INT) AS height,
            CAST(sum(64 * ((doc_id + 7 * bx + 13 * byy) % 256)) AS BIGINT)
+             AS sum_luma
+         FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_jpeg_progressive" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+           FROM documents WHERE doc_id % 5 <> 0),
+         gx AS (SELECT doc_id, bw, bh,
+           unnest(generate_series(0, bw - 1)) AS bx FROM m),
+         gxy AS (SELECT doc_id, bw, bh, bx,
+           unnest(generate_series(0, bh - 1)) AS byy FROM gx)
+         SELECT doc_id, CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height,
+           CAST(sum(64 * ((doc_id + 11 * bx + 17 * byy) % 256)) AS BIGINT)
              AS sum_luma
          FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
 

@@ -146,11 +146,14 @@ object Codecs {
       Some(MediaHeader("png", i32be(b, 16), i32be(b, 20), ch))
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
         (b(1) & 0xff) == 0xd8) {
-      // baseline JPEG (graft.ops.Jpeg): dims + component count from
-      // SOF0 — 1 channel for grayscale, 3 for YCbCr color
+      // JPEG (graft.ops.Jpeg): dims + component count from the frame
+      // header — baseline (SOF0) as "jpeg", progressive (SOF2) as
+      // "jpeg-prog"; 1 channel for grayscale, 3 for YCbCr color
       Jpeg.decodeJpegHeader(b).map { case (w, h, nc) =>
         MediaHeader("jpeg", w, h, nc)
-      }
+      }.orElse(Jpeg.decodeProgressiveHeader(b).map { case (w, h, nc) =>
+        MediaHeader("jpeg-prog", w, h, nc)
+      })
     } else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
       // GIF87a/89a (graft.ops.Gif): palette images are 3-channel
       Gif.decodeGifHeader(b).map { case (w, h, _) =>
@@ -374,6 +377,8 @@ object Codecs {
         }
       case MediaHeader("jpeg", _, _, _) =>
         Jpeg.decodeJpegGray(b).map { case (w, h, px) => (w, h, px) }
+      case MediaHeader("jpeg-prog", _, _, _) =>
+        Jpeg.decodeProgressivePlanes(b).map { case (w, h, pl) => (w, h, pl(0)) }
       case MediaHeader("gif", _, _, _) =>
         Gif.decodeGifGray(b)
       case MediaHeader("png", _, _, _) =>
@@ -431,6 +436,28 @@ object Codecs {
         }
       case MediaHeader("jpeg", _, _, _) =>
         Jpeg.decodeJpegColor(b)
+      case MediaHeader("jpeg-prog", _, _, _) =>
+        Jpeg.decodeProgressivePlanes(b).map { case (w, h, pl) =>
+          val rgb = new Array[Byte](w * h * 3)
+          if (pl.length == 1) {
+            var i = 0
+            while (i < w * h) {
+              rgb(3 * i) = pl(0)(i); rgb(3 * i + 1) = pl(0)(i)
+              rgb(3 * i + 2) = pl(0)(i); i += 1
+            }
+          } else {
+            var i = 0
+            while (i < w * h) {
+              val y = pl(0)(i) & 0xff
+              val cb = pl(1)(i) & 0xff; val cr = pl(2)(i) & 0xff
+              rgb(3 * i) = Jpeg.yccToR(y, cr).toByte
+              rgb(3 * i + 1) = Jpeg.yccToG(y, cb, cr).toByte
+              rgb(3 * i + 2) = Jpeg.yccToB(y, cb).toByte
+              i += 1
+            }
+          }
+          (w, h, rgb)
+        }
       case MediaHeader("png", _, _, _) =>
         pngPixels(b).map { case (w, h, ch, px) =>
           val rgb = new Array[Byte](w * h * 3)

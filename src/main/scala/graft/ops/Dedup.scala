@@ -165,21 +165,86 @@ object Dedup {
     *     driven by the background, not the threshold);
     *  6. exact Jaccard over the element sets for the survivors.
     */
-  private def lshPairs(docsKeyed: DataFrame, numHashes: Int, bands: Int,
+  /** Scrub corpus-scale elements before signatures: an element in
+    * more than `frac` of the corpus (floor 16 docs) is boilerplate —
+    * a cookie banner, a license footer, a shared template — and
+    * carries no identity signal, but it places ALL its docs in each
+    * other's near-dup range: n docs sharing a 38-word tail at
+    * pairwise Jaccard just above the threshold mint a Θ(n²) truth
+    * set. Dropping those elements makes the truth set (and thus any
+    * correct engine's cost) near-linear again; the hot list is
+    * bounded by Σ|elems| / (frac·n) entries — independent of corpus
+    * size — so it travels as an InSet literal. Docs whose elems are
+    * ALL boilerplate drop out entirely (no identity left to match).
+    * Every engagement is recorded in [[Ledger]]. */
+  private def scrubHotElems(docsKeyed: DataFrame, frac: Double): DataFrame = {
+    val keyed = docsKeyed.persist()
+    val n = keyed.count()
+    val cap = math.max(16L, math.ceil(frac * n).toLong)
+    val hot = keyed
+      .select(explode(array_distinct(col("elems"))).as("e"))
+      .groupBy("e").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .collect().map(_.get(0))
+    Ledger.note("minhash_hot_elems",
+      s"scrubbed ${hot.length} corpus-scale elems (df > $cap of $n docs)")
+    val out =
+      if (hot.isEmpty) keyed
+      else {
+        val hotSet = hot.toSeq
+        keyed.select(col("doc_id"),
+            F.filter(col("elems"), e => !e.isInCollection(hotSet)).as("elems"))
+          .filter(size(col("elems")) > 0)
+          .localCheckpoint(true)
+      }
+    if (!(out eq keyed)) keyed.unpersist()
+    out
+  }
+
+  private def lshPairs(docsKeyed0: DataFrame, numHashes: Int, bands: Int,
       bucketCap: Int, threshold: Double, elemsDistinct: Boolean,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, hotElemFrac: Double = 0.0,
+      perDocCap: Int = 0): DataFrame = {
+    val docsKeyed =
+      if (hotElemFrac <= 0) docsKeyed0
+      else scrubHotElems(docsKeyed0, hotElemFrac)
     val rows = numHashes / bands
     val base = signatureTable(docsKeyed, numHashes, elemsDistinct).persist()
     val banded = bandTable(base, bands, rows)
     val capped = dropOversizedBuckets(banded, Seq("band", "bh"), bucketCap)
     val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("n").as("n_b"))
-    val cands = a.join(b, Seq("band", "bh"))
+    val cands0 = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast(DoubleType) /
           greatest(col("n_a"), col("n_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct()
+    // Optional per-doc candidate budget: a doc in more than `perDocCap`
+    // candidate pairs is in a near-dup CLIQUE (boilerplate, template
+    // flood) where the pair list is quadratic by construction. Each
+    // doc KEEPS a deterministic id-ordered slice of `perDocCap`
+    // candidates in each endpoint role, and a pair survives if EITHER
+    // endpoint keeps it — total candidate volume is then ≤ 2·n·cap
+    // (globally linear) and every doc with any candidate keeps at
+    // least one, so cluster connectivity survives; the pairs LIST is
+    // what's truncated, and the truncation is ledgered.
+    val cands =
+      if (perDocCap <= 0) cands0
+      else {
+        val kept = cands0
+          .withColumn("__ra", row_number().over(
+            Window.partitionBy("id_a").orderBy("id_b")))
+          .withColumn("__rb", row_number().over(
+            Window.partitionBy("id_b").orderBy("id_a")))
+          .filter(col("__ra") <= perDocCap || col("__rb") <= perDocCap)
+          .select("id_a", "id_b")
+          .persist()
+        val nKept = kept.count()
+        Ledger.note("minhash_per_doc_cap",
+          s"candidate budget $perDocCap/doc kept $nKept pairs")
+        kept
+      }
     val verified = verifyCandidates(cands, base, numHashes, threshold)
     // default: materialize the (tiny) verified pair set eagerly so the
     // signature cache can be released NOW — without this, repeated
@@ -190,6 +255,7 @@ object Dedup {
     else {
       val out = verified.localCheckpoint(true)
       base.unpersist()
+      if (!(cands eq cands0)) cands.unpersist()
       out
     }
   }
@@ -233,11 +299,13 @@ object Dedup {
   def minhashLSH(docs: DataFrame, text: Column, id: Column,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.5, bucketCap: Int = 100000,
-      materialize: Boolean = true): DataFrame =
+      materialize: Boolean = true, hotElemFrac: Double = 0.0,
+      perDocCap: Int = 0): DataFrame =
     lshPairs(shingleElems(docs, text, id, shingleK), numHashes, bands,
       bucketCap, jaccardThreshold,
       elemsDistinct = false, // shingles() keeps duplicates
-      materialize = materialize)
+      materialize = materialize, hotElemFrac = hotElemFrac,
+      perDocCap = perDocCap)
 
   // ---- persisted minhash index (incremental near-dup) -----------------
 

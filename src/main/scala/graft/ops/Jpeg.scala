@@ -718,4 +718,569 @@ object Jpeg {
       }
       (w, h, out)
     }
+
+  // ----------------------------------------- progressive (SOF2) decoder
+
+  /** First index at/after `from` holding a real marker (FF followed by
+    * neither a stuffed 00 nor an RSTn) — the end of an entropy-coded
+    * segment. */
+  private def scanEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return i
+      }
+      i += 1
+    }
+    b.length
+  }
+
+  /** Test-only instrumentation: called after each decoded scan with
+    * (scan#, per-component zigzag coefficient buffers). */
+  private[ops] var debugScanHook: (Int, Array[Array[Int]]) => Unit = null
+
+  /** Progressive (SOF2) decode to per-component full-resolution planes
+    * — the multi-scan successive-approximation stream every big crawl
+    * is full of. Coefficients accumulate across scans in a per-block
+    * zigzag-order buffer: DC-first scans code point-transformed diffs
+    * (`pred << Al`), DC refinements OR in one raw bit per block, AC
+    * firsts run the EOB-run Huffman stream at `<< Al`, AC refinements
+    * run the T.81 G.1.2.3 correction-bit walk. Interleaved (multi-
+    * component) scans traverse the MCU grid; single-component scans
+    * traverse the component's own ceil(dim/8) grid. After EOI every
+    * block is dequantized and IDCT'd exactly like the baseline path.
+    * Restart intervals are refused (None), like the baseline decoder:
+    * fall back to metadata-only handling rather than risk desync. */
+  def decodeProgressivePlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var w = -1; var h = -1
+    val quants = new Array[Array[Int]](4)
+    val dcs = new Array[Map[(Int, Int), Int]](4)
+    val acs = new Array[Map[(Int, Int), Int]](4)
+    var frameIds: Array[Int] = null
+    var frameHv: Array[(Int, Int, Int)] = null // (h, v, tq)
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var coefs: Array[Array[Int]] = null // per comp: blocks × 64, zigzag order
+    var strideB: Array[Int] = null      // padded block-row stride (MCU grid)
+    var compBW: Array[Int] = null       // ceil grid (non-interleaved coverage)
+    var compBH: Array[Int] = null
+    var nScans = 0
+
+    def decodeScan(dataOff: Int, sComps: Array[Int], tds: Array[Int],
+        tas: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+      val br = new BitReader(b, dataOff)
+      var eobrun = 0
+      val prevDc = new Array[Int](sComps.length)
+
+      def dcBlock(si: Int, off: Int): Boolean = {
+        val ci = sComps(si)
+        if (ah == 0) {
+          val tab = dcs(tds(si)); if (tab == null) return false
+          huffDecode(br, tab) match {
+            case None => return false
+            case Some(t) =>
+              prevDc(si) += extend(br.bits(t), t)
+              coefs(ci)(off) = prevDc(si) << al
+          }
+        } else if (br.bit() == 1) coefs(ci)(off) |= 1 << al
+        !br.truncated
+      }
+
+      def acFirst(ci: Int, off: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        val tab = acs(tas(0)); if (tab == null) return false
+        var k = ss
+        while (k <= se) {
+          huffDecode(br, tab) match {
+            case None => return false
+            case Some(rs) =>
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += br.bits(r)
+                  return !br.truncated
+                }
+              } else {
+                k += r
+                if (k > se) return false
+                coefs(ci)(off + k) = extend(br.bits(s), s) << al
+                k += 1
+              }
+          }
+        }
+        !br.truncated
+      }
+
+      def acRefine(ci: Int, off: Int): Boolean = {
+        val p1 = 1 << al; val m1 = -1 << al
+        val buf = coefs(ci)
+        def correct(k: Int): Unit = {
+          val c = buf(off + k)
+          if (br.bit() == 1 && (c & p1) == 0)
+            buf(off + k) = c + (if (c >= 0) p1 else m1)
+        }
+        var k = ss
+        if (eobrun == 0) {
+          val tab = acs(tas(0)); if (tab == null) return false
+          var break = false
+          while (k <= se && !break) {
+            huffDecode(br, tab) match {
+              case None => return false
+              case Some(rs) =>
+                var r = rs >> 4; val s = rs & 0x0f
+                var newval = 0
+                if (s == 0) {
+                  if (r != 15) { // EOBn
+                    eobrun = (1 << r)
+                    if (r > 0) eobrun += br.bits(r)
+                    break = true
+                  }
+                  // r == 15: ZRL — skip 16 zero-history positions below
+                } else {
+                  if (s != 1) return false
+                  newval = if (br.bit() == 1) p1 else m1
+                }
+                if (!break) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    if (buf(off + k) != 0) { correct(k); k += 1 }
+                    else if (r == 0) placed = true
+                    else { r -= 1; k += 1 }
+                  }
+                  if (newval != 0 && k <= se) buf(off + k) = newval
+                  k += 1
+                }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            if (buf(off + k) != 0) correct(k)
+            k += 1
+          }
+          eobrun -= 1
+        }
+        !br.truncated
+      }
+
+      if (ss == 0) { // DC scan (interleaved over scan comps, or raster)
+        if (se != 0) return false
+        if (sComps.length == 1) {
+          val ci = sComps(0)
+          var by = 0
+          while (by < compBH(ci)) {
+            var bx = 0
+            while (bx < compBW(ci)) {
+              if (!dcBlock(0, (by * strideB(ci) + bx) * 64)) return false
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              var si = 0
+              while (si < sComps.length) {
+                val ci = sComps(si)
+                val (ch, cv, _) = frameHv(ci)
+                var bv = 0
+                while (bv < cv) {
+                  var bh = 0
+                  while (bh < ch) {
+                    val off =
+                      ((my * cv + bv) * strideB(ci) + mx * ch + bh) * 64
+                    if (!dcBlock(si, off)) return false
+                    bh += 1
+                  }
+                  bv += 1
+                }
+                si += 1
+              }
+              mx += 1
+            }
+            my += 1
+          }
+        }
+      } else { // AC scan: single component, non-interleaved
+        if (sComps.length != 1 || se > 63 || ss > se) return false
+        val ci = sComps(0)
+        var by = 0
+        while (by < compBH(ci)) {
+          var bx = 0
+          while (bx < compBW(ci)) {
+            val off = (by * strideB(ci) + bx) * 64
+            val ok = if (ah == 0) acFirst(ci, off) else acRefine(ci, off)
+            if (!ok) return false
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      true
+    }
+
+    var i = 2
+    var sawEoi = false
+    while (i + 2 <= b.length && !sawEoi) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) { sawEoi = true; i += 2 }
+      else {
+        if (i + 4 > b.length) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        val p = i + 4
+        if (p + len - 2 > b.length) return None
+        m match {
+          case 0xdb =>
+            var o = p
+            while (o < p + len - 2) {
+              val pq = (b(o) & 0xff) >> 4; val tq = b(o) & 0x0f
+              if (pq == 0)
+                quants(tq) = Array.tabulate(64)(k => b(o + 1 + k) & 0xff)
+              else
+                quants(tq) = Array.tabulate(64)(k =>
+                  ((b(o + 1 + 2 * k) & 0xff) << 8) | (b(o + 2 + 2 * k) & 0xff))
+              o += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 =>
+            var o = p
+            while (o < p + len - 2) {
+              val tc = (b(o) & 0xff) >> 4; val th = b(o) & 0x0f
+              val bits = Array.tabulate(16)(k => b(o + 1 + k) & 0xff)
+              val nv = bits.sum
+              val vals = Array.tabulate(nv)(k => b(o + 17 + k) & 0xff)
+              if (tc == 0) dcs(th) = decodeTable(bits, vals)
+              else acs(th) = decodeTable(bits, vals)
+              o += 17 + nv
+            }
+          case 0xdd =>
+            if ((((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) != 0) return None
+          case 0xc2 =>
+            if ((b(p) & 0xff) != 8) return None
+            h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+            w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+            val nComp = b(p + 5) & 0xff
+            if (nComp != 1 && nComp != 3) return None
+            if (w <= 0 || h <= 0) return None
+            frameIds = new Array[Int](nComp)
+            frameHv = new Array[(Int, Int, Int)](nComp)
+            var c = 0
+            while (c < nComp) {
+              frameIds(c) = b(p + 6 + 3 * c) & 0xff
+              val hv = b(p + 7 + 3 * c) & 0xff
+              frameHv(c) = (hv >> 4, hv & 0x0f, b(p + 8 + 3 * c) & 0x0f)
+              if (frameHv(c)._1 < 1 || frameHv(c)._1 > 2 ||
+                frameHv(c)._2 < 1 || frameHv(c)._2 > 2) return None
+              c += 1
+            }
+            hmax = frameHv.map(_._1).max; vmax = frameHv.map(_._2).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            strideB = Array.tabulate(nComp)(ci => mcusX * frameHv(ci)._1)
+            compBW = Array.tabulate(nComp) { ci =>
+              val cw = (w * frameHv(ci)._1 + hmax - 1) / hmax
+              (cw + 7) / 8
+            }
+            compBH = Array.tabulate(nComp) { ci =>
+              val chh = (h * frameHv(ci)._2 + vmax - 1) / vmax
+              (chh + 7) / 8
+            }
+            coefs = Array.tabulate(nComp)(ci =>
+              new Array[Int](strideB(ci) * mcusY * frameHv(ci)._2 * 64))
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+              0xcb | 0xcd | 0xce | 0xcf =>
+            return None // this path decodes SOF2 only
+          case 0xda =>
+            if (coefs == null) return None
+            val nS = b(p) & 0xff
+            if (nS < 1 || nS > frameIds.length) return None
+            val sComps = new Array[Int](nS)
+            val tds = new Array[Int](nS); val tas = new Array[Int](nS)
+            var c = 0
+            while (c < nS) {
+              val fi = frameIds.indexOf(b(p + 1 + 2 * c) & 0xff)
+              if (fi < 0) return None
+              sComps(c) = fi
+              tds(c) = (b(p + 2 + 2 * c) & 0xff) >> 4
+              tas(c) = b(p + 2 + 2 * c) & 0x0f
+              c += 1
+            }
+            val ss = b(p + 1 + 2 * nS) & 0xff
+            val se = b(p + 2 + 2 * nS) & 0xff
+            val aa = b(p + 3 + 2 * nS) & 0xff
+            val dataOff = p + len - 2
+            if (!decodeScan(dataOff, sComps, tds, tas, ss, se,
+              aa >> 4, aa & 0x0f)) return None
+            nScans += 1
+            if (debugScanHook != null) debugScanHook(nScans, coefs)
+            i = scanEnd(b, dataOff)
+          case _ => ()
+        }
+        if (m != 0xda && m != 0xd9) i = p + len - 2
+      }
+    }
+    if (coefs == null || nScans == 0) return None
+    // dequantize + IDCT every (padded-grid) block, then crop/upsample
+    val n = frameIds.length
+    val planeW = Array.tabulate(n)(ci => strideB(ci) * 8)
+    val planeH = Array.tabulate(n)(ci => mcusY * frameHv(ci)._2 * 8)
+    val planes = Array.tabulate(n)(ci => new Array[Byte](planeW(ci) * planeH(ci)))
+    var ci = 0
+    while (ci < n) {
+      val q = quants(frameHv(ci)._3)
+      if (q == null) return None
+      val bw = strideB(ci); val bh = planeH(ci) / 8
+      val natural = new Array[Double](64)
+      var bi = 0
+      while (bi < bw * bh) {
+        java.util.Arrays.fill(natural, 0.0)
+        var k = 0
+        while (k < 64) {
+          val v = coefs(ci)(bi * 64 + k)
+          if (v != 0) natural(Zigzag(k)) = v.toDouble * q(k)
+          k += 1
+        }
+        val d = idct(natural)
+        val ox = (bi % bw) * 8; val oy = (bi / bw) * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val v = math.round(d(y * 8 + x) + 128).toInt
+            planes(ci)((oy + y) * planeW(ci) + ox + x) =
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            x += 1
+          }
+          y += 1
+        }
+        bi += 1
+      }
+      ci += 1
+    }
+    val out = Array.tabulate(n) { ci2 =>
+      val (chh, cv, _) = frameHv(ci2)
+      val o = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = y * cv / vmax
+        var x = 0
+        while (x < w) {
+          o(y * w + x) = planes(ci2)(sy * planeW(ci2) + x * chh / hmax)
+          x += 1
+        }
+        y += 1
+      }
+      o
+    }
+    Some((w, h, out))
+  }
+
+  /** (width, height, components) from a progressive (SOF2) header. */
+  def decodeProgressiveHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) return None
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      val p = i + 4
+      if (p + len - 2 > b.length) return None
+      if (m == 0xc2) {
+        val hh = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+        val ww = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+        return Some((ww, hh, b(p + 5) & 0xff))
+      }
+      if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        return None // some other frame type
+      i = p + len - 2
+    }
+    None
+  }
+
+  // ---------------------------------------- progressive (SOF2) encoder
+
+  /** Progressive grayscale encoder for fixtures: a 5-scan successive-
+    * approximation script (DC first at Al=1 → AC 1–5 first at Al=1 →
+    * AC 6–63 first at Al=1 → DC refinement → AC 1–63 refinement) so a
+    * round-trip exercises every scan kind the decoder supports. Same
+    * uniform QStep and std tables as [[encodeJpegGray]] — flat 8×8
+    * blocks therefore stay closed-form exact (only the DC coefficient
+    * survives quantization, and QStep·8 divides the DCT's flat-block
+    * DC exactly). Each scan ends with its own EOB code (no cross-
+    * block EOB runs — an encoder's choice the spec allows). */
+  def encodeJpegProgressiveGray(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(QStep))
+    // SOF2 (progressive), 1 component
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xc4, Array(0x10) ++ AcBits ++ AcVals)
+
+    // quantized coefficients for every block, zigzag order
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    val qblocks = new Array[Array[Int]](bx * by)
+    var bi = 0
+    while (bi < bx * by) {
+      val block = new Array[Double](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val sx = math.min((bi % bx) * 8 + x, w - 1)
+          val sy = math.min((bi / bx) * 8 + y, h - 1)
+          block(y * 8 + x) = (pix(sx, sy) & 0xff) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val coef = fdct(block)
+      qblocks(bi) = Array.tabulate(64)(k =>
+        math.round(coef(Zigzag(k)) / QStep).toInt)
+      bi += 1
+    }
+
+    def sosHeader(ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | al))
+
+    // scan 1: DC first, Al=1 (diffs over the point-transformed values)
+    sosHeader(0, 0, 0, 1)
+    var bw = new BitWriter(out)
+    var prevDc = 0
+    bi = 0
+    while (bi < bx * by) {
+      val v = qblocks(bi)(0) >> 1
+      val diff = v - prevDc; prevDc = v
+      val t = category(diff)
+      val (dc, dl) = DcEnc(t); bw.put(dc, dl)
+      if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      bi += 1
+    }
+    bw.flush()
+
+    // scans 2-3: AC first at Al=1, bands 1-5 then 6-63
+    for ((ss, se) <- Seq((1, 5), (6, 63))) {
+      sosHeader(ss, se, 0, 1)
+      bw = new BitWriter(out)
+      bi = 0
+      while (bi < bx * by) {
+        val q = qblocks(bi)
+        var run = 0
+        var k = ss
+        var lastCoded = ss - 1 // band position of the last coded coef
+        while (k <= se) {
+          // point transform divides MAGNITUDE by 2^Al (shift toward 0)
+          val pv = if (q(k) >= 0) q(k) >> 1 else -((-q(k)) >> 1)
+          if (pv == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val t = category(pv)
+            val (c, l) = AcEnc((run << 4) | t)
+            bw.put(c, l)
+            bw.put(if (pv < 0) pv + (1 << t) - 1 else pv, t)
+            run = 0; lastCoded = k
+          }
+          k += 1
+        }
+        // EOB0 unless the band's last coefficient itself was coded
+        if (lastCoded < se) { val (c, l) = AcEnc(0x00); bw.put(c, l) }
+        bi += 1
+      }
+      bw.flush()
+    }
+
+    // scan 4: DC refinement (Ah=1, Al=0) — one raw bit per block
+    sosHeader(0, 0, 1, 0)
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < bx * by) {
+      bw.put(qblocks(bi)(0) & 1, 1)
+      bi += 1
+    }
+    bw.flush()
+
+    // scan 5: AC refinement 1-63 (Ah=1, Al=0). Bits must appear in the
+    // exact span order the decoder's G.1.2.3 walk consumes them: each
+    // ZRL covers positions up to and including its 16th zero-HISTORY
+    // coefficient, with correction bits for nonzero-history positions
+    // interleaved positionally inside that span; a run-size code's
+    // sign bit precedes its span's correction bits.
+    sosHeader(1, 63, 1, 0)
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < bx * by) {
+      val q = qblocks(bi)
+      // per-position event over the band: 0 zero-history zero,
+      // 1/2 correction bit 0/1, 3/4 newly nonzero +1/−1
+      val ev = Array.tabulate(63) { j =>
+        val k = j + 1
+        val prev = if (q(k) >= 0) q(k) >> 1 else -((-q(k)) >> 1)
+        if (prev != 0) 1 + (math.abs(q(k)) & 1)
+        else if (q(k) > 0) 3
+        else if (q(k) < 0) 4
+        else 0
+      }
+      var i2 = 0
+      var done = false
+      while (!done) {
+        var j = i2
+        while (j < 63 && ev(j) < 3) j += 1
+        if (j == 63) {
+          // no further newly-nonzero coef: EOB unless nothing remains
+          if (i2 < 63) {
+            val (c, l) = AcEnc(0x00); bw.put(c, l)
+            while (i2 < 63) {
+              if (ev(i2) == 1 || ev(i2) == 2) bw.put(ev(i2) - 1, 1)
+              i2 += 1
+            }
+          }
+          done = true
+        } else {
+          var z = 0
+          var t = i2
+          while (t < j) { if (ev(t) == 0) z += 1; t += 1 }
+          while (z > 15) {
+            val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl)
+            var zc2 = 0
+            while (zc2 < 16) {
+              if (ev(i2) == 0) zc2 += 1
+              else bw.put(ev(i2) - 1, 1)
+              i2 += 1
+            }
+            z -= 16
+          }
+          val (c, l) = AcEnc((z << 4) | 1)
+          bw.put(c, l)
+          bw.put(if (ev(j) == 3) 1 else 0, 1)
+          while (i2 < j) {
+            if (ev(i2) == 1 || ev(i2) == 2) bw.put(ev(i2) - 1, 1)
+            i2 += 1
+          }
+          i2 = j + 1
+        }
+      }
+      bi += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
 }

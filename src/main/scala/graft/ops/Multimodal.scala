@@ -524,6 +524,22 @@ object Multimodal {
         (x, y) => ((id + 7L * (x / 8) + 13L * (y / 8)) % 256).toInt)
     }
 
+  /** Deterministic REAL-PROGRESSIVE-JPEG fixture: SOF2 grayscale
+    * streams through the 5-scan successive-approximation script
+    * ([[Jpeg.encodeJpegProgressiveGray]] — DC first at Al=1, AC bands
+    * at Al=1, DC + AC refinements), flat 8×8 blocks in closed form
+    * over (doc_id, bx, by) so the oracle recomputes decoded sums with
+    * no DCT while the engine reassembles coefficients across all five
+    * scans. Every 5th doc raw text for the fallback path. */
+  def syntheticJpegProgressive(id: Long, text: String): Array[Byte] =
+    if (id % 5 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 8 * (1 + (id % 4).toInt)
+      val h = 8 * (1 + (id % 3).toInt)
+      Jpeg.encodeJpegProgressiveGray(w, h,
+        (x, y) => ((id + 11L * (x / 8) + 17L * (y / 8)) % 256).toInt)
+    }
+
   /** Deterministic REAL-COLOR-JPEG fixture: 16×16-grid-flat RGB
     * blocks in closed form over (doc_id, bx, by), dims 16·(1+id%3) ×
     * 16·(1+id%2), chroma sampling cycling 420/422/444 by id%3 —

@@ -841,17 +841,58 @@ object Similarity {
     * buckets near-weightless, which is what makes the cap safe to
     * size aggressively at scale. */
   def sparseCosinePairs(sparse: DataFrame, threshold: Double,
-      dfCap: Int = 100000, roundTo: Int = 4): DataFrame = {
-    val capped = Dedup.dropOversizedBuckets(
+      dfCap: Int = 100000, roundTo: Int = 4,
+      materialize: Boolean = true): DataFrame = {
+    // Candidate generation is PREFIX-FILTERED (the Bayardo/AllPairs
+    // bound): order each doc's features hottest-first (df desc) and
+    // call a feature UNINDEXED while the running Σ w·maxw stays below
+    // the threshold — any pair overlapping ONLY in one side's
+    // unindexed set has dot ≤ that running bound < t, so joining the
+    // full lists against the INDEXED remainder finds every result
+    // pair. This is what makes cost monotone in corpus size: hot
+    // posting lists sitting just under dfCap used to mint df² partial
+    // rows (Σdf² is non-monotone — lists leave the sum the moment
+    // they cross the cap), but idf makes exactly those features
+    // near-weightless, so they land in the unindexed prefix of the
+    // hot-first order and their full×indexed join side is ~empty.
+    // Survivors get the EXACT capped-subspace dot via a pair-keyed
+    // re-join — output is identical to the plain inverted-index
+    // formulation, only the plan changes.
+    import org.apache.spark.sql.expressions.Window
+    val margin = math.pow(10.0, -roundTo) // rounded-cos boundary slack
+    val capped0 = Dedup.dropOversizedBuckets(
       sparse.select(col("doc_id"), col("pos"), col("w")), Seq("pos"), dfCap)
-    val lhs = capped.select(col("pos"), col("doc_id").as("id_a"),
+    val capped = if (materialize) capped0.persist() else capped0
+    val posStats = capped.groupBy("pos")
+      .agg(count(lit(1)).as("__df"), max(col("w")).as("__maxw"))
+    val hotFirst = Window.partitionBy("doc_id")
+      .orderBy(col("__df").desc, col("pos").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val indexed = capped.join(posStats, Seq("pos"))
+      .withColumn("__cum", sum(col("w") * col("__maxw")).over(hotFirst))
+      .filter(col("__cum") >= threshold - margin)
+      .select(col("pos"), col("doc_id"))
+    val cands = capped.select(col("pos"), col("doc_id").as("id_x"))
+      .join(indexed.select(col("pos"), col("doc_id").as("id_y")), Seq("pos"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val av = capped.select(col("doc_id").as("id_a"), col("pos"),
       col("w").as("w_a"))
-    val rhs = capped.select(col("pos"), col("doc_id").as("id_b"),
+    val bv = capped.select(col("doc_id").as("id_b"), col("pos"),
       col("w").as("w_b"))
-    lhs.join(rhs, Seq("pos")).filter(col("id_a") < col("id_b"))
+    val out = cands.join(av, Seq("id_a"))
+      .join(bv, Seq("id_b", "pos"))
       .groupBy("id_a", "id_b")
       .agg(round(sum(col("w_a") * col("w_b")), roundTo).as("cos"))
       .filter(col("cos") >= threshold)
+    if (!materialize) out
+    else {
+      val o = out.localCheckpoint(true)
+      capped.unpersist()
+      o
+    }
   }
 
   /** Hard-negative mining for contrastive/embedding training (public

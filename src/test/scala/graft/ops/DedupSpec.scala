@@ -143,6 +143,54 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${blocked.size}/${exact.size})")
   }
 
+  test("hotElemFrac scrubs boilerplate-driven pairs, keeps organic near-dups") {
+    import spark.implicits._
+    // 30 docs with unique bodies + a shared 12-word boilerplate tail
+    // (pairwise similar ONLY through the tail), plus one organic
+    // near-dup pair sharing a real body
+    val tail = "subscribe to our newsletter accept cookies terms of " +
+      "service privacy policy"
+    val body = (i: Int) => s"unique body number $i with words " +
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    val rows = (1 to 30).map(i => (i.toLong, body(i) + " " + tail)) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog tonight " + tail),
+          (101L, "the quick brown fox jumps over the lazy dog today " + tail))
+    val d = rows.toDF("doc_id", "text")
+    val noScrub = pairSet(Dedup.minhashLSH(d, col("text"), col("doc_id"),
+      shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.25))
+    // boilerplate floods the pair list without the scrub
+    assert(noScrub.size > 50, s"fixture too weak: ${noScrub.size}")
+    val scrubbed = pairSet(Dedup.minhashLSH(d, col("text"), col("doc_id"),
+      shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.25,
+      hotElemFrac = 0.2))
+    // tail shingles sit in >20% of docs → scrubbed; the organic pair's
+    // body shingles are rare → it must survive
+    assert(scrubbed.contains((100L, 101L)),
+      s"organic near-dup lost: $scrubbed")
+    assert(scrubbed.size < 10, s"boilerplate pairs survived: ${scrubbed.size}")
+    assert(Ledger.recent().exists(_._1 == "minhash_hot_elems"))
+  }
+
+  test("perDocCap bounds each doc's candidate fan-out deterministically") {
+    import spark.implicits._
+    // a 12-doc identical-text clique: 66 pairs uncapped
+    val d = (1 to 12).map(i => (i.toLong,
+      "identical clique text shared by every document here")).toDF("doc_id", "text")
+    val full = pairSet(Dedup.minhashLSH(d, col("text"), col("doc_id"),
+      shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.5))
+    assert(full.size === 66)
+    val capped = pairSet(Dedup.minhashLSH(d, col("text"), col("doc_id"),
+      shingleK = 2, numHashes = 16, bands = 8, jaccardThreshold = 0.5,
+      perDocCap = 3))
+    assert(capped.subsetOf(full))
+    assert(capped.nonEmpty && capped.size < 66)
+    // global volume bound: each doc keeps ≤ cap candidates per role
+    assert(capped.size <= 2 * 12 * 3, s"volume bound violated: ${capped.size}")
+    // every clique member still reaches the cluster through some pair
+    val touched = capped.flatMap(p => Seq(p._1, p._2))
+    assert((1 to 12).forall(i => touched.contains(i.toLong)))
+  }
+
   test("bucket cap drops oversized buckets (skew insurance) without killing the rest") {
     // cap of 1 kills every 2+ bucket: identical docs still pair only if
     // some bucket stays under the cap — with cap 1 nothing can pair
