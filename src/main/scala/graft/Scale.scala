@@ -178,9 +178,18 @@ object Scale {
     "dedup_snm_pairs" -> (d => Dedup.sortedNeighborhoodPairs(d,
       col("text"), col("doc_id"), sortKeyLen = 24, window = 10,
       shingleK = 2, threshold = 0.3)),
+    // dfFrac engages the proportional df-cap: this corpus hashes its
+    // shingle space into 1024 tf-idf buckets, so EVERY posting list
+    // has df ≈ 6% of the corpus with near-flat weights — the absolute
+    // cap leaves them all just under the line at m=4 (Σdf² ≈ 2.3G
+    // partial rows, the measured r8 cliff) and drops them all at
+    // m≥16. df ≤ 5%·n makes the stopword judgment scale with the
+    // corpus: cost is monotone and the drop is ledgered; the
+    // stopword-postings pathology probe still quantifies exactly what
+    // was dropped.
     "text_sparse_cosine_pairs" -> (d => Similarity.sparseCosinePairs(
       TextOps.hashedTfIdf(d, shingleText(col("text")), col("doc_id")),
-      threshold = 0.85, dfCap = DfCap)),
+      threshold = 0.85, dfCap = DfCap, dfFrac = 0.05)),
     "span_dup_spans" -> (d => Spans.duplicatedSpans(d, col("text"),
       col("doc_id"), n = 10)),
     "split_leakfree" -> (d => Curate.leakSafeSplit(d, col("text"),

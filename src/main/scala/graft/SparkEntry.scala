@@ -2152,6 +2152,24 @@ object SparkEntry {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // GZIPPED WARC ingest (.warc.gz — one gzip member per record,
+    // concatenated: the Common-Crawl wire format): containers are
+    // REALLY deflate-compressed (java.util.zip on the fixture side,
+    // GZIPInputStream multi-member consumption on the decode side);
+    // decompressed content is byte-identical to the plain fixture, so
+    // the SAME oracle fields (lengths, URIs, payload md5) must come
+    // out — a desync or partial-member bug fails the hash.
+    "ingest_warc_gz_records" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Ingest.warcGzFixture(id, txt))
+      val containers = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("warc"))
+      Ingest.warcRecords(containers)
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     "mm_decode_real" -> ((s, dir) => {
       val mk = udf((id: Long, txt: String) =>
         Multimodal.syntheticContainer(id, txt))
@@ -2413,6 +2431,28 @@ object SparkEntry {
     "mm_jpeg_real" -> ((s, dir) => {
       val mk = udf((id: Long, txt: String) =>
         Multimodal.syntheticJpeg(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
+    // PNG Adam7-interlace + 16-bit decode end-to-end: interlaced
+    // containers scatter seven filter-passes back onto odd-dimension
+    // grids; 16-bit containers filter at the 2-byte sample stride and
+    // project the high byte. Pixels are closed-form, so the oracle
+    // recomputes luma sums directly — a pass-geometry, stride, or
+    // byte-order mistake shifts sum_luma and fails the hash.
+    "mm_png_variants" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticPngVariant(id, txt))
       val byteSum = udf((b: Array[Byte]) => {
         var t = 0L; var i = 0
         while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
@@ -5440,6 +5480,23 @@ object SparkEntry {
          FROM documents
          ORDER BY doc_id, rec_idx""",
 
+    // decompressed .warc.gz content is byte-identical to the plain
+    // container, so the oracle is the same record restatement
+    "ingest_warc_gz_records" ->
+      """WITH info AS (SELECT 'software: graft-crawler/1.0'
+             || chr(13) || chr(10) AS ip)
+         SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+           CAST(NULL AS VARCHAR) AS target_uri,
+           CAST(strlen(ip) AS BIGINT) AS content_length,
+           md5(ip) AS payload_md5
+         FROM documents CROSS JOIN info
+         UNION ALL
+         SELECT doc_id, 1, 'response',
+           'http://example.com/doc/' || doc_id,
+           CAST(strlen(text) AS BIGINT), md5(text)
+         FROM documents
+         ORDER BY doc_id, rec_idx""",
+
     "mm_decode_real" ->
       """WITH m AS (SELECT doc_id, doc_id % 5 AS k,
            1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h,
@@ -5504,6 +5561,19 @@ object SparkEntry {
            CAST(sum(64 * ((doc_id + 7 * bx + 13 * byy) % 256)) AS BIGINT)
              AS sum_luma
          FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_png_variants" ->
+      """WITH d AS (SELECT doc_id, 5 + doc_id % 8 AS w, 4 + doc_id % 5 AS h,
+           doc_id % 3 AS k FROM documents WHERE doc_id % 3 <> 0),
+         px AS (SELECT doc_id, w, h,
+           CASE WHEN k = 1 THEN (doc_id + 3 * x + 5 * y) % 256
+                ELSE ((doc_id * 257 + 4099 * x + 131 * y) % 65536) // 256
+           END AS v
+           FROM d, unnest(generate_series(0, d.w - 1)) AS tx(x),
+                unnest(generate_series(0, d.h - 1)) AS ty(y))
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_luma
+         FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "mm_jpeg_progressive" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh

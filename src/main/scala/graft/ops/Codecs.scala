@@ -189,7 +189,8 @@ object Codecs {
     * (signature + IHDR + IDAT + IEND, correct CRC32s). Exposed to the
     * spec so filter-reversal can be tested on hand-filtered rows. */
   private[ops] def wrapPng(w: Int, h: Int, colorType: Int,
-      scanlines: Array[Byte], plte: Array[Byte] = null): Array[Byte] = {
+      scanlines: Array[Byte], plte: Array[Byte] = null,
+      bitDepth: Int = 8, interlace: Int = 0): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(scanlines); deflater.finish()
     val buf = new Array[Byte](scanlines.length + 64)
@@ -202,7 +203,8 @@ object Codecs {
       a(o + 2) = (v >> 8).toByte; a(o + 3) = v.toByte
     }
     be(ihdr, 0, w); be(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    ihdr(12) = interlace.toByte
     def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](12 + data.length)
       be(out, 0, data.length)
@@ -221,6 +223,51 @@ object Codecs {
       chunk("IEND", Array.empty[Byte])
   }
 
+  /** 16-bit grayscale PNG (big-endian samples, filter-0 rows) — the
+    * fixture-side encoder for the 16-bit decode path. `pix` returns
+    * the full 16-bit sample. */
+  private[ops] def encodePngGray16(w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 2 * w))
+    var y = 0
+    while (y < h) {
+      val row = y * (1 + 2 * w) + 1
+      var x = 0
+      while (x < w) {
+        val v = pix(x, y) & 0xffff
+        raw(row + 2 * x) = (v >> 8).toByte
+        raw(row + 2 * x + 1) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    wrapPng(w, h, colorType = 0, raw, bitDepth = 16)
+  }
+
+  /** Adam7-interlaced 8-bit grayscale PNG (filter-0 rows per pass) —
+    * the fixture-side encoder for the interlaced decode path. */
+  private[ops] def encodePngGrayAdam7(w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- Adam7) {
+      val pw = math.max(0, (w - x0 + dx - 1) / dx)
+      val ph = math.max(0, (h - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        var j = 0
+        while (j < ph) {
+          bos.write(0) // filter: None
+          var i = 0
+          while (i < pw) {
+            bos.write(pix(x0 + i * dx, y0 + j * dy) & 0xff)
+            i += 1
+          }
+          j += 1
+        }
+      }
+    }
+    wrapPng(w, h, colorType = 0, bos.toByteArray, interlace = 1)
+  }
+
   /** Palette (color type 3) PNG from explicit PLTE bytes and one
     * index byte per pixel, filter-0 rows — the fixture-side encoder
     * for the palette decode path. */
@@ -236,14 +283,21 @@ object Codecs {
     wrapPng(w, h, colorType = 3, raw, plte)
   }
 
-  /** Inflate-and-unfilter a non-interlaced 8-bit PNG's scanlines:
-    * IDAT chunks concatenated → Inflater → per-row reversal of the
-    * five standard filters (None/Sub/Up/Average/Paeth). Returns the
-    * raw per-pixel channel bytes, top-left origin, `ch` channels;
+  /** Adam7 pass geometry: (x0, y0, dx, dy) per pass. */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Inflate-and-unfilter a PNG's scanlines: IDAT chunks concatenated
+    * → Inflater → per-row reversal of the five standard filters
+    * (None/Sub/Up/Average/Paeth), for non-interlaced AND Adam7-
+    * interlaced streams at bit depth 8 or 16 (16-bit samples reduce
+    * to their high byte — the standard 16→8 projection; filtering
+    * runs at the full 2-byte-per-sample stride per the spec).
+    * Returns per-pixel channel bytes, top-left origin, `ch` channels;
     * palette images (color type 3) expand through their PLTE to
     * 3-channel RGB, with out-of-range indices and missing/ragged
-    * palettes rejected. None for sub-8-bit, 16-bit, or interlaced
-    * images. */
+    * palettes rejected. None for sub-8-bit images. */
   private def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val w = i32be(b, 16); val h = i32be(b, 20)
     val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
@@ -254,7 +308,11 @@ object Codecs {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return None
     }
-    if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    if ((bitDepth != 8 && bitDepth != 16) ||
+      (bitDepth == 16 && colorType == 3) ||
+      (interlace != 0 && interlace != 1) || w <= 0 || h <= 0) return None
+    val sb = bitDepth / 8 // bytes per sample
+    val bpp = ch * sb     // filter distance: bytes per pixel
     // concatenate IDAT payloads; pick up the palette on the way
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
@@ -272,41 +330,75 @@ object Codecs {
         o += 12 + len
       }
     }
-    val stride = ch * w
-    val raw = new Array[Byte](h * (1 + stride))
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      (math.max(0, (w - x0 + dx - 1) / dx),
+        math.max(0, (h - y0 + dy - 1) / dy))
+    }
+    val total = passDims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+    }.sum
+    val raw = new Array[Byte](total)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     val got = try inf.inflate(raw) finally inf.end()
-    if (got < raw.length) return None
-    // in-place filter reversal, rows top to bottom
-    val out = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (1 + stride)) & 0xff
-      val row = y * (1 + stride) + 1
-      var i = 0
-      while (i < stride) {
-        val x = raw(row + i) & 0xff
-        val a = if (i >= ch) out(y * stride + i - ch) & 0xff else 0 // left
-        val u = if (y > 0) out((y - 1) * stride + i) & 0xff else 0 // up
-        val ul = if (y > 0 && i >= ch) out((y - 1) * stride + i - ch) & 0xff
-          else 0
-        val v = f match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + u
-          case 3 => x + (a + u) / 2
-          case 4 =>
-            val p = a + u - ul
-            val pa = math.abs(p - a); val pb = math.abs(p - u)
-            val pc = math.abs(p - ul)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else ul)
-          case _ => return None
+    if (got < total) return None
+    val out = new Array[Byte](h * w * ch) // 8-bit (16-bit high bytes)
+    var off = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val un = new Array[Byte](ph * stride)
+        var y = 0
+        while (y < ph) {
+          val f = raw(off + y * (1 + stride)) & 0xff
+          val row = off + y * (1 + stride) + 1
+          var i = 0
+          while (i < stride) {
+            val x = raw(row + i) & 0xff
+            val a = if (i >= bpp) un(y * stride + i - bpp) & 0xff else 0
+            val u = if (y > 0) un((y - 1) * stride + i) & 0xff else 0
+            val ul = if (y > 0 && i >= bpp) un((y - 1) * stride + i - bpp) & 0xff
+              else 0
+            val v = f match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + u
+              case 3 => x + (a + u) / 2
+              case 4 =>
+                val p = a + u - ul
+                val pa = math.abs(p - a); val pb = math.abs(p - u)
+                val pc = math.abs(p - ul)
+                x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else ul)
+              case _ => return None
+            }
+            un(y * stride + i) = v.toByte
+            i += 1
+          }
+          y += 1
         }
-        out(y * stride + i) = v.toByte
-        i += 1
+        // scatter pass pixels onto the output grid (high byte per sample)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            var c = 0
+            while (c < ch) {
+              out(((y0 + j * dy) * w + (x0 + i * dx)) * ch + c) =
+                un(j * stride + i * bpp + c * sb)
+              c += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+        off += ph * (1 + stride)
       }
-      y += 1
+      pi += 1
     }
     if (colorType == 3) {
       if (plte == null || plte.length % 3 != 0 || plte.isEmpty) return None
@@ -1066,6 +1158,39 @@ object Codecs {
     * the exact payload bytes. */
   final case class WarcRecord(warcType: String, targetUri: String,
     contentLength: Long, payload: Array[Byte])
+
+  /** Decompress a (possibly multi-member) gzip stream — the
+    * `.warc.gz` wire format is one gzip member PER RECORD,
+    * concatenated, and java.util.zip.GZIPInputStream consumes
+    * concatenated members natively. None on corrupt/truncated
+    * streams (quarantine contract, not an exception). */
+  def gunzipAll(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** True when the payload starts with the gzip magic (1f 8b). */
+  def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Gzip one byte array as a single member (fixture-side helper for
+    * building per-record-member `.warc.gz` containers). */
+  def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
 
   /** Encode records as a WARC/1.0 container (ISO 28500, public):
     * version line, CRLF header block, Content-Length-delimited

@@ -201,6 +201,34 @@ object Dedup {
     out
   }
 
+  /** Optional per-doc candidate budget, shared by every pair funnel: a
+    * doc in more than `cap` candidate pairs is in a near-dup CLIQUE
+    * (boilerplate, template flood) where the pair list is quadratic by
+    * construction. Each doc KEEPS a deterministic id-ordered slice of
+    * `cap` candidates in each endpoint role, and a pair survives if
+    * EITHER endpoint keeps it — total candidate volume is then
+    * ≤ 2·n·cap (globally linear) and every doc with any candidate
+    * keeps at least one, so cluster connectivity survives; the pairs
+    * LIST is what's truncated, and the truncation is ledgered.
+    * `cap <= 0` (the default everywhere) disables the budget. */
+  private[ops] def capCandidatesPerDoc(cands: DataFrame, cap: Int,
+      tag: String): DataFrame =
+    if (cap <= 0) cands
+    else {
+      val kept = cands
+        .withColumn("__ra", row_number().over(
+          Window.partitionBy("id_a").orderBy("id_b")))
+        .withColumn("__rb", row_number().over(
+          Window.partitionBy("id_b").orderBy("id_a")))
+        .filter(col("__ra") <= cap || col("__rb") <= cap)
+        .select("id_a", "id_b")
+        .persist()
+      val nKept = kept.count()
+      Ledger.note(s"${tag}_per_doc_cap",
+        s"candidate budget $cap/doc kept $nKept pairs")
+      kept
+    }
+
   private def lshPairs(docsKeyed0: DataFrame, numHashes: Int, bands: Int,
       bucketCap: Int, threshold: Double, elemsDistinct: Boolean,
       materialize: Boolean = true, hotElemFrac: Double = 0.0,
@@ -220,31 +248,7 @@ object Dedup {
           greatest(col("n_a"), col("n_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct()
-    // Optional per-doc candidate budget: a doc in more than `perDocCap`
-    // candidate pairs is in a near-dup CLIQUE (boilerplate, template
-    // flood) where the pair list is quadratic by construction. Each
-    // doc KEEPS a deterministic id-ordered slice of `perDocCap`
-    // candidates in each endpoint role, and a pair survives if EITHER
-    // endpoint keeps it — total candidate volume is then ≤ 2·n·cap
-    // (globally linear) and every doc with any candidate keeps at
-    // least one, so cluster connectivity survives; the pairs LIST is
-    // what's truncated, and the truncation is ledgered.
-    val cands =
-      if (perDocCap <= 0) cands0
-      else {
-        val kept = cands0
-          .withColumn("__ra", row_number().over(
-            Window.partitionBy("id_a").orderBy("id_b")))
-          .withColumn("__rb", row_number().over(
-            Window.partitionBy("id_b").orderBy("id_a")))
-          .filter(col("__ra") <= perDocCap || col("__rb") <= perDocCap)
-          .select("id_a", "id_b")
-          .persist()
-        val nKept = kept.count()
-        Ledger.note("minhash_per_doc_cap",
-          s"candidate budget $perDocCap/doc kept $nKept pairs")
-        kept
-      }
+    val cands = capCandidatesPerDoc(cands0, perDocCap, "minhash")
     val verified = verifyCandidates(cands, base, numHashes, threshold)
     // default: materialize the (tiny) verified pair set eagerly so the
     // signature cache can be released NOW — without this, repeated
@@ -722,7 +726,8 @@ object Dedup {
     * — not the near-dup-grade w=8. */
   def containmentPairs(docs: DataFrame, text: Column, id: Column,
       k: Int = 8, w: Int = 24, threshold: Double = 0.5, minShared: Int = 3,
-      bucketCap: Int = 100000, materialize: Boolean = true): DataFrame = {
+      bucketCap: Int = 100000, materialize: Boolean = true,
+      perDocCap: Int = 0): DataFrame = {
     val base = spreadById(docs, id, text)
       .select(col("doc_id"),
         winnow(col("__raw"), k, w).as("fps"),
@@ -732,12 +737,16 @@ object Dedup {
     val capped = dropOversizedBuckets(exploded, Seq("fp"), bucketCap)
     val a = capped.select(col("fp"), col("doc_id").as("id_a"))
     val b = capped.select(col("fp"), col("doc_id").as("id_b"))
-    val cands = a.join(b, Seq("fp"))
+    val cands0 = a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared")) // fps are distinct per doc, so count = shared fps
       .filter(col("shared") >= minShared)
       .select("id_a", "id_b")
+    // the verify join ships both docs' FULL gram arrays per candidate —
+    // the per-doc budget (opt-in) bounds that byte volume at 2·n·cap
+    // array pairs on clique-heavy corpora
+    val cands = capCandidatesPerDoc(cands0, perDocCap, "contain")
     val pairs = cands
       .join(base.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(base.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))

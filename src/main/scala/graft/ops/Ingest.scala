@@ -83,7 +83,10 @@ object Ingest {
     StructField("payload", BinaryType)))
 
   /** Explode WARC containers into records: (doc_id, rec_idx,
-    * warc_type, target_uri, content_length, payload). A malformed
+    * warc_type, target_uri, content_length, payload). Gzipped
+    * containers (`.warc.gz` — one gzip member per record,
+    * concatenated; detected by magic) are decompressed inline, so
+    * the same entry point ingests both wire formats. A malformed
     * container yields a single quarantine row (rec_idx −1, type
     * 'malformed') instead of failing the job — the same
     * data-not-exceptions contract as the JSONL path. mapPartitions is
@@ -99,8 +102,10 @@ object Ingest {
     pruned.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        Codecs.parseWarc(bytes) match {
+        val raw = r.getAs[Array[Byte]](1)
+        val bytes =
+          if (Codecs.isGzip(raw)) Codecs.gunzipAll(raw).orNull else raw
+        (if (bytes == null) None else Codecs.parseWarc(bytes)) match {
           case Some(recs) => recs.zipWithIndex.map { case (w, i) =>
             Row(id, i, w.warcType, w.targetUri, w.contentLength, w.payload)
           }
@@ -109,5 +114,22 @@ object Ingest {
         }
       }
     }(enc)
+  }
+
+  /** Gzipped twin of [[warcFixture]]: each record compressed as its
+    * own gzip member, members concatenated — byte-for-byte the
+    * `.warc.gz` layout crawlers ship. Decompressed content is
+    * IDENTICAL to the plain fixture, so the same oracle covers it. */
+  def warcGzFixture(id: Long, text: String): Array[Byte] = {
+    val recs = Seq(
+      (Map("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> s"<urn:uuid:info-$id>"),
+        WarcInfoPayload.getBytes("UTF-8")),
+      (Map("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://example.com/doc/$id",
+        "WARC-Record-ID" -> s"<urn:uuid:resp-$id>"),
+        text.getBytes("UTF-8")))
+    recs.map(r => Codecs.gzipBytes(Codecs.encodeWarc(Seq(r))))
+      .reduce(_ ++ _)
   }
 }

@@ -524,6 +524,25 @@ object Multimodal {
         (x, y) => ((id + 7L * (x / 8) + 13L * (y / 8)) % 256).toInt)
     }
 
+  /** Deterministic PNG-variant fixture: Adam7-INTERLACED 8-bit gray
+    * (id%3==1) and 16-BIT gray (id%3==2) containers at odd dims (so
+    * every Adam7 pass shape occurs), every pixel closed-form over
+    * (doc_id, x, y); id%3==0 raw text for the fallback path. The
+    * 16-bit decode contract is the high-byte projection, so the
+    * oracle divides by 256. */
+  def syntheticPngVariant(id: Long, text: String): Array[Byte] =
+    if (id % 3 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 5 + (id % 8).toInt
+      val h = 4 + (id % 5).toInt
+      if (id % 3 == 1)
+        Codecs.encodePngGrayAdam7(w, h,
+          (x, y) => ((id + 3L * x + 5L * y) % 256).toInt)
+      else
+        Codecs.encodePngGray16(w, h,
+          (x, y) => ((id * 257 + 4099L * x + 131L * y) % 65536).toInt)
+    }
+
   /** Deterministic REAL-PROGRESSIVE-JPEG fixture: SOF2 grayscale
     * streams through the 5-scan successive-approximation script
     * ([[Jpeg.encodeJpegProgressiveGray]] — DC first at Al=1, AC bands

@@ -842,7 +842,7 @@ object Similarity {
     * size aggressively at scale. */
   def sparseCosinePairs(sparse: DataFrame, threshold: Double,
       dfCap: Int = 100000, roundTo: Int = 4,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, dfFrac: Double = 0.0): DataFrame = {
     // Candidate generation is PREFIX-FILTERED (the Bayardo/AllPairs
     // bound): order each doc's features hottest-first (df desc) and
     // call a feature UNINDEXED while the running Σ w·maxw stays below
@@ -859,9 +859,28 @@ object Similarity {
     // re-join — output is identical to the plain inverted-index
     // formulation, only the plan changes.
     import org.apache.spark.sql.expressions.Window
+    // Optional PROPORTIONAL df-cap (dfFrac > 0): effective cap =
+    // min(dfCap, max(64, dfFrac·n)). The absolute cap alone makes
+    // Σdf² non-monotone in corpus size — lists just UNDER it mint df²
+    // candidates until growth pushes them over — and on degenerate
+    // corpora (uniform df, flat weights) the prefix bound below can't
+    // prune either, because every feature's suffix mass is alike. A
+    // stopword is a RELATIVE notion; at 100 TB the fraction is the
+    // only stable definition. Default 0.0 = absolute-cap semantics
+    // (every registered oracle unchanged). Drops are ledgered.
     val margin = math.pow(10.0, -roundTo) // rounded-cos boundary slack
-    val capped0 = Dedup.dropOversizedBuckets(
-      sparse.select(col("doc_id"), col("pos"), col("w")), Seq("pos"), dfCap)
+    val pruned = sparse.select(col("doc_id"), col("pos"), col("w"))
+    val effCap =
+      if (dfFrac <= 0) dfCap
+      else {
+        val n = pruned.select(col("doc_id")).distinct().count()
+        val c = math.min(dfCap.toLong,
+          math.max(64L, math.ceil(dfFrac * n).toLong)).toInt
+        Ledger.note("sparse_cosine_df_frac",
+          s"effective df cap $c (dfFrac=$dfFrac over $n docs, abs cap $dfCap)")
+        c
+      }
+    val capped0 = Dedup.dropOversizedBuckets(pruned, Seq("pos"), effCap)
     val capped = if (materialize) capped0.persist() else capped0
     val posStats = capped.groupBy("pos")
       .agg(count(lit(1)).as("__df"), max(col("w")).as("__maxw"))

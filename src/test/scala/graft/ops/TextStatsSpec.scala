@@ -214,6 +214,12 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)) || pairs((0L, 2L)) == 0.0)
     // a cap of 1 drops every shared posting list → no pairs at all
     assert(Similarity.sparseCosinePairs(sparse, 0.0, dfCap = 1).count() === 0L)
+    // proportional cap: dfFrac floors at 64 docs, so on this tiny
+    // corpus it never binds — identical pairs to the absolute run
+    val fracPairs = Similarity.sparseCosinePairs(sparse, threshold = 0.0,
+      dfFrac = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(fracPairs === pairs)
   }
   test("compression ratio separates repetition from high-entropy text") {
     import spark.implicits._

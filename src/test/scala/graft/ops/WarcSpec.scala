@@ -66,4 +66,34 @@ class WarcSpec extends AnyFunSuite {
     val recs = Codecs.parseWarc(bytes).get
     assert(recs.head.contentLength === 0L && recs.head.payload.isEmpty)
   }
+
+  test(".warc.gz: multi-member gzip containers decode to identical records") {
+    val gz = Ingest.warcGzFixture(9L, "hello gz world")
+    assert(Codecs.isGzip(gz))
+    // the fixture really is TWO gzip members (one per record)
+    var members = 0
+    for (i <- 0 until gz.length - 1)
+      if ((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b) members += 1
+    assert(members >= 2, s"expected per-record members, found $members")
+    val plainRecs = Codecs.parseWarc(Ingest.warcFixture(9L, "hello gz world")).get
+    val df = Seq((9L, gz)).toDF("doc_id", "warc")
+    val out = Ingest.warcRecords(df).collect()
+    assert(out.length === 2)
+    for ((r, exp) <- out.zip(plainRecs)) {
+      assert(r.getString(2) === exp.warcType)
+      assert(r.getLong(4) === exp.contentLength)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](5), exp.payload))
+    }
+  }
+
+  test("corrupt gzip containers quarantine as malformed, never throw") {
+    val gz = Ingest.warcGzFixture(3L, "text")
+    // truncate inside the final member: the ISIZE/CRC trailer is gone,
+    // so GZIPInputStream must throw (caught → quarantine row)
+    val bad = gz.dropRight(6)
+    val df = Seq((3L, bad)).toDF("doc_id", "warc")
+    val out = Ingest.warcRecords(df)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(out === Seq((-1, "malformed")))
+  }
 }
