@@ -156,19 +156,27 @@ object Scale {
     * except the caps above. */
   def funnels(spark: SparkSession): Seq[(String, DataFrame => DataFrame)] = Seq(
     "dedup_exact" -> (d => Dedup.exact(d, col("text"), col("doc_id"))),
-    // hotElemFrac engages the boilerplate defense: the planted 38-word
-    // tail puts 10% of the corpus at pairwise Jaccard ≈0.35 — ABOVE
-    // the 0.3 threshold — so without the scrub the truth set itself is
-    // Θ(n²) and no engine can stay subquadratic. Scrubbing shingles
-    // with df > 5% of the corpus removes the boilerplate (and clone-
-    // template) shingles from BOTH candidate generation and the exact
-    // verify, restoring a near-linear truth set; the clone-flood probe
-    // below still calls the funnel scrub-OFF to prove the bucket cap
-    // engages on its own.
+    // hotElemFrac engages the corpus-scale-shingle defense. TWO
+    // quadratic drivers exist here, and both are stopword-scale
+    // shingles: (1) the planted 38-word boilerplate tail puts 10% of
+    // the corpus at pairwise Jaccard ≈0.35, ABOVE the 0.3 threshold —
+    // a Θ(n²) truth set no engine can beat; (2) subtler and measured
+    // only at m=64 (118s / 125M shuffle rows with a 5% scrub): the
+    // base corpus's ~30-word vocabulary yields ~900 vocab-vocab
+    // 2-shingles at df ≈ 3.5% each, giving every RANDOM doc pair
+    // J ≈ 0.01 — which the 8-band/2-row S-curve converts to a ~0.08%
+    // candidate rate, i.e. Θ(n²) candidates with a small constant
+    // (84M at m=64). Scrubbing shingles with df > 2.5% of the corpus
+    // removes boilerplate, clone-template, AND vocab-background
+    // shingles from candidate generation and the exact verify: what
+    // remains are the md5-perturbed near-unique shingles, under which
+    // this corpus's true near-dup set is empty by design. The
+    // clone-flood probe below still calls the funnel scrub-OFF to
+    // prove the bucket cap engages on its own.
     "dedup_minhash_pairs" -> (d => Dedup.minhashLSH(d, col("text"),
       col("doc_id"), shingleK = 2, numHashes = 16, bands = 8,
       jaccardThreshold = 0.3, bucketCap = BucketCap,
-      hotElemFrac = 0.05)),
+      hotElemFrac = 0.025)),
     "dedup_ngram_pairs" -> (d => Dedup.ngramJaccardPairs(d, col("text"),
       col("doc_id"), n = 3, threshold = 0.8, bucketCap = BucketCap)),
     "dedup_simhash_pairs" -> (d => Dedup.simhashPairs(d, col("text"),
@@ -180,16 +188,20 @@ object Scale {
       shingleK = 2, threshold = 0.3)),
     // dfFrac engages the proportional df-cap: this corpus hashes its
     // shingle space into 1024 tf-idf buckets, so EVERY posting list
-    // has df ≈ 6% of the corpus with near-flat weights — the absolute
-    // cap leaves them all just under the line at m=4 (Σdf² ≈ 2.3G
-    // partial rows, the measured r8 cliff) and drops them all at
-    // m≥16. df ≤ 5%·n makes the stopword judgment scale with the
-    // corpus: cost is monotone and the drop is ledgered; the
-    // stopword-postings pathology probe still quantifies exactly what
-    // was dropped.
+    // holds ~2.8-4.5% of the corpus (measured at m=4: df min 738,
+    // median 994, p90 1161 over 26k docs) with near-flat weights. The
+    // absolute cap=2000 leaves ~97% of lists just under the line at
+    // m=4 (Σdf² ≈ 1G partial rows — the measured r8 cliff, 97 GB
+    // spill) and drops them all at m≥16, making cost non-monotone.
+    // Every feature in >2.5% of a corpus is stopword-scale; df ≤
+    // 2.5%·n drops all 1024 lists at EVERY mult — the same verdict
+    // the absolute cap already reached at m≥16, now scale-stable —
+    // so the funnel measures the linear tf-idf + df-judgment cost.
+    // The drop is ledgered; the stopword-postings pathology probe
+    // quantifies it independently.
     "text_sparse_cosine_pairs" -> (d => Similarity.sparseCosinePairs(
       TextOps.hashedTfIdf(d, shingleText(col("text")), col("doc_id")),
-      threshold = 0.85, dfCap = DfCap, dfFrac = 0.05)),
+      threshold = 0.85, dfCap = DfCap, dfFrac = 0.025)),
     "span_dup_spans" -> (d => Spans.duplicatedSpans(d, col("text"),
       col("doc_id"), n = 10)),
     "split_leakfree" -> (d => Curate.leakSafeSplit(d, col("text"),

@@ -177,7 +177,14 @@ object Dedup {
     * size — so it travels as an InSet literal. Docs whose elems are
     * ALL boilerplate drop out entirely (no identity left to match).
     * Every engagement is recorded in [[Ledger]]. */
-  private def scrubHotElems(docsKeyed: DataFrame, frac: Double): DataFrame = {
+  /** Returns the scrubbed (doc_id, elems) plan plus the persisted
+    * input handle the CALLER must unpersist once its own downstream
+    * cache has materialized — an eager checkpoint here would pin a
+    * corpus-sized RDD in the block manager for the session's life
+    * (storage `clearCache()` does not reap checkpoints), which
+    * measurably poisons every later job's memory. */
+  private def scrubHotElems(docsKeyed: DataFrame,
+      frac: Double): (DataFrame, DataFrame) = {
     val keyed = docsKeyed.persist()
     val n = keyed.count()
     val cap = math.max(16L, math.ceil(frac * n).toLong)
@@ -195,10 +202,8 @@ object Dedup {
         keyed.select(col("doc_id"),
             F.filter(col("elems"), e => !e.isInCollection(hotSet)).as("elems"))
           .filter(size(col("elems")) > 0)
-          .localCheckpoint(true)
       }
-    if (!(out eq keyed)) keyed.unpersist()
-    out
+    (out, keyed)
   }
 
   /** Optional per-doc candidate budget, shared by every pair funnel: a
@@ -233,9 +238,12 @@ object Dedup {
       bucketCap: Int, threshold: Double, elemsDistinct: Boolean,
       materialize: Boolean = true, hotElemFrac: Double = 0.0,
       perDocCap: Int = 0): DataFrame = {
-    val docsKeyed =
-      if (hotElemFrac <= 0) docsKeyed0
-      else scrubHotElems(docsKeyed0, hotElemFrac)
+    val (docsKeyed, scrubInput) =
+      if (hotElemFrac <= 0) (docsKeyed0, None)
+      else {
+        val (out, keyed) = scrubHotElems(docsKeyed0, hotElemFrac)
+        (out, Some(keyed))
+      }
     val rows = numHashes / bands
     val base = signatureTable(docsKeyed, numHashes, elemsDistinct).persist()
     val banded = bandTable(base, bands, rows)
@@ -259,6 +267,7 @@ object Dedup {
     else {
       val out = verified.localCheckpoint(true)
       base.unpersist()
+      scrubInput.foreach(_.unpersist())
       if (!(cands eq cands0)) cands.unpersist()
       out
     }
