@@ -2170,6 +2170,35 @@ object SparkEntry {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // URL-level dedup — the first stage of crawl curation. The fixture
+    // mints 4 raw SPELLINGS of the same logical page per doc (host
+    // case + trailing slash / scheme case + default port + tracking
+    // param / userinfo + fragment / schemeless), with the logical page
+    // keyed by (doc_id%5 host, doc_id%25 path) so ~20 docs collapse
+    // per canonical URL at sf0.01. The oracle restates BOTH the mint
+    // and the full canonicalization chain (regexp parse, port/
+    // fragment/userinfo strip, tracking-param filter + sort) in
+    // DuckDB, so any divergence in the string pipeline fails the hash.
+    "url_canonical_dedup" -> ((s, dir) => {
+      Urls.dedupByCanonical(urlFixture(table(s, dir, "documents")),
+          col("url"), col("doc_id"))
+        .orderBy("url_canonical")
+    }),
+
+    // per-registered-domain rollup over the same fixture: the
+    // multi-part-suffix split (site<k>.co.uk stays three labels) and
+    // the host parse are what the oracle pins.
+    "url_host_stats" -> ((s, dir) => {
+      val canon = urlFixture(table(s, dir, "documents"))
+        .select(col("doc_id"), Urls.canonicalize(col("url")).as("cu"))
+      canon.select(col("doc_id"), col("cu"),
+          Urls.registeredDomain(Urls.hostOf(col("cu"))).as("domain"))
+        .groupBy("domain")
+        .agg(countDistinct(col("cu")).as("n_urls"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     "mm_decode_real" -> ((s, dir) => {
       val mk = udf((id: Long, txt: String) =>
         Multimodal.syntheticContainer(id, txt))
@@ -2860,6 +2889,38 @@ object SparkEntry {
     * expression `h` (a lowercase md5 string) — the portable twin of
     * Spark's `conv(substring(h, 1, n), 16, 10)`, built from the same
     * strpos nibble parse the pack oracles use. */
+  /** DuckDB CTE chain canonicalizing `src.url` → `canon(doc_id, url,
+    * chost, url_canonical)` — the 1:1 SQL twin of
+    * [[graft.ops.Urls.canonicalize]], shared by both url_* oracles. */
+  private def urlCanonCteSql(src: String): String =
+    s"""s1 AS (SELECT doc_id, url,
+           regexp_replace(trim(url), '#.*', '') AS nofrag FROM $src),
+         s2 AS (SELECT *,
+           lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme0,
+           regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest FROM s1),
+         s3 AS (SELECT *,
+           CASE WHEN scheme0 = '' THEN 'http' ELSE scheme0 END AS scheme,
+           regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^.*@', '') AS hostport,
+           regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
+         s4 AS (SELECT *,
+           regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '\\.$$', '') AS chost,
+           regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+           regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path0,
+           regexp_extract(pathq, '\\?(.*)', 1) AS query FROM s3),
+         s5 AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)='))), '&'), '') AS qc
+           FROM s4),
+         canon AS (SELECT doc_id, url, chost,
+           scheme || '://' || chost ||
+           (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END) ||
+           (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+           (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS url_canonical
+           FROM s5)"""
+
   private def hexValSql(h: String, n: Int): String =
     (1 to n).map(i =>
       s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (n - i))}")
@@ -2876,6 +2937,26 @@ object SparkEntry {
     * sides: OLD = docs not yet crawled removed (doc_id % 13 == 5
     * absent) with %7==0 docs truncated to 40 chars (yesterday's
     * content); NEW = today's crawl (doc_id % 17 == 3 dropped). */
+  /** Deterministic raw-URL fixture for the url_* queries: four raw
+    * spellings of the logical page keyed by (doc_id%5 → host,
+    * doc_id%25 → path and www-prefix), all of which canonicalize to
+    * `http://[www.]site<k>.<tld>/page/<p>`. */
+  private[graft] def urlFixture(docs: DataFrame): DataFrame = {
+    val host = concat(
+      when(col("doc_id") % 25 < 5, lit("www.")).otherwise(lit("")),
+      lit("site"), (col("doc_id") % 5).cast("string"),
+      when((col("doc_id") % 5) % 2 === 0, lit(".co.uk")).otherwise(lit(".com")))
+    val p = (col("doc_id") % 25).cast("string")
+    val v = col("doc_id") % 4
+    docs.select(col("doc_id"),
+      when(v === 0, concat(lit("http://"), upper(host), lit("/page/"), p, lit("/")))
+        .when(v === 1, concat(lit("HTTP://"), host, lit(":80/page/"), p,
+          lit("?utm_source=feed")))
+        .when(v === 2, concat(lit("http://user@"), host, lit("/page/"), p,
+          lit("#section")))
+        .otherwise(concat(host, lit("/page/"), p)).as("url"))
+  }
+
   private[graft] def snapshotPair(docs: DataFrame): (DataFrame, DataFrame) = {
     val old = docs.filter(col("doc_id") % 13 =!= 5)
       .select(col("doc_id"),
@@ -5496,6 +5577,61 @@ object SparkEntry {
            CAST(strlen(text) AS BIGINT), md5(text)
          FROM documents
          ORDER BY doc_id, rec_idx""",
+
+    // full independent restatement of the URL mint AND the
+    // canonicalization chain (fragment/userinfo strip, scheme+host
+    // lowercase, default-port drop, trailing-slash norm, tracking-param
+    // filter + sort) — step CTEs mirror the Column pipeline 1:1
+    "url_canonical_dedup" ->
+      s"""WITH raw AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 25 < 5 THEN 'www.' ELSE '' END)
+               || 'site' || CAST(doc_id % 5 AS VARCHAR)
+               || (CASE WHEN (doc_id % 5) % 2 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+             CAST(doc_id % 25 AS VARCHAR) AS p
+           FROM documents),
+         minted AS (
+           SELECT doc_id, CASE doc_id % 4
+             WHEN 0 THEN 'http://' || upper(host) || '/page/' || p || '/'
+             WHEN 1 THEN 'HTTP://' || host || ':80/page/' || p || '?utm_source=feed'
+             WHEN 2 THEN 'http://user@' || host || '/page/' || p || '#section'
+             ELSE host || '/page/' || p END AS url
+           FROM raw),
+         ${urlCanonCteSql("minted")}
+         SELECT url_canonical, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_spellings
+         FROM canon GROUP BY url_canonical ORDER BY url_canonical""",
+
+    "url_host_stats" ->
+      s"""WITH raw AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 25 < 5 THEN 'www.' ELSE '' END)
+               || 'site' || CAST(doc_id % 5 AS VARCHAR)
+               || (CASE WHEN (doc_id % 5) % 2 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+             CAST(doc_id % 25 AS VARCHAR) AS p
+           FROM documents),
+         minted AS (
+           SELECT doc_id, CASE doc_id % 4
+             WHEN 0 THEN 'http://' || upper(host) || '/page/' || p || '/'
+             WHEN 1 THEN 'HTTP://' || host || ':80/page/' || p || '?utm_source=feed'
+             WHEN 2 THEN 'http://user@' || host || '/page/' || p || '#section'
+             ELSE host || '/page/' || p END AS url
+           FROM raw),
+         ${urlCanonCteSql("minted")},
+         dom AS (SELECT doc_id, url_canonical,
+           CASE WHEN regexp_extract(chost, '([^.]+\\.[^.]+)$$', 1) IN (
+                  'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+                  'co.jp','or.jp','ne.jp','com.br','com.cn','com.mx','co.in',
+                  'co.kr','co.za','com.ar','com.tr')
+                 AND regexp_extract(chost, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+                THEN regexp_extract(chost, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+                WHEN regexp_extract(chost, '([^.]+\\.[^.]+)$$', 1) = '' THEN chost
+                ELSE regexp_extract(chost, '([^.]+\\.[^.]+)$$', 1) END AS domain
+           FROM canon)
+         SELECT domain, CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_urls,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM dom GROUP BY domain ORDER BY domain""",
 
     "mm_decode_real" ->
       """WITH m AS (SELECT doc_id, doc_id % 5 AS k,

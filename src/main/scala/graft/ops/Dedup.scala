@@ -478,13 +478,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
       n: Int = 3, threshold: Double = 0.8, numHashes: Int = 128,
       bands: Int = 16, bucketCap: Int = 1000,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, hotElemFrac: Double = 0.0,
+      perDocCap: Int = 0): DataFrame = {
     val base = spreadById(docs, id, text)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.charNgramHashes(col("__raw"), n).as("elems"))
     lshPairs(base, numHashes, bands, bucketCap, threshold,
       elemsDistinct = true, // charNgramHashes is already distinct
-      materialize = materialize)
+      materialize = materialize, hotElemFrac = hotElemFrac,
+      perDocCap = perDocCap)
   }
 
   /** Exact all-pairs n-gram Jaccard over a BOUNDED sample — the oracle

@@ -171,6 +171,26 @@ class DedupSpec extends AnyFunSuite {
     assert(Ledger.recent().exists(_._1 == "minhash_hot_elems"))
   }
 
+  test("ngram hotElemFrac scrubs boilerplate char-grams, keeps organic dups") {
+    import spark.implicits._
+    // same shape as the minhash scrub spec, but the flood rides
+    // char-3-grams of a shared tail; the organic pair differs by one
+    // trailing word so its char-gram Jaccard stays above 0.5
+    val tail = " subscribe newsletter accept cookies terms privacy"
+    val rows = (1 to 30).map(i =>
+      (i.toLong, s"unique body $i alpha$i beta$i gamma$i delta$i" + tail)) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog tonight" + tail),
+          (101L, "the quick brown fox jumps over the lazy dog tonight" + tail))
+    val d = rows.toDF("doc_id", "text")
+    val noScrub = pairSet(Dedup.ngramJaccardPairs(d, col("text"),
+      col("doc_id"), n = 3, threshold = 0.3))
+    assert(noScrub.size > 20, s"fixture too weak: ${noScrub.size}")
+    val scrubbed = pairSet(Dedup.ngramJaccardPairs(d, col("text"),
+      col("doc_id"), n = 3, threshold = 0.3, hotElemFrac = 0.2))
+    assert(scrubbed.contains((100L, 101L)), s"organic pair lost: $scrubbed")
+    assert(scrubbed.size < 10, s"boilerplate pairs survived: ${scrubbed.size}")
+  }
+
   test("perDocCap bounds each doc's candidate fan-out deterministically") {
     import spark.implicits._
     // a 12-doc identical-text clique: 66 pairs uncapped
