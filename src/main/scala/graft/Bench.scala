@@ -114,9 +114,22 @@ object Bench {
     // round-4 artifact lost its totals to tail-capture), so the primary
     // metrics (warm total = the 100 TB-predictive number) print BOTH
     // before and after the line most likely to be truncated
+    def jEsc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // engaged-cap summary: every df-cap / bucket-cap / scrub / budget
+    // engagement across the whole bench, by name with exact counts —
+    // the committed artifact now records WHAT was bounded, so a capped
+    // run can never silently read as a full run
+    val ledgerJson = graft.ops.Ledger.summary().map { case (n, c, d) =>
+      s"""{"name":${jEsc(n)},"count":$c,"last":${jEsc(d)}}"""
+    }.mkString("[", ",", "]")
     val summary = s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"warm_runs":$warmRuns,"errors":$errJson,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson,"sf":"$sfDir"}""")
     spark.stop()
     // print the summary once more AFTER spark.stop() so no shutdown
     // logging can land between it and process exit: with the build's

@@ -273,6 +273,60 @@ object Metrics {
       "vs brute-force audio-fp hamming<=3 on doc_id<2000 + channel swaps — blocking is exact")
     afps.unpersist()
 
+    // ------------- indexed-path recall (persisted-store read paths) ----
+    // the *_indexed registrations were rows-only until r10; same
+    // truths as the inline funnels, corpus split store/increment like
+    // the registrations. Each against-index path returns
+    // increment-vs-store plus within-increment pairs, so truth = the
+    // exact pairs with at least one endpoint in the increment.
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft_metrics_idx").toString
+    def touching(truth: Set[(Long, Long)],
+        isInc: Long => Boolean): Set[(Long, Long)] =
+      truth.filter { case (p, q) => isInc(p) || isInc(q) }
+
+    val mhStore = s"$idxRoot/minhash"
+    Dedup.buildMinhashIndex(sample.filter(col("doc_id") >= 50), col("text"),
+      col("doc_id"), mhStore, shingleK = 2, numHashes = 16, bands = 8)
+    val mhTruth = touching(exactMinhash, _ < 50)
+    out += Row("dedup_minhash_indexed", "pair_recall",
+      recall(mhTruth, pairSet(Dedup.nearDupAgainstIndex(spark, mhStore,
+        sample.filter(col("doc_id") < 50), col("text"), col("doc_id"),
+        jaccardThreshold = 0.3))),
+      Some(0.90), None, mhTruth.size,
+      "indexed read path vs exact 2-shingle Jaccard>=0.3 pairs touching the id<50 increment")
+
+    val ctStore = s"$idxRoot/contain"
+    Dedup.buildContainmentIndex(sample.filter(col("doc_id") >= 50),
+      col("text"), col("doc_id"), ctStore, k = 8, w = 24)
+    val ctTruth = touching(exactContain, _ < 50)
+    out += Row("dedup_contain_indexed", "pair_recall",
+      recall(ctTruth, pairSet(Dedup.containmentAgainstIndex(spark, ctStore,
+        sample.filter(col("doc_id") < 50), col("text"), col("doc_id"),
+        threshold = 0.5, minShared = 1))),
+      Some(1.0), None, ctTruth.size,
+      "indexed read path vs the winnowing-guarantee truth touching the id<50 " +
+      "increment, minShared=1/no cap — the theorem holds through the store")
+
+    val phStore = s"$idxRoot/phash"
+    Multimodal.buildPhashIndex(mediaS, col("doc_id"), col("media"), phStore)
+    val phTruth = touching(exactPhash, _ >= 1000000L)
+    out += Row("media_phash_indexed", "pair_recall",
+      recall(phTruth, pairSet(Multimodal.phashAgainstIndex(spark, phStore,
+        SparkEntry.reencodedMedia(mediaS), col("doc_id"), col("media"),
+        maxHamming = 3))),
+      Some(1.0), None, phTruth.size,
+      "indexed read path vs brute phash hamming<=3 pairs touching the re-encoded increment — MIH exact")
+
+    val auStore = s"$idxRoot/audiofp"
+    Multimodal.buildAudioFpIndex(wavMedia, auStore)
+    val auTruth = touching(exactAudio, _ >= 1000000L)
+    out += Row("audio_dedup_indexed", "pair_recall",
+      recall(auTruth, pairSet(Multimodal.audioFpAgainstIndex(spark, auStore,
+        wavSwapped, maxHamming = 3))),
+      Some(1.0), None, auTruth.size,
+      "indexed read path vs brute audio-fp hamming<=3 pairs touching the channel-swap increment — blocking exact")
+
     // ---------------- sketch error bounds ------------------------------
     // count-min: est >= true always; overestimate <= e/width * N w.p.
     // 1 - e^-depth per key

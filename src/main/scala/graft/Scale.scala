@@ -138,6 +138,36 @@ object Scale {
   val BucketCap = 1000
   val DfCap = 2000
 
+  /** Per-funnel SPILL ceilings (bytes), asserted at every scale point.
+    * The default tolerates the graceful external-sort spill of the
+    * sort-heavy funnels (measured ≤ 10 GB at m=64 under the 8g judge
+    * regime) while still catching a Σdf²-class cliff (r8's
+    * sparse-cosine spilled 97 GB). `dedup_contain_pairs` is held to
+    * 1 GB: its verify is SHUFFLE_HASH-streamed by design — candidates
+    * carry gram arrays through a streamed probe, never a sort — so
+    * material spill there means the shape regressed. */
+  val DefaultSpillBudget: Long = 16L << 30
+  val SpillBudgets: Map[String, Long] = Map(
+    "dedup_contain_pairs" -> (1L << 30),
+    "text_sparse_cosine_pairs" -> (4L << 30))
+
+  /** Claimed scaling ceilings: the notes below assert each funnel is
+    * (sub)linear or answer-shaped; a fitted time exponent above its
+    * claim CONTRADICTS the note sitting next to it, so the harness
+    * refuses to commit the artifact (written to `<out>.rejected`
+    * instead, exit 2). The r8/r9 lesson made rule: the artifact a
+    * round cites must agree with its own analysis — a cold-
+    * contaminated warm_runs=1 run produced t_exp 1.07–1.28 next to
+    * notes claiming those quadratics were gone. */
+  val MaxTimeExp: Map[String, Double] = Map(
+    "dedup_exact" -> 0.6, "dedup_minhash_pairs" -> 1.0,
+    "dedup_ngram_pairs" -> 0.9, "dedup_simhash_pairs" -> 0.9,
+    "dedup_contain_pairs" -> 1.0, "dedup_snm_pairs" -> 1.0,
+    "text_sparse_cosine_pairs" -> 0.9, "span_dup_spans" -> 1.0,
+    "split_leakfree" -> 1.0, "split_balanced" -> 1.0,
+    "graph_pagerank" -> 0.6, "graph_pagerank_hub" -> 0.6,
+    "cms_token_freq" -> 0.9)
+
   /** Text re-expressed in 3-word-shingle space ("a_b_c d_e_f …"):
     * the token stream [[TextOps.hashedTfIdf]] then sees is Zipf-ish
     * (perturbed shingles are near-unique; boilerplate/clone shingles
@@ -347,6 +377,10 @@ object Scale {
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK",
       "/root/repo/target/scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed ONCE, validated: a non-numeric override falls back to the
+    // default instead of crashing the harness mid-sweep
+    val warmRuns = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "2").trim.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -392,22 +426,24 @@ object Scale {
           val sec = (System.nanoTime() - t0) / 1e9
           (sec, listener.drain())
         }
+        val ledgerMark = Ledger.mark()
         once() // cold: codegen/classload; discard
         // warm = MIN of N runs (default 2): the same contamination
         // argument as Bench (SURVEY §13.1) — GC/JIT noise is strictly
         // additive, and a single warm sample measured up to 4× off on
         // the shuffle-heaviest funnels. Stage metrics come from the
         // fastest run so rows/bytes and seconds describe one run.
-        val warmRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "2").toInt
         val (sec, stages) =
           Seq.fill(math.max(1, warmRuns))(once()).minBy(_._1)
+        val ledger = Ledger.since(ledgerMark)
         val sr = stages.map(_.srRecords).sum
         val sw = stages.map(_.swRecords).sum
         val swb = stages.map(_.swBytes).sum
         val spill = stages.map(_.spillBytes).sum
         System.err.println(f"[scale] m=$m%-3d $name%-26s ${sec}%8.2fs  " +
-          f"shufW ${sw}%,12d rows ${swb / 1e6}%9.1f MB  spill ${spill / 1e6}%6.1f MB")
-        name -> (sec, sr, sw, swb, spill, stages)
+          f"shufW ${sw}%,12d rows ${swb / 1e6}%9.1f MB  spill ${spill / 1e6}%6.1f MB" +
+          (if (ledger.nonEmpty) s"  ledger ${ledger.size}" else ""))
+        name -> ((sec, sr, sw, swb, spill, stages, ledger))
       }
       (m, nDocs, qres)
     }
@@ -463,12 +499,16 @@ object Scale {
       name -> (tExp, sExp)
     }
 
-    def qJson(t: (Double, Long, Long, Long, Long, Seq[Scale.StageRow])): String = {
+    def qJson(t: (Double, Long, Long, Long, Long, Seq[Scale.StageRow],
+        Seq[(String, String)])): String = {
       val top = t._6.sortBy(-_.swBytes).take(5).map(s =>
         s"[${s.id},${s.srRecords},${s.swRecords},${s.swBytes}]")
+      val led = t._7.map { case (n, d) =>
+        s"""{"name":${jStr(n)},"detail":${jStr(d)}}""" }
       s"""{"sec":${jNum(t._1)},"shuffle_read_rows":${t._2},""" +
       s""""shuffle_write_rows":${t._3},"shuffle_write_bytes":${t._4},""" +
-      s""""spill_bytes":${t._5},"top_stages":[${top.mkString(",")}]}"""
+      s""""spill_bytes":${t._5},"top_stages":[${top.mkString(",")}],""" +
+      s""""ledger":[${led.mkString(",")}]}"""
     }
     val pointsJson = points.map { case (m, nDocs, qr) =>
       val qs = qr.map { case (n, t) => s""""$n":${qJson(t)}""" }
@@ -488,14 +528,47 @@ object Scale {
       s""""stopword_postings":{"df_cap":$DfCap,"hash_buckets_dropped":$bucketsDropped,""" +
       s""""hash_buckets_total":$bucketsTotal},""" +
       s""""hub_node":{"in_degree_share":0.25,"hub_is_top_ranked":$hubIsTop}}"""
+    // ---- self-consistency gate: refuse to commit an artifact whose
+    // numbers contradict its own notes (spill budgets, claimed
+    // exponents). The rejected artifact is still written (to
+    // `<out>.rejected`) so the evidence of the violation survives.
+    val spillViolations = points.flatMap { case (m, _, qr) =>
+      qr.collect {
+        case (n, t) if t._5 > SpillBudgets.getOrElse(n, DefaultSpillBudget) =>
+          f"$n@m$m: spilled ${t._5 / 1e9}%.1f GB > budget"
+      }
+    }
+    val expViolations = fits.collect {
+      case (n, (te, _)) if !te.isNaN && te > MaxTimeExp.getOrElse(n, 1.5) =>
+        f"$n: time_exp $te%.2f > claimed ${MaxTimeExp.getOrElse(n, 1.5)}%.2f"
+    }
+    val violations = spillViolations ++ expViolations
+    val violJson = violations.map(jStr).mkString("[", ",", "]")
+    val budgetJson = sel.map { case (n, _) =>
+      s"""${jStr(n)}:${SpillBudgets.getOrElse(n, DefaultSpillBudget)}"""
+    }.mkString("{", ",", "}")
+    val ledgerJson = Ledger.summary().map { case (n, c, d) =>
+      s"""{"name":${jStr(n)},"count":$c,"last":${jStr(d)}}"""
+    }.mkString("[", ",", "]")
     val out =
       s"""{"harness":"graft.Scale","base_sf_dir":"$baseDir","base_docs":$baseN,""" +
       s""""mults":[${mults.mkString(",")}],"bucket_cap":$BucketCap,"df_cap":$DfCap,""" +
-      s""""warm_runs":${sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "2")},"points":$pointsJson,"fits":$fitsJson,""" +
-      s""""notes":$notesJson,"pathologies":$pathJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      s""""warm_runs":$warmRuns,"points":$pointsJson,"fits":$fitsJson,""" +
+      s""""notes":$notesJson,"pathologies":$pathJson,""" +
+      s""""spill_budgets":$budgetJson,"violations":$violJson,""" +
+      s""""ledger":$ledgerJson}"""
+    val target =
+      if (violations.isEmpty) outPath
+      else {
+        violations.foreach(v => System.err.println(s"[scale] VIOLATION: $v"))
+        System.err.println(s"[scale] artifact contradicts its own claims — " +
+          s"writing to $outPath.rejected and exiting non-zero")
+        outPath + ".rejected"
+      }
+    java.nio.file.Files.write(java.nio.file.Paths.get(target),
       out.getBytes("UTF-8"))
     println(out)
     spark.stop()
+    if (violations.nonEmpty) sys.exit(2)
   }
 }

@@ -2136,6 +2136,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MAIN-CONTENT extraction over a full synthetic page (nav,
+    // header, link-farm sidebar, footer, related-links list) minted
+    // identically by both engines: structural chrome drops wholesale,
+    // remaining blocks classify by length + link density, and the
+    // recovered main text itself hashes — so a wrong block decision
+    // anywhere shows up as a text diff, not a fuzzy score drift
+    "text_main_content" -> ((s, dir) => {
+      val f = htmlPageFixture(table(s, dir, "documents"))
+      val mc = TextOps.extractMainContent(col("html"))
+      f.select(col("doc_id"), mc.as("mc"))
+        .select(col("doc_id"),
+          col("mc.main_text").as("main_text"),
+          col("mc.n_blocks").as("n_blocks"),
+          col("mc.n_content_blocks").as("n_content_blocks"),
+          col("mc.content_chars").as("content_chars"),
+          col("mc.boiler_chars").as("boiler_chars"))
+        .orderBy("doc_id")
+    }),
+
     // WARC/1.0 crawl-container ingest: real byte-level record walk
     // (version line, case-insensitive headers, Content-Length-
     // delimited payloads). Oracle recomputes every field closed-form
@@ -2196,6 +2215,21 @@ object SparkEntry {
         .groupBy("domain")
         .agg(countDistinct(col("cu")).as("n_urls"),
           count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
+    // exotic public suffixes: two-label ccSLDs beyond the original
+    // 18-entry list (com.sg / co.nz / com.hk) plus THREE-label
+    // suffixes (k12.ca.us, vic.edu.au) whose registered domains keep
+    // four labels — and 5-label hosts ("shop." prefix) that must
+    // still split at the same boundary
+    "url_exotic_domains" -> ((s, dir) => {
+      val f = exoticUrlFixture(table(s, dir, "documents"))
+      f.select(Urls.hostOf(col("url")).as("host"))
+        .select(col("host"), Urls.registeredDomain(col("host")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
         .orderBy("domain")
     }),
 
@@ -2910,7 +2944,7 @@ object SparkEntry {
          s5 AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
              string_split(query, '&'),
              x -> x <> '' AND NOT regexp_matches(x,
-               '^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)='))), '&'), '') AS qc
+               '^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)(=|$$)'))), '&'), '') AS qc
            FROM s4),
          canon AS (SELECT doc_id, url, chost,
            scheme || '://' || chost ||
@@ -2920,6 +2954,23 @@ object SparkEntry {
            (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
            (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS url_canonical
            FROM s5)"""
+
+  /** DuckDB CASE computing [[graft.ops.Urls.registeredDomain]] of host
+    * expression `h` — the IN lists are generated from the SAME Scala
+    * constants the engine compiles into its InSet, so the embedded
+    * suffix snapshot can never drift between engine and oracle. */
+  private def registeredDomainSql(h: String): String = {
+    val two = graft.ops.Urls.MultiPartSuffixes.map("'" + _ + "'").mkString(",")
+    val three = graft.ops.Urls.ThreePartSuffixes.map("'" + _ + "'").mkString(",")
+    s"""CASE WHEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) IN ($three)
+             AND regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+            THEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1)
+            WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) IN ($two)
+             AND regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+            THEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+            WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) = '' THEN $h
+            ELSE regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) END"""
+  }
 
   private def hexValSql(h: String, n: Int): String =
     (1 to n).map(i =>
@@ -2955,6 +3006,51 @@ object SparkEntry {
         .when(v === 2, concat(lit("http://user@"), host, lit("/page/"), p,
           lit("#section")))
         .otherwise(concat(host, lit("/page/"), p)).as("url"))
+  }
+
+  /** Deterministic full-page HTML fixture for `text_main_content`: the
+    * document text split into two `<p>` blocks inside `<main>`,
+    * wrapped in the chrome a real crawl page carries — head with
+    * style+script, nav menu, header banner, a link-farm related-list
+    * on every 4th doc (one entry LONG, so only link density can kill
+    * it), an aside ad, an entity-bearing footer — plus an in-content
+    * anchor ("the source") that must SURVIVE extraction. */
+  private[graft] def htmlPageFixture(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val half = greatest((n.cast(DoubleType) / 2).cast(IntegerType), lit(1))
+    val p1 = array_join(slice(words, lit(1), half), " ")
+    val p2 = array_join(slice(words, half + 1, greatest(n - half, lit(0))), " ")
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{margin:0}</style><script>var x=1;</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>"),
+      lit("<header><h1>Site "), (col("doc_id") % 7).cast("string"),
+      lit("</h1></header><main><p>"), p1,
+      lit("</p><p>"), p2, lit(" See also <a href=\"/ref\">the source</a>.</p>"),
+      when(col("doc_id") % 4 === 0,
+        lit("<ul><li><a href=\"/r1\">Related one: how the spark shuffle works in practice</a></li><li><a href=\"/r2\">Related two</a></li></ul>"))
+        .otherwise(lit("")),
+      lit("</main><aside><a href=\"/ad\">Sponsored links</a></aside><footer>&copy; 2026 Site <a href=\"/terms\">Terms</a></footer></body></html>"))
+      .as("html"))
+  }
+
+  /** Deterministic exotic-suffix host fixture for `url_exotic_domains`:
+    * suffix keyed by doc_id%8 (two-label ccSLDs, bare gTLDs, and two
+    * THREE-label suffixes), site name by doc_id%7, and a "shop."
+    * subdomain on every third doc so 4- and 5-label hosts both occur
+    * for every suffix class. */
+  private[graft] def exoticUrlFixture(docs: DataFrame): DataFrame = {
+    val suffix = element_at(array(
+      lit("com.sg"), lit("co.nz"), lit("com.hk"), lit("k12.ca.us"),
+      lit("co.uk"), lit("com"), lit("vic.edu.au"), lit("org")),
+      (col("doc_id") % 8 + 1).cast("int"))
+    val host = concat(
+      when(col("doc_id") % 3 === 0, lit("shop.")).otherwise(lit("")),
+      lit("site"), (col("doc_id") % 7).cast("string"), lit("."), suffix)
+    docs.select(col("doc_id"),
+      concat(lit("https://"), host, lit("/p/"),
+        (col("doc_id") % 11).cast("string")).as("url"))
   }
 
   private[graft] def snapshotPair(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -5538,6 +5634,59 @@ object SparkEntry {
            CAST(length(extracted) AS BIGINT) AS n_chars_out
          FROM s6 ORDER BY doc_id""",
 
+    "text_main_content" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         parts AS (SELECT doc_id,
+           array_to_string(list_slice(ws, 1, greatest(len(ws)//2, 1)), ' ') AS p1,
+           array_to_string(list_slice(ws, greatest(len(ws)//2, 1) + 1, len(ws)), ' ') AS p2
+           FROM w),
+         fix AS (SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title><style>body{margin:0}</style><script>var x=1;</script></head><body>' ||
+           '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
+           '<header><h1>Site ' || CAST(doc_id % 7 AS VARCHAR) || '</h1></header><main><p>' || p1 ||
+           '</p><p>' || p2 || ' See also <a href="/ref">the source</a>.</p>' ||
+           (CASE WHEN doc_id % 4 = 0 THEN '<ul><li><a href="/r1">Related one: how the spark shuffle works in practice</a></li><li><a href="/r2">Related two</a></li></ul>' ELSE '' END) ||
+           '</main><aside><a href="/ad">Sponsored links</a></aside><footer>&copy; 2026 Site <a href="/terms">Terms</a></footer></body></html>' AS html
+           FROM parts),
+         cleaned AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?is)<nav\b[^>]*>.*?</nav>', ' ', 'g'),
+             '(?is)<header\b[^>]*>.*?</header>', ' ', 'g'),
+             '(?is)<footer\b[^>]*>.*?</footer>', ' ', 'g'),
+             '(?is)<aside\b[^>]*>.*?</aside>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g') AS c
+           FROM fix),
+         blocks AS (SELECT doc_id,
+           list_filter(list_transform(
+             string_split_regex(c, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|section|article|main|blockquote|pre|figure|figcaption|form|fieldset|br|hr)\b[^>]*>'),
+             b -> {'t': trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g')),
+               'll': coalesce(list_aggregate(list_transform(
+                 regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                 a -> length(trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(a, '<[^>]*>', ' ', 'g'),
+                     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                   '\s+', ' ', 'g')))), 'sum'), 0)}),
+             s -> s.t <> '') AS bl
+           FROM cleaned),
+         cls AS (SELECT doc_id, bl,
+           list_filter(bl, s -> length(s.t) >= 25 AND CAST(s.ll AS DOUBLE) <= 0.33 * length(s.t)) AS ct
+           FROM blocks)
+         SELECT doc_id,
+           coalesce(array_to_string(list_transform(ct, s -> s.t), chr(10)), '') AS main_text,
+           CAST(len(bl) AS BIGINT) AS n_blocks,
+           CAST(len(ct) AS BIGINT) AS n_content_blocks,
+           CAST(coalesce(list_aggregate(list_transform(ct, s -> length(s.t)), 'sum'), 0) AS BIGINT) AS content_chars,
+           CAST(coalesce(list_aggregate(list_transform(bl, s -> length(s.t)), 'sum'), 0) - coalesce(list_aggregate(list_transform(ct, s -> length(s.t)), 'sum'), 0) AS BIGINT) AS boiler_chars
+         FROM cls ORDER BY doc_id""",
+
     "mm_palette_real" ->
       """WITH px AS (SELECT doc_id, gx.x, gy.y FROM documents,
            generate_series(0, 7) AS gx(x), generate_series(0, 5) AS gy(y)),
@@ -5620,18 +5769,25 @@ object SparkEntry {
            FROM raw),
          ${urlCanonCteSql("minted")},
          dom AS (SELECT doc_id, url_canonical,
-           CASE WHEN regexp_extract(chost, '([^.]+\\.[^.]+)$$', 1) IN (
-                  'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
-                  'co.jp','or.jp','ne.jp','com.br','com.cn','com.mx','co.in',
-                  'co.kr','co.za','com.ar','com.tr')
-                 AND regexp_extract(chost, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
-                THEN regexp_extract(chost, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
-                WHEN regexp_extract(chost, '([^.]+\\.[^.]+)$$', 1) = '' THEN chost
-                ELSE regexp_extract(chost, '([^.]+\\.[^.]+)$$', 1) END AS domain
+           ${registeredDomainSql("chost")} AS domain
            FROM canon)
          SELECT domain, CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_urls,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM dom GROUP BY domain ORDER BY domain""",
+
+    "url_exotic_domains" ->
+      s"""WITH raw AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'shop.' ELSE '' END)
+             || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.'
+             || (CASE doc_id % 8 WHEN 0 THEN 'com.sg' WHEN 1 THEN 'co.nz'
+                 WHEN 2 THEN 'com.hk' WHEN 3 THEN 'k12.ca.us'
+                 WHEN 4 THEN 'co.uk' WHEN 5 THEN 'com'
+                 WHEN 6 THEN 'vic.edu.au' ELSE 'org' END) AS host
+           FROM documents),
+         d AS (SELECT host, ${registeredDomainSql("host")} AS domain FROM raw)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         FROM d GROUP BY domain ORDER BY domain""",
 
     "mm_decode_real" ->
       """WITH m AS (SELECT doc_id, doc_id % 5 AS k,

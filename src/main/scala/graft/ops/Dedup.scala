@@ -234,6 +234,14 @@ object Dedup {
       kept
     }
 
+  /** CONTRACT NOTE — `materialize = false` keeps the returned PLAN
+    * lazy, but the opt-in `hotElemFrac` / `perDocCap` knobs run eager
+    * driver actions regardless (a count + collect / a count + persist):
+    * the scrub must SEE corpus-wide dfs and the budget must ledger what
+    * it kept before either can shape the plan. Under materialize=false
+    * their persisted intermediates are released only by the caller's
+    * `spark.catalog.clearCache()` — callers wanting a fully lazy,
+    * leak-free plan leave both knobs at their defaults (off). */
   private def lshPairs(docsKeyed0: DataFrame, numHashes: Int, bands: Int,
       bucketCap: Int, threshold: Double, elemsDistinct: Boolean,
       materialize: Boolean = true, hotElemFrac: Double = 0.0,
@@ -754,13 +762,30 @@ object Dedup {
       .agg(count(lit(1)).as("shared")) // fps are distinct per doc, so count = shared fps
       .filter(col("shared") >= minShared)
       .select("id_a", "id_b")
-    // the verify join ships both docs' FULL gram arrays per candidate —
-    // the per-doc budget (opt-in) bounds that byte volume at 2·n·cap
-    // array pairs on clique-heavy corpora
+    // NOTE: a non-zero perDocCap runs eager actions (count + persist)
+    // even under materialize=false — the budget must SEE the candidate
+    // volume to ledger it; callers wanting a fully lazy plan leave the
+    // cap off
     val cands = capCandidatesPerDoc(cands0, perDocCap, "contain")
+    // Verify-join shape, chosen for its SPILL profile at scale: both
+    // gram-array joins are SHUFFLE_HASH with the O(n) per-doc side as
+    // the build side, so the wide rows (candidates carrying one gram
+    // array) are never sorted or buffered — they stream through the
+    // probe and collapse to (id_a, id_b, score) inside the same stage.
+    // The sort-merge plan this replaces sorted candidate rows WITH
+    // array payload attached (measured r9: 3.9–38.7 GB spilled across
+    // the scale sweep under an 8g heap); here the only memory resident
+    // is the build map, Σ|grams| / shuffle-partitions per task.
+    // Candidates enter bare (two longs), pick up g_b at id_b's
+    // partition, and meet g_a at id_a's partition where the score is
+    // computed and filtered before anything else sees the arrays.
+    val gB = base.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
+      .hint("SHUFFLE_HASH")
+    val gA = base.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
+      .hint("SHUFFLE_HASH")
     val pairs = cands
-      .join(base.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(base.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .join(gB, Seq("id_b"))
+      .join(gA, Seq("id_a"))
       .select(col("id_a"), col("id_b"),
         graft.functions.GraftFunctions.containmentSim(col("g_a"), col("g_b")).as("containment"))
       .filter(col("containment") >= threshold)
@@ -768,6 +793,7 @@ object Dedup {
     else {
       val out = pairs.localCheckpoint(true)
       base.unpersist()
+      if (!(cands eq cands0)) cands.unpersist()
       out
     }
   }
@@ -845,9 +871,14 @@ object Dedup {
       .select("id_a", "id_b")
     val lookup = newBase.select("doc_id", "grams")
       .unionByName(stored.select("doc_id", "grams"))
+    // same spill-shaped verify as containmentPairs: SHUFFLE_HASH with
+    // the O(n) gram side as build, bare candidates streamed, score
+    // computed and filtered before the arrays leave the stage
     val pairs = cands
-      .join(lookup.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(lookup.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .join(lookup.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
+      .join(lookup.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
       .select(col("id_a"), col("id_b"),
         graft.functions.GraftFunctions.containmentSim(col("g_a"), col("g_b")).as("containment"))
       .filter(col("containment") >= threshold)

@@ -561,10 +561,19 @@ object Jpeg {
     None
   }
 
+  /** Decode quarantine: segment handlers trust each segment's declared
+    * length for their fixed-size fields, so a truncated or lying `len`
+    * at the end of the buffer indexes past it. Malformed bytes are
+    * DATA, not exceptions — every public decode entry point funnels
+    * through this guard and returns None instead of escaping an
+    * ArrayIndexOutOfBoundsException into the quarantined caller. */
+  private def guarded[T](f: => Option[T]): Option[T] =
+    try f catch { case _: IndexOutOfBoundsException => None }
+
   /** (width, height, components) from the SOF0 header (magic +
     * marker walk). */
   def decodeJpegHeader(b: Array[Byte]): Option[(Int, Int, Int)] =
-    parseToScan(b).map(s => (s.w, s.h, s.comps.length))
+    guarded(parseToScan(b).map(s => (s.w, s.h, s.comps.length)))
 
   private def huffDecode(br: BitReader,
       table: Map[(Int, Int), Int]): Option[Int] = {
@@ -619,6 +628,9 @@ object Jpeg {
     * (top-left origin; chroma upsampled by replication). One plane
     * for grayscale streams, three (Y, Cb, Cr) for color. */
   def decodeJpegPlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
+    guarded(decodeJpegPlanesImpl(b))
+
+  private def decodeJpegPlanesImpl(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
     parseToScan(b).flatMap { s =>
       val n = s.comps.length
       val hmax = s.comps.map(_.h).max; val vmax = s.comps.map(_.v).max
@@ -752,7 +764,10 @@ object Jpeg {
     * block is dequantized and IDCT'd exactly like the baseline path.
     * Restart intervals are refused (None), like the baseline decoder:
     * fall back to metadata-only handling rather than risk desync. */
-  def decodeProgressivePlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+  def decodeProgressivePlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
+    guarded(decodeProgressivePlanesImpl(b))
+
+  private def decodeProgressivePlanesImpl(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     var w = -1; var h = -1
@@ -1082,7 +1097,10 @@ object Jpeg {
   }
 
   /** (width, height, components) from a progressive (SOF2) header. */
-  def decodeProgressiveHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+  def decodeProgressiveHeader(b: Array[Byte]): Option[(Int, Int, Int)] =
+    guarded(decodeProgressiveHeaderImpl(b))
+
+  private def decodeProgressiveHeaderImpl(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     var i = 2

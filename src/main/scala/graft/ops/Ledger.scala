@@ -4,22 +4,53 @@ package graft.ops
   * bucket caps, per-doc candidate budgets, hot-element scrubs) reports
   * WHAT it dropped here, so a silent cap can never read as "covered
   * everything". Logged under the `graft.ledger` logger (INFO) — one
-  * line per engagement, greppable in driver logs — and mirrored in an
-  * in-memory tail that tests and the scale harness can assert on. */
+  * line per engagement, greppable in driver logs — mirrored in an
+  * in-memory tail that tests and the scale harness can assert on, and
+  * aggregated per name so the Bench/Scale artifacts can commit an
+  * engaged-cap summary (the harnesses write it into BENCH/SCALING
+  * JSON: a capped run is distinguishable from a full run by artifact,
+  * not only by reading driver logs). */
 object Ledger {
   private val logger = org.slf4j.LoggerFactory.getLogger("graft.ledger")
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
   private val tail =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val lastDetail =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def note(name: String, detail: String): Unit = {
     logger.info(s"[$name] $detail")
-    tail.add((name, detail))
+    tail.add((seq.incrementAndGet(), name, detail))
     while (tail.size > 256) tail.poll()
+    counts.merge(name, 1L, (a, b) => a + b)
+    lastDetail.put(name, detail)
   }
 
   /** Recent entries, oldest first (bounded at 256). */
   def recent(): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
-    tail.asScala.toSeq
+    tail.asScala.toSeq.map(t => (t._2, t._3))
+  }
+
+  /** Monotonic engagement count — snapshot before a run, pass to
+    * [[since]] after it to isolate that run's engagements. */
+  def mark(): Long = seq.get()
+
+  /** Entries recorded after `m`, oldest first (within the 256-entry
+    * tail), de-duplicated — warm re-runs of one plan re-note the same
+    * engagement verbatim. */
+  def since(m: Long): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    tail.asScala.toSeq.filter(_._1 > m).map(t => (t._2, t._3)).distinct
+  }
+
+  /** Lifetime per-name engagement summary: (name, count, last detail),
+    * name-sorted. Counts are exact (not tail-bounded). */
+  def summary(): Seq[(String, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toSeq.sortBy(_._1)
+      .map { case (n, c) => (n, c.longValue(), lastDetail.get(n)) }
   }
 }

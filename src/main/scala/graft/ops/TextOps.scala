@@ -87,7 +87,16 @@ object TextOps {
     val noStyle = regexp_replace(noScript,
       "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    visibleText(noComment)
+  }
+
+  /** Tag strip → entity decode → whitespace collapse (the shared tail
+    * of [[htmlToText]] and the per-block normalization of
+    * [[extractMainContent]]): every tag becomes a space, the five core
+    * entities + &nbsp; decode (&amp; LAST so double-decoding cannot
+    * manufacture tags), whitespace collapses, ends trimmed. */
+  private def visibleText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
     val ent = F.replace(
       F.replace(
         F.replace(
@@ -100,6 +109,71 @@ object TextOps {
         lit("&#39;"), lit("'")),
       lit("&amp;"), lit("&"))
     trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Block-boundary tags: a candidate content block ends wherever one
+    * of these opens or closes. Inline markup (a, b, i, em, span, …)
+    * stays INSIDE its block — anchors in particular must, because
+    * link density is the block-level boilerplate signal. */
+  val BlockTagRe: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+    "section|article|main|blockquote|pre|figure|figcaption|form|fieldset|" +
+    "br|hr)\\b[^>]*>"
+
+  /** MAIN-CONTENT extraction — the boilerplate/chrome removal stage a
+    * real crawl pipeline runs before any dedup or quality signal
+    * (tag-strip alone feeds nav/footer chrome straight into both).
+    * Block-level text/link-density classification in the public
+    * jusText / Arc90-readability family, as a pure composition of
+    * built-in expressions (codegen'd, RE2-safe, restated 1:1 in the
+    * DuckDB oracle):
+    *
+    *  1. structural boilerplate containers drop wholesale with their
+    *     content: script, style, nav, header, footer, aside, comments
+    *     (non-greedy to the matching close tag; unclosed tags keep
+    *     their content and fall through to block scoring);
+    *  2. the remainder splits into candidate blocks at
+    *     [[BlockTagRe]] boundaries;
+    *  3. each block normalizes to visible text and scores its LINK
+    *     DENSITY = anchor-text chars / total chars (`<a>` runs are
+    *     measured before tags strip);
+    *  4. a block is content iff its text is ≥ `minChars` chars AND
+    *     link density ≤ `maxLinkDensity` — short fragments (titles,
+    *     timestamps, button labels) and link farms (menus, related-
+    *     article lists, tag clouds) are boilerplate;
+    *  5. content blocks re-join with '\n'.
+    *
+    * Returns struct(main_text, n_blocks, n_content_blocks,
+    * content_chars, boiler_chars); n_blocks counts NON-EMPTY blocks.
+    * At 100 TB this is one projection inside the scan — no shuffle,
+    * no UDF, whole-stage codegen end to end. */
+  def extractMainContent(html: Column, minChars: Int = 25,
+      maxLinkDensity: Double = 0.33): Column = {
+    val noStruct = Seq("script", "style", "nav", "header", "footer", "aside")
+      .foldLeft(html)((c, t) =>
+        regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t>", " "))
+    val clean = regexp_replace(noStruct, "(?s)<!--.*?-->", " ")
+    val scored = transform(split(clean, BlockTagRe), b => struct(
+      visibleText(b).as("t"),
+      coalesce(aggregate(
+        transform(regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+          a => length(visibleText(a))),
+        lit(0), (acc, x) => acc + x), lit(0)).as("ll")))
+    val blocks = F.filter(scored, s => s.getField("t") =!= "")
+    val content = F.filter(blocks, s =>
+      length(s.getField("t")) >= minChars &&
+        s.getField("ll").cast(DoubleType) <=
+          lit(maxLinkDensity) * length(s.getField("t")).cast(DoubleType))
+    val contentChars = coalesce(aggregate(content, lit(0),
+      (acc, s) => acc + length(s.getField("t"))), lit(0))
+    val totalChars = coalesce(aggregate(blocks, lit(0),
+      (acc, s) => acc + length(s.getField("t"))), lit(0))
+    struct(
+      array_join(transform(content, s => s.getField("t")), "\n").as("main_text"),
+      size(blocks).cast(LongType).as("n_blocks"),
+      size(content).cast(LongType).as("n_content_blocks"),
+      contentChars.cast(LongType).as("content_chars"),
+      (totalChars - contentChars).cast(LongType).as("boiler_chars"))
   }
 
   /** Multi-pattern blocklist screening via the Aho-Corasick kernel

@@ -26,15 +26,107 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /** Query parameters dropped during canonicalization: click/campaign
-    * trackers that never change the fetched content. */
-  val TrackingParamRe = "^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)="
+    * trackers that never change the fetched content. Matches both
+    * `key=value` and bare valueless forms (`?gclid`, `&utm_source`) —
+    * the `(=|$)` tail keeps `refresh=1` (prefix of `ref`) intact. */
+  val TrackingParamRe = "^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)(=|$)"
 
   /** Multi-part public suffixes the registered-domain split must keep
-    * three labels for ("bbc.co.uk", not "co.uk"). */
+    * three labels for ("bbc.co.uk", not "co.uk") — a static snapshot
+    * of the well-known two-label country-code second-level domains
+    * (the public-suffix registry's ccSLD core; no egress in this
+    * environment, so the snapshot ships embedded). Callers with a
+    * fuller or newer registry pass their own seqs to
+    * [[registeredDomain]] — the list is data, not logic. */
   val MultiPartSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.kr", "co.za", "com.ar", "com.tr")
+    // uk / ie
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    // au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "gen.nz", "geek.nz", "maori.nz", "iwi.nz",
+    // jp
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    // sg / hk / tw / cn / kr
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "hs.kr", "ms.kr", "es.kr", "sc.kr",
+    // south & southeast asia
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "my.id", "biz.id",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "biz.pk", "web.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    "com.lk", "net.lk", "org.lk", "gov.lk", "edu.lk", "ac.lk", "sch.lk",
+    "com.np", "net.np", "org.np", "gov.np", "edu.np",
+    // middle east / africa
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "k12.tr",
+    "av.tr", "bel.tr", "biz.tr",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "sch.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
+    // europe
+    "com.ru", "net.ru", "org.ru", "edu.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "biz.pl", "waw.pl",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "org.pt", "publ.pt",
+    "com.ro", "org.ro", "tm.ro", "nom.ro", "info.ro", "firm.ro", "store.ro",
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    // canada (provincial)
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yt.ca", "gc.ca",
+    // latin america
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe", "nom.pe",
+    "gob.cl", "gov.cl", "co.cl", "mil.cl",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "fin.ec", "med.ec",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "coop.py",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "int.bo", "web.bo",
+    "co.cr", "ac.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "gov.do", "web.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "ind.gt",
+    "com.ve", "net.ve", "org.ve", "co.ve", "edu.ve", "gob.ve", "info.ve",
+    "web.ve",
+    // US state suffixes (delegated; cities/agencies register UNDER them)
+    "ca.us", "ny.us", "tx.us", "fl.us", "wa.us", "il.us", "pa.us",
+    "oh.us", "mi.us", "ga.us", "nc.us", "nj.us", "va.us", "ma.us",
+    "az.us", "co.us", "or.us", "mn.us", "wi.us", "md.us")
+
+  /** Three-label public suffixes (registered domains keep FOUR
+    * labels): US K-12 / community-college / library trees plus the
+    * Australian state education domains — same static-snapshot
+    * contract as [[MultiPartSuffixes]]. */
+  val ThreePartSuffixes: Seq[String] = {
+    val usStates = Seq("ca", "ny", "tx", "fl", "wa", "il", "pa", "oh",
+      "mi", "ga", "nc", "nj", "va", "ma", "az", "co", "or", "mn", "wi", "md")
+    usStates.flatMap(s => Seq(s"k12.$s.us", s"cc.$s.us", s"lib.$s.us")) ++
+      Seq("act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au",
+        "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au")
+  }
 
   /** Canonical form of a raw URL:
     * scheme+host lowercased (schemeless input assumed http), userinfo
@@ -75,13 +167,25 @@ object Urls {
     regexp_replace(lower(regexp_extract(hostport, "^([^:]*)", 1)), "\\.$", "")
   }
 
-  /** Registered domain of a host: the last two labels, or three when
-    * the two-label tail is a known multi-part suffix (co.uk, com.au,
-    * …). Hosts with fewer labels pass through unchanged. */
-  def registeredDomain(host: Column): Column = {
+  /** Registered domain of a host: the last two labels; three when the
+    * two-label tail is a known multi-part suffix (co.uk, com.sg, …);
+    * four when the THREE-label tail is one (k12.ca.us, vic.edu.au).
+    * Hosts with fewer labels than the matched rule needs, and hosts
+    * that ARE a bare suffix, pass through at the next-shorter rule.
+    * Suffix sets default to the embedded snapshot and are caller-
+    * loadable (read your registry table, `collect` it — suffix sets
+    * are a few hundred rows — and pass the seqs); both land in the
+    * plan as Catalyst InSet literals, codegen'd, no join. */
+  def registeredDomain(host: Column): Column =
+    registeredDomain(host, MultiPartSuffixes, ThreePartSuffixes)
+
+  def registeredDomain(host: Column, twoLabelSuffixes: Seq[String],
+      threeLabelSuffixes: Seq[String]): Column = {
     val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val three = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(two.isin(MultiPartSuffixes: _*) && three =!= "", three)
+    val four = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(three.isin(threeLabelSuffixes: _*) && four =!= "", four)
+      .when(two.isin(twoLabelSuffixes: _*) && three =!= "", three)
       .otherwise(when(two === "", host).otherwise(two))
   }
 

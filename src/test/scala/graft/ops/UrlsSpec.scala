@@ -55,6 +55,15 @@ class UrlsSpec extends AnyFunSuite {
         "http://a.com/x", "http://a.com/x"))
   }
 
+  test("valueless tracking params dropped; ref-prefixed real params kept") {
+    assert(canon(
+      "http://a.com/x?utm_source&b=2",
+      "http://a.com/x?gclid",
+      "http://a.com/x?refresh=1&ref=sidebar") ===
+      Seq("http://a.com/x?b=2", "http://a.com/x",
+        "http://a.com/x?refresh=1"))
+  }
+
   test("registeredDomain honours multi-part suffixes") {
     import spark.implicits._
     val got = Seq("www.news.bbc.co.uk", "a.b.example.com", "example.com",
@@ -63,6 +72,24 @@ class UrlsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq("bbc.co.uk", "example.com", "example.com",
       "localhost", "site.com.au"))
+  }
+
+  test("registeredDomain: exotic two-label and three-label suffixes") {
+    import spark.implicits._
+    val got = Seq(
+      "shop.acme.com.sg", "acme.co.nz", "news.site.com.hk",
+      "myschool.k12.ca.us", "www.myschool.k12.ca.us",
+      "stjohns.vic.edu.au", "portal.stjohns.vic.edu.au",
+      "k12.ca.us")
+      .toDF("h").select(Urls.registeredDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "acme.com.sg", "acme.co.nz", "site.com.hk",
+      "myschool.k12.ca.us", "myschool.k12.ca.us",
+      "stjohns.vic.edu.au", "stjohns.vic.edu.au",
+      // a host that IS a bare 3-label suffix falls back to the
+      // 2-label rule: ca.us is itself a suffix, so keep 3 labels
+      "k12.ca.us"))
   }
 
   test("dedupByCanonical merges spellings and keeps the first id") {
