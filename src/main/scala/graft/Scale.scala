@@ -143,9 +143,12 @@ object Scale {
     * sort-heavy funnels (measured ≤ 10 GB at m=64 under the 8g judge
     * regime) while still catching a Σdf²-class cliff (r8's
     * sparse-cosine spilled 97 GB). `dedup_contain_pairs` is held to
-    * 1 GB: its verify is SHUFFLE_HASH-streamed by design — candidates
-    * carry gram arrays through a streamed probe, never a sort — so
-    * material spill there means the shape regressed. */
+    * 1 GB because both of its former spill sources are gone by
+    * design: the verify joins are SHUFFLE_HASH-streamed (arrays ride
+    * the O(n) build side) and the shared-fp count aggregation runs
+    * over bucketFrac-scrubbed mentions (r10 measured 0 spill at every
+    * mult) — material spill there means one of those shapes
+    * regressed. */
   val DefaultSpillBudget: Long = 16L << 30
   val SpillBudgets: Map[String, Long] = Map(
     "dedup_contain_pairs" -> (1L << 30),
@@ -217,8 +220,14 @@ object Scale {
       hotElemFrac = 0.025)),
     "dedup_simhash_pairs" -> (d => Dedup.simhashPairs(d, col("text"),
       col("doc_id"), maxHamming = 7, bucketCap = BucketCap)),
+    // bucketFrac engages the proportional fp cap: mid-df vocab-
+    // background fingerprints (df in the hundreds on this ~30-word
+    // corpus) each mint df² candidate mentions, and the shared-fp
+    // COUNT aggregation over that stream was the funnel's entire
+    // spill (r10 stage-level measurement: 4→38.6 GB, one stage).
+    // df > 0.1% of the corpus is template judgment at every mult.
     "dedup_contain_pairs" -> (d => Dedup.containmentPairs(d, col("text"),
-      col("doc_id"), bucketCap = BucketCap)),
+      col("doc_id"), bucketCap = BucketCap, bucketFrac = 0.0005)),
     "dedup_snm_pairs" -> (d => Dedup.sortedNeighborhoodPairs(d,
       col("text"), col("doc_id"), sortKeyLen = 24, window = 10,
       shingleK = 2, threshold = 0.3)),
@@ -309,13 +318,18 @@ object Scale {
       "pairs - any correct engine emits the same capped set. s_exp " +
       "~2.1 is the flood's pair count growing with its square, capped."),
     "dedup_contain_pairs" -> ("winnowed fingerprints of exact clones " +
-      "are identical, so within-flood posting lists are clone-sized " +
-      "and the capped candidate set grows like the flood's square " +
-      "(s_exp ~2.1, same answer-shaped volume as simhash). The spill " +
-      "seen under the 8g judge regime (3.8 GB at m=4) is the verify " +
-      "join carrying winnowed-fingerprint ARRAYS as row payload - " +
-      "bounded by bucketCap x array size, memory-regime-dependent " +
-      "(0 bytes at large heap), not a growth defect."),
+      "are identical, so clone-flood buckets exceed every cap and " +
+      "drop whole (the documented skew contract). r10 stage-level " +
+      "measurement localized the r9 spill (3.9-38.7 GB) NOT in the " +
+      "verify join but in the shared-fp COUNT aggregation: mid-df " +
+      "vocab-background fp buckets each mint df^2 pair mentions and " +
+      "the absolute bucketCap=1000 stops binding once the corpus " +
+      "outgrows it. Two fixes landed: verify joins are SHUFFLE_HASH " +
+      "with the O(n) gram side as build (wide rows stream, never " +
+      "sort), and bucketFrac=0.0005 applies the proportional " +
+      "template judgment (fp in >0.05pct of corpus carries no " +
+      "containment identity; ledgered). Measured after: 3.2/3.0/6.0s " +
+      "at m=4/16/64 with ZERO spill at every point."),
     "dedup_snm_pairs" -> ("sorted-neighborhood replication is w x n = " +
       "linear with w=10; the fitted s_exp ~1.6-1.9 is a small-scale " +
       "edge: at m=4 most range partitions hold fewer than w rows so " +
@@ -440,8 +454,12 @@ object Scale {
         val sw = stages.map(_.swRecords).sum
         val swb = stages.map(_.swBytes).sum
         val spill = stages.map(_.spillBytes).sum
+        val topSpill = stages.filter(_.spillBytes > 0)
+          .sortBy(-_.spillBytes).take(3)
+          .map(s => s"${s.id}:${s.spillBytes / 1000000}MB").mkString(",")
         System.err.println(f"[scale] m=$m%-3d $name%-26s ${sec}%8.2fs  " +
           f"shufW ${sw}%,12d rows ${swb / 1e6}%9.1f MB  spill ${spill / 1e6}%6.1f MB" +
+          (if (topSpill.nonEmpty) s"  [spill $topSpill]" else "") +
           (if (ledger.nonEmpty) s"  ledger ${ledger.size}" else ""))
         name -> ((sec, sr, sw, swb, spill, stages, ledger))
       }
@@ -501,8 +519,9 @@ object Scale {
 
     def qJson(t: (Double, Long, Long, Long, Long, Seq[Scale.StageRow],
         Seq[(String, String)])): String = {
-      val top = t._6.sortBy(-_.swBytes).take(5).map(s =>
-        s"[${s.id},${s.srRecords},${s.swRecords},${s.swBytes}]")
+      val top = t._6.sortBy(s => -math.max(s.swBytes, s.spillBytes)).take(5)
+        .map(s =>
+          s"[${s.id},${s.srRecords},${s.swRecords},${s.swBytes},${s.spillBytes}]")
       val led = t._7.map { case (n, d) =>
         s"""{"name":${jStr(n)},"detail":${jStr(d)}}""" }
       s"""{"sec":${jNum(t._1)},"shuffle_read_rows":${t._2},""" +

@@ -310,6 +310,16 @@ class DedupSpec extends AnyFunSuite {
       k = 8, w = 8, threshold = 0.9, bucketCap = 20))
     assert(got === Set((100L, 9500L)),
       s"only the true containment pair may survive the cap, got $got")
+    // the proportional twin reaches the same verdict: frac 0.5 of 32
+    // docs = cap 16 < the 30-doc boilerplate buckets, and the copy
+    // pair's 2-doc buckets ride under any floor. Engagement ledgered.
+    val mark = Ledger.mark()
+    val gotFrac = pairSet(Dedup.containmentPairs(d, col("text"), col("doc_id"),
+      k = 8, w = 8, threshold = 0.9, bucketFrac = 0.5))
+    assert(gotFrac === Set((100L, 9500L)),
+      s"bucketFrac must reach the same verdict as the absolute cap, got $gotFrac")
+    assert(Ledger.since(mark).exists(_._1 == "contain_bucket_frac"),
+      "proportional-cap engagement must be ledgered")
   }
 
   test("exact dedup clusters identical texts") {
