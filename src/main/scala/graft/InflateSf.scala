@@ -73,7 +73,7 @@ object InflateSf {
     val baseN = base.count()
     base.crossJoin(broadcast(spark.range(mult).toDF("__rep")))
       .select((col("__rep") * baseN + col("event_id")).as("event_id"),
-        timestamp_micros(unix_micros(col("ts")) + col("__rep") * 1000000L).as("ts"),
+        expr("timestampadd(SECOND, __rep, ts)").as("ts"),
         col("user_id"), col("event_type"),
         (col("value") * (lit(1.0) + lit(0.1) *
           when(pmod(xxhash64(col("event_id"), col("__rep")), lit(2)) === 0,

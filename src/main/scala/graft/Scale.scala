@@ -302,7 +302,10 @@ object Scale {
       "corpus-scale) and the ~900 base-vocab 2-shingles at df~3.5pct " +
       "that give every random pair J~0.01, which the 8-band S-curve " +
       "turns into a 0.08pct candidate rate. The clone-flood probe " +
-      "re-runs the funnel scrub-OFF to prove bucketCap engages alone."),
+      "re-runs the funnel scrub-OFF to prove bucketCap engages alone. " +
+      "Verify joins are SHUFFLE_HASH (r10): signature/element arrays " +
+      "ride the O(n) build side, candidates stream unsorted - zero " +
+      "spill at every mult (was 6.6 GB at m=64 sorting cands+arrays)."),
     "dedup_ngram_pairs" -> ("same scrub judgment as minhash: char-3-" +
       "grams of the ~30-word base vocabulary are ALL corpus-scale, so " +
       "scrub-off the random-background candidate rate is quadratic " +
@@ -335,8 +338,10 @@ object Scale {
       "edge: at m=4 most range partitions hold fewer than w rows so " +
       "the replication stage emits ~2x rows, ramping to its " +
       "asymptotic ~9x by m=64 (stage rows 416000 -> 3744000). Past " +
-      "that ramp the per-hop exponent falls back toward 1; shuffle " +
-      "BYTES are dominated by the sort carrying shingle sets, linear."),
+      "that ramp the per-hop exponent falls back toward 1. The " +
+      "window probe join is SHUFFLE_HASH on the O(n) ranked side " +
+      "(r10): the 9x array-bearing probe stream is never sorted - " +
+      "zero spill at every mult (was 6.1 GB at m=64 under SMJ)."),
     "text_sparse_cosine_pairs" -> ("dfFrac=0.025 proportional cap " +
       "replaces the r8 absolute dfCap=2000 whose just-under-cap " +
       "posting lists minted Sigma df^2 partial rows (non-monotone: " +

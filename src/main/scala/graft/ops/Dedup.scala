@@ -124,6 +124,12 @@ object Dedup {
     * (skipped when the margin covers the whole range) then exact
     * Jaccard over element sets, both via key-equality joins against
     * `lookup` (doc_id, sig, elems). */
+  /** Every array-carrying verify join is SHUFFLE_HASH with the O(n)
+    * per-doc side as the build: bare candidate pairs stream through
+    * the probes and collapse to scores inside the stage, so rows
+    * carrying signature/element arrays are never sorted or buffered
+    * (the sort-merge plan this replaces spilled 6.6 GB at the m=64
+    * scale point purely sorting candidates+array payload). */
   private def verifyCandidates(cands: DataFrame, lookup: DataFrame,
       numHashes: Int, threshold: Double): DataFrame = {
     val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
@@ -132,14 +138,18 @@ object Dedup {
       else {
         val est = graft.functions.GraftFunctions.sigMatch(col("sig_a"), col("sig_b"))
         cands
-          .join(lookup.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-          .join(lookup.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .join(lookup.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+            .hint("SHUFFLE_HASH"), Seq("id_a"))
+          .join(lookup.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+            .hint("SHUFFLE_HASH"), Seq("id_b"))
           .filter(est >= threshold - margin)
           .select("id_a", "id_b")
       }
     likely
-      .join(lookup.select(col("doc_id").as("id_a"), col("elems").as("e_a")), Seq("id_a"))
-      .join(lookup.select(col("doc_id").as("id_b"), col("elems").as("e_b")), Seq("id_b"))
+      .join(lookup.select(col("doc_id").as("id_a"), col("elems").as("e_a"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(lookup.select(col("doc_id").as("id_b"), col("elems").as("e_b"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("e_a"), col("e_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -1198,7 +1208,12 @@ object Dedup {
     val probe = r.select(col("doc_id").as("__pid"), col("__e").as("__pe"),
       explode(sequence(col("__rank") + 1,
         col("__rank") + lit(window.toLong - 1))).as("__rank"))
-    probe.join(r, Seq("__rank"))
+    // SHUFFLE_HASH on the O(n) ranked side: the probe side carries
+    // (window-1) array replicas per doc, and sort-merge sorted BOTH
+    // array-bearing sides on __rank (measured 6.1 GB spill at the
+    // m=64 scale point); hash-building the n-row side lets the 9n-row
+    // probe stream through unsorted
+    probe.join(r.hint("SHUFFLE_HASH"), Seq("__rank"))
       .select(least(col("__pid"), col("doc_id")).as("id_a"),
         greatest(col("__pid"), col("doc_id")).as("id_b"),
         jaccard(col("__pe"), col("__e")).as("jaccard"))
