@@ -97,8 +97,18 @@ object Spans {
     // explode recomputes per consumer (the 2^k branch trap; at sf0.1
     // this tripled the heaviest projection in the engine). Both pin
     // eagerly: hits is one row per token occurrence, dup is the
-    // bounded duplicated-gram table
-    val hits = gramHits(docs, text, id, n).localCheckpoint(true)
+    // bounded duplicated-gram table.
+    // Grams travel as xxhash64 LONGS from here on (the engine's
+    // standing shingle idiom, identical output up to 2^-64
+    // collisions): the 10-token gram STRING (~70 B) was the payload
+    // of every downstream shuffle — the dup aggregation and both
+    // join paths — and the r10 scale run measured 8.8 GB of sort
+    // spill at m=64 carrying it. The output never contains the gram,
+    // so nothing user-visible changes; only [[droppedGrams]] (the
+    // human-facing ledger) keeps strings.
+    val hits = gramHits(docs, text, id, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gram"))
+      .localCheckpoint(true)
     val dup0 = hits.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("__nd"),
         min(col("doc_id")).as("__owner"))
