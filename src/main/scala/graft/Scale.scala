@@ -139,20 +139,19 @@ object Scale {
   val DfCap = 2000
 
   /** Per-funnel SPILL ceilings (bytes), asserted at every scale point.
-    * The default tolerates the graceful external-sort spill of the
-    * sort-heavy funnels (measured ≤ 10 GB at m=64 under the 8g judge
-    * regime) while still catching a Σdf²-class cliff (r8's
-    * sparse-cosine spilled 97 GB). `dedup_contain_pairs` is held to
-    * 1 GB because both of its former spill sources are gone by
-    * design: the verify joins are SHUFFLE_HASH-streamed (arrays ride
-    * the O(n) build side) and the shared-fp count aggregation runs
-    * over bucketFrac-scrubbed mentions (r10 measured 0 spill at every
-    * mult) — material spill there means one of those shapes
-    * regressed. */
-  val DefaultSpillBudget: Long = 16L << 30
+    * After r10's three shape fixes (SHUFFLE_HASH verify joins across
+    * the LSH family, the containment bucketFrac scrub, span grams
+    * hashed to longs), EVERY funnel measured ZERO spill at every mult
+    * under the 8g judge regime — so the budget is a tight regression
+    * tripwire, not a tolerance: 4 GB default (headroom for memory-
+    * regime wobble in external sorts), 1 GB for the funnels whose
+    * spill sources were eliminated by design. r8's sparse-cosine
+    * cliff for comparison: 97 GB. */
+  val DefaultSpillBudget: Long = 4L << 30
   val SpillBudgets: Map[String, Long] = Map(
     "dedup_contain_pairs" -> (1L << 30),
-    "text_sparse_cosine_pairs" -> (4L << 30))
+    "dedup_minhash_pairs" -> (1L << 30),
+    "dedup_snm_pairs" -> (1L << 30))
 
   /** Claimed scaling ceilings: the notes below assert each funnel is
     * (sub)linear or answer-shaped; a fitted time exponent above its
@@ -354,7 +353,10 @@ object Scale {
     "span_dup_spans" -> ("shuffle is the 10-gram posting groupBy - " +
       "linear in total grams (s_exp ~1.26 tracks docs x doc length); " +
       "the salted hot-gram pre-pass bounds the boilerplate key skew " +
-      "(probe: span found in 31999/32000 planted docs)."),
+      "(probe: span found in 31999/32000 planted docs). Grams travel " +
+      "as xxhash64 longs through every shuffle (r10): the 70-byte " +
+      "gram string was the sort payload - zero spill at every mult " +
+      "(was 8.8 GB at m=64), shuffle bytes ~2.6x down."),
     "split_leakfree" -> ("near-dup edge generation + iterative CC; " +
       "s_exp ~1.33 is edge volume growing slightly super-linearly " +
       "with the flood (capped per bucket) times a log-n CC round " +
