@@ -2155,6 +2155,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // charset sniff + decode of raw payload bytes (the stage between
+    // container ingest and every text operator): per-doc fixture
+    // cycles ascii / UTF-8 / UTF-8+BOM / UTF-16LE / windows-1252
+    // encodings of the document text, the engine sniffs and decodes
+    // from actual bytes, and the oracle states the expected charset
+    // verdict, the decoded text ITSELF, and the exact byte length in
+    // closed form — a full round-trip proof of the validator and both
+    // decode tables
+    "ingest_charset_decode" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Ingest.charsetFixture(id, txt))
+      val raw = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("payload"))
+      Ingest.decodeTextAuto(raw, col("payload"))
+        .select(col("doc_id"), col("charset"), col("text_decoded"),
+          col("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // WARC/1.0 crawl-container ingest: real byte-level record walk
     // (version line, case-insensitive headers, Content-Length-
     // delimited payloads). Oracle recomputes every field closed-form
@@ -5694,6 +5712,23 @@ object SparkEntry {
          SELECT doc_id, 8 AS width, 6 AS height,
            CAST(sum(v) AS BIGINT) AS sum_luma
          FROM l GROUP BY 1 ORDER BY doc_id""",
+
+    "ingest_charset_decode" ->
+      """WITH v AS (SELECT doc_id, doc_id % 5 AS k, text,
+           text || ' café Ωμέγα' AS wide,
+           text || ' café' AS acc
+         FROM documents)
+       SELECT doc_id,
+         CASE k WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+           WHEN 2 THEN 'utf-8-bom' WHEN 3 THEN 'utf-16le'
+           ELSE 'windows-1252' END AS charset,
+         CASE k WHEN 0 THEN text WHEN 4 THEN acc ELSE wide END AS text_decoded,
+         CAST(CASE k WHEN 0 THEN length(text)
+           WHEN 1 THEN octet_length(encode(wide))
+           WHEN 2 THEN 3 + octet_length(encode(wide))
+           WHEN 3 THEN 2 + 2 * length(wide)
+           ELSE length(acc) END AS BIGINT) AS n_bytes
+       FROM v ORDER BY doc_id""",
 
     "ingest_warc_records" ->
       """WITH info AS (SELECT 'software: graft-crawler/1.0'

@@ -897,6 +897,83 @@ object Kernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Strict RFC 3629 UTF-8 validation from `off`: rejects stray
+    * continuations, overlong encodings, surrogate code points, and
+    * anything above U+10FFFF. */
+  private def validUtf8(b: Array[Byte], off: Int): Boolean = {
+    var i = off
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation byte or overlong lead
+      else if (c < 0xe0) {
+        if (i + 1 >= b.length || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) {
+        if (i + 2 >= b.length) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80) return false
+        if (c == 0xe0 && c1 < 0xa0) return false // overlong
+        if (c == 0xed && c1 >= 0xa0) return false // UTF-16 surrogate range
+        i += 3
+      } else if (c < 0xf5) {
+        if (i + 3 >= b.length) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80 ||
+          (b(i + 3) & 0xc0) != 0x80) return false
+        if (c == 0xf0 && c1 < 0x90) return false // overlong
+        if (c == 0xf4 && c1 >= 0x90) return false // above U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  /** Charset sniff + decode of a raw crawl payload — the encoding
+    * stage every WARC pipeline runs before any text operator (a
+    * crawl's declared charsets are unreliable; pipelines sniff).
+    * Deterministic contract: BOMs win (UTF-8 / UTF-16LE / UTF-16BE
+    * — an odd-length UTF-16 body or invalid post-BOM UTF-8 falls
+    * through to the byte fallback rather than desyncing), else
+    * strict RFC 3629 validation calls the buffer "utf-8" (pure
+    * 7-bit reported as "ascii"), else windows-1252 — the de-facto
+    * web fallback superset of latin-1, decoded via the JVM's
+    * standard table. Returns (charset, text, n_bytes); n_bytes is
+    * the RAW payload length including any BOM. */
+  def charsetDecode(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    def row(cs: String, text: UTF8String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(cs), text, b.length.toLong))
+    def cp1252(off: Int) = UTF8String.fromString(new String(b, off,
+      b.length - off, java.nio.charset.Charset.forName("windows-1252")))
+    def utf16(off: Int, cs: java.nio.charset.Charset) =
+      UTF8String.fromString(new String(b, off, b.length - off, cs))
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+        (b(2) & 0xff) == 0xbf) {
+      if (validUtf8(b, 3))
+        row("utf-8-bom",
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 3, b.length)))
+      else row("windows-1252", cp1252(3))
+    } else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe) {
+      if ((b.length - 2) % 2 == 0)
+        row("utf-16le", utf16(2, java.nio.charset.StandardCharsets.UTF_16LE))
+      else row("windows-1252", cp1252(0))
+    } else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) {
+      if ((b.length - 2) % 2 == 0)
+        row("utf-16be", utf16(2, java.nio.charset.StandardCharsets.UTF_16BE))
+      else row("windows-1252", cp1252(0))
+    } else if (validUtf8(b, 0)) {
+      var ascii = true
+      var i = 0
+      while (i < b.length && ascii) {
+        if ((b(i) & 0x80) != 0) ascii = false
+        i += 1
+      }
+      row(if (ascii) "ascii" else "utf-8", UTF8String.fromBytes(b))
+    } else row("windows-1252", cp1252(0))
+  }
 }
 
 /** text STRING → 64-bit SimHash fingerprint. */
@@ -967,6 +1044,26 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateLen($c)")
   override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
+/** payload BINARY → STRUCT(charset, text, n_bytes): charset sniff +
+  * decode (BOM dispatch, strict UTF-8 validation, windows-1252
+  * fallback — [[Kernels.charsetDecode]]'s contract). */
+case class CharsetDecode(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("charset", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"charset_decode needs BINARY, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.charsetDecode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charsetDecode($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharsetDecode =
     copy(child = newChild)
 }
 
@@ -1293,6 +1390,8 @@ object GraftFunctions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftColumnBridge.column(UnicodeNormalize(e(text), form))
   def phash64(media: Column): Column = GraftColumnBridge.column(PHash64(e(media)))
+  def charsetDecode(payload: Column): Column =
+    GraftColumnBridge.column(CharsetDecode(e(payload)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =

@@ -132,4 +132,39 @@ object Ingest {
     recs.map(r => Codecs.gzipBytes(Codecs.encodeWarc(Seq(r))))
       .reduce(_ ++ _)
   }
+
+  /** Charset sniff + decode stage for raw crawl payloads — runs
+    * BETWEEN container ingest (WARC payload bytes) and every text
+    * operator: BOM dispatch (UTF-8 / UTF-16LE / UTF-16BE), strict
+    * RFC 3629 UTF-8 validation (pure 7-bit reported "ascii"),
+    * windows-1252 byte fallback for everything else — sniffed, never
+    * trusted from headers. One codegen'd kernel call per row inside
+    * the scan ([[graft.functions.GraftFunctions.charsetDecode]]);
+    * at 100 TB this is projection work, no shuffle. Adds (charset,
+    * text_decoded, n_bytes). */
+  def decodeTextAuto(df: DataFrame, payload: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("__cd", graft.functions.GraftFunctions.charsetDecode(payload))
+      .withColumn("charset", col("__cd.charset"))
+      .withColumn("text_decoded", col("__cd.text"))
+      .withColumn("n_bytes", col("__cd.n_bytes"))
+      .drop("__cd")
+
+  /** Deterministic mixed-charset payload fixture for the
+    * `ingest_charset_decode` oracle: doc_id%5 selects the encoding of
+    * the document text (+ a non-ASCII suffix where the charset can
+    * carry it), so the oracle knows the expected charset verdict,
+    * decoded text, and byte length in closed form. */
+  def charsetFixture(id: Long, text: String): Array[Byte] = {
+    val accented = text + " café"            // é — cp1252-representable
+    val wide = accented + " Ωμέγα" // + Greek Ωμέγα
+    (id % 5) match {
+      case 0 => text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      case 1 => wide.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case 2 => Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        wide.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case 3 => Array(0xFF.toByte, 0xFE.toByte) ++
+        wide.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      case _ => accented.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    }
+  }
 }
