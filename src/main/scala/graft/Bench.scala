@@ -63,7 +63,19 @@ object Bench {
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // optional deterministic order shuffle (SPARK_GRAFT_BENCH_SEED=N):
+    // the r10 isolation measurement showed per-query times inflate
+    // 2-4x with session position (ambient JVM state a per-query
+    // hygiene pass cannot reclaim) — re-running with different seeds
+    // separates operator regressions from position artifacts. Unset =
+    // stable registration order, comparable across rounds.
+    val selected0 = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_SEED") match {
+      case Some(seed) =>
+        val r = new scala.util.Random(scala.util.Try(seed.trim.toLong).getOrElse(0L))
+        r.shuffle(selected0.toSeq)
+      case None => selected0.toSeq
+    }
     // Each query runs 1 cold + N warm times. The cold run carries the
     // one-time whole-stage-codegen/Janino compile + classload cost
     // (~0.3-2.5s per novel plan — measured to dwarf actual sf0.1
@@ -106,8 +118,8 @@ object Bench {
         }
       }.mkString("{", ",", "}")
     val gcJson = results.map { case (k, t) => s"\"" + k + "\":" + t._3 }.mkString("{", ",", "}")
-    val warmTotal = results.values.flatMap(_._2).sum
-    val coldTotal = results.values.flatMap(_._1).sum
+    val warmTotal = results.flatMap(_._2._2).sum
+    val coldTotal = results.flatMap(_._2._1).sum
     val errJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the short headline line brackets the long per-query line: capture
     // tooling may keep either the head or the TAIL of the log (the

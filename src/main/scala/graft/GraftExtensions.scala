@@ -67,6 +67,8 @@ object GraftExtensions {
       fn("graft_phash64", classOf[PHash64], 1)(es => PHash64(es.head)),
       fn("graft_charset_decode", classOf[CharsetDecode], 1)(
         es => CharsetDecode(es.head)),
+      fn("graft_main_content", classOf[MainContent], 1)(
+        es => MainContent(es.head, 25, 0.33)),
       fn("graft_word_gram_hashes", classOf[WordGramHashes], 2)(
         es => WordGramHashes(es.head, intLit(es(1), "graft_word_gram_hashes", 1))),
       fn("graft_char_ngram_hashes", classOf[CharNgramHashes], 2)(

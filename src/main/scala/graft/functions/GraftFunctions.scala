@@ -898,6 +898,86 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // ---- main-content extraction kernel -------------------------------
+
+  /** Block-boundary tags of the main-content extractor — the single
+    * source of truth [[graft.ops.TextOps.BlockTagRe]] re-exports. */
+  val BlockTagReStr: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+    "section|article|main|blockquote|pre|figure|figcaption|form|fieldset|" +
+    "br|hr)\\b[^>]*>"
+
+  private val mcStructRes: Array[java.util.regex.Pattern] =
+    Array("script", "style", "nav", "header", "footer", "aside")
+      .map(t => java.util.regex.Pattern.compile(s"(?is)<$t\\b[^>]*>.*?</$t>"))
+  private val mcCommentRe = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val mcBlockRe = java.util.regex.Pattern.compile(BlockTagReStr)
+  private val mcTagRe = java.util.regex.Pattern.compile("<[^>]*>")
+  private val mcAnchorRe =
+    java.util.regex.Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a>")
+  private val mcWsRe = java.util.regex.Pattern.compile("\\s+")
+
+  private def mcVisible(s: String): String = {
+    var t = mcTagRe.matcher(s).replaceAll(" ")
+    t = t.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+    t = mcWsRe.matcher(t).replaceAll(" ")
+    // trim SPACES only — the collapse already folded every \s run
+    var a = 0; var z = t.length
+    while (a < z && t.charAt(a) == ' ') a += 1
+    while (z > a && t.charAt(z - 1) == ' ') z -= 1
+    t.substring(a, z)
+  }
+
+  /** [[graft.ops.TextOps.extractMainContent]]'s fused kernel: the SAME
+    * java.util.regex engine and patterns Spark's own regexp functions
+    * compile, the same literal-replace entity chain, the same split
+    * semantics (limit -1), lengths in code points like Spark's
+    * `length` — one evaluation per document instead of a tree of
+    * INTERPRETED higher-order array expressions (transform / filter /
+    * aggregate don't whole-stage-codegen; the fused kernel measured
+    * ~10× on the bench fixture). Output equality with the Column
+    * formulation is pinned by spec; the DuckDB oracle is unchanged. */
+  def mainContent(s: UTF8String, minChars: Int, maxLinkDensity: Double)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    var c = s.toString
+    var ri = 0
+    while (ri < mcStructRes.length) {
+      c = mcStructRes(ri).matcher(c).replaceAll(" "); ri += 1
+    }
+    c = mcCommentRe.matcher(c).replaceAll(" ")
+    val blocks = mcBlockRe.split(c, -1)
+    val main = new java.lang.StringBuilder()
+    var nBlocks = 0L; var nContent = 0L
+    var contentChars = 0L; var totalChars = 0L
+    var bi = 0
+    while (bi < blocks.length) {
+      val b = blocks(bi)
+      val t = mcVisible(b)
+      if (!t.isEmpty) {
+        nBlocks += 1
+        val tlen = t.codePointCount(0, t.length).toLong
+        totalChars += tlen
+        var ll = 0L
+        val m = mcAnchorRe.matcher(b)
+        while (m.find()) {
+          val at = mcVisible(m.group(1))
+          ll += at.codePointCount(0, at.length).toLong
+        }
+        if (tlen >= minChars && ll.toDouble <= maxLinkDensity * tlen) {
+          nContent += 1
+          contentChars += tlen
+          if (main.length > 0) main.append('\n')
+          main.append(t)
+        }
+      }
+      bi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(main.toString), nBlocks, nContent,
+        contentChars, totalChars - contentChars))
+  }
+
   /** Strict RFC 3629 UTF-8 validation from `off`: rejects stray
     * continuations, overlong encodings, surrogate code points, and
     * anything above U+10FFFF. */
@@ -1044,6 +1124,30 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateLen($c)")
   override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
+/** html STRING × (minChars, maxLinkDensity) → STRUCT(main_text,
+  * n_blocks, n_content_blocks, content_chars, boiler_chars): fused
+  * main-content extraction ([[Kernels.mainContent]]'s contract). */
+case class MainContent(child: Expression, minChars: Int,
+    maxLinkDensity: Double) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("main_text", StringType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_content_blocks", LongType, nullable = false),
+    StructField("content_chars", LongType, nullable = false),
+    StructField("boiler_chars", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"main_content needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.mainContent(input.asInstanceOf[UTF8String], minChars, maxLinkDensity)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.mainContent($c, $minChars, ${maxLinkDensity}D)")
+  override protected def withNewChildInternal(newChild: Expression): MainContent =
     copy(child = newChild)
 }
 
@@ -1392,6 +1496,9 @@ object GraftFunctions {
   def phash64(media: Column): Column = GraftColumnBridge.column(PHash64(e(media)))
   def charsetDecode(payload: Column): Column =
     GraftColumnBridge.column(CharsetDecode(e(payload)))
+  def mainContent(html: Column, minChars: Int = 25,
+      maxLinkDensity: Double = 0.33): Column =
+    GraftColumnBridge.column(MainContent(e(html), minChars, maxLinkDensity))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =

@@ -114,11 +114,9 @@ object TextOps {
   /** Block-boundary tags: a candidate content block ends wherever one
     * of these opens or closes. Inline markup (a, b, i, em, span, …)
     * stays INSIDE its block — anchors in particular must, because
-    * link density is the block-level boilerplate signal. */
-  val BlockTagRe: String =
-    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
-    "section|article|main|blockquote|pre|figure|figcaption|form|fieldset|" +
-    "br|hr)\\b[^>]*>"
+    * link density is the block-level boilerplate signal. (Re-export of
+    * the kernel's single source of truth.) */
+  val BlockTagRe: String = graft.functions.Kernels.BlockTagReStr
 
   /** MAIN-CONTENT extraction — the boilerplate/chrome removal stage a
     * real crawl pipeline runs before any dedup or quality signal
@@ -146,8 +144,21 @@ object TextOps {
     * Returns struct(main_text, n_blocks, n_content_blocks,
     * content_chars, boiler_chars); n_blocks counts NON-EMPTY blocks.
     * At 100 TB this is one projection inside the scan — no shuffle,
-    * no UDF, whole-stage codegen end to end. */
+    * no UDF: the default path is the fused codegen'd kernel
+    * ([[graft.functions.Kernels.mainContent]], same java.util.regex
+    * engine Spark's regexp functions use); the pure-built-in Column
+    * formulation below ([[extractMainContentCols]]) is the
+    * oracle-shaped reference the spec pins the kernel against —
+    * higher-order array expressions evaluate INTERPRETED in Spark,
+    * which measured ~10× slower per document. */
   def extractMainContent(html: Column, minChars: Int = 25,
+      maxLinkDensity: Double = 0.33): Column =
+    graft.functions.GraftFunctions.mainContent(html, minChars, maxLinkDensity)
+
+  /** The reference formulation of [[extractMainContent]] as a pure
+    * composition of built-in expressions — restated 1:1 in the DuckDB
+    * oracle; output equality with the kernel is spec-pinned. */
+  def extractMainContentCols(html: Column, minChars: Int = 25,
       maxLinkDensity: Double = 0.33): Column = {
     val noStruct = Seq("script", "style", "nav", "header", "footer", "aside")
       .foldLeft(html)((c, t) =>

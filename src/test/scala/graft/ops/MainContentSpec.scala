@@ -86,4 +86,35 @@ class MainContentSpec extends AnyFunSuite {
         s"<!-- note --><p>$para Fish &amp; chips &lt;cheap&gt;</p></body>")
     assert(text === s"$para Fish & chips <cheap>")
   }
+
+  test("fused kernel == pure-builtin Column formulation, field for field") {
+    import spark.implicits._
+    // every fixture shape above plus the oracle's full synthetic page
+    val pages = Seq(
+      s"<body><nav>$para</nav><p>$para</p><footer>$para</footer></body>",
+      s"<body><p>$para See also <a href=\"/r\">the source</a>.</p>" +
+        "<ul><li><a href=\"/1\">Related one: how the spark shuffle " +
+        "works in practice today</a></li></ul></body>",
+      para,
+      "",
+      s"<body><nav>$para<p>$para</p></body>", // unclosed structural tag
+      s"<div>2026-08-14</div><h1>Hi</h1><p>$para &amp; more&lt;x&gt;</p>")
+    val df = pages.toDF("html")
+    val k = df.select(TextOps.extractMainContent(col("html")).as("m"))
+      .select("m.*").collect().map(_.toSeq)
+    val c = df.select(TextOps.extractMainContentCols(col("html")).as("m"))
+      .select("m.*").collect().map(_.toSeq)
+    assert(k.toSeq === c.toSeq)
+    // and on real minted pages: the first 40 docs of the oracle fixture
+    val docs = spark.range(40).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id").cast("string"),
+        lit(" some words repeat here enough to pass the length floor " +
+          "for every document in this fixture")).as("text"))
+    val fx = graft.SparkEntry.htmlPageFixture(docs)
+    val k2 = fx.select(TextOps.extractMainContent(col("html")).as("m"))
+      .select("m.*").collect().map(_.toSeq)
+    val c2 = fx.select(TextOps.extractMainContentCols(col("html")).as("m"))
+      .select("m.*").collect().map(_.toSeq)
+    assert(k2.toSeq === c2.toSeq)
+  }
 }
