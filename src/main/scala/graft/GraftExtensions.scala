@@ -69,6 +69,8 @@ object GraftExtensions {
         es => CharsetDecode(es.head)),
       fn("graft_main_content", classOf[MainContent], 1)(
         es => MainContent(es.head, 25, 0.33)),
+      fn("graft_robots_rules", classOf[RobotsRules], 2)(
+        es => RobotsRules(es.head, strLit(es(1), "graft_robots_rules", 1))),
       fn("graft_word_gram_hashes", classOf[WordGramHashes], 2)(
         es => WordGramHashes(es.head, intLit(es(1), "graft_word_gram_hashes", 1))),
       fn("graft_char_ngram_hashes", classOf[CharNgramHashes], 2)(

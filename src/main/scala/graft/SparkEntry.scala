@@ -2155,6 +2155,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // robots.txt gate: per-host policies parsed by the kernel from
+    // REAL robots.txt text (groups, comments, the graftbot group
+    // shadowing the Disallow-everything '*' group on even hosts),
+    // URLs gated by RFC 9309 longest-match/allow-wins evaluation;
+    // the oracle states the expected verdict per (host-parity, path
+    // variant) in closed form — group selection, longest-prefix
+    // override (Allow /private/ok beats Disallow /private), and the
+    // star fallback each decide some rows
+    "url_robots_filter" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evenRobots = "# crawl policy\nUser-agent: graftbot\n" +
+        "Disallow: /private\nAllow: /private/ok\n\n" +
+        "User-agent: *\nDisallow: /\n"
+      val oddRobots = "User-agent: *\nDisallow: /tmp\nAllow: /tmp/keep\n"
+      val robots = docs.select((col("doc_id") % 5).as("k")).distinct()
+        .select(concat(lit("site"), col("k").cast("string"),
+            lit(".example")).as("host"),
+          when(col("k") % 2 === 0, lit(evenRobots))
+            .otherwise(lit(oddRobots)).as("robots_txt"))
+      val m = (col("doc_id") % 7).cast("string")
+      val path = when(col("doc_id") % 4 === 0, concat(lit("/page/"), m))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/doc"), m))
+        .when(col("doc_id") % 4 === 2, concat(lit("/private/ok/doc"), m))
+        .otherwise(concat(lit("/tmp/x"), m))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://site"), (col("doc_id") % 5).cast("string"),
+          lit(".example"), path).as("url"))
+      Urls.robotsVerdicts(urls, col("url"), col("doc_id"), robots,
+        col("host"), col("robots_txt"), "graftbot")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed").cast(IntegerType).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // charset sniff + decode of raw payload bytes (the stage between
     // container ingest and every text operator): per-doc fixture
     // cycles ascii / UTF-8 / UTF-8+BOM / UTF-16LE / windows-1252
@@ -5712,6 +5746,20 @@ object SparkEntry {
          SELECT doc_id, 8 AS width, 6 AS height,
            CAST(sum(v) AS BIGINT) AS sum_luma
          FROM l GROUP BY 1 ORDER BY doc_id""",
+
+    "url_robots_filter" ->
+      """SELECT doc_id,
+           'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN '/page/' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 1 THEN '/private/doc' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 2 THEN '/private/ok/doc' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE '/tmp/x' || CAST(doc_id % 7 AS VARCHAR) END AS path,
+           CAST(CASE WHEN (doc_id % 5) % 2 = 0
+             THEN CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END
+             ELSE CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END
+           END AS INTEGER) AS allowed
+         FROM documents ORDER BY doc_id""",
 
     "ingest_charset_decode" ->
       """WITH v AS (SELECT doc_id, doc_id % 5 AS k, text,

@@ -978,6 +978,58 @@ object Kernels {
         contentChars, totalChars - contentChars))
   }
 
+  /** RFC 9309 robots.txt parse for ONE crawler: returns the (prefix,
+    * allow) rules of the group(s) naming `agent` (case-insensitive
+    * exact product token — the RFC's substring UA match is a
+    * documented simplification), falling back to the `*` group(s)
+    * only when NO group names the agent (a named group with zero
+    * rules means "everything allowed", not "use the default group").
+    * Consecutive User-agent lines share one group; rules before any
+    * User-agent line are ignored; comments (#…) strip; empty-value
+    * Disallow/Allow (the "allow all" idiom) drop; blank lines are
+    * insignificant (RFC 9309 — groups end at the next User-agent
+    * run, not at blank lines). Longest-match / allow-wins-tie
+    * evaluation lives in [[graft.ops.Urls.robotsVerdicts]]. */
+  def robotsRules(txt: UTF8String, agent: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    val star = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    var sawExactGroup = false
+    var inExact = false; var inStar = false
+    var lastWasUa = false
+    for (raw <- txt.toString.split("\r?\n", -1)) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        if (key == "user-agent") {
+          if (!lastWasUa) { inExact = false; inStar = false }
+          val ua = value.toLowerCase(java.util.Locale.ROOT)
+          if (ua == agentLc) { inExact = true; sawExactGroup = true }
+          if (ua == "*") inStar = true
+          lastWasUa = true
+        } else {
+          lastWasUa = false
+          if ((key == "disallow" || key == "allow") && value.nonEmpty) {
+            if (inExact) exact += ((value, key == "allow"))
+            if (inStar) star += ((value, key == "allow"))
+          }
+        }
+      } else if (line.nonEmpty) lastWasUa = false
+    }
+    val rules = if (sawExactGroup) exact else star
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rules.map { case (p, a) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(p), a))
+      }.toArray[Any])
+  }
+
   /** Strict RFC 3629 UTF-8 validation from `off`: rejects stray
     * continuations, overlong encodings, surrogate code points, and
     * anything above U+10FFFF. */
@@ -1148,6 +1200,28 @@ case class MainContent(child: Expression, minChars: Int,
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Kernels.mainContent($c, $minChars, ${maxLinkDensity}D)")
   override protected def withNewChildInternal(newChild: Expression): MainContent =
+    copy(child = newChild)
+}
+
+/** robots.txt STRING × agent → ARRAY<STRUCT(prefix, allow)>: the
+  * crawler's applicable rule group ([[Kernels.robotsRules]]). */
+case class RobotsRules(child: Expression, agent: String)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("prefix", StringType, nullable = false),
+    StructField("allow", BooleanType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"robots_rules needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.robotsRules(input.asInstanceOf[UTF8String], agent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.robotsRules($c, $aRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RobotsRules =
     copy(child = newChild)
 }
 
@@ -1499,6 +1573,8 @@ object GraftFunctions {
   def mainContent(html: Column, minChars: Int = 25,
       maxLinkDensity: Double = 0.33): Column =
     GraftColumnBridge.column(MainContent(e(html), minChars, maxLinkDensity))
+  def robotsRules(robotsTxt: Column, agent: String): Column =
+    GraftColumnBridge.column(RobotsRules(e(robotsTxt), agent))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =

@@ -189,6 +189,50 @@ object Urls {
       .otherwise(when(two === "", host).otherwise(two))
   }
 
+  /** Path of a raw URL ("/" when empty; query and fragment excluded,
+    * no trailing-slash normalisation — robots matching is on the raw
+    * path). Same parse chain as [[canonicalize]]. */
+  def pathOf(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val p = regexp_extract(pathq, "^([^?]*)", 1)
+    when(p === "", "/").otherwise(p)
+  }
+
+  /** Robots.txt gate over a URL table — RFC 9309 evaluation: per URL,
+    * among the crawler's rules whose prefix matches the path, the
+    * LONGEST rule wins and Allow wins length ties; a URL with no
+    * matching rule (or a host with no robots.txt) is allowed.
+    *
+    * 100 TB shape: the robots corpus parses ONCE through the
+    * [[graft.functions.GraftFunctions.robotsRules]] kernel into a
+    * per-host rule table (O(hosts × rules) rows — tiny next to the
+    * URL table), the match is a host-keyed equi-join (never a
+    * cartesian; rule-prefix comparison happens inside the joined
+    * row), and the winner is one max_by aggregation keyed by the URL
+    * id. Returns (doc_id, url, host, path, allowed). */
+  def robotsVerdicts(urls: DataFrame, url: Column, id: Column,
+      robots: DataFrame, robotsHost: Column, robotsTxt: Column,
+      agent: String): DataFrame = {
+    val rules = robots.select(robotsHost.as("host"),
+        explode(graft.functions.GraftFunctions.robotsRules(robotsTxt, agent))
+          .as("r"))
+      .select(col("host"), col("r.prefix").as("__prefix"),
+        col("r.allow").as("__allow"))
+    val u = urls.select(id.as("doc_id"), url.as("url"),
+      hostOf(url).as("host"), pathOf(url).as("path"))
+    val best = u.join(rules, Seq("host"))
+      .filter(col("path").startsWith(col("__prefix")))
+      .groupBy("doc_id")
+      .agg(max_by(col("__allow"),
+        struct(length(col("__prefix")).as("l"), col("__allow").as("a")))
+        .as("__best"))
+    u.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"), col("host"), col("path"),
+        coalesce(col("__best"), lit(true)).as("allowed"))
+  }
+
   /** URL-level dedup: group raw URLs by canonical form, keep the
     * lowest id (first fetch wins under a monotone fetch id), count the
     * raw spellings merged. One hash aggregation on the canonical key —
