@@ -2165,15 +2165,7 @@ object SparkEntry {
     // star fallback each decide some rows
     "url_robots_filter" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val evenRobots = "# crawl policy\nUser-agent: graftbot\n" +
-        "Disallow: /private\nAllow: /private/ok\n\n" +
-        "User-agent: *\nDisallow: /\n"
-      val oddRobots = "User-agent: *\nDisallow: /tmp\nAllow: /tmp/keep\n"
-      val robots = docs.select((col("doc_id") % 5).as("k")).distinct()
-        .select(concat(lit("site"), col("k").cast("string"),
-            lit(".example")).as("host"),
-          when(col("k") % 2 === 0, lit(evenRobots))
-            .otherwise(lit(oddRobots)).as("robots_txt"))
+      val robots = robotsFixture(docs)
       val m = (col("doc_id") % 7).cast("string")
       val path = when(col("doc_id") % 4 === 0, concat(lit("/page/"), m))
         .when(col("doc_id") % 4 === 1, concat(lit("/private/doc"), m))
@@ -2187,6 +2179,18 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("path"),
           col("allowed").cast(IntegerType).as("allowed"))
         .orderBy("doc_id")
+    }),
+
+    // Sitemap: directives extracted from the same robots corpus — the
+    // crawl-frontier feed riding along with the access rules (group-
+    // independent per RFC 9309, so a line-anchored extraction is the
+    // whole parse); case/whitespace variants in the fixture pin the
+    // (?im) anchoring
+    "url_sitemaps" -> ((s, dir) => {
+      val robots = robotsFixture(table(s, dir, "documents"))
+      robots.select(col("host"),
+          explode(Urls.sitemapUrls(col("robots_txt"))).as("sitemap_url"))
+        .orderBy("host", "sitemap_url")
     }),
 
     // charset sniff + decode of raw payload bytes (the stage between
@@ -3085,6 +3089,27 @@ object SparkEntry {
         .otherwise(lit("")),
       lit("</main><aside><a href=\"/ad\">Sponsored links</a></aside><footer>&copy; 2026 Site <a href=\"/terms\">Terms</a></footer></body></html>"))
       .as("html"))
+  }
+
+  /** Deterministic per-host robots.txt fixture shared by
+    * `url_robots_filter` and `url_sitemaps`: even hosts carry a
+    * graftbot group that shadows a Disallow-everything star group plus
+    * one Sitemap line; odd hosts carry a star-only policy and two
+    * Sitemap lines (one lowercase+indented, pinning the (?im)
+    * line-anchored extraction). */
+  private[graft] def robotsFixture(docs: DataFrame): DataFrame = {
+    val evenRobots = "# crawl policy\nUser-agent: graftbot\n" +
+      "Disallow: /private\nAllow: /private/ok\n\n" +
+      "User-agent: *\nDisallow: /\n" +
+      "Sitemap: https://cdn.example/sitemap-even.xml\n"
+    val oddRobots = "User-agent: *\nDisallow: /tmp\nAllow: /tmp/keep\n" +
+      "Sitemap: https://cdn.example/sitemap-odd.xml\n" +
+      "  sitemap: https://cdn.example/sitemap-odd-2.xml\n"
+    docs.select((col("doc_id") % 5).as("k")).distinct()
+      .select(concat(lit("site"), col("k").cast("string"),
+          lit(".example")).as("host"),
+        when(col("k") % 2 === 0, lit(evenRobots))
+          .otherwise(lit(oddRobots)).as("robots_txt"))
   }
 
   /** Deterministic exotic-suffix host fixture for `url_exotic_domains`:
@@ -5760,6 +5785,18 @@ object SparkEntry {
              ELSE CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END
            END AS INTEGER) AS allowed
          FROM documents ORDER BY doc_id""",
+
+    "url_sitemaps" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 5 AS k FROM documents),
+         sm AS (SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS host,
+           CASE WHEN k % 2 = 0
+             THEN ['https://cdn.example/sitemap-even.xml']
+             ELSE ['https://cdn.example/sitemap-odd.xml',
+                   'https://cdn.example/sitemap-odd-2.xml'] END AS urls
+           FROM hosts)
+         SELECT host, u.sitemap_url
+         FROM sm, unnest(sm.urls) AS u(sitemap_url)
+         ORDER BY host, sitemap_url""",
 
     "ingest_charset_decode" ->
       """WITH v AS (SELECT doc_id, doc_id % 5 AS k, text,

@@ -233,6 +233,15 @@ object Urls {
         coalesce(col("__best"), lit(true)).as("allowed"))
   }
 
+  /** `Sitemap:` directives of a robots.txt — the crawl-frontier feed
+    * that rides along with the access rules (RFC 9309 §2.3 treats it
+    * as an "other record"; it is group-independent, so a plain
+    * line-anchored extraction is the correct parse). Pure built-in
+    * expression, restated verbatim in the oracle. */
+  def sitemapUrls(robotsTxt: Column): Column =
+    regexp_extract_all(robotsTxt,
+      lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)\\s*$"), lit(1))
+
   /** URL-level dedup: group raw URLs by canonical form, keep the
     * lowest id (first fetch wins under a monotone fetch id), count the
     * raw spellings merged. One hash aggregation on the canonical key —
