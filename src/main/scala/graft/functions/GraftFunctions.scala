@@ -1030,6 +1030,55 @@ object Kernels {
       }.toArray[Any])
   }
 
+  /** Crawl-delay for ONE crawler from robots.txt — the de-facto
+    * politeness extension (not in RFC 9309, but honored by several
+    * major crawlers and ubiquitous in the wild). Group selection is
+    * IDENTICAL to [[robotsRules]] (exact agent groups, star fallback
+    * only when nothing names the agent); among the applicable
+    * group(s) the LAST valid value wins (a later directive overrides
+    * an earlier one, config-file style). Valid = parseable as a
+    * finite non-negative decimal (fractional delays occur in real
+    * corpora). Returns -1.0 when the applicable groups carry no
+    * valid directive — a sentinel (delays are non-negative by
+    * definition) that keeps the kernel codegen-simple; callers map
+    * it to their politeness default ([[graft.ops.Urls.crawlDelay]]). */
+  def robotsCrawlDelay(txt: UTF8String, agent: String): Double = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    var exactDelay = -1.0; var starDelay = -1.0
+    var sawExactGroup = false
+    var inExact = false; var inStar = false
+    var lastWasUa = false
+    for (raw <- txt.toString.split("\r?\n", -1)) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        if (key == "user-agent") {
+          if (!lastWasUa) { inExact = false; inStar = false }
+          val ua = value.toLowerCase(java.util.Locale.ROOT)
+          if (ua == agentLc) { inExact = true; sawExactGroup = true }
+          if (ua == "*") inStar = true
+          lastWasUa = true
+        } else {
+          lastWasUa = false
+          if (key == "crawl-delay") {
+            val d = try java.lang.Double.parseDouble(value)
+              catch { case _: NumberFormatException => -1.0 }
+            if (d >= 0 && !d.isInfinite) {
+              if (inExact) exactDelay = d
+              if (inStar) starDelay = d
+            }
+          }
+        }
+      } else if (line.nonEmpty) lastWasUa = false
+    }
+    if (sawExactGroup) exactDelay else starDelay
+  }
+
   /** Strict RFC 3629 UTF-8 validation from `off`: rejects stray
     * continuations, overlong encodings, surrogate code points, and
     * anything above U+10FFFF. */
