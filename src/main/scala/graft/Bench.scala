@@ -141,7 +141,23 @@ object Bench {
     }.mkString("[", ",", "]")
     val summary = s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"warm_runs":$warmRuns,"errors":$errJson,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson,"sf":"$sfDir"}"""
+    println(full)
+    // the per-query map outgrew the driver's stdout tail capture at
+    // ~200 queries (BENCH_r10 lost it to truncation), so the full
+    // artifact ALSO writes to a repo-side file the round can commit —
+    // same shape as the stdout line, plus the order the queries ran
+    // in (seeded runs shuffle it; position effects are measurable
+    // only if the artifact records position)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val orderJson = results.map(r => jEsc(r._1)).mkString("[", ",", "]")
+    val seedJson = sys.env.get("SPARK_GRAFT_BENCH_SEED")
+      .map(s => jEsc(s.trim)).getOrElse("null")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"summary":$summary,"seed":$seedJson,"order":$orderJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson}""" + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
     // print the summary once more AFTER spark.stop() so no shutdown
     // logging can land between it and process exit: with the build's

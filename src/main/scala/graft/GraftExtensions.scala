@@ -67,10 +67,19 @@ object GraftExtensions {
       fn("graft_phash64", classOf[PHash64], 1)(es => PHash64(es.head)),
       fn("graft_charset_decode", classOf[CharsetDecode], 1)(
         es => CharsetDecode(es.head)),
+      fn("graft_charset_decode_hint", classOf[CharsetDecodeHint], 2)(
+        es => CharsetDecodeHint(es.head, es(1))),
       fn("graft_main_content", classOf[MainContent], 1)(
         es => MainContent(es.head, 25, 0.33)),
       fn("graft_robots_rules", classOf[RobotsRules], 2)(
         es => RobotsRules(es.head, strLit(es(1), "graft_robots_rules", 1))),
+      fn("graft_robots_crawl_delay", classOf[RobotsCrawlDelay], 2)(
+        es => RobotsCrawlDelay(es.head,
+          strLit(es(1), "graft_robots_crawl_delay", 1))),
+      fn("graft_percent_normalize", classOf[PercentNormalize], 1)(
+        es => PercentNormalize(es.head)),
+      fn("graft_sitemap_entries", classOf[SitemapEntries], 1)(
+        es => SitemapEntries(es.head)),
       fn("graft_word_gram_hashes", classOf[WordGramHashes], 2)(
         es => WordGramHashes(es.head, intLit(es(1), "graft_word_gram_hashes", 1))),
       fn("graft_char_ngram_hashes", classOf[CharNgramHashes], 2)(

@@ -2193,6 +2193,56 @@ object SparkEntry {
         .orderBy("host", "sitemap_url")
     }),
 
+    // sitemap DOCUMENT parse (the files the robots `Sitemap:`
+    // directives point at): <urlset> and <sitemapindex> payloads,
+    // every third one REALLY gzipped (.xml.gz), locs trimmed and
+    // entity-decoded, optional lastmod NULL when absent; the oracle
+    // restates every entry closed-form from the fixture arithmetic —
+    // a full round-trip proof of gunzip + tag walk + unescape
+    "url_sitemap_entries" -> ((s, dir) => {
+      val mk = udf((id: Long) => Ingest.sitemapFixture(id))
+      val payloads = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id")).as("body"))
+      Urls.sitemapFrontier(payloads, col("doc_id"), col("body"))
+        .orderBy("doc_id", "loc")
+    }),
+
+    // per-host Crawl-delay (the de-facto politeness extension): group
+    // selection identical to the robots gate, LAST valid value wins
+    // within the applicable group, invalid values skip, a named group
+    // without a delay SHADOWS the star group's delay; the oracle
+    // states each policy shape's outcome in closed form
+    "url_crawl_delay" -> ((s, dir) => {
+      val robots = crawlDelayFixture(table(s, dir, "documents"))
+      Urls.crawlDelay(robots, col("host"), col("robots_txt"), "graftbot")
+        .orderBy("host")
+    }),
+
+    // RFC 9309 special characters ('*' wildcard, '$' end anchor) and
+    // canonical percent-encoding in the robots gate: a query-string
+    // Disallow, an anchored wildcard Allow overriding a directory
+    // Disallow by specificity rank, a bare anchored rule failing open
+    // on a longer path, and literal-space / UTF-8-escape rules
+    // matching raw URL spellings; the oracle states the verdict per
+    // (host-parity, path-variant) pair in closed form
+    "url_robots_wildcards" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val robots = robotsWildcardFixture(docs)
+      val m = col("doc_id") % 7
+      val path = element_at(array(
+        lit("/p/x.html"), lit("/p/x.htmlz"), lit("/q?sid=5"),
+        lit("/dl"), lit("/dl/x"), lit("/a b"), lit("/café")),
+        (m + 1).cast("int"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://wild"), (col("doc_id") % 2).cast("string"),
+          lit(".example"), path).as("url"))
+      Urls.robotsVerdicts(urls, col("url"), col("doc_id"), robots,
+        col("host"), col("robots_txt"), "graftbot")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed").cast(IntegerType).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // charset sniff + decode of raw payload bytes (the stage between
     // container ingest and every text operator): per-doc fixture
     // cycles ascii / UTF-8 / UTF-8+BOM / UTF-16LE / windows-1252
@@ -2206,6 +2256,25 @@ object SparkEntry {
       val raw = table(s, dir, "documents")
         .select(col("doc_id"), mk(col("doc_id"), col("text")).as("payload"))
       Ingest.decodeTextAuto(raw, col("payload"))
+        .select(col("doc_id"), col("charset"), col("text_decoded"),
+          col("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // CJK + declared-charset decode (the legacy-encoding half of the
+    // charset stage): strict UTF-8 beats a lying Shift_JIS header,
+    // Shift_JIS/EUC-JP are found by byte STRUCTURE with no hint, the
+    // structurally-ambiguous EUC-KR/GB/Big5 resolve via (aliased)
+    // declarations kept honest by strict decode, latin-1 maps to
+    // windows-1252 per the web platform, and a lying GBK header falls
+    // back; the oracle restates charset, the decoded text ITSELF
+    // (UTF-8 literals), and exact byte lengths in closed form
+    "ingest_charset_cjk" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Ingest.charsetCjkFixture(id, txt))
+      val raw = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("f"))
+        .select(col("doc_id"), col("f._1").as("payload"), col("f._2").as("hint"))
+      Ingest.decodeTextHint(raw, col("payload"), col("hint"))
         .select(col("doc_id"), col("charset"), col("text_decoded"),
           col("n_bytes"))
         .orderBy("doc_id")
@@ -3110,6 +3179,44 @@ object SparkEntry {
           lit(".example")).as("host"),
         when(col("k") % 2 === 0, lit(evenRobots))
           .otherwise(lit(oddRobots)).as("robots_txt"))
+  }
+
+  /** Deterministic crawl-delay robots fixture for `url_crawl_delay` —
+    * four policy shapes keyed by host id k (doc_id%4): k=0 a graftbot
+    * group whose LAST of two delays wins while a star delay is
+    * shadowed; k=1 star-only with an invalid value before the valid
+    * one (and a case-variant key); k=2 a graftbot group with rules
+    * but NO delay, shadowing a star delay (→ NULL); k=3 no delay
+    * anywhere (→ NULL). */
+  private[graft] def crawlDelayFixture(docs: DataFrame): DataFrame = {
+    val r0 = "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n" +
+      "Crawl-delay: 2.5\n\nUser-agent: *\nCrawl-delay: 10\n"
+    val r1 = "User-agent: *\nCrawl-delay: fast\ncrawl-delay: 0.5\n"
+    val r2 = "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 7\n"
+    val r3 = "User-agent: *\nDisallow: /tmp\n"
+    docs.select((col("doc_id") % 4).as("k")).distinct()
+      .select(concat(lit("delay"), col("k").cast("string"),
+          lit(".example")).as("host"),
+        when(col("k") === 0, lit(r0)).when(col("k") === 1, lit(r1))
+          .when(col("k") === 2, lit(r2)).otherwise(lit(r3)).as("robots_txt"))
+  }
+
+  /** Deterministic wildcard-rule robots fixture for
+    * `url_robots_wildcards`: even hosts carry the RFC 9309 special-
+    * character idioms (a query-string Disallow with a mid-rule `*`,
+    * a `$`-anchored wildcard Allow overriding a directory Disallow,
+    * and a bare `$`-anchored Disallow); odd hosts carry percent-
+    * encoded rules (a literal-space rule and a UTF-8-escaped one)
+    * that must match raw-space / raw-UTF-8 URL spellings through the
+    * canonical percent-encoding. */
+  private[graft] def robotsWildcardFixture(docs: DataFrame): DataFrame = {
+    val even = "User-agent: *\nDisallow: /*?sid=\nAllow: /p/*.html$\n" +
+      "Disallow: /p/\nDisallow: /dl$\n"
+    val odd = "User-agent: *\nDisallow: /a b\nDisallow: /caf%c3%a9\n"
+    docs.select((col("doc_id") % 2).as("k")).distinct()
+      .select(concat(lit("wild"), col("k").cast("string"),
+          lit(".example")).as("host"),
+        when(col("k") === 0, lit(even)).otherwise(lit(odd)).as("robots_txt"))
   }
 
   /** Deterministic exotic-suffix host fixture for `url_exotic_domains`:
@@ -5798,6 +5905,54 @@ object SparkEntry {
          FROM sm, unnest(sm.urls) AS u(sitemap_url)
          ORDER BY host, sitemap_url""",
 
+    "url_sitemap_entries" ->
+      """WITH idx AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         u AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+         e AS (
+           SELECT doc_id, 'sitemap' AS kind,
+             'https://s' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.example/sitemap-a.xml.gz' AS loc,
+             '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15' AS lastmod
+           FROM idx
+           UNION ALL
+           SELECT doc_id, 'sitemap',
+             'https://s' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.example/sitemap-b.xml.gz', NULL
+           FROM idx
+           UNION ALL
+           SELECT doc_id, 'url',
+             'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+               CAST(doc_id % 11 AS VARCHAR),
+             '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15'
+           FROM u
+           UNION ALL
+           SELECT doc_id, 'url',
+             'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+               CAST(doc_id % 11 AS VARCHAR) || '/sub?a=1&b=2', NULL
+           FROM u)
+         SELECT doc_id, kind, loc, lastmod FROM e ORDER BY doc_id, loc""",
+
+    "url_crawl_delay" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 4 AS k FROM documents)
+         SELECT 'delay' || CAST(k AS VARCHAR) || '.example' AS host,
+           CAST(CASE k WHEN 0 THEN 2.5 WHEN 1 THEN 0.5 ELSE NULL END
+             AS DOUBLE) AS crawl_delay
+         FROM hosts ORDER BY host""",
+
+    "url_robots_wildcards" ->
+      """SELECT doc_id,
+           'wild' || CAST(doc_id % 2 AS VARCHAR) || '.example' AS host,
+           CASE doc_id % 7
+             WHEN 0 THEN '/p/x.html' WHEN 1 THEN '/p/x.htmlz'
+             WHEN 2 THEN '/q?sid=5' WHEN 3 THEN '/dl'
+             WHEN 4 THEN '/dl/x' WHEN 5 THEN '/a%20b'
+             ELSE '/caf%C3%A9' END AS path,
+           CAST(CASE WHEN doc_id % 2 = 0
+             THEN CASE WHEN doc_id % 7 IN (1, 2, 3) THEN 0 ELSE 1 END
+             ELSE CASE WHEN doc_id % 7 IN (5, 6) THEN 0 ELSE 1 END
+           END AS INTEGER) AS allowed
+         FROM documents ORDER BY doc_id""",
+
     "ingest_charset_decode" ->
       """WITH v AS (SELECT doc_id, doc_id % 5 AS k, text,
            text || ' café Ωμέγα' AS wide,
@@ -5813,6 +5968,21 @@ object SparkEntry {
            WHEN 2 THEN 3 + octet_length(encode(wide))
            WHEN 3 THEN 2 + 2 * length(wide)
            ELSE length(acc) END AS BIGINT) AS n_bytes
+       FROM v ORDER BY doc_id""",
+
+    "ingest_charset_cjk" ->
+      """WITH v AS (SELECT doc_id, doc_id % 8 AS k, text FROM documents)
+       SELECT doc_id,
+         CASE k WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+           WHEN 2 THEN 'euc-jp' WHEN 3 THEN 'euc-kr' WHEN 4 THEN 'gbk'
+           WHEN 5 THEN 'big5' ELSE 'windows-1252' END AS charset,
+         text || CASE k WHEN 1 THEN ' 日本語テキスト'
+           WHEN 2 THEN ' 日本語テキスト' WHEN 3 THEN ' 한국어 텍스트'
+           WHEN 4 THEN ' 中文文本' WHEN 5 THEN ' 中文測試'
+           ELSE ' café' END AS text_decoded,
+         CAST(length(text) + CASE k WHEN 0 THEN 6 WHEN 1 THEN 15
+           WHEN 2 THEN 15 WHEN 3 THEN 14 WHEN 4 THEN 9 WHEN 5 THEN 9
+           ELSE 5 END AS BIGINT) AS n_bytes
        FROM v ORDER BY doc_id""",
 
     "ingest_warc_records" ->

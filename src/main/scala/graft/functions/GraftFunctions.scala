@@ -978,18 +978,96 @@ object Kernels {
         contentChars, totalChars - contentChars))
   }
 
-  /** RFC 9309 robots.txt parse for ONE crawler: returns the (prefix,
-    * allow) rules of the group(s) naming `agent` (case-insensitive
-    * exact product token — the RFC's substring UA match is a
-    * documented simplification), falling back to the `*` group(s)
-    * only when NO group names the agent (a named group with zero
-    * rules means "everything allowed", not "use the default group").
+  /** Canonical percent-encoding for RFC 9309 matching — the RFC
+    * defines rule/path comparison on percent-encoded octets, so both
+    * sides must normalize to ONE spelling before any comparison:
+    * existing `%XX` escapes of unreserved characters (ALPHA / DIGIT /
+    * `-._~`) decode, all other valid escapes re-emit with UPPERCASE
+    * hex, a bare `%` not opening a valid escape becomes `%25`, and
+    * raw bytes that must not appear raw in a path (space, controls,
+    * `"<>\`{}|\^`, every non-ASCII UTF-8 byte) percent-encode.
+    * `*` and `$` pass through raw: they are path characters here —
+    * rule-side wildcard semantics are applied AFTER normalization by
+    * [[robotsLike]]. */
+  def percentNormalizeStr(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length + 8)
+    val hex = "0123456789ABCDEF"
+    def hexVal(b: Int): Int =
+      if (b >= '0' && b <= '9') b - '0'
+      else if (b >= 'A' && b <= 'F') b - 'A' + 10
+      else if (b >= 'a' && b <= 'f') b - 'a' + 10
+      else -1
+    def emit(v: Int): Unit =
+      sb.append('%').append(hex.charAt(v >> 4)).append(hex.charAt(v & 0xf))
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b == '%' && i + 2 < bytes.length &&
+          hexVal(bytes(i + 1) & 0xff) >= 0 && hexVal(bytes(i + 2) & 0xff) >= 0) {
+        val v = (hexVal(bytes(i + 1) & 0xff) << 4) | hexVal(bytes(i + 2) & 0xff)
+        val unreserved = (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+          (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+        if (unreserved) sb.append(v.toChar) else emit(v)
+        i += 3
+      } else if (b == '%') { emit('%'); i += 1 }
+      else if (b <= 0x20 || b >= 0x7f || b == '"' || b == '<' || b == '>' ||
+          b == '`' || b == '{' || b == '}' || b == '|' || b == '\\' || b == '^') {
+        emit(b); i += 1
+      } else { sb.append(b.toChar); i += 1 }
+    }
+    sb.toString
+  }
+
+  def percentNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(percentNormalizeStr(s.toString))
+
+  /** Translate a percent-normalized robots rule value to a SQL LIKE
+    * pattern (default `\` escape): RFC 9309 §2.2.3's `*` becomes `%`,
+    * a trailing `$` anchors the match at the path end (no trailing
+    * `%` emitted), LIKE's own metacharacters (`%`, `_`, `\`) escape,
+    * and an un-anchored rule gets a trailing `%` — robots rules are
+    * prefix matches. LIKE is anchored at the string start on both
+    * engines (Spark, DuckDB), which is exactly robots' match-from-
+    * path-start semantics. */
+  def robotsLike(value: String): String = {
+    val anchored = value.endsWith("$")
+    val core = if (anchored) value.substring(0, value.length - 1) else value
+    val sb = new java.lang.StringBuilder(core.length + 4)
+    var i = 0
+    while (i < core.length) {
+      core.charAt(i) match {
+        case '*' => sb.append('%')
+        case c @ ('%' | '_' | '\\') => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    if (!anchored) sb.append('%')
+    sb.toString
+  }
+
+  /** RFC 9309 robots.txt parse for ONE crawler: returns the rules of
+    * the group(s) naming `agent` (case-insensitive exact product
+    * token — the RFC's substring UA match is a documented
+    * simplification), falling back to the `*` group(s) only when NO
+    * group names the agent (a named group with zero rules means
+    * "everything allowed", not "use the default group").
     * Consecutive User-agent lines share one group; rules before any
     * User-agent line are ignored; comments (#…) strip; empty-value
     * Disallow/Allow (the "allow all" idiom) drop; blank lines are
     * insignificant (RFC 9309 — groups end at the next User-agent
-    * run, not at blank lines). Longest-match / allow-wins-tie
-    * evaluation lives in [[graft.ops.Urls.robotsVerdicts]]. */
+    * run, not at blank lines).
+    *
+    * Each rule emits as STRUCT(pattern, allow, rank, like):
+    * `pattern` is the percent-normalized rule value
+    * ([[percentNormalizeStr]]), `rank` its length — the RFC's
+    * most-octets specificity, wildcards counted like any octet, the
+    * same convention the reference open-source matchers use — and
+    * `like` the SQL LIKE translation ([[robotsLike]]) that carries
+    * `*`/`$` wildcard semantics into the match. Longest-match /
+    * allow-wins-tie evaluation lives in
+    * [[graft.ops.Urls.robotsVerdicts]]. */
   def robotsRules(txt: UTF8String, agent: String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
@@ -1025,8 +1103,10 @@ object Kernels {
     val rules = if (sawExactGroup) exact else star
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       rules.map { case (p, a) =>
+        val norm = percentNormalizeStr(p)
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(p), a))
+          Array[Any](UTF8String.fromString(norm), a, norm.length,
+            UTF8String.fromString(robotsLike(norm))))
       }.toArray[Any])
   }
 
@@ -1079,6 +1159,83 @@ object Kernels {
     if (sawExactGroup) exactDelay else starDelay
   }
 
+  private val sitemapEntryRe = java.util.regex.Pattern.compile(
+    "(?is)<(url|sitemap)\\b[^>]*>(.*?)</\\1\\s*>")
+  private val sitemapLocRe = java.util.regex.Pattern.compile(
+    "(?is)<loc\\s*>(.*?)</loc\\s*>")
+  private val sitemapLastmodRe = java.util.regex.Pattern.compile(
+    "(?is)<lastmod\\s*>(.*?)</lastmod\\s*>")
+
+  /** Decode the five XML predefined entities (the set sitemaps.org
+    * requires escaping in loc values). Unknown entities pass through
+    * verbatim — malformed markup is data. */
+  private def xmlUnescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        if (s.startsWith("amp;", i + 1)) { sb.append('&'); i += 5 }
+        else if (s.startsWith("lt;", i + 1)) { sb.append('<'); i += 4 }
+        else if (s.startsWith("gt;", i + 1)) { sb.append('>'); i += 4 }
+        else if (s.startsWith("quot;", i + 1)) { sb.append('"'); i += 6 }
+        else if (s.startsWith("apos;", i + 1)) { sb.append('\''); i += 6 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Sitemap-document parse (the sitemaps.org protocol — the format
+    * the robots.txt `Sitemap:` directive points at): accepts a raw,
+    * optionally GZIPPED payload (`.xml.gz` sitemap bodies are the
+    * norm on large sites) and returns its entries as
+    * STRUCT(kind, loc, lastmod) — kind "url" for `<urlset>` children,
+    * "sitemap" for `<sitemapindex>` children (the index level of the
+    * two-tier frontier), lastmod NULL when the optional element is
+    * absent. Tag matching is case-insensitive, loc values trim and
+    * XML-unescape ([[xmlUnescape]]). Malformed bytes are DATA, not
+    * exceptions: truncated gzip or tag soup yields an empty array. */
+  def sitemapEntries(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val raw: Array[Byte] =
+      if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(b))
+          val out = new java.io.ByteArrayOutputStream(b.length * 4)
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } catch { case _: java.io.IOException => Array.emptyByteArray }
+      } else b
+    val s = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    val entries = scala.collection.mutable.ArrayBuffer[Any]()
+    val m = sitemapEntryRe.matcher(s)
+    while (m.find()) {
+      val kind = m.group(1).toLowerCase(java.util.Locale.ROOT)
+      val body = m.group(2)
+      val lm = sitemapLocRe.matcher(body)
+      if (lm.find()) {
+        val loc = xmlUnescape(lm.group(1).trim)
+        if (loc.nonEmpty) {
+          val mm = sitemapLastmodRe.matcher(body)
+          val lastmod =
+            if (mm.find()) {
+              val v = mm.group(1).trim
+              if (v.isEmpty) null else UTF8String.fromString(v)
+            } else null
+          entries += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(kind),
+              UTF8String.fromString(loc), lastmod))
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(entries.toArray)
+  }
+
   /** Strict RFC 3629 UTF-8 validation from `off`: rejects stray
     * continuations, overlong encodings, surrogate code points, and
     * anything above U+10FFFF. */
@@ -1111,40 +1268,62 @@ object Kernels {
     true
   }
 
-  /** Charset sniff + decode of a raw crawl payload — the encoding
-    * stage every WARC pipeline runs before any text operator (a
-    * crawl's declared charsets are unreliable; pipelines sniff).
-    * Deterministic contract: BOMs win (UTF-8 / UTF-16LE / UTF-16BE
-    * — an odd-length UTF-16 body or invalid post-BOM UTF-8 falls
-    * through to the byte fallback rather than desyncing), else
-    * strict RFC 3629 validation calls the buffer "utf-8" (pure
-    * 7-bit reported as "ascii"), else windows-1252 — the de-facto
-    * web fallback superset of latin-1, decoded via the JVM's
-    * standard table. Returns (charset, text, n_bytes); n_bytes is
-    * the RAW payload length including any BOM. */
-  def charsetDecode(b: Array[Byte])
-      : org.apache.spark.sql.catalyst.InternalRow = {
-    def row(cs: String, text: UTF8String) =
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](UTF8String.fromString(cs), text, b.length.toLong))
-    def cp1252(off: Int) = UTF8String.fromString(new String(b, off,
-      b.length - off, java.nio.charset.Charset.forName("windows-1252")))
-    def utf16(off: Int, cs: java.nio.charset.Charset) =
-      UTF8String.fromString(new String(b, off, b.length - off, cs))
-    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
-        (b(2) & 0xff) == 0xbf) {
+  private def charsetRow(b: Array[Byte], cs: String, text: UTF8String) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(cs), text, b.length.toLong))
+
+  private def cp1252Decode(b: Array[Byte], off: Int) =
+    UTF8String.fromString(new String(b, off, b.length - off,
+      java.nio.charset.Charset.forName("windows-1252")))
+
+  /** Every 4-byte unit from `off` is a scalar value: ≤ U+10FFFF and
+    * not a UTF-16 surrogate — the check that disambiguates a true
+    * UTF-32 body from UTF-16 text whose first char happens to be NUL
+    * (both start FF FE 00 00). */
+  private def validUtf32(b: Array[Byte], off: Int, le: Boolean): Boolean = {
+    var i = off
+    while (i + 3 < b.length) {
+      val v =
+        if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+          ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+        else (b(i + 3) & 0xff) | ((b(i + 2) & 0xff) << 8) |
+          ((b(i + 1) & 0xff) << 16) | ((b(i) & 0xff) << 24)
+      if (v < 0 || v > 0x10ffff || (v >= 0xd800 && v <= 0xdfff)) return false
+      i += 4
+    }
+    true
+  }
+
+  /** STRONG sniff evidence — the verdicts no declaration can
+    * override: BOMs (UTF-32 checked before its UTF-16 prefix, per
+    * the shadowing bug class; misaligned or non-scalar bodies fall
+    * through to the UTF-16 reading) and a buffer that passes strict
+    * RFC 3629 validation ("ascii" when pure 7-bit — legacy bytes
+    * essentially never form valid multibyte UTF-8 by accident, so
+    * validation beats any header). Returns null when the evidence is
+    * inconclusive. */
+  private def charsetSniffStrong(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    def utfN(off: Int, cs: String) = UTF8String.fromString(
+      new String(b, off, b.length - off, java.nio.charset.Charset.forName(cs)))
+    def at(i: Int, v: Int) = b.length > i && (b(i) & 0xff) == v
+    if (at(0, 0xef) && at(1, 0xbb) && at(2, 0xbf)) {
       if (validUtf8(b, 3))
-        row("utf-8-bom",
+        charsetRow(b, "utf-8-bom",
           UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 3, b.length)))
-      else row("windows-1252", cp1252(3))
-    } else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe) {
-      if ((b.length - 2) % 2 == 0)
-        row("utf-16le", utf16(2, java.nio.charset.StandardCharsets.UTF_16LE))
-      else row("windows-1252", cp1252(0))
-    } else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) {
-      if ((b.length - 2) % 2 == 0)
-        row("utf-16be", utf16(2, java.nio.charset.StandardCharsets.UTF_16BE))
-      else row("windows-1252", cp1252(0))
+      else charsetRow(b, "windows-1252", cp1252Decode(b, 3))
+    } else if (at(0, 0xff) && at(1, 0xfe) && at(2, 0x00) && at(3, 0x00) &&
+        (b.length - 4) % 4 == 0 && validUtf32(b, 4, le = true)) {
+      charsetRow(b, "utf-32le", utfN(4, "UTF-32LE"))
+    } else if (at(0, 0x00) && at(1, 0x00) && at(2, 0xfe) && at(3, 0xff) &&
+        (b.length - 4) % 4 == 0 && validUtf32(b, 4, le = false)) {
+      charsetRow(b, "utf-32be", utfN(4, "UTF-32BE"))
+    } else if (at(0, 0xff) && at(1, 0xfe)) {
+      if ((b.length - 2) % 2 == 0) charsetRow(b, "utf-16le", utfN(2, "UTF-16LE"))
+      else charsetRow(b, "windows-1252", cp1252Decode(b, 0))
+    } else if (at(0, 0xfe) && at(1, 0xff)) {
+      if ((b.length - 2) % 2 == 0) charsetRow(b, "utf-16be", utfN(2, "UTF-16BE"))
+      else charsetRow(b, "windows-1252", cp1252Decode(b, 0))
     } else if (validUtf8(b, 0)) {
       var ascii = true
       var i = 0
@@ -1152,8 +1331,176 @@ object Kernels {
         if ((b(i) & 0x80) != 0) ascii = false
         i += 1
       }
-      row(if (ascii) "ascii" else "utf-8", UTF8String.fromBytes(b))
-    } else row("windows-1252", cp1252(0))
+      charsetRow(b, if (ascii) "ascii" else "utf-8", UTF8String.fromBytes(b))
+    } else null
+  }
+
+  /** Structural validity score of a non-UTF-8 buffer under one CJK
+    * encoding family: the count of multibyte sequences when EVERY
+    * byte conforms to the family's lead/trail grammar, -1 on any
+    * violation. Shift_JIS's single-byte half-width katakana
+    * (0xA1–0xDF) are legal but score ZERO — otherwise every EUC/GBK
+    * buffer reads as valid katakana soup and Shift_JIS shadows the
+    * whole family. enc: 0=Shift_JIS 1=EUC-JP 2=EUC-KR 3=GBK 4=Big5. */
+  private def cjkScore(b: Array[Byte], enc: Int): Int = {
+    var i = 0; var score = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else {
+        def trail(j: Int, lo: Int, hi: Int, skip7f: Boolean = false): Boolean =
+          j < b.length && {
+            val t = b(j) & 0xff
+            t >= lo && t <= hi && !(skip7f && t == 0x7f)
+          }
+        enc match {
+          case 0 => // Shift_JIS
+            if (c >= 0xa1 && c <= 0xdf) i += 1 // half-width katakana: score 0
+            else if (((c >= 0x81 && c <= 0x9f) || (c >= 0xe0 && c <= 0xef)) &&
+                trail(i + 1, 0x40, 0xfc, skip7f = true)) { score += 1; i += 2 }
+            else return -1
+          case 1 => // EUC-JP (incl. SS2 half-width katakana, SS3 plane 2)
+            if (c == 0x8e && trail(i + 1, 0xa1, 0xdf)) { score += 1; i += 2 }
+            else if (c == 0x8f && trail(i + 1, 0xa1, 0xfe) &&
+                trail(i + 2, 0xa1, 0xfe)) { score += 1; i += 3 }
+            else if (c >= 0xa1 && c <= 0xfe && trail(i + 1, 0xa1, 0xfe)) {
+              score += 1; i += 2
+            } else return -1
+          case 2 => // EUC-KR (KS X 1001 94x94 grid)
+            if (c >= 0xa1 && c <= 0xfe && trail(i + 1, 0xa1, 0xfe)) {
+              score += 1; i += 2
+            } else return -1
+          case 3 => // GBK
+            if (c >= 0x81 && c <= 0xfe && trail(i + 1, 0x40, 0xfe, skip7f = true)) {
+              score += 1; i += 2
+            } else return -1
+          case _ => // Big5
+            if (c >= 0x81 && c <= 0xfe && i + 1 < b.length && {
+                val t = b(i + 1) & 0xff
+                (t >= 0x40 && t <= 0x7e) || (t >= 0xa1 && t <= 0xfe)
+              }) { score += 1; i += 2 }
+            else return -1
+        }
+      }
+    }
+    score
+  }
+
+  private val cjkNames = Array(
+    ("shift_jis", "Shift_JIS"), ("euc-jp", "EUC-JP"), ("euc-kr", "EUC-KR"),
+    ("gbk", "GBK"), ("big5", "Big5"))
+
+  /** Minimum multibyte-pair count before structural CJK detection is
+    * trusted: a near-ASCII windows-1252 buffer can form a couple of
+    * accidental valid pairs (curly quotes + a letter read as a
+    * Shift_JIS pair), and at that evidence level the web's cp1252
+    * default is the safer call. Real CJK text clears this in its
+    * first sentence. */
+  private val CjkMinScore = 4
+
+  /** WEAK-evidence fallback for buffers that failed strict UTF-8:
+    * structural CJK detection (best [[cjkScore]] when at least
+    * [[CjkMinScore]] pairs of evidence; ties break by family
+    * precedence Shift_JIS > EUC-JP > EUC-KR > GBK > Big5 — the
+    * EUC/GBK/Big5 byte grammars overlap heavily, so WITHIN that
+    * family structure alone cannot discriminate and the declared-
+    * charset hint is the contract), else windows-1252, the de-facto
+    * web fallback. */
+  private def charsetFallback(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    var best = -1; var bestScore = CjkMinScore - 1
+    var e = 0
+    while (e < 5) {
+      val s = cjkScore(b, e)
+      if (s > bestScore) { best = e; bestScore = s }
+      e += 1
+    }
+    if (best >= 0) {
+      val (label, jvm) = cjkNames(best)
+      charsetRow(b, label, UTF8String.fromString(
+        new String(b, java.nio.charset.Charset.forName(jvm))))
+    } else charsetRow(b, "windows-1252", cp1252Decode(b, 0))
+  }
+
+  /** WHATWG-style label normalization for declared charsets (the
+    * subset a crawl pipeline meets: Content-Type / meta labels for
+    * UTF-8, the latin-1 family — which the web platform defines AS
+    * windows-1252 — and the five major CJK families). Unknown labels
+    * return null: an unrecognized declaration is ignored, never
+    * trusted. */
+  private val declaredCharsetLabels: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    def put(canon: String, aliases: String*): Unit =
+      (canon +: aliases).foreach(a => m.put(a, canon))
+    put("utf-8", "utf8", "unicode-1-1-utf-8")
+    put("windows-1252", "cp1252", "x-cp1252", "ascii", "us-ascii",
+      "latin-1", "latin1", "l1", "iso-8859-1", "iso8859-1", "iso_8859-1")
+    put("shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji",
+      "csshiftjis", "windows-31j")
+    put("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese")
+    put("euc-kr", "ks_c_5601-1987", "korean", "cseuckr", "windows-949")
+    put("gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese", "csgb2312",
+      "x-gbk")
+    put("big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5")
+    m
+  }
+
+  private val charsetJvmNames = Map(
+    "utf-8" -> "UTF-8", "windows-1252" -> "windows-1252",
+    "shift_jis" -> "Shift_JIS", "euc-jp" -> "EUC-JP", "euc-kr" -> "EUC-KR",
+    "gbk" -> "GBK", "big5" -> "Big5")
+
+  /** Charset sniff + decode of a raw crawl payload — the encoding
+    * stage every WARC pipeline runs before any text operator (a
+    * crawl's declared charsets are unreliable; pipelines sniff).
+    * Deterministic contract, strongest evidence first: BOMs win
+    * (UTF-32 before UTF-16 — the 4-byte LE BOM starts with the
+    * 2-byte one; misaligned or invalid bodies fall through to the
+    * byte fallback rather than desyncing), strict RFC 3629
+    * validation calls the buffer "utf-8" (pure 7-bit reported as
+    * "ascii"), structural CJK detection covers the Shift_JIS/EUC/
+    * GBK/Big5 families ([[cjkScore]]), and windows-1252 — the
+    * de-facto web fallback superset of latin-1 — closes. Returns
+    * (charset, text, n_bytes); n_bytes is the RAW payload length
+    * including any BOM. Callers holding a declared charset use
+    * [[charsetDecodeHint]]. */
+  def charsetDecode(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val strong = charsetSniffStrong(b)
+    if (strong != null) strong else charsetFallback(b)
+  }
+
+  /** [[charsetDecode]] with a declared-charset hint (HTTP
+    * Content-Type / HTML meta label; empty = none): strong sniff
+    * evidence (BOMs, strict UTF-8) still wins — headers lie, byte
+    * structure doesn't — then a recognized hint
+    * ([[declaredCharsetLabels]]) whose STRICT decode succeeds is
+    * trusted (windows-1252 decodes leniently: it is also the final
+    * fallback), and a lying/unknown/undecodable hint falls through
+    * to the structural sniff. This is the CJK contract: EUC-KR, GBK
+    * and Big5 byte grammars overlap too much for structure alone, so
+    * the declared label — ubiquitous on CJK sites — picks the family
+    * and strict validation keeps it honest. */
+  def charsetDecodeHint(b: Array[Byte], hint: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val strong = charsetSniffStrong(b)
+    if (strong != null) return strong
+    val label0 = hint.toString.trim.toLowerCase(java.util.Locale.ROOT)
+      .stripPrefix("\"").stripSuffix("\"")
+    val canon = declaredCharsetLabels.get(label0)
+    if (canon != null) {
+      val cs = java.nio.charset.Charset.forName(charsetJvmNames(canon))
+      if (canon == "windows-1252")
+        return charsetRow(b, canon, cp1252Decode(b, 0))
+      try {
+        val dec = cs.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        return charsetRow(b, canon, UTF8String.fromString(
+          dec.decode(java.nio.ByteBuffer.wrap(b)).toString))
+      } catch { case _: java.nio.charset.CharacterCodingException => }
+    }
+    charsetFallback(b)
   }
 }
 
@@ -1252,14 +1599,17 @@ case class MainContent(child: Expression, minChars: Int,
     copy(child = newChild)
 }
 
-/** robots.txt STRING × agent → ARRAY<STRUCT(prefix, allow)>: the
-  * crawler's applicable rule group ([[Kernels.robotsRules]]). */
+/** robots.txt STRING × agent → ARRAY<STRUCT(pattern, allow, rank,
+  * like)>: the crawler's applicable rule group, percent-normalized
+  * and LIKE-compiled ([[Kernels.robotsRules]]). */
 case class RobotsRules(child: Expression, agent: String)
     extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("prefix", StringType, nullable = false),
-    StructField("allow", BooleanType, nullable = false))),
+    StructField("pattern", StringType, nullable = false),
+    StructField("allow", BooleanType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("like", StringType, nullable = false))),
     containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -1271,6 +1621,64 @@ case class RobotsRules(child: Expression, agent: String)
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.robotsRules($c, $aRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): RobotsRules =
+    copy(child = newChild)
+}
+
+/** sitemap BINARY (optionally gzipped) → ARRAY<STRUCT(kind, loc,
+  * lastmod)>: sitemaps.org document parse
+  * ([[Kernels.sitemapEntries]]'s contract). */
+case class SitemapEntries(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("loc", StringType, nullable = false),
+    StructField("lastmod", StringType, nullable = true))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"sitemap_entries needs BINARY, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.sitemapEntries(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sitemapEntries($c)")
+  override protected def withNewChildInternal(newChild: Expression): SitemapEntries =
+    copy(child = newChild)
+}
+
+/** path STRING → STRING: canonical percent-encoding for RFC 9309
+  * matching ([[Kernels.percentNormalizeStr]]'s contract). */
+case class PercentNormalize(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"percent_normalize needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.percentNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.percentNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): PercentNormalize =
+    copy(child = newChild)
+}
+
+/** robots.txt STRING × agent → DOUBLE: the crawler's effective
+  * Crawl-delay, -1.0 when the applicable group(s) carry no valid
+  * directive ([[Kernels.robotsCrawlDelay]]'s contract). */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"robots_crawl_delay needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.robotsCrawlDelay(input.asInstanceOf[UTF8String], agent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.robotsCrawlDelay($c, $aRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RobotsCrawlDelay =
     copy(child = newChild)
 }
 
@@ -1292,6 +1700,35 @@ case class CharsetDecode(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charsetDecode($c)")
   override protected def withNewChildInternal(newChild: Expression): CharsetDecode =
     copy(child = newChild)
+}
+
+/** payload BINARY × declared-charset STRING → STRUCT(charset, text,
+  * n_bytes): charset decode with a declared hint — strong sniff
+  * evidence wins, a validated hint is trusted, anything else falls
+  * to the structural sniff ([[Kernels.charsetDecodeHint]]'s
+  * contract; pass '' for "no declaration", not NULL). */
+case class CharsetDecodeHint(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("charset", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"charset_decode_hint needs (BINARY, STRING), got $l / $r")
+    }
+  override protected def nullSafeEval(payload: Any, hint: Any): Any =
+    Kernels.charsetDecodeHint(payload.asInstanceOf[Array[Byte]],
+      hint.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, h) =>
+      s"graft.functions.Kernels.charsetDecodeHint($p, $h)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharsetDecodeHint =
+    copy(left = newLeft, right = newRight)
 }
 
 /** media BINARY → 64-bit block-mean perceptual hash. */
@@ -1619,11 +2056,19 @@ object GraftFunctions {
   def phash64(media: Column): Column = GraftColumnBridge.column(PHash64(e(media)))
   def charsetDecode(payload: Column): Column =
     GraftColumnBridge.column(CharsetDecode(e(payload)))
+  def charsetDecodeHint(payload: Column, hint: Column): Column =
+    GraftColumnBridge.column(CharsetDecodeHint(e(payload), e(hint)))
   def mainContent(html: Column, minChars: Int = 25,
       maxLinkDensity: Double = 0.33): Column =
     GraftColumnBridge.column(MainContent(e(html), minChars, maxLinkDensity))
   def robotsRules(robotsTxt: Column, agent: String): Column =
     GraftColumnBridge.column(RobotsRules(e(robotsTxt), agent))
+  def robotsCrawlDelay(robotsTxt: Column, agent: String): Column =
+    GraftColumnBridge.column(RobotsCrawlDelay(e(robotsTxt), agent))
+  def percentNormalize(path: Column): Column =
+    GraftColumnBridge.column(PercentNormalize(e(path)))
+  def sitemapEntries(body: Column): Column =
+    GraftColumnBridge.column(SitemapEntries(e(body)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =

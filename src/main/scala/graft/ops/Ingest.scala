@@ -149,11 +149,59 @@ object Ingest {
       .withColumn("n_bytes", col("__cd.n_bytes"))
       .drop("__cd")
 
+  /** [[decodeTextAuto]] with a declared-charset column (HTTP
+    * Content-Type / HTML `meta charset` label; `''` = none — use
+    * `coalesce(hint, lit(""))` for nullable columns): strong sniff
+    * evidence (BOMs, strict UTF-8) still wins, a recognized and
+    * strictly-decodable declaration is trusted — the contract that
+    * makes the EUC-KR/GBK/Big5 families (structurally ambiguous,
+    * ubiquitous on CJK sites) decode correctly instead of collapsing
+    * to windows-1252 mojibake — and lying declarations fall back to
+    * the structural sniff. Same 100 TB shape: one codegen'd kernel
+    * call per row in the scan projection. */
+  def decodeTextHint(df: DataFrame, payload: org.apache.spark.sql.Column,
+      hint: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("__cd",
+        graft.functions.GraftFunctions.charsetDecodeHint(payload, hint))
+      .withColumn("charset", col("__cd.charset"))
+      .withColumn("text_decoded", col("__cd.text"))
+      .withColumn("n_bytes", col("__cd.n_bytes"))
+      .drop("__cd")
+
   /** Deterministic mixed-charset payload fixture for the
     * `ingest_charset_decode` oracle: doc_id%5 selects the encoding of
     * the document text (+ a non-ASCII suffix where the charset can
     * carry it), so the oracle knows the expected charset verdict,
     * decoded text, and byte length in closed form. */
+  /** Deterministic sitemap-document fixture for `url_sitemap_entries`:
+    * every fifth doc is a `<sitemapindex>` (two child sitemaps, the
+    * second with whitespace-padded loc and no lastmod), the rest are
+    * `<urlset>`s (two urls, the second with an `&amp;`-escaped query
+    * and no lastmod); every third payload is REALLY gzipped — the
+    * `.xml.gz` wire format — so the oracle's closed-form restatement
+    * proves decompression, tag walk, trim, and entity decode at once. */
+  def sitemapFixture(id: Long): Array[Byte] = {
+    val lm = s"2026-0${id % 9 + 1}-15"
+    val xml =
+      if (id % 5 == 0)
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+           |<sitemap><loc>https://s${id % 7}.example/sitemap-a.xml.gz</loc><lastmod>$lm</lastmod></sitemap>
+           |<sitemap><loc>  https://s${id % 7}.example/sitemap-b.xml.gz
+           |</loc></sitemap>
+           |</sitemapindex>""".stripMargin
+      else
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+           |<url><loc>https://w${id % 7}.example/p/${id % 11}</loc><lastmod>$lm</lastmod></url>
+           |<url>
+           |  <loc>https://w${id % 7}.example/p/${id % 11}/sub?a=1&amp;b=2</loc>
+           |</url>
+           |</urlset>""".stripMargin
+    val bytes = xml.getBytes("UTF-8")
+    if (id % 3 == 0) Codecs.gzipBytes(bytes) else bytes
+  }
+
   def charsetFixture(id: Long, text: String): Array[Byte] = {
     val accented = text + " café"            // é — cp1252-representable
     val wide = accented + " Ωμέγα" // + Greek Ωμέγα
@@ -165,6 +213,36 @@ object Ingest {
       case 3 => Array(0xFF.toByte, 0xFE.toByte) ++
         wide.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
       case _ => accented.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    }
+  }
+
+  /** Deterministic CJK/declared-charset payload fixture for the
+    * `ingest_charset_cjk` oracle — doc_id%8 selects (encoding of the
+    * document text + a language-marked suffix, declared hint), so
+    * every layer of the hint contract gets a closed-form row: strict
+    * UTF-8 overriding a lying Shift_JIS declaration (0), Shift_JIS
+    * and EUC-JP found by STRUCTURE with no hint (1, 2), the
+    * structurally-ambiguous EUC-KR/GBK/Big5 resolved by (aliased)
+    * declarations (3, 4, 5), the web's latin-1→windows-1252 mapping
+    * (6), and a lying GBK declaration over windows-1252 bytes whose
+    * strict decode fails back to the fallback (7). */
+  def charsetCjkFixture(id: Long, text: String): (Array[Byte], String) = {
+    val jp = " 日本語テキスト"   // 7 two-byte chars in Shift_JIS / EUC-JP
+    val kr = " 한국어 텍스트"    // 6 two-byte hangul in EUC-KR
+    val zhS = " 中文文本"        // 4 two-byte hanzi in GBK
+    val zhT = " 中文測試"        // 4 two-byte hanzi in Big5
+    val fr = " café"
+    def enc(s: String, cs: String) =
+      s.getBytes(java.nio.charset.Charset.forName(cs))
+    (id % 8) match {
+      case 0 => (enc(text + fr, "UTF-8"), "shift_jis")
+      case 1 => (enc(text + jp, "Shift_JIS"), "")
+      case 2 => (enc(text + jp, "EUC-JP"), "")
+      case 3 => (enc(text + kr, "EUC-KR"), "euc-kr")
+      case 4 => (enc(text + zhS, "GBK"), "GB2312")
+      case 5 => (enc(text + zhT, "Big5"), "Big5")
+      case 6 => (enc(text + fr, "windows-1252"), "latin-1")
+      case _ => (enc(text + fr, "windows-1252"), "gbk")
     }
   }
 }

@@ -190,8 +190,8 @@ object Urls {
   }
 
   /** Path of a raw URL ("/" when empty; query and fragment excluded,
-    * no trailing-slash normalisation — robots matching is on the raw
-    * path). Same parse chain as [[canonicalize]]. */
+    * no trailing-slash normalisation). Same parse chain as
+    * [[canonicalize]]. */
   def pathOf(u: Column): Column = {
     val noFrag = regexp_replace(trim(u), "#.*", "")
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
@@ -200,38 +200,78 @@ object Urls {
     when(p === "", "/").otherwise(p)
   }
 
+  /** Path PLUS query of a raw URL ("/" when both empty; fragment
+    * excluded) — the string robots.txt rules match against: the
+    * common `Disallow: /[star]?sid=` idiom targets query strings, so
+    * the gate must see them. */
+  def pathQueryOf(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    when(pathq === "", "/")
+      .when(pathq.startsWith("?"), concat(lit("/"), pathq))
+      .otherwise(pathq)
+  }
+
   /** Robots.txt gate over a URL table — RFC 9309 evaluation: per URL,
-    * among the crawler's rules whose prefix matches the path, the
-    * LONGEST rule wins and Allow wins length ties; a URL with no
-    * matching rule (or a host with no robots.txt) is allowed.
+    * among the crawler's rules matching the path(+query), the rule
+    * with the most octets wins and Allow wins specificity ties; a URL
+    * with no matching rule (or a host with no robots.txt) is allowed.
+    * Rules support the RFC's `*` wildcard and `$` end anchor (the
+    * kernel compiles each rule to a SQL LIKE pattern), and BOTH sides
+    * compare in canonical percent-encoding
+    * ([[graft.functions.Kernels.percentNormalizeStr]]) — `/a%20b`
+    * matches a `Disallow: /a b` rule and `%2f`/`%2F` spellings
+    * agree. Robots host keys lowercase to match [[hostOf]].
     *
     * 100 TB shape: the robots corpus parses ONCE through the
     * [[graft.functions.GraftFunctions.robotsRules]] kernel into a
     * per-host rule table (O(hosts × rules) rows — tiny next to the
     * URL table), the match is a host-keyed equi-join (never a
-    * cartesian; rule-prefix comparison happens inside the joined
-    * row), and the winner is one max_by aggregation keyed by the URL
-    * id. Returns (doc_id, url, host, path, allowed). */
+    * cartesian; the LIKE comparison happens inside the joined row),
+    * and the winner is one max_by aggregation keyed by the URL id.
+    * Returns (doc_id, url, host, path, allowed) — `path` is the
+    * percent-normalized path+query the rules were matched against. */
   def robotsVerdicts(urls: DataFrame, url: Column, id: Column,
       robots: DataFrame, robotsHost: Column, robotsTxt: Column,
       agent: String): DataFrame = {
-    val rules = robots.select(robotsHost.as("host"),
+    val rules = robots.select(lower(robotsHost).as("host"),
         explode(graft.functions.GraftFunctions.robotsRules(robotsTxt, agent))
           .as("r"))
-      .select(col("host"), col("r.prefix").as("__prefix"),
-        col("r.allow").as("__allow"))
+      .select(col("host"), col("r.like").as("__like"),
+        col("r.rank").as("__rank"), col("r.allow").as("__allow"))
     val u = urls.select(id.as("doc_id"), url.as("url"),
-      hostOf(url).as("host"), pathOf(url).as("path"))
+      hostOf(url).as("host"),
+      graft.functions.GraftFunctions.percentNormalize(pathQueryOf(url))
+        .as("path"))
     val best = u.join(rules, Seq("host"))
-      .filter(col("path").startsWith(col("__prefix")))
+      .filter(like(col("path"), col("__like")))
       .groupBy("doc_id")
       .agg(max_by(col("__allow"),
-        struct(length(col("__prefix")).as("l"), col("__allow").as("a")))
+        struct(col("__rank").as("l"), col("__allow").as("a")))
         .as("__best"))
     u.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url"), col("host"), col("path"),
         coalesce(col("__best"), lit(true)).as("allowed"))
   }
+
+  /** Per-host effective Crawl-delay for one crawler — the de-facto
+    * politeness extension riding along with the RFC 9309 rules (group
+    * selection is identical to [[robotsVerdicts]]; among the
+    * applicable groups the LAST valid directive wins, config-file
+    * style; see [[graft.functions.Kernels.robotsCrawlDelay]]).
+    * Returns (host, crawl_delay DOUBLE) with NULL when the applicable
+    * group(s) carry no valid directive — callers coalesce to their
+    * politeness default. One codegen'd kernel call per robots row in
+    * the scan projection: no shuffle, no join. */
+  def crawlDelay(robots: DataFrame, robotsHost: Column, robotsTxt: Column,
+      agent: String): DataFrame =
+    robots.select(lower(robotsHost).as("host"),
+        graft.functions.GraftFunctions.robotsCrawlDelay(robotsTxt, agent)
+          .as("__d"))
+      .select(col("host"),
+        when(col("__d") < 0, lit(null).cast("double"))
+          .otherwise(col("__d")).as("crawl_delay"))
 
   /** `Sitemap:` directives of a robots.txt — the crawl-frontier feed
     * that rides along with the access rules (RFC 9309 §2.3 treats it
@@ -241,6 +281,21 @@ object Urls {
   def sitemapUrls(robotsTxt: Column): Column =
     regexp_extract_all(robotsTxt,
       lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)\\s*$"), lit(1))
+
+  /** Sitemap-document frontier: parse fetched sitemap payloads
+    * (`<urlset>` / `<sitemapindex>`, optionally gzipped `.xml.gz`)
+    * into one (kind, loc, lastmod) row per entry — the crawl-frontier
+    * table the robots `Sitemap:` directives feed ([[sitemapUrls]]
+    * finds the documents; this reads them; `<sitemapindex>` entries
+    * are the next fetch round of the two-tier protocol). One
+    * codegen'd kernel call per payload in the scan projection plus an
+    * explode: no shuffle, no join. Compose with [[robotsVerdicts]]
+    * over `loc` for a politeness-gated frontier. */
+  def sitemapFrontier(sitemaps: DataFrame, id: Column, body: Column): DataFrame =
+    sitemaps.select(id.as("doc_id"),
+        explode(graft.functions.GraftFunctions.sitemapEntries(body)).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"), col("e.loc").as("loc"),
+        col("e.lastmod").as("lastmod"))
 
   /** URL-level dedup: group raw URLs by canonical form, keep the
     * lowest id (first fetch wins under a monotone fetch id), count the

@@ -18,8 +18,17 @@ class RobotsSpec extends AnyFunSuite {
     import spark.implicits._
     Seq(txt).toDF("t")
       .select(explode(graft.functions.GraftFunctions.robotsRules(col("t"), agent)).as("r"))
-      .select("r.prefix", "r.allow")
+      .select("r.pattern", "r.allow")
       .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+  }
+
+  private def delay(txt: String, agent: String = "graftbot"): Option[Double] = {
+    import spark.implicits._
+    val robots = Seq(("H.Example", txt)).toDF("host", "txt")
+    val row = Urls.crawlDelay(robots, col("host"), col("txt"), agent)
+      .collect().head
+    assert(row.getString(0) === "h.example") // host key lowercases
+    if (row.isNullAt(1)) None else Some(row.getDouble(1))
   }
 
   private def verdict(robotsTxt: String, path: String,
@@ -73,6 +82,60 @@ class RobotsSpec extends AnyFunSuite {
     assert(verdict(txt, "/p/ok/doc") === true)
     val tie = "User-agent: *\nDisallow: /dir\nAllow: /dir\n"
     assert(verdict(tie, "/dir/x") === true)
+  }
+
+  test("'*' wildcard rules match per RFC 9309 §2.2.3") {
+    val txt = "User-agent: *\nDisallow: /*?sid=\nDisallow: /private*/x\n"
+    assert(verdict(txt, "/page?sid=5") === false)   // query is matched
+    assert(verdict(txt, "/a/b/c?sid=2&x=1") === false)
+    assert(verdict(txt, "/page?id=5") === true)
+    // '?sid=' is literal: an '&sid=' param does NOT match this rule
+    assert(verdict(txt, "/a/b?x=1&sid=2") === true)
+    assert(verdict(txt, "/private123/x") === false)
+    assert(verdict(txt, "/private123/y") === true)
+  }
+
+  test("'$' anchors a rule at the path end; wildcard + anchor compose") {
+    val txt = "User-agent: *\nDisallow: /dl$\nDisallow: /*.pdf$\n"
+    assert(verdict(txt, "/dl") === false)
+    assert(verdict(txt, "/dl/x") === true)          // anchor fails open
+    assert(verdict(txt, "/docs/a.pdf") === false)
+    assert(verdict(txt, "/docs/a.pdfx") === true)
+  }
+
+  test("a more-specific wildcard Allow overrides a shorter Disallow") {
+    val txt = "User-agent: *\nDisallow: /p/\nAllow: /p/*.html$\n"
+    assert(verdict(txt, "/p/a.html") === true)      // rank 10 > 3
+    assert(verdict(txt, "/p/a.htm") === false)
+  }
+
+  test("rule and path compare in canonical percent-encoding") {
+    // literal space in the rule vs %20 in the URL — and vice versa
+    assert(verdict("User-agent: *\nDisallow: /a b\n", "/a%20b") === false)
+    assert(verdict("User-agent: *\nDisallow: /a%20b\n", "/a b") === false)
+    // hex case insensitive; unreserved escapes decode on both sides
+    assert(verdict("User-agent: *\nDisallow: /x%2fy\n", "/x%2Fy") === false)
+    assert(verdict("User-agent: *\nDisallow: /caf%C3%A9\n", "/café") === false)
+    assert(verdict("User-agent: *\nDisallow: /%7Euser\n", "/~user") === false)
+    // LIKE metacharacters in a path are literals, not wildcards
+    assert(verdict("User-agent: *\nDisallow: /a_b\n", "/axb") === true)
+    assert(verdict("User-agent: *\nDisallow: /a_b\n", "/a_b") === false)
+  }
+
+  test("crawl-delay: last valid value wins within the applicable group") {
+    val txt = "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n" +
+      "Crawl-delay: 2.5\n\nUser-agent: *\nCrawl-delay: 10\n"
+    assert(delay(txt) === Some(2.5))
+  }
+
+  test("crawl-delay: invalid values skip; star fallback; absent → None") {
+    assert(delay("User-agent: *\nCrawl-delay: fast\ncrawl-delay: 0.5\n")
+      === Some(0.5))
+    // a named group WITHOUT a delay shadows the star group's delay
+    assert(delay("User-agent: graftbot\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 7\n") === None)
+    assert(delay("User-agent: *\nDisallow: /x\n") === None)
+    assert(delay("User-agent: *\nCrawl-delay: -3\n") === None)
   }
 
   test("no matching rule, or no robots entry for the host, allows") {
