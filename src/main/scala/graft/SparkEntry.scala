@@ -3085,16 +3085,28 @@ object SparkEntry {
     * constants the engine compiles into its InSet, so the embedded
     * suffix snapshot can never drift between engine and oracle. */
   private def registeredDomainSql(h: String): String = {
-    val two = graft.ops.Urls.MultiPartSuffixes.map("'" + _ + "'").mkString(",")
-    val three = graft.ops.Urls.ThreePartSuffixes.map("'" + _ + "'").mkString(",")
-    s"""CASE WHEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) IN ($three)
-             AND regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
-            THEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1)
-            WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) IN ($two)
-             AND regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
-            THEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
-            WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) = '' THEN $h
-            ELSE regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) END"""
+    def lst(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(",")
+    val two = lst(graft.ops.Urls.MultiPartSuffixes)
+    val three = lst(graft.ops.Urls.ThreePartSuffixes)
+    val exc2 = lst(graft.ops.Urls.SuffixExceptions.filter(_.count(_ == '.') == 1))
+    val exc3 = lst(graft.ops.Urls.SuffixExceptions.filter(_.count(_ == '.') == 2))
+    val wild1 = lst(graft.ops.Urls.WildcardSuffixBases.filterNot(_.contains('.')))
+    val wild2 = lst(graft.ops.Urls.WildcardSuffixBases.filter(_.count(_ == '.') == 1))
+    val t1 = s"regexp_extract($h, '([^.]+)$$', 1)"
+    val t2 = s"regexp_extract($h, '([^.]+\\.[^.]+)$$', 1)"
+    val t3 = s"regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)"
+    val t4 = s"regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1)"
+    s"""CASE WHEN $t3 IN ($exc3) THEN $t3
+            WHEN $t2 IN ($exc2) THEN $t2
+            WHEN $t2 IN ($wild2)
+            THEN (CASE WHEN $t4 <> '' THEN $t4
+                       WHEN $t3 <> '' THEN $t3 ELSE $h END)
+            WHEN $t1 IN ($wild1)
+            THEN (CASE WHEN $t3 <> '' THEN $t3 ELSE $h END)
+            WHEN $t3 IN ($three) AND $t4 <> '' THEN $t4
+            WHEN $t2 IN ($two) AND $t3 <> '' THEN $t3
+            WHEN $t2 = '' THEN $h
+            ELSE $t2 END"""
   }
 
   private def hexValSql(h: String, n: Int): String =
@@ -3220,15 +3232,19 @@ object SparkEntry {
   }
 
   /** Deterministic exotic-suffix host fixture for `url_exotic_domains`:
-    * suffix keyed by doc_id%8 (two-label ccSLDs, bare gTLDs, and two
-    * THREE-label suffixes), site name by doc_id%7, and a "shop."
-    * subdomain on every third doc so 4- and 5-label hosts both occur
-    * for every suffix class. */
+    * suffix keyed by doc_id%12 (two-label ccSLDs, bare gTLDs, two
+    * THREE-label suffixes, a wildcard ccTLD and a wildcard Japanese
+    * city domain, and the exception hosts that override both
+    * wildcards), site name by doc_id%7, and a "shop." subdomain on
+    * every third doc so deeper hosts occur for every suffix class —
+    * including bare-wildcard-suffix hosts that must pass through as
+    * themselves. */
   private[graft] def exoticUrlFixture(docs: DataFrame): DataFrame = {
     val suffix = element_at(array(
       lit("com.sg"), lit("co.nz"), lit("com.hk"), lit("k12.ca.us"),
-      lit("co.uk"), lit("com"), lit("vic.edu.au"), lit("org")),
-      (col("doc_id") % 8 + 1).cast("int"))
+      lit("co.uk"), lit("com"), lit("vic.edu.au"), lit("org"),
+      lit("ck"), lit("www.ck"), lit("kawasaki.jp"), lit("city.kawasaki.jp")),
+      (col("doc_id") % 12 + 1).cast("int"))
     val host = concat(
       when(col("doc_id") % 3 === 0, lit("shop.")).otherwise(lit("")),
       lit("site"), (col("doc_id") % 7).cast("string"), lit("."), suffix)
@@ -6069,10 +6085,13 @@ object SparkEntry {
       s"""WITH raw AS (SELECT doc_id,
            (CASE WHEN doc_id % 3 = 0 THEN 'shop.' ELSE '' END)
              || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.'
-             || (CASE doc_id % 8 WHEN 0 THEN 'com.sg' WHEN 1 THEN 'co.nz'
+             || (CASE doc_id % 12 WHEN 0 THEN 'com.sg' WHEN 1 THEN 'co.nz'
                  WHEN 2 THEN 'com.hk' WHEN 3 THEN 'k12.ca.us'
                  WHEN 4 THEN 'co.uk' WHEN 5 THEN 'com'
-                 WHEN 6 THEN 'vic.edu.au' ELSE 'org' END) AS host
+                 WHEN 6 THEN 'vic.edu.au' WHEN 7 THEN 'org'
+                 WHEN 8 THEN 'ck' WHEN 9 THEN 'www.ck'
+                 WHEN 10 THEN 'kawasaki.jp'
+                 ELSE 'city.kawasaki.jp' END) AS host
            FROM documents),
          d AS (SELECT host, ${registeredDomainSql("host")} AS domain FROM raw)
          SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,

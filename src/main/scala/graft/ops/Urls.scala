@@ -167,25 +167,70 @@ object Urls {
     regexp_replace(lower(regexp_extract(hostport, "^([^:]*)", 1)), "\\.$", "")
   }
 
-  /** Registered domain of a host: the last two labels; three when the
-    * two-label tail is a known multi-part suffix (co.uk, com.sg, …);
-    * four when the THREE-label tail is one (k12.ca.us, vic.edu.au).
-    * Hosts with fewer labels than the matched rule needs, and hosts
-    * that ARE a bare suffix, pass through at the next-shorter rule.
-    * Suffix sets default to the embedded snapshot and are caller-
-    * loadable (read your registry table, `collect` it — suffix sets
-    * are a few hundred rows — and pass the seqs); both land in the
-    * plan as Catalyst InSet literals, codegen'd, no join. */
+  /** Wildcard public-suffix bases — the public-suffix algorithm's
+    * `*.<base>` rules: EVERY single label directly under the base is
+    * itself a public suffix (under `*.ck`, `foo.ck` is a suffix and
+    * registrations live at `site.foo.ck`). Same static-snapshot,
+    * caller-loadable contract as [[MultiPartSuffixes]]: the ccTLDs
+    * that delegate all second-level labels, plus the Japanese city
+    * domains whose wards register at the fourth label. */
+  val WildcardSuffixBases: Seq[String] = Seq(
+    "bd", "ck", "er", "jm", "kh", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Exception rules — the algorithm's `!<host>` entries: hosts
+    * registrable DESPITE a matching wildcard (the registry itself
+    * operates the site). `www.ck` is the canonical example; each
+    * Japanese city wildcard carries a `!city.<city>.jp` twin. */
+  val SuffixExceptions: Seq[String] = Seq(
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  /** Registered domain of a host under the public-suffix algorithm:
+    * exception rules first (the host tail matching `!<host>` IS the
+    * registered domain), then wildcard bases (`*.<base>` pushes the
+    * registration boundary one label deeper than the base), then the
+    * plain three- and two-label suffix sets (co.uk, k12.ca.us →
+    * registered domains keep one more label), else the last two
+    * labels. Hosts with fewer labels than the matched rule needs,
+    * and hosts that ARE a bare suffix, pass through at the
+    * next-shorter rule. Suffix sets default to the embedded snapshot
+    * and are caller-loadable (read your registry table, `collect`
+    * it — suffix sets are a few hundred rows — and pass the seqs);
+    * all four land in the plan as Catalyst InSet literals, codegen'd,
+    * no join. */
   def registeredDomain(host: Column): Column =
-    registeredDomain(host, MultiPartSuffixes, ThreePartSuffixes)
+    registeredDomain(host, MultiPartSuffixes, ThreePartSuffixes,
+      WildcardSuffixBases, SuffixExceptions)
 
   def registeredDomain(host: Column, twoLabelSuffixes: Seq[String],
-      threeLabelSuffixes: Seq[String]): Column = {
+      threeLabelSuffixes: Seq[String]): Column =
+    registeredDomain(host, twoLabelSuffixes, threeLabelSuffixes, Nil, Nil)
+
+  def registeredDomain(host: Column, twoLabelSuffixes: Seq[String],
+      threeLabelSuffixes: Seq[String], wildcardBases: Seq[String],
+      exceptions: Seq[String]): Column = {
+    val one = regexp_extract(host, "([^.]+)$", 1)
     val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val three = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     val four = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(three.isin(threeLabelSuffixes: _*) && four =!= "", four)
-      .when(two.isin(twoLabelSuffixes: _*) && three =!= "", three)
+    val exc2 = exceptions.filter(_.count(_ == '.') == 1)
+    val exc3 = exceptions.filter(_.count(_ == '.') == 2)
+    val wild1 = wildcardBases.filterNot(_.contains('.'))
+    val wild2 = wildcardBases.filter(_.count(_ == '.') == 1)
+    def in(c: Column, xs: Seq[String]): Column =
+      if (xs.isEmpty) lit(false) else c.isin(xs: _*)
+    when(in(three, exc3), three)
+      .when(in(two, exc2), two)
+      .when(in(two, wild2),
+        when(four =!= "", four).when(three =!= "", three).otherwise(host))
+      .when(in(one, wild1),
+        when(three =!= "", three).otherwise(host))
+      .when(in(three, threeLabelSuffixes) && four =!= "", four)
+      .when(in(two, twoLabelSuffixes) && three =!= "", three)
       .otherwise(when(two === "", host).otherwise(two))
   }
 

@@ -92,6 +92,33 @@ class UrlsSpec extends AnyFunSuite {
       "k12.ca.us"))
   }
 
+  test("registeredDomain: PSL wildcard rules push the boundary one label deeper") {
+    import spark.implicits._
+    val got = Seq(
+      "www.shop.foo.ck",    // *.ck: foo.ck is a suffix → shop.foo.ck
+      "shop.foo.ck", "foo.ck", "ck",
+      "www.example.com.np", // *.np agrees with the explicit com.np rule
+      "ward.nakahara.kawasaki.jp", "nakahara.kawasaki.jp")
+      .toDF("h").select(Urls.registeredDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "shop.foo.ck", "shop.foo.ck",
+      // bare wildcard suffixes pass through as themselves
+      "foo.ck", "ck",
+      "example.com.np",
+      "ward.nakahara.kawasaki.jp", "nakahara.kawasaki.jp"))
+  }
+
+  test("registeredDomain: exception rules override their wildcard") {
+    import spark.implicits._
+    val got = Seq("www.ck", "pages.www.ck", "a.b.www.ck",
+        "city.kawasaki.jp", "www.city.kawasaki.jp")
+      .toDF("h").select(Urls.registeredDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("www.ck", "www.ck", "www.ck",
+      "city.kawasaki.jp", "city.kawasaki.jp"))
+  }
+
   test("dedupByCanonical merges spellings and keeps the first id") {
     import spark.implicits._
     val d = Seq(
