@@ -384,6 +384,31 @@ object Metrics {
       f"n=$nKeys m=$mBits k=$kHashes; analytic FPR $analytic%.5f; " +
       "ceiling max(2x analytic, 0.002) on 20k absent probes")
 
+    // char-3-gram NB language ID: held-out accuracy on the language-
+    // marked fixture (the labeled corpus text is language-independent
+    // soup, so the fixture appends per-lang orthography — the model
+    // must learn it through ~600 chars of shared-vocabulary noise per
+    // doc). The engine-exactness of the same pipeline is hash-oracled
+    // as langid_nb_eval; this row carries the model-quality contract.
+    val marked = graft.SparkEntry.langMarkedDocs(docs)
+    val lgGrams = (t: org.apache.spark.sql.Column) =>
+      graft.ops.Classify.charGrams(t, 3)
+    val (lgW, lgM) = graft.ops.Classify.fitNaiveBayesMulti(
+      marked.filter(col("doc_id") % 5 =!= 0), col("mtext"), col("lang"),
+      tok = lgGrams)
+    val lgPred = graft.ops.Classify.scoreNaiveBayesMulti(
+      marked.filter(col("doc_id") % 5 === 0), col("mtext"), col("doc_id"),
+      lgW, lgM, tok = lgGrams)
+      .join(marked.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val lgAgg = lgPred.agg(count(lit(1)).as("n"),
+      sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("ok"))
+      .collect()(0)
+    val lgN = lgAgg.getLong(0)
+    out += Row("langid_nb_eval", "accuracy",
+      if (lgN == 0) 0.0 else lgAgg.getLong(1).toDouble / lgN,
+      Some(0.95), None, lgN.toInt,
+      "held-out (doc_id%5==0) char-3-gram NB language ID on the lang-marked fixture")
+
     // approx_percentile (GK-family): max rank error vs 1/accuracy
     val acc = 10000
     val qs = Seq(0.25, 0.5, 0.75, 0.9)

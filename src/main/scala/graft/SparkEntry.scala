@@ -794,6 +794,30 @@ object SparkEntry {
         .presentSorted("lang", "pred")
     }),
 
+    // char-3-gram NB language ID — the upgrade over the marker-token
+    // heuristic (text_langid_quality): character n-grams capture
+    // orthography rather than vocabulary (Cavnar & Trenkle), training
+    // is engine-exact counting, and tokenization is pure built-in
+    // substr/sequence so the ORACLE retrains the same model in SQL.
+    // The corpus text is language-independent token soup, so the
+    // fixture appends a per-language phrase keyed by the LABEL (both
+    // sides generated from the same Scala constant) — the model must
+    // learn the orthographic grams through ~600 chars of shared-
+    // vocabulary noise per doc; output is the held-out confusion vs
+    // the labeled lang column (accuracy floor lives in METRICS)
+    "langid_nb_eval" -> ((s, dir) => {
+      val marked = langMarkedDocs(table(s, dir, "documents"))
+      val grams = (t: Column) => Classify.charGrams(t, 3)
+      val (w, m) = Classify.fitNaiveBayesMulti(
+        marked.filter(col("doc_id") % 5 =!= 0), col("mtext"), col("lang"),
+        tok = grams)
+      Classify.scoreNaiveBayesMulti(marked.filter(col("doc_id") % 5 === 0),
+          col("mtext"), col("doc_id"), w, m, tok = grams)
+        .join(marked.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .presentSorted("lang", "pred")
+    }),
+
     // ROLLING FEATURES: per-user lag/delta/rolling-window stats
     // (graft.ops.Features) — stacked windows over one Exchange+Sort.
     // DuckDB-oracled against identical window SQL
@@ -2207,6 +2231,30 @@ object SparkEntry {
         .orderBy("doc_id", "loc")
     }),
 
+    // END-TO-END crawl frontier: sitemap documents parse into candidate
+    // URLs, then the robots gate (with WILDCARD rules) decides each —
+    // the composition a crawler actually runs. Even hosts disallow the
+    // deep /sub pages with a mid-rule wildcard; odd hosts disallow
+    // everything, re-Allow /p/* by specificity, then out-rank that
+    // Allow with a longer /p/*/sub* Disallow — both mechanics must
+    // produce the same closed-form verdicts
+    "url_frontier_gated" -> ((s, dir) => {
+      val mk = udf((id: Long) => Ingest.sitemapFixture(id))
+      val docs = table(s, dir, "documents")
+      val payloads = docs.select(col("doc_id"), mk(col("doc_id")).as("body"))
+      val frontier = Urls.sitemapFrontier(payloads, col("doc_id"), col("body"))
+        .filter(col("kind") === "url")
+        .select((col("doc_id") * 2 +
+          when(col("loc").contains("/sub"), 1).otherwise(0)).as("rid"),
+          col("loc"))
+      val robots = frontierRobotsFixture(docs)
+      Urls.robotsVerdicts(frontier, col("loc"), col("rid"), robots,
+        col("host"), col("robots_txt"), "graftbot")
+        .select(col("doc_id").as("row_id"), col("host"), col("path"),
+          col("allowed").cast(IntegerType).as("allowed"))
+        .orderBy("row_id")
+    }),
+
     // per-host Crawl-delay (the de-facto politeness extension): group
     // selection identical to the robots gate, LAST valid value wins
     // within the applicable group, invalid values skip, a named group
@@ -3193,6 +3241,47 @@ object SparkEntry {
           .otherwise(lit(oddRobots)).as("robots_txt"))
   }
 
+  /** Per-language marker phrases for the `langid_nb_eval` fixture —
+    * the corpus text is language-independent soup, so the fixture
+    * appends genuine orthography keyed by the labeled lang; the
+    * oracle's CASE is generated from this SAME map, so fixture and
+    * oracle cannot drift. */
+  private[graft] val LangPhrases: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog and reads the morning news with great interest",
+    "de" -> "der schnelle braune fuchs springt über den faulen hund und liest die morgenzeitung mit großem interesse",
+    "fr" -> "le rapide renard brun saute par dessus le chien paresseux et lit le journal du matin avec grand intérêt",
+    "es" -> "el rápido zorro marrón salta sobre el perro perezoso y lee las noticias de la mañana con gran interés",
+    "zh" -> "敏捷的棕色狐狸跳过懒惰的狗并且饶有兴趣地阅读早晨的新闻报纸")
+
+  private[graft] def langMarkedDocs(docs: DataFrame): DataFrame = {
+    val phrase = LangPhrases.foldLeft(lit("")) { case (acc, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "), phrase).as("mtext"))
+  }
+
+  private def langPhraseSql(langCol: String): String =
+    "CASE " + langCol + " " + LangPhrases.map {
+      case (l, p) => s"WHEN '$l' THEN '$p'"
+    }.mkString(" ") + " ELSE '' END"
+
+  /** Robots policies for the hosts the `url_sitemap_entries` urlset
+    * locs live on (w0..w6.example) — `url_frontier_gated` composes
+    * them with the parsed frontier. Even hosts: one wildcard deep-page
+    * Disallow. Odd hosts: Disallow-everything, a specificity-ranked
+    * wildcard re-Allow, and a longer wildcard Disallow out-ranking it
+    * — the same verdicts through opposite rule mechanics. */
+  private[graft] def frontierRobotsFixture(docs: DataFrame): DataFrame = {
+    val even = "User-agent: *\nDisallow: /p/*/sub\n"
+    val odd = "User-agent: *\nDisallow: /\nAllow: /p/*$\nDisallow: /p/*/sub*\n"
+    docs.select((col("doc_id") % 7).as("k")).distinct()
+      .select(concat(lit("w"), col("k").cast("string"),
+          lit(".example")).as("host"),
+        when(col("k") % 2 === 0, lit(even)).otherwise(lit(odd))
+          .as("robots_txt"))
+  }
+
   /** Deterministic crawl-delay robots fixture for `url_crawl_delay` —
     * four policy shapes keyed by host id k (doc_id%4): k=0 a graftbot
     * group whose LAST of two delays wins while a star delay is
@@ -4018,6 +4107,48 @@ object SparkEntry {
              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
            FROM documents),
          tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM d),
+         trc AS (SELECT lang AS cls, token, CAST(count(*) AS DOUBLE) AS ctc
+                 FROM tok WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+         ct AS (SELECT cls, sum(ctc) AS nc FROM trc GROUP BY 1),
+         vocab AS (SELECT DISTINCT token FROM trc),
+         vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS ndocs FROM d
+                WHERE doc_id % 5 != 0),
+         meta AS (SELECT lang AS cls,
+             ln(CAST(count(*) AS DOUBLE) / (SELECT ndocs FROM nd)) AS prior
+           FROM d WHERE doc_id % 5 != 0 GROUP BY 1),
+         mo AS (SELECT cls, ln(0.5 / (nc + 0.5 * (SELECT v FROM vv)))
+                  AS w_oov FROM ct),
+         dense AS (SELECT v2.token, c.cls,
+             ln((coalesce(t.ctc, 0) + 0.5) /
+                (c.nc + 0.5 * (SELECT v FROM vv))) AS w
+           FROM vocab v2 CROSS JOIN ct c
+           LEFT JOIN trc t ON t.cls = c.cls AND t.token = v2.token),
+         tc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS n
+                FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tc.doc_id, mo.cls,
+             sum(tc.n * coalesce(dense.w, mo.w_oov)) AS s
+           FROM tc CROSS JOIN mo
+           LEFT JOIN dense ON dense.cls = mo.cls AND dense.token = tc.token
+           GROUP BY 1, 2),
+         fin AS (SELECT sc.doc_id, sc.cls,
+             row_number() OVER (PARTITION BY sc.doc_id
+               ORDER BY sc.s + meta.prior DESC, sc.cls) AS rk
+           FROM sc JOIN meta ON meta.cls = sc.cls),
+         pred AS (SELECT doc_id, cls AS pred FROM fin WHERE rk = 1)
+         SELECT d.lang, p.pred, count(*) AS n
+         FROM pred p JOIN d ON d.doc_id = p.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "langid_nb_eval" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+             lower(trim(text || ' ' || ${langPhraseSql("lang")})) AS t
+           FROM documents),
+         gi AS (SELECT doc_id, lang, t,
+             unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i
+           FROM d),
+         tok AS (SELECT doc_id, lang, substr(t, i, 3) AS token FROM gi
+                 WHERE length(t) >= 3),
          trc AS (SELECT lang AS cls, token, CAST(count(*) AS DOUBLE) AS ctc
                  FROM tok WHERE doc_id % 5 != 0 GROUP BY 1, 2),
          ct AS (SELECT cls, sum(ctc) AS nc FROM trc GROUP BY 1),
@@ -5947,6 +6078,22 @@ object SparkEntry {
                CAST(doc_id % 11 AS VARCHAR) || '/sub?a=1&b=2', NULL
            FROM u)
          SELECT doc_id, kind, loc, lastmod FROM e ORDER BY doc_id, loc""",
+
+    "url_frontier_gated" ->
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS k, doc_id % 11 AS m
+           FROM documents WHERE doc_id % 5 <> 0),
+         e AS (
+           SELECT 2 * doc_id AS row_id,
+             'w' || CAST(k AS VARCHAR) || '.example' AS host,
+             '/p/' || CAST(m AS VARCHAR) AS path, 1 AS allowed
+           FROM u
+           UNION ALL
+           SELECT 2 * doc_id + 1,
+             'w' || CAST(k AS VARCHAR) || '.example',
+             '/p/' || CAST(m AS VARCHAR) || '/sub?a=1&b=2', 0
+           FROM u)
+         SELECT row_id, host, path, CAST(allowed AS INTEGER) AS allowed
+         FROM e ORDER BY row_id""",
 
     "url_crawl_delay" ->
       """WITH hosts AS (SELECT DISTINCT doc_id % 4 AS k FROM documents)

@@ -92,11 +92,12 @@ object Classify {
     * grids stay |V|·|C| rows — classes are few by construction
     * (languages, domains, quality tiers). */
   def fitNaiveBayesMulti(docs: DataFrame, text: Column, label: Column,
-      alpha: Double = 0.5): (DataFrame, DataFrame) = {
+      alpha: Double = 0.5,
+      tok: Column => Column = Dedup.tokens): (DataFrame, DataFrame) = {
     val base = docs.filter(text.isNotNull && label.isNotNull)
       .select(label.cast(StringType).as("cls"), text.as("__text"))
     val toks = base.select(col("cls"),
-      explode(Dedup.tokens(col("__text"))).as("token"))
+      explode(tok(col("__text"))).as("token"))
     val counts = toks.groupBy("cls", "token").agg(
       count(lit(1)).cast(DoubleType).as("ctc"))
     val clsTot = counts.groupBy("cls").agg(sum("ctc").as("nc"))
@@ -126,10 +127,11 @@ object Classify {
     * per-(doc, class) aggregate, one per-doc top-1 window. Unseen
     * tokens take each class's floor via the meta join. */
   def scoreNaiveBayesMulti(docs: DataFrame, text: Column, id: Column,
-      tokenW: DataFrame, meta: DataFrame, roundTo: Int = 6): DataFrame = {
+      tokenW: DataFrame, meta: DataFrame, roundTo: Int = 6,
+      tok: Column => Column = Dedup.tokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perTok = docs.filter(text.isNotNull)
-      .select(id.as("doc_id"), explode(Dedup.tokens(text)).as("token"))
+      .select(id.as("doc_id"), explode(tok(text)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).cast(DoubleType).as("n"))
     val scored = perTok
       .crossJoin(broadcast(meta.select("cls", "w_oov")))
@@ -143,6 +145,23 @@ object Classify {
     scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
       .select(col("doc_id"), col("cls").as("pred"),
         round(col("__s"), roundTo).as("score"))
+  }
+
+  /** Character n-gram features for language identification — the
+    * classic langid representation (Cavnar & Trenkle's n-gram
+    * profiles; fastText's langid models use the same idea): all
+    * overlapping `n`-grams of the lowercased, trimmed text. Char
+    * grams beat word tokens for langid because they capture
+    * orthography (suffixes, digraphs, diacritic patterns) rather
+    * than vocabulary, and the feature space stays small and dense.
+    * Pure built-in expressions (sequence/transform/substr) so the
+    * SAME tokenization restates verbatim in a SQL oracle; texts
+    * shorter than `n` yield no features, never a malformed gram. */
+  def charGrams(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
   }
 
   /** Binary-classification quality of scored output against the true

@@ -550,6 +550,10 @@ object Jpeg {
             c += 1
           }
           if (w <= 0 || h <= 0) return None
+          // bound total pixels BEFORE any plane allocation: 16-bit
+          // dims can still multiply past Int range once channel and
+          // MCU-padding factors stack (lying headers are data)
+          if (w.toLong * h.toLong > (1L << 26)) return None
           // single-component scans are 1×1 by the baseline MCU rule
           if (nComp == 1 && (comps(0).h != 1 || comps(0).v != 1))
             return None
@@ -563,12 +567,20 @@ object Jpeg {
 
   /** Decode quarantine: segment handlers trust each segment's declared
     * length for their fixed-size fields, so a truncated or lying `len`
-    * at the end of the buffer indexes past it. Malformed bytes are
-    * DATA, not exceptions — every public decode entry point funnels
-    * through this guard and returns None instead of escaping an
-    * ArrayIndexOutOfBoundsException into the quarantined caller. */
+    * at the end of the buffer indexes past it — and lying DIMENSIONS
+    * can push plane/buffer allocation into negative or overflowing
+    * sizes (NegativeArraySizeException, ArithmeticException on
+    * overflow math). Malformed bytes are DATA, not exceptions — every
+    * public decode entry point funnels through this guard and returns
+    * None instead of escaping any of those into the quarantined
+    * caller. OutOfMemoryError stays fatal by design: an Error, not a
+    * data-shaped exception. */
   private def guarded[T](f: => Option[T]): Option[T] =
-    try f catch { case _: IndexOutOfBoundsException => None }
+    try f catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+      case _: ArithmeticException => None
+    }
 
   /** (width, height, components) from the SOF0 header (magic +
     * marker walk). */
@@ -983,6 +995,10 @@ object Jpeg {
             val nComp = b(p + 5) & 0xff
             if (nComp != 1 && nComp != 3) return None
             if (w <= 0 || h <= 0) return None
+            // bound total pixels BEFORE any plane allocation: 16-bit
+            // dims can still multiply past Int range once channel and
+            // MCU-padding factors stack (lying headers are data)
+            if (w.toLong * h.toLong > (1L << 26)) return None
             frameIds = new Array[Int](nComp)
             frameHv = new Array[(Int, Int, Int)](nComp)
             var c = 0

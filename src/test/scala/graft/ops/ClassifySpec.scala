@@ -74,6 +74,39 @@ class ClassifySpec extends AnyFunSuite {
     assert(acc >= 0.95, s"accuracy $acc")
   }
 
+  test("charGrams: lowercased overlapping n-grams; short text yields none") {
+    import spark.implicits._
+    val got = Seq("AbCd", "ab", " xy ", "日本語テスト")
+      .toDF("t").select(Classify.charGrams($"t", 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got === Seq(
+      Seq("abc", "bcd"),
+      Seq.empty,           // shorter than n
+      Seq.empty,           // trims to 2 chars
+      Seq("日本語", "本語テ", "語テス", "テスト"))) // char-, not byte-grams
+  }
+
+  test("char-3-gram NB separates languages by orthography alone") {
+    import spark.implicits._
+    val docs = (1 to 120).map { i =>
+      val (lang, phrase) = (i % 3) match {
+        case 0 => ("de", "der schnelle fuchs springt über den zaun und die straße")
+        case 1 => ("fr", "le renard rapide saute par dessus la cloture et la rue")
+        case _ => ("en", "the quick fox jumps over the fence and the street")
+      }
+      (i.toLong, s"shared filler tokens $phrase shared filler", lang)
+    }.toDF("doc_id", "text", "lang")
+    val grams = (t: org.apache.spark.sql.Column) => Classify.charGrams(t, 3)
+    val (w, m) = Classify.fitNaiveBayesMulti(
+      docs.filter($"doc_id" % 4 =!= 0), $"text", $"lang", tok = grams)
+    val scored = Classify.scoreNaiveBayesMulti(
+      docs.filter($"doc_id" % 4 === 0), $"text", $"doc_id", w, m, tok = grams)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    val acc = scored.filter($"pred" === $"lang").count().toDouble /
+      scored.count()
+    assert(acc === 1.0, s"accuracy $acc")
+  }
+
   test("plan: scoring is one (doc,token) aggregation + a broadcast model join") {
     import spark.implicits._
     val docs = fixture

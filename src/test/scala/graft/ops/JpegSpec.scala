@@ -25,6 +25,17 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeJpegHeader(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("lying SOF dimensions are data, not exceptions: decode refuses") {
+    val jpg = Jpeg.encodeJpegGray(40, 16, (x, y) => (x * y) % 256)
+    // locate SOF0 (FF C0): segment = len(2) precision(1) h(2) w(2) …
+    val sof = jpg.indices.dropRight(1).find(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0).get
+    val lying = jpg.clone()
+    for (d <- 5 to 8) lying(sof + d) = 0xff.toByte // h = w = 65535
+    assert(Jpeg.decodeJpegHeader(lying).isEmpty)   // pixel bound trips
+    assert(Jpeg.decodeJpegGray(lying).isEmpty)     // nothing escapes
+  }
+
   test("general content round-trips within quantization tolerance") {
     val w = 24; val h = 24
     def pix(x: Int, y: Int): Int =
