@@ -4,7 +4,30 @@ import java.lang.management.ManagementFactory
 import scala.jdk.CollectionConverters._
 
 object Bench {
+
+  /** (name, (cold, warm, warm-run gc ms)) — None = the run threw. */
+  private type Res = (String, (Option[Double], Option[Double], Long))
+
   def main(args: Array[String]): Unit = {
+    val fork = sys.env.get("SPARK_GRAFT_BENCH_FORK")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+    // SPARK_GRAFT_BENCH_FORK=K batches the bench across FRESH JVMs of
+    // K queries each — the structural fix for position contamination:
+    // the r10/r11 measurements showed per-query times inflating 2-4x
+    // with session position (ambient JVM state — code cache, metaspace,
+    // app-status stores — that per-query hygiene cannot reclaim), and a
+    // default-vs-seeded order comparison put 59/219 queries past a
+    // 1.3x ratio in single-session mode. A child never runs more than
+    // K-1 queries before any measurement. Children run with FORK
+    // cleared from their environment, so they take the inline path;
+    // SPARK_GRAFT_ONLY composes (the parent subsets, then batches).
+    if (fork.isDefined) runForked(fork.get)
+    else runInline()
+  }
+
+  // ------------------------------------------------------------- inline
+
+  private def runInline(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -64,17 +87,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
     // optional deterministic order shuffle (SPARK_GRAFT_BENCH_SEED=N):
-    // the r10 isolation measurement showed per-query times inflate
-    // 2-4x with session position (ambient JVM state a per-query
-    // hygiene pass cannot reclaim) — re-running with different seeds
-    // separates operator regressions from position artifacts. Unset =
-    // stable registration order, comparable across rounds.
+    // re-running with different seeds separates operator regressions
+    // from position artifacts. Unset = stable registration order,
+    // comparable across rounds.
     val selected0 = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val selected = sys.env.get("SPARK_GRAFT_BENCH_SEED") match {
-      case Some(seed) =>
+      case Some(seed) if only.isEmpty =>
         val r = new scala.util.Random(scala.util.Try(seed.trim.toLong).getOrElse(0L))
         r.shuffle(selected0.toSeq)
-      case None => selected0.toSeq
+      case _ => selected0.toSeq
     }
     // Each query runs 1 cold + N warm times. The cold run carries the
     // one-time whole-stage-codegen/Janino compile + classload cost
@@ -83,7 +104,7 @@ object Bench {
     // steady-state number that predicts 100 TB throughput where compile
     // time amortizes to zero (min, not mean: any GC/cleanup contamination
     // is strictly additive noise, so the min is the cleanest observation).
-    val results = selected.map { case (name, fn) =>
+    val results: Seq[Res] = selected.map { case (name, fn) =>
       // noop sink materializes EVERY column — .count() would let
       // Catalyst prune projection-only queries down to nothing and
       // record fictional times
@@ -108,65 +129,175 @@ object Bench {
       val warmGc = if (warm.isDefined) warms.minBy(_._1.get)._2 else 0L
       if (warm.isEmpty) failed ::= name
       else System.err.println(f"[bench] $name%-28s cold ${cold.get}%8.2fs  warm ${warm.get}%8.2fs  (warm gc ${warmGc}ms, cold gc ${coldGc}ms)")
-      name -> (cold, warm, warmGc)
+      name -> ((cold, warm, warmGc))
     }
-    def json(sel: ((Option[Double], Option[Double], Long)) => Option[Double]) =
-      results.map {
-        case (k, t) => sel(t) match {
-          case Some(v) => s"\"" + k + "\":" + v
-          case None    => s"\"" + k + "\":\"error\""
-        }
-      }.mkString("{", ",", "}")
-    val gcJson = results.map { case (k, t) => s"\"" + k + "\":" + t._3 }.mkString("{", ",", "}")
-    val warmTotal = results.flatMap(_._2._2).sum
-    val coldTotal = results.flatMap(_._2._1).sum
-    val errJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // the short headline line brackets the long per-query line: capture
-    // tooling may keep either the head or the TAIL of the log (the
-    // round-4 artifact lost its totals to tail-capture), so the primary
-    // metrics (warm total = the 100 TB-predictive number) print BOTH
-    // before and after the line most likely to be truncated
-    def jEsc(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // engaged-cap summary: every df-cap / bucket-cap / scrub / budget
-    // engagement across the whole bench, by name with exact counts —
-    // the committed artifact now records WHAT was bounded, so a capped
-    // run can never silently read as a full run
-    val ledgerJson = graft.ops.Ledger.summary().map { case (n, c, d) =>
-      s"""{"name":${jEsc(n)},"count":$c,"last":${jEsc(d)}}"""
-    }.mkString("[", ",", "]")
-    val summary = s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"warm_runs":$warmRuns,"errors":$errJson,"sf":"$sfDir"}"""
-    println(summary)
-    val full = s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson,"sf":"$sfDir"}"""
-    println(full)
-    // the per-query map outgrew the driver's stdout tail capture at
-    // ~200 queries (BENCH_r10 lost it to truncation), so the full
-    // artifact ALSO writes to a repo-side file the round can commit —
-    // same shape as the stdout line, plus the order the queries ran
-    // in (seeded runs shuffle it; position effects are measurable
-    // only if the artifact records position)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
-    val orderJson = results.map(r => jEsc(r._1)).mkString("[", ",", "]")
-    val seedJson = sys.env.get("SPARK_GRAFT_BENCH_SEED")
-      .map(s => jEsc(s.trim)).getOrElse("null")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"summary":$summary,"seed":$seedJson,"order":$orderJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson}""" + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: $e")
+    val ledger = graft.ops.Ledger.summary()
+    // child-mode sidecar for the forked orchestrator: one TSV row per
+    // query plus #LEDGER rows — parseable without a JSON reader
+    sys.env.get("SPARK_GRAFT_BENCH_TSV").foreach { p =>
+      def n(o: Option[Double]) = o.map(_.toString).getOrElse("error")
+      val lines = results.map { case (name, (c, w, g)) =>
+        s"$name\t${n(c)}\t${n(w)}\t$g"
+      } ++ ledger.map { case (nm, c, d) =>
+        s"#LEDGER\t$nm\t$c\t${d.replace("\t", " ").replace("\n", " ")}"
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        lines.mkString("", "\n", "\n"))
     }
+    emit(results, failed.reverse, ledger, sfDir, warmRuns, forked = None)
     spark.stop()
     // print the summary once more AFTER spark.stop() so no shutdown
     // logging can land between it and process exit: with the build's
     // StdoutOutput strategy this line reaches the driver's tail-capture
     // verbatim as the final line of output
-    println(summary)
+    println(summaryLine(results, failed.reverse, sfDir, warmRuns))
     System.out.flush()
     // a query that throws must fail the bench loudly, never report a
     // healthy-looking near-zero time
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  // ------------------------------------------------------------- forked
+
+  /** Orchestrate the bench as fresh-JVM children of `k` queries each:
+    * same classpath and JVM flags as this process (Java 17 needs the
+    * --add-opens set), SPARK_GRAFT_ONLY carries each batch, children
+    * report through the TSV sidecar, child stdout is swallowed (the
+    * parent owns the one-JSON-line contract; child stderr — the
+    * per-query progress — inherits). */
+  private def runForked(k: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names0 = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+    val names = sys.env.get("SPARK_GRAFT_BENCH_SEED") match {
+      case Some(seed) =>
+        val r = new scala.util.Random(scala.util.Try(seed.trim.toLong).getOrElse(0L))
+        r.shuffle(names0)
+      case None => names0
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = System.getProperty("java.class.path")
+    val results = scala.collection.mutable.ArrayBuffer[Res]()
+    val ledger = scala.collection.mutable.LinkedHashMap[String, (Long, String)]()
+    var failed = List.empty[String]
+    val batches = names.grouped(k).toSeq
+    for ((batch, i) <- batches.zipWithIndex) {
+      val tsv = java.io.File.createTempFile(s"graft_bench_$i", ".tsv")
+      val log = java.io.File.createTempFile(s"graft_bench_$i", ".log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_ONLY", batch.mkString(","))
+      env.put("SPARK_GRAFT_BENCH_TSV", tsv.getAbsolutePath)
+      env.put("SPARK_GRAFT_BENCH_OUT", log.getAbsolutePath + ".json")
+      env.remove("SPARK_GRAFT_BENCH_FORK")
+      env.remove("SPARK_GRAFT_BENCH_SEED") // order already applied here
+      pb.redirectOutput(log) // child's own JSON lines must not reach stdout
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(s"[bench] fork ${i + 1}/${batches.size}: ${batch.size} queries")
+      val rc = pb.start().waitFor()
+      val seen = scala.collection.mutable.Set[String]()
+      val f = tsv
+      if (f.exists()) {
+        for (line <- java.nio.file.Files.readAllLines(f.toPath).asScala) {
+          val parts = line.split("\t", -1)
+          if (parts.length >= 4 && parts(0) == "#LEDGER") {
+            val (nm, c, d) = (parts(1), parts(2).toLong, parts(3))
+            val prev = ledger.get(nm).map(_._1).getOrElse(0L)
+            ledger(nm) = (prev + c, d)
+          } else if (parts.length >= 4) {
+            val name = parts(0)
+            seen += name
+            def d(s: String) = if (s == "error") None else Some(s.toDouble)
+            val r = (d(parts(1)), d(parts(2)), parts(3).toLong)
+            if (r._2.isEmpty) failed ::= name
+            results += (name -> r)
+          }
+        }
+      }
+      // a child that died before writing rows (OOM, JVM crash) must
+      // surface every unreported query as an error, never silently
+      for (name <- batch if !seen.contains(name)) {
+        failed ::= name
+        results += (name -> ((None, None, 0L)))
+      }
+      if (rc != 0)
+        System.err.println(s"[bench] fork ${i + 1} exited rc=$rc")
+      tsv.delete()
+    }
+    emit(results.toSeq, failed.reverse, ledger.map { case (n, (c, d)) => (n, c, d) }.toSeq,
+      sfDir, warmRuns, forked = Some(k))
+    println(summaryLine(results.toSeq, failed.reverse, sfDir, warmRuns))
+    System.out.flush()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  // --------------------------------------------------------------- emit
+
+  private def jEsc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def summaryLine(results: Seq[Res], failed: Seq[String],
+      sfDir: String, warmRuns: Int): String = {
+    val warmTotal = results.flatMap(_._2._2).sum
+    val coldTotal = results.flatMap(_._2._1).sum
+    val errJson = failed.map(jEsc).mkString("[", ",", "]")
+    s"""{"metric":"summary","warm_total":$warmTotal,"cold_total":$coldTotal,"unit":"sec","n_queries":${results.size},"warm_runs":$warmRuns,"errors":$errJson,"sf":"$sfDir"}"""
+  }
+
+  private def emit(results: Seq[Res], failed: Seq[String],
+      ledger: Seq[(String, Long, String)], sfDir: String, warmRuns: Int,
+      forked: Option[Int]): Unit = {
+    def json(sel: ((Option[Double], Option[Double], Long)) => Option[Double]) =
+      results.map {
+        case (k, t) => sel(t) match {
+          case Some(v) => jEsc(k) + ":" + v
+          case None    => jEsc(k) + ":\"error\""
+        }
+      }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, t) => jEsc(k) + ":" + t._3 }.mkString("{", ",", "}")
+    val warmTotal = results.flatMap(_._2._2).sum
+    val coldTotal = results.flatMap(_._2._1).sum
+    val errJson = failed.map(jEsc).mkString("[", ",", "]")
+    // engaged-cap summary: every df-cap / bucket-cap / scrub / budget
+    // engagement across the whole bench, by name with exact counts —
+    // the committed artifact records WHAT was bounded, so a capped
+    // run can never silently read as a full run
+    val ledgerJson = ledger.map { case (n, c, d) =>
+      s"""{"name":${jEsc(n)},"count":$c,"last":${jEsc(d)}}"""
+    }.mkString("[", ",", "]")
+    // the short headline line brackets the long per-query line: capture
+    // tooling may keep either the head or the TAIL of the log (the
+    // round-4 artifact lost its totals to tail-capture), so the primary
+    // metrics (warm total = the 100 TB-predictive number) print BOTH
+    // before and after the line most likely to be truncated
+    val summary = summaryLine(results, failed, sfDir, warmRuns)
+    println(summary)
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson,"sf":"$sfDir"}""")
+    // the per-query map outgrew the driver's stdout tail capture at
+    // ~200 queries (BENCH_r10 lost it to truncation), so the full
+    // artifact ALSO writes to a repo-side file the round can commit —
+    // same shape as the stdout line, plus the order the queries ran
+    // in (seeded runs shuffle it; position effects are measurable
+    // only if the artifact records position) and the fork batch size
+    // (fresh-JVM batches make the numbers position-independent)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val orderJson = results.map(r => jEsc(r._1)).mkString("[", ",", "]")
+    val seedJson = sys.env.get("SPARK_GRAFT_BENCH_SEED")
+      .map(s => jEsc(s.trim)).getOrElse("null")
+    val forkJson = forked.map(_.toString).getOrElse("null")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"summary":$summary,"seed":$seedJson,"fork":$forkJson,"order":$orderJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson}""" + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
   }
 }

@@ -84,6 +84,8 @@ object GraftExtensions {
         es => WordGramHashes(es.head, intLit(es(1), "graft_word_gram_hashes", 1))),
       fn("graft_char_ngram_hashes", classOf[CharNgramHashes], 2)(
         es => CharNgramHashes(es.head, intLit(es(1), "graft_char_ngram_hashes", 1))),
+      fn("graft_char_grams", classOf[CharGrams], 2)(
+        es => CharGrams(es.head, intLit(es(1), "graft_char_grams", 1))),
       fn("graft_minhash_sig", classOf[MinHashSig], 2)(
         es => MinHashSig(es.head, intLit(es(1), "graft_minhash_sig", 1))),
       fn("graft_jaccard", classOf[JaccardSim], 2)(

@@ -812,7 +812,8 @@ object SparkEntry {
         marked.filter(col("doc_id") % 5 =!= 0), col("mtext"), col("lang"),
         tok = grams)
       Classify.scoreNaiveBayesMulti(marked.filter(col("doc_id") % 5 === 0),
-          col("mtext"), col("doc_id"), w, m, tok = grams)
+          col("mtext"), col("doc_id"), w, m, tok = grams,
+          broadcastModel = true)
         .join(marked.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .presentSorted("lang", "pred")
@@ -6134,18 +6135,20 @@ object SparkEntry {
        FROM v ORDER BY doc_id""",
 
     "ingest_charset_cjk" ->
-      """WITH v AS (SELECT doc_id, doc_id % 8 AS k, text FROM documents)
+      """WITH v AS (SELECT doc_id, doc_id % 9 AS k, text FROM documents)
        SELECT doc_id,
          CASE k WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
            WHEN 2 THEN 'euc-jp' WHEN 3 THEN 'euc-kr' WHEN 4 THEN 'gbk'
-           WHEN 5 THEN 'big5' ELSE 'windows-1252' END AS charset,
+           WHEN 5 THEN 'big5' WHEN 8 THEN 'iso-2022-jp'
+           ELSE 'windows-1252' END AS charset,
          text || CASE k WHEN 1 THEN ' 日本語テキスト'
-           WHEN 2 THEN ' 日本語テキスト' WHEN 3 THEN ' 한국어 텍스트'
+           WHEN 2 THEN ' 日本語テキスト' WHEN 8 THEN ' 日本語テキスト'
+           WHEN 3 THEN ' 한국어 텍스트'
            WHEN 4 THEN ' 中文文本' WHEN 5 THEN ' 中文測試'
            ELSE ' café' END AS text_decoded,
          CAST(length(text) + CASE k WHEN 0 THEN 6 WHEN 1 THEN 15
            WHEN 2 THEN 15 WHEN 3 THEN 14 WHEN 4 THEN 9 WHEN 5 THEN 9
-           ELSE 5 END AS BIGINT) AS n_bytes
+           WHEN 8 THEN 21 ELSE 5 END AS BIGINT) AS n_bytes
        FROM v ORDER BY doc_id""",
 
     "ingest_warc_records" ->

@@ -1159,6 +1159,38 @@ object Kernels {
     if (sawExactGroup) exactDelay else starDelay
   }
 
+  /** All overlapping character n-grams of the input — the langid
+    * feature kernel, replacing an interpreted higher-order
+    * sequence/transform/substr chain with one codegen'd call. Case
+    * and whitespace normalization stay OUTSIDE as Spark's own
+    * lower(trim(...)) (their exact semantics — space-only trim,
+    * collation-aware lowercase — must match the Column formulation
+    * the oracle restates, so the kernel never reimplements them).
+    * Grams are code-POINT substrings exactly like Spark's substr on
+    * this input; texts shorter than n yield an empty array. Pinned
+    * against the Column reference ([[graft.ops.Classify.charGramsCols]])
+    * in ClassifySpec. */
+  def charGrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val t = s.toString
+    val total = t.codePointCount(0, t.length)
+    val cnt = total - (n - 1)
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt)
+    // sliding code-point window: start/end char offsets advance one
+    // code point per gram — O(len), no quadratic offsetByCodePoints
+    var start = 0
+    var end = t.offsetByCodePoints(0, math.min(n, total))
+    var i = 0
+    while (i < cnt) {
+      out(i) = UTF8String.fromString(t.substring(start, end))
+      start = t.offsetByCodePoints(start, 1)
+      if (end < t.length) end = t.offsetByCodePoints(end, 1)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val sitemapEntryRe = java.util.regex.Pattern.compile(
     "(?is)<(url|sitemap)\\b[^>]*>(.*?)</\\1\\s*>")
   private val sitemapLocRe = java.util.regex.Pattern.compile(
@@ -1326,10 +1358,26 @@ object Kernels {
       else charsetRow(b, "windows-1252", cp1252Decode(b, 0))
     } else if (validUtf8(b, 0)) {
       var ascii = true
+      var esc = false
       var i = 0
       while (i < b.length && ascii) {
         if ((b(i) & 0x80) != 0) ascii = false
+        else if ((b(i) & 0xff) == 0x1b && i + 1 < b.length &&
+            (b(i + 1) == '$' || b(i + 1) == '(')) esc = true
         i += 1
+      }
+      // ISO-2022-JP hides inside "pure ASCII": its ESC $ / ESC ( shift
+      // sequences essentially never occur in real ASCII text, so a
+      // 7-bit buffer carrying them decodes as JIS when the strict
+      // decoder accepts it (else it falls back to the ascii verdict)
+      if (ascii && esc) {
+        try {
+          val dec = java.nio.charset.Charset.forName("ISO-2022-JP").newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          return charsetRow(b, "iso-2022-jp", UTF8String.fromString(
+            dec.decode(java.nio.ByteBuffer.wrap(b)).toString))
+        } catch { case _: java.nio.charset.CharacterCodingException => }
       }
       charsetRow(b, if (ascii) "ascii" else "utf-8", UTF8String.fromBytes(b))
     } else null
@@ -1642,6 +1690,23 @@ case class SitemapEntries(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sitemapEntries($c)")
   override protected def withNewChildInternal(newChild: Expression): SitemapEntries =
+    copy(child = newChild)
+}
+
+/** text STRING × n → ARRAY<STRING>: all overlapping character
+  * n-grams ([[Kernels.charGrams]]'s contract — normalization stays
+  * outside). */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_grams needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.charGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
     copy(child = newChild)
 }
 
@@ -2071,6 +2136,8 @@ object GraftFunctions {
     GraftColumnBridge.column(SitemapEntries(e(body)))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
+  def charGrams(text: Column, n: Int): Column =
+    GraftColumnBridge.column(CharGrams(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordGramHashes(e(text), n))
   def repetitionStats(text: Column): Column =

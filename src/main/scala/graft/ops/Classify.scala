@@ -125,17 +125,24 @@ object Classify {
     * prediction is engine-deterministic. One (doc, token) shuffle,
     * one model join fanning each doc token to |C| rows, one
     * per-(doc, class) aggregate, one per-doc top-1 window. Unseen
-    * tokens take each class's floor via the meta join. */
+    * tokens take each class's floor via the meta join.
+    * `broadcastModel` hints the dense token×class grid broadcast-
+    * side: right whenever the vocabulary is BOUNDED by construction
+    * (char-n-gram langid features — alphabet^n — stay broadcastable
+    * at any corpus scale; word vocabularies grow with the corpus, so
+    * the default leaves the planner free to shuffle). */
   def scoreNaiveBayesMulti(docs: DataFrame, text: Column, id: Column,
       tokenW: DataFrame, meta: DataFrame, roundTo: Int = 6,
-      tok: Column => Column = Dedup.tokens): DataFrame = {
+      tok: Column => Column = Dedup.tokens,
+      broadcastModel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perTok = docs.filter(text.isNotNull)
       .select(id.as("doc_id"), explode(tok(text)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).cast(DoubleType).as("n"))
     val scored = perTok
       .crossJoin(broadcast(meta.select("cls", "w_oov")))
-      .join(tokenW, Seq("cls", "token"), "left")
+      .join(if (broadcastModel) broadcast(tokenW) else tokenW,
+        Seq("cls", "token"), "left")
       .groupBy("doc_id", "cls")
       .agg(sum(col("n") * coalesce(col("w"), col("w_oov"))).as("__s"))
       .join(broadcast(meta.select("cls", "prior")), Seq("cls"))
@@ -154,10 +161,20 @@ object Classify {
     * grams beat word tokens for langid because they capture
     * orthography (suffixes, digraphs, diacritic patterns) rather
     * than vocabulary, and the feature space stays small and dense.
-    * Pure built-in expressions (sequence/transform/substr) so the
-    * SAME tokenization restates verbatim in a SQL oracle; texts
-    * shorter than `n` yield no features, never a malformed gram. */
-  def charGrams(text: Column, n: Int): Column = {
+    * Normalization is Spark's own lower(trim(...)) so the semantics
+    * restate verbatim in a SQL oracle; the gramming itself is one
+    * codegen'd kernel call (the higher-order transform/substr chain
+    * evaluates interpreted — measured 2x slower on the langid
+    * funnel), pinned against the retained Column formulation
+    * ([[charGramsCols]]) in ClassifySpec. Texts shorter than `n`
+    * yield no features, never a malformed gram. */
+  def charGrams(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.charGrams(lower(trim(text)), n)
+
+  /** Column reference formulation of [[charGrams]] — pure built-in
+    * expressions (sequence/transform/substr), retained as the spec
+    * pin the fused kernel is checked against. */
+  private[graft] def charGramsCols(text: Column, n: Int): Column = {
     val t = lower(trim(text))
     when(length(t) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),

@@ -224,8 +224,10 @@ object Ingest {
     * and EUC-JP found by STRUCTURE with no hint (1, 2), the
     * structurally-ambiguous EUC-KR/GBK/Big5 resolved by (aliased)
     * declarations (3, 4, 5), the web's latin-1→windows-1252 mapping
-    * (6), and a lying GBK declaration over windows-1252 bytes whose
-    * strict decode fails back to the fallback (7). */
+    * (6), a lying GBK declaration over windows-1252 bytes whose
+    * strict decode fails back to the fallback (7), and ISO-2022-JP
+    * found by its ESC-shift structure inside an otherwise 7-bit
+    * buffer (8). */
   def charsetCjkFixture(id: Long, text: String): (Array[Byte], String) = {
     val jp = " 日本語テキスト"   // 7 two-byte chars in Shift_JIS / EUC-JP
     val kr = " 한국어 텍스트"    // 6 two-byte hangul in EUC-KR
@@ -234,7 +236,7 @@ object Ingest {
     val fr = " café"
     def enc(s: String, cs: String) =
       s.getBytes(java.nio.charset.Charset.forName(cs))
-    (id % 8) match {
+    (id % 9) match {
       case 0 => (enc(text + fr, "UTF-8"), "shift_jis")
       case 1 => (enc(text + jp, "Shift_JIS"), "")
       case 2 => (enc(text + jp, "EUC-JP"), "")
@@ -242,7 +244,8 @@ object Ingest {
       case 4 => (enc(text + zhS, "GBK"), "GB2312")
       case 5 => (enc(text + zhT, "Big5"), "Big5")
       case 6 => (enc(text + fr, "windows-1252"), "latin-1")
-      case _ => (enc(text + fr, "windows-1252"), "gbk")
+      case 7 => (enc(text + fr, "windows-1252"), "gbk")
+      case _ => (enc(text + jp, "ISO-2022-JP"), "")
     }
   }
 }

@@ -133,12 +133,22 @@ class CharsetSpec extends AnyFunSuite {
     assert(decodeHint(cp, "no-such-charset")._1 === "windows-1252")
   }
 
+  test("ISO-2022-JP: ESC-shift structure beats the pure-ASCII verdict") {
+    val jp = "headline これは日本語 tail"
+    assert(decode(jp.getBytes("ISO-2022-JP")) === (("iso-2022-jp", jp,
+      jp.getBytes("ISO-2022-JP").length.toLong)))
+    // a lone ESC without a shift intro stays ascii; garbage after a
+    // shift intro refuses the JIS reading rather than desyncing
+    assert(decode(b(0x41, 0x1B, 0x42))._1 === "ascii")
+    assert(decode(b(0x41, 0x1B, '$', 0x01))._1 === "ascii")
+  }
+
   test("cjk fixture round-trips every variant") {
     val txt = "plain words"
-    for (id <- 0L to 15L) {
+    for (id <- 0L to 17L) {
       val (payload, hint) = Ingest.charsetCjkFixture(id, txt)
       val (cs, text) = decodeHint(payload, hint)
-      val expected = (id % 8) match {
+      val expected = (id % 9) match {
         case 0 => ("utf-8", txt + " café")
         case 1 => ("shift_jis", txt + " 日本語テキスト")
         case 2 => ("euc-jp", txt + " 日本語テキスト")
@@ -146,7 +156,8 @@ class CharsetSpec extends AnyFunSuite {
         case 4 => ("gbk", txt + " 中文文本")
         case 5 => ("big5", txt + " 中文測試")
         case 6 => ("windows-1252", txt + " café")
-        case _ => ("windows-1252", txt + " café")
+        case 7 => ("windows-1252", txt + " café")
+        case _ => ("iso-2022-jp", txt + " 日本語テキスト")
       }
       assert((cs, text) === expected, s"id=$id")
     }

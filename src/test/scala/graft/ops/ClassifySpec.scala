@@ -86,6 +86,23 @@ class ClassifySpec extends AnyFunSuite {
       Seq("日本語", "本語テ", "語テス", "テスト"))) // char-, not byte-grams
   }
 
+  test("charGrams kernel ≡ the Column reference formulation") {
+    import spark.implicits._
+    // surrogate pairs (emoji) force the code-POINT walk; mixed-width
+    // text exercises the sliding-offset arithmetic
+    val texts = Seq("AbCd", "ab", "", " spaced out ", "日本語テスト",
+      "mixed 日本 ascii", "étude", "a😀b😀c", "😀😀😀😀")
+    for (n <- Seq(2, 3, 5)) {
+      val kernel = texts.toDF("t")
+        .select(Classify.charGrams($"t", n).as("g"))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+      val ref = texts.toDF("t")
+        .select(Classify.charGramsCols($"t", n).as("g"))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+      assert(kernel === ref, s"n=$n")
+    }
+  }
+
   test("char-3-gram NB separates languages by orthography alone") {
     import spark.implicits._
     val docs = (1 to 120).map { i =>
