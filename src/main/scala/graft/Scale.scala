@@ -168,7 +168,7 @@ object Scale {
     "text_sparse_cosine_pairs" -> 0.9, "span_dup_spans" -> 1.0,
     "split_leakfree" -> 1.0, "split_balanced" -> 1.0,
     "graph_pagerank" -> 0.6, "graph_pagerank_hub" -> 0.6,
-    "cms_token_freq" -> 0.9)
+    "cms_token_freq" -> 0.9, "url_robots_gate" -> 0.9)
 
   /** Text re-expressed in 3-word-shingle space ("a_b_c d_e_f …"):
     * the token stream [[TextOps.hashedTfIdf]] then sees is Zipf-ish
@@ -270,6 +270,27 @@ object Scale {
         .orderBy(col("n_true").desc, col("token")).limit(50)
       Sketch.countMinEstimate(top, col("token"), sketch, depth = 4,
         width = 2048L, seed = 2L)
+    },
+    // the crawl-frontier gate at corpus scale: one URL per doc over
+    // 100 hosts, each host's policy carrying a mid-rule wildcard, an
+    // anchored wildcard Allow and a short literal Disallow, so every
+    // URL exercises the LIKE matcher three ways and a third of the
+    // corpus flips on rank. Rules parse once (tiny table); per-URL
+    // cost is the scan projection (host/path parse + percent-
+    // normalization kernel), the host-keyed rule probe, and one
+    // max_by aggregation keyed by URL id.
+    "url_robots_gate" -> { d =>
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(100)).cast("string"),
+          lit(".example/p/"), pmod(col("doc_id"), lit(1000)).cast("string"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("/sub?sid=9"))
+            .otherwise(lit(""))).as("url"))
+      val robots = d.sparkSession.range(100).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example")).as("host"),
+        lit("User-agent: *\nDisallow: /*?sid=\nAllow: /p/*$\nDisallow: /p\n")
+          .as("robots_txt"))
+      Urls.robotsVerdicts(urls, col("url"), col("doc_id"), robots,
+        col("host"), col("robots_txt"), "graftbot")
     })
 
   /** Link graph plus the planted celebrity: every 4th node also
@@ -375,7 +396,14 @@ object Scale {
       "top (probe)."),
     "cms_token_freq" -> ("sketch size is fixed (4x2048), so the " +
       "merge shuffle is constant-width partial grids; s_exp ~0.78 " +
-      "sublinear, time is the linear token scan."))
+      "sublinear, time is the linear token scan."),
+    "url_robots_gate" -> ("per-URL projection work (host/path parse, " +
+      "percent normalization, LIKE probe against each host's 3 rules) " +
+      "plus one max_by agg keyed by URL id: shuffle rows = matched " +
+      "(url, rule) rows <= 3n, time linear in the URL scan. The rule " +
+      "table is O(hosts x rules) and broadcasts; no pathology is " +
+      "planted because the operator has no data-dependent blowup - " +
+      "every URL probes a BOUNDED per-host rule set."))
 
   private def jStr(s: String): String =
     "\"" + s.flatMap {
