@@ -2180,6 +2180,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher document-quality rules (Rae et al. 2021 A1.1) over the
+    // minted multi-line pages: word-count bounds, mean word length,
+    // symbol ratio, bullet/ellipsis line fractions, alpha-word
+    // fraction, required-stopword count, and the composite keep
+    // verdict — the oracle re-mints the page and restates every rule
+    // in SQL, so each fixture pathology (bullets every 7th line,
+    // ellipsis slot, '#'-heavy and numeric lines, stopword lines)
+    // must flip the same rule in both engines
+    "text_gopher_rules" -> ((s, dir) => {
+      val f = linePageFixture(table(s, dir, "documents"))
+      f.select((col("doc_id") +: TextOps.gopherColumns(col("page"))): _*)
+        .orderBy("doc_id")
+    }),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) over the same
+    // pages: terminal-punctuation / ≥3-word / no-"javascript" line
+    // retention, page reconstruction, and the lorem-ipsum / brace /
+    // ≥5-sentence document verdict — the cleaned text itself hashes,
+    // so the whole line pipeline must agree byte-for-byte
+    "text_c4_clean" -> ((s, dir) => {
+      val f = linePageFixture(table(s, dir, "documents"))
+      f.select((col("doc_id") +: TextOps.c4CleanColumns(col("page"))): _*)
+        .orderBy("doc_id")
+    }),
+
     // robots.txt gate: per-host policies parsed by the kernel from
     // REAL robots.txt text (groups, comments, the graftbot group
     // shadowing the Disallow-everything '*' group on even hosts),
@@ -3220,6 +3245,77 @@ object SparkEntry {
       lit("</main><aside><a href=\"/ad\">Sponsored links</a></aside><footer>&copy; 2026 Site <a href=\"/terms\">Terms</a></footer></body></html>"))
       .as("html"))
   }
+
+  /** Deterministic multi-line page fixture for the line-level quality
+    * gates (`text_gopher_rules`, `text_c4_clean`): the flat corpus
+    * text re-chunked into 4–6-word lines with structure the rules
+    * must react to — bullet prefixes (every 7th line), rotating
+    * terminal punctuation incl. a no-punct and an ellipsis slot
+    * (mod 6), "javascript" insertions (every 13th line), and
+    * doc-keyed extra lines (Gopher stopwords, "lorem ipsum", a
+    * braced code line, a numeric line, a '#'-heavy line). The oracle
+    * SQL re-mints the identical page from the same arithmetic, so
+    * fixture and oracle cannot drift. */
+  private[graft] def linePageFixture(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nw = size(ws).cast("long")
+    val kk = lit(4L) + col("doc_id") % 3
+    val nChunks = floor((nw + kk - lit(1L)) / kk).cast("long")
+    val d = col("doc_id")
+    val lines = transform(sequence(lit(0L), nChunks - 1), i =>
+      concat(
+        when((d + i) % 7 === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(ws, (i * kk + 1).cast("int"), kk.cast("int")), " "),
+        when((d + i) % 13 === 0, lit(" javascript")).otherwise(lit("")),
+        when((d + i) % 6 === 0, lit("."))
+          .when((d + i) % 6 === 1, lit("!"))
+          .when((d + i) % 6 === 2, lit("?"))
+          .when((d + i) % 6 === 3, lit("..."))
+          .when((d + i) % 6 === 4, lit(""))
+          .otherwise(lit("."))))
+    val page = concat(
+      array_join(lines, "\n"),
+      when(d % 3 === 0, lit("\nthat will be of and with the."))
+        .otherwise(lit("")),
+      when(d % 17 === 0, lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(lit("")),
+      when(d % 19 === 0, lit("\nfunction() { var x = 1; }."))
+        .otherwise(lit("")),
+      when(d % 23 === 0, lit("\n12345 67890 11 22 33."))
+        .otherwise(lit("")),
+      when(d % 29 === 0, lit("\n# header # tags # # #."))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"), page.as("page"))
+  }
+
+  /** The page-minting CTE shared verbatim by the `text_gopher_rules`
+    * and `text_c4_clean` oracles — the SQL restatement of
+    * [[linePageFixture]]'s arithmetic. */
+  private[graft] val linePageFixtureSql: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       p AS (SELECT doc_id, ws, len(ws) AS nw, 4 + doc_id % 3 AS k FROM w),
+       lns AS (SELECT doc_id,
+         list_transform(generate_series(0, (nw + k - 1)//k - 1), i ->
+           (CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END) ||
+           array_to_string(list_slice(ws, i*k + 1, least((i+1)*k, nw)), ' ') ||
+           (CASE WHEN (doc_id + i) % 13 = 0 THEN ' javascript' ELSE '' END) ||
+           (CASE (doc_id + i) % 6 WHEN 0 THEN '.' WHEN 1 THEN '!'
+             WHEN 2 THEN '?' WHEN 3 THEN '...' WHEN 4 THEN ''
+             ELSE '.' END)) AS lines
+         FROM p),
+       fix AS (SELECT doc_id,
+         array_to_string(lines, chr(10)) ||
+         (CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'that will be of and with the.' ELSE '' END) ||
+         (CASE WHEN doc_id % 17 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END) ||
+         (CASE WHEN doc_id % 19 = 0
+            THEN chr(10) || 'function() { var x = 1; }.' ELSE '' END) ||
+         (CASE WHEN doc_id % 23 = 0
+            THEN chr(10) || '12345 67890 11 22 33.' ELSE '' END) ||
+         (CASE WHEN doc_id % 29 = 0
+            THEN chr(10) || '# header # tags # # #.' ELSE '' END) AS page
+         FROM lns)"""
 
   /** Deterministic per-host robots.txt fixture shared by
     * `url_robots_filter` and `url_sitemaps`: even hosts carry a
@@ -6018,6 +6114,75 @@ object SparkEntry {
            CAST(coalesce(list_aggregate(list_transform(ct, s -> length(s.t)), 'sum'), 0) AS BIGINT) AS content_chars,
            CAST(coalesce(list_aggregate(list_transform(bl, s -> length(s.t)), 'sum'), 0) - coalesce(list_aggregate(list_transform(ct, s -> length(s.t)), 'sum'), 0) AS BIGINT) AS boiler_chars
          FROM cls ORDER BY doc_id""",
+
+    "text_gopher_rules" ->
+      (s"""WITH $linePageFixtureSql,
+         g AS (SELECT doc_id, page,
+           regexp_split_to_array(trim(page), '\\s+') AS words,
+           string_split(page, chr(10)) AS lines FROM fix),
+         s AS (SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
+           length(regexp_replace(page, '\\s+', '', 'g')) AS nonws,
+           len(regexp_extract_all(page, '#')) +
+             len(regexp_extract_all(page, '\\.\\.\\.')) +
+             len(regexp_extract_all(page, '…')) AS nsym,
+           CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+           len(list_filter(lines, l -> regexp_matches(l, '^[-•*]'))) AS nbul,
+           len(list_filter(lines,
+             l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS nell,
+           len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+           CAST(${TextOps.gopherStopwords.map(w =>
+             s"(CASE WHEN regexp_matches(lower(page), '\\b$w\\b')" +
+               " THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_req
+           FROM g),
+         r AS (SELECT doc_id, n_words, n_req,
+           floor(CAST(nonws AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mwl,
+           floor(CAST(nsym AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS swr,
+           floor(CAST(nbul AS DOUBLE) / nl * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS blf,
+           floor(CAST(nell AS DOUBLE) / nl * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS elf,
+           floor(CAST(nalpha AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS awf
+           FROM s)
+         SELECT doc_id, n_words, mwl AS mean_word_len,
+           swr AS sym_word_ratio, blf AS bullet_line_frac,
+           elf AS ellipsis_line_frac, awf AS alpha_word_frac,
+           n_req AS n_req_stopwords,
+           CAST((n_words BETWEEN 50 AND 100000
+             AND mwl BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE)
+             AND swr <= CAST(0.1 AS DOUBLE)
+             AND blf <= CAST(0.9 AS DOUBLE)
+             AND elf <= CAST(0.3 AS DOUBLE)
+             AND awf >= CAST(0.8 AS DOUBLE)
+             AND n_req >= 2) AS INT) AS gopher_keep
+         FROM r ORDER BY doc_id"""),
+
+    "text_c4_clean" ->
+      (s"""WITH $linePageFixtureSql,
+         k AS (SELECT doc_id, page,
+           string_split(page, chr(10)) AS lines FROM fix),
+         f AS (SELECT doc_id, page, lines,
+           list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$$')
+             AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+             AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM k),
+         c AS (SELECT doc_id, page, lines, kept,
+           array_to_string(kept, chr(10)) AS text_clean FROM f)
+         SELECT doc_id, text_clean,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(regexp_extract_all(text_clean, '[.!?]+')) AS BIGINT)
+             AS n_sent_clean,
+           CAST((NOT contains(lower(page), 'lorem ipsum')
+             AND NOT contains(page, '{')
+             AND len(regexp_extract_all(text_clean, '[.!?]+')) >= 5
+             AND len(kept) >= 1) AS INT) AS c4_keep
+         FROM c ORDER BY doc_id"""),
 
     "mm_palette_real" ->
       """WITH px AS (SELECT doc_id, gx.x, gy.y FROM documents,

@@ -330,6 +330,102 @@ object TextOps {
       "dup5_char_frac").map(f => r.getField(f).as(f))
   }
 
+  /** The eight "required" stopwords of the Gopher quality rules
+    * (Rae et al. 2021, appendix A1.1): a document must contain at
+    * least two of them to pass the stopword rule. Public constant —
+    * the paper lists them verbatim. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Luck-free presentation grid shared with the DuckDB oracles:
+    * floor(x·1e6 + 0.5)/1e6 is exact in binary doubles for the
+    * magnitudes involved, so both engines land on the same number. */
+  private def grid6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Gopher document-quality rules (Rae et al. 2021, appendix A1.1)
+    * as one map-only column family — the standard cheap doc-level
+    * gate of large crawl pipelines, run BEFORE any shuffle-bearing
+    * stage so rejected docs never cost a byte of network:
+    *
+    *   - `n_words`            ∈ [50, 100 000]
+    *   - `mean_word_len`      ∈ [3, 10]
+    *   - `sym_word_ratio`     ≤ 0.1   ('#', '...', '…' per word)
+    *   - `bullet_line_frac`   ≤ 0.9   (lines starting -, •, *)
+    *   - `ellipsis_line_frac` ≤ 0.3   (lines ending ... or …)
+    *   - `alpha_word_frac`    ≥ 0.8   (words with ≥1 [A-Za-z])
+    *   - `n_req_stopwords`    ≥ 2     (of [[gopherStopwords]])
+    *
+    * Ratios are presented on the 1e-6 floor grid and the `gopher_keep`
+    * verdict compares the GRIDDED values, so engine and oracle agree
+    * at rule boundaries. Lines split on '\n' (trailing empties kept),
+    * words on whitespace runs after trim — both restate verbatim in
+    * SQL. Everything derives from one `split` per axis; no shuffle at
+    * any corpus scale. */
+  def gopherColumns(text: Column): Seq[Column] = {
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words).cast("long")
+    val wordsD = greatest(nWords, lit(1L)).cast(DoubleType)
+    val meanWl = grid6(
+      length(regexp_replace(text, "\\s+", "")).cast(DoubleType) / wordsD)
+    val nSym = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\.")) +
+      regexp_count(text, lit("…"))).cast(DoubleType)
+    val symRatio = grid6(nSym / wordsD)
+    val lines = split(text, "\n", -1)
+    val nLines = greatest(size(lines), lit(1)).cast(DoubleType)
+    val bulletFrac = grid6(
+      size(F.filter(lines, l => l.rlike("^[-•*]"))).cast(DoubleType) / nLines)
+    val ellipsisFrac = grid6(
+      size(F.filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / nLines)
+    val alphaFrac = grid6(
+      size(F.filter(words, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / wordsD)
+    val lowered = lower(text)
+    val nStop = gopherStopwords
+      .map(s => when(lowered.rlike("\\b" + s + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val keep = nWords.between(50L, 100000L) &&
+      meanWl.between(3.0, 10.0) && symRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && nStop >= 2L
+    Seq(nWords.as("n_words"), meanWl.as("mean_word_len"),
+      symRatio.as("sym_word_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      nStop.as("n_req_stopwords"),
+      keep.cast(IntegerType).as("gopher_keep"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the
+    * other canonical crawl gate, reconstructing each page from only
+    * its "sentence-like" lines:
+    *
+    * line KEPT iff it ends in terminal punctuation (`.` `!` `?` `"`
+    * after right-trim), has ≥ 3 whitespace words, and does not
+    * contain "javascript" (case-insensitive). Document KEPT
+    * (`c4_keep`) iff the raw page has no "lorem ipsum" and no `{`,
+    * and the CLEANED text still has ≥ 5 sentence marks and ≥ 1 line.
+    *
+    * Returns the verdict columns rather than filtering, so callers
+    * can audit drops (and the drop ledger can count them); map-only,
+    * one `split` on '\n' feeding every column. */
+  def c4CleanColumns(text: Column): Seq[Column] = {
+    val lines = split(text, "\n", -1)
+    val kept = F.filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 3 &&
+        !lower(l).contains("javascript"))
+    val textClean = array_join(kept, "\n")
+    val nLines = size(lines).cast("long")
+    val nKept = size(kept).cast("long")
+    val nSent = size(regexp_extract_all(textClean, lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val keep = !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") && nSent >= 5L && nKept >= 1L
+    Seq(textClean.as("text_clean"), nLines.as("n_lines"),
+      nKept.as("n_kept"), nSent.as("n_sent_clean"),
+      keep.cast(IntegerType).as("c4_keep"))
+  }
+
   /** PII patterns, restricted to the portable regex subset (no
     * lookaround, no backreferences, ASCII classes) so Java regex (the
     * engine) and RE2-family engines (DuckDB, Go/Rust scanners) match
