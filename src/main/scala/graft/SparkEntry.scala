@@ -2189,7 +2189,11 @@ object SparkEntry {
     // ellipsis slot, '#'-heavy and numeric lines, stopword lines)
     // must flip the same rule in both engines
     "text_gopher_rules" -> ((s, dir) => {
+      // exchange between minting and the rule projection: the rules
+      // reference the page ~20×, and CollapseProject would otherwise
+      // inline the higher-order minting tree into every reference
       val f = linePageFixture(table(s, dir, "documents"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       f.select((col("doc_id") +: TextOps.gopherColumns(col("page"))): _*)
         .orderBy("doc_id")
     }),
@@ -2200,9 +2204,43 @@ object SparkEntry {
     // ≥5-sentence document verdict — the cleaned text itself hashes,
     // so the whole line pipeline must agree byte-for-byte
     "text_c4_clean" -> ((s, dir) => {
+      // same minting barrier as text_gopher_rules
       val f = linePageFixture(table(s, dir, "documents"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       f.select((col("doc_id") +: TextOps.c4CleanColumns(col("page"))): _*)
         .orderBy("doc_id")
+    }),
+
+    // domain-level quality gate (the FineWeb/RefinedWeb "block whole
+    // domains" stage): per-doc Gopher verdicts rolled up by
+    // registered domain (www hosts merge with their apex, co.uk
+    // suffixes keep three labels), domains kept when the pass rate
+    // clears the floor. One scan computes url + page + verdict, one
+    // partial-agg'd groupBy on domain — at 100 TB the map side
+    // reduces each partition to |domains| rows before the shuffle
+    "url_domain_quality" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val gridded = floor(col("n_pass").cast(DoubleType) / col("n_docs")
+        * lit(1e6) + lit(0.5)) / lit(1e6)
+      // mint url+page ONCE per row below the exchange: the verdict
+      // projection references its input many times, and letting
+      // CollapseProject inline the minting trees into every reference
+      // multiplies the per-row cost ~20× (measured 17.7s → sub-second
+      // with the barrier). The exchange doubles as the spreadById
+      // shape that parallelizes the interpreted projection.
+      docs.select(col("doc_id"), urlFixtureCol.as("url"),
+          linePageFixtureCol.as("page"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(
+          Urls.registeredDomain(Urls.hostOf(Urls.canonicalize(col("url"))))
+            .as("domain"),
+          TextOps.gopherKeep(col("page")).cast(IntegerType).as("k"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum(col("k")).cast("long").as("n_pass"))
+        .select(col("domain"), col("n_docs"), col("n_pass"),
+          gridded.as("pass_rate"),
+          (gridded >= 0.25).cast(IntegerType).as("domain_keep"))
+        .orderBy("domain")
     }),
 
     // robots.txt gate: per-host policies parsed by the kernel from
@@ -3203,21 +3241,23 @@ object SparkEntry {
     * spellings of the logical page keyed by (doc_id%5 → host,
     * doc_id%25 → path and www-prefix), all of which canonicalize to
     * `http://[www.]site<k>.<tld>/page/<p>`. */
-  private[graft] def urlFixture(docs: DataFrame): DataFrame = {
+  private[graft] def urlFixtureCol: Column = {
     val host = concat(
       when(col("doc_id") % 25 < 5, lit("www.")).otherwise(lit("")),
       lit("site"), (col("doc_id") % 5).cast("string"),
       when((col("doc_id") % 5) % 2 === 0, lit(".co.uk")).otherwise(lit(".com")))
     val p = (col("doc_id") % 25).cast("string")
     val v = col("doc_id") % 4
-    docs.select(col("doc_id"),
-      when(v === 0, concat(lit("http://"), upper(host), lit("/page/"), p, lit("/")))
-        .when(v === 1, concat(lit("HTTP://"), host, lit(":80/page/"), p,
-          lit("?utm_source=feed")))
-        .when(v === 2, concat(lit("http://user@"), host, lit("/page/"), p,
-          lit("#section")))
-        .otherwise(concat(host, lit("/page/"), p)).as("url"))
+    when(v === 0, concat(lit("http://"), upper(host), lit("/page/"), p, lit("/")))
+      .when(v === 1, concat(lit("HTTP://"), host, lit(":80/page/"), p,
+        lit("?utm_source=feed")))
+      .when(v === 2, concat(lit("http://user@"), host, lit("/page/"), p,
+        lit("#section")))
+      .otherwise(concat(host, lit("/page/"), p))
   }
+
+  private[graft] def urlFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), urlFixtureCol.as("url"))
 
   /** Deterministic full-page HTML fixture for `text_main_content`: the
     * document text split into two `<p>` blocks inside `<main>`,
@@ -3256,7 +3296,10 @@ object SparkEntry {
     * braced code line, a numeric line, a '#'-heavy line). The oracle
     * SQL re-mints the identical page from the same arithmetic, so
     * fixture and oracle cannot drift. */
-  private[graft] def linePageFixture(docs: DataFrame): DataFrame = {
+  private[graft] def linePageFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), linePageFixtureCol.as("page"))
+
+  private[graft] def linePageFixtureCol: Column = {
     val ws = split(col("text"), " ")
     val nw = size(ws).cast("long")
     val kk = lit(4L) + col("doc_id") % 3
@@ -3285,7 +3328,7 @@ object SparkEntry {
         .otherwise(lit("")),
       when(d % 29 === 0, lit("\n# header # tags # # #."))
         .otherwise(lit("")))
-    docs.select(col("doc_id"), page.as("page"))
+    page
   }
 
   /** The page-minting CTE shared verbatim by the `text_gopher_rules`
@@ -3316,6 +3359,55 @@ object SparkEntry {
          (CASE WHEN doc_id % 29 = 0
             THEN chr(10) || '# header # tags # # #.' ELSE '' END) AS page
          FROM lns)"""
+
+  /** The Gopher-rule CTE chain shared by the `text_gopher_rules` and
+    * `url_domain_quality` oracles: consumes the `fix` CTE from
+    * [[linePageFixtureSql]], ends in `gr` (doc_id, per-rule stats on
+    * the 1e-6 floor grid, `gopher_keep`). The required-stopword sum
+    * is generated from [[graft.ops.TextOps.gopherStopwords]], so the
+    * oracle and the engine share one constant list. */
+  private[graft] val gopherRulesCteSql: String =
+    s"""g AS (SELECT doc_id, page,
+           regexp_split_to_array(trim(page), '\\s+') AS words,
+           string_split(page, chr(10)) AS lines FROM fix),
+         s AS (SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
+           length(regexp_replace(page, '\\s+', '', 'g')) AS nonws,
+           len(regexp_extract_all(page, '#')) +
+             len(regexp_extract_all(page, '\\.\\.\\.')) +
+             len(regexp_extract_all(page, '…')) AS nsym,
+           CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+           len(list_filter(lines, l -> regexp_matches(l, '^[-•*]'))) AS nbul,
+           len(list_filter(lines,
+             l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS nell,
+           len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+           CAST(${TextOps.gopherStopwords.map(w =>
+             s"(CASE WHEN regexp_matches(lower(page), '\\b$w\\b')" +
+               " THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_req
+           FROM g),
+         r AS (SELECT doc_id, n_words, n_req,
+           floor(CAST(nonws AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mwl,
+           floor(CAST(nsym AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS swr,
+           floor(CAST(nbul AS DOUBLE) / nl * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS blf,
+           floor(CAST(nell AS DOUBLE) / nl * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS elf,
+           floor(CAST(nalpha AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS awf
+           FROM s),
+         gr AS (SELECT doc_id, n_words, n_req, mwl, swr, blf, elf, awf,
+           CAST((n_words BETWEEN 50 AND 100000
+             AND mwl BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE)
+             AND swr <= CAST(0.1 AS DOUBLE)
+             AND blf <= CAST(0.9 AS DOUBLE)
+             AND elf <= CAST(0.3 AS DOUBLE)
+             AND awf >= CAST(0.8 AS DOUBLE)
+             AND n_req >= 2) AS INT) AS gopher_keep
+           FROM r)"""
 
   /** Deterministic per-host robots.txt fixture shared by
     * `url_robots_filter` and `url_sitemaps`: even hosts carry a
@@ -6117,50 +6209,45 @@ object SparkEntry {
 
     "text_gopher_rules" ->
       (s"""WITH $linePageFixtureSql,
-         g AS (SELECT doc_id, page,
-           regexp_split_to_array(trim(page), '\\s+') AS words,
-           string_split(page, chr(10)) AS lines FROM fix),
-         s AS (SELECT doc_id,
-           CAST(len(words) AS BIGINT) AS n_words,
-           CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
-           length(regexp_replace(page, '\\s+', '', 'g')) AS nonws,
-           len(regexp_extract_all(page, '#')) +
-             len(regexp_extract_all(page, '\\.\\.\\.')) +
-             len(regexp_extract_all(page, '…')) AS nsym,
-           CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
-           len(list_filter(lines, l -> regexp_matches(l, '^[-•*]'))) AS nbul,
-           len(list_filter(lines,
-             l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS nell,
-           len(list_filter(words,
-             w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
-           CAST(${TextOps.gopherStopwords.map(w =>
-             s"(CASE WHEN regexp_matches(lower(page), '\\b$w\\b')" +
-               " THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_req
-           FROM g),
-         r AS (SELECT doc_id, n_words, n_req,
-           floor(CAST(nonws AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mwl,
-           floor(CAST(nsym AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS swr,
-           floor(CAST(nbul AS DOUBLE) / nl * CAST(1000000 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS blf,
-           floor(CAST(nell AS DOUBLE) / nl * CAST(1000000 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS elf,
-           floor(CAST(nalpha AS DOUBLE) / nw * CAST(1000000 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS awf
-           FROM s)
+         $gopherRulesCteSql
          SELECT doc_id, n_words, mwl AS mean_word_len,
            swr AS sym_word_ratio, blf AS bullet_line_frac,
            elf AS ellipsis_line_frac, awf AS alpha_word_frac,
-           n_req AS n_req_stopwords,
-           CAST((n_words BETWEEN 50 AND 100000
-             AND mwl BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE)
-             AND swr <= CAST(0.1 AS DOUBLE)
-             AND blf <= CAST(0.9 AS DOUBLE)
-             AND elf <= CAST(0.3 AS DOUBLE)
-             AND awf >= CAST(0.8 AS DOUBLE)
-             AND n_req >= 2) AS INT) AS gopher_keep
-         FROM r ORDER BY doc_id"""),
+           n_req AS n_req_stopwords, gopher_keep
+         FROM gr ORDER BY doc_id"""),
+
+    "url_domain_quality" ->
+      (s"""WITH $linePageFixtureSql,
+         $gopherRulesCteSql,
+         raw AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 25 < 5 THEN 'www.' ELSE '' END)
+               || 'site' || CAST(doc_id % 5 AS VARCHAR)
+               || (CASE WHEN (doc_id % 5) % 2 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+             CAST(doc_id % 25 AS VARCHAR) AS p
+           FROM documents),
+         minted AS (
+           SELECT doc_id, CASE doc_id % 4
+             WHEN 0 THEN 'http://' || upper(host) || '/page/' || p || '/'
+             WHEN 1 THEN 'HTTP://' || host || ':80/page/' || p || '?utm_source=feed'
+             WHEN 2 THEN 'http://user@' || host || '/page/' || p || '#section'
+             ELSE host || '/page/' || p END AS url
+           FROM raw),
+         ${urlCanonCteSql("minted")},
+         dom AS (SELECT doc_id, ${registeredDomainSql("chost")} AS domain
+           FROM canon),
+         j AS (SELECT dom.domain, gr.gopher_keep AS k
+           FROM dom JOIN gr USING (doc_id)),
+         a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k) AS BIGINT) AS n_pass FROM j GROUP BY domain)
+         SELECT domain, n_docs, n_pass,
+           floor(CAST(n_pass AS DOUBLE) / n_docs * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS pass_rate,
+           CAST((floor(CAST(n_pass AS DOUBLE) / n_docs
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) >= CAST(0.25 AS DOUBLE)) AS INT)
+             AS domain_keep
+         FROM a ORDER BY domain"""),
 
     "text_c4_clean" ->
       (s"""WITH $linePageFixtureSql,

@@ -363,6 +363,16 @@ object TextOps {
     * SQL. Everything derives from one `split` per axis; no shuffle at
     * any corpus scale. */
   def gopherColumns(text: Column): Seq[Column] = {
+    val (stats, keep) = gopherParts(text)
+    stats :+ keep.cast(IntegerType).as("gopher_keep")
+  }
+
+  /** Just the composite Gopher verdict (same thresholds as
+    * [[gopherColumns]]'s `gopher_keep`) — for pipelines that gate on
+    * the boolean without materializing the per-rule stats. */
+  def gopherKeep(text: Column): Column = gopherParts(text)._2
+
+  private def gopherParts(text: Column): (Seq[Column], Column) = {
     val words = split(trim(text), "\\s+")
     val nWords = size(words).cast("long")
     val wordsD = greatest(nWords, lit(1L)).cast(DoubleType)
@@ -388,11 +398,10 @@ object TextOps {
       meanWl.between(3.0, 10.0) && symRatio <= 0.1 &&
       bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
       alphaFrac >= 0.8 && nStop >= 2L
-    Seq(nWords.as("n_words"), meanWl.as("mean_word_len"),
+    (Seq(nWords.as("n_words"), meanWl.as("mean_word_len"),
       symRatio.as("sym_word_ratio"), bulletFrac.as("bullet_line_frac"),
       ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
-      nStop.as("n_req_stopwords"),
-      keep.cast(IntegerType).as("gopher_keep"))
+      nStop.as("n_req_stopwords")), keep)
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the

@@ -98,6 +98,21 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(c4(five + "\nint main() { return 0; } yes.")("c4_keep") == 0)
   }
 
+  test("gopherKeep matches gopherColumns' composite verdict") {
+    import spark.implicits._
+    val texts = Seq(
+      "aa bb cc",
+      (1 to 48).map(_ => "word").mkString(" ") + " the and",
+      "- one two...\nthree four…\n* five #\nsix ...",
+      (1 to 60).map(i => s"w$i").mkString(" ") + " the and that")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "t")
+    val both = df.select(
+      TextOps.gopherKeep(col("t")).cast("int").as("a"),
+      TextOps.gopherColumns(col("t")).last.as("b")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("fixture: minted page round-trips the documents corpus deterministically") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d e f g h i"), (1L, "j k l m n"))
