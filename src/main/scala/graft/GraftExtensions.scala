@@ -78,6 +78,13 @@ object GraftExtensions {
           strLit(es(1), "graft_robots_crawl_delay", 1))),
       fn("graft_percent_normalize", classOf[PercentNormalize], 1)(
         es => PercentNormalize(es.head)),
+      fn("graft_resolve_ref", classOf[ResolveRef], 2)(
+        es => ResolveRef(es.head, es(1))),
+      fn("graft_registered_domain", classOf[RegisteredDomain], 1)(
+        es => RegisteredDomain(es.head, graft.ops.Urls.MultiPartSuffixes,
+          graft.ops.Urls.ThreePartSuffixes,
+          graft.ops.Urls.WildcardSuffixBases,
+          graft.ops.Urls.SuffixExceptions)),
       fn("graft_sitemap_entries", classOf[SitemapEntries], 1)(
         es => SitemapEntries(es.head)),
       fn("graft_word_gram_hashes", classOf[WordGramHashes], 2)(

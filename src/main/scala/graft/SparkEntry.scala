@@ -2355,6 +2355,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // outlink extraction + RFC 3986 resolution: every anchor class a
+    // real page carries — absolute (incl. an uppercase spelling kept
+    // verbatim), scheme-relative, root-relative with an entity-encoded
+    // query, dotted relatives (../, ./, bare, and an over-popping
+    // ../../../ past the root), query-only, fragment-only (→ the base
+    // itself), single-quoted attributes, and dropped mailto:/
+    // javascript: schemes; the oracle states every (href, resolved)
+    // pair in closed form per anchor class
+    "url_link_extract" -> ((s, dir) => {
+      val pages = linkPageFixture(table(s, dir, "documents"))
+      Urls.pageLinks(pages, col("doc_id"), col("base_url"), col("html"))
+        .orderBy("doc_id", "ord")
+    }),
+
+    // domain-level link graph over the same pages: registered-domain
+    // edges with internal links dropped, n_links vs n_pages separating
+    // link multiplicity from page reach; the uppercase absolute anchor
+    // must land on the same lowercased domain as its lowercase twin
+    "url_domain_graph" -> ((s, dir) => {
+      val pages = linkPageFixture(table(s, dir, "documents"))
+      Urls.domainLinkGraph(pages, col("doc_id"), col("base_url"),
+          col("html"))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
+    // politeness-aware fetch schedule: per-host URL slots spaced by
+    // the effective Crawl-delay (composed from the url_crawl_delay
+    // policy fixture: last-valid-wins 2.5s, star-group 0.5s, and two
+    // NULL-delay shapes falling back to the 1.0s default)
+    "url_crawl_schedule" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val frontier = docs.select(concat(lit("https://delay"),
+        (col("doc_id") % 4).cast("string"), lit(".example/p/"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("url"))
+      val robots = crawlDelayFixture(docs)
+      Urls.crawlSchedule(frontier, col("url"), robots,
+          col("host"), col("robots_txt"), "graftbot")
+        .orderBy("host", "url")
+    }),
+
     // charset sniff + decode of raw payload bytes (the stage between
     // container ingest and every text operator): per-doc fixture
     // cycles ascii / UTF-8 / UTF-8+BOM / UTF-16LE / windows-1252
@@ -3507,6 +3547,53 @@ object SparkEntry {
       .select(concat(lit("wild"), col("k").cast("string"),
           lit(".example")).as("host"),
         when(col("k") === 0, lit(even)).otherwise(lit(odd)).as("robots_txt"))
+  }
+
+  /** Deterministic outlink-page fixture for `url_link_extract` and
+    * `url_domain_graph`: per doc, a base URL two directories deep
+    * (`https://site<k>.example/a/b/page<p>.html`) and an HTML body
+    * carrying one anchor per reference class — absolute, scheme-
+    * relative (×2 on even docs, so n_links > n_pages on the cdn
+    * edge), root-relative with `&amp;` in the query, `../`, `./`,
+    * bare relative, an UPPERCASE absolute (every 9th doc), query-only
+    * (even docs), fragment-only (every 3rd), mailto/javascript
+    * (dropped; every 6th/7th), an over-popping `../../../` (every
+    * 11th), and a single-quoted attribute (every 4th, extracted after
+    * the double-quoted ones). The oracle restates every kept
+    * (href, resolved) pair closed-form per class. */
+  private[graft] def linkPageFixture(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val k = (d % 5).cast("string")
+    val p = (d % 25).cast("string")
+    val base = concat(lit("https://site"), k, lit(".example/a/b/page"), p,
+      lit(".html"))
+    val html = concat(
+      lit("<html><body><a href=\"https://ext"), (d % 3).cast("string"),
+      lit(".example/abs/"), p, lit("\">x</a>"),
+      lit("<a href=\"//cdn.example/lib/"), (d % 4).cast("string"),
+      lit("\">y</a>"),
+      when(d % 2 === 0, concat(lit("<a href=\"//cdn.example/lib2/"), p,
+        lit("\">y2</a>"))).otherwise(lit("")),
+      lit("<a href=\"/root/item?id="), p,
+      lit("&amp;utm_source=feed\">z</a>"),
+      lit("<a href=\"../up/"), (d % 7).cast("string"), lit("\">u</a>"),
+      lit("<a href=\"./same/"), (d % 5).cast("string"), lit("\">s</a>"),
+      lit("<a href=\"plain/rel"), (d % 3).cast("string"), lit("\">r</a>"),
+      when(d % 9 === 0, lit("<a href=\"HTTPS://EXT1.EXAMPLE/UP\">U</a>"))
+        .otherwise(lit("")),
+      when(d % 2 === 0, concat(lit("<a href=\"?page="), p, lit("\">q</a>")))
+        .otherwise(lit("")),
+      when(d % 3 === 0, lit("<a href=\"#frag\">f</a>")).otherwise(lit("")),
+      when(d % 6 === 0, lit("<a href=\"mailto:team@example.test\">m</a>"))
+        .otherwise(lit("")),
+      when(d % 7 === 0, lit("<a href=\"javascript:void(0)\">j</a>"))
+        .otherwise(lit("")),
+      when(d % 11 === 0, concat(lit("<a href=\"../../../deep/"), p,
+        lit("\">dd</a>"))).otherwise(lit("")),
+      when(d % 4 === 0, concat(lit("<a class='c' href='/squote/"),
+        (d % 6).cast("string"), lit("'>sq</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    docs.select(d.as("doc_id"), base.as("base_url"), html.as("html"))
   }
 
   /** Deterministic exotic-suffix host fixture for `url_exotic_domains`:
@@ -6368,6 +6455,80 @@ object SparkEntry {
              ELSE CASE WHEN doc_id % 7 IN (5, 6) THEN 0 ELSE 1 END
            END AS INTEGER) AS allowed
          FROM documents ORDER BY doc_id""",
+
+    "url_link_extract" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(doc_id % 5 AS VARCHAR) AS k, CAST(doc_id % 25 AS VARCHAR) AS p,
+           CAST(doc_id % 3 AS VARCHAR) AS m3, CAST(doc_id % 4 AS VARCHAR) AS m4,
+           CAST(doc_id % 5 AS VARCHAR) AS m5, CAST(doc_id % 6 AS VARCHAR) AS m6,
+           CAST(doc_id % 7 AS VARCHAR) AS m7
+         FROM documents),
+         b AS (SELECT *, 'https://site' || k || '.example' AS origin,
+           'https://site' || k || '.example/a/b/page' || p || '.html' AS base
+         FROM m),
+         le AS (SELECT doc_id, list_filter([
+           {'c': true, 'h': 'https://ext' || m3 || '.example/abs/' || p,
+              'r': 'https://ext' || m3 || '.example/abs/' || p},
+           {'c': true, 'h': '//cdn.example/lib/' || m4,
+              'r': 'https://cdn.example/lib/' || m4},
+           {'c': doc_id % 2 = 0, 'h': '//cdn.example/lib2/' || p,
+              'r': 'https://cdn.example/lib2/' || p},
+           {'c': true, 'h': '/root/item?id=' || p || '&utm_source=feed',
+              'r': origin || '/root/item?id=' || p || '&utm_source=feed'},
+           {'c': true, 'h': '../up/' || m7, 'r': origin || '/a/up/' || m7},
+           {'c': true, 'h': './same/' || m5,
+              'r': origin || '/a/b/same/' || m5},
+           {'c': true, 'h': 'plain/rel' || m3,
+              'r': origin || '/a/b/plain/rel' || m3},
+           {'c': doc_id % 9 = 0, 'h': 'HTTPS://EXT1.EXAMPLE/UP',
+              'r': 'HTTPS://EXT1.EXAMPLE/UP'},
+           {'c': doc_id % 2 = 0, 'h': '?page=' || p,
+              'r': base || '?page=' || p},
+           {'c': doc_id % 3 = 0, 'h': '#frag', 'r': base},
+           {'c': doc_id % 11 = 0, 'h': '../../../deep/' || p,
+              'r': origin || '/deep/' || p},
+           {'c': doc_id % 4 = 0, 'h': '/squote/' || m6,
+              'r': origin || '/squote/' || m6}
+           ], e -> e.c) AS es FROM b),
+         x AS (SELECT doc_id, es,
+           unnest(generate_series(1, len(es))) AS i FROM le)
+         SELECT doc_id, CAST(i - 1 AS INT) AS ord,
+           es[i].h AS href, es[i].r AS resolved
+         FROM x ORDER BY doc_id, ord""",
+
+    "url_domain_graph" ->
+      """WITH m AS (SELECT doc_id,
+           'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS src,
+           CAST(doc_id % 3 AS VARCHAR) AS m3 FROM documents),
+         d AS (SELECT doc_id, src,
+           unnest(list_transform(list_filter([
+             {'c': true, 'd': 'ext' || m3 || '.example'},
+             {'c': true, 'd': 'cdn.example'},
+             {'c': doc_id % 2 = 0, 'd': 'cdn.example'},
+             {'c': doc_id % 9 = 0, 'd': 'ext1.example'}
+           ], e -> e.c), e -> e.d)) AS dst FROM m)
+         SELECT src AS src_domain, dst AS dst_domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "url_crawl_schedule" ->
+      """WITH u AS (SELECT
+           'delay' || CAST(doc_id % 4 AS VARCHAR) || '.example' AS host,
+           'https://delay' || CAST(doc_id % 4 AS VARCHAR) || '.example/p/'
+             || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+           doc_id % 4 AS k
+         FROM documents),
+         s AS (SELECT host, url,
+           CAST(CASE k WHEN 0 THEN 2.5 WHEN 1 THEN 0.5 ELSE NULL END
+             AS DOUBLE) AS crawl_delay,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+             AS INT) AS slot
+         FROM u)
+         SELECT host, url, crawl_delay, slot,
+           CAST(slot AS DOUBLE) * coalesce(crawl_delay, CAST(1.0 AS DOUBLE))
+             AS fetch_at_s
+         FROM s ORDER BY host, url""",
 
     "ingest_charset_decode" ->
       """WITH v AS (SELECT doc_id, doc_id % 5 AS k, text,

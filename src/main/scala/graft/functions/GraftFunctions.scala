@@ -1022,6 +1022,147 @@ object Kernels {
   def percentNormalize(s: UTF8String): UTF8String =
     UTF8String.fromString(percentNormalizeStr(s.toString))
 
+  /** RFC 3986 §5.2.4 `remove_dot_segments`, verbatim buffer
+    * algorithm — exact at any nesting depth (the Column formulation
+    * [[graft.ops.Urls.removeDotSegments]] is the bounded-pass
+    * restatable twin; UrlResolveSpec pins the two against each
+    * other). */
+  def removeDotSegmentsStr(in0: String): String = {
+    var in = in0
+    val out = new java.lang.StringBuilder(in.length)
+    def dropLastSeg(): Unit = {
+      val i = out.lastIndexOf("/")
+      out.setLength(if (i < 0) 0 else i)
+    }
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); dropLastSeg() }
+      else if (in == "/..") { in = "/"; dropLastSeg() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.charAt(0) == '/') 1 else 0
+        val idx = in.indexOf('/', start)
+        if (idx < 0) { out.append(in); in = "" }
+        else { out.append(in, 0, idx); in = in.substring(idx) }
+      }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.2 relative-reference resolution against an absolute
+    * http(s) base — the fused single-call twin of
+    * [[graft.ops.Urls.resolveRef]] (same branch structure; exact
+    * [[removeDotSegmentsStr]] instead of the bounded-pass regex).
+    * Fragments are stripped from the ref (consistent with
+    * [[graft.ops.Urls.canonicalize]] dropping them), so a fragment-
+    * only ref resolves to the base itself. Keeping resolution in ONE
+    * codegen'd call matters: the Column formulation inlined per
+    * array element blows the generated method past Janino's limits
+    * and drops the whole stage to interpreted mode. */
+  def resolveRefStr(base: String, ref: String): String = {
+    var r = ref.trim
+    val h = r.indexOf('#')
+    if (h >= 0) r = r.substring(0, h)
+    // base parts (empty strings when the base is not absolute —
+    // mirroring the Column twin's regexp_extract misses)
+    var scheme = ""; var auth = ""; var bPath = ""; var bQuery = ""
+    val ss = base.indexOf("://")
+    val schemeOk = ss > 0 && {
+      val c0 = base.charAt(0)
+      ((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z')) &&
+        (1 until ss).forall { i =>
+          val c = base.charAt(i)
+          (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+        }
+    }
+    if (schemeOk) {
+      scheme = base.substring(0, ss).toLowerCase(java.util.Locale.ROOT)
+      var i = ss + 3
+      while (i < base.length && base.charAt(i) != '/' &&
+        base.charAt(i) != '?' && base.charAt(i) != '#') i += 1
+      auth = base.substring(ss + 3, i)
+      val ps = i
+      while (i < base.length && base.charAt(i) != '?' &&
+        base.charAt(i) != '#') i += 1
+      bPath = base.substring(ps, i)
+      if (i < base.length && base.charAt(i) == '?') {
+        val qs = i
+        while (i < base.length && base.charAt(i) != '#') i += 1
+        bQuery = base.substring(qs, i)
+      }
+    }
+    if (bPath.isEmpty) bPath = "/"
+    val origin = scheme + "://" + auth
+    val qi = r.indexOf('?')
+    val rPath = if (qi >= 0) r.substring(0, qi) else r
+    val rQuery = if (qi >= 0) r.substring(qi) else ""
+    val hasScheme = {
+      val ci = r.indexOf(':')
+      ci > 0 && {
+        val c0 = r.charAt(0)
+        ((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z')) &&
+          (1 until ci).forall { i =>
+            val c = r.charAt(i)
+            (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+              (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+          }
+      }
+    }
+    if (r.isEmpty) origin + bPath + bQuery
+    else if (hasScheme) r
+    else if (r.startsWith("//")) scheme + ":" + r
+    else if (r.startsWith("/")) origin + removeDotSegmentsStr(rPath) + rQuery
+    else if (r.startsWith("?")) origin + bPath + r
+    else {
+      val sl = bPath.lastIndexOf('/')
+      val baseDir = bPath.substring(0, sl + 1)
+      origin + removeDotSegmentsStr(baseDir + rPath) + rQuery
+    }
+  }
+
+  def resolveRef(base: UTF8String, ref: UTF8String): UTF8String =
+    UTF8String.fromString(resolveRefStr(base.toString, ref.toString))
+
+  /** Public-suffix split under [[SuffixTables]] — the fused twin of
+    * [[graft.ops.Urls.registeredDomainColumns]] (same rule order:
+    * exceptions, wildcards, plain three-/two-label suffixes, else the
+    * last two labels; a label window containing an empty label — e.g.
+    * a host with consecutive dots — never matches, mirroring the
+    * Column twin's `[^.]+` groups). One call per host in the
+    * generated code: the Column tree's ~12 regexp nodes per use
+    * multiply under CollapseProject until Janino rejects the stage. */
+  def registeredDomainStr(host: String, t: SuffixTables): String = {
+    val parts = host.split("\\.", -1)
+    def lastK(k: Int): String =
+      if (parts.length < k) ""
+      else {
+        var i = parts.length - k
+        var ok = true
+        while (i < parts.length) { if (parts(i).isEmpty) ok = false; i += 1 }
+        if (!ok) "" else parts.slice(parts.length - k, parts.length)
+          .mkString(".")
+      }
+    val one = lastK(1); val two = lastK(2)
+    val three = lastK(3); val four = lastK(4)
+    if (t.exc3.contains(three)) three
+    else if (t.exc2.contains(two)) two
+    else if (t.wild2.contains(two)) {
+      if (four.nonEmpty) four else if (three.nonEmpty) three else host
+    } else if (t.wild1.contains(one)) {
+      if (three.nonEmpty) three else host
+    } else if (t.threeLabel.contains(three) && four.nonEmpty) four
+    else if (t.twoLabel.contains(two) && three.nonEmpty) three
+    else if (two.isEmpty) host
+    else two
+  }
+
+  def registeredDomain(host: UTF8String, t: SuffixTables): UTF8String =
+    UTF8String.fromString(registeredDomainStr(host.toString, t))
+
   /** Translate a percent-normalized robots rule value to a SQL LIKE
     * pattern (default `\` escape): RFC 9309 §2.2.3's `*` becomes `%`,
     * a trailing `$` anchors the match at the path end (no trailing
@@ -1552,6 +1693,51 @@ object Kernels {
   }
 }
 
+/** Hashed suffix tables for [[Kernels.registeredDomainStr]] — built
+  * once per plan from the caller's suffix seqs (the public-suffix
+  * snapshot by default) and shipped as one codegen reference object,
+  * the O(1)-lookup equivalent of the Column formulation's four InSet
+  * literals. */
+final class SuffixTables(twoLabelSeq: Seq[String], threeLabelSeq: Seq[String],
+    wildcardBases: Seq[String], exceptions: Seq[String]) extends Serializable {
+  private def hs(xs: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(xs.size * 2, 8))
+    xs.foreach(s.add); s
+  }
+  val twoLabel: java.util.HashSet[String] = hs(twoLabelSeq)
+  val threeLabel: java.util.HashSet[String] = hs(threeLabelSeq)
+  val wild1: java.util.HashSet[String] = hs(wildcardBases.filterNot(_.contains('.')))
+  val wild2: java.util.HashSet[String] = hs(wildcardBases.filter(_.count(_ == '.') == 1))
+  val exc2: java.util.HashSet[String] = hs(exceptions.filter(_.count(_ == '.') == 1))
+  val exc3: java.util.HashSet[String] = hs(exceptions.filter(_.count(_ == '.') == 2))
+}
+
+/** host STRING → registered domain under the public-suffix algorithm
+  * ([[Kernels.registeredDomainStr]]'s contract; suffix sets ride in
+  * the expression as data). */
+case class RegisteredDomain(child: Expression, twoLabel: Seq[String],
+    threeLabel: Seq[String], wildcardBases: Seq[String],
+    exceptions: Seq[String]) extends UnaryExpression {
+  @transient private lazy val tables =
+    new SuffixTables(twoLabel, threeLabel, wildcardBases, exceptions)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"registered_domain needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.registeredDomain(input.asInstanceOf[UTF8String], tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("suffixTables", tables,
+      classOf[SuffixTables].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.registeredDomain($c, $tRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
+    copy(child = newChild)
+}
+
 /** text STRING → 64-bit SimHash fingerprint. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -1724,6 +1910,31 @@ case class PercentNormalize(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.percentNormalize($c)")
   override protected def withNewChildInternal(newChild: Expression): PercentNormalize =
     copy(child = newChild)
+}
+
+/** (base STRING, ref STRING) → STRING: RFC 3986 §5.2 relative-
+  * reference resolution ([[Kernels.resolveRefStr]]'s contract) —
+  * fused so a per-anchor resolution inside an array transform stays
+  * one call in the generated code. */
+case class ResolveRef(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"resolve_ref needs (STRING, STRING), got $l / $r")
+    }
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    Kernels.resolveRef(base.asInstanceOf[UTF8String],
+      ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r) =>
+      s"graft.functions.Kernels.resolveRef($b, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResolveRef =
+    copy(left = newLeft, right = newRight)
 }
 
 /** robots.txt STRING × agent → DOUBLE: the crawler's effective
@@ -2132,6 +2343,13 @@ object GraftFunctions {
     GraftColumnBridge.column(RobotsCrawlDelay(e(robotsTxt), agent))
   def percentNormalize(path: Column): Column =
     GraftColumnBridge.column(PercentNormalize(e(path)))
+  def resolveRef(base: Column, ref: Column): Column =
+    GraftColumnBridge.column(ResolveRef(e(base), e(ref)))
+  def registeredDomain(host: Column, twoLabel: Seq[String],
+      threeLabel: Seq[String], wildcardBases: Seq[String],
+      exceptions: Seq[String]): Column =
+    GraftColumnBridge.column(RegisteredDomain(e(host), twoLabel,
+      threeLabel, wildcardBases, exceptions))
   def sitemapEntries(body: Column): Column =
     GraftColumnBridge.column(SitemapEntries(e(body)))
   def charNgramHashes(text: Column, n: Int): Column =

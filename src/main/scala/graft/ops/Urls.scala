@@ -200,8 +200,8 @@ object Urls {
     * next-shorter rule. Suffix sets default to the embedded snapshot
     * and are caller-loadable (read your registry table, `collect`
     * it — suffix sets are a few hundred rows — and pass the seqs);
-    * all four land in the plan as Catalyst InSet literals, codegen'd,
-    * no join. */
+    * all four ride in the plan as expression data — one codegen'd
+    * hash-lookup call per host, no join. */
   def registeredDomain(host: Column): Column =
     registeredDomain(host, MultiPartSuffixes, ThreePartSuffixes,
       WildcardSuffixBases, SuffixExceptions)
@@ -210,7 +210,22 @@ object Urls {
       threeLabelSuffixes: Seq[String]): Column =
     registeredDomain(host, twoLabelSuffixes, threeLabelSuffixes, Nil, Nil)
 
+  /** Fused single-call form — the suffix sets ride in the expression
+    * as one hashed reference object
+    * ([[graft.functions.SuffixTables]]). The Column formulation below
+    * ([[registeredDomainColumns]]) is the restatable-in-SQL
+    * reference twin; UrlsSpec pins the two against each other across
+    * every suffix class. The fusion matters beyond speed: two Column
+    * trees inlined into a fused agg/filter stage (as in
+    * [[domainLinkGraph]]) multiply under CollapseProject until Janino
+    * rejects the stage and it falls back to interpreted mode. */
   def registeredDomain(host: Column, twoLabelSuffixes: Seq[String],
+      threeLabelSuffixes: Seq[String], wildcardBases: Seq[String],
+      exceptions: Seq[String]): Column =
+    graft.functions.GraftFunctions.registeredDomain(host,
+      twoLabelSuffixes, threeLabelSuffixes, wildcardBases, exceptions)
+
+  def registeredDomainColumns(host: Column, twoLabelSuffixes: Seq[String],
       threeLabelSuffixes: Seq[String], wildcardBases: Seq[String],
       exceptions: Seq[String]): Column = {
     val one = regexp_extract(host, "([^.]+)$", 1)
@@ -341,6 +356,182 @@ object Urls {
         explode(graft.functions.GraftFunctions.sitemapEntries(body)).as("e"))
       .select(col("doc_id"), col("e.kind").as("kind"), col("e.loc").as("loc"),
         col("e.lastmod").as("lastmod"))
+
+  /** Schemes a crawl frontier never fetches — anchors carrying them
+    * are dropped by [[extractHrefs]]. */
+  val NonFetchableSchemeRe = "(?i)^(mailto|javascript|tel|data|ftp):"
+
+  /** HTML entity decode for attribute values — the five named
+    * entities HTML requires plus the numeric apostrophe (`&amp;` is
+    * endemic in real hrefs because `&` must be escaped in attribute
+    * values). `&amp;` decodes LAST so `&amp;lt;` yields the literal
+    * `&lt;` per the spec's single-pass contract. Pure nested
+    * `replace` — restates verbatim in the oracle. */
+  def htmlUnescapeAttr(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+    }
+  }
+
+  /** Href values of a page's `<a>` anchors, in document order —
+    * double-quoted values first, then single-quoted (the attribute
+    * grammar keeps each alternative inside its own tag because
+    * `[^>]*` cannot cross the tag close). Values are trimmed,
+    * entity-decoded ([[htmlUnescapeAttr]]) and filtered of empties
+    * and non-fetchable schemes ([[NonFetchableSchemeRe]]). Scope
+    * (documented): quoted attribute values only — the legacy
+    * unquoted form is vanishingly rare in post-2005 markup and
+    * ambiguous to cut without a real tokenizer.
+    *
+    * 100 TB shape: two `regexp_extract_all` + array ops in the scan
+    * projection — no shuffle, no UDF, whole-stage codegen. */
+  def extractHrefs(html: Column): Column = {
+    val dq = regexp_extract_all(html,
+      lit("(?i)<a[^>]*\\shref\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(html,
+      lit("(?i)<a[^>]*\\shref\\s*=\\s*'([^']*)'"), lit(1))
+    filter(transform(concat(dq, sq), h => htmlUnescapeAttr(trim(h))),
+      h => h =!= "" && !h.rlike(NonFetchableSchemeRe))
+  }
+
+  /** RFC 3986 §5.2.4 `remove_dot_segments`, bounded: `/./` and
+    * trailing `/.` collapse, then up to `depth` passes fold
+    * `/<seg>/../` pairs (a pass resolves every non-overlapping pair
+    * left-to-right, so nesting deeper than `depth` levels — beyond
+    * anything a real page emits — is left partially folded rather
+    * than looping), then `..` segments stranded at the root drop per
+    * the RFC. Bounded-pass regex instead of a per-char stack keeps
+    * the whole resolution inside whole-stage codegen and restates
+    * verbatim in the oracle. */
+  def removeDotSegments(p: Column, depth: Int = 4): Column = {
+    val noDot = regexp_replace(
+      regexp_replace(regexp_replace(p, "/\\./", "/"), "/\\./", "/"),
+      "/\\.$", "/")
+    val folded = (1 to depth).foldLeft(noDot) { (acc, _) =>
+      regexp_replace(regexp_replace(acc, "/[^/]+/\\.\\./", "/"),
+        "/[^/]+/\\.\\.$", "/")
+    }
+    regexp_replace(folded, "^(/\\.\\.)+(/|$)", "/")
+  }
+
+  /** RFC 3986 §5.2 relative-reference resolution against an absolute
+    * http(s) base: absolute refs pass through, `//` adopts the base
+    * scheme, `/` the base origin, `?` the base path, empty/fragment-
+    * only refs resolve to the base (sans fragment, consistent with
+    * [[canonicalize]] dropping fragments), and relative paths merge
+    * with the base directory then normalize via
+    * [[removeDotSegments]]. Pure built-in expressions.
+    *
+    * This is the restatable-in-SQL reference formulation; the hot
+    * path ([[pageLinks]], [[domainLinkGraph]]) uses the fused kernel
+    * [[graft.functions.Kernels.resolveRefStr]] — the Column tree
+    * inlined once per array element blows generated methods past
+    * Janino's limits and drops the stage to interpreted mode.
+    * UrlResolveSpec pins the two formulations against each other
+    * across every reference class. */
+  def resolveRef(base: Column, ref: Column): Column = {
+    val rNoFrag = regexp_replace(trim(ref), "#.*", "")
+    val scheme = lower(regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val auth = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1)
+    val bPath0 = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val bPath = when(bPath0 === "", lit("/")).otherwise(bPath0)
+    val bQuery = regexp_extract(base, "^[^?#]*(\\?[^#]*)", 1)
+    val rPath = regexp_extract(rNoFrag, "^([^?]*)", 1)
+    val rQuery = regexp_extract(rNoFrag, "^[^?]*(\\?.*)", 1)
+    val origin = concat(scheme, lit("://"), auth)
+    val baseDir = regexp_replace(bPath, "[^/]*$", "")
+    val merged = concat(baseDir, rPath)
+    when(rNoFrag === "", concat(origin, bPath, bQuery))
+      .when(rNoFrag.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"), rNoFrag)
+      .when(rNoFrag.startsWith("//"), concat(scheme, lit(":"), rNoFrag))
+      .when(rNoFrag.startsWith("/"),
+        concat(origin, removeDotSegments(rPath), rQuery))
+      .when(rNoFrag.startsWith("?"), concat(origin, bPath, rNoFrag))
+      .otherwise(concat(origin, removeDotSegments(merged), rQuery))
+  }
+
+  /** Outlink table of a fetched-page corpus: one row per anchor in
+    * document order — (doc_id, ord, href, resolved), `resolved` the
+    * absolute URL per [[resolveRef]]. Extraction and resolution both
+    * run in the scan projection; the only wide op is the `explode`,
+    * which is row-local. The natural feed for [[domainLinkGraph]]
+    * and, composed with [[robotsVerdicts]], the next crawl round's
+    * gated frontier. */
+  def pageLinks(pages: DataFrame, id: Column, baseUrl: Column,
+      html: Column): DataFrame =
+    pages.select(id.as("doc_id"), baseUrl.as("base_url"),
+        posexplode(extractHrefs(html)))
+      .select(col("doc_id"), col("pos").as("ord"), col("col").as("href"),
+        graft.functions.GraftFunctions.resolveRef(col("base_url"), col("col"))
+          .as("resolved"))
+
+  /** Domain-level link graph: registered-domain edges aggregated from
+    * the pages' outlinks — (src_domain, dst_domain, n_links,
+    * n_pages). Internal (same-domain) edges drop by default: the
+    * consumers (domain PageRank, link-farm reciprocity) want the
+    * inter-site topology, and internal nav would dominate every
+    * weight.
+    *
+    * Two-level aggregate by design: links first collapse per
+    * (doc, src_host, dst_host) — the partial agg absorbs a page's
+    * repeated links map-side — and only the collapsed table (bounded
+    * by pages × distinct outlink hosts, orders of magnitude smaller
+    * than raw links at 100 TB) pays the [[registeredDomain]] suffix
+    * tables and the distinct-page count. This also keeps each
+    * codegen stage small: the two InSet-heavy registeredDomain
+    * expansions inlined into the raw-link hash-agg blow the
+    * generated method past Janino's limits. */
+  def domainLinkGraph(pages: DataFrame, id: Column, baseUrl: Column,
+      html: Column, includeInternal: Boolean = false): DataFrame = {
+    val perDoc = pages.select(id.as("doc_id"), hostOf(baseUrl).as("src_host"),
+        explode(transform(extractHrefs(html),
+          h => graft.functions.GraftFunctions.resolveRef(baseUrl, h)))
+          .as("resolved"))
+      .select(col("doc_id"), col("src_host"),
+        hostOf(col("resolved")).as("dst_host"))
+      .groupBy("doc_id", "src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+    val dom = perDoc.select(col("doc_id"),
+      registeredDomain(col("src_host")).as("src_domain"),
+      registeredDomain(col("dst_host")).as("dst_domain"), col("n_links"))
+    val edges = if (includeInternal) dom
+      else dom.filter(col("src_domain") =!= col("dst_domain"))
+    edges.groupBy("src_domain", "dst_domain")
+      .agg(sum(col("n_links")).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"))
+  }
+
+  /** Politeness-aware fetch schedule: assign every frontier URL a
+    * fetch offset honoring its host's effective Crawl-delay
+    * ([[crawlDelay]]; `defaultDelay` when the host declares none) —
+    * the i-th URL of a host (0-based, URL order) fetches at
+    * `i * delay` seconds. Returns (host, url, crawl_delay, slot,
+    * fetch_at_s).
+    *
+    * 100 TB shape: ONE shuffle on `host` serves both the delay join
+    * and the per-host window (the join's hash partitioning is exactly
+    * the window's partition key); the per-host sequencing is inherent
+    * to politeness — a host's fetch order is a serial contract, so a
+    * window, not a global sort, is the right primitive, and hot hosts
+    * are bounded by the very crawl budget the schedule enforces. */
+  def crawlSchedule(frontier: DataFrame, url: Column,
+      robots: DataFrame, robotsHost: Column, robotsTxt: Column,
+      agent: String, defaultDelay: Double = 1.0): DataFrame = {
+    val delays = crawlDelay(robots, robotsHost, robotsTxt, agent)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("url")
+    frontier.select(url.as("url"), hostOf(url).as("host"))
+      .join(delays, Seq("host"), "left")
+      .withColumn("slot", row_number().over(w) - 1)
+      .select(col("host"), col("url"), col("crawl_delay"), col("slot"),
+        (col("slot").cast("double") *
+          coalesce(col("crawl_delay"), lit(defaultDelay))).as("fetch_at_s"))
+  }
 
   /** URL-level dedup: group raw URLs by canonical form, keep the
     * lowest id (first fetch wins under a monotone fetch id), count the

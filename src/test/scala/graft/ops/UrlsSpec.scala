@@ -119,6 +119,28 @@ class UrlsSpec extends AnyFunSuite {
       "city.kawasaki.jp", "city.kawasaki.jp"))
   }
 
+  test("registeredDomain kernel agrees with the Column formulation") {
+    import spark.implicits._
+    // every suffix class above plus the degenerate shapes the two
+    // formulations could diverge on (no dots, empty labels, bare
+    // suffixes, deep hosts)
+    val hosts = Seq(
+      "www.news.bbc.co.uk", "a.b.example.com", "example.com", "localhost",
+      "shop.site.com.au", "myschool.k12.ca.us", "k12.ca.us", "ca.us",
+      "stjohns.vic.edu.au", "www.shop.foo.ck", "foo.ck", "ck",
+      "www.example.com.np", "ward.nakahara.kawasaki.jp", "kawasaki.jp",
+      "www.ck", "a.b.www.ck", "city.kawasaki.jp", "www.city.kawasaki.jp",
+      "", "com", "a..b.com", "b.com.", "site0.example")
+    val df = hosts.toDF("h")
+    val got = df.select(
+        Urls.registeredDomain(col("h")).as("k"),
+        Urls.registeredDomainColumns(col("h"), Urls.MultiPartSuffixes,
+          Urls.ThreePartSuffixes, Urls.WildcardSuffixBases,
+          Urls.SuffixExceptions).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    for (((k, c), h) <- got.zip(hosts)) assert(k === c, s"host=$h")
+  }
+
   test("dedupByCanonical merges spellings and keeps the first id") {
     import spark.implicits._
     val d = Seq(
