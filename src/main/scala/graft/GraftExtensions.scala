@@ -69,6 +69,8 @@ object GraftExtensions {
         es => CharsetDecode(es.head)),
       fn("graft_charset_decode_hint", classOf[CharsetDecodeHint], 2)(
         es => CharsetDecodeHint(es.head, es(1))),
+      fn("graft_mojibake_fix", classOf[MojibakeFix], 1)(
+        es => MojibakeFix(es.head)),
       fn("graft_main_content", classOf[MainContent], 1)(
         es => MainContent(es.head, 25, 0.33)),
       fn("graft_robots_rules", classOf[RobotsRules], 2)(

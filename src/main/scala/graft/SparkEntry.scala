@@ -2432,6 +2432,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // rule-based sentence segmentation: abbreviation protection
+    // (word-bounded and multi-dot forms), decimal numbers never
+    // split, terminator-inside-quotes splits after the quote, an
+    // ellipsis splits only before a capital, unterminated tails
+    // survive; the oracle re-runs the whole pipeline in SQL with the
+    // abbreviation folds generated from the same Scala constants
+    "text_sentences" -> ((s, dir) => {
+      val f = sentencePageFixture(table(s, dir, "documents"))
+      f.select(col("doc_id"), posexplode(TextOps.sentenceSplit(col("page"))))
+        .select(col("doc_id"), col("pos").as("sent_no"),
+          col("col").as("sentence"))
+        .orderBy("doc_id", "sent_no")
+    }),
+
+    // mojibake repair (the stage after charset decode): per-doc
+    // fixture cycles untouched ASCII, legitimately-accented text the
+    // repair must NOT alter, single and DOUBLE UTF-8-as-cp1252
+    // mojibake, and a cp1252 0x80-0x9F punctuation case (curly quote,
+    // em dash, euro); the oracle states the repaired text ITSELF and
+    // the round count in closed form
+    "text_mojibake_fix" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Ingest.mojibakeFixture(id, txt))
+      table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("garbled"))
+        .select(col("doc_id"), TextOps.mojibakeFix(col("garbled")).as("f"))
+        .select(col("doc_id"), col("f.text").as("text_fixed"),
+          col("f.rounds").as("n_rounds"))
+        .orderBy("doc_id")
+    }),
+
     // WARC/1.0 crawl-container ingest: real byte-level record walk
     // (version line, case-insensitive headers, Content-Length-
     // delimited payloads). Oracle recomputes every field closed-form
@@ -3400,6 +3430,25 @@ object SparkEntry {
             THEN chr(10) || '# header # tags # # #.' ELSE '' END) AS page
          FROM lns)"""
 
+  /** Multi-dot abbreviation protection as a DuckDB replace chain —
+    * generated from [[graft.ops.TextOps.SentMultiDotAbbrevs]] so the
+    * `text_sentences` oracle and the engine share one constant list
+    * (each dot becomes chr(1), restored after the split). */
+  private[graft] val sentMultiFoldSql: String =
+    TextOps.SentMultiDotAbbrevs.foldLeft("s") { (acc, a) =>
+      val repl = a.split("\\.").map(p => s"'$p'")
+        .mkString(" || chr(1) || ") + " || chr(1)"
+      s"replace($acc, '$a', $repl)"
+    }
+
+  /** Word-bounded single-abbreviation protection, generated from
+    * [[graft.ops.TextOps.SentAbbrevs]] — same shared-constant
+    * contract as [[sentMultiFoldSql]]. */
+  private[graft] val sentAbbrevFoldSql: String =
+    TextOps.SentAbbrevs.foldLeft("s") { (acc, a) =>
+      s"regexp_replace($acc, '\\b$a\\.', '$a' || chr(1), 'g')"
+    }
+
   /** The Gopher-rule CTE chain shared by the `text_gopher_rules` and
     * `url_domain_quality` oracles: consumes the `fix` CTE from
     * [[linePageFixtureSql]], ends in `gr` (doc_id, per-rule stats on
@@ -3547,6 +3596,29 @@ object SparkEntry {
       .select(concat(lit("wild"), col("k").cast("string"),
           lit(".example")).as("host"),
         when(col("k") === 0, lit(even)).otherwise(lit(odd)).as("robots_txt"))
+  }
+
+  /** Deterministic sentence-segmentation fixture for
+    * `text_sentences`: per doc, a paragraph exercising every split
+    * rule — plain declarative/exclamation/question sentences, a
+    * protected-abbreviation sentence (Dr., Mr., e.g., p.m., Jan.)
+    * with a decimal number, a terminator inside closing quotes (even
+    * docs), an ellipsis followed by a CAPITAL (every 3rd doc — must
+    * split) and by a lowercase continuation (every 5th — must NOT),
+    * and an unterminated tail. The oracle re-mints the page and
+    * restates the whole split pipeline in SQL. */
+  private[graft] def sentencePageFixture(docs: DataFrame): DataFrame = {
+    val w = element_at(split(col("text"), " "), 1)
+    val d = col("doc_id")
+    docs.select(d.as("doc_id"), concat(
+      lit("Intro "), w, lit(" opens. Then two! Three? "),
+      lit("Dr. "), w, lit(" met Mr. Jones e.g. at 3.14 p.m. on Jan. 5. "),
+      when(d % 2 === 0, lit("Quoted \"End.\" Follows now. "))
+        .otherwise(lit("")),
+      when(d % 3 === 0, lit("Wait... Then go. ")).otherwise(lit("")),
+      when(d % 5 === 0, lit("Ellipsis trails... and continues here. "))
+        .otherwise(lit("")),
+      lit("Tail without terminator")).as("page"))
   }
 
   /** Deterministic outlink-page fixture for `url_link_extract` and
@@ -6563,6 +6635,45 @@ object SparkEntry {
            WHEN 2 THEN 15 WHEN 3 THEN 14 WHEN 4 THEN 9 WHEN 5 THEN 9
            WHEN 8 THEN 21 ELSE 5 END AS BIGINT) AS n_bytes
        FROM v ORDER BY doc_id""",
+
+    "text_sentences" ->
+      s"""WITH f AS (SELECT doc_id,
+           'Intro ' || string_split(text, ' ')[1] || ' opens. Then two! Three? '
+           || 'Dr. ' || string_split(text, ' ')[1]
+           || ' met Mr. Jones e.g. at 3.14 p.m. on Jan. 5. '
+           || CASE WHEN doc_id % 2 = 0
+                THEN 'Quoted "End." Follows now. ' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                THEN 'Wait... Then go. ' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN 'Ellipsis trails... and continues here. ' ELSE '' END
+           || 'Tail without terminator' AS page FROM documents),
+         p0 AS (SELECT doc_id,
+           replace(replace(page, chr(1), ''), chr(2), '') AS s FROM f),
+         p1 AS (SELECT doc_id, $sentMultiFoldSql AS s FROM p0),
+         p2 AS (SELECT doc_id, $sentAbbrevFoldSql AS s FROM p1),
+         p3 AS (SELECT doc_id, regexp_replace(s,
+           '([.!?]+["'')\\]]*)[ \\t\\n\\r\\f]+([A-Z0-9"''(\\[])',
+           '\\1' || chr(2) || '\\2', 'g') AS s FROM p2),
+         sp AS (SELECT doc_id,
+           list_filter(list_transform(string_split(s, chr(2)),
+             x -> trim(replace(x, chr(1), '.'))), x -> x <> '') AS ss
+           FROM p3),
+         e AS (SELECT doc_id, ss,
+           unnest(generate_series(1, len(ss))) AS i FROM sp)
+         SELECT doc_id, CAST(i - 1 AS INT) AS sent_no, ss[i] AS sentence
+         FROM e ORDER BY doc_id, sent_no""",
+
+    "text_mojibake_fix" ->
+      """SELECT doc_id,
+           text || CASE doc_id % 5 WHEN 0 THEN ''
+             WHEN 1 THEN ' café — naïve ’quote’'
+             WHEN 2 THEN ' café résumé'
+             WHEN 3 THEN ' déjà vu'
+             ELSE ' l’élan — 20€' END AS text_fixed,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 0
+             WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 1 END AS INT) AS n_rounds
+         FROM documents ORDER BY doc_id""",
 
     "ingest_warc_records" ->
       """WITH info AS (SELECT 'software: graft-crawler/1.0'

@@ -1163,6 +1163,81 @@ object Kernels {
   def registeredDomain(host: UTF8String, t: SuffixTables): UTF8String =
     UTF8String.fromString(registeredDomainStr(host.toString, t))
 
+  /** char → windows-1252 byte, the REVERSE of the decode table: every
+    * byte's decoded char maps back to it (incl. the €-class 0x80–0x9F
+    * punctuation and the five undefined bytes Java decodes to C1
+    * controls, which also covers latin-1-decoded mojibake). */
+  private lazy val cp1252Rev: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte](512)
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    var b = 0
+    while (b < 256) {
+      val s = new String(Array(b.toByte), cs)
+      // the five undefined bytes decode to U+FFFD — never map the
+      // replacement char back to a byte
+      if (s.length == 1 && s.charAt(0) != '�') m.put(s.charAt(0), b.toByte)
+      b += 1
+    }
+    // C1 controls map to themselves: latin-1 misdecodes surface them
+    // directly, and they fill cp1252's five undefined positions
+    var c = 0x80
+    while (c <= 0x9f) {
+      m.putIfAbsent(c.toChar, c.toByte)
+      c += 1
+    }
+    m
+  }
+
+  /** Mojibake repair: text whose chars ALL map back to windows-1252
+    * bytes that form strict multibyte UTF-8 was almost certainly
+    * UTF-8 misdecoded as cp1252/latin-1 ("Ã©" → "é", "â€™" → "'") —
+    * re-encode and decode, up to two rounds (double mojibake is the
+    * common crawl pathology: misdecoded text re-published and
+    * re-misdecoded). Anything else — pure ASCII, legitimate accented
+    * text (é alone is not a valid UTF-8 sequence), chars outside
+    * cp1252's image — passes through unchanged. Known, accepted
+    * false positive (same tradeoff the public ftfy heuristics make):
+    * text that LEGITIMATELY spells a lead char Ã/Â/â followed only by
+    * continuation-class cp1252 chars. Returns (text, rounds). */
+  def mojibakeFixStr(s: String): (String, Int) = {
+    var cur = s
+    var rounds = 0
+    var go = true
+    while (go && rounds < 2) {
+      go = false
+      val n = cur.length
+      val bytes = new Array[Byte](n)
+      var i = 0
+      var ok = n > 0
+      var nonAscii = false
+      while (ok && i < n) {
+        val c = cur.charAt(i)
+        if (c < 0x80) bytes(i) = c.toByte
+        else {
+          val b = cp1252Rev.get(c)
+          if (b == null) ok = false else { bytes(i) = b; nonAscii = true }
+        }
+        i += 1
+      }
+      if (ok && nonAscii) {
+        try {
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          if (out != cur) { cur = out; rounds += 1; go = true }
+        } catch { case _: java.nio.charset.CharacterCodingException => }
+      }
+    }
+    (cur, rounds)
+  }
+
+  def mojibakeFix(s: UTF8String): Any = {
+    val (fixed, rounds) = mojibakeFixStr(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(fixed), rounds))
+  }
+
   /** Translate a percent-normalized robots rule value to a SQL LIKE
     * pattern (default `\` escape): RFC 9309 §2.2.3's `*` becomes `%`,
     * a trailing `$` anchors the match at the path end (no trailing
@@ -1735,6 +1810,25 @@ case class RegisteredDomain(child: Expression, twoLabel: Seq[String],
       s"graft.functions.Kernels.registeredDomain($c, $tRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
+    copy(child = newChild)
+}
+
+/** text STRING → (text STRING, rounds INT): windows-1252/latin-1
+  * mojibake repair ([[Kernels.mojibakeFixStr]]'s contract). */
+case class MojibakeFix(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("rounds", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mojibake_fix needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.mojibakeFix(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.mojibakeFix($c)")
+  override protected def withNewChildInternal(newChild: Expression): MojibakeFix =
     copy(child = newChild)
 }
 
@@ -2334,6 +2428,8 @@ object GraftFunctions {
     GraftColumnBridge.column(CharsetDecode(e(payload)))
   def charsetDecodeHint(payload: Column, hint: Column): Column =
     GraftColumnBridge.column(CharsetDecodeHint(e(payload), e(hint)))
+  def mojibakeFix(text: Column): Column =
+    GraftColumnBridge.column(MojibakeFix(e(text)))
   def mainContent(html: Column, minChars: Int = 25,
       maxLinkDensity: Double = 0.33): Column =
     GraftColumnBridge.column(MainContent(e(html), minChars, maxLinkDensity))

@@ -216,6 +216,26 @@ object Ingest {
     }
   }
 
+  /** Deterministic garbled-text fixture for the `text_mojibake_fix`
+    * oracle — doc_id%5 selects the damage class: untouched ASCII,
+    * legitimately-accented text the repair must NOT alter, single
+    * mojibake (UTF-8 misdecoded as windows-1252), double mojibake
+    * (misdecoded text re-published and re-misdecoded), and single
+    * mojibake exercising the cp1252 0x80–0x9F punctuation region
+    * (curly quote, em dash, euro sign). */
+  def mojibakeFixture(id: Long, text: String): String = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def moji(s: String): String =
+      new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+    (id % 5) match {
+      case 0 => text
+      case 1 => text + " café — naïve ’quote’"
+      case 2 => moji(text + " café résumé")
+      case 3 => moji(moji(text + " déjà vu"))
+      case _ => moji(text + " l’élan — 20€")
+    }
+  }
+
   /** Deterministic CJK/declared-charset payload fixture for the
     * `ingest_charset_cjk` oracle — doc_id%8 selects (encoding of the
     * document text + a language-marked suffix, declared hint), so

@@ -460,6 +460,68 @@ object TextOps {
         ipv4Pattern, "<IP>"),
       ssnPattern, "<SSN>")
 
+  /** Multi-dot abbreviations protected before sentence splitting —
+    * matched as literal substrings (they carry their own dots, so a
+    * word-boundary anchor cannot cut them). Data, not logic: both the
+    * engine fold and the oracle's replace chain generate from this
+    * one list. */
+  val SentMultiDotAbbrevs: Seq[String] = Seq(
+    "e.g.", "E.g.", "i.e.", "I.e.", "a.m.", "p.m.", "A.M.", "P.M.",
+    "U.S.", "U.K.", "U.N.")
+
+  /** Single-token abbreviations whose trailing dot never ends a
+    * sentence — matched word-bounded and case-sensitive ("No. 5" is
+    * the abbreviation; "He said no." is not). Same shared-constant
+    * contract as [[SentMultiDotAbbrevs]]. */
+  val SentAbbrevs: Seq[String] = Seq(
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Rev", "Hon", "St", "Jr", "Sr",
+    "vs", "etc", "cf", "Inc", "Ltd", "Corp", "Co", "Fig", "Eq", "No",
+    "Vol", "Ch", "pp", "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug",
+    "Sep", "Sept", "Oct", "Nov", "Dec")
+
+  /** Sentence-break rule: terminator run (. ! ?), optional closing
+    * quote/bracket, whitespace, then a sentence OPENER (capital,
+    * digit, opening quote/bracket). Capture-and-reinsert instead of
+    * lookarounds so the same pattern runs under both Java regex and
+    * the oracle's RE2; the explicit whitespace class is the
+    * dialect-independent intersection of the two engines' `\s`. */
+  val SentBreakRe: String =
+    "([.!?]+[\"')\\]]*)[ \\t\\n\\r\\f]+([A-Z0-9\"'(\\[])"
+
+  /** Rule-based sentence segmentation: protect abbreviations (dots →
+    * a sentinel), insert a break sentinel at [[SentBreakRe]]
+    * boundaries, split, restore, trim, drop empties. Decimal numbers
+    * ("3.14") never split (no whitespace follows the dot); an
+    * ellipsis followed by a lowercase continuation stays in its
+    * sentence; a terminator inside closing quotes splits after the
+    * quote. Pure built-in expressions end to end — restated verbatim
+    * in the `text_sentences` oracle; sentinel bytes (U+0001/U+0002)
+    * are stripped from the input first, so the contract is total. */
+  def sentenceSplit(text: Column): Column = {
+    val s0 = regexp_replace(text, "[\u0001\u0002]", "")
+    val s1 = SentMultiDotAbbrevs.foldLeft(s0)((acc, a) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(a),
+        a.replace(".", "\u0001")))
+    val s2 = SentAbbrevs.foldLeft(s1)((acc, a) =>
+      regexp_replace(acc, "\\b" + a + "\\.", a + "\u0001"))
+    val s3 = regexp_replace(s2, SentBreakRe, "$1\u0002$2")
+    filter(
+      transform(split(s3, "\u0002"),
+        x => trim(regexp_replace(x, "\u0001", "."))),
+      x => x =!= "")
+  }
+
+  /** Mojibake repair — UTF-8 text misdecoded as windows-1252/latin-1
+    * ("Ã©" → "é", "â€™" → "'"), up to two rounds for the re-published
+    * double-mojibake pathology; pure ASCII, legitimate accents, and
+    * anything outside cp1252's image pass through unchanged
+    * ([[graft.functions.Kernels.mojibakeFixStr]]'s contract). Returns
+    * (text, rounds); one codegen'd kernel call in the scan
+    * projection — the natural stage right after charset decode,
+    * before any text signal is computed. */
+  def mojibakeFix(text: Column): Column =
+    graft.functions.GraftFunctions.mojibakeFix(text)
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the cheap "same modulo formatting" key. */
   def fingerprint(text: Column): Column =
