@@ -2432,6 +2432,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // domain-level PageRank: the domain link graph feeds the generic
+    // PageRank with md5-portable node ids (domains are strings; the
+    // id is the same first-8-nibble md5 value the doc link graph
+    // uses, so the oracle rebuilds identical keys) — the authority
+    // score a crawl prioritizer ranks frontier hosts by
+    "url_domain_pagerank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pages = linkPageFixture(docs)
+      val g = Urls.domainLinkGraph(pages, col("doc_id"), col("base_url"),
+        col("html")).localCheckpoint(true)
+      def mdId(c: Column): Column =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      val nodes = g.select(col("src_domain").as("domain"))
+        .union(g.select(col("dst_domain").as("domain"))).distinct()
+        .select(col("domain"), mdId(col("domain")).as("node"))
+        .localCheckpoint(true)
+      val edges = g.select(mdId(col("src_domain")).as("src"),
+        mdId(col("dst_domain")).as("dst"))
+      val n = nodes.count()
+      Graph.pageRank(edges, nodes, col("node"), iters = 3)
+        .join(nodes, Seq("node"))
+        .select(col("domain"),
+          (floor(col("rank") * lit(n.toDouble) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("rank_norm"))
+        .orderBy("domain")
+    }),
+
+    // the FULL crawl loop, composed end to end: extract outlinks from
+    // fetched pages, resolve, canonicalize (tracking params drop,
+    // uppercase spellings fold), dedup, anti-join the already-crawled
+    // set, gate through per-host robots rules, and emit a politeness-
+    // spaced fetch schedule — the query a crawler runs to produce its
+    // next round. The oracle states the surviving frontier closed-form
+    // per anchor class (blocked /squote, /lib2/, /UP and the crawled
+    // bases all absent) with the delay/window restated
+    "url_frontier_next" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pages = linkPageFixture(docs)
+      val links = Urls.pageLinks(pages, col("doc_id"), col("base_url"),
+        col("html"))
+      val cand = links.select(Urls.canonicalize(col("resolved")).as("url"))
+        .distinct()
+      val crawled = pages.select(Urls.canonicalize(col("base_url")).as("url"))
+      val fresh = cand.join(crawled, Seq("url"), "left_anti")
+      val robots = frontierNextRobotsFixture(docs)
+      val gated = Urls.robotsVerdicts(fresh, col("url"), col("url"), robots,
+          col("host"), col("robots_txt"), "graftbot")
+        .filter(col("allowed")).select(col("url"))
+      Urls.crawlSchedule(gated, col("url"), robots,
+          col("host"), col("robots_txt"), "graftbot")
+        .orderBy("host", "url")
+    }),
+
     // rule-based sentence segmentation: abbreviation protection
     // (word-bounded and multi-dot forms), decimal numbers never
     // split, terminator-inside-quotes splits after the quote, an
@@ -3596,6 +3649,29 @@ object SparkEntry {
       .select(concat(lit("wild"), col("k").cast("string"),
           lit(".example")).as("host"),
         when(col("k") === 0, lit(even)).otherwise(lit(odd)).as("robots_txt"))
+  }
+
+  /** Per-host robots policies for `url_frontier_next`, covering every
+    * host class the link fixture's outlinks land on: site hosts block
+    * /squote and declare a 2s delay, the cdn blocks /lib2/ with a
+    * 0.5s delay, ext1 blocks /UP (the uppercase absolute anchor's
+    * canonical path), and the other ext hosts allow everything with
+    * no delay (→ the scheduler's 1s default). */
+  private[graft] def frontierNextRobotsFixture(docs: DataFrame): DataFrame = {
+    val sites = docs.select((col("doc_id") % 5).as("k")).distinct()
+      .select(concat(lit("site"), col("k").cast("string"),
+          lit(".example")).as("host"),
+        lit("User-agent: *\nDisallow: /squote\nCrawl-delay: 2\n")
+          .as("robots_txt"))
+    val exts = docs.select((col("doc_id") % 3).as("k")).distinct()
+      .select(concat(lit("ext"), col("k").cast("string"),
+          lit(".example")).as("host"),
+        when(col("k") === 1, lit("User-agent: *\nDisallow: /UP\n"))
+          .otherwise(lit("User-agent: *\nAllow: /\n")).as("robots_txt"))
+    val cdn = docs.select(lit("cdn.example").as("host"),
+      lit("User-agent: *\nDisallow: /lib2/\nCrawl-delay: 0.5\n")
+        .as("robots_txt")).distinct()
+    sites.union(exts).union(cdn)
   }
 
   /** Deterministic sentence-segmentation fixture for
@@ -6635,6 +6711,84 @@ object SparkEntry {
            WHEN 2 THEN 15 WHEN 3 THEN 14 WHEN 4 THEN 9 WHEN 5 THEN 9
            WHEN 8 THEN 21 ELSE 5 END AS BIGINT) AS n_bytes
        FROM v ORDER BY doc_id""",
+
+    "url_domain_pagerank" ->
+      s"""WITH m AS (SELECT doc_id,
+           'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS src,
+           CAST(doc_id % 3 AS VARCHAR) AS m3 FROM documents),
+         dd AS (SELECT doc_id, src,
+           unnest(list_transform(list_filter([
+             {'c': true, 'd': 'ext' || m3 || '.example'},
+             {'c': true, 'd': 'cdn.example'},
+             {'c': doc_id % 2 = 0, 'd': 'cdn.example'},
+             {'c': doc_id % 9 = 0, 'd': 'ext1.example'}
+           ], x -> x.c), x -> x.d)) AS dst FROM m),
+         eg AS (SELECT DISTINCT src AS sd, dst AS dmn FROM dd),
+         nd0 AS (SELECT sd AS domain FROM eg UNION SELECT dmn FROM eg),
+         nodes AS (SELECT domain,
+           ${hexValSql("md5(domain)", 8)} AS node FROM nd0),
+         nn AS (SELECT count(*) AS nb, CAST(count(*) AS DOUBLE) AS nd
+           FROM nodes),
+         e AS (SELECT ns.node AS src, nt.node AS dst FROM eg
+           JOIN nodes ns ON eg.sd = ns.domain
+           JOIN nodes nt ON eg.dmn = nt.domain),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1),
+         r0 AS (SELECT node, ${prQuant("CAST(1.0 AS DOUBLE) / nn.nd")} AS r
+             FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT coalesce(sum(r), 0) AS dang FROM r0
+                LEFT JOIN deg ON r0.node = deg.src WHERE deg.d IS NULL),
+         c1 AS (SELECT e.dst AS node, sum(${prQuant("r0.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+         r1 AS (SELECT r0.node, ${prQuant(prStep("c1", "d1"))} AS r
+             FROM r0 LEFT JOIN c1 USING (node) CROSS JOIN d1 CROSS JOIN nn),
+         d2 AS (SELECT coalesce(sum(r), 0) AS dang FROM r1
+                LEFT JOIN deg ON r1.node = deg.src WHERE deg.d IS NULL),
+         c2 AS (SELECT e.dst AS node, sum(${prQuant("r1.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+         r2 AS (SELECT r1.node, ${prQuant(prStep("c2", "d2"))} AS r
+             FROM r1 LEFT JOIN c2 USING (node) CROSS JOIN d2 CROSS JOIN nn),
+         d3 AS (SELECT coalesce(sum(r), 0) AS dang FROM r2
+                LEFT JOIN deg ON r2.node = deg.src WHERE deg.d IS NULL),
+         c3 AS (SELECT e.dst AS node, sum(${prQuant("r2.r / deg.d")}) AS c
+                FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+         r3 AS (SELECT r2.node, ${prQuant(prStep("c3", "d3"))} AS r
+             FROM r2 LEFT JOIN c3 USING (node) CROSS JOIN d3 CROSS JOIN nn)
+         SELECT nodes.domain,
+           floor(r3.r * nn.nd * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS rank_norm
+         FROM r3 JOIN nodes USING (node) CROSS JOIN nn ORDER BY domain""",
+
+    "url_frontier_next" ->
+      """WITH m AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k,
+           CAST(doc_id % 25 AS VARCHAR) AS p, CAST(doc_id % 3 AS VARCHAR) AS m3,
+           CAST(doc_id % 4 AS VARCHAR) AS m4, CAST(doc_id % 5 AS VARCHAR) AS m5,
+           CAST(doc_id % 7 AS VARCHAR) AS m7 FROM documents),
+         b AS (SELECT *, 'https://site' || k || '.example' AS origin FROM m),
+         c0 AS (SELECT unnest(list_transform(list_filter([
+           {'c': true, 'u': 'https://ext' || m3 || '.example/abs/' || p},
+           {'c': true, 'u': 'https://cdn.example/lib/' || m4},
+           {'c': true, 'u': origin || '/root/item?id=' || p},
+           {'c': true, 'u': origin || '/a/up/' || m7},
+           {'c': true, 'u': origin || '/a/b/same/' || m5},
+           {'c': true, 'u': origin || '/a/b/plain/rel' || m3},
+           {'c': doc_id % 2 = 0,
+              'u': origin || '/a/b/page' || p || '.html?page=' || p},
+           {'c': doc_id % 11 = 0, 'u': origin || '/deep/' || p}
+           ], e -> e.c), e -> e.u)) AS url FROM b),
+         c AS (SELECT DISTINCT url FROM c0),
+         h AS (SELECT url,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host FROM c),
+         s AS (SELECT host, url,
+           CAST(CASE WHEN host = 'cdn.example' THEN 0.5
+             WHEN starts_with(host, 'site') THEN 2.0
+             ELSE NULL END AS DOUBLE) AS crawl_delay,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+             AS INT) AS slot
+           FROM h)
+         SELECT host, url, crawl_delay, slot,
+           CAST(slot AS DOUBLE) * coalesce(crawl_delay, CAST(1.0 AS DOUBLE))
+             AS fetch_at_s
+         FROM s ORDER BY host, url""",
 
     "text_sentences" ->
       s"""WITH f AS (SELECT doc_id,
