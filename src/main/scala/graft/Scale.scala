@@ -168,7 +168,8 @@ object Scale {
     "text_sparse_cosine_pairs" -> 0.9, "span_dup_spans" -> 1.0,
     "split_leakfree" -> 1.0, "split_balanced" -> 1.0,
     "graph_pagerank" -> 0.6, "graph_pagerank_hub" -> 0.6,
-    "cms_token_freq" -> 0.9, "url_robots_gate" -> 0.9)
+    "cms_token_freq" -> 0.9, "url_robots_gate" -> 0.9,
+    "url_frontier_pipeline" -> 0.9)
 
   /** Text re-expressed in 3-word-shingle space ("a_b_c d_e_f …"):
     * the token stream [[TextOps.hashedTfIdf]] then sees is Zipf-ish
@@ -291,6 +292,50 @@ object Scale {
           .as("robots_txt"))
       Urls.robotsVerdicts(urls, col("url"), col("doc_id"), robots,
         col("host"), col("robots_txt"), "graftbot")
+    },
+    // the FULL crawl loop at corpus scale (url_frontier_next's shape
+    // on minted pages): per-doc HTML with 8 anchors — extraction +
+    // RFC 3986 resolution are kernel calls in the scan projection —
+    // then canonical dedup (8n raw links collapse to a BOUNDED combo
+    // set map-side), the crawled-set anti-join, the robots gate, and
+    // the per-host politeness window. Every stage is linear scan work
+    // or a shuffle on a key whose cardinality the pipeline itself
+    // bounds; no pathology planted because nothing here has a
+    // data-dependent blowup.
+    "url_frontier_pipeline" -> { d =>
+      def pm(n: Int): Column = pmod(col("doc_id"), lit(n)).cast("string")
+      val pages = d.select(col("doc_id"),
+        concat(lit("https://h"), pm(100), lit(".example/a/b/page"),
+          pm(1000), lit(".html")).as("base_url"),
+        concat(
+          lit("<html><body><a href=\"https://x"), pm(50),
+          lit(".example/abs/"), pm(997), lit("\">a</a>"),
+          lit("<a href=\"//cdn.example/lib/"), pm(11), lit("\">b</a>"),
+          lit("<a href=\"/item?id="), pm(1000),
+          lit("&amp;utm_source=x\">c</a>"),
+          lit("<a href=\"../up/"), pm(7), lit("\">d</a>"),
+          lit("<a href=\"./same/"), pm(5), lit("\">e</a>"),
+          lit("<a href=\"plain/"), pm(3), lit("\">f</a>"),
+          lit("<a href='/sq/"), pm(13), lit("'>g</a>"),
+          lit("<a href=\"mailto:x@y.example\">h</a></body></html>"))
+          .as("html"))
+      val links = Urls.pageLinks(pages, col("doc_id"), col("base_url"),
+        col("html"))
+      val cand = links.select(Urls.canonicalize(col("resolved")).as("url"))
+        .distinct()
+      val crawled = pages
+        .select(Urls.canonicalize(col("base_url")).as("url")).distinct()
+      val fresh = cand.join(crawled, Seq("url"), "left_anti")
+      val robots = d.sparkSession.range(100).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example"))
+          .as("host"),
+        lit("User-agent: *\nDisallow: /sq\nCrawl-delay: 0.5\nAllow: /\n")
+          .as("robots_txt"))
+      val gated = Urls.robotsVerdicts(fresh, col("url"), col("url"), robots,
+          col("host"), col("robots_txt"), "graftbot")
+        .filter(col("allowed")).select(col("url"))
+      Urls.crawlSchedule(gated, col("url"), robots,
+        col("host"), col("robots_txt"), "graftbot")
     })
 
   /** Link graph plus the planted celebrity: every 4th node also
@@ -403,7 +448,14 @@ object Scale {
       "(url, rule) rows <= 3n, time linear in the URL scan. The rule " +
       "table is O(hosts x rules) and broadcasts; no pathology is " +
       "planted because the operator has no data-dependent blowup - " +
-      "every URL probes a BOUNDED per-host rule set."))
+      "every URL probes a BOUNDED per-host rule set."),
+    "url_frontier_pipeline" -> ("extraction + RFC 3986 resolution are " +
+      "fused kernel calls in the scan projection (8 anchors/page); " +
+      "canonical dedup collapses 8n raw links to a bounded combo set " +
+      "with map-side partial aggregation, the crawled anti-join and " +
+      "robots probe are key-bounded, and the politeness window " +
+      "shuffles once on host (=the join key, reused). Time linear in " +
+      "the page scan; shuffle rows bounded by distinct URLs."))
 
   private def jStr(s: String): String =
     "\"" + s.flatMap {

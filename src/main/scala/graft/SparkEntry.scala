@@ -2432,6 +2432,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // anchor (href, TEXT) pairs — the target-description signal a
+    // search index and a crawl prioritizer both consume: inner text
+    // strips nested tags (<b>Bold</b>), entity-decodes (Q&amp;A),
+    // collapses whitespace; non-fetchable schemes drop the whole
+    // pair; the oracle states every surviving pair in closed form
+    "url_anchor_text" -> ((s, dir) => {
+      val pages = linkPageFixture(table(s, dir, "documents"))
+      pages.select(col("doc_id"), posexplode(Urls.anchorTexts(col("html"))))
+        .select(col("doc_id"), col("pos").as("ord"),
+          col("col.href").as("href"), col("col.text").as("anchor_text"))
+        .orderBy("doc_id", "ord")
+    }),
+
     // domain-level PageRank: the domain link graph feeds the generic
     // PageRank with md5-portable node ids (domains are strings; the
     // id is the same first-8-nibble md5 value the doc link graph
@@ -3717,13 +3730,13 @@ object SparkEntry {
       lit(".html"))
     val html = concat(
       lit("<html><body><a href=\"https://ext"), (d % 3).cast("string"),
-      lit(".example/abs/"), p, lit("\">x</a>"),
+      lit(".example/abs/"), p, lit("\"><b>Bold</b>  anchor</a>"),
       lit("<a href=\"//cdn.example/lib/"), (d % 4).cast("string"),
       lit("\">y</a>"),
       when(d % 2 === 0, concat(lit("<a href=\"//cdn.example/lib2/"), p,
         lit("\">y2</a>"))).otherwise(lit("")),
       lit("<a href=\"/root/item?id="), p,
-      lit("&amp;utm_source=feed\">z</a>"),
+      lit("&amp;utm_source=feed\">Q&amp;A link</a>"),
       lit("<a href=\"../up/"), (d % 7).cast("string"), lit("\">u</a>"),
       lit("<a href=\"./same/"), (d % 5).cast("string"), lit("\">s</a>"),
       lit("<a href=\"plain/rel"), (d % 3).cast("string"), lit("\">r</a>"),
@@ -6711,6 +6724,35 @@ object SparkEntry {
            WHEN 2 THEN 15 WHEN 3 THEN 14 WHEN 4 THEN 9 WHEN 5 THEN 9
            WHEN 8 THEN 21 ELSE 5 END AS BIGINT) AS n_bytes
        FROM v ORDER BY doc_id""",
+
+    "url_anchor_text" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(doc_id % 25 AS VARCHAR) AS p,
+           CAST(doc_id % 3 AS VARCHAR) AS m3, CAST(doc_id % 4 AS VARCHAR) AS m4,
+           CAST(doc_id % 5 AS VARCHAR) AS m5, CAST(doc_id % 6 AS VARCHAR) AS m6,
+           CAST(doc_id % 7 AS VARCHAR) AS m7
+         FROM documents),
+         le AS (SELECT doc_id, list_filter([
+           {'c': true, 'h': 'https://ext' || m3 || '.example/abs/' || p,
+              't': 'Bold anchor'},
+           {'c': true, 'h': '//cdn.example/lib/' || m4, 't': 'y'},
+           {'c': doc_id % 2 = 0, 'h': '//cdn.example/lib2/' || p, 't': 'y2'},
+           {'c': true, 'h': '/root/item?id=' || p || '&utm_source=feed',
+              't': 'Q&A link'},
+           {'c': true, 'h': '../up/' || m7, 't': 'u'},
+           {'c': true, 'h': './same/' || m5, 't': 's'},
+           {'c': true, 'h': 'plain/rel' || m3, 't': 'r'},
+           {'c': doc_id % 9 = 0, 'h': 'HTTPS://EXT1.EXAMPLE/UP', 't': 'U'},
+           {'c': doc_id % 2 = 0, 'h': '?page=' || p, 't': 'q'},
+           {'c': doc_id % 3 = 0, 'h': '#frag', 't': 'f'},
+           {'c': doc_id % 11 = 0, 'h': '../../../deep/' || p, 't': 'dd'},
+           {'c': doc_id % 4 = 0, 'h': '/squote/' || m6, 't': 'sq'}
+           ], e -> e.c) AS es FROM m),
+         x AS (SELECT doc_id, es,
+           unnest(generate_series(1, len(es))) AS i FROM le)
+         SELECT doc_id, CAST(i - 1 AS INT) AS ord,
+           es[i].h AS href, es[i].t AS anchor_text
+         FROM x ORDER BY doc_id, ord""",
 
     "url_domain_pagerank" ->
       s"""WITH m AS (SELECT doc_id,

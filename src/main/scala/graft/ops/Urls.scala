@@ -396,6 +396,39 @@ object Urls {
       h => h =!= "" && !h.rlike(NonFetchableSchemeRe))
   }
 
+  /** Anchor pair grammars for [[anchorTexts]]: the [[extractHrefs]]
+    * attribute rules plus the tag close and a non-greedy inner-text
+    * capture to the first `</a>` (dotall — anchor text spans lines;
+    * nested anchors are invalid HTML, so first-close is the correct
+    * cut). */
+  val AnchorDqRe: String =
+    "(?is)<a[^>]*\\shref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+  val AnchorSqRe: String =
+    "(?is)<a[^>]*\\shref\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>"
+
+  /** (href, text) pairs of a page's anchors, document order within
+    * each quote style — the anchor-TEXT half is the classic search /
+    * crawl-prioritization signal (anchor text describes the TARGET
+    * page, written by someone other than its author). Hrefs get the
+    * [[extractHrefs]] treatment (trim, entity decode, non-fetchable
+    * schemes drop the pair); inner text strips nested tags to
+    * spaces, entity-decodes, and collapses whitespace. Same
+    * scan-projection shape as [[extractHrefs]]: two regex sweeps,
+    * array ops, no UDF. */
+  def anchorTexts(html: Column): Column = {
+    def visible(t: Column): Column =
+      trim(regexp_replace(
+        htmlUnescapeAttr(regexp_replace(t, "<[^>]*>", " ")), "\\s+", " "))
+    def pairs(re: String): Column = zip_with(
+      regexp_extract_all(html, lit(re), lit(1)),
+      regexp_extract_all(html, lit(re), lit(2)),
+      (h, t) => struct(htmlUnescapeAttr(trim(h)).as("href"),
+        visible(t).as("text")))
+    filter(concat(pairs(AnchorDqRe), pairs(AnchorSqRe)),
+      p => p.getField("href") =!= "" &&
+        !p.getField("href").rlike(NonFetchableSchemeRe))
+  }
+
   /** RFC 3986 §5.2.4 `remove_dot_segments`, bounded: `/./` and
     * trailing `/.` collapse, then up to `depth` passes fold
     * `/<seg>/../` pairs (a pass resolves every non-overlapping pair
