@@ -71,6 +71,10 @@ object GraftExtensions {
         es => CharsetDecodeHint(es.head, es(1))),
       fn("graft_mojibake_fix", classOf[MojibakeFix], 1)(
         es => MojibakeFix(es.head)),
+      fn("graft_http_response", classOf[HttpResponse], 1)(
+        es => HttpResponse(es.head)),
+      fn("graft_sentence_split", classOf[SentenceSplit], 1)(
+        es => SentenceSplit(es.head)),
       fn("graft_main_content", classOf[MainContent], 1)(
         es => MainContent(es.head, 25, 0.33)),
       fn("graft_robots_rules", classOf[RobotsRules], 2)(

@@ -2512,6 +2512,26 @@ object SparkEntry {
         .orderBy("doc_id", "sent_no")
     }),
 
+    // HTTP/1.x response parse between WARC ingest and charset decode
+    // (a WARC response payload IS an HTTP message): status line,
+    // case-insensitive headers (first wins), Content-Type media type
+    // + charset parameter, WHATWG-style <meta charset> prescan when
+    // the header has none, gzip Content-Encoding inflated — then the
+    // body flows straight into the hinted charset decode, proving the
+    // whole container-to-text chain on one fixture; the oracle states
+    // every field and the decoded text itself in closed form
+    "ingest_http_responses" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) => Ingest.httpFixture(id, txt))
+      val raw = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("payload"))
+      val parsed = Ingest.parseHttp(raw, col("payload"))
+      Ingest.decodeTextHint(parsed, col("body"), col("charset_hint"))
+        .select(col("doc_id"), col("status"), col("content_type"),
+          col("charset_hint"), col("content_encoding"), col("n_headers"),
+          col("charset"), col("text_decoded"), col("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // mojibake repair (the stage after charset decode): per-doc
     // fixture cycles untouched ASCII, legitimately-accented text the
     // repair must NOT alter, single and DOUBLE UTF-8-as-cp1252
@@ -6859,6 +6879,39 @@ object SparkEntry {
            unnest(generate_series(1, len(ss))) AS i FROM sp)
          SELECT doc_id, CAST(i - 1 AS INT) AS sent_no, ss[i] AS sentence
          FROM e ORDER BY doc_id, sent_no""",
+
+    "ingest_http_responses" ->
+      """WITH v AS (SELECT doc_id, doc_id % 6 AS k, text FROM documents),
+         d AS (SELECT doc_id, k,
+           CASE k
+             WHEN 0 THEN '<html><body>' || text || ' café Ωμέγα</body></html>'
+             WHEN 1 THEN '<html><head><meta charset="shift_jis"></head><body>'
+               || text || ' 日本語テキスト</body></html>'
+             WHEN 2 THEN 'not found ' || text
+             WHEN 3 THEN '<html><body>' || text || ' gzipped café</body></html>'
+             WHEN 4 THEN '<html><body>' || text || ' café</body></html>'
+             ELSE '' END AS td
+           FROM v)
+         SELECT doc_id,
+           CAST(CASE k WHEN 2 THEN 404 WHEN 5 THEN 301 ELSE 200 END
+             AS INT) AS status,
+           CASE k WHEN 2 THEN 'text/plain' ELSE 'text/html' END
+             AS content_type,
+           CASE k WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+             WHEN 3 THEN 'utf-8' WHEN 4 THEN 'windows-1252'
+             ELSE '' END AS charset_hint,
+           CASE k WHEN 3 THEN 'gzip' ELSE '' END AS content_encoding,
+           CAST(CASE k WHEN 0 THEN 2 WHEN 3 THEN 2 WHEN 5 THEN 2
+             ELSE 1 END AS INT) AS n_headers,
+           CASE k WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+             WHEN 3 THEN 'utf-8' WHEN 4 THEN 'windows-1252'
+             ELSE 'ascii' END AS charset,
+           td AS text_decoded,
+           CAST(CASE k WHEN 0 THEN octet_length(encode(td))
+             WHEN 1 THEN length(td) + 7
+             WHEN 3 THEN octet_length(encode(td))
+             ELSE length(td) END AS BIGINT) AS n_bytes
+         FROM d ORDER BY doc_id""",
 
     "text_mojibake_fix" ->
       """SELECT doc_id,

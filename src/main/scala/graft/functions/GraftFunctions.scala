@@ -1238,6 +1238,159 @@ object Kernels {
       Array[Any](UTF8String.fromString(fixed), rounds))
   }
 
+  /** Sentence-segmentation constants — single source of truth,
+    * re-exported by [[graft.ops.TextOps]] (the [[BlockTagReStr]]
+    * convention): multi-dot abbreviations (literal substrings),
+    * word-bounded single abbreviations, and the break rule
+    * (terminator run + optional closing quote/bracket + whitespace +
+    * a sentence opener, capture-and-reinsert so the same pattern
+    * runs under Java regex and the oracle's RE2). */
+  val SentMultiDotAbbrevs: Seq[String] = Seq(
+    "e.g.", "E.g.", "i.e.", "I.e.", "a.m.", "p.m.", "A.M.", "P.M.",
+    "U.S.", "U.K.", "U.N.")
+  val SentAbbrevs: Seq[String] = Seq(
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Rev", "Hon", "St", "Jr", "Sr",
+    "vs", "etc", "cf", "Inc", "Ltd", "Corp", "Co", "Fig", "Eq", "No",
+    "Vol", "Ch", "pp", "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug",
+    "Sep", "Sept", "Oct", "Nov", "Dec")
+  val SentBreakReStr: String =
+    "([.!?]+[\"')\\]]*)[ \\t\\n\\r\\f]+([A-Z0-9\"'(\\[])"
+
+  private lazy val sentBreakPat =
+    java.util.regex.Pattern.compile(SentBreakReStr)
+  private lazy val sentAbbrevPat = java.util.regex.Pattern.compile(
+    "\\b(" + SentAbbrevs.mkString("|") + ")\\.")
+
+  /** Fused twin of [[graft.ops.TextOps.sentenceSplitColumns]] — the
+    * identical regex pipeline (Java regex both ways; the single
+    * alternation over [[SentAbbrevs]] is equivalent to the Column
+    * twin's per-abbreviation fold because a replacement never
+    * creates a match for another abbreviation) as ONE call instead
+    * of ~48 chained regex expression nodes. Trim is space-only,
+    * mirroring Spark's `trim`. */
+  def sentenceSplitStr(s0: String): Array[String] = {
+    def spaceTrim(x: String): String = {
+      var i = 0; var j = x.length
+      while (i < j && x.charAt(i) == ' ') i += 1
+      while (j > i && x.charAt(j - 1) == ' ') j -= 1
+      x.substring(i, j)
+    }
+    var s = s0.replace("\u0001", "").replace("\u0002", "")
+    var k = 0
+    while (k < SentMultiDotAbbrevs.length) {
+      val a = SentMultiDotAbbrevs(k)
+      s = s.replace(a, a.replace(".", "\u0001"))
+      k += 1
+    }
+    s = sentAbbrevPat.matcher(s).replaceAll("$1\u0001")
+    s = sentBreakPat.matcher(s).replaceAll("$1\u0002$2")
+    s.split("\u0002", -1).map(x => spaceTrim(x.replace('\u0001', '.')))
+      .filter(_.nonEmpty)
+  }
+
+  def sentenceSplit(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      sentenceSplitStr(s.toString).map(UTF8String.fromString))
+
+  private def gunzipOrNull(b: Array[Byte], from: Int): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b, from, b.length - from))
+      val out = new java.io.ByteArrayOutputStream((b.length - from) * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+
+  /** HTTP/1.x response parse — the stage between WARC record ingest
+    * and charset decode (a WARC `response` payload IS an HTTP
+    * message: status line, headers, CRLFCRLF, body). Returns
+    * (status, content_type, charset_hint, content_encoding,
+    * n_headers, body):
+    *
+    *   - status from the `HTTP/<v> <code> …` line; malformed
+    *     payloads are DATA, not exceptions — status 0, empty fields,
+    *     the whole payload as body;
+    *   - header names case-insensitive, first occurrence wins for
+    *     the extracted fields; bare-LF line breaks tolerated (the
+    *     header block ends at the first blank line either way);
+    *   - `content_type` is the media type lowercased without
+    *     parameters; `charset_hint` is the Content-Type charset
+    *     parameter, else a WHATWG-style ASCII prescan of the first
+    *     1024 BODY bytes for a `<meta … charset=…>` label, else ''
+    *     — exactly the hint column [[charsetDecodeHint]] consumes;
+    *   - a `Content-Encoding: gzip` body is inflated (corrupt gzip
+    *     keeps the raw bytes — the downstream decode quarantines). */
+  def httpResponse(b: Array[Byte]): Any = {
+    def row(status: Int, ct: String, hint: String, enc: String,
+        nh: Int, body: Array[Byte]) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](status, UTF8String.fromString(ct),
+          UTF8String.fromString(hint), UTF8String.fromString(enc),
+          nh, body))
+    // header/body split: first blank line (CRLFCRLF or LFLF)
+    var split = -1; var bodyAt = -1
+    var i = 0
+    while (split < 0 && i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && i + 3 < b.length &&
+        b(i + 2) == '\r' && b(i + 3) == '\n') { split = i; bodyAt = i + 4 }
+      else if (b(i) == '\n' && b(i + 1) == '\n') { split = i; bodyAt = i + 2 }
+      i += 1
+    }
+    if (split < 0) { split = b.length; bodyAt = b.length }
+    val head = new String(b, 0, split,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
+      return row(0, "", "", "", 0, b)
+    val parts = lines(0).split(" +")
+    val status =
+      if (parts.length >= 2 && parts(1).forall(_.isDigit) &&
+        parts(1).nonEmpty) parts(1).toInt
+      else return row(0, "", "", "", 0, b)
+    var ct = ""; var hint = ""; var enc = ""; var nh = 0
+    var li = 1
+    while (li < lines.length) {
+      val line = lines(li)
+      val c = line.indexOf(':')
+      if (c > 0) {
+        nh += 1
+        val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        if (name == "content-type" && ct.isEmpty) {
+          val sc = value.indexOf(';')
+          ct = (if (sc >= 0) value.substring(0, sc) else value)
+            .trim.toLowerCase(java.util.Locale.ROOT)
+          if (sc >= 0) {
+            val m = java.util.regex.Pattern
+              .compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:\\-]+)")
+              .matcher(value.substring(sc))
+            if (m.find()) hint = m.group(1).toLowerCase(java.util.Locale.ROOT)
+          }
+        } else if (name == "content-encoding" && enc.isEmpty)
+          enc = value.toLowerCase(java.util.Locale.ROOT)
+      }
+      li += 1
+    }
+    var body = java.util.Arrays.copyOfRange(b, bodyAt, b.length)
+    if (enc == "gzip" && body.length >= 2 && (body(0) & 0xff) == 0x1f &&
+      (body(1) & 0xff) == 0x8b) {
+      val inflated = gunzipOrNull(body, 0)
+      if (inflated != null) body = inflated
+    }
+    if (hint.isEmpty) {
+      val peek = new String(body, 0, math.min(body.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = java.util.regex.Pattern
+        .compile("(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)")
+        .matcher(peek)
+      if (m.find()) hint = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    }
+    row(status, ct, hint, enc, nh, body)
+  }
+
   /** Translate a percent-normalized robots rule value to a SQL LIKE
     * pattern (default `\` escape): RFC 9309 §2.2.3's `*` becomes `%`,
     * a trailing `$` anchors the match at the path end (no trailing
@@ -1810,6 +1963,47 @@ case class RegisteredDomain(child: Expression, twoLabel: Seq[String],
       s"graft.functions.Kernels.registeredDomain($c, $tRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
+    copy(child = newChild)
+}
+
+/** payload BINARY → (status INT, content_type STRING, charset_hint
+  * STRING, content_encoding STRING, n_headers INT, body BINARY):
+  * HTTP/1.x response parse ([[Kernels.httpResponse]]'s contract). */
+case class HttpResponse(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("charset_hint", StringType, nullable = false),
+    StructField("content_encoding", StringType, nullable = false),
+    StructField("n_headers", IntegerType, nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"http_response needs BINARY, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.httpResponse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.httpResponse($c)")
+  override protected def withNewChildInternal(newChild: Expression): HttpResponse =
+    copy(child = newChild)
+}
+
+/** text STRING → ARRAY<STRING>: rule-based sentence segmentation
+  * ([[Kernels.sentenceSplitStr]]'s contract). */
+case class SentenceSplit(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sentence_split needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.sentenceSplit(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sentenceSplit($c)")
+  override protected def withNewChildInternal(newChild: Expression): SentenceSplit =
     copy(child = newChild)
 }
 
@@ -2430,6 +2624,10 @@ object GraftFunctions {
     GraftColumnBridge.column(CharsetDecodeHint(e(payload), e(hint)))
   def mojibakeFix(text: Column): Column =
     GraftColumnBridge.column(MojibakeFix(e(text)))
+  def httpResponse(payload: Column): Column =
+    GraftColumnBridge.column(HttpResponse(e(payload)))
+  def sentenceSplit(text: Column): Column =
+    GraftColumnBridge.column(SentenceSplit(e(text)))
   def mainContent(html: Column, minChars: Int = 25,
       maxLinkDensity: Double = 0.33): Column =
     GraftColumnBridge.column(MainContent(e(html), minChars, maxLinkDensity))

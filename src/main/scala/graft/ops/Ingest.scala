@@ -216,6 +216,67 @@ object Ingest {
     }
   }
 
+  /** HTTP/1.x response parse over a payload column — one codegen'd
+    * kernel call in the scan projection
+    * ([[graft.functions.Kernels.httpResponse]]'s contract: status
+    * line, case-insensitive headers, charset hint from the
+    * Content-Type parameter or a WHATWG-style `<meta charset>`
+    * prescan, gzip Content-Encoding inflated). Keeps the input
+    * columns and adds (status, content_type, charset_hint,
+    * content_encoding, n_headers, body) — `body`/`charset_hint` feed
+    * [[decodeTextHint]] directly, completing the WARC → HTTP →
+    * charset → text chain. */
+  def parseHttp(df: DataFrame, payload: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("__h", graft.functions.GraftFunctions.httpResponse(payload))
+      .withColumn("status", col("__h.status"))
+      .withColumn("content_type", col("__h.content_type"))
+      .withColumn("charset_hint", col("__h.charset_hint"))
+      .withColumn("content_encoding", col("__h.content_encoding"))
+      .withColumn("n_headers", col("__h.n_headers"))
+      .withColumn("body", col("__h.body"))
+      .drop("__h")
+
+  /** Deterministic HTTP-response fixture for `ingest_http_responses`
+    * — doc_id%6 selects the response class: utf-8 with a header
+    * charset, Shift_JIS declared only by `<meta charset>` (the
+    * prescan path), a 404 with case-variant header name and value,
+    * a GZIPPED utf-8 body, windows-1252, and a bodyless 301. */
+  def httpFixture(id: Long, text: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(b.length + 64)
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      out.write(b); out.close(); bos.toByteArray
+    }
+    (id % 6) match {
+      case 0 =>
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          "Server: graft-fixture\r\n\r\n").getBytes(utf8) ++
+          s"<html><body>$text café Ωμέγα</body></html>".getBytes(utf8)
+      case 1 =>
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes(utf8) ++
+          ("<html><head><meta charset=\"shift_jis\"></head><body>" +
+            s"$text 日本語テキスト</body></html>")
+            .getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+      case 2 =>
+        ("HTTP/1.1 404 Not Found\r\ncontent-TYPE: TEXT/PLAIN\r\n\r\n" +
+          s"not found $text").getBytes(utf8)
+      case 3 =>
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          "Content-Encoding: gzip\r\n\r\n").getBytes(utf8) ++
+          gz(s"<html><body>$text gzipped café</body></html>".getBytes(utf8))
+      case 4 =>
+        ("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=windows-1252\r\n\r\n")
+          .getBytes(utf8) ++
+          s"<html><body>$text café</body></html>"
+            .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+      case _ =>
+        ("HTTP/1.1 301 Moved Permanently\r\nLocation: https://x.example/\r\n" +
+          "Content-Type: text/html\r\n\r\n").getBytes(utf8)
+    }
+  }
+
   /** Deterministic garbled-text fixture for the `text_mojibake_fix`
     * oracle — doc_id%5 selects the damage class: untouched ASCII,
     * legitimately-accented text the repair must NOT alter, single

@@ -460,24 +460,17 @@ object TextOps {
         ipv4Pattern, "<IP>"),
       ssnPattern, "<SSN>")
 
-  /** Multi-dot abbreviations protected before sentence splitting —
-    * matched as literal substrings (they carry their own dots, so a
-    * word-boundary anchor cannot cut them). Data, not logic: both the
-    * engine fold and the oracle's replace chain generate from this
-    * one list. */
-  val SentMultiDotAbbrevs: Seq[String] = Seq(
-    "e.g.", "E.g.", "i.e.", "I.e.", "a.m.", "p.m.", "A.M.", "P.M.",
-    "U.S.", "U.K.", "U.N.")
-
-  /** Single-token abbreviations whose trailing dot never ends a
-    * sentence — matched word-bounded and case-sensitive ("No. 5" is
-    * the abbreviation; "He said no." is not). Same shared-constant
-    * contract as [[SentMultiDotAbbrevs]]. */
-  val SentAbbrevs: Seq[String] = Seq(
-    "Mr", "Mrs", "Ms", "Dr", "Prof", "Rev", "Hon", "St", "Jr", "Sr",
-    "vs", "etc", "cf", "Inc", "Ltd", "Corp", "Co", "Fig", "Eq", "No",
-    "Vol", "Ch", "pp", "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug",
-    "Sep", "Sept", "Oct", "Nov", "Dec")
+  /** Sentence-segmentation constants — re-exports of the kernel's
+    * single source of truth (the [[BlockTagRe]] convention): multi-
+    * dot abbreviations (literal substrings — they carry their own
+    * dots, so a word boundary cannot cut them), word-bounded single
+    * abbreviations (case-sensitive: "No. 5" is the abbreviation,
+    * "He said no." is not), and the break rule. Data, not logic:
+    * the engine fold, the fused kernel, and the oracle's replace
+    * chain all generate from these lists. */
+  val SentMultiDotAbbrevs: Seq[String] =
+    graft.functions.Kernels.SentMultiDotAbbrevs
+  val SentAbbrevs: Seq[String] = graft.functions.Kernels.SentAbbrevs
 
   /** Sentence-break rule: terminator run (. ! ?), optional closing
     * quote/bracket, whitespace, then a sentence OPENER (capital,
@@ -485,8 +478,7 @@ object TextOps {
     * lookarounds so the same pattern runs under both Java regex and
     * the oracle's RE2; the explicit whitespace class is the
     * dialect-independent intersection of the two engines' `\s`. */
-  val SentBreakRe: String =
-    "([.!?]+[\"')\\]]*)[ \\t\\n\\r\\f]+([A-Z0-9\"'(\\[])"
+  val SentBreakRe: String = graft.functions.Kernels.SentBreakReStr
 
   /** Rule-based sentence segmentation: protect abbreviations (dots →
     * a sentinel), insert a break sentinel at [[SentBreakRe]]
@@ -494,10 +486,18 @@ object TextOps {
     * ("3.14") never split (no whitespace follows the dot); an
     * ellipsis followed by a lowercase continuation stays in its
     * sentence; a terminator inside closing quotes splits after the
-    * quote. Pure built-in expressions end to end — restated verbatim
-    * in the `text_sentences` oracle; sentinel bytes (U+0001/U+0002)
-    * are stripped from the input first, so the contract is total. */
-  def sentenceSplit(text: Column): Column = {
+    * quote. Sentinel bytes (U+0001/U+0002) are stripped from the
+    * input first, so the contract is total.
+    *
+    * Default path: the fused kernel
+    * ([[graft.functions.Kernels.sentenceSplitStr]]) — one call per
+    * doc instead of ~48 chained regex nodes. The pure-Column twin
+    * below ([[sentenceSplitColumns]]) is the restated-in-SQL oracle
+    * reference; SentenceSpec pins the two against each other. */
+  def sentenceSplit(text: Column): Column =
+    graft.functions.GraftFunctions.sentenceSplit(text)
+
+  def sentenceSplitColumns(text: Column): Column = {
     val s0 = regexp_replace(text, "[\u0001\u0002]", "")
     val s1 = SentMultiDotAbbrevs.foldLeft(s0)((acc, a) =>
       regexp_replace(acc, java.util.regex.Pattern.quote(a),

@@ -69,4 +69,27 @@ class SentenceSpec extends AnyFunSuite {
     assert(sents("") === Seq())
     assert(sents("   ") === Seq())
   }
+
+  test("fused kernel agrees with the Column formulation on every case") {
+    import spark.implicits._
+    val cases = Seq(
+      "One here. Two there! Three? Tail without end",
+      "Dr. Smith met Mr. Jones. They left.",
+      "See e.g. the appendix. Also i.e. the notes.",
+      "Meet at 5 p.m. At dawn we go. No. 5 is open.",
+      "Pi is 3.14 exactly. Euler has 2.71 too.",
+      "She said \"Stop.\" He did. It was (done.) Next came.",
+      "Wait... Then go.",
+      "It trails... and continues here.",
+      "version 2. of the spec says so.",
+      "Released 2020. 3000 units sold. \"Quoted start\" ended.",
+      "Sailed in Sept. 1620. Sept is also a word",
+      "Tab\tafter. Newline\nbreaks? Yes. done",
+      "", "   ", "A.", "..?!")
+    val got = cases.toDF("t").select(
+        TextOps.sentenceSplit(col("t")).as("k"),
+        TextOps.sentenceSplitColumns(col("t")).as("c"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    for (((k, c), in) <- got.zip(cases)) assert(k === c, s"in=$in")
+  }
 }
