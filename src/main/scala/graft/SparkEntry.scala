@@ -2512,6 +2512,36 @@ object SparkEntry {
         .orderBy("doc_id", "sent_no")
     }),
 
+    // page-metadata extraction (title / meta description / og:title /
+    // link canonical): title entity-decodes and whitespace-collapses,
+    // the description carries &quot; escapes, og/description/canonical
+    // appear only on their modulus classes ('' when absent); the
+    // oracle states every field closed-form from the mint arithmetic
+    "text_html_meta" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val d = col("doc_id")
+      val k = (d % 5).cast("string")
+      val p = (d % 25).cast("string")
+      val html = concat(
+        lit("<html><head><title> Doc "), d.cast("string"),
+        lit(" &amp;  more </title>"),
+        when(d % 2 === 0, concat(lit("<meta property=\"og:title\" content=\"OG "),
+          p, lit("\">"))).otherwise(lit("")),
+        when(d % 3 === 0, concat(
+          lit("<meta name=\"description\" content=\"Desc &quot;"), p,
+          lit("&quot; here\">"))).otherwise(lit("")),
+        when(d % 5 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://site"), k,
+          lit(".example/canon/"), p, lit("\">"))).otherwise(lit("")),
+        lit("</head><body><p>x</p></body></html>"))
+      docs.select(col("doc_id"), TextOps.htmlMeta(html).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"),
+          col("m.description").as("description"),
+          col("m.og_title").as("og_title"),
+          col("m.canonical").as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     // HTTP/1.x response parse between WARC ingest and charset decode
     // (a WARC response payload IS an HTTP message): status line,
     // case-insensitive headers (first wins), Content-Type media type
@@ -6879,6 +6909,21 @@ object SparkEntry {
            unnest(generate_series(1, len(ss))) AS i FROM sp)
          SELECT doc_id, CAST(i - 1 AS INT) AS sent_no, ss[i] AS sentence
          FROM e ORDER BY doc_id, sent_no""",
+
+    "text_html_meta" ->
+      """SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & more' AS title,
+           CASE WHEN doc_id % 3 = 0
+             THEN 'Desc "' || CAST(doc_id % 25 AS VARCHAR) || '" here'
+             ELSE '' END AS description,
+           CASE WHEN doc_id % 2 = 0
+             THEN 'OG ' || CAST(doc_id % 25 AS VARCHAR)
+             ELSE '' END AS og_title,
+           CASE WHEN doc_id % 5 = 0
+             THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example/canon/' || CAST(doc_id % 25 AS VARCHAR)
+             ELSE '' END AS canonical
+         FROM documents ORDER BY doc_id""",
 
     "ingest_http_responses" ->
       """WITH v AS (SELECT doc_id, doc_id % 6 AS k, text FROM documents),

@@ -511,6 +511,37 @@ object TextOps {
       x => x =!= "")
   }
 
+  /** Page metadata: struct(title, description, og_title, canonical)
+    * — the four head fields a crawl index keys on. `<title>` inner
+    * text entity-decodes and whitespace-collapses; the meta/link
+    * fields take the double-quoted `content`/`href` attribute with
+    * the `name`/`property`/`rel` selector BEFORE it (the dominant
+    * attribute order; documented scope). Missing fields are `''` —
+    * `regexp_extract`'s no-match value, identical in the oracle's
+    * dialect. Pure built-in expressions in the scan projection. */
+  def htmlMeta(html: Column): Column = {
+    def unesc(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&").foldLeft(c) {
+        case (acc, (from, to)) =>
+          F.replace(acc, lit(from), lit(to))
+      }
+    val title = trim(regexp_replace(
+      unesc(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)),
+      "\\s+", " "))
+    val desc = unesc(regexp_extract(html,
+      "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']description[\"'][^>]*" +
+        "content\\s*=\\s*\"([^\"]*)\"", 1))
+    val og = unesc(regexp_extract(html,
+      "(?is)<meta\\s[^>]*property\\s*=\\s*[\"']og:title[\"'][^>]*" +
+        "content\\s*=\\s*\"([^\"]*)\"", 1))
+    val canon = regexp_extract(html,
+      "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*" +
+        "href\\s*=\\s*\"([^\"]*)\"", 1)
+    struct(title.as("title"), desc.as("description"),
+      og.as("og_title"), canon.as("canonical"))
+  }
+
   /** Mojibake repair — UTF-8 text misdecoded as windows-1252/latin-1
     * ("Ã©" → "é", "â€™" → "'"), up to two rounds for the re-published
     * double-mojibake pathology; pure ASCII, legitimate accents, and
