@@ -2355,6 +2355,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the ZERO-SHUFFLE robots gate: the same wildcard matrix decided
+    // by the map-side formulation (per-host rule ARRAY broadcast,
+    // winner picked by an array fold in the projection — no max_by
+    // aggregation, no shuffle); same closed-form verdicts as
+    // url_robots_wildcards, so the two formulations are oracle-pinned
+    // to each other as well as spec-pinned
+    "url_robots_mapside" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val robots = robotsWildcardFixture(docs)
+      val m = col("doc_id") % 7
+      val path = element_at(array(
+        lit("/p/x.html"), lit("/p/x.htmlz"), lit("/q?sid=5"),
+        lit("/dl"), lit("/dl/x"), lit("/a b"), lit("/café")),
+        (m + 1).cast("int"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://wild"), (col("doc_id") % 2).cast("string"),
+          lit(".example"), path).as("url"))
+      Urls.robotsVerdictsMapSide(urls, col("url"), col("doc_id"), robots,
+        col("host"), col("robots_txt"), "graftbot")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed").cast(IntegerType).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // outlink extraction + RFC 3986 resolution: every anchor class a
     // real page carries — absolute (incl. an uppercase spelling kept
     // verbatim), scheme-relative, root-relative with an entity-encoded
@@ -6654,6 +6678,20 @@ object SparkEntry {
          FROM hosts ORDER BY host""",
 
     "url_robots_wildcards" ->
+      """SELECT doc_id,
+           'wild' || CAST(doc_id % 2 AS VARCHAR) || '.example' AS host,
+           CASE doc_id % 7
+             WHEN 0 THEN '/p/x.html' WHEN 1 THEN '/p/x.htmlz'
+             WHEN 2 THEN '/q?sid=5' WHEN 3 THEN '/dl'
+             WHEN 4 THEN '/dl/x' WHEN 5 THEN '/a%20b'
+             ELSE '/caf%C3%A9' END AS path,
+           CAST(CASE WHEN doc_id % 2 = 0
+             THEN CASE WHEN doc_id % 7 IN (1, 2, 3) THEN 0 ELSE 1 END
+             ELSE CASE WHEN doc_id % 7 IN (5, 6) THEN 0 ELSE 1 END
+           END AS INTEGER) AS allowed
+         FROM documents ORDER BY doc_id""",
+
+    "url_robots_mapside" ->
       """SELECT doc_id,
            'wild' || CAST(doc_id % 2 AS VARCHAR) || '.example' AS host,
            CASE doc_id % 7

@@ -315,6 +315,44 @@ object Urls {
         coalesce(col("__best"), lit(true)).as("allowed"))
   }
 
+  /** [[robotsVerdicts]] with ZERO aggregation: the per-host rule set
+    * rides as ONE array column (rules parse once on the tiny robots
+    * table), the URL side joins it host-keyed, and the RFC's
+    * most-octets/allow-wins winner is an array `filter` + `aggregate`
+    * fold evaluated IN the projection. Same output contract as
+    * [[robotsVerdicts]] (RobotsSpec pins the two against each other
+    * on the wildcard matrix).
+    *
+    * 100 TB shape: the rule table broadcasts, so the gate is
+    * shuffle-FREE — strictly better than the max_by formulation when
+    * rules fit an executor (they do: O(hosts × rules) next to the URL
+    * table). Aggregation-free also makes it legal on a STREAMING url
+    * frame (stream-static equi-join + projection, append mode, no
+    * watermark needed) — the streaming frontier gate uses exactly
+    * this path. */
+  def robotsVerdictsMapSide(urls: DataFrame, url: Column, id: Column,
+      robots: DataFrame, robotsHost: Column, robotsTxt: Column,
+      agent: String): DataFrame = {
+    val rules = robots.select(lower(robotsHost).as("host"),
+      graft.functions.GraftFunctions.robotsRules(robotsTxt, agent)
+        .as("__rules"))
+    val u = urls.select(id.as("doc_id"), url.as("url"),
+      hostOf(url).as("host"),
+      graft.functions.GraftFunctions.percentNormalize(pathQueryOf(url))
+        .as("path"))
+    val joined = u.join(broadcast(rules), Seq("host"), "left")
+    val matched = filter(col("__rules"),
+      r => like(col("path"), r.getField("like")))
+    val init = struct(lit(-1).as("rank"), lit(true).as("allow"))
+    val best = aggregate(matched, init, (acc, r) =>
+      when(r.getField("rank") > acc.getField("rank") ||
+          (r.getField("rank") === acc.getField("rank") && r.getField("allow")),
+        struct(r.getField("rank").as("rank"), r.getField("allow").as("allow")))
+        .otherwise(acc))
+    joined.select(col("doc_id"), col("url"), col("host"), col("path"),
+      coalesce(best.getField("allow"), lit(true)).as("allowed"))
+  }
+
   /** Per-host effective Crawl-delay for one crawler — the de-facto
     * politeness extension riding along with the RFC 9309 rules (group
     * selection is identical to [[robotsVerdicts]]; among the

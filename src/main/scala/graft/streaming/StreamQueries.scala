@@ -371,6 +371,43 @@ object StreamQueries {
       runChunks(mem, q, held.toSeq, 2); q.stop()
       s.read.parquet(out).orderBy("doc_id")
     }),
+
+    // Streaming robots-gated frontier: candidate URLs STREAM through
+    // the zero-aggregation map-side gate (per-host rule arrays
+    // broadcast, winner picked by an array fold in the projection) —
+    // a stream-static equi-join + projection, append mode, no
+    // watermark, no state store; the oracle states every verdict
+    // closed-form from the fixture policies (even hosts: graftbot
+    // group Disallow /private + Allow /private/ok; odd hosts: star
+    // Disallow /tmp + Allow /tmp/keep)
+    "stream_url_frontier_gate" -> ((s, dir) => withStreamPartitions(s, 8) {
+      implicit val sq = s.sqlContext
+      import s.implicits._
+      val ids = docSubset(s, dir, "lt400", col("doc_id") < 400)
+      val urlRows = ids.map { case (id, _) =>
+        val host = s"site${id % 5}.example"
+        val path = (id % 4) match {
+          case 0 => "/private"
+          case 1 => "/private/ok"
+          case 2 => "/tmp/x"
+          case _ => "/tmp/keep"
+        }
+        (id, s"https://$host$path")
+      }
+      val robots = SparkEntry.robotsFixture(
+        SparkEntry.table(s, dir, "documents"))
+      val mem = MemoryStream[(Long, String)]
+      val sdf = mem.toDF().select(col("_1").as("rid"), col("_2").as("u"))
+      val gated = StreamingIngest.frontierGateStream(sdf, col("u"),
+        col("rid"), robots, col("host"), col("robots_txt"), "graftbot")
+      val qn = s"graft_stream_q${qid.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      runChunks(mem, q, urlRows.toSeq, 2); q.stop()
+      drain(s, qn).select(col("doc_id").as("rid"), col("host"),
+          col("path"), col("allowed").cast(IntegerType).as("allowed"))
+        .orderBy("rid")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -386,6 +423,17 @@ object StreamQueries {
                 ELSE 'unchanged' END AS status,
            md5(o.text) AS old_fp, md5(nw.text) AS new_fp
          FROM nw LEFT JOIN o ON nw.doc_id = o.doc_id ORDER BY id""",
+
+    "stream_url_frontier_gate" ->
+      """SELECT doc_id AS rid,
+           'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+           CASE doc_id % 4 WHEN 0 THEN '/private' WHEN 1 THEN '/private/ok'
+             WHEN 2 THEN '/tmp/x' ELSE '/tmp/keep' END AS path,
+           CAST(CASE WHEN (doc_id % 5) % 2 = 0
+             THEN CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+             ELSE CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END
+           END AS INT) AS allowed
+         FROM documents WHERE doc_id < 400 ORDER BY rid""",
 
     "stream_ts_count_minute" ->
       s"""WITH sub AS ($subsetSql)

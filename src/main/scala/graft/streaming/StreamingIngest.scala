@@ -680,4 +680,19 @@ object StreamingIngest {
        else TimeColumns.bucket(col("w.start"), sp.resolution.get)).as("r_time"),
       col("value"))
   }
+
+  /** Robots-gated crawl frontier on a STREAMING url frame — the
+    * zero-aggregation map-side gate
+    * ([[graft.ops.Urls.robotsVerdictsMapSide]]): the per-host rule
+    * arrays broadcast as a stream-static equi-join and the RFC winner
+    * is an array fold in the projection, so the query runs in append
+    * mode with no watermark and NO state store — candidate URLs gate
+    * at wire speed as they are discovered. Returns the gate's
+    * (doc_id, url, host, path, allowed) rows as a streaming frame the
+    * caller sinks. */
+  def frontierGateStream(urls: DataFrame, url: Column, id: Column,
+      robots: DataFrame, robotsHost: Column, robotsTxt: Column,
+      agent: String): DataFrame =
+    graft.ops.Urls.robotsVerdictsMapSide(urls, url, id, robots,
+      robotsHost, robotsTxt, agent)
 }

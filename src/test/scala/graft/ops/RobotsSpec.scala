@@ -148,4 +148,37 @@ class RobotsSpec extends AnyFunSuite {
       col("host"), col("txt"), "g").collect().head.getAs[Boolean]("allowed")
     assert(got === true)
   }
+
+  test("map-side gate agrees with the max_by gate on the wildcard matrix") {
+    import spark.implicits._
+    // every rule mechanic at once: mid-rule wildcard, anchored
+    // wildcard Allow out-ranking a directory Disallow, bare-$ rule,
+    // percent-encoded rules, a no-robots host, and a no-match path
+    val robots = Seq(
+      ("w.example", "User-agent: *\nDisallow: /*?sid=\nAllow: /p/*.html$\n" +
+        "Disallow: /p/\nDisallow: /dl$\n"),
+      ("x.example", "User-agent: *\nDisallow: /a b\nDisallow: /caf%c3%a9\n"))
+      .toDF("host", "txt")
+    val urls = Seq(
+      "https://w.example/p/x.html", "https://w.example/p/x.htmlz",
+      "https://w.example/q?sid=5", "https://w.example/dl",
+      "https://w.example/dl/x", "https://w.example/free",
+      "https://x.example/a%20b", "https://x.example/café",
+      "https://x.example/plain", "https://norobots.example/y")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        String) => org.apache.spark.sql.DataFrame): Seq[(Long, Boolean)] =
+      f(urls, col("url"), col("doc_id"), robots, col("host"), col("txt"),
+        "graftbot")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Boolean]("allowed"))).toSeq
+    val agg = run(Urls.robotsVerdicts)
+    val map = run(Urls.robotsVerdictsMapSide)
+    assert(map === agg)
+    assert(agg.map(_._2) === Seq(true, false, false, false, true, true,
+      false, false, true, true))
+  }
 }
