@@ -121,7 +121,11 @@ object GraftExtensions {
       fn("graft_lang_marker_counts", classOf[LangMarkerCounts], 1)(
         es => LangMarkerCounts(es.head)),
       fn("graft_repetition_stats", classOf[RepetitionStats], 1)(
-        es => RepetitionStats(es.head)))
+        es => RepetitionStats(es.head)),
+      // aggregate: the analyzer wraps a bare AggregateFunction from a
+      // registry builder in its AggregateExpression
+      fn("graft_count_by_value", classOf[CountByValue], 1)(
+        es => CountByValue(es.head)))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

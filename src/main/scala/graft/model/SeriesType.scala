@@ -112,15 +112,17 @@ case object HistogramT extends SeriesType {
     foldStates(states, (a, b) =>
       map_zip_with(a, b, (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L))))
   def foldExpr(value: Column, ord: Column): Column = {
-    // one streaming-legal aggregation: fold the collected values into a
-    // value→count map (the batch path's two-level groupBy is illegal on
-    // a stream). Initial = empty map of the VALUE's type, derived via an
-    // empty slice so no type is hardcoded.
-    val lst = collect_list(value)
-    val init = map_from_entries(transform(slice(lst, 1, 0), v => struct(v, lit(1L))))
-    F.aggregate(lst, init,
-      (acc, v) => map_zip_with(acc, map_from_entries(array(struct(v, lit(1L)))),
-        (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L))))
+    // one streaming-legal aggregation: an incremental value→count map
+    // ([[graft.functions.CountByValue]]) whose buffer — and therefore
+    // the streaming state-store row per bucket — is O(distinct values),
+    // not O(rows). The previous collect_list-then-fold shape buffered
+    // every raw value in state, so one hot bucket grew linearly forever
+    // within its watermark; the typed aggregate matches the reference's
+    // per-bucket hash state (redis_backend.py:282-286 HINCRBY).
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.CountByValue(GraftColumnBridge.expression(value))
+        .toAggregateExpression())
   }
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = {
     def entries = map_entries(data)

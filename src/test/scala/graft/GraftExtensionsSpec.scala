@@ -42,6 +42,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1).length === 3) // distinct 2-grams of 4 tokens
   }
 
+  test("count_by_value aggregate resolves through SQL and counts per value") {
+    import spark.implicits._
+    Seq(("g", 1.0), ("g", 2.0), ("g", 1.0), ("h", 3.0))
+      .toDF("k", "v").createOrReplaceTempView("tcv")
+    val m = spark.sql(
+      "SELECT k, graft_count_by_value(v) AS h FROM tcv GROUP BY k ORDER BY k")
+      .collect().map(r => r.getString(0) -> r.getMap[Double, Long](1)).toMap
+    assert(m("g") === Map(1.0 -> 2L, 2.0 -> 1L))
+    assert(m("h") === Map(3.0 -> 1L))
+  }
+
   test("SQL values match the Column API bit-for-bit") {
     import spark.implicits._
     val df = Seq("the quick brown fox the quick").toDF("x")

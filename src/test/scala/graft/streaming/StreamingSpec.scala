@@ -139,6 +139,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming histogram state is O(distinct values), not O(rows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Same row count, same single (name, hour-window) group, two runs:
+    // A = duplicate-heavy (4 distinct values), B = all-distinct (3000
+    // values). With the CountByValue fold the state-store row per
+    // bucket is the serialized value→count map, so A's state must be a
+    // small fraction of B's (the old collect_list fold buffered every
+    // raw value — both runs would weigh the same).
+    def run(values: Seq[Double]): (Long, Long, Map[Double, Long]) = {
+      val t = new Timeseries(spark, HistogramT, minuteHour)
+      val mem = MemoryStream[(String, Long, Double)]
+      val events = mem.toDF()
+        .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"),
+          col("_3").as("value"))
+      val agg = StreamingIngest.aggregateStream(t, events, "hour",
+        col("name"), col("ts"), col("value"))
+      val qn = s"stream_hist_state_${values.distinct.size}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      // two micro-batches so cross-batch state merge is exercised
+      // all event times inside ONE minute window (hour interval has
+      // minute resolution here) so each run holds exactly one group
+      val rows = values.zipWithIndex.map { case (v, i) => ("h", T0 + 1 + (i % 50), v) }
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val prog = q.recentProgress.flatMap(_.stateOperators)
+      val stateBytes = prog.map(_.memoryUsedBytes).max
+      val stateRows = prog.map(_.numRowsTotal).max
+      val hist = spark.table(qn).select(explode(col("value")))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      q.stop()
+      (stateBytes, stateRows, hist)
+    }
+
+    val n = 3000
+    val (bytesA, rowsA, histA) = run(Seq.tabulate(n)(i => (i % 4).toDouble))
+    val (bytesB, rowsB, histB) = run(Seq.tabulate(n)(i => i.toDouble))
+
+    // one state row per (name, window) group in both runs
+    assert(rowsA === 1L && rowsB === 1L)
+    // correctness: counts fold exactly
+    assert(histA === (0 until 4).map(v => v.toDouble -> (n / 4).toLong).toMap)
+    assert(histB.size === n && histB.values.forall(_ === 1L))
+    // the scaling claim: duplicate-heavy state is a small fraction of
+    // all-distinct state at equal row counts (collect_list state would
+    // make these equal)
+    assert(bytesA * 4 < bytesB,
+      s"histogram state not O(distinct): 4-distinct run $bytesA B vs $n-distinct run $bytesB B")
+  }
+
   test("watermark drops data later than the TTL horizon and finalizes state (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
