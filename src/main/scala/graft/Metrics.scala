@@ -327,6 +327,57 @@ object Metrics {
       Some(1.0), None, auTruth.size,
       "indexed read path vs brute audio-fp hamming<=3 pairs touching the channel-swap increment — blocking exact")
 
+    // char-n-gram indexed funnel: same signature store the
+    // dedup_ngram_indexed registration builds (chargram mode, 128x16),
+    // truth = the exact char-3-gram pairs touching the id<50 increment;
+    // floor at the inline funnel's level (0.90)
+    val ngStore = s"$idxRoot/ngramidx"
+    Dedup.buildMinhashIndex(sample.filter(col("doc_id") >= 50), col("text"),
+      col("doc_id"), ngStore, shingleK = 3, numHashes = 128, bands = 16,
+      mode = "chargram")
+    val ngTruth = touching(exactNgram, _ < 50)
+    out += Row("dedup_ngram_indexed", "pair_recall",
+      recall(ngTruth, pairSet(Dedup.nearDupAgainstIndex(spark, ngStore,
+        sample.filter(col("doc_id") < 50), col("text"), col("doc_id"),
+        jaccardThreshold = 0.8))),
+      Some(0.90), None, ngTruth.size,
+      "indexed read path vs exact char-3-gram Jaccard>=0.8 pairs touching the id<50 increment")
+
+    // embedding-cosine indexed funnel, measured on the SAME planted
+    // near-dup contract as dedup_embed_pairs_planted: the real vectors
+    // are the store, the md5-rescaled twins are the increment (every
+    // truth pair touches the increment by construction). The registered
+    // 0.45-threshold read sits in the corpus background band (S-curve
+    // bound, like the inline funnel) so the contract row is the planted
+    // one; floor = the inline planted floor (0.85).
+    val ceStore = s"$idxRoot/cosidx"
+    Similarity.buildCosineIndex(emb, col("vec_id"), col("embedding"),
+      ceStore, planes = 8, tables = 16)
+    out += Row("dedup_embed_indexed", "pair_recall",
+      recall(plantedTruth, pairSet(Similarity.cosinePairsAgainstIndex(spark,
+        ceStore, planted, col("vec_id"), col("embedding"), threshold = 0.8))),
+      Some(0.85), None, plantedTruth.size,
+      "indexed read path, planted near-dup twins (exact cos~0.89) as increment vs real-vector store, " +
+      "threshold 0.8 planes=8 tables=16 — the inline planted contract through the store")
+
+    // IVF indexed read path: same build/probe params as the
+    // ann_ivf_indexed registration (nlist=16, nprobe=6), recall@10 vs
+    // the brute truth on the 50 metric queries; floor = inline IVF's
+    val ivfStore = s"$idxRoot/ivf"
+    Similarity.buildIvfIndex(emb, ivfStore, nlist = 16)
+    annRow("ann_ivf_indexed", 0.70,
+      Similarity.ivfTopKIndexed(spark, ivfStore, queries, k = 10, nprobe = 6),
+      "persisted IVF index (nlist=16 nprobe=6, ann_ivf_indexed params) — probed-partition read path")
+
+    // PQ indexed read path: pqTopKStored is ADC-only (no refine), so
+    // its floor is the ADC floor (0.35, the ann_pq_adc row), not the
+    // refined inline registration's
+    val pqStore = s"$idxRoot/pqidx"
+    Similarity.buildPqIndex(emb, pqStore)
+    annRow("ann_pq_indexed", 0.35,
+      Similarity.pqTopKStored(spark, pqStore, queries, k = 10),
+      "persisted PQ code table (m=16 ks=16, ann_pq_indexed params) — ADC-only read path, floor = ADC floor")
+
     // ---------------- sketch error bounds ------------------------------
     // count-min: est >= true always; overestimate <= e/width * N w.p.
     // 1 - e^-depth per key
@@ -362,6 +413,34 @@ object Metrics {
     out += Row("hll_tokens_by_source", "max_rel_error",
       if (hllErr.isEmpty) 0.0 else hllErr.max, None, Some(0.15),
       hllErr.length, "per-source distinct-token estimate vs exact; ceiling 3x default rsd 0.05")
+
+    // ts_set_approx_hour: the approximate set-cardinality read
+    // (approx_count_distinct per (name, hour) bucket, default rsd
+    // 0.05) vs the exact per-bucket distinct of ts_set_card_hour, on
+    // the SAME event log the registration folds — ceiling 3x rsd,
+    // the hll_tokens_by_source pattern
+    val setLog = SparkEntry
+      .eventLog(spark, dir, graft.model.SetT, SparkEntry.hourFine)
+      .log.filter(col("interval") === "hour")
+    // bucket cardinalities here are tiny (<= ~50 distinct values per
+    // (name, hour)), squarely in HLL++'s linear-counting regime where
+    // the estimate is integer-quantized — allow one count of slack
+    // before the 3x-rsd relative ceiling applies (an off-by-one at
+    // exact=2 is 50% "rel error" but zero evidence of sketch damage;
+    // an off-by-TWO fails the row)
+    val setErr = setLog.groupBy("name", "i_time")
+      .agg(approx_count_distinct(col("value")).as("approx_card"),
+        countDistinct(col("value")).as("exact_card"))
+      .select(greatest(lit(0.0),
+        (abs(col("approx_card") - col("exact_card")) - lit(1.0)) /
+          col("exact_card")))
+      .collect().map(_.getDouble(0))
+    out += Row("ts_set_approx_hour", "max_rel_error",
+      if (setErr.isEmpty) 0.0 else setErr.max, None, Some(0.15),
+      setErr.length,
+      "per-(name,hour) approx_count_distinct vs exact set cardinality on the event log, " +
+      "rel error after an off-by-one allowance (linear-counting regime, buckets <= ~50 distinct); " +
+      "ceiling 3x default rsd 0.05")
 
     // Bloom: measured FPR on keys guaranteed absent vs the analytic rate
     val mBits = 1L << 16
