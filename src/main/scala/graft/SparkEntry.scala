@@ -2043,6 +2043,21 @@ object SparkEntry {
         .presentSorted("rank")
     }),
 
+    // the tokenizer under the strict 5-merge table on a bounded doc
+    // sample, fully DuckDB-oracled: per-word token counts fall out of
+    // the training unroll's FINAL symbol table (strict training
+    // application ≡ rank-order tokenization for the same merges), so
+    // the oracle needs no second application pass — it counts sl5
+    // rows per word and sums them over each sampled doc's words
+    "bpe_token_count_exact_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = Bpe.trainBatched(docs, col("text"), numMerges = 5,
+        maxBatch = 1).map(m => (m.a, m.b))
+      docs.filter(col("doc_id") < 300).select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // the tokenizer those merges induce, applied back over the corpus
     // (rows-only; per-doc counts matched against the reference in
     // BpeSpec)
@@ -3067,6 +3082,18 @@ object SparkEntry {
         col("doc_id"), col("q"), k = 200)
         .select("doc_id")),
 
+    // portable twin of sample_quality_weighted: the same A-Res draw
+    // with an md5-derived uniform and a 6-decimal score grid + id
+    // tiebreak, so the ENTIRE weighted draw — quality weight, uniform,
+    // log-score, top-k — reproduces in DuckDB and is fully oracled
+    // (the xxhash64 operator above stays the engine-local default)
+    "sample_quality_weighted_portable" -> ((s, dir) =>
+      Sampling.weightedTakeKPortable(
+        table(s, dir, "documents")
+          .withColumn("q", TextOps.qualityScoreFused(col("text"))),
+        col("doc_id"), col("q"), k = 200)
+        .select("doc_id").orderBy("doc_id")),
+
     // portable twin of sample_bernoulli: md5 hex-threshold selection
     // reproduces byte-identically in ANY md5-capable engine, so this
     // one is fully DuckDB-oracled (the xxhash64 operator above stays
@@ -3435,6 +3462,60 @@ object SparkEntry {
     (1 to n).map(i =>
       s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (n - i))}")
       .mkString("(", " + ", ")")
+
+  /** Shared CTE chain of the BPE exact-sample oracles: strict
+    * (maxBatch=1) BPE training unrolled `n` rounds over the full
+    * corpus word table — w/wi/c/s0/sl0 plus per-round
+    * p_t/m_t/cand_t/keep_t/sl_t. Per round: the argmax pair over the
+    * long-format symbol table, then greedy left-to-right
+    * non-overlapping application — candidate positions grouped into
+    * runs of consecutive matches (pos - row_number), keeping even
+    * offsets from each run head, which IS the left-to-right rule (a
+    * freshly merged symbol never re-merges in-pass). MATERIALIZED
+    * everywhere: each round references its predecessor 3x and plain
+    * CTE inlining goes exponential. Callers prepend "WITH " and
+    * append their final SELECT over m1..m`n` / sl`n`. */
+  private def bpeTrainSql(n: Int): String = {
+    def round(t: Int): String = {
+      val p = s"sl${t - 1}"
+      s"""p$t AS MATERIALIZED (SELECT s.wid, s.pos, s.sym AS a,
+             nx.sym AS b, s.wcount
+           FROM $p s JOIN $p nx ON nx.wid = s.wid AND nx.pos = s.pos + 1),
+         m$t AS MATERIALIZED (SELECT a, b,
+             CAST(sum(wcount) AS BIGINT) AS freq FROM p$t
+           GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1),
+         cand$t AS MATERIALIZED (SELECT p.wid, p.pos FROM p$t p, m$t m
+           WHERE p.a = m.a AND p.b = m.b),
+         keep$t AS MATERIALIZED (SELECT wid, pos FROM
+             (SELECT wid, pos, min(pos) OVER (PARTITION BY wid, grp) AS rs
+              FROM (SELECT wid, pos,
+                  pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
+                FROM cand$t))
+           WHERE (pos - rs) % 2 = 0),
+         sl$t AS MATERIALIZED (SELECT wid, wcount,
+             row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
+           FROM (SELECT s.wid, s.wcount, s.pos,
+               CASE WHEN k.pos IS NOT NULL
+                 THEN s.sym || (SELECT b FROM m$t) ELSE s.sym END AS sym
+             FROM $p s
+             LEFT JOIN keep$t k ON s.wid = k.wid AND s.pos = k.pos
+             LEFT JOIN keep$t k2 ON s.wid = k2.wid AND s.pos = k2.pos + 1
+             WHERE k2.pos IS NULL))"""
+    }
+    val rounds = (1 to n).map(round).mkString(",\n         ")
+    s"""w AS MATERIALIZED (SELECT word, count(*) AS wcount FROM
+           (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+            FROM documents) t
+           WHERE length(word) > 0 GROUP BY 1),
+       wi AS MATERIALIZED (SELECT row_number() OVER (ORDER BY word) AS wid,
+           word, wcount FROM w),
+       c AS MATERIALIZED (SELECT wid, wcount,
+           regexp_split_to_array(word, '') AS ch FROM wi),
+       s0 AS MATERIALIZED (SELECT wid, wcount,
+           unnest(generate_series(1, len(ch))) AS pos, ch FROM c),
+       sl0 AS MATERIALIZED (SELECT wid, wcount, pos, ch[pos] AS sym FROM s0),
+       $rounds"""
+  }
 
   /** Shared CTE pair of the graph oracles: `nn` (node count as BIGINT
     * `nb` for the modulus / DOUBLE `nd` for rank arithmetic) and `e`,
@@ -4950,6 +5031,28 @@ object SparkEntry {
            '${graft.ops.Mix.hexThreshold(0.25)}'
          ORDER BY doc_id""",
 
+    // the A-Res weighted draw end to end: UNROUNDED quality weight
+    // (bit-identical IEEE ops; its rounded form is hash-proven by
+    // text_langid_quality), 52-bit md5 uniform, ln-score on a
+    // 6-decimal grid with doc_id tiebreak
+    "sample_quality_weighted_portable" ->
+      s"""WITH t0 AS (SELECT doc_id, text,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         t AS (SELECT doc_id,
+           least(length(text)/500.0, 1.0)*0.25
+             + (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/greatest(length(text), 1))*0.35
+             + least((len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x)))
+                 / greatest(len(toks), 1))*5.0, 1.0)*0.2
+             + CASE WHEN (length(regexp_replace(text, '\\s+', '', 'g'))/greatest(len(toks), 1))
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END*0.2 AS q
+           FROM t0),
+         s AS (SELECT doc_id,
+           round(ln((${hexValSql("md5(CAST(doc_id AS VARCHAR) || '#42')", 13)} + 1)
+             / 4503599627370496.0) / q, 6) AS score
+           FROM t WHERE q > 0)
+         SELECT doc_id FROM (SELECT doc_id FROM s ORDER BY score DESC, doc_id LIMIT 200)
+         ORDER BY doc_id""",
+
     "sample_stratified_portable" ->
       s"""SELECT doc_id, source FROM documents
          WHERE md5(CAST(doc_id AS VARCHAR) || '#42') <
@@ -6342,58 +6445,33 @@ object SparkEntry {
          ORDER BY freq DESC, a, b LIMIT 50""",
 
     "bpe_merges_exact_sample" -> {
-      // strict BPE unrolled: per round, the argmax pair over the
-      // long-format symbol table, then greedy left-to-right
-      // non-overlapping application — candidate positions grouped
-      // into runs of consecutive matches (pos - row_number), keeping
-      // even offsets from each run head, which IS the left-to-right
-      // rule (a freshly merged symbol never re-merges in-pass).
-      // MATERIALIZED everywhere: each round references its
-      // predecessor 3x and plain CTE inlining goes exponential
-      def round(t: Int): String = {
-        val p = s"sl${t - 1}"
-        s"""p$t AS MATERIALIZED (SELECT s.wid, s.pos, s.sym AS a,
-               nx.sym AS b, s.wcount
-             FROM $p s JOIN $p nx ON nx.wid = s.wid AND nx.pos = s.pos + 1),
-           m$t AS MATERIALIZED (SELECT a, b,
-               CAST(sum(wcount) AS BIGINT) AS freq FROM p$t
-             GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1),
-           cand$t AS MATERIALIZED (SELECT p.wid, p.pos FROM p$t p, m$t m
-             WHERE p.a = m.a AND p.b = m.b),
-           keep$t AS MATERIALIZED (SELECT wid, pos FROM
-               (SELECT wid, pos, min(pos) OVER (PARTITION BY wid, grp) AS rs
-                FROM (SELECT wid, pos,
-                    pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
-                  FROM cand$t))
-             WHERE (pos - rs) % 2 = 0),
-           sl$t AS MATERIALIZED (SELECT wid, wcount,
-               row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
-             FROM (SELECT s.wid, s.wcount, s.pos,
-                 CASE WHEN k.pos IS NOT NULL
-                   THEN s.sym || (SELECT b FROM m$t) ELSE s.sym END AS sym
-               FROM $p s
-               LEFT JOIN keep$t k ON s.wid = k.wid AND s.pos = k.pos
-               LEFT JOIN keep$t k2 ON s.wid = k2.wid AND s.pos = k2.pos + 1
-               WHERE k2.pos IS NULL))"""
-      }
-      val rounds = (1 to 5).map(round).mkString(",\n         ")
       val finalSel = (1 to 5)
         .map(t => s"SELECT CAST($t AS BIGINT) AS rank, a, b, freq FROM m$t")
         .mkString("\n           UNION ALL ")
-      s"""WITH w AS MATERIALIZED (SELECT word, count(*) AS wcount FROM
-             (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
-              FROM documents) t
-             WHERE length(word) > 0 GROUP BY 1),
-         wi AS MATERIALIZED (SELECT row_number() OVER (ORDER BY word) AS wid,
-             word, wcount FROM w),
-         c AS MATERIALIZED (SELECT wid, wcount,
-             regexp_split_to_array(word, '') AS ch FROM wi),
-         s0 AS MATERIALIZED (SELECT wid, wcount,
-             unnest(generate_series(1, len(ch))) AS pos, ch FROM c),
-         sl0 AS MATERIALIZED (SELECT wid, wcount, pos, ch[pos] AS sym FROM s0),
-         $rounds
+      s"""WITH ${bpeTrainSql(5)}
          SELECT * FROM ($finalSel) ORDER BY rank"""
     },
+
+    // the tokenizer those merges induce, on the doc_id<300 sample:
+    // strict training application IS rank-order tokenization for the
+    // same merge table, so a word's token count after 5 rounds is its
+    // sl5 row count — summed over each sampled doc's words (LEFT
+    // JOINs keep zero-word docs at n_bpe=0, matching the kernel)
+    "bpe_token_count_exact_sample" ->
+      s"""WITH ${bpeTrainSql(5)},
+         wt AS MATERIALIZED (SELECT wi.word, cnt.ntok FROM wi JOIN
+             (SELECT wid, count(*) AS ntok FROM sl5 GROUP BY 1) cnt
+             USING (wid)),
+         dw AS (SELECT doc_id, word FROM
+             (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+              FROM documents WHERE doc_id < 300)
+           WHERE length(word) > 0)
+         SELECT d.doc_id, CAST(coalesce(sum(wt.ntok), 0) AS BIGINT) AS n_bpe
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+         LEFT JOIN dw ON d.doc_id = dw.doc_id
+         LEFT JOIN wt ON dw.word = wt.word
+         GROUP BY 1 ORDER BY 1""",
 
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id,

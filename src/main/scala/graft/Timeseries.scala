@@ -101,9 +101,19 @@ class Timeseries(
   private var attached: Option[DataFrame] = None
 
   /** kairos insert(name, value, timestamp, intervals) — timeseries.py:
-    * 439-472. Count-type default increment is 1 (:925-926). */
+    * 439-472. Count-type default increment is 1 (:925-926). A
+    * collection value routes to the bulk path (timeseries.py:458-461):
+    * one datapoint per element at the same timestamp, in element
+    * order — `insert("s", Seq(1, 2))` ≡ two inserts. */
   def insert(name: String, value: Any = 1.0, timestamp: Double, intervalsFanout: Int = 0): Unit =
-    buffer += ((name, if (value == null) null else value.toString, timestamp, intervalsFanout))
+    value match {
+      case vs: Iterable[_] =>
+        vs.foreach(v => insert(name, v, timestamp, intervalsFanout))
+      case vs: Array[_] =>
+        vs.foreach(v => insert(name, v, timestamp, intervalsFanout))
+      case _ =>
+        buffer += ((name, if (value == null) null else value.toString, timestamp, intervalsFanout))
+    }
 
   /** insert with timestamp defaulted to now (timeseries.py:455). */
   def insertNow(name: String, value: Any = 1.0): Unit =

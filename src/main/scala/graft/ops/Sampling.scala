@@ -95,4 +95,26 @@ object Sampling {
       .orderBy(score.desc)
       .limit(k)
   }
+
+  /** Portable weighted take-k: [[weightedTakeK]]'s A-Res draw with
+    * every ingredient reproducible in ANY md5-capable engine. The
+    * uniform derives from the first 13 hex digits of md5(key·seed):
+    * u = (h+1)·2⁻⁵² ∈ (0,1], integer-exact in double on both sides.
+    * The log-domain score is rounded to 6 decimals with the key as
+    * tiebreak — coarse enough that a ≤2-ulp cross-engine ln()
+    * divergence cannot reorder the draw, fine enough (~1.8e8 score
+    * cells over the score range) that inclusion odds stay
+    * weight-proportional. Same O(k) TakeOrdered plan. Use
+    * [[weightedTakeK]] when only Spark-side reproducibility matters
+    * (xxhash64 is cheaper than md5). */
+  def weightedTakeKPortable(df: DataFrame, key: Column, weight: Column,
+      k: Int, seed: Long = 42L): DataFrame = {
+    val h13 = conv(substring(Mix.ordHash(key, seed), 1, 13), 16, 10)
+      .cast(DoubleType)
+    val u = (h13 + lit(1.0)) / lit(4503599627370496.0) // 2^52: exact
+    val score = round(log(u) / weight.cast(DoubleType), 6)
+    df.filter(weight.cast(DoubleType) > 0)
+      .orderBy(score.desc, key.asc)
+      .limit(k)
+  }
 }

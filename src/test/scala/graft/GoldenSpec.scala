@@ -365,6 +365,32 @@ class GoldenSpec extends AnyFunSuite {
     assert(g.get(Seq("stat"), "minute", Td(0)).collect().head.getString(1) === "b")
   }
 
+  test("list-valued insert routes to the bulk path (timeseries.py:455-461)") {
+    // insert(name, [v1, v2, ...]) ≡ one datapoint per element at the
+    // same timestamp — NOT a stringified collection
+    val ser = mk(SeriesT)
+    ser.insert("test", Seq(1.0, 2.0, 3.0), Td(1))
+    ser.insert("test", 4.0, Td(2))
+    assert(coarseMap(ser.get(Seq("test"), "minute", Td(0)))(T(0)) ===
+      Seq(1L, 2L, 3L, 4L))
+
+    val cnt = mk(CountT)
+    cnt.insert("test", Seq(1.0, 2.0, 3.0), Td(1))
+    assert(coarseScalar(cnt.get(Seq("test"), "minute", Td(0)))(T(0)) === 6.0)
+
+    val st = new Timeseries(spark, SetT, minuteHour, valueType = StringType)
+    st.insert("stat", List("login", "logout", "login"), Td(1))
+    st.insert("stat", Array("42"), Td(2))
+    assert(st.get(Seq("stat"), "minute", Td(0)).collect().head
+      .getSeq[String](1).toSet === Set("login", "logout", "42"))
+
+    // gauge keeps the LAST element of the list — element order is
+    // arrival order through the bulk path
+    val g = mk(GaugeT)
+    g.insert("test", Seq(7.0, 8.0, 9.0), Td(1))
+    assert(g.get(Seq("test"), "minute", Td(0)).collect().head.getLong(1) === 9L)
+  }
+
   test("bulk insert None-timestamp maps to now (timeseries.py:424-428)") {
     val t = mk(CountT)
     t.bulkInsertOpt(Map(
