@@ -289,7 +289,25 @@ object Bench {
     // in (seeded runs shuffle it; position effects are measurable
     // only if the artifact records position) and the fork batch size
     // (fresh-JVM batches make the numbers position-independent)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    // artifact guard: a fork-tagged file is the committed,
+    // position-independent measurement (fresh-JVM batches); an
+    // unforked run — the driver's single-session bench, a debug
+    // subset — must not clobber it. Such writes land in a sidecar.
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val outPath = {
+      val p = java.nio.file.Paths.get(requested)
+      val existingForked =
+        try java.nio.file.Files.exists(p) &&
+          """"fork"\s*:\s*\d""".r
+            .findFirstIn(java.nio.file.Files.readString(p)).isDefined
+        catch { case _: Exception => false }
+      if (existingForked && forked.isEmpty) {
+        val side = requested + ".unforked.json"
+        System.err.println(
+          s"[bench] $requested is fork-tagged; unforked run writes $side instead")
+        side
+      } else requested
+    }
     val orderJson = results.map(r => jEsc(r._1)).mkString("[", ",", "]")
     val seedJson = sys.env.get("SPARK_GRAFT_BENCH_SEED")
       .map(s => jEsc(s.trim)).getOrElse("null")

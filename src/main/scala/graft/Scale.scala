@@ -406,7 +406,11 @@ object Scale {
       "that ramp the per-hop exponent falls back toward 1. The " +
       "window probe join is SHUFFLE_HASH on the O(n) ranked side " +
       "(r10): the 9x array-bearing probe stream is never sorted - " +
-      "zero spill at every mult (was 6.1 GB at m=64 under SMJ)."),
+      "zero spill at every mult (was 6.1 GB at m=64 under SMJ). " +
+      "Rank buckets are sampled (key, id) range cuts (r12, one extra " +
+      "pruned key-scan): balanced under ANY key-prefix skew - the " +
+      "snm_prefix_skew pathology drives 90pct shared-prefix keys and " +
+      "records the max rank-bucket share."),
     "text_sparse_cosine_pairs" -> ("dfFrac=0.025 proportional cap " +
       "replaces the r8 absolute dfCap=2000 whose just-under-cap " +
       "posting lists minted Sigma df^2 partial rows (non-monotone: " +
@@ -589,6 +593,27 @@ object Scale {
       .collect()(0)
     val hubIsTop = hubTop.getLong(hubTop.fieldIndex("node")) == 0L
 
+    // SNM prefix skew: 90% of sort keys share the leading bytes — the
+    // sampled (key, id) range cuts must keep the rank exchange
+    // balanced where fixed first-codepoint buckets would funnel 90%
+    // of the corpus into ONE rank task (the id tiebreak lets cuts
+    // split identical keys, so no distribution can defeat it)
+    val skewedDocs = docsMax.select(col("doc_id"),
+      concat(when(pmod(col("doc_id"), lit(10)) < 9, lit("zz "))
+        .otherwise(lit("")), col("text")).as("text"))
+    val snmSkewT0 = System.nanoTime()
+    val snmSkewPairs = Dedup.sortedNeighborhoodPairs(skewedDocs,
+      col("text"), col("doc_id"), sortKeyLen = 24, window = 10,
+      shingleK = 2, threshold = 0.3).count()
+    val snmSkewSec = (System.nanoTime() - snmSkewT0) / 1e9
+    val snmBuckets = Dedup.globalRankByKey(
+      skewedDocs.select(col("doc_id"),
+        lower(substring(trim(col("text")), 1, 24)).as("__k")), 256)
+      .groupBy("__b").count()
+    val snmSkewN = skewedDocs.count()
+    val snmMaxShare = snmBuckets.agg(max(col("count"))).collect()(0)
+      .getLong(0).toDouble / snmSkewN
+
     // log-log exponents between first and last scale point
     val names = sel.map(_._1)
     val fits = names.map { name =>
@@ -633,7 +658,11 @@ object Scale {
       s""""hot_gram":{"boilerplate_docs":$boilerDocs,"docs_with_span_detected":$boilerDocsHit},""" +
       s""""stopword_postings":{"df_cap":$DfCap,"hash_buckets_dropped":$bucketsDropped,""" +
       s""""hash_buckets_total":$bucketsTotal},""" +
-      s""""hub_node":{"in_degree_share":0.25,"hub_is_top_ranked":$hubIsTop}}"""
+      s""""hub_node":{"in_degree_share":0.25,"hub_is_top_ranked":$hubIsTop},""" +
+      s""""snm_prefix_skew":{"docs":$snmSkewN,"skew_share":0.9,""" +
+      s""""pairs":$snmSkewPairs,"sec":${jNum(snmSkewSec)},"rank_buckets":256,""" +
+      s""""max_rank_bucket_share":${jNum(snmMaxShare)},""" +
+      s""""balanced":${snmMaxShare < 0.05}}}"""
     // ---- self-consistency gate: refuse to commit an artifact whose
     // numbers contradict its own notes (spill budgets, claimed
     // exponents). The rejected artifact is still written (to

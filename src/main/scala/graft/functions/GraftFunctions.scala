@@ -544,6 +544,25 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Bucket index of (key, id) against ascending (cutKey, cutId) cut
+    * points: the count of cuts <= (key, id), by binary search over
+    * the lexicographic (binary-collated key, id) order — exactly the
+    * order `ORDER BY key, id` sorts by. The bucket assignment behind
+    * sample-balanced rank partitioning: because the id tiebreak makes
+    * the order TOTAL, cut points can split even a run of identical
+    * keys, so no key-distribution skew can funnel a bucket. */
+  def rangeBucket(key: UTF8String, id: Long,
+      cutKeys: Array[UTF8String], cutIds: Array[Long]): Int = {
+    var lo = 0
+    var hi = cutKeys.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = cutKeys(mid).compareTo(key)
+      if (c < 0 || (c == 0 && cutIds(mid) <= id)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Polynomial rolling-hash fingerprint over the CODEPOINTS of a
     * whitespace-normalized, lowercased text: h = (h*31 + cp) mod
     * 1e9+7. Codepoint iteration + the prime modulus keep it exactly
@@ -1346,9 +1365,12 @@ object Kernels {
     if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
       return row(0, "", "", "", 0, b)
     val parts = lines(0).split(" +")
+    // length <= 9 keeps toInt overflow-safe: a hostile status line
+    // like "HTTP/1.1 99999999999 OK" is malformed DATA (status-0
+    // whole-payload row), not a task-killing NumberFormatException
     val status =
-      if (parts.length >= 2 && parts(1).forall(_.isDigit) &&
-        parts(1).nonEmpty) parts(1).toInt
+      if (parts.length >= 2 && parts(1).nonEmpty && parts(1).length <= 9 &&
+        parts(1).forall(_.isDigit)) parts(1).toInt
       else return row(0, "", "", "", 0, b)
     var ct = ""; var hint = ""; var enc = ""; var nh = 0
     var li = 1
@@ -2486,6 +2508,39 @@ case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
 
 /** STRING → BPE token count under a fixed learned merge list (rides
   * into generated code as a reference object). */
+/** (key STRING, id BIGINT) → INT: bucket index against ascending
+  * literal (cutKey, cutId) cut points (count of cuts <= (key, id),
+  * binary search) — sample-balanced, order-preserving partition
+  * assignment for distributed ranking. The id tiebreak lets cuts
+  * split runs of identical keys, so no key skew can funnel. */
+case class RangeBucket(left: Expression, right: Expression,
+    cutKeys: Array[String], cutIds: Array[Long])
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  @transient private lazy val cutU8: Array[UTF8String] =
+    cutKeys.map(UTF8String.fromString)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"range_bucket needs (STRING, BIGINT), got ($l, $r)")
+    }
+  override protected def nullSafeEval(key: Any, id: Any): Any =
+    Kernels.rangeBucket(key.asInstanceOf[UTF8String],
+      id.asInstanceOf[Long], cutU8, cutIds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("rankCutKeys", cutU8,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val iRef = ctx.addReferenceObj("rankCutIds", cutIds, "long[]")
+    defineCodeGen(ctx, ev, (k, i) =>
+      s"graft.functions.Kernels.rangeBucket($k, $i, $kRef, $iRef)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RangeBucket =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BpeCount(child: Expression, merges: Array[String])
     extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -2678,6 +2733,9 @@ object GraftFunctions {
     GraftColumnBridge.column(TextStatsCounts(e(text)))
   def bpeCount(text: Column, merges: Array[String]): Column =
     GraftColumnBridge.column(BpeCount(e(text), merges))
+  def rangeBucket(key: Column, id: Column, cutKeys: Array[String],
+      cutIds: Array[Long]): Column =
+    GraftColumnBridge.column(RangeBucket(e(key), e(id), cutKeys, cutIds))
   def langMarkerCounts(text: Column): Column =
     GraftColumnBridge.column(LangMarkerCounts(e(text)))
   /** Aggregate: k best (score desc, id asc) rows with an O(k) buffer. */

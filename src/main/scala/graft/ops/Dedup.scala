@@ -1166,21 +1166,21 @@ object Dedup {
     * share a long common PREFIX (templated titles, boilerplate
     * headers) at O(n·w) verify cost.
     *
-    * The global rank is computed WITHOUT a single-task sort — the
-    * same two-phase shape as Curate's balanced split: partition by
-    * the key's first CODEPOINT (ascii() returns the leading
-    * character's codepoint, order-preserving for the binary-collated
-    * key; bucket count is bounded by the distinct leading characters
-    * — 256 for ASCII corpora, more on multilingual keys but still
-    * broadcast-small), rank within each bucket in parallel, then add
-    * broadcast per-bucket offsets from a prefix sum. The neighbor join
-    * is rank-equality (each row probes its next `window−1` ranks), so
-    * it shuffles on an integer key with fan-in bounded by `window` —
-    * no skew, no cartesian corner. Verification is the exact
-    * set-Jaccard codegen kernel over word shingles. */
+    * The global rank is computed WITHOUT a single-task sort — see
+    * [[globalRankByKey]]: sampled (key, id) range cuts, per-bucket
+    * row_number in parallel, broadcast prefix-sum offsets. Because
+    * the cuts carry the id tiebreak, the rank exchange stays balanced
+    * (~n/rankBuckets per task) under ANY key distribution — a corpus
+    * where 90% of sort keys share a leading prefix funneled the
+    * previous first-codepoint bucketing into one task (DedupSpec pins
+    * the pathology). The neighbor join is rank-equality (each row
+    * probes its next `window−1` ranks), so it shuffles on an integer
+    * key with fan-in bounded by `window` — no skew, no cartesian
+    * corner. Verification is the exact set-Jaccard codegen kernel
+    * over word shingles. */
   def sortedNeighborhoodPairs(docs: DataFrame, text: Column, id: Column,
       sortKeyLen: Int = 24, window: Int = 10, shingleK: Int = 2,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, rankBuckets: Int = 256): DataFrame = {
     require(window >= 2, "SNM needs a window of at least 2")
     // shingle arrays ride the rank exchange and the (window-1)-fold
     // neighbor probe directly: a "narrower" variant that ranked and
@@ -1189,21 +1189,9 @@ object Dedup {
     // cost more than replicating the (small) element arrays through
     // shuffles whose fan-in the window already bounds
     val key = lower(substring(trim(text), 1, sortKeyLen))
-    val withB = docs.select(id.cast("long").as("doc_id"), key.as("__k"),
-        shingles(text, shingleK).as("__e"))
-      .withColumn("__b",
-        when(length(col("__k")) === 0, lit(0))
-          .otherwise(ascii(substring(col("__k"), 1, 1))))
-    val wB = Window.partitionBy("__b").orderBy(col("__k"), col("doc_id"))
-    val ranked = withB.withColumn("__r0", row_number().over(wB).cast("long"))
-    val counts = ranked.groupBy("__b").agg(count(lit(1)).as("__c"))
-    val wOff = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .drop("__c")
-    val r = ranked.join(broadcast(offsets), Seq("__b"))
-      .withColumn("__rank", col("__r0") + col("__off"))
+    val base = docs.select(id.cast("long").as("doc_id"), key.as("__k"),
+      shingles(text, shingleK).as("__e"))
+    val r = globalRankByKey(base, rankBuckets)
       .select(col("doc_id"), col("__e"), col("__rank"))
     val probe = r.select(col("doc_id").as("__pid"), col("__e").as("__pe"),
       explode(sequence(col("__rank") + 1,
@@ -1218,5 +1206,85 @@ object Dedup {
         greatest(col("__pid"), col("doc_id")).as("id_b"),
         jaccard(col("__pe"), col("__e")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Dense global rank 1..n by (`__k`, doc_id) without a single-task
+    * sort — an explicit, inspectable range partitioner: sample (key,
+    * id) pairs from the pruned key projection, take every
+    * (sample/nBuckets)-th as a cut point, bucket rows by codegen'd
+    * binary search ([[graft.functions.Kernels.rangeBucket]]), rank
+    * within buckets in parallel, and lift local ranks to global with
+    * broadcast per-bucket offsets from a prefix sum. Because the cut
+    * points carry the id TIEBREAK, the underlying order is total and
+    * cuts can split even a run of identical keys — balanced under ANY
+    * key distribution (a 90%-shared-prefix corpus funneled the
+    * previous first-codepoint buckets into one task; DedupSpec pins
+    * the pathology). The rank itself is cut-invariant: any
+    * order-preserving bucketing yields the same global (key, id)
+    * rank, so output is deterministic regardless of sampling. Returns
+    * the input plus `__b` (bucket) and `__rank`. */
+  private[graft] def globalRankByKey(base: DataFrame,
+      nBuckets: Int): DataFrame = {
+    // ONE-pass cut derivation (the RangePartitioner sketch, done
+    // explicitly): per-partition reservoir + row count, then a
+    // weighted walk picks nBuckets-1 cuts. The sketch job projects
+    // (key, id) only — column pruning keeps shingle/payload columns
+    // out of this extra pass — and seeds per partition index, so the
+    // cuts (and with them the physical plan, though never the ranks)
+    // are deterministic.
+    val resK = 128
+    val sketch = base.select(col("__k"), col("doc_id")).rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .mapPartitionsWithIndex { (pi, it) =>
+        val rng = new java.util.Random(42L + pi)
+        val res = new Array[(String, Long)](resK)
+        var n = 0L
+        while (it.hasNext) {
+          val x = it.next()
+          if (n < resK) res(n.toInt) = x
+          else {
+            val j = (rng.nextDouble() * (n + 1)).toLong
+            if (j < resK) res(j.toInt) = x
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((n, res.take(math.min(n, resK.toLong).toInt)))
+      }.collect()
+    val totalRows = sketch.map(_._1).sum
+    // each sampled element stands for (partition rows / sample size)
+    // input rows; cuts fall where cumulative weight crosses each
+    // 1/nBuckets fraction of the total
+    val weighted = sketch.flatMap { case (n, xs) =>
+      val w = n.toDouble / xs.length
+      xs.map(x => (x, w))
+    }.sortBy(_._1)
+    val cuts: Array[(String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      var cum = 0.0
+      var b = 1
+      for ((x, w) <- weighted if b < nBuckets) {
+        cum += w
+        if (cum >= b.toDouble * totalRows / nBuckets) {
+          out += x
+          b += 1
+        }
+      }
+      out.distinct.sorted.toArray
+    }
+    val withB = base.withColumn("__b",
+      graft.functions.GraftFunctions.rangeBucket(col("__k"), col("doc_id"),
+        cuts.map(_._1), cuts.map(_._2)))
+    val wB = Window.partitionBy("__b").orderBy(col("__k"), col("doc_id"))
+    val ranked = withB.withColumn("__r0", row_number().over(wB).cast("long"))
+    val counts = ranked.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .drop("__c")
+    ranked.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__rank", col("__r0") + col("__off"))
+      .drop("__r0")
   }
 }

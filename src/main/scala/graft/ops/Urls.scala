@@ -315,13 +315,15 @@ object Urls {
         coalesce(col("__best"), lit(true)).as("allowed"))
   }
 
-  /** [[robotsVerdicts]] with ZERO aggregation: the per-host rule set
-    * rides as ONE array column (rules parse once on the tiny robots
-    * table), the URL side joins it host-keyed, and the RFC's
-    * most-octets/allow-wins winner is an array `filter` + `aggregate`
-    * fold evaluated IN the projection. Same output contract as
-    * [[robotsVerdicts]] (RobotsSpec pins the two against each other
-    * on the wildcard matrix).
+  /** [[robotsVerdicts]] with ZERO aggregation on the URL side: the
+    * per-host rule set rides as ONE array column (rules parse once on
+    * the tiny robots table, then merge per host so duplicate host
+    * rows can't fan out the join), the URL side joins it host-keyed,
+    * and the RFC's most-octets/allow-wins winner is an array `filter`
+    * + `aggregate` fold evaluated IN the projection. Same output
+    * contract as [[robotsVerdicts]] — including on duplicate-host
+    * robots inputs (RobotsSpec pins the two against each other on the
+    * wildcard matrix and the duplicate-host case).
     *
     * 100 TB shape: the rule table broadcasts, so the gate is
     * shuffle-FREE — strictly better than the max_by formulation when
@@ -333,9 +335,17 @@ object Urls {
   def robotsVerdictsMapSide(urls: DataFrame, url: Column, id: Column,
       robots: DataFrame, robotsHost: Column, robotsTxt: Column,
       agent: String): DataFrame = {
+    // per-host pre-aggregation (tiny side only — the URL side stays
+    // shuffle-free): duplicate host rows would otherwise multiply
+    // URL rows through the join, each verdict seeing only one row's
+    // rules, where the max_by formulation merges them. The fold
+    // winner below is order-independent (max rank, allow wins ties),
+    // so collect_list's nondeterministic order is harmless.
     val rules = robots.select(lower(robotsHost).as("host"),
-      graft.functions.GraftFunctions.robotsRules(robotsTxt, agent)
-        .as("__rules"))
+        graft.functions.GraftFunctions.robotsRules(robotsTxt, agent)
+          .as("__rules"))
+      .groupBy("host")
+      .agg(flatten(collect_list(col("__rules"))).as("__rules"))
     val u = urls.select(id.as("doc_id"), url.as("url"),
       hostOf(url).as("host"),
       graft.functions.GraftFunctions.percentNormalize(pathQueryOf(url))
@@ -526,9 +536,12 @@ object Urls {
       .otherwise(concat(origin, removeDotSegments(merged), rQuery))
   }
 
-  /** Outlink table of a fetched-page corpus: one row per anchor in
-    * document order — (doc_id, ord, href, resolved), `resolved` the
-    * absolute URL per [[resolveRef]]. Extraction and resolution both
+  /** Outlink table of a fetched-page corpus: one row per anchor —
+    * (doc_id, ord, href, resolved), `resolved` the absolute URL per
+    * [[resolveRef]]. `ord` follows extractHrefs' contract: document
+    * order WITHIN each quote style, all double-quoted hrefs before
+    * single-quoted ones (not global document order on pages mixing
+    * quote styles). Extraction and resolution both
     * run in the scan projection; the only wide op is the `explode`,
     * which is row-local. The natural feed for [[domainLinkGraph]]
     * and, composed with [[robotsVerdicts]], the next crawl round's

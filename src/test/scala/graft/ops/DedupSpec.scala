@@ -689,4 +689,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition) hashpartitioning"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+  test("SNM rank buckets stay balanced when 90% of keys share a leading byte") {
+    import spark.implicits._
+    // the pathology first-codepoint bucketing funnels: 90% of sort
+    // keys open with 'z'. Quantile cuts over the packed 4-codepoint
+    // prefix must still spread the rank stage, and the global rank
+    // must remain the exact (key, id) order
+    val n = 2000
+    val docs = (0 until n).map { i =>
+      val t =
+        if (i % 10 != 0) f"zskew $i%05d one two three"
+        else f"v$i%05d plain one two three"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+      lower(substring(trim(col("text")), 1, 24)).as("__k"),
+      Dedup.shingles(col("text"), 2).as("__e"))
+    val nBuckets = 16
+    val ranked = Dedup.globalRankByKey(base, nBuckets)
+      .select(col("doc_id"), col("__k"), col("__b"), col("__rank"))
+      .collect()
+    // ranks are exactly 1..n in (key, id) order
+    val byRank = ranked.sortBy(_.getLong(3))
+    assert(byRank.map(_.getLong(3)).toSeq === (1L to n.toLong))
+    val sortedKeys = ranked.map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(byRank.map(r => (r.getString(1), r.getLong(0))).toSeq ===
+      sortedKeys.toSeq)
+    // balance: no bucket holds more than 3x the even share (the old
+    // first-codepoint scheme put 1800 of 2000 rows in one bucket)
+    val maxBucket = ranked.groupBy(_.getInt(2)).map(_._2.length).max
+    assert(maxBucket <= 3 * n / nBuckets,
+      s"rank bucket funneled: max=$maxBucket of $n rows")
+  }
 }

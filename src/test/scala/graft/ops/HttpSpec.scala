@@ -37,11 +37,18 @@ class HttpSpec extends AnyFunSuite {
   }
 
   test("malformed payloads are data: status 0, whole payload as body") {
-    for (bad <- Seq("not http at all", "HTTP/1.1 abc OK\r\n\r\nx", "")) {
+    for (bad <- Seq("not http at all", "HTTP/1.1 abc OK\r\n\r\nx", "",
+        // all-digit but Int-overflowing status: must be malformed
+        // DATA, never a NumberFormatException out of the scan task
+        "HTTP/1.1 99999999999 OK\r\n\r\nx",
+        "HTTP/1.1 2147483648 OK\r\n\r\nx")) {
       val (st, ct, hint, enc, nh, body) = parse(bad.getBytes(utf8))
       assert((st, ct, hint, enc, nh) === (0, "", "", "", 0), s"in=$bad")
       assert(new String(body, utf8) === bad)
     }
+    // 9 digits is the guard boundary: still parses as a number
+    val (st9, _, _, _, _, _) = parse("HTTP/1.1 999999999 OK\r\n\r\nx".getBytes(utf8))
+    assert(st9 === 999999999)
   }
 
   test("bare-LF line breaks tolerated; header names case-insensitive") {

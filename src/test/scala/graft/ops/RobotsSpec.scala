@@ -181,4 +181,34 @@ class RobotsSpec extends AnyFunSuite {
     assert(agg.map(_._2) === Seq(true, false, false, false, true, true,
       false, false, true, true))
   }
+
+  test("map-side gate agrees with the max_by gate on duplicate host rows") {
+    import spark.implicits._
+    // two robots rows for the same host (e.g. re-fetched robots.txt):
+    // the gates must merge BOTH rows' rules into one verdict per URL
+    // — one row per URL out, never a join fan-out — with the second
+    // row's more-specific Allow out-ranking the first row's Disallow
+    val robots = Seq(
+      ("d.example", "User-agent: *\nDisallow: /p/\n"),
+      ("d.example", "User-agent: *\nAllow: /p/ok.html\n"))
+      .toDF("host", "txt")
+    val urls = Seq(
+      "https://d.example/p/ok.html", "https://d.example/p/no.html",
+      "https://d.example/free")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        String) => org.apache.spark.sql.DataFrame): Seq[(Long, Boolean)] =
+      f(urls, col("url"), col("doc_id"), robots, col("host"), col("txt"),
+        "graftbot")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Boolean]("allowed"))).toSeq
+    val agg = run(Urls.robotsVerdicts)
+    val map = run(Urls.robotsVerdictsMapSide)
+    assert(map.map(_._1) === Seq(0L, 1L, 2L)) // no fan-out: 3 URLs, 3 rows
+    assert(map === agg)
+    assert(agg.map(_._2) === Seq(true, false, true))
+  }
 }
