@@ -641,6 +641,25 @@ object SparkEntry {
         .presentSorted("test_id")
     }),
 
+    // SUITE DECONTAMINATION: every benchmark in ONE pass — two
+    // labeled eval sets (a disjoint held-out split plus a
+    // deliberately LEAKY set that contains train members) score
+    // against the same train gram table through a single join+agg,
+    // so the expensive train side is scanned once for the whole
+    // suite; train members in the leaky set read ~1.0 — the
+    // leaked-benchmark signal. DuckDB-oracled per (set, doc)
+    "decon_suite_ngram" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evals = docs.filter(col("doc_id") % 5 === 0)
+        .select(lit("holdout").as("eval_set"), col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(lit("leaky").as("eval_set"), col("doc_id"), col("text")))
+      Decontaminate.contaminationSuite(
+          docs.filter(col("doc_id") % 5 =!= 0), evals,
+          col("text"), col("doc_id"), col("eval_set"), n = 3)
+        .presentSorted("eval_set", "test_id")
+    }),
+
     // BLOOM-GATED DECONTAMINATION: same contract as
     // decontaminate_ngram (the bitmap gate admits every true member,
     // so the exact join behind it yields identical fractions — the
@@ -4544,6 +4563,30 @@ object SparkEntry {
              / count(*), 6) AS contamination
          FROM te LEFT JOIN tr ON te.gram = tr.gram
          GROUP BY 1 ORDER BY 1""",
+
+    "decon_suite_ngram" ->
+      """WITH s AS (SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(0, len(toks)-3),
+                  i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                       || ' ' || toks[CAST(i+3 AS INT)]) END AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents)),
+         tr AS (SELECT DISTINCT unnest(list_distinct(sh)) AS gram FROM s
+                WHERE doc_id % 5 != 0),
+         ev AS (SELECT 'holdout' AS eval_set, doc_id FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT 'leaky' AS eval_set, doc_id FROM documents WHERE doc_id % 3 = 0),
+         te AS (SELECT e.eval_set, s.doc_id AS test_id,
+                  unnest(list_distinct(s.sh)) AS gram
+                FROM s JOIN ev e ON s.doc_id = e.doc_id)
+         SELECT eval_set, test_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           round(CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS contamination
+         FROM te LEFT JOIN tr ON te.gram = tr.gram
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // identical SQL to decontaminate_ngram: the bloom gate is a plan
     // optimization with no semantic footprint (no false negatives +

@@ -143,4 +143,48 @@ object Decontaminate {
       .withColumn("contamination",
         round(col("n_matched").cast(DoubleType) / col("n_grams"), 6))
   }
+
+  /** Whole-benchmark-SUITE contamination in ONE pass: multiple eval
+    * sets (a label column on the eval frame) score against the same
+    * train gram table through a single gram join + aggregate. At
+    * 100 TB the train gram set is the expensive side — the suite
+    * variant scans and joins it ONCE for every benchmark at once,
+    * where per-benchmark [[contamination]] calls would pay that cost
+    * per eval set. A doc appearing in two sets scores independently
+    * per set (the set label is a group key). Output: (eval_set,
+    * test_id, n_grams, n_matched, contamination), one row per (set,
+    * doc with text). */
+  def contaminationSuite(train: DataFrame, evals: DataFrame,
+      text: Column, id: Column, evalSet: Column, n: Int): DataFrame =
+    contaminationSuiteAgainst(trainGrams(train, text, n), evals, text,
+      id, evalSet, n)
+
+  /** [[contaminationSuite]] against a persisted gram index
+    * ([[buildTrainIndex]]) — the steady-state shape: the train corpus
+    * is never rescanned as benchmark suites evolve. */
+  def contaminationSuiteIndexed(spark: SparkSession, indexPath: String,
+      evals: DataFrame, text: Column, id: Column, evalSet: Column,
+      n: Int): DataFrame =
+    contaminationSuiteAgainst(spark.read.parquet(indexPath), evals,
+      text, id, evalSet, n)
+
+  private def contaminationSuiteAgainst(grams: DataFrame,
+      evals: DataFrame, text: Column, id: Column, evalSet: Column,
+      n: Int): DataFrame = {
+    val testGrams = evals
+      .select(evalSet.cast(org.apache.spark.sql.types.StringType)
+        .as("eval_set"), id.as("test_id"), text.as("__text"))
+      .repartition(col("eval_set"), col("test_id")) // spread the gram projection
+      .select(col("eval_set"), col("test_id"), explode(
+        graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
+        .as("gh"))
+    testGrams
+      .join(grams.withColumn("__hit", lit(1)), Seq("gh"), "left")
+      .groupBy("eval_set", "test_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_matched"))
+      .withColumn("contamination",
+        round(col("n_matched").cast(DoubleType) / col("n_grams"), 6))
+  }
 }

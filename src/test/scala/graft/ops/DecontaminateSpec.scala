@@ -167,4 +167,47 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("suite variant equals per-set contamination; leaked set reads 1.0; indexed twin identical") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val evalA = Seq(
+      (10L, "alpha beta gamma nine"), // 1 of 2 grams leak (n=3)
+      (11L, "clean fresh words here")).toDF("doc_id", "text")
+    val evalB = Seq(
+      (1L, "alpha beta gamma delta"), // a LEAKED benchmark: train member
+      (12L, "six seven eight")).toDF("doc_id", "text")
+    val evals = evalA.select(lit("a").as("s"), col("doc_id"), col("text"))
+      .unionByName(evalB.select(lit("b").as("s"), col("doc_id"), col("text")))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("eval_set", "test_id", "n_grams", "n_matched", "contamination")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+    val suite = rows(Decontaminate.contaminationSuite(train, evals,
+      col("text"), col("doc_id"), col("s"), n = 3))
+    // per-set twins through the single-set operator
+    val perSet = (rows(Decontaminate.contamination(train, evalA,
+        col("text"), col("doc_id"), n = 3)
+        .select(lit("a").as("eval_set"), col("test_id"), col("n_grams"),
+          col("n_matched"), col("contamination"))) ++
+      rows(Decontaminate.contamination(train, evalB,
+        col("text"), col("doc_id"), n = 3)
+        .select(lit("b").as("eval_set"), col("test_id"), col("n_grams"),
+          col("n_matched"), col("contamination"))))
+    assert(suite === perSet)
+    assert(suite(("b", 1L))._3 === 1.0) // the leaked-benchmark signal
+    assert(suite(("a", 11L))._3 === 0.0)
+
+    // steady-state shape: persisted gram index, same rows
+    val dir = java.nio.file.Files.createTempDirectory("decon_suite").toString
+    Decontaminate.buildTrainIndex(train, col("text"), 3, s"$dir/grams")
+    val indexed = rows(Decontaminate.contaminationSuiteIndexed(spark,
+      s"$dir/grams", evals, col("text"), col("doc_id"), col("s"), n = 3))
+    assert(indexed === suite)
+  }
 }
