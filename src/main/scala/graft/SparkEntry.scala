@@ -660,6 +660,23 @@ object SparkEntry {
         .presentSorted("eval_set", "test_id")
     }),
 
+    // the combined 100 TB shape: ONE bloom bitmap over the whole
+    // suite's grams gates the train stream map-side, one exact join
+    // scores every benchmark — output identical to decon_suite_ngram
+    // (same oracle SQL proves the gate has no semantic footprint)
+    "decon_suite_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evals = docs.filter(col("doc_id") % 5 === 0)
+        .select(lit("holdout").as("eval_set"), col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(lit("leaky").as("eval_set"), col("doc_id"), col("text")))
+      Decontaminate.contaminationSuiteBloomGated(
+          docs.filter(col("doc_id") % 5 =!= 0), evals,
+          col("text"), col("doc_id"), col("eval_set"), n = 3,
+          mBits = 1L << 18, k = 4, seed = 11L)
+        .presentSorted("eval_set", "test_id")
+    }),
+
     // BLOOM-GATED DECONTAMINATION: same contract as
     // decontaminate_ngram (the bitmap gate admits every true member,
     // so the exact join behind it yields identical fractions — the
@@ -3477,6 +3494,35 @@ object SparkEntry {
             ELSE $t2 END"""
   }
 
+  /** Shared oracle of the suite-decontamination pair: per-(eval set,
+    * doc) word-3-gram overlap vs the %5!=0 train split, over a
+    * held-out (%5==0) plus a deliberately leaky (%3==0) set. Used by
+    * both decon_suite_ngram and decon_suite_bloom — the bloom gate
+    * must have zero semantic footprint. */
+  private val deconSuiteSql: String =
+    """WITH s AS (SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(0, len(toks)-3),
+                i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                     || ' ' || toks[CAST(i+3 AS INT)]) END AS sh
+         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+               FROM documents)),
+       tr AS (SELECT DISTINCT unnest(list_distinct(sh)) AS gram FROM s
+              WHERE doc_id % 5 != 0),
+       ev AS (SELECT 'holdout' AS eval_set, doc_id FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT 'leaky' AS eval_set, doc_id FROM documents WHERE doc_id % 3 = 0),
+       te AS (SELECT e.eval_set, s.doc_id AS test_id,
+                unnest(list_distinct(s.sh)) AS gram
+              FROM s JOIN ev e ON s.doc_id = e.doc_id)
+       SELECT eval_set, test_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         round(CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 6) AS contamination
+       FROM te LEFT JOIN tr ON te.gram = tr.gram
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private def hexValSql(h: String, n: Int): String =
     (1 to n).map(i =>
       s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (n - i))}")
@@ -4564,29 +4610,11 @@ object SparkEntry {
          FROM te LEFT JOIN tr ON te.gram = tr.gram
          GROUP BY 1 ORDER BY 1""",
 
-    "decon_suite_ngram" ->
-      """WITH s AS (SELECT doc_id,
-           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                ELSE list_transform(generate_series(0, len(toks)-3),
-                  i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
-                       || ' ' || toks[CAST(i+3 AS INT)]) END AS sh
-           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-                 FROM documents)),
-         tr AS (SELECT DISTINCT unnest(list_distinct(sh)) AS gram FROM s
-                WHERE doc_id % 5 != 0),
-         ev AS (SELECT 'holdout' AS eval_set, doc_id FROM documents WHERE doc_id % 5 = 0
-                UNION ALL
-                SELECT 'leaky' AS eval_set, doc_id FROM documents WHERE doc_id % 3 = 0),
-         te AS (SELECT e.eval_set, s.doc_id AS test_id,
-                  unnest(list_distinct(s.sh)) AS gram
-                FROM s JOIN ev e ON s.doc_id = e.doc_id)
-         SELECT eval_set, test_id, count(*) AS n_grams,
-           CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_matched,
-           round(CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS contamination
-         FROM te LEFT JOIN tr ON te.gram = tr.gram
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "decon_suite_ngram" -> deconSuiteSql,
+
+    // identical SQL: the suite bloom gate is a plan optimization with
+    // no semantic footprint, the same property decon_bloom_gated pins
+    "decon_suite_bloom" -> deconSuiteSql,
 
     // identical SQL to decontaminate_ngram: the bloom gate is a plan
     // optimization with no semantic footprint (no false negatives +

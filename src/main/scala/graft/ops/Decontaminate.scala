@@ -168,6 +168,27 @@ object Decontaminate {
     contaminationSuiteAgainst(spark.read.parquet(indexPath), evals,
       text, id, evalSet, n)
 
+  /** [[contaminationSuite]] with the [[contaminationBloomGated]] plan
+    * — the combined 100 TB shape: ONE Bloom bitmap folded over the
+    * whole suite's grams gates the train gram stream map-side before
+    * its distinct shuffle, and one exact join then scores every
+    * benchmark. Output identical to [[contaminationSuite]] (no false
+    * negatives; false positives are non-matching grams the exact join
+    * scores as misses). */
+  def contaminationSuiteBloomGated(train: DataFrame, evals: DataFrame,
+      text: Column, id: Column, evalSet: Column, n: Int, mBits: Long,
+      k: Int, seed: Long = 0L): DataFrame = {
+    val suiteGrams = evals.select(text.as("__text"))
+      .select(explode(
+        graft.functions.GraftFunctions.wordGramHashes(col("__text"), n))
+        .as("gh"))
+      .localCheckpoint(true)
+    val bloom = Bloom.fit(suiteGrams, col("gh"), mBits, k, seed)
+    val gated = Bloom.mightContain(gramStream(train, text, n), col("gh"),
+      bloom, mBits, k, seed).distinct()
+    contaminationSuiteAgainst(gated, evals, text, id, evalSet, n)
+  }
+
   private def contaminationSuiteAgainst(grams: DataFrame,
       evals: DataFrame, text: Column, id: Column, evalSet: Column,
       n: Int): DataFrame = {
