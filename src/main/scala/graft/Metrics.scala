@@ -378,6 +378,29 @@ object Metrics {
       Similarity.pqTopKStored(spark, pqStore, queries, k = 10),
       "persisted PQ code table (m=16 ks=16, ann_pq_indexed params) — ADC-only read path, floor = ADC floor")
 
+    // ------------- PCA / whitening contracts (embed_pca_whiten) -------
+    // the eigenbasis is engine-local (rows-only registration), so its
+    // numeric contracts carry floors here: V Vᵀ = I for the fitted
+    // components, and the whitened corpus' own covariance = identity
+    val pcaM = Pca.fit(emb, col("embedding"), dims = 64, k = 16)
+    val orthErr = (for (r1 <- 0 until 16; r2 <- 0 until 16) yield {
+      val dot = (0 until 64)
+        .map(c => pcaM.components(r1 * 64 + c) * pcaM.components(r2 * 64 + c)).sum
+      math.abs(dot - (if (r1 == r2) 1.0 else 0.0))
+    }).max
+    out += Row("pca_orthonormality", "max_abs_error", orthErr,
+      None, Some(1e-9), 16 * 16,
+      "max |V Vt - I| over the fitted 16x64 components (k=16 of d=64, full-corpus fit)")
+    val whitened = Pca.whiten(emb, col("vec_id"), col("embedding"), pcaM)
+      .select(col("vec_id"), col("whitened").cast("array<float>").as("e"))
+    val idErr = Pca.covariance(whitened, col("e"), 16)
+      .select(abs(col("cov") -
+        when(col("i") === col("j"), 1.0).otherwise(0.0)))
+      .collect().map(_.getDouble(0)).max
+    out += Row("pca_whiten_identity", "max_abs_error", idErr,
+      None, Some(0.01), 16 * 17 / 2,
+      "max |cov(whitened corpus) - I| entry, eps=1e-6 — the whitening contract end to end")
+
     // ---------------- sketch error bounds ------------------------------
     // count-min: est >= true always; overestimate <= e/width * N w.p.
     // 1 - e^-depth per key

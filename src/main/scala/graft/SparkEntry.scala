@@ -1048,6 +1048,34 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // EMBEDDING COVARIANCE (graft.ops.Pca): the one-pass moment
+    // aggregate behind PCA/whitening — a fixed ~17 KB buffer per
+    // partition (CovAccum TypedImperativeAggregate), never rows,
+    // expanded to the 2080 upper-triangle entries driver-side (model
+    // state, not data). Every entry DuckDB-oracled on the bounded
+    // sample
+    "embed_covariance_sample" -> ((s, dir) =>
+      Pca.covariance(table(s, dir, "embeddings").filter(col("vec_id") < 300),
+          col("embedding"), dims = 64)
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")),
+
+    // PCA WHITENING: fit (one covariance agg + driver Jacobi on the
+    // 64x64 — corpus-size-independent), then project every vector
+    // through the fused k x d kernel in the scan. Rows-only: the
+    // eigenbasis is engine-local (deterministic via the fixed sweep
+    // order + sign convention); the covariance arithmetic beneath it
+    // is the oracled query above, and the identity-covariance /
+    // orthonormality contracts carry METRICS floors
+    "embed_pca_whiten" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val m = Pca.fit(emb, col("embedding"), dims = 64, k = 16)
+      Pca.whiten(emb, col("vec_id"), col("embedding"), m)
+        .select(col("vec_id"),
+          F.transform(col("whitened"), x => round(x, 6)).as("whitened"))
+        .orderBy("vec_id")
+    }),
+
     // SEARCH: BM25 keyword ranking over inverted postings
     // (graft.ops.Search) — filtered postings scan, broadcast df/stats,
     // TakeOrderedAndProject top-k. DuckDB-oracled against the same
@@ -4978,6 +5006,25 @@ object SparkEntry {
            count(*) AS n
          FROM embeddings, generate_series(1, 64) AS g(pos)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // population covariance, uncentered-moment formula to mirror the
+    // engine's one-pass aggregate: E[xy] - E[x]E[y] (float products
+    // exact in double; the two formulations differ ~1e-15, far below
+    // the 1e-6 rounding)
+    "embed_covariance_sample" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 300),
+         idx AS (SELECT unnest(generate_series(1, 64)) AS p),
+         xs AS (SELECT vec_id, p, CAST(e[CAST(p AS INT)] AS DOUBLE) AS x FROM v, idx),
+         mu AS (SELECT p, sum(x)/count(*) AS m FROM xs GROUP BY 1),
+         c AS (SELECT a.p AS i, b.p AS j,
+                 sum(a.x * b.x)/count(*) - ma.m * mb.m AS cov
+               FROM xs a JOIN xs b USING (vec_id)
+               JOIN mu ma ON ma.p = a.p JOIN mu mb ON mb.p = b.p
+               WHERE a.p <= b.p
+               GROUP BY 1, 2, ma.m, mb.m)
+         SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+           round(cov, 6) AS cov
+         FROM c ORDER BY 1, 2""",
 
     "embed_label_drift" ->
       """WITH c AS (SELECT label, g.pos,

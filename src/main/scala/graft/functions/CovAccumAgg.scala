@@ -1,0 +1,127 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Moment accumulator for d-dim vector columns: one pass over the
+  * corpus yields (n, Σx, upper triangle of Σxxᵀ) — everything a
+  * covariance matrix (and from it PCA/whitening) needs. The buffer is
+  * a fixed d + d(d+1)/2 doubles (~17 KB at d=64) regardless of row
+  * count: partial buffers on the map side, one addition per merge, so
+  * the shuffle carries one buffer per (partition, group) — the same
+  * O(1)-state property as [[TopKBuffer]], which is what makes a
+  * corpus-wide covariance a single cheap aggregation at 100 TB (the
+  * naive explode-(i,j)-groupBy ships d²/2 rows per input row).
+  */
+final class CovBuffer(val d: Int) {
+  var n: Long = 0L
+  val sum = new Array[Double](d)
+  val upper = new Array[Double](d * (d + 1) / 2) // row-major i<=j
+
+  def add(xs: ArrayData): Unit = {
+    if (xs.numElements() != d) return // wrong-width rows are DATA, skipped
+    n += 1
+    var i = 0
+    var u = 0
+    while (i < d) {
+      val xi = xs.getFloat(i).toDouble
+      sum(i) += xi
+      var j = i
+      while (j < d) {
+        upper(u) += xi * xs.getFloat(j).toDouble
+        u += 1
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  def absorb(o: CovBuffer): Unit = {
+    n += o.n
+    var i = 0
+    while (i < d) { sum(i) += o.sum(i); i += 1 }
+    var u = 0
+    while (u < upper.length) { upper(u) += o.upper(u); u += 1 }
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * (sum.length + upper.length))
+    bb.putLong(n)
+    sum.foreach(bb.putDouble)
+    upper.foreach(bb.putDouble)
+    bb.array()
+  }
+}
+
+object CovBuffer {
+  def fromBytes(d: Int, bytes: Array[Byte]): CovBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new CovBuffer(d)
+    b.n = bb.getLong
+    var i = 0
+    while (i < b.sum.length) { b.sum(i) = bb.getDouble; i += 1 }
+    var u = 0
+    while (u < b.upper.length) { b.upper(u) = bb.getDouble; u += 1 }
+    b
+  }
+}
+
+/** cov_accum(vec ARRAY<FLOAT>, d) → STRUCT<n BIGINT, sum ARRAY<DOUBLE>,
+  * upper ARRAY<DOUBLE>>: the one-row moment summary of the corpus. */
+case class CovAccum(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CovBuffer] with UnaryLike[Expression] {
+
+  require(d > 0 && d <= 4096, s"cov_accum needs 0 < d <= 4096, got $d")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sum", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("upper", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cov_accum needs ARRAY<FLOAT>, got $t")
+  }
+
+  override def createAggregationBuffer(): CovBuffer = new CovBuffer(d)
+
+  override def update(buf: CovBuffer, input: InternalRow): CovBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    buf
+  }
+
+  override def merge(buf: CovBuffer, other: CovBuffer): CovBuffer = {
+    buf.absorb(other); buf
+  }
+
+  override def eval(buf: CovBuffer): Any =
+    new GenericInternalRow(Array[Any](buf.n,
+      new GenericArrayData(buf.sum.map(x => x: Any)),
+      new GenericArrayData(buf.upper.map(x => x: Any))))
+
+  override def serialize(buf: CovBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): CovBuffer =
+    CovBuffer.fromBytes(d, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CovAccum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CovAccum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CovAccum =
+    copy(child = newChild)
+
+  override def prettyName: String = "cov_accum"
+}

@@ -544,6 +544,29 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** y = M·(x − μ): k×d row-major projection of a CENTERED float
+    * vector — the PCA / whitening map fused into one linear pass
+    * (k·d multiply-adds). Rows of the wrong width yield an EMPTY
+    * array: malformed data, not a task error. */
+  def projectCentered(xs: ArrayData, mean: Array[Double],
+      mat: Array[Double], k: Int, d: Int): ArrayData = {
+    if (xs.numElements() != d) return new GenericArrayData(Array.empty[Any])
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) { c(i) = xs.getFloat(i).toDouble - mean(i); i += 1 }
+    val y = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      val base = r * d
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += mat(base + j) * c(j); j += 1 }
+      y(r) = s
+      r += 1
+    }
+    new GenericArrayData(y)
+  }
+
   /** Bucket index of (key, id) against ascending (cutKey, cutId) cut
     * points: the count of cuts <= (key, id), by binary search over
     * the lexicographic (binary-collated key, id) order — exactly the
@@ -2508,6 +2531,31 @@ case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
 
 /** STRING → BPE token count under a fixed learned merge list (rides
   * into generated code as a reference object). */
+/** vec ARRAY<FLOAT> → ARRAY<DOUBLE>: fused centered k×d projection
+  * (the PCA/whitening map); model state rides as two reference
+  * arrays, one mat-vec per row in the scan. */
+case class ProjectCentered(child: Expression, mean: Array[Double],
+    mat: Array[Double], k: Int, d: Int) extends UnaryExpression {
+  require(mean.length == d && mat.length == k * d,
+    s"project_centered: mean/mat shapes must be d=$d / k*d=${k * d}")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"project_centered needs ARRAY<FLOAT>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.projectCentered(input.asInstanceOf[ArrayData], mean, mat, k, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val wRef = ctx.addReferenceObj("pcaMat", mat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.projectCentered($c, $mRef, $wRef, $k, $d)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ProjectCentered =
+    copy(child = newChild)
+}
+
 /** (key STRING, id BIGINT) → INT: bucket index against ascending
   * literal (cutKey, cutId) cut points (count of cuts <= (key, id),
   * binary search) — sample-balanced, order-preserving partition
@@ -2736,6 +2784,9 @@ object GraftFunctions {
   def rangeBucket(key: Column, id: Column, cutKeys: Array[String],
       cutIds: Array[Long]): Column =
     GraftColumnBridge.column(RangeBucket(e(key), e(id), cutKeys, cutIds))
+  def projectCentered(vec: Column, mean: Array[Double],
+      mat: Array[Double], k: Int, d: Int): Column =
+    GraftColumnBridge.column(ProjectCentered(e(vec), mean, mat, k, d))
   def langMarkerCounts(text: Column): Column =
     GraftColumnBridge.column(LangMarkerCounts(e(text)))
   /** Aggregate: k best (score desc, id asc) rows with an O(k) buffer. */

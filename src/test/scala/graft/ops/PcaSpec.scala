@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PCA / whitening pins: Jacobi against closed-form eigensystems, the
+  * whitening identity-covariance contract on correlated synthetic
+  * data, rotation invariance, and the malformed-width data contract. */
+class PcaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("jacobi recovers the closed-form 2x2 eigensystem") {
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // second vector is (r, -r) up to the sign convention (largest-|c| positive)
+    assert(math.abs(math.abs(vecs(1)(0)) - r) < 1e-12)
+    assert(math.abs(vecs(1)(0) + vecs(1)(1)) < 1e-12)
+  }
+
+  test("jacobi: diagonal input returns its diagonal sorted descending") {
+    val (vals, vecs) = Pca.jacobiEigen(Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(vals.toSeq === Seq(5.0, 3.0, 1.0))
+    assert(vecs(0).toSeq === Seq(0.0, 1.0, 0.0))
+    assert(vecs(1).toSeq === Seq(0.0, 0.0, 1.0))
+  }
+
+  /** Deterministic correlated fixture: x = A·z + μ with fixed A/μ and
+    * hash-free seeded gaussians — strong off-diagonal covariance. */
+  private def fixture(n: Int, d: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val a = Array.tabulate(d, d)((i, j) =>
+      if (j > i) 0.0 else 0.3 + 0.1 * ((i * d + j) % 5)) // lower-triangular mixing
+    val mu = Array.tabulate(d)(i => 0.5 * i)
+    (0 until n).map { id =>
+      val z = Array.fill(d)(rng.nextGaussian())
+      val x = Array.tabulate(d)(i =>
+        (mu(i) + (0 until d).map(j => a(i)(j) * z(j)).sum).toFloat)
+      (id.toLong, x.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("orthonormal components; whitened sample covariance is the identity") {
+    val d = 6
+    val df = fixture(800, d)
+    val m = Pca.fit(df, col("embedding"), dims = d, k = d)
+    // V Vᵀ = I
+    for (r1 <- 0 until d; r2 <- 0 until d) {
+      val dot = (0 until d).map(c => m.components(r1 * d + c) * m.components(r2 * d + c)).sum
+      val want = if (r1 == r2) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"VVt($r1,$r2)=$dot")
+    }
+    // eigenvalues descending, all positive on this full-rank fixture
+    assert(m.eigvals.toSeq === m.eigvals.sorted(Ordering[Double].reverse).toSeq)
+    assert(m.eigvals.forall(_ > 0))
+    // whitened covariance ≈ I (eps tiny relative to the spectrum)
+    val w = Pca.whiten(df, col("vec_id"), col("embedding"), m, eps = 1e-9)
+      .select(col("vec_id"), col("whitened").cast("array<float>").as("e"))
+    val cov = Pca.covariance(w, col("e"), d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until d; j <- i until d) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov((i.toLong, j.toLong)) - want) < 1e-3,
+        s"whitened cov($i,$j)=${cov((i.toLong, j.toLong))}")
+    }
+  }
+
+  test("k=d projection is a rotation: pairwise distances preserved") {
+    val d = 5
+    val df = fixture(50, d)
+    val m = Pca.fit(df, col("embedding"), dims = d, k = d)
+    val orig = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = Pca.project(df, col("vec_id"), col("embedding"), m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for (i <- 0L until 10L; j <- (i + 1) until 10L) {
+      assert(math.abs(dist(orig(i), orig(j)) - dist(proj(i), proj(j))) < 1e-4,
+        s"distance not preserved for ($i,$j)")
+    }
+  }
+
+  test("top-k projection maximizes captured variance (vs dropping the top component)") {
+    val d = 6
+    val df = fixture(400, d)
+    val m = Pca.fit(df, col("embedding"), dims = d, k = 2)
+    // variance captured along the top-2 components equals the top-2 eigenvalues
+    val proj = Pca.project(df, col("vec_id"), col("embedding"), m)
+      .select(col("projected").cast("array<float>").as("e"))
+    val cov = Pca.covariance(proj, col("e"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cov((0L, 0L)) - m.eigvals(0)) < 1e-3)
+    assert(math.abs(cov((1L, 1L)) - m.eigvals(1)) < 1e-3)
+    assert(math.abs(cov((0L, 1L))) < 1e-3) // decorrelated
+  }
+
+  test("wrong-width rows project to empty arrays; covariance skips them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(9.0f)), // malformed width
+      (3L, Seq(2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val m = Pca.fit(df, col("embedding"), dims = 3, k = 2)
+    assert(m.n === 2) // the malformed row never entered the moments
+    val rows = Pca.project(df, col("vec_id"), col("embedding"), m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).length).toMap
+    assert(rows === Map(1L -> 2, 2L -> 0, 3L -> 2))
+  }
+}
