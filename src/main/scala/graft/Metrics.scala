@@ -400,6 +400,18 @@ object Metrics {
     out += Row("pca_whiten_identity", "max_abs_error", idErr,
       None, Some(0.01), 16 * 17 / 2,
       "max |cov(whitened corpus) - I| entry, eps=1e-6 — the whitening contract end to end")
+    // informational: what brute cosine top-k in the 16-dim projected
+    // space recalls of the full-64-dim truth — the measured cost of
+    // running ANN on the reduced index (no contract: the number is a
+    // property of this corpus' spectrum, reported so the trade is a
+    // datum, not a guess)
+    val projected = Pca.project(emb, col("vec_id"), col("embedding"), pcaM)
+      .select(col("vec_id"), col("projected").cast("array<float>").as("embedding"))
+    out += Row("ann_pca16_topk", "recall_at_10",
+      recall(brute, topSet(Similarity.bruteForceTopK(projected,
+        projected.filter(col("vec_id") < 50), k = 10))),
+      None, None, brute.size,
+      "brute cosine top-10 in the PCA-16 projection vs the 64-dim brute truth — informational")
 
     // ---------------- sketch error bounds ------------------------------
     // count-min: est >= true always; overestimate <= e/width * N w.p.
