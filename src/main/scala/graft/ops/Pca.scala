@@ -47,18 +47,24 @@ object Pca {
     }
   }
 
-  /** One-pass moment summary → (n, mean, population covariance). */
-  private def moments(emb: DataFrame, vec: Column,
-      dims: Int): (Long, Array[Double], Array[Array[Double]]) = {
+  /** The one-row moment summary (n, Σx, upper Σxxᵀ) as a frame — the
+    * ADDITIVE, persistable form: summaries from disjoint corpus
+    * slices merge by elementwise addition, which is what makes the
+    * moment store appendable and replay-idempotent. */
+  private def momentFrame(emb: DataFrame, vec: Column,
+      dims: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    val row = emb.select(GraftColumnBridge.column(
+    emb.select(GraftColumnBridge.column(
         graft.functions.CovAccum(GraftColumnBridge.expression(vec), dims)
           .toAggregateExpression()).as("m"))
-      .head().getStruct(0)
-    val n = row.getLong(0)
+      .select(col("m.n").as("n"), col("m.sum").as("sum"),
+        col("m.upper").as("upper"))
+  }
+
+  private def finishMoments(n: Long, sum: Array[Double],
+      upper: Array[Double],
+      dims: Int): (Long, Array[Double], Array[Array[Double]]) = {
     require(n > 0, "pca: no rows of the declared width")
-    val sum = row.getSeq[Double](1).toArray
-    val upper = row.getSeq[Double](2).toArray
     val mean = sum.map(_ / n)
     val cov = Array.ofDim[Double](dims, dims)
     var u = 0
@@ -73,6 +79,71 @@ object Pca {
       i += 1
     }
     (n, mean, cov)
+  }
+
+  /** One-pass moment summary → (n, mean, population covariance). */
+  private def moments(emb: DataFrame, vec: Column,
+      dims: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val row = momentFrame(emb, vec, dims).head()
+    finishMoments(row.getLong(0), row.getSeq[Double](1).toArray,
+      row.getSeq[Double](2).toArray, dims)
+  }
+
+  /** Persist the corpus' moment summary — the write-once batch half
+    * of an INCREMENTAL PCA: the store is `batch=`-partitioned one-row
+    * summaries (~17 KB each), increments append new partitions
+    * (batch: [[appendMoments]]; streaming:
+    * [[graft.streaming.StreamingIngest.momentStreamAppend]] with
+    * replay-overwrite exactly-once), and a fit folds them by plain
+    * addition — the covariance of the GROWN corpus with no rescan of
+    * old data. */
+  def buildMomentStore(emb: DataFrame, vec: Column, dims: Int,
+      path: String): Unit =
+    momentFrame(emb, vec, dims)
+      .write.mode("overwrite").parquet(s"$path/batch=-1")
+
+  /** Append an increment's moment summary as the next batch
+    * partition (caller picks a fresh `batchId`; reusing one
+    * overwrites — the idempotence the streaming path leans on). */
+  def appendMoments(emb: DataFrame, vec: Column, dims: Int,
+      path: String, batchId: Long): Unit =
+    momentFrame(emb, vec, dims)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Fold the store's batch summaries (a handful of ~17 KB rows —
+    * model state, driver-side by design) into live moments. */
+  private def loadMoments(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dims: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val rows = spark.read.parquet(path)
+      .select("n", "sum", "upper").collect()
+    var n = 0L
+    val sum = new Array[Double](dims)
+    val upper = new Array[Double](dims * (dims + 1) / 2)
+    rows.foreach { r =>
+      n += r.getLong(0)
+      val s = r.getSeq[Double](1)
+      val u = r.getSeq[Double](2)
+      var i = 0
+      while (i < dims) { sum(i) += s(i); i += 1 }
+      i = 0
+      while (i < upper.length) { upper(i) += u(i); i += 1 }
+    }
+    finishMoments(n, sum, upper, dims)
+  }
+
+  /** Fit from a persisted moment store — the incremental-corpus fit:
+    * same model as a from-scratch [[fit]] over the union of every
+    * appended slice (moment addition is exact; only double-addition
+    * order differs). */
+  def fitFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, dims: Int, k: Int): PcaModel = {
+    require(k > 0 && k <= dims, s"pca: need 0 < k <= dims, got k=$k dims=$dims")
+    val (n, mean, cov) = loadMoments(spark, path, dims)
+    val (vals, vecs) = jacobiEigen(cov)
+    PcaModel(dims, k, n, mean,
+      vals.take(k),
+      Array.tabulate(k * dims)(i => vecs(i / dims)(i % dims)))
   }
 
   /** The population covariance as rows (i, j, cov), upper triangle —

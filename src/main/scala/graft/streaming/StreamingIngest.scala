@@ -265,6 +265,23 @@ object StreamingIngest {
       }
       .start()
 
+  /** Maintain a PCA moment store over a vector stream: each
+    * micro-batch folds to its ONE-ROW (n, Σx, Σxxᵀ) summary
+    * ([[graft.ops.Pca.appendMoments]]) landing as the `batch=<id>`
+    * partition — replays overwrite the same partition, so
+    * at-least-once delivery stays exactly-once on the moments
+    * (additive state + deterministic batch ids, the count-min
+    * trick). [[graft.ops.Pca.fitFromStore]] then yields the grown
+    * corpus' eigenbasis with no rescan of old vectors. */
+  def momentStreamAppend(vectors: DataFrame, outPath: String,
+      checkpoint: String, vec: Column, dims: Int) =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Pca.appendMoments(batch, vec, dims, outPath, id)
+      }
+      .start()
+
   /** Streaming approximate top-k: maintain a count-min grid (per-batch
     * `batch=<id>` partitions, replay-overwrite exactly-once) AND a
     * top-k candidate store — each batch re-ranks its own keys plus the

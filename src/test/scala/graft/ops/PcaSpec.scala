@@ -104,6 +104,49 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(cov((0L, 1L))) < 1e-3) // decorrelated
   }
 
+  test("moment store: streamed/appended fit equals the from-scratch fit; replays change nothing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = 5
+    val df = fixture(600, d)
+    val whole = Pca.fit(df, col("embedding"), dims = d, k = d)
+
+    // batch-append path: three disjoint slices into one store
+    val dir = java.nio.file.Files.createTempDirectory("pca_store").toString
+    Pca.buildMomentStore(df.filter(col("vec_id") < 200), col("embedding"), d, s"$dir/m")
+    Pca.appendMoments(df.filter(col("vec_id") >= 200 && col("vec_id") < 400),
+      col("embedding"), d, s"$dir/m", batchId = 0)
+    Pca.appendMoments(df.filter(col("vec_id") >= 400),
+      col("embedding"), d, s"$dir/m", batchId = 1)
+    val stored = Pca.fitFromStore(spark, s"$dir/m", d, d)
+    assert(stored.n === whole.n)
+    stored.eigvals.zip(whole.eigvals).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eigval $a vs $b") }
+    stored.components.zip(whole.components).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6) }
+
+    // replay idempotence: re-appending batch 1 overwrites, not adds
+    Pca.appendMoments(df.filter(col("vec_id") >= 400),
+      col("embedding"), d, s"$dir/m", batchId = 1)
+    assert(Pca.fitFromStore(spark, s"$dir/m", d, d).n === whole.n)
+
+    // streaming twin: the same slices as micro-batches through
+    // momentStreamAppend land as batch partitions of a fresh store
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingIngest.momentStreamAppend(
+      mem.toDF().select(col("_1").as("vec_id"), col("_2").cast("array<float>").as("embedding")),
+      s"$dir/s", s"$dir/ck", col("embedding"), d)
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    mem.addData(rows.filter(_._1 < 300).toSeq: _*); q.processAllAvailable()
+    mem.addData(rows.filter(_._1 >= 300).toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = Pca.fitFromStore(spark, s"$dir/s", d, d)
+    assert(streamed.n === whole.n)
+    streamed.eigvals.zip(whole.eigvals).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("wrong-width rows project to empty arrays; covariance skips them") {
     import spark.implicits._
     val df = Seq(
