@@ -1076,6 +1076,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // the INCREMENTAL fit: whiten against a persisted moment store
+    // (built once, memoized) instead of a from-scratch aggregation —
+    // moments are additive so the stored fit IS the from-scratch fit
+    // (PcaSpec pins equality incl. the streaming append twin);
+    // rows-only like the inline registration
+    "embed_pca_whiten_indexed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val store = memoStore("pcamom", dir)(p =>
+        Pca.buildMomentStore(emb, col("embedding"), dims = 64, s"$p/m"))
+      val m = Pca.fitFromStore(s, s"$store/m", dims = 64, k = 16)
+      Pca.whiten(emb, col("vec_id"), col("embedding"), m)
+        .select(col("vec_id"),
+          F.transform(col("whitened"), x => round(x, 6)).as("whitened"))
+        .orderBy("vec_id")
+    }),
+
     // SEARCH: BM25 keyword ranking over inverted postings
     // (graft.ops.Search) — filtered postings scan, broadcast df/stats,
     // TakeOrderedAndProject top-k. DuckDB-oracled against the same
