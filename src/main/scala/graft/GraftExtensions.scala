@@ -71,6 +71,8 @@ object GraftExtensions {
         es => CharsetDecodeHint(es.head, es(1))),
       fn("graft_mojibake_fix", classOf[MojibakeFix], 1)(
         es => MojibakeFix(es.head)),
+      fn("graft_confusable_fold", classOf[ConfusableFold], 1)(
+        es => ConfusableFold(es.head)),
       fn("graft_http_response", classOf[HttpResponse], 1)(
         es => HttpResponse(es.head)),
       fn("graft_sentence_split", classOf[SentenceSplit], 1)(

@@ -2687,6 +2687,38 @@ object SparkEntry {
     // mojibake, and a cp1252 0x80-0x9F punctuation case (curly quote,
     // em dash, euro); the oracle states the repaired text ITSELF and
     // the round count in closed form
+    // HOMOGLYPH FOLDING (UTS #39 single-codepoint confusable
+    // skeleton, Kernels.confusableFold): every doc_id<300 text pushed
+    // through the lookalike map and folded back — the oracle
+    // recomputes BOTH directions with plain translate() built from
+    // the same table, so the kernel's whole mapping is hash-pinned
+    "text_confusable_fold" -> ((s, dir) =>
+      table(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.confusableFold(
+            translate(col("text"), confuseFrom, confuseTo)).as("folded"))
+        .orderBy("doc_id")),
+
+    // homoglyph-robust exact dedup: planted lookalike twins (every
+    // 20th doc re-spelled through the confusable map) group with
+    // their originals under fold-then-lower — plain exact dedup is
+    // blind to them (spec-pinned); groups → (id_a=min, id_b) pairs,
+    // oracled through the same translate table
+    "dedup_confusable_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          translate(col("text"), confuseFrom, confuseTo).as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      all.groupBy(md5(lower(
+          graft.functions.GraftFunctions.confusableFold(col("text")))).as("k"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(element_at(col("ids"), 1).as("id_a"),
+          explode(slice(col("ids"), 2, 1000000)).as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "text_mojibake_fix" -> ((s, dir) => {
       val mk = udf((id: Long, txt: String) => Ingest.mojibakeFixture(id, txt))
       table(s, dir, "documents")
@@ -3537,6 +3569,27 @@ object SparkEntry {
             WHEN $t2 = '' THEN $h
             ELSE $t2 END"""
   }
+
+  /** Confusable-fold translate tables, derived from the ONE source of
+    * truth ([[graft.functions.Kernels.confusablePairs]]) so the Spark
+    * fixture, the kernel, and the DuckDB oracle can never drift:
+    * confuse = first lookalike per ASCII letter (the plant direction),
+    * fold = every lookalike back to its skeleton. */
+  private val (confuseFrom, confuseTo) = {
+    val seen = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    graft.functions.Kernels.confusablePairs.foreach { case (src, tgt) =>
+      if (tgt < 128 && Character.isLetter(tgt) && !seen.contains(tgt))
+        seen(tgt) = src
+    }
+    (seen.keys.map(_.toChar).mkString, seen.values.map(_.toChar).mkString)
+  }
+  private val foldFrom =
+    graft.functions.Kernels.confusablePairs.map(_._1.toChar).mkString
+  private val foldTo =
+    graft.functions.Kernels.confusablePairs.map(_._2.toChar).mkString
+  /** SQL string-literal escape: the fold tables contain the ASCII
+    * quote (fullwidth block → !..~). */
+  private def sqlLit(s: String): String = s.replace("'", "''")
 
   /** Shared oracle of the suite-decontamination pair: per-(eval set,
     * doc) word-3-gram overlap vs the %5!=0 train split, over a
@@ -7207,6 +7260,27 @@ object SparkEntry {
              WHEN 3 THEN octet_length(encode(td))
              ELSE length(td) END AS BIGINT) AS n_bytes
          FROM d ORDER BY doc_id""",
+
+    // both directions through translate() from the shared table: the
+    // oracle garbles with the same confuse map and folds with the
+    // FULL fold map the kernel uses
+    "text_confusable_fold" ->
+      s"""SELECT doc_id,
+           translate(translate(text, '${sqlLit(confuseFrom)}', '${sqlLit(confuseTo)}'),
+             '${sqlLit(foldFrom)}', '${sqlLit(foldTo)}') AS folded
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
+
+    "dedup_confusable_pairs" ->
+      s"""WITH planted AS (SELECT doc_id + 3000000 AS doc_id,
+             translate(text, '${sqlLit(confuseFrom)}', '${sqlLit(confuseTo)}') AS text
+           FROM documents WHERE doc_id % 20 = 0),
+         ad AS (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM planted),
+         g AS (SELECT md5(lower(translate(text, '${sqlLit(foldFrom)}', '${sqlLit(foldTo)}'))) AS k,
+                 doc_id FROM ad),
+         gg AS (SELECT k, list_sort(list(doc_id)) AS ids FROM g GROUP BY 1)
+         SELECT ids[1] AS id_a, unnest(ids[2:]) AS id_b
+         FROM gg WHERE len(ids) >= 2 ORDER BY 1, 2""",
 
     "text_mojibake_fix" ->
       """SELECT doc_id,

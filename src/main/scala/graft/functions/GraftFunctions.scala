@@ -544,6 +544,58 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** UTS #39-style confusable skeleton, SINGLE-CODEPOINT subset: the
+    * Cyrillic / Greek / fullwidth lookalikes that dominate real
+    * homoglyph spam, each mapping 1:1 onto its ASCII skeleton — a
+    * deliberate restriction so the fold is expressible as a plain
+    * `translate()` in ANY engine (the full UTS #39 table has
+    * multi-codepoint skeletons; those don't translate() and are out
+    * of scope here). (source codepoint, ascii target). */
+  val confusablePairs: Seq[(Int, Int)] = {
+    val named = Seq(
+      // Cyrillic lowercase lookalikes
+      'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p', 'с' -> 'c',
+      'у' -> 'y', 'х' -> 'x', 'і' -> 'i', 'ѕ' -> 's', 'ј' -> 'j',
+      'ԁ' -> 'd', 'һ' -> 'h', 'ԝ' -> 'w', 'ѵ' -> 'v',
+      // Cyrillic uppercase
+      'А' -> 'A', 'В' -> 'B', 'Е' -> 'E', 'К' -> 'K', 'М' -> 'M',
+      'Н' -> 'H', 'О' -> 'O', 'Р' -> 'P', 'С' -> 'C', 'Т' -> 'T',
+      'Х' -> 'X', 'Ѕ' -> 'S', 'І' -> 'I', 'Ј' -> 'J',
+      // Greek lookalikes
+      'ο' -> 'o', 'ν' -> 'v', 'Α' -> 'A', 'Β' -> 'B', 'Ε' -> 'E',
+      'Ζ' -> 'Z', 'Η' -> 'H', 'Ι' -> 'I', 'Κ' -> 'K', 'Μ' -> 'M',
+      'Ν' -> 'N', 'Ο' -> 'O', 'Ρ' -> 'P', 'Τ' -> 'T', 'Υ' -> 'Y',
+      'Χ' -> 'X',
+      // Latin-script lookalike letters
+      'ɡ' -> 'g', 'ℓ' -> 'l')
+      .map { case (a, b) => (a.toInt, b.toInt) }
+    // fullwidth ASCII block: ！..～ → !..~
+    val fullwidth = (0xFF01 to 0xFF5E).map(c => (c, c - 0xFEE0))
+    named ++ fullwidth
+  }
+
+  private val confusableLut: java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer](confusablePairs.size * 2)
+    confusablePairs.foreach { case (a, b) => m.put(a, b) }
+    m
+  }
+
+  /** Fold every confusable codepoint onto its ASCII skeleton —
+    * unmapped codepoints (incl. non-BMP, surrogate-safe) pass
+    * through. Compose with lower() for case-blind homoglyph dedup. */
+  def confusableFold(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val m = confusableLut.get(cp)
+      sb.appendCodePoint(if (m != null) m.intValue() else cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** y = M·(x − μ): k×d row-major projection of a CENTERED float
     * vector — the PCA / whitening map fused into one linear pass
     * (k·d multiply-adds). Rows of the wrong width yield an EMPTY
@@ -2531,6 +2583,23 @@ case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
 
 /** STRING → BPE token count under a fixed learned merge list (rides
   * into generated code as a reference object). */
+/** text STRING → STRING: confusable codepoints folded onto their
+  * ASCII skeletons ([[Kernels.confusableFold]]) — the homoglyph-spam
+  * normalizer dedup composes under. */
+case class ConfusableFold(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"confusable_fold needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.confusableFold(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.confusableFold($c)")
+  override protected def withNewChildInternal(newChild: Expression): ConfusableFold =
+    copy(child = newChild)
+}
+
 /** vec ARRAY<FLOAT> → ARRAY<DOUBLE>: fused centered k×d projection
   * (the PCA/whitening map); model state rides as two reference
   * arrays, one mat-vec per row in the scan. */
@@ -2787,6 +2856,8 @@ object GraftFunctions {
   def projectCentered(vec: Column, mean: Array[Double],
       mat: Array[Double], k: Int, d: Int): Column =
     GraftColumnBridge.column(ProjectCentered(e(vec), mean, mat, k, d))
+  def confusableFold(text: Column): Column =
+    GraftColumnBridge.column(ConfusableFold(e(text)))
   def langMarkerCounts(text: Column): Column =
     GraftColumnBridge.column(LangMarkerCounts(e(text)))
   /** Aggregate: k best (score desc, id asc) rows with an O(k) buffer. */
