@@ -169,7 +169,8 @@ object Scale {
     "split_leakfree" -> 1.0, "split_balanced" -> 1.0,
     "graph_pagerank" -> 0.6, "graph_pagerank_hub" -> 0.6,
     "cms_token_freq" -> 0.9, "url_robots_gate" -> 0.9,
-    "url_frontier_pipeline" -> 0.9)
+    "url_frontier_pipeline" -> 0.9, "embed_covariance" -> 0.9,
+    "decon_suite_bloom" -> 1.0, "dedup_confusable_fold" -> 0.9)
 
   /** Text re-expressed in 3-word-shingle space ("a_b_c d_e_f …"):
     * the token stream [[TextOps.hashedTfIdf]] then sees is Zipf-ish
@@ -336,7 +337,46 @@ object Scale {
         .filter(col("allowed")).select(col("url"))
       Urls.crawlSchedule(gated, col("url"), robots,
         col("host"), col("robots_txt"), "graftbot")
-    })
+    },
+    // the PCA moment aggregation at corpus scale: 64-dim vectors
+    // minted by cheap deterministic arithmetic in the scan (no md5 in
+    // the hot loop), folded by the ONE CovAccum aggregate whose
+    // buffer is a fixed ~17 KB moment summary per partition — the
+    // shuffle carries one buffer per partition regardless of corpus
+    // size, so shuffle rows/bytes must stay ~constant while time
+    // tracks the linear scan + 2080 multiply-adds per row
+    "embed_covariance" -> { d =>
+      val vecs = d.select(transform(sequence(lit(0), lit(63)), i =>
+        (pmod(col("doc_id") * (i.cast("long") * lit(2654435761L) +
+            lit(40503L)) + i.cast("long"), lit(1000003L))
+          .cast("double") / lit(1000003.0)).cast("float")).as("embedding"))
+      Pca.covariance(vecs, col("embedding"), dims = 64)
+    },
+    // suite decontamination, bloom-gated, at corpus scale: the suite
+    // is a FIXED base-doc slice (two eval sets over 2000 docs) while
+    // the train side grows with mult — the 100 TB claim under test is
+    // that the train gram stream's cost is one linear scan + a
+    // map-side broadcast bit-test BEFORE its distinct shuffle, with
+    // the bloom fit itself noise (suite-sized, constant)
+    "decon_suite_bloom" -> { d =>
+      val evals = d.filter(col("doc_id") < 2000 &&
+          pmod(col("doc_id"), lit(2)) === 0)
+        .select(lit("holdout").as("eval_set"), col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 2000 &&
+            pmod(col("doc_id"), lit(3)) === 0)
+          .select(lit("leaky").as("eval_set"), col("doc_id"), col("text")))
+      Decontaminate.contaminationSuiteBloomGated(d, evals, col("text"),
+        col("doc_id"), col("eval_set"), n = 3, mBits = 1L << 18, k = 4,
+        seed = 11L)
+    },
+    // homoglyph-robust exact dedup at corpus scale: the confusable
+    // fold is a per-codepoint codegen kernel in the scan projection
+    // ahead of the same md5 hash-groupBy as dedup_exact — one linear
+    // pass + one shuffle whose rows = distinct folded texts
+    "dedup_confusable_fold" -> (d => Dedup.exact(
+      d.select(col("doc_id"), graft.functions.GraftFunctions
+        .confusableFold(col("text")).as("text")),
+      col("text"), col("doc_id"))))
 
   /** Link graph plus the planted celebrity: every 4th node also
     * links to node 0, so one reduce key in PageRank's contribution
@@ -459,7 +499,26 @@ object Scale {
       "with map-side partial aggregation, the crawled anti-join and " +
       "robots probe are key-bounded, and the politeness window " +
       "shuffles once on host (=the join key, reused). Time linear in " +
-      "the page scan; shuffle rows bounded by distinct URLs."))
+      "the page scan; shuffle rows bounded by distinct URLs."),
+    "embed_covariance" -> ("ONE CovAccum aggregation: each task folds " +
+      "its rows into a fixed d + d(d+1)/2-double moment buffer " +
+      "(~17 KB at d=64), so the shuffle is one buffer per partition " +
+      "- constant rows/bytes at every mult - and time is the linear " +
+      "scan (vector minting + 2080 multiply-adds per row). The " +
+      "explode-(i,j)-groupBy alternative this replaces ships d^2/2 " +
+      "rows per input row."),
+    "decon_suite_bloom" -> ("the suite (eval sets) is FIXED while " +
+      "train grows: bloom fit is suite-sized (constant), and the " +
+      "train gram stream pays a linear scan + map-side broadcast " +
+      "bit-test BEFORE the distinct shuffle, so gated-gram shuffle " +
+      "rows track true suite-gram hits (~constant) plus the bloom " +
+      "fp rate, not train volume - the SURVEY 16.21 claim that the " +
+      "gate's payoff appears at scale, now measured."),
+    "dedup_confusable_fold" -> ("confusable fold is a per-codepoint " +
+      "kernel in the scan projection ahead of dedup_exact's " +
+      "md5 hash-groupBy: one linear pass, one shuffle with rows = " +
+      "distinct folded texts - same shape/exponent class as " +
+      "dedup_exact plus the fold's linear scan cost."))
 
   private def jStr(s: String): String =
     "\"" + s.flatMap {

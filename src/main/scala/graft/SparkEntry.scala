@@ -1062,34 +1062,33 @@ object SparkEntry {
 
     // PCA WHITENING: fit (one covariance agg + driver Jacobi on the
     // 64x64 — corpus-size-independent), then project every vector
-    // through the fused k x d kernel in the scan. Rows-only: the
-    // eigenbasis is engine-local (deterministic via the fixed sweep
-    // order + sign convention); the covariance arithmetic beneath it
-    // is the oracled query above, and the identity-covariance /
-    // orthonormality contracts carry METRICS floors
+    // through the fused k x d kernel in the scan. The registered
+    // output is the whiten INVARIANT (Pca.whitenInvariant): mean and
+    // covariance of the whitened corpus, which are ZERO and IDENTITY
+    // by construction — a closed form DuckDB can state WITHOUT the
+    // engine-local eigenbasis, so the full fit→whiten pipeline is
+    // hash-oracled (every whitened row feeds the aggregate; the raw
+    // whitened values themselves are basis-dependent and carry the
+    // tighter 1e-2/1e-9 METRICS floors + PcaSpec closed forms)
     "embed_pca_whiten" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val m = Pca.fit(emb, col("embedding"), dims = 64, k = 16)
-      Pca.whiten(emb, col("vec_id"), col("embedding"), m)
-        .select(col("vec_id"),
-          F.transform(col("whitened"), x => round(x, 6)).as("whitened"))
-        .orderBy("vec_id")
+      Pca.whitenInvariant(emb, col("vec_id"), col("embedding"), m)
+        .orderBy("i", "j")
     }),
 
     // the INCREMENTAL fit: whiten against a persisted moment store
     // (built once, memoized) instead of a from-scratch aggregation —
     // moments are additive so the stored fit IS the from-scratch fit
-    // (PcaSpec pins equality incl. the streaming append twin);
-    // rows-only like the inline registration
+    // (PcaSpec pins equality incl. the streaming append twin); same
+    // identity-invariant oracle as the inline registration
     "embed_pca_whiten_indexed" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val store = memoStore("pcamom", dir)(p =>
         Pca.buildMomentStore(emb, col("embedding"), dims = 64, s"$p/m"))
       val m = Pca.fitFromStore(s, s"$store/m", dims = 64, k = 16)
-      Pca.whiten(emb, col("vec_id"), col("embedding"), m)
-        .select(col("vec_id"),
-          F.transform(col("whitened"), x => round(x, 6)).as("whitened"))
-        .orderBy("vec_id")
+      Pca.whitenInvariant(emb, col("vec_id"), col("embedding"), m)
+        .orderBy("i", "j")
     }),
 
     // SEARCH: BM25 keyword ranking over inverted postings
@@ -1687,6 +1686,26 @@ object SparkEntry {
         Similarity.buildIvfIndex(emb, p, nlist = 16))
       Similarity.ivfTopKIndexed(s, store, emb.filter(col("vec_id") < 5),
         k = 10, nprobe = 6)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // ANN over the PCA-16 reduction read from the STORED eigenbasis
+    // (fitFromStore over the memoized moment store — the incremental
+    // fit the whiten_indexed registration uses): project corpus +
+    // queries through the fused kernel, brute cosine top-k in the
+    // 16-dim space. The scale trade: a quarter of the scan bytes and
+    // dot-product flops per candidate. Rows-only (the basis is
+    // engine-local); the recall-vs-64-dim-truth contract carries the
+    // ann_pca16_indexed METRICS floor — spectrum-bound by design on
+    // this near-isotropic corpus, like ann_pq_adc's quantization bound
+    "ann_pca16_indexed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val store = memoStore("pcamom", dir)(p =>
+        Pca.buildMomentStore(emb, col("embedding"), dims = 64, s"$p/m"))
+      val m = Pca.fitFromStore(s, s"$store/m", dims = 64, k = 16)
+      val proj = Pca.project(emb, col("vec_id"), col("embedding"), m)
+        .select(col("vec_id"), col("projected").cast("array<float>").as("embedding"))
+      Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 5), k = 10)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
@@ -5094,6 +5113,26 @@ object SparkEntry {
          SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
            round(cov, 6) AS cov
          FROM c ORDER BY 1, 2""",
+
+    // the whiten invariant is a CLOSED FORM: cov(whitened) = I and
+    // mean(whitened) = 0 by construction, independent of the
+    // engine-local eigenbasis — the oracle states identity/zero
+    // directly and only reads the corpus for n (well-formed rows)
+    "embed_pca_whiten" ->
+      """WITH d AS (SELECT unnest(generate_series(0, 15)) AS p),
+         nn AS (SELECT count(*) AS n FROM embeddings WHERE len(embedding) = 64)
+         SELECT CAST(a.p AS BIGINT) AS i, CAST(b.p AS BIGINT) AS j,
+           CAST(CASE WHEN a.p = b.p THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov,
+           CAST(0.0 AS DOUBLE) AS mu, nn.n AS n
+         FROM d a, d b, nn WHERE a.p <= b.p ORDER BY 1, 2""",
+
+    "embed_pca_whiten_indexed" ->
+      """WITH d AS (SELECT unnest(generate_series(0, 15)) AS p),
+         nn AS (SELECT count(*) AS n FROM embeddings WHERE len(embedding) = 64)
+         SELECT CAST(a.p AS BIGINT) AS i, CAST(b.p AS BIGINT) AS j,
+           CAST(CASE WHEN a.p = b.p THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov,
+           CAST(0.0 AS DOUBLE) AS mu, nn.n AS n
+         FROM d a, d b, nn WHERE a.p <= b.p ORDER BY 1, 2""",
 
     "embed_label_drift" ->
       """WITH c AS (SELECT label, g.pos,

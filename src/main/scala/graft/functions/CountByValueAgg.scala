@@ -45,8 +45,20 @@ case class CountByValue(
   override def dataType: DataType =
     MapType(child.dataType, LongType, valueContainsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+  // atomic keys ONLY: the buffer hashes raw catalyst values, and only
+  // atomic types guarantee representation-consistent equals/hashCode
+  // (an array key could arrive as UnsafeArrayData on the update path
+  // and GenericArrayData after deserialize — logically-equal keys
+  // would land as separate map entries with split counts)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // no BinaryType either: Array[Byte] hashes by identity, so
+    // equal-bytes keys would split across map entries
+    case _: NumericType | _: StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType =>
+      TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"count_by_value needs an atomic key type, got $t")
+  }
 
   @transient private lazy val keyType: DataType = child.dataType
   @transient private lazy val keyProj: UnsafeProjection =

@@ -25,17 +25,16 @@ final class CovBuffer(val d: Int) {
   val sum = new Array[Double](d)
   val upper = new Array[Double](d * (d + 1) / 2) // row-major i<=j
 
-  def add(xs: ArrayData): Unit = {
-    if (xs.numElements() != d) return // wrong-width rows are DATA, skipped
+  def add(xs: Array[Double]): Unit = {
     n += 1
     var i = 0
     var u = 0
     while (i < d) {
-      val xi = xs.getFloat(i).toDouble
+      val xi = xs(i)
       sum(i) += xi
       var j = i
       while (j < d) {
-        upper(u) += xi * xs.getFloat(j).toDouble
+        upper(u) += xi * xs(j)
         u += 1
         j += 1
       }
@@ -73,8 +72,11 @@ object CovBuffer {
   }
 }
 
-/** cov_accum(vec ARRAY<FLOAT>, d) → STRUCT<n BIGINT, sum ARRAY<DOUBLE>,
-  * upper ARRAY<DOUBLE>>: the one-row moment summary of the corpus. */
+/** cov_accum(vec ARRAY<FLOAT|DOUBLE>, d) → STRUCT<n BIGINT,
+  * sum ARRAY<DOUBLE>, upper ARRAY<DOUBLE>>: the one-row moment
+  * summary of the corpus. Rows of the wrong width OR containing null
+  * elements are malformed DATA — skipped, never folded in (a null
+  * slot must not pollute the corpus moments) and never a task error. */
 case class CovAccum(
     child: Expression,
     d: Int,
@@ -91,15 +93,39 @@ case class CovAccum(
     StructField("upper", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"cov_accum needs ARRAY<FLOAT>, got $t")
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cov_accum needs ARRAY<FLOAT> or ARRAY<DOUBLE>, got $t")
+  }
+
+  @transient private lazy val elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def createAggregationBuffer(): CovBuffer = new CovBuffer(d)
 
   override def update(buf: CovBuffer, input: InternalRow): CovBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    if (v != null) {
+      val xs = v.asInstanceOf[ArrayData]
+      // wrong-width rows and rows with null slots are DATA, skipped
+      if (xs.numElements() == d) {
+        val arr = new Array[Double](d)
+        var ok = true
+        var i = 0
+        while (ok && i < d) {
+          if (xs.isNullAt(i)) ok = false
+          else {
+            arr(i) = if (elemIsDouble) xs.getDouble(i)
+                     else xs.getFloat(i).toDouble
+            i += 1
+          }
+        }
+        if (ok) buf.add(arr)
+      }
+    }
     buf
   }
 

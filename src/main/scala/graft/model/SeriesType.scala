@@ -52,6 +52,18 @@ sealed trait SeriesType extends Serializable {
     * matching the reference's pass-through, timeseries.py:914-923). */
   def transformExpr(t: String, data: Column, stepSize: Column): Option[Column]
 
+  /** [[foldExpr]] with an optional per-bucket element cap for the
+    * streaming path: count/gauge state is O(1) and histogram's is
+    * O(distinct), so they ignore the cap; series/set — whose state is
+    * inherently O(rows-in-bucket), bounded only by the watermark TTL —
+    * override with the [[graft.functions.BoundedCollect]] fold so one
+    * hostile hot bucket cannot balloon a state-store row. The kept
+    * subset is the (ord, value) / value order-smallest prefix:
+    * deterministic under replay and exactly the uncapped fold whenever
+    * the bucket fits the cap. */
+  def foldExprCapped(value: Column, ord: Column, cap: Int): Column =
+    foldExpr(value, ord)
+
   protected def grouped(df: DataFrame, groupCols: Seq[String])(aggs: Column*): DataFrame =
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -79,6 +91,14 @@ case object SeriesT extends SeriesType {
     flatten(filter(states, x => x.isNotNull))
   def foldExpr(value: Column, ord: Column): Column =
     transform(array_sort(collect_list(struct(ord, value))), e => e("value"))
+  override def foldExprCapped(value: Column, ord: Column, cap: Int): Column = {
+    // the cap EARLIEST datapoints by (ord, value) — O(cap) state
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.BoundedCollect(GraftColumnBridge.expression(ord),
+        GraftColumnBridge.expression(value), cap, distinct = false)
+        .toAggregateExpression())
+  }
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "mean" =>
       Some(when(size(data) === 0, lit(0.0))
@@ -204,6 +224,14 @@ case object SetT extends SeriesType {
     array_sort(array_distinct(flatten(filter(states, x => x.isNotNull))))
   def foldExpr(value: Column, ord: Column): Column =
     array_sort(collect_set(value))
+  override def foldExprCapped(value: Column, ord: Column, cap: Int): Column = {
+    // the cap SMALLEST distinct values — O(cap) state
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.BoundedCollect(GraftColumnBridge.expression(value),
+        GraftColumnBridge.expression(value), cap, distinct = true)
+        .toAggregateExpression())
+  }
   def transformExpr(t: String, data: Column, step: Column): Option[Column] = t match {
     case "mean" =>
       Some(when(size(data) === 0, lit(0.0))

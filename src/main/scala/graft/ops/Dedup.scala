@@ -1233,7 +1233,11 @@ object Dedup {
     // cuts (and with them the physical plan, though never the ranks)
     // are deterministic.
     val resK = 128
-    val sketch = base.select(col("__k"), col("doc_id")).rdd
+    // null keys never reach the cuts: they rank first by Spark's
+    // nulls-first ORDER BY and get their own bucket below, so the
+    // sketch only needs the non-null order statistics
+    val sketch = base.select(col("__k"), col("doc_id"))
+      .filter(col("__k").isNotNull).rdd
       .map(r => (r.getString(0), r.getLong(1)))
       .mapPartitionsWithIndex { (pi, it) =>
         val rng = new java.util.Random(42L + pi)
@@ -1255,10 +1259,24 @@ object Dedup {
     // each sampled element stands for (partition rows / sample size)
     // input rows; cuts fall where cumulative weight crosses each
     // 1/nBuckets fraction of the total
+    // the sketch and the cut array MUST sort in the order rangeBucket
+    // binary-searches with — UTF8String.compareTo (UTF-8 byte /
+    // codepoint order), which is also what ORDER BY __k sorts by.
+    // Scala's default String ordering (UTF-16 code-unit order)
+    // disagrees for keys mixing U+E000..U+FFFF (e.g. U+FFFD) with
+    // supplementary-plane codepoints, which would leave the cuts
+    // unsorted w.r.t. the search and silently break bucketing
+    val kiOrd: Ordering[(String, Long)] = new Ordering[(String, Long)] {
+      def compare(a: (String, Long), b: (String, Long)): Int = {
+        val c = org.apache.spark.unsafe.types.UTF8String.fromString(a._1)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._1))
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
     val weighted = sketch.flatMap { case (n, xs) =>
       val w = n.toDouble / xs.length
       xs.map(x => (x, w))
-    }.sortBy(_._1)
+    }.sortBy(_._1)(kiOrd)
     val cuts: Array[(String, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       var cum = 0.0
@@ -1270,11 +1288,18 @@ object Dedup {
           b += 1
         }
       }
-      out.distinct.sorted.toArray
+      out.distinct.sorted(kiOrd).toArray
     }
-    val withB = base.withColumn("__b",
-      graft.functions.GraftFunctions.rangeBucket(col("__k"), col("doc_id"),
-        cuts.map(_._1), cuts.map(_._2)))
+    // null keys: rangeBucket is null-intolerant (null __k → null
+    // bucket), and a null __b would silently DROP rows at the USING
+    // join below. Bucket them as -1 — nulls sort before every
+    // non-null key in the window ORDER BY, and -1 sorts before every
+    // real bucket in the offset prefix sum, so the global rank stays
+    // order-preserving with nulls ranked first (dirty corpora are
+    // data, not dropped rows)
+    val withB = base.withColumn("__b", when(col("__k").isNull, lit(-1))
+      .otherwise(graft.functions.GraftFunctions.rangeBucket(col("__k"),
+        col("doc_id"), cuts.map(_._1), cuts.map(_._2))))
     val wB = Window.partitionBy("__b").orderBy(col("__k"), col("doc_id"))
     val ranked = withB.withColumn("__r0", row_number().over(wB).cast("long"))
     val counts = ranked.groupBy("__b").agg(count(lit(1)).as("__c"))

@@ -280,4 +280,39 @@ object Pca {
     emb.select(id.as("vec_id"),
       graft.functions.GraftFunctions.projectCentered(vec, model.mean,
         model.whitenMat(eps), model.k, model.dims).as("whitened"))
+
+  /** The whiten INVARIANT as an oracle-able frame: mean and
+    * covariance of the whitened corpus, which are ZERO and IDENTITY
+    * by construction (cov up to eps/λ and float noise, both orders of
+    * magnitude below `roundDp` decimals) — so the expected output is
+    * a closed form any engine can state without knowing the
+    * engine-local eigenbasis. One row per upper-triangle (i, j) of
+    * the k×k whitened covariance: (i, j, cov, mu=mean_i, n=#rows
+    * folded). Every whitened row feeds the aggregate, so a wrong
+    * projection of ANY row perturbs the matrix; mu pins centering
+    * separately because covariance alone is shift-invariant.
+    * Malformed-width inputs whiten to empty arrays and are excluded
+    * from both the fold and n (data, not errors). */
+  def whitenInvariant(emb: DataFrame, id: Column, vec: Column,
+      model: PcaModel, eps: Double = 1e-6, roundDp: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val w = whiten(emb, id, vec, model, eps)
+      .filter(size(col("whitened")) === model.k)
+    val row = momentFrame(w, col("whitened"), model.k).head()
+    val (n, mean, cov) = finishMoments(row.getLong(0),
+      row.getSeq[Double](1).toArray, row.getSeq[Double](2).toArray,
+      model.k)
+    // driver-side rounding with -0.0 folded to 0.0 so the hash
+    // canonicalization can't distinguish signed zeros
+    def rnd(x: Double): Double = {
+      val r = BigDecimal(x)
+        .setScale(roundDp, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      if (r == 0.0) 0.0 else r
+    }
+    (for { i <- 0 until model.k; j <- i until model.k }
+      yield (i.toLong, j.toLong, rnd(cov(i)(j)), rnd(mean(i)), n))
+      .toDF("i", "j", "cov", "mu", "n")
+  }
 }

@@ -670,7 +670,8 @@ object StreamingIngest {
     */
   def aggregateStream(t: Timeseries, events: DataFrame, interval: String,
       name: Column, ts: Column, value: Column,
-      defaultHorizonSec: Long = 7L * 86400): DataFrame = {
+      defaultHorizonSec: Long = 7L * 86400,
+      bucketElemCap: Option[Int] = None): DataFrame = {
     val sp = t.intervals(interval)
     val step = sp.step match {
       case RelativeStep(s)  => s
@@ -687,9 +688,23 @@ object StreamingIngest {
         value.cast(t.valueType).as("value"),
         unix_micros(ts).as("ord"))
       .withWatermark("ts", s"$horizon seconds")
+    // optional hostile-hot-bucket hardening: series/set state is
+    // inherently O(rows-in-bucket) within the watermark TTL; the cap
+    // swaps the fold for the BoundedCollect O(cap) buffer (count/
+    // gauge/histogram state is already bounded and ignores it). The
+    // kept subset is the order-smallest prefix — deterministic under
+    // replay, identical to the uncapped fold when the bucket fits.
+    val fold = bucketElemCap match {
+      case Some(c) =>
+        graft.ops.Ledger.note("stream_bucket_cap",
+          s"${t.seriesType.typeName}/$interval stream state capped at " +
+          s"$c elements per bucket (order-smallest kept)")
+        t.seriesType.foldExprCapped(col("value"), col("ord"), c)
+      case None => t.seriesType.foldExpr(col("value"), col("ord"))
+    }
     val agged = withWm
       .groupBy(col("name"), window(col("ts"), s"$windowSec seconds").as("w"))
-      .agg(t.seriesType.foldExpr(col("value"), col("ord")).as("value"))
+      .agg(fold.as("value"))
     agged.select(
       col("name"),
       TimeColumns.bucket(col("w.start"), sp.step).as("i_time"),

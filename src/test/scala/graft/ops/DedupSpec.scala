@@ -721,4 +721,37 @@ class DedupSpec extends AnyFunSuite {
     assert(maxBucket <= 3 * n / nBuckets,
       s"rank bucket funneled: max=$maxBucket of $n rows")
   }
+  test("global rank is exact for keys mixing U+FFFD, supplementary-plane codepoints, and nulls") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // UTF-16 code-unit order puts surrogate pairs (0xD8xx) BEFORE
+    // U+E000..U+FFFF, but Spark's ORDER BY (UTF8String.compareTo,
+    // codepoint order) puts them AFTER — the cut sketch must sort in
+    // the comparator's order or bucketing silently breaks. Nulls must
+    // rank FIRST (nulls-first ORDER BY), never be dropped
+    val pieces = Seq("�", "😀", "𐀀", "a", "z", "")
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 600).map { i =>
+      val k = if (i % 37 == 0) null
+        else Seq.fill(1 + rng.nextInt(3))(pieces(rng.nextInt(pieces.length))).mkString
+      (i.toLong, k)
+    }
+    val base = rows.toDF("doc_id", "__k").repartition(8)
+    val got = Dedup.globalRankByKey(base, nBuckets = 16)
+      .select(col("doc_id"), col("__rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 600, "null-key rows must not be dropped")
+    // driver-side truth in the comparator's own total order
+    val truth = rows.sortWith { case ((ida, ka), (idb, kb)) =>
+      if (ka == null || kb == null) {
+        if ((ka == null) != (kb == null)) ka == null else ida < idb
+      } else {
+        val c = UTF8String.fromString(ka).compareTo(UTF8String.fromString(kb))
+        if (c != 0) c < 0 else ida < idb
+      }
+    }.map(_._1)
+    truth.zipWithIndex.foreach { case (id, pos) =>
+      assert(got(id) === pos + 1L, s"doc $id (key ${rows(id.toInt)._2}) rank")
+    }
+  }
 }

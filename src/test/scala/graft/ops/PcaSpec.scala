@@ -159,4 +159,41 @@ class PcaSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).length).toMap
     assert(rows === Map(1L -> 2, 2L -> 0, 3L -> 2))
   }
+
+  test("whitenInvariant is the closed-form identity frame; malformed rows never enter n") {
+    import spark.implicits._
+    val good = fixture(300, 6)
+    val bad = Seq((999L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val df = good.unionByName(bad)
+    val m = Pca.fit(df, col("embedding"), dims = 6, k = 3)
+    val rows = Pca.whitenInvariant(df, col("vec_id"), col("embedding"), m)
+      .collect()
+    assert(rows.length === 3 * 4 / 2)
+    rows.foreach { r =>
+      val diag = if (r.getLong(0) == r.getLong(1)) 1.0 else 0.0
+      assert(r.getDouble(2) === diag, s"cov(${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getDouble(3) === 0.0, "whitened mean must round to zero")
+      assert(r.getLong(4) === 300L, "the malformed-width row must not count")
+    }
+  }
+
+  test("cov_accum folds ARRAY<DOUBLE> identically to its float twin and skips null-slot rows") {
+    import spark.implicits._
+    val floats = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 5.0f)), (3L, Seq(-1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val doubles = floats
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    // a right-width row with a null slot is malformed DATA: skipped,
+    // never folded in with an arbitrary value
+    val withNull = doubles.unionByName(spark.range(1)
+      .select(lit(4L).as("vec_id"),
+        array(lit(7.0), lit(null).cast("double")).as("embedding")))
+    def covOf(df: org.apache.spark.sql.DataFrame) =
+      Pca.covariance(df, col("embedding"), 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val f = covOf(floats)
+    assert(covOf(doubles) === f, "double input must fold exactly like float")
+    assert(covOf(withNull) === f, "null-slot rows must be skipped, not folded")
+  }
 }

@@ -192,6 +192,53 @@ class StreamingSpec extends AnyFunSuite {
       s"histogram state not O(distinct): 4-distinct run $bytesA B vs $n-distinct run $bytesB B")
   }
 
+  test("bucketElemCap bounds series/set stream state; capped fold is the order-smallest prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // one hot (name, window) bucket of 3000 rows, values arriving in
+    // DESCENDING order (so the kept subset is never just "the first
+    // rows seen"); cap=100. The capped run must (a) produce exactly
+    // the order-smallest prefix of the uncapped fold and (b) hold a
+    // small fraction of the uncapped run's state bytes — default
+    // (None) stays the uncapped fold
+    val n = 3000
+    val cap = 100
+    def run(st: SeriesType, c: Option[Int]): (Long, Seq[Double]) = {
+      val t = new Timeseries(spark, st, minuteHour)
+      val mem = MemoryStream[(String, Long, Double)]
+      val events = mem.toDF()
+        .select(col("_1").as("name"), timestamp_seconds(col("_2")).as("ts"),
+          col("_3").as("value"))
+      val agg = StreamingIngest.aggregateStream(t, events, "hour",
+        col("name"), col("ts"), col("value"), bucketElemCap = c)
+      val qn = s"stream_cap_${st.typeName}_${c.getOrElse(0)}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      val rows = (0 until n).map(i => ("h", T0 + 1 + (i % 50), (n - 1 - i).toDouble))
+      val (b1, b2) = rows.splitAt(n / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val bytes = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.memoryUsedBytes).max
+      val vals = spark.table(qn).select(explode(col("value")))
+        .collect().map(_.getDouble(0)).toSeq
+      q.stop()
+      (bytes, vals)
+    }
+
+    for (st <- Seq(SeriesT: SeriesType, SetT)) {
+      val (bytesFull, full) = run(st, None)
+      val (bytesCap, capped) = run(st, Some(cap))
+      assert(full.length === n, s"${st.typeName}: uncapped fold size")
+      // both folds sort by the same (ord, value) / value total order,
+      // so the capped result IS the uncapped result's prefix
+      assert(capped === full.take(cap), s"${st.typeName}: capped prefix")
+      assert(bytesCap * 4 < bytesFull,
+        s"${st.typeName} state not capped: $bytesCap B vs uncapped $bytesFull B")
+    }
+  }
+
   test("watermark drops data later than the TTL horizon and finalizes state (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
