@@ -1060,6 +1060,17 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
         .orderBy("i", "j")),
 
+    // PCA SPECTRAL INVARIANTS over the FULL corpus: Σλ = trace(C) and
+    // Σλ² = ‖C‖²_F — the eigenvalue arithmetic hash-oracled without
+    // DuckDB needing an eigensolver (and a convergence oracle: an
+    // unconverged Jacobi leaves off-diagonal mass, which shows up as
+    // a strict Σλ² deficit at the 6-dp rounding)
+    "embed_pca_spectrum" -> ((s, dir) =>
+      Pca.spectralInvariants(table(s, dir, "embeddings"),
+          col("embedding"), dims = 64)
+        .select(round(col("trace"), 6).as("trace"),
+          round(col("frobenius_sq"), 6).as("frobenius_sq"), col("n"))),
+
     // PCA WHITENING: fit (one covariance agg + driver Jacobi on the
     // 64x64 — corpus-size-independent), then project every vector
     // through the fused k x d kernel in the scan. The registered
@@ -5113,6 +5124,25 @@ object SparkEntry {
          SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
            round(cov, 6) AS cov
          FROM c ORDER BY 1, 2""",
+
+    // trace and Frobenius norm of the population covariance — the
+    // spectral invariants Σλ / Σλ², no eigensolver needed SQL-side
+    "embed_pca_spectrum" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS p),
+         xs AS (SELECT vec_id, p, CAST(embedding[CAST(p AS INT)] AS DOUBLE) AS x
+                FROM embeddings, idx WHERE len(embedding) = 64),
+         mu AS (SELECT p, sum(x)/count(*) AS m FROM xs GROUP BY 1),
+         c AS (SELECT a.p AS i, b.p AS j,
+                 sum(a.x * b.x)/count(*) - ma.m * mb.m AS cov
+               FROM xs a JOIN xs b USING (vec_id)
+               JOIN mu ma ON ma.p = a.p JOIN mu mb ON mb.p = b.p
+               WHERE a.p <= b.p
+               GROUP BY 1, 2, ma.m, mb.m)
+         SELECT round(sum(CASE WHEN i = j THEN cov ELSE 0 END), 6) AS trace,
+           round(sum(CASE WHEN i = j THEN cov*cov ELSE 2*cov*cov END), 6)
+             AS frobenius_sq,
+           (SELECT count(*) FROM embeddings WHERE len(embedding) = 64) AS n
+         FROM c""",
 
     // the whiten invariant is a CLOSED FORM: cov(whitened) = I and
     // mean(whitened) = 0 by construction, independent of the

@@ -281,6 +281,25 @@ object Pca {
       graft.functions.GraftFunctions.projectCentered(vec, model.mean,
         model.whitenMat(eps), model.k, model.dims).as("whitened"))
 
+  /** SQL-oracle-able SPECTRAL invariants of the full eigensystem:
+    * Σλᵢ = trace(C) and Σλᵢ² = ‖C‖²_F — both plain covariance
+    * arithmetic any engine can compute WITHOUT an eigensolver. The
+    * second is also a CONVERGENCE oracle: orthogonal similarity
+    * preserves the Frobenius norm, so the diagonal the solver reads
+    * its eigenvalues from satisfies Σλᵢ² = ‖C‖²_F − (residual
+    * off-diagonal mass)² — an unconverged Jacobi shows up as a
+    * strict deficit, not just a wrong rotation. One row:
+    * (trace, frobenius_sq, n over well-formed rows). */
+  def spectralInvariants(emb: DataFrame, vec: Column,
+      dims: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (n, _, cov) = moments(emb, vec, dims)
+    val (vals, _) = jacobiEigen(cov)
+    Seq((vals.sum, vals.map(v => v * v).sum, n))
+      .toDF("trace", "frobenius_sq", "n")
+  }
+
   /** The whiten INVARIANT as an oracle-able frame: mean and
     * covariance of the whitened corpus, which are ZERO and IDENTITY
     * by construction (cov up to eps/λ and float noise, both orders of

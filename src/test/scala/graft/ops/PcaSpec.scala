@@ -160,6 +160,21 @@ class PcaSpec extends AnyFunSuite {
     assert(rows === Map(1L -> 2, 2L -> 0, 3L -> 2))
   }
 
+  test("spectral invariants: eigenvalue sums equal trace and Frobenius norm of the covariance") {
+    val df = fixture(400, 5)
+    val inv = Pca.spectralInvariants(df, col("embedding"), 5).head()
+    val cov = Pca.covariance(df, col("embedding"), 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val trace = (0 until 5).map(i => cov((i.toLong, i.toLong))).sum
+    val frob = cov.map { case ((i, j), c) =>
+      if (i == j) c * c else 2 * c * c }.sum
+    // similarity preserves both sums; a Jacobi stopped short would
+    // leave off-diagonal mass and undershoot the Frobenius identity
+    assert(math.abs(inv.getDouble(0) - trace) < 1e-9)
+    assert(math.abs(inv.getDouble(1) - frob) < 1e-9)
+    assert(inv.getLong(2) === 400L)
+  }
+
   test("whitenInvariant is the closed-form identity frame; malformed rows never enter n") {
     import spark.implicits._
     val good = fixture(300, 6)
