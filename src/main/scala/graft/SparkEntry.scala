@@ -3259,6 +3259,18 @@ object SparkEntry {
     // greedy = non-splitting first-fit (SFT-style; a sequential fold
     // per shard, oracled via a DuckDB recursive CTE folding the SAME
     // rule). md5 shard+order makes both layouts engine-portable.
+    // Z-ORDER LAYOUT KEY (graft.ops.Layout.zValue): the Morton
+    // interleave behind writeZOrdered's dual-dimension data skipping —
+    // pure codegen'd bitwise Column ops, and pure bit ARITHMETIC, so
+    // the oracle rebuilds every bit position in SQL (a → odd bits,
+    // b → even). The layout/locality semantics themselves are
+    // LayoutSpec-pinned (quadrant property, per-file rectangles)
+    "layout_zorder_keys" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          Layout.zValue(col("doc_id"), col("n_chars")).as("z"))
+        .orderBy("doc_id")),
+
     "pack_chopped" -> ((s, dir) =>
       Pack.packChopped(table(s, dir, "documents"), col("doc_id"),
           TextOps.tokenCount(col("text")), seqLen = 2048, shards = 16,
@@ -5317,6 +5329,15 @@ object SparkEntry {
              WHEN 'src1' THEN '${graft.ops.Mix.hexThreshold(0.5)}'
              ELSE '${graft.ops.Mix.hexThreshold(0.25)}' END
          ORDER BY doc_id""",
+
+    // the Morton interleave, rebuilt bit by bit: a's bit k lands at
+    // position 2k+1, b's at 2k (inputs < 2^31, so bits 0..30 suffice)
+    "layout_zorder_keys" ->
+      """SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 31), k ->
+             (((doc_id >> k) & 1) << (2*k + 1)) +
+             (((n_chars >> k) & 1) << (2*k)))) AS BIGINT) AS z
+         FROM documents ORDER BY doc_id""",
 
     "pack_chopped" ->
       """WITH d AS (SELECT doc_id,
