@@ -124,10 +124,22 @@ object GraftExtensions {
         es => LangMarkerCounts(es.head)),
       fn("graft_repetition_stats", classOf[RepetitionStats], 1)(
         es => RepetitionStats(es.head)),
-      // aggregate: the analyzer wraps a bare AggregateFunction from a
+      // aggregates: the analyzer wraps a bare AggregateFunction from a
       // registry builder in its AggregateExpression
       fn("graft_count_by_value", classOf[CountByValue], 1)(
-        es => CountByValue(es.head)))
+        es => CountByValue(es.head)),
+      // graft_bounded_collect(sortKey, payload, cap, distinct): the
+      // O(cap) state-bounded collection fold behind the streaming
+      // series/set bucket cap
+      fn("graft_bounded_collect", classOf[BoundedCollect], 4)(
+        es => BoundedCollect(es.head, es(1),
+          intLit(es(2), "graft_bounded_collect", 2),
+          es(3) match {
+            case Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              "graft_bounded_collect: argument 4 must be a BOOLEAN " +
+              s"literal, got $other")
+          })))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -53,6 +53,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(m("h") === Map(3.0 -> 1L))
   }
 
+  test("bounded_collect aggregate resolves through SQL: order-smallest prefix, distinct mode") {
+    import spark.implicits._
+    Seq(("g", 3L, 30.0), ("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 2L, 20.0))
+      .toDF("k", "o", "v").createOrReplaceTempView("tbc")
+    val rows = spark.sql(
+      """SELECT k,
+           graft_bounded_collect(o, v, 2, false) AS series,
+           graft_bounded_collect(v, v, 2, true) AS distinct_set
+         FROM tbc GROUP BY k""").head()
+    // series: cap-2 earliest by (ord, value), WITH multiplicity
+    assert(rows.getSeq[Double](1) === Seq(10.0, 20.0))
+    // set: cap-2 smallest distinct values
+    assert(rows.getSeq[Double](2) === Seq(10.0, 20.0))
+  }
+
   test("SQL values match the Column API bit-for-bit") {
     import spark.implicits._
     val df = Seq("the quick brown fox the quick").toDF("x")
