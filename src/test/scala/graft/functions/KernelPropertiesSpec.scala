@@ -222,6 +222,37 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: BoundedCollect == sorted-prefix of the full collection, any split/merge order") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val entry = Gen.zip(Gen.choose(0L, 20L), Gen.choose(-4.0, 4.0))
+    val gen = Gen.zip(Gen.listOfN(50, entry), Gen.choose(1, 12),
+      Gen.choose(1, 49), Gen.oneOf(false, true))
+    forAll(gen, n = 80) { case (rows, cap, splitAt, distinct) =>
+      val agg = graft.functions.BoundedCollect(
+        Literal.default(LongType), Literal.default(DoubleType), cap, distinct)
+      def fill(xs: Seq[(Long, Double)]) = {
+        val b = agg.createAggregationBuffer()
+        xs.foreach { case (k, v) => b.add(k, v, 1L) }
+        b
+      }
+      // split arbitrarily, serialize both halves, merge — the capped
+      // result must be the cap-prefix of the FULL sorted collection
+      val (h1, h2) = rows.splitAt(splitAt)
+      val merged = agg.merge(
+        agg.deserialize(agg.serialize(fill(h1))),
+        agg.deserialize(agg.serialize(fill(h2))))
+      val got = merged.toArrayData.array.toSeq
+      // distinct mode dedupes (sortKey, payload) ENTRIES (SetT passes
+      // the value for both, making it distinct-values)
+      val full =
+        if (distinct) rows.distinct.sorted.map(_._2)
+        else rows.sorted.map(_._2)
+      assert(got === full.take(cap),
+        s"cap=$cap distinct=$distinct split=$splitAt")
+    }
+  }
+
   test("CountByValue admits only atomic keys (hash-stable representations)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
