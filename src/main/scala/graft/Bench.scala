@@ -165,9 +165,39 @@ object Bench {
     * report through the TSV sidecar, child stdout is swallowed (the
     * parent owns the one-JSON-line contract; child stderr — the
     * per-query progress — inherits). */
+  /** Quiet-machine guard for the COMMITTED-pair protocol (r13 verdict
+    * item 7): r12's +9.1% pair drift cost a round of doubt and
+    * root-caused to ambient machine load, so the forked bench now
+    * refuses to commit an artifact measured on a busy machine — the
+    * same self-consistency discipline as Scale's gate. The 1-min load
+    * average is sampled BEFORE the run (fail fast: don't spend 20
+    * minutes measuring junk) and before every fork batch (drift can
+    * arrive mid-run); any sample above SPARK_GRAFT_LOAD_MAX (absolute
+    * 1-min loadavg, default 4.0 — near-idle on this 32-core class of
+    * machine given the bench itself is not yet running; 0 disables)
+    * aborts the run with rc 3 before any measurement. Mid-run samples
+    * would be self-contaminated (loadavg cannot separate our own
+    * just-exited fork batches from intruders), so the guard is a
+    * pre-flight check; the sampled ambient load is recorded in the
+    * artifact (`ambient_load`) so a reviewer can see the conditions
+    * the pair was measured under. */
+  private def loadMax: Double = scala.util.Try(
+    sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").trim.toDouble)
+    .getOrElse(4.0)
+
+  private def loadAvg(): Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   private def runForked(k: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
+    var maxLoad = loadAvg()
+    if (loadMax > 0 && maxLoad > loadMax) {
+      System.err.println(f"[bench] REFUSING to start committed-pair run: " +
+        f"ambient 1-min load $maxLoad%.1f > ${loadMax}%.1f " +
+        "(SPARK_GRAFT_LOAD_MAX; quiet the machine or raise/disable)")
+      sys.exit(3)
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names0 = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
@@ -230,7 +260,7 @@ object Bench {
       tsv.delete()
     }
     emit(results.toSeq, failed.reverse, ledger.map { case (n, (c, d)) => (n, c, d) }.toSeq,
-      sfDir, warmRuns, forked = Some(k))
+      sfDir, warmRuns, forked = Some(k), ambientLoad = Some(maxLoad))
     println(summaryLine(results.toSeq, failed.reverse, sfDir, warmRuns))
     System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
@@ -255,7 +285,7 @@ object Bench {
 
   private def emit(results: Seq[Res], failed: Seq[String],
       ledger: Seq[(String, Long, String)], sfDir: String, warmRuns: Int,
-      forked: Option[Int]): Unit = {
+      forked: Option[Int], ambientLoad: Option[Double] = None): Unit = {
     def json(sel: ((Option[Double], Option[Double], Long)) => Option[Double]) =
       results.map {
         case (k, t) => sel(t) match {
@@ -312,8 +342,9 @@ object Bench {
     val seedJson = sys.env.get("SPARK_GRAFT_BENCH_SEED")
       .map(s => jEsc(s.trim)).getOrElse("null")
     val forkJson = forked.map(_.toString).getOrElse("null")
+    val loadJson = ambientLoad.filter(_ >= 0).map(l => f"$l%.2f").getOrElse("null")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"summary":$summary,"seed":$seedJson,"fork":$forkJson,"order":$orderJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson}""" + "\n")
+      s"""{"summary":$summary,"seed":$seedJson,"fork":$forkJson,"ambient_load":$loadJson,"order":$orderJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson}""" + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }

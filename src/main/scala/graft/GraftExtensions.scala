@@ -130,7 +130,11 @@ object GraftExtensions {
         es => CountByValue(es.head)),
       // graft_bounded_collect(sortKey, payload, cap, distinct): the
       // O(cap) state-bounded collection fold behind the streaming
-      // series/set bucket cap
+      // series/set bucket cap. distinct=true dedups on the
+      // (sortKey, payload) PAIR, not the payload alone — with
+      // sortKey != payload the result can hold duplicate payloads
+      // under different sort keys; pass the same column for both
+      // (as the set fold does) when set semantics are wanted
       fn("graft_bounded_collect", classOf[BoundedCollect], 4)(
         es => BoundedCollect(es.head, es(1),
           intLit(es(2), "graft_bounded_collect", 2),

@@ -43,7 +43,14 @@ import scala.jdk.CollectionConverters._
   * md5-derived tokens, which pushes inter-replica shingle Jaccard far
   * below every funnel threshold. Without this, every funnel's true
   * answer set would itself be quadratic in `mult` and no linear
-  * scaling would be possible even in principle.
+  * scaling would be possible even in principle. Two funnels retain a
+  * quadratic-with-small-constant TRUE answer set anyway (r14,
+  * measured — `rows_out` per point in the artifact): simhash hamming
+  * ≤ 7 (the perturbation only jiggles fingerprint tie bits, so
+  * same-base replicas stay in radius) and minhash at threshold 0.3
+  * (~1% of replica pairs land above threshold by perturbation
+  * variance). Their notes carry the numbers and their shuffle
+  * ceilings span the measured answer shape.
   */
 object Scale {
 
@@ -171,6 +178,31 @@ object Scale {
     "cms_token_freq" -> 0.9, "url_robots_gate" -> 0.9,
     "url_frontier_pipeline" -> 0.9, "embed_covariance" -> 0.9,
     "decon_suite_bloom" -> 1.0, "dedup_confusable_fold" -> 0.9)
+
+  /** SHUFFLE-volume exponent ceilings (r13 verdict item 1): at 100 TB
+    * shuffle bytes are the bill, so the gate now bounds the one scale
+    * dimension it previously only measured. Linear funnels get the
+    * default 1.2 (measurement wobble over a truly linear law);
+    * anything above carries its measured root cause in
+    * [[FunnelNotes]], with `rows_out` per point in the artifact so
+    * answer-shaped growth is checkable, and the ceiling set just
+    * above the explained shape — a regression past it (e.g. the MIH
+    * ball re-inflating, a cap stopping to engage) still trips. */
+  val DefaultShuffleExp: Double = 1.2
+  val MaxShuffleExp: Map[String, Double] = Map(
+    // one-time broadcast→shuffle strategy flip inside the fitted span
+    // plus quadratic-with-small-constant answers (see note)
+    "dedup_simhash_pairs" -> 2.3,
+    // answers themselves fit exp ~2.0 with a tiny constant (see note)
+    "dedup_minhash_pairs" -> 1.8,
+    // map-side-combine efficiency decays toward raw-edge volume
+    "graph_pagerank" -> 1.45, "graph_pagerank_hub" -> 1.45,
+    // verify/posting streams track answer + candidate volume
+    "dedup_contain_pairs" -> 1.45, "span_dup_spans" -> 1.45,
+    // small-scale window-replication ramp (see note)
+    "dedup_snm_pairs" -> 1.45,
+    "text_sparse_cosine_pairs" -> 1.35,
+    "split_leakfree" -> 1.35, "split_balanced" -> 1.35)
 
   /** Text re-expressed in 3-word-shingle space ("a_b_c d_e_f …"):
     * the token stream [[TextOps.hashedTfIdf]] then sees is Zipf-ish
@@ -410,7 +442,16 @@ object Scale {
       "re-runs the funnel scrub-OFF to prove bucketCap engages alone. " +
       "Verify joins are SHUFFLE_HASH (r10): signature/element arrays " +
       "ride the O(n) build side, candidates stream unsorted - zero " +
-      "spill at every mult (was 6.6 GB at m=64 sorting cands+arrays)."),
+      "spill at every mult (was 6.6 GB at m=64 sorting cands+arrays). " +
+      "r14 on the s_exp ~1.5 (rows_out in this artifact): the ANSWER " +
+      "set itself fits exp ~2.0 with a tiny constant - measured pairs " +
+      "403/7.7k/126k at m=4/16/64, ~80pct of them same-base replica " +
+      "pairs: about 1pct of replica pairs land ABOVE the 0.3 " +
+      "threshold (perturbation variance over short docs), and at " +
+      "J~0.19 the 8-band S-curve admits ~25pct of replica pairs as " +
+      "candidates besides. Signature/blocking work stays linear " +
+      "(t_exp 0.30), so shuffle = linear signatures + answer/candidate " +
+      "volume; ceiling 1.8."),
     "dedup_ngram_pairs" -> ("same scrub judgment as minhash: char-3-" +
       "grams of the ~30-word base vocabulary are ALL corpus-scale, so " +
       "scrub-off the random-background candidate rate is quadratic " +
@@ -418,13 +459,31 @@ object Scale {
       "128-long signature arrays riding the prefilter join). " +
       "hotElemFrac=0.025 drops them from blocking and verify; the " +
       "0.8-threshold truth set on this corpus is then the clone set."),
-    "dedup_simhash_pairs" -> ("shuffle volume IS the answer volume: " +
-      "the 96k planted exact clones agree on all four 16-bit bands, " +
-      "so within-flood candidates are quadratic until bucketCap " +
-      "truncates each band bucket at 1000; verify is an xor-popcount, " +
-      "so time stays flat (t_exp ~0.3). Exact clones are hamming-0 " +
-      "pairs - any correct engine emits the same capped set. s_exp " +
-      "~2.1 is the flood's pair count growing with its square, capped."),
+    "dedup_simhash_pairs" -> ("r14 root-cause (measured, rows_out in " +
+      "this artifact): the fitted s_exp ~2.1 has two drivers, neither " +
+      "a defect. (1) ANSWERS are quadratic-with-small-constant: the " +
+      "25pct word perturbation sinks shingle Jaccard below every LSH " +
+      "threshold but only jiggles simhash TIE BITS (bits whose token " +
+      "vote sum is ~0), so same-base replica fingerprints stay within " +
+      "hamming 7 - measured pairs 2.7M/714k/6.7M at m=4/16/64 (m=4 is " +
+      "flood-dominated: the suffixed clone block's per-chunk buckets " +
+      "ride UNDER the 1000 cap at 6k clones and emit 2.6M hamming<=7 " +
+      "pairs, then blow past the cap and drop to 0 from m=16 on; the " +
+      "m16->64 same-base growth fits exp ~1.6). Any correct engine " +
+      "emits these pairs. (2) A one-time broadcast->shuffle strategy " +
+      "flip sits INSIDE the fitted span: at m<=16 the radius-1 ball " +
+      "side broadcasts and the pair distinct is SHUFFLE-FREE - pairs " +
+      "inherit the ingest's doc_id hash partitioning and id_a IS " +
+      "doc_id, so ClusteredDistribution is already satisfied - " +
+      "leaving only linear bookkeeping shuffles (86k/278k rows); at " +
+      "m=64 the ball side (17 x capped chunk rows = 68n, LINEAR, " +
+      "18.33M rows) crosses the broadcast ceiling, the MIH join " +
+      "becomes a shuffle join on (chunk, ck) and the distinct then " +
+      "pays its own exchange (~answer volume). The 100 TB regime is " +
+      "always post-flip: shuffle = 68n ball + 4n exact + O(answers), " +
+      "4.3 shuffle rows per answer at m=64. Verify stays xor-popcount " +
+      "(t_exp ~0.1-0.3). Ceiling 2.3 spans the one-time flip; a MIH " +
+      "ball re-inflation or cap regression still trips it."),
     "dedup_contain_pairs" -> ("winnowed fingerprints of exact clones " +
       "are identical, so clone-flood buckets exceed every cap and " +
       "drop whole (the documented skew contract). r10 stage-level " +
@@ -474,10 +533,16 @@ object Scale {
     "split_balanced" -> ("same funnel as split_leakfree plus the " +
       "greedy bin-assignment pass over cluster summaries; inherits " +
       "its s_exp ~1.31 for the same reasons."),
-    "graph_pagerank" -> ("3 iterations x linear edge shuffle; s_exp " +
-      "~1.28 reflects the synthetic link graph's density rising " +
-      "mildly with n (more in-range targets per node), not the " +
-      "operator."),
+    "graph_pagerank" -> ("3 iterations x linear edge shuffle (edges = " +
+      "3n by construction, parallel edges collapsed). s_exp ~1.28 is " +
+      "map-side-combine efficiency decaying, not edge growth: the " +
+      "contribution aggregation's partial combine dedups per-partition " +
+      "(dst, sum) pairs, and at small n a partition's ~3n/32 " +
+      "contributions collide on few distinct dst keys (heavy " +
+      "reduction) while at large n dst collisions within a partition " +
+      "vanish and post-combine rows approach the raw edge count - " +
+      "bounded by edges, so the exponent decays toward 1.0 as the " +
+      "combine saturates; ceiling 1.45."),
     "graph_pagerank_hub" -> ("as graph_pagerank with a planted " +
       "celebrity holding 25pct of in-edges; contribution aggregation " +
       "is a partial-agg (map-side combine) so the hot key never " +
@@ -506,7 +571,11 @@ object Scale {
       "- constant rows/bytes at every mult - and time is the linear " +
       "scan (vector minting + 2080 multiply-adds per row). The " +
       "explode-(i,j)-groupBy alternative this replaces ships d^2/2 " +
-      "rows per input row."),
+      "rows per input row. The one-small-buffer claim is d-bounded, " +
+      "not free: at d=1024 a partial is ~4.2 MB (still fine), at " +
+      "d=4096 ~67 MB and the driver Jacobi is O(d^3) - which is why " +
+      "dims > 1024 is REFUSED with a named error (Pca.MaxDims, r14) " +
+      "rather than silently stalling."),
     "decon_suite_bloom" -> ("the suite (eval sets) is FIXED while " +
       "train grows: bloom fit is suite-sized (constant), and the " +
       "train gram stream pays a linear scan + map-side broadcast " +
@@ -591,7 +660,12 @@ object Scale {
           (sec, listener.drain())
         }
         val ledgerMark = Ledger.mark()
-        once() // cold: codegen/classload; discard
+        // cold run doubles as the ANSWER-VOLUME measurement (r13
+        // verdict item 1): rows_out goes into the artifact so a
+        // super-linear shuffle exponent is checkable against answer
+        // growth instead of asserted in prose. Counting executes the
+        // full funnel, so it still absorbs codegen/classload.
+        val rowsOut = { hygiene(); listener.drain(); fn(docs).count() }
         // warm = MIN of N runs (default 2): the same contamination
         // argument as Bench (SURVEY §13.1) — GC/JIT noise is strictly
         // additive, and a single warm sample measured up to 4× off on
@@ -609,9 +683,10 @@ object Scale {
           .map(s => s"${s.id}:${s.spillBytes / 1000000}MB").mkString(",")
         System.err.println(f"[scale] m=$m%-3d $name%-26s ${sec}%8.2fs  " +
           f"shufW ${sw}%,12d rows ${swb / 1e6}%9.1f MB  spill ${spill / 1e6}%6.1f MB" +
+          f"  out ${rowsOut}%,d" +
           (if (topSpill.nonEmpty) s"  [spill $topSpill]" else "") +
           (if (ledger.nonEmpty) s"  ledger ${ledger.size}" else ""))
-        name -> ((sec, sr, sw, swb, spill, stages, ledger))
+        name -> ((sec, sr, sw, swb, spill, stages, ledger, rowsOut))
       }
       (m, nDocs, qres)
     }
@@ -685,11 +760,17 @@ object Scale {
         if (v1._3 > 0 && vN._3 > 0)
           math.log(vN._3.toDouble / v1._3) / math.log(mN / m1)
         else Double.NaN
-      name -> (tExp, sExp)
+      // answer-volume exponent over the same span: the number a
+      // super-linear shuffle exponent is judged against
+      val aExp =
+        if (v1._8 > 0 && vN._8 > 0)
+          math.log(vN._8.toDouble / v1._8) / math.log(mN / m1)
+        else Double.NaN
+      name -> ((tExp, sExp, aExp))
     }
 
     def qJson(t: (Double, Long, Long, Long, Long, Seq[Scale.StageRow],
-        Seq[(String, String)])): String = {
+        Seq[(String, String)], Long)): String = {
       val top = t._6.sortBy(s => -math.max(s.swBytes, s.spillBytes)).take(5)
         .map(s =>
           s"[${s.id},${s.srRecords},${s.swRecords},${s.swBytes},${s.spillBytes}]")
@@ -697,16 +778,21 @@ object Scale {
         s"""{"name":${jStr(n)},"detail":${jStr(d)}}""" }
       s"""{"sec":${jNum(t._1)},"shuffle_read_rows":${t._2},""" +
       s""""shuffle_write_rows":${t._3},"shuffle_write_bytes":${t._4},""" +
-      s""""spill_bytes":${t._5},"top_stages":[${top.mkString(",")}],""" +
+      s""""spill_bytes":${t._5},"rows_out":${t._8},""" +
+      s""""top_stages":[${top.mkString(",")}],""" +
       s""""ledger":[${led.mkString(",")}]}"""
     }
     val pointsJson = points.map { case (m, nDocs, qr) =>
       val qs = qr.map { case (n, t) => s""""$n":${qJson(t)}""" }
       s"""{"mult":$m,"docs":$nDocs,"queries":{${qs.mkString(",")}}}"""
     }.mkString("[", ",", "]")
-    val fitsJson = fits.map { case (n, (te, se)) =>
+    val fitsJson = fits.map { case (n, (te, se, ae)) =>
       val secs = points.map(p => jNum(p._3.find(_._1 == n).get._2._1))
+      val rows = points.map(p => p._3.find(_._1 == n).get._2._8.toString)
       s""""$n":{"time_exp":${jNum(te)},"shuffle_exp":${jNum(se)},""" +
+      s""""answer_exp":${jNum(ae)},""" +
+      s""""shuffle_ceiling":${jNum(MaxShuffleExp.getOrElse(n, DefaultShuffleExp))},""" +
+      s""""rows_out":[${rows.mkString(",")}],""" +
       s""""secs":[${secs.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val notesJson = names.flatMap(n => FunnelNotes.get(n).map(v =>
@@ -733,10 +819,16 @@ object Scale {
       }
     }
     val expViolations = fits.collect {
-      case (n, (te, _)) if !te.isNaN && te > MaxTimeExp.getOrElse(n, 1.5) =>
+      case (n, (te, _, _)) if !te.isNaN && te > MaxTimeExp.getOrElse(n, 1.5) =>
         f"$n: time_exp $te%.2f > claimed ${MaxTimeExp.getOrElse(n, 1.5)}%.2f"
     }
-    val violations = spillViolations ++ expViolations
+    val shufViolations = fits.collect {
+      case (n, (_, se, _))
+          if !se.isNaN && se > MaxShuffleExp.getOrElse(n, DefaultShuffleExp) =>
+        f"$n: shuffle_exp $se%.2f > ceiling " +
+          f"${MaxShuffleExp.getOrElse(n, DefaultShuffleExp)}%.2f"
+    }
+    val violations = spillViolations ++ expViolations ++ shufViolations
     val violJson = violations.map(jStr).mkString("[", ",", "]")
     val budgetJson = sel.map { case (n, _) =>
       s"""${jStr(n)}:${SpillBudgets.getOrElse(n, DefaultSpillBudget)}"""

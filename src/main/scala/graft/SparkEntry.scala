@@ -2180,6 +2180,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the tokenizer against the PERSISTED merge store (fit once on
+    // the corpus, stored as parquet + commit marker; the increment
+    // read path loads the ~KB merge table, no training jobs) — same
+    // unrolled-CTE truth as bpe_token_count_exact_sample, so the
+    // store round-trip is hash-oracled end to end
+    "bpe_token_count_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("bpestore", dir)(p =>
+        Bpe.fitToStore(docs, col("text"), numMerges = 5, p, maxBatch = 1))
+      docs.filter(col("doc_id") < 300).select(col("doc_id"),
+        Bpe.tokenCountAgainstStore(s, store, col("text"))
+          .cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: stubbed decode over BINARY media column (real plumbing)
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.asMediaTable(table(s, dir, "documents")))
@@ -3133,6 +3148,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL WebP-lossless (VP8L) decode end-to-end (graft.ops.Webp):
+    // RIFF walk, LSB-first bitstream, canonical prefix codes, LZ77 +
+    // color cache, and the transform set — the fixture rotates the
+    // encode path (plain / subtract-green / predictor / palette /
+    // cache+runs / meta-split) per doc while the closed-form pixel
+    // grid keeps the expected luma sums computable in plain SQL
+    // (lossless ⇒ path-independent). A prefix-code, transform-order,
+    // bundling, or cache mistake shifts sum_luma and fails the hash.
+    "mm_webp_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticWebp(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG decode end-to-end: multi-scan successive
     // approximation — DC first at Al=1, spectral AC bands, DC and AC
     // refinement scans — reassembled into one coefficient buffer and
@@ -3269,6 +3308,17 @@ object SparkEntry {
       table(s, dir, "documents")
         .select(col("doc_id"),
           Layout.zValue(col("doc_id"), col("n_chars")).as("z"))
+        .orderBy("doc_id")),
+
+    // 3-dim Morton key (Layout.zValueN, r13 verdict item 5): 21 bits
+    // per dimension, bit k of dim d at position 3k+(2-d); the third
+    // dimension is arithmetic ((doc_id*31+7) mod 997) so the oracle
+    // rebuilds all 63 bit positions in SQL
+    "layout_zorder3_keys" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          Layout.zValueN(Seq(col("doc_id"), col("n_chars"),
+            pmod(col("doc_id") * 31 + 7, lit(997)))).as("z"))
         .orderBy("doc_id")),
 
     "pack_chopped" -> ((s, dir) =>
@@ -5123,7 +5173,8 @@ object SparkEntry {
     // exact in double; the two formulations differ ~1e-15, far below
     // the 1e-6 rounding)
     "embed_covariance_sample" ->
-      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 300),
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 300
+           AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          idx AS (SELECT unnest(generate_series(1, 64)) AS p),
          xs AS (SELECT vec_id, p, CAST(e[CAST(p AS INT)] AS DOUBLE) AS x FROM v, idx),
          mu AS (SELECT p, sum(x)/count(*) AS m FROM xs GROUP BY 1),
@@ -5142,7 +5193,8 @@ object SparkEntry {
     "embed_pca_spectrum" ->
       """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS p),
          xs AS (SELECT vec_id, p, CAST(embedding[CAST(p AS INT)] AS DOUBLE) AS x
-                FROM embeddings, idx WHERE len(embedding) = 64),
+                FROM embeddings, idx WHERE len(embedding) = 64
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          mu AS (SELECT p, sum(x)/count(*) AS m FROM xs GROUP BY 1),
          c AS (SELECT a.p AS i, b.p AS j,
                  sum(a.x * b.x)/count(*) - ma.m * mb.m AS cov
@@ -5153,7 +5205,8 @@ object SparkEntry {
          SELECT round(sum(CASE WHEN i = j THEN cov ELSE 0 END), 6) AS trace,
            round(sum(CASE WHEN i = j THEN cov*cov ELSE 2*cov*cov END), 6)
              AS frobenius_sq,
-           (SELECT count(*) FROM embeddings WHERE len(embedding) = 64) AS n
+           (SELECT count(*) FROM embeddings WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0) AS n
          FROM c""",
 
     // the whiten invariant is a CLOSED FORM: cov(whitened) = I and
@@ -5162,7 +5215,8 @@ object SparkEntry {
     // directly and only reads the corpus for n (well-formed rows)
     "embed_pca_whiten" ->
       """WITH d AS (SELECT unnest(generate_series(0, 15)) AS p),
-         nn AS (SELECT count(*) AS n FROM embeddings WHERE len(embedding) = 64)
+         nn AS (SELECT count(*) AS n FROM embeddings WHERE len(embedding) = 64
+           AND len(list_filter(embedding, x -> x IS NULL)) = 0)
          SELECT CAST(a.p AS BIGINT) AS i, CAST(b.p AS BIGINT) AS j,
            CAST(CASE WHEN a.p = b.p THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov,
            CAST(0.0 AS DOUBLE) AS mu, nn.n AS n
@@ -5170,7 +5224,8 @@ object SparkEntry {
 
     "embed_pca_whiten_indexed" ->
       """WITH d AS (SELECT unnest(generate_series(0, 15)) AS p),
-         nn AS (SELECT count(*) AS n FROM embeddings WHERE len(embedding) = 64)
+         nn AS (SELECT count(*) AS n FROM embeddings WHERE len(embedding) = 64
+           AND len(list_filter(embedding, x -> x IS NULL)) = 0)
          SELECT CAST(a.p AS BIGINT) AS i, CAST(b.p AS BIGINT) AS j,
            CAST(CASE WHEN a.p = b.p THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov,
            CAST(0.0 AS DOUBLE) AS mu, nn.n AS n
@@ -5337,6 +5392,17 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(0, 31), k ->
              (((doc_id >> k) & 1) << (2*k + 1)) +
              (((n_chars >> k) & 1) << (2*k)))) AS BIGINT) AS z
+         FROM documents ORDER BY doc_id""",
+
+    // the 3-dim interleave, rebuilt bit by bit: dim d of 3 lands at
+    // position 3k + (2-d), 21 bits each (inputs < 2^21)
+    "layout_zorder3_keys" ->
+      """SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 21), k ->
+             (((doc_id >> k) & 1) << (3*k + 2)) +
+             (((n_chars >> k) & 1) << (3*k + 1)) +
+             (((((doc_id * 31 + 7) % 997) >> k) & 1) << (3*k)))) AS BIGINT)
+             AS z
          FROM documents ORDER BY doc_id""",
 
     "pack_chopped" ->
@@ -6750,6 +6816,24 @@ object SparkEntry {
          LEFT JOIN wt ON dw.word = wt.word
          GROUP BY 1 ORDER BY 1""",
 
+    // store-read path, same truth: store-fit == inline-fit is also
+    // BpeSpec-pinned, so one oracle serves both
+    "bpe_token_count_indexed" ->
+      s"""WITH ${bpeTrainSql(5)},
+         wt AS MATERIALIZED (SELECT wi.word, cnt.ntok FROM wi JOIN
+             (SELECT wid, count(*) AS ntok FROM sl5 GROUP BY 1) cnt
+             USING (wid)),
+         dw AS (SELECT doc_id, word FROM
+             (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+              FROM documents WHERE doc_id < 300)
+           WHERE length(word) > 0)
+         SELECT d.doc_id, CAST(coalesce(sum(wt.ntok), 0) AS BIGINT) AS n_bpe
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+         LEFT JOIN dw ON d.doc_id = dw.doc_id
+         LEFT JOIN wt ON dw.word = wt.word
+         GROUP BY 1 ORDER BY 1""",
+
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id,
            ['image','video','audio'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
@@ -7552,6 +7636,19 @@ object SparkEntry {
            CASE WHEN k = 1 THEN (doc_id + 3 * x + 5 * y) % 256
                 ELSE ((doc_id * 257 + 4099 * x + 131 * y) % 65536) // 256
            END AS v
+           FROM d, unnest(generate_series(0, d.w - 1)) AS tx(x),
+                unnest(generate_series(0, d.h - 1)) AS ty(y))
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_luma
+         FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_webp_real" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h
+           FROM documents WHERE doc_id % 7 <> 0),
+         px AS (SELECT doc_id, w, h,
+           (299 * ((doc_id + 3 * x + 7 * y) % 256)
+            + 587 * ((2 * doc_id + 5 * x + y) % 256)
+            + 114 * ((3 * doc_id + x + 11 * y) % 256)) // 1000 AS v
            FROM d, unnest(generate_series(0, d.w - 1)) AS tx(x),
                 unnest(generate_series(0, d.h - 1)) AS ty(y))
          SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,

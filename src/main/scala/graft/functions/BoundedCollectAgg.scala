@@ -95,7 +95,14 @@ final class BoundedCollectBuf(val cap: Int, ord: Ordering[(Any, Any)],
   * set (`sortKey`=payload, `distinct`=true) matches
   * `array_sort(collect_set(value))` — both sort by the same
   * (sortKey, payload) total order this keeps its smallest prefix of.
-  * Null sort keys or payloads are skipped, like the collect_* folds. */
+  * Null sort keys or payloads are skipped, like `collect_set` /
+  * `collect_list` over a bare column. Note one asymmetry against the
+  * STRUCT-wrapped series fold: `collect_list(struct(ord, value))`
+  * keeps an entry whose `value` FIELD is null (the struct itself is
+  * non-null, so collect_list's top-level null skip never sees it),
+  * while this aggregate drops it — so a capped series fold over
+  * null-bearing input is the uncapped fold of its non-null entries
+  * (see SeriesType.foldExprCapped's contract note). */
 case class BoundedCollect(
     sortKey: Expression,
     payload: Expression,

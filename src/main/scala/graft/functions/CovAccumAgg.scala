@@ -84,6 +84,15 @@ case class CovAccum(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CovBuffer] with UnaryLike[Expression] {
 
+  // the documented dims ceiling (see Pca.MaxDims): past it the
+  // d(d+3)/2-double buffer stops being "one small row per partition"
+  // (d=4096 → ~67 MB per partial) and the driver Jacobi stalls
+  require(d >= 1 && d <= graft.ops.Pca.MaxDims,
+    s"cov_accum: dims=$d outside [1, ${graft.ops.Pca.MaxDims}] — " +
+      "the moment buffer is d(d+3)/2 doubles per partial and the " +
+      "downstream eigensolve is a driver O(d^3) Jacobi; reduce " +
+      "dimensionality (random projection / PCA on a slice) first")
+
   require(d > 0 && d <= 4096, s"cov_accum needs 0 < d <= 4096, got $d")
 
   override def nullable: Boolean = false

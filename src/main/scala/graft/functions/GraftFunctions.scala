@@ -598,11 +598,19 @@ object Kernels {
 
   /** y = M·(x − μ): k×d row-major projection of a CENTERED float
     * vector — the PCA / whitening map fused into one linear pass
-    * (k·d multiply-adds). Rows of the wrong width yield an EMPTY
-    * array: malformed data, not a task error. */
+    * (k·d multiply-adds). Rows of the wrong width OR with a null
+    * slot yield an EMPTY array: malformed data, not a task error —
+    * the same well-formedness verdict [[CovAccum]] applies on the
+    * fit side, so a row the moments excluded can never feed a
+    * projection/whiten identity (r13 advisor finding). */
   def projectCentered(xs: ArrayData, mean: Array[Double],
       mat: Array[Double], k: Int, d: Int): ArrayData = {
     if (xs.numElements() != d) return new GenericArrayData(Array.empty[Any])
+    var n = 0
+    while (n < d) {
+      if (xs.isNullAt(n)) return new GenericArrayData(Array.empty[Any])
+      n += 1
+    }
     val c = new Array[Double](d)
     var i = 0
     while (i < d) { c(i) = xs.getFloat(i).toDouble - mean(i); i += 1 }

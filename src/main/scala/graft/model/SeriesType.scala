@@ -60,7 +60,15 @@ sealed trait SeriesType extends Serializable {
     * hostile hot bucket cannot balloon a state-store row. The kept
     * subset is the (ord, value) / value order-smallest prefix:
     * deterministic under replay and exactly the uncapped fold whenever
-    * the bucket fits the cap. */
+    * the bucket fits the cap — with one documented exception: NULL
+    * datapoints (e.g. a failed `value` cast upstream) are DROPPED by
+    * the capped fold, while the uncapped series fold's
+    * `collect_list(struct(ord, value))` keeps a null-valued entry
+    * (struct wrapping hides the null from collect_list's top-level
+    * null skip). Set folds are unaffected (`collect_set` already
+    * drops nulls). Feed the capped fold pre-validated values — the
+    * aggregateStream path casts before folding, so a null there is
+    * already a malformed datapoint, not data. */
   def foldExprCapped(value: Column, ord: Column, cap: Int): Column =
     foldExpr(value, ord)
 

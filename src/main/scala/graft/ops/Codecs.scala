@@ -159,6 +159,15 @@ object Codecs {
       Gif.decodeGifHeader(b).map { case (w, h, _) =>
         MediaHeader("gif", w, h, 3)
       }
+    } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      // WebP (graft.ops.Webp): lossless "webp-l" decodes fully; lossy
+      // "webp" yields honest header dims but stays on the fingerprint
+      // path (pixel decode is out of the pure-JVM codec set)
+      Webp.decodeWebpHeader(b).map { case (fmt, w, h, ch) =>
+        MediaHeader(fmt, w, h, ch)
+      }
     } else None
   }
 
@@ -489,6 +498,18 @@ object Codecs {
           }
           (w, h, g)
         }
+      case MediaHeader("webp-l", _, _, _) =>
+        Webp.decodeWebp(b).map { case (w, h, px) =>
+          val g = new Array[Byte](w * h)
+          var i = 0
+          while (i < w * h) {
+            val v = px(i)
+            g(i) = ((299 * ((v >>> 16) & 0xff) + 587 * ((v >>> 8) & 0xff) +
+              114 * (v & 0xff)) / 1000).toByte
+            i += 1
+          }
+          (w, h, g)
+        }
       case _ => None
     }
 
@@ -563,6 +584,19 @@ object Codecs {
                 rgb(3 * i) = px(o); rgb(3 * i + 1) = px(o + 1)
                 rgb(3 * i + 2) = px(o + 2)
             }
+            i += 1
+          }
+          (w, h, rgb)
+        }
+      case MediaHeader("webp-l", _, _, _) =>
+        Webp.decodeWebp(b).map { case (w, h, px) =>
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val v = px(i)
+            rgb(3 * i) = ((v >>> 16) & 0xff).toByte
+            rgb(3 * i + 1) = ((v >>> 8) & 0xff).toByte
+            rgb(3 * i + 2) = (v & 0xff).toByte
             i += 1
           }
           (w, h, rgb)

@@ -29,14 +29,60 @@ object Layout {
     (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
   }
 
+  /** Per-dimension bits of an n-dim Morton code: ⌊63/n⌋ keeps the
+    * sign bit clear, so signed-long ordering IS z-order. 2 dims →
+    * 31 bits, 3 → 21, 4 → 15. */
+  def zBits(nDims: Int): Int = 63 / nDims
+
+  /** The documented [0, 2^bits) precondition, ENFORCED: an
+    * out-of-range value would otherwise have its overflow bits
+    * silently spread into other dimensions' positions (and, for
+    * 2-dim bit 31, the 64-bit sign position) — wrong, engine-local
+    * z-values instead of an error (r13 advisor finding). Pure
+    * conditional in codegen; the error names the dimension. */
+  private def checkedDim(c0: Column, d: Int, bits: Int, n: Int): Column = {
+    val c = c0.cast("long")
+    when(c < 0 || c >= lit(1L << bits),
+      raise_error(concat(
+        lit(s"zValue: dim $d value "), c.cast("string"),
+        lit(s" outside [0, 2^$bits) — $n-dim z-order keys carry $bits "
+          + "bits per dimension; map the domain onto that range first"))))
+      .otherwise(c)
+  }
+
   /** 64-bit Morton code of two dimension values in [0, 2^31): `a`'s
     * bits land in the odd positions, `b`'s in the even — nearby (a,b)
     * pairs get nearby z-values, so a file of consecutive z-values
     * covers a small rectangle in (a,b) space and its parquet min/max
-    * footer excludes it from most range filters on either dimension. */
+    * footer excludes it from most range filters on either dimension.
+    * Out-of-range inputs raise (see [[checkedDim]]). */
   def zValue(a: Column, b: Column): Column =
-    shiftleft(spread(a.cast("long")), 1)
-      .bitwiseOR(spread(b.cast("long")))
+    shiftleft(spread(checkedDim(a, 0, 31, 2)), 1)
+      .bitwiseOR(spread(checkedDim(b, 1, 31, 2)))
+
+  /** n-dimensional Morton code (2 ≤ n ≤ 8), [0, 2^⌊63/n⌋) per
+    * dimension: bit k of dimension d lands at position k·n+(n−1−d),
+    * so earlier dimensions take the higher interleaved positions —
+    * for n=2 exactly [[zValue]]'s (a odd, b even) layout. Real layout
+    * tuning wants 3-4 key columns (time × entity × shard…); beyond 4
+    * the per-dim range (≤ 2^12) stops being useful — the 8 cap is a
+    * sanity bound, not a recommendation. The general spread is a
+    * static ⌊63/n⌋-term shift/or chain per dimension — pure codegen'd
+    * bitwise Column ops like the 2-dim fast path, no UDF. */
+  def zValueN(dims: Seq[Column]): Column = {
+    val n = dims.length
+    require(n >= 2 && n <= 8, s"zValueN wants 2..8 dimensions, got $n")
+    if (n == 2) zValue(dims.head, dims(1))
+    else {
+      val bits = zBits(n)
+      dims.zipWithIndex.map { case (c0, d) =>
+        val c = checkedDim(c0, d, bits, n)
+        (0 until bits).map(k =>
+          shiftleft(shiftright(c, k).bitwiseAND(lit(1L)), k * n + (n - 1 - d)))
+          .reduce(_ bitwiseOR _)
+      }.reduce(_ bitwiseOR _)
+    }
+  }
 
   /** Write `df` z-ordered on (a, b) into `numFiles` range-partitioned,
     * internally-sorted parquet files. The z column is dropped before
@@ -44,7 +90,12 @@ object Layout {
     * preserved into the files). */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
       numFiles: Int): Unit =
-    df.withColumn("__z", zValue(a, b))
+    writeZOrderedN(df, path, Seq(a, b), numFiles)
+
+  /** [[writeZOrdered]] over 2-8 key columns ([[zValueN]]). */
+  def writeZOrderedN(df: DataFrame, path: String, dims: Seq[Column],
+      numFiles: Int): Unit =
+    df.withColumn("__z", zValueN(dims))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -28,6 +28,28 @@ object Ledger {
     lastDetail.put(name, detail)
   }
 
+  /** Counter-valued engagement: like [[note]] but the summary line
+    * accumulates `delta` instead of +1 — for per-partition outcome
+    * counts (e.g. media decode dispatch: decoded-real vs stub vs
+    * quarantined), where the artifact-grade number is the SUM of row
+    * counts, not how many partitions reported. Zero deltas are
+    * dropped (an outcome that never happened should not mint a row).
+    * Executor-side callers (mapPartitions codec stages) aggregate
+    * in-JVM under local[*]; on a multi-executor cluster each executor
+    * ledgers its own partitions (log-greppable per ISO logging), and
+    * cluster-global accounting falls out of the stage's `decoded`
+    * column — one groupBy away — so nothing is lost, only the
+    * convenience summary is per-JVM. */
+  def add(name: String, delta: Long, detail: String): Unit = {
+    if (delta > 0) {
+      logger.info(s"[$name] +$delta $detail")
+      tail.add((seq.incrementAndGet(), name, s"+$delta $detail"))
+      while (tail.size > 256) tail.poll()
+      counts.merge(name, delta, (a, b) => a + b)
+      lastDetail.put(name, detail)
+    }
+  }
+
   /** Recent entries, oldest first (bounded at 256). */
   def recent(): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._

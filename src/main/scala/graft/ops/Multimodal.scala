@@ -93,11 +93,42 @@ object Multimodal {
     * to [[StubCodec]] with `decoded = false`, so downstream stages can
     * tell honest metadata from fabricated. Same iterator/batching
     * shape as [[decodeMeta]]; raster formats are single-frame. */
+  /** Wrap a partition's decode iterator so its per-outcome counts hit
+    * the [[Ledger]] exactly once, at exhaustion — the r13 verdict
+    * item 4 accounting: a 100 TB run can read what fraction of its
+    * media column was actually decoded off the artifact's ledger
+    * section instead of trusting the stub path to be rare. Counting
+    * rides the existing iterator (no extra pass); `outcome` maps each
+    * emitted row to its counter suffix. */
+  private def ledgeredDecode(stage: String, it: Iterator[Row],
+      outcome: Row => String): Iterator[Row] = new Iterator[Row] {
+    private val counts = scala.collection.mutable.Map.empty[String, Long]
+    private var noted = false
+    def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !noted) {
+        noted = true
+        val total = counts.values.sum
+        counts.toSeq.sortBy(_._1).foreach { case (k, n) =>
+          Ledger.add(s"media.$stage.$k", n,
+            s"of $total payloads this partition")
+        }
+      }
+      h
+    }
+    def next(): Row = {
+      val r = it.next()
+      val k = outcome(r)
+      counts.update(k, counts.getOrElse(k, 0L) + 1L)
+      r
+    }
+  }
+
   def decodeMetaAuto(media: DataFrame): DataFrame = {
     val pruned = media.select("doc_id", "media_type", "media")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaMetaAutoSchema)
     pruned.mapPartitions { rows =>
-      rows.map { r =>
+      ledgeredDecode("decode_meta", rows.map { r =>
         val id = r.getLong(0); val mt = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
         // universal magic-byte dispatch: stills, then audio (n_frames
@@ -127,7 +158,7 @@ object Multimodal {
             }
           }
         }
-      }
+      }, r => if (r.getBoolean(8)) "real" else "stub")
     }(enc)
   }
 
@@ -148,14 +179,27 @@ object Multimodal {
       StructField("decoded", BooleanType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     media.select("doc_id", "media").mapPartitions { rows =>
-      rows.map { r =>
+      // three ledgered outcomes: `real` (decoded pixels), `quarantined`
+      // (magic matched a supported container but the BODY is malformed
+      // — data, not an error), `fallback` (format outside the pure-JVM
+      // codec set — the disclosed fingerprint path). A width sentinel
+      // of -1 carries the quarantine verdict to the outcome fn and is
+      // normalized back to the schema's 0 afterwards.
+      val tagged = rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         Codecs.decodeGray(bytes) match {
           case Some((w, h, g)) => Row(id, w, h, g, true)
-          case None            => Row(id, 0, 0, bytes, false)
+          case None =>
+            val known = Codecs.decodeHeader(bytes).isDefined
+            Row(id, if (known) -1 else 0, 0, bytes, false)
         }
       }
+      ledgeredDecode("decode_gray", tagged,
+        r => if (r.getBoolean(4)) "real"
+             else if (r.getInt(1) == -1) "quarantined" else "fallback")
+        .map(r => if (r.getInt(1) == -1)
+          Row(r.getLong(0), 0, 0, r.getAs[Array[Byte]](3), false) else r)
     }(enc)
   }
 
@@ -541,6 +585,36 @@ object Multimodal {
       else
         Codecs.encodePngGray16(w, h,
           (x, y) => ((id * 257 + 4099L * x + 131L * y) % 65536).toInt)
+    }
+
+  /** Deterministic REAL-WEBP-LOSSLESS fixture: RGB pixels in closed
+    * form over (doc_id, x, y); the encode PATH rotates with doc_id
+    * through plain / subtract-green / predictor-mode / palette /
+    * color-cache+LZ77 / meta-split ([[Webp.encodeWebpLossless]]), so
+    * one oracled query drives the decoder's whole transform and
+    * entropy surface — losslessness means the expected luma sums
+    * depend only on the pixel formula, never on the path. Every 7th
+    * doc raw text for the fallback path. */
+  def syntheticWebp(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 4 + (id % 9).toInt
+      val h = 3 + (id % 7).toInt
+      val pix = (x: Int, y: Int) => (
+        ((id + 3L * x + 7L * y) % 256).toInt,
+        ((2L * id + 5L * x + y) % 256).toInt,
+        ((3L * id + x + 11L * y) % 256).toInt)
+      (id % 6) match {
+        case 1 => Webp.encodeWebpLossless(w, h, pix, subtractGreen = true)
+        case 2 => Webp.encodeWebpLossless(w, h, pix,
+          predictorMode = Some((id % 14).toInt))
+        case 3 => Webp.encodeWebpLossless(w, h, pix, palette = true)
+        case 4 => Webp.encodeWebpLossless(w, h, pix, cacheBits = 4,
+          lz77Runs = true)
+        case 5 => Webp.encodeWebpLossless(w, h, pix, metaSplit = true,
+          subtractGreen = true)
+        case _ => Webp.encodeWebpLossless(w, h, pix)
+      }
     }
 
   /** Deterministic REAL-PROGRESSIVE-JPEG fixture: SOF2 grayscale

@@ -28,6 +28,25 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
+  /** The documented, ENFORCED dims boundary (r13 verdict item 3).
+    * Two costs scale with d, not the corpus: the moment buffer is
+    * d(d+3)/2 doubles per partial (d=64 → ~17 KB; d=1024 → ~4.2 MB —
+    * still one small row per partition; d=4096 → ~67 MB per partial,
+    * no longer a cheap shuffle) and the eigensolve is a DRIVER-side
+    * O(d³) cyclic Jacobi over a dense d×d matrix (d=1024 → ~10⁹·
+    * sweeps flops, seconds; d=4096 → a silent minutes-scale driver
+    * stall). Above 1024, reduce first (random projection, or PCA fit
+    * on a dimension slice) — every entry point raises a named error
+    * instead of stalling. */
+  val MaxDims: Int = 1024
+
+  private[graft] def checkDims(dims: Int): Unit =
+    require(dims >= 1 && dims <= MaxDims,
+      s"pca: dims=$dims outside [1, $MaxDims] — the moment buffer is " +
+        "d(d+3)/2 doubles per partial and the eigensolve is a driver " +
+        "O(d^3) Jacobi; reduce dimensionality (random projection / " +
+        "PCA on a slice) before fitting")
+
   /** Fitted model: `mean` (d), `eigvals` (k, descending), and
     * `components` (k rows × d, row-major, orthonormal, sign-fixed). */
   final case class PcaModel(dims: Int, k: Int, n: Long,
@@ -53,6 +72,7 @@ object Pca {
     * moment store appendable and replay-idempotent. */
   private def momentFrame(emb: DataFrame, vec: Column,
       dims: Int): DataFrame = {
+    checkDims(dims)
     import org.apache.spark.sql.GraftColumnBridge
     emb.select(GraftColumnBridge.column(
         graft.functions.CovAccum(GraftColumnBridge.expression(vec), dims)
@@ -115,6 +135,7 @@ object Pca {
   private def loadMoments(spark: org.apache.spark.sql.SparkSession,
       path: String,
       dims: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    checkDims(dims)
     val rows = spark.read.parquet(path)
       .select("n", "sum", "upper").collect()
     var n = 0L
@@ -310,8 +331,10 @@ object Pca {
     * folded). Every whitened row feeds the aggregate, so a wrong
     * projection of ANY row perturbs the matrix; mu pins centering
     * separately because covariance alone is shift-invariant.
-    * Malformed-width inputs whiten to empty arrays and are excluded
-    * from both the fold and n (data, not errors). */
+    * Malformed inputs (wrong width OR a null slot — the same
+    * well-formedness verdict the CovAccum fit applies) whiten to
+    * empty arrays and are excluded from both the fold and n (data,
+    * not errors), so fit-excluded rows never feed the identity. */
   def whitenInvariant(emb: DataFrame, id: Column, vec: Column,
       model: PcaModel, eps: Double = 1e-6, roundDp: Int = 2): DataFrame = {
     val spark = emb.sparkSession

@@ -158,6 +158,29 @@ class BpeSpec extends AnyFunSuite {
       Seq(("a", "b", 4L), ("ab", "c", 3L)))
   }
 
+  test("merge store round-trips: store-fit tokenization == inline-fit") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("bpestore").toString
+    val fitted = Bpe.fitToStore(docs, col("text"), numMerges = 5, path)
+    val loaded = Bpe.mergesFromStore(spark, path)
+    assert(loaded === fitted, "stored merge table must round-trip exactly")
+    val inline = docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), fitted.map(m => (m.a, m.b))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = docs.select(col("doc_id"),
+        Bpe.tokenCountAgainstStore(spark, path, col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored === inline)
+    // a torn store (meta disagreeing with the table) fails loudly
+    Seq(99L).toDF("n_merges").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.mergesFromStore(spark, path)
+    }
+    assert(e.getMessage.contains("torn"))
+  }
+
   test("mergeBatch on one pair equals mergeOnce") {
     val df = Seq((Seq("a", "b", "c", "a", "b"), 1L)).toDF("syms", "wcount")
     val one = df.select(Bpe.mergeOnce(col("syms"), "a", "b").as("s"))

@@ -42,6 +42,53 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("zValueN: n=2 is exactly zValue; 3-dim generalizes the quadrant property") {
+    import spark.implicits._
+    val two = spark.range(200).select((col("id") * 37 % 101).as("a"),
+      (col("id") * 13 % 89).as("b"))
+    val eq = two.select((Layout.zValueN(Seq(col("a"), col("b"))) ===
+      Layout.zValue(col("a"), col("b"))).as("ok")).collect()
+    assert(eq.forall(_.getBoolean(0)))
+    // 3 dims: all points inside the [0,4)^3 octant have z < 64; any
+    // point outside it has z >= 64 (bit positions >= 6 set)
+    val df = spark.range(512).select(
+      (col("id") / 64).cast("long").as("a"),
+      ((col("id") / 8) % 8).cast("long").as("b"),
+      (col("id") % 8).as("c"))
+    val z = df.select(col("a"), col("b"), col("c"),
+      Layout.zValueN(Seq(col("a"), col("b"), col("c"))).as("z")).collect()
+    z.foreach { r =>
+      val inOct = r.getLong(0) < 4 && r.getLong(1) < 4 && r.getLong(2) < 4
+      assert((r.getLong(3) < 64) === inOct, r)
+    }
+    // dim 0 owns the MOST significant interleaved position
+    val top = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L)).toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(4L, 2L, 1L))
+  }
+
+  test("zValue enforces the [0, 2^bits) precondition instead of spreading overflow") {
+    import spark.implicits._
+    def zOf(a: Long, b: Long): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(Layout.zValue(col("a"), col("b")).as("z"))
+        .collect()(0).getLong(0)
+    // max in-contract value still works
+    assert(zOf((1L << 31) - 1, 0L) > 0)
+    for ((a, b) <- Seq((1L << 31, 0L), (-1L, 0L), (0L, 1L << 31))) {
+      val e = intercept[Exception] { zOf(a, b) }
+      assert(e.getMessage.contains("zValue"), e.getMessage)
+    }
+    // 3-dim bound is 2^21
+    val e3 = intercept[Exception] {
+      Seq((1L << 21, 0L, 0L)).toDF("a", "b", "c")
+        .select(Layout.zValueN(Seq(col("a"), col("b"), col("c"))))
+        .collect()
+    }
+    assert(e3.getMessage.contains("2^21"), e3.getMessage)
+  }
+
   private def scanRows(df: DataFrame): Long = {
     df.collect()
     val scans = df.queryExecution.executedPlan.collect {

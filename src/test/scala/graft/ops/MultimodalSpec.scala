@@ -262,6 +262,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L)._3 !== out(1L)._3)
   }
 
+  test("decode dispatch is ledgered: real / quarantined / fallback counts per stage") {
+    import spark.implicits._
+    def counts(): Map[String, Long] =
+      Ledger.summary().collect {
+        case (n, c, _) if n.startsWith("media.decode_") => n -> c
+      }.toMap.withDefaultValue(0L)
+    // truncated BMP: valid magic + header, body shorter than one row
+    val torn = Codecs.encodeBmp(32, 16, pix).take(60)
+    val rows = Seq(
+      (1L, Codecs.encodeBmp(32, 16, pix)),
+      (2L, torn),
+      (3L, "webp-or-h264-or-whatever".getBytes)).toDF("doc_id", "media")
+      .coalesce(1)
+    val before = counts()
+    val out = Multimodal.decodeGrayStage(rows).collect()
+    assert(out.count(_.getBoolean(4)) === 1)
+    assert(out.filter(!_.getBoolean(4)).forall(_.getInt(1) === 0),
+      "the quarantine sentinel must not leak into the output schema")
+    val after = counts()
+    assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 1L)
+    assert(after("media.decode_gray.quarantined") - before("media.decode_gray.quarantined") === 1L)
+    assert(after("media.decode_gray.fallback") - before("media.decode_gray.fallback") === 1L)
+    // the meta stage counts real vs stub the same way
+    val metaRows = rows.withColumn("media_type", lit("image"))
+    val b2 = counts()
+    Multimodal.decodeMetaAuto(metaRows).collect()
+    val a2 = counts()
+    // the torn BMP still HEADER-parses (meta is honest about that),
+    // so meta sees 2 real + 1 stub
+    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 2L)
+    assert(a2("media.decode_meta.stub") - b2("media.decode_meta.stub") === 1L)
+  }
+
   test("phashPairs bucket cap drops clone floods, keeps base pairs") {
     import spark.implicits._
     val clone = new Array[Byte](256) // all zeros -> identical fp

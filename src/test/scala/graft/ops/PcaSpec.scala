@@ -211,4 +211,30 @@ class PcaSpec extends AnyFunSuite {
     assert(covOf(doubles) === f, "double input must fold exactly like float")
     assert(covOf(withNull) === f, "null-slot rows must be skipped, not folded")
   }
+
+  test("dims above Pca.MaxDims are refused with a named error, not a driver stall") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    // fit path (moment aggregate) and store path both guard
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.covariance(df, col("embedding"), dims = Pca.MaxDims + 1)
+    }
+    assert(e1.getMessage.contains("pca: dims="), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.fitFromStore(spark, "/nonexistent", dims = 4096, k = 16)
+    }
+    assert(e2.getMessage.contains(s"[1, ${Pca.MaxDims}]"), e2.getMessage)
+    // the aggregate itself carries the guard too (SQL-surface defense)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.functions.CovAccum(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        Pca.MaxDims + 1)
+    }
+    assert(e3.getMessage.contains("cov_accum"), e3.getMessage)
+    // the boundary value itself is accepted (guard, not off-by-one):
+    // constructing the aggregate at d = MaxDims must not throw
+    graft.functions.CovAccum(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+      Pca.MaxDims)
+  }
 }
