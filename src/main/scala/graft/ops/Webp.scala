@@ -713,10 +713,30 @@ object Webp {
     bw.writeBits(numCl - 4, 4)
     var j = 0
     while (j < numCl) { bw.writeBits(clLengths(ClOrder(j)), 3); j += 1 }
-    bw.writeBits(0, 1) // no max-symbol shortcut
+    // max-symbol shortcut: the decoder stops after max_symbol CL-code
+    // READS and zero-fills the rest, so a trailing zero run can be
+    // dropped from the stream entirely instead of spelled out with
+    // 17/18 repeats — used when the tail run is long enough to pay
+    // for the count field, so round-trips exercise BOTH decoder
+    // paths. max_symbol is stored as 2 + a (2+2k)-bit count.
+    val tail = clStream.reverseIterator
+      .takeWhile(e => e._1 == 0 || e._1 == 17 || e._1 == 18).length
+    val emit =
+      if (tail >= 2 && clStream.length - tail >= 2) {
+        val kept = clStream.length - tail
+        var lenNBits = 2
+        while ((1 << lenNBits) - 1 < kept - 2) lenNBits += 2
+        bw.writeBits(1, 1)
+        bw.writeBits((lenNBits - 2) / 2, 3)
+        bw.writeBits(kept - 2, lenNBits)
+        clStream.take(kept)
+      } else {
+        bw.writeBits(0, 1)
+        clStream
+      }
     // single-symbol CL code reads zero bits per symbol — legal
     val singleCl = clUsed.length == 1
-    clStream.foreach { case (s, extraVal, extraBits) =>
+    emit.foreach { case (s, extraVal, extraBits) =>
       if (!singleCl) bw.writeCode(clCodes(s), clLengths(s))
       if (extraBits > 0) bw.writeBits(extraVal, extraBits)
     }
