@@ -3415,6 +3415,31 @@ object SparkEntry {
           col("doc_id"), materialize = eagerPairs)
         .orderBy("doc_id")),
 
+    // interpolated KNESER-NEY bigram NLL (fixed discount D=0.75,
+    // add-k continuation floor): the distinct-continuation smoothing
+    // that add-k and JM lack — a word's backoff mass tracks how many
+    // contexts it follows, not how often it occurs. Fully oracled
+    // (the statistic tables are plain aggregations of the bigram
+    // type table)
+    "lm_kn_score" -> ((s, dir) =>
+      LangModel.scoreKnBigram(table(s, dir, "documents"), col("text"),
+          col("doc_id"), materialize = eagerPairs)
+        .orderBy("doc_id")),
+
+    // incremental Kneser-Ney: type table + (T, V) stored once on the
+    // trusted slice, the increment scored with the same null-tolerant
+    // arithmetic (unseen bigram → backoff mass; unseen history →
+    // continuation distribution; unseen word → k/(T+kV) floor)
+    "lm_kn_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("knstats", dir)(p =>
+        LangModel.buildKnBigramStats(docs.filter(col("doc_id") >= 50),
+          col("text"), col("doc_id"), p))
+      LangModel.scoreKnBigramAgainst(s, store, docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL perplexity: stats fit once on doc_id >= 50 (the
     // trusted-corpus store, CCNet shape), the increment scores against
     // the STORED counts with add-k OOV smoothing — fully oracled
@@ -3545,6 +3570,24 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
           k = 10, lo = 0.15, hi = 0.30)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // IVF-PQ composite ANN (graft.ops.Similarity, the FAISS IndexIVFPQ
+    // shape): coarse k-means lists + residual PQ codes + the stored
+    // exact reconstructed norm, queries ADC-scanning only their
+    // probed lists' (m+8)-byte rows from the PERSISTED partition-
+    // pruned index, with exact refine of the 4x over-fetch. Rows-only
+    // (list/code assignments are engine-local k-means state); recall
+    // floors in METRICS.json, stored==inline + reconstruction
+    // exactness spec-proven in PqSpec
+    "ann_ivfpq_indexed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val store = memoStore("ivfpq", dir)(p =>
+        Similarity.buildIvfPqIndex(emb, p, nlist = 16, m = 16, ks = 16))
+      val adc = Similarity.ivfPqTopKStored(s, store,
+        emb.filter(col("vec_id") < 5), k = 40, nprobe = 6)
+      Similarity.pqRefine(adc, emb, emb.filter(col("vec_id") < 5), k = 10)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
@@ -5711,6 +5754,63 @@ object SparkEntry {
            round(sum(d.c * -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)))
                  / sum(d.c), 6) AS nll
          FROM d JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         GROUP BY 1 ORDER BY 1""",
+
+    "lm_kn_score" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         d AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM d GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1lead
+                FROM c2 GROUP BY 1),
+         nc AS (SELECT w2, count(*) AS n1cont FROM c2 GROUP BY 1),
+         tv AS (SELECT (SELECT count(*) FROM c2) AS t,
+                  (SELECT count(DISTINCT u.tok)
+                   FROM (SELECT unnest(t) AS tok FROM toks) u) AS v)
+         SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+           round(sum(d.c * -ln(
+             greatest(c2.c2 - 0.75, 0) / c1.c1
+             + 0.75 * c1.n1lead / c1.c1
+               * ((nc.n1cont + 0.5) / (tv.t + 0.5 * tv.v))))
+             / sum(d.c), 6) AS nll
+         FROM d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         JOIN nc USING (w2) CROSS JOIN tv
+         GROUP BY 1 ORDER BY 1""",
+
+    // store-miss arithmetic mirrored: unseen bigram keeps only the
+    // backoff term, unseen history falls back to the continuation
+    // distribution, unseen word hits the add-k floor
+    "lm_kn_indexed" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         dall AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM dall
+                WHERE doc_id >= 50 GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1lead
+                FROM c2 GROUP BY 1),
+         nc AS (SELECT w2, count(*) AS n1cont FROM c2 GROUP BY 1),
+         tv AS (SELECT (SELECT count(*) FROM c2) AS t,
+                  (SELECT count(DISTINCT u.tok)
+                   FROM (SELECT unnest(t) AS tok FROM toks
+                         WHERE doc_id >= 50) u) AS v),
+         q AS (SELECT * FROM dall WHERE doc_id < 50)
+         SELECT q.doc_id, CAST(sum(q.c) AS BIGINT) AS n_bigrams,
+           round(sum(q.c * -ln(
+             CASE WHEN c1.c1 IS NOT NULL THEN
+               greatest(coalesce(c2.c2, 0) - 0.75, 0) / c1.c1
+               + 0.75 * c1.n1lead / c1.c1
+                 * ((coalesce(nc.n1cont, 0) + 0.5) / (tv.t + 0.5 * tv.v))
+             ELSE (coalesce(nc.n1cont, 0) + 0.5) / (tv.t + 0.5 * tv.v)
+             END))
+             / sum(q.c), 6) AS nll
+         FROM q LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         LEFT JOIN nc USING (w2) CROSS JOIN tv
          GROUP BY 1 ORDER BY 1""",
 
     "vocab_top200" ->

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
@@ -97,6 +97,44 @@ object PqKernels {
     if (denom == 0.0) 0.0 else sdot / denom
   }
 
+  /** ADC dot sum alone: Σ_s lut[s·ks+code_s] — the residual-space
+    * half of the IVF-PQ score, where the centroid dot and the stored
+    * reconstructed norm complete the cosine (the per-subspace LUT
+    * cannot carry the centroid·residual cross term, so ‖x̂‖ rides the
+    * code row instead of deriving from codeword norms). */
+  def pqAdcDot(lut: ArrayData, codes: ArrayData, ks: Int): Double = {
+    val m = codes.numElements()
+    var sdot = 0.0
+    var s = 0
+    while (s < m) {
+      sdot += lut.getDouble(s * ks + (codes.getByte(s) & 0xff))
+      s += 1
+    }
+    sdot
+  }
+
+  /** Exact reconstructed norm at ENCODE time: ‖centroid + r̂‖ with
+    * r̂ the codeword concatenation of `codes` — one double per row,
+    * stored next to the m code bytes so the IVF-PQ cosine is exact
+    * with respect to the reconstruction. */
+  def pqReconNorm(codes: ArrayData, centroid: ArrayData,
+      cb: Array[Double], ks: Int, ds: Int): Double = {
+    val m = codes.numElements()
+    var n2 = 0.0
+    var s = 0
+    while (s < m) {
+      val off = (s * ks + (codes.getByte(s) & 0xff)) * ds
+      var d = 0
+      while (d < ds) {
+        val v = centroid.getDouble(s * ds + d) + cb(off + d)
+        n2 += v * v
+        d += 1
+      }
+      s += 1
+    }
+    math.sqrt(n2)
+  }
+
   /** Driver-side: codeword norms² in lut layout, derived once from
     * the codebook. */
   def codewordNorms2(cb: Array[Double], m: Int, ks: Int,
@@ -181,6 +219,53 @@ case class PqAdcCosine(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** (lut ARRAY<DOUBLE>, codes ARRAY<TINYINT>) → Σ LUT lookups. */
+case class PqAdcDot(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_dot needs (ARRAY<DOUBLE>, ARRAY<TINYINT>), got $a / $b")
+    }
+  override protected def nullSafeEval(lut: Any, codes: Any): Any =
+    PqKernels.pqAdcDot(lut.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) =>
+      s"graft.functions.PqKernels.pqAdcDot($l, $c, $ks)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDot = copy(left = newLeft, right = newRight)
+}
+
+/** (codes ARRAY<TINYINT>, centroid ARRAY<DOUBLE>) → ‖centroid+r̂‖. */
+case class PqReconNorm(left: Expression, right: Expression,
+    codebook: Array[Double], ks: Int, ds: Int) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"pq_recon_norm needs (ARRAY<TINYINT>, ARRAY<DOUBLE>), got $a / $b")
+    }
+  override protected def nullSafeEval(codes: Any, centroid: Any): Any =
+    PqKernels.pqReconNorm(codes.asInstanceOf[ArrayData],
+      centroid.asInstanceOf[ArrayData], codebook, ks, ds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", codebook, "double[]")
+    defineCodeGen(ctx, ev, (c, ce) =>
+      s"graft.functions.PqKernels.pqReconNorm($c, $ce, $cbRef, $ks, $ds)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqReconNorm =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
   def pqEncode(vec: Column, cb: Array[Double], m: Int, ks: Int, ds: Int): Column =
@@ -190,4 +275,9 @@ object PqFunctions {
   def pqAdcCosine(lut: Column, codes: Column, qnorm: Column,
       norms2: Array[Double], ks: Int): Column =
     GraftColumnBridge.column(PqAdcCosine(e(lut), e(codes), e(qnorm), norms2, ks))
+  def pqAdcDot(lut: Column, codes: Column, ks: Int): Column =
+    GraftColumnBridge.column(PqAdcDot(e(lut), e(codes), ks))
+  def pqReconNorm(codes: Column, centroid: Column, cb: Array[Double],
+      ks: Int, ds: Int): Column =
+    GraftColumnBridge.column(PqReconNorm(e(codes), e(centroid), cb, ks, ds))
 }

@@ -302,4 +302,122 @@ object LangModel {
       out
     }
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (public: Kneser & Ney
+    * 1995; the interpolated form of Chen & Goodman 1999 with one
+    * fixed discount D):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·w2) + k) / (T + k·V)
+    *
+    * where c(w1·) is w1's bigram-history mass, N1+(w1·)/N1+(·w2) the
+    * distinct-continuation counts, T the number of distinct bigram
+    * TYPES and V the vocabulary. The continuation distribution is the
+    * model's signature move: a word's probability after an unseen
+    * history tracks HOW MANY contexts it follows, not how often it
+    * occurs — "francisco" is frequent but nearly always follows
+    * "san", so its continuation mass is tiny. The add-k floor on
+    * Pcont keeps store-miss words finite (an unseen w2 scores
+    * k/(T+kV); an unseen HISTORY falls back to Pcont alone — the
+    * standard backoff-to-continuation rule), so the same arithmetic
+    * serves self-scoring and incremental scoring.
+    *
+    * Scale shape identical to [[scoreBigram]]: one bigram explosion,
+    * count tables derived from per-doc counts (c1 and N1+(w1·) fall
+    * out of ONE aggregation over the type table), key-equality joins
+    * plus one broadcast (T, V) scalar row. Output
+    * (doc_id, n_bigrams, nll); sub-2-token docs emit nothing. */
+  def scoreKnBigram(docs: DataFrame, text: Column, id: Column,
+      discount: Double = 0.75, k: Double = 0.5, roundTo: Int = 6,
+      materialize: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
+    require(k > 0, "continuation floor needs k > 0")
+    val d = docBigramCounts(docs, text, id).persist()
+    // the TYPE table feeds four derivations — persist like the doc table
+    val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
+    val c1 = c2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1lead"))
+    val n1c = c2.groupBy("w2").agg(count(lit(1)).as("n1cont"))
+    val tv = c2.agg(count(lit(1)).as("t"))
+      .crossJoin(docs.select(text.as("__text"))
+        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(explode(tokens(col("__text"))).as("tok"))
+        .agg(countDistinct("tok").as("v")))
+    val scored = d.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(n1c, Seq("w2"))
+      .crossJoin(broadcast(tv))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        round(sum(col("c") * -log(knP(discount, k))) / sum(col("c")),
+          roundTo).as("nll"))
+    if (!materialize) scored
+    else {
+      val out = scored.localCheckpoint(true)
+      d.unpersist(); c2.unpersist()
+      out
+    }
+  }
+
+  /** The KN probability expression over joined count columns
+    * (c2, c1, n1lead, n1cont, t, v) — null-tolerant so the
+    * store-miss (left-join) path shares it: unseen bigram → pure
+    * backoff term; unseen history → Pcont alone. */
+  private def knP(discount: Double, k: Double): Column = {
+    val pc = (coalesce(col("n1cont"), lit(0L)) + k) /
+      (col("t") + lit(k) * col("v"))
+    when(col("c1").isNotNull,
+      greatest(coalesce(col("c2"), lit(0L)) - discount, lit(0.0)) / col("c1") +
+        lit(discount) * col("n1lead") / col("c1") * pc)
+      .otherwise(pc)
+  }
+
+  /** Persist Kneser–Ney bigram statistics — the same store discipline
+    * as [[buildBigramStats]]: `path/pairs` = the bigram TYPE table
+    * (w1, w2, c2) — every other statistic (history mass, distinct
+    * continuations) derives from it at read time — and `path/meta` =
+    * (t, v), written LAST as the commit marker. */
+  def buildKnBigramStats(docs: DataFrame, text: Column, id: Column,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    docBigramCounts(docs, text, id)
+      .groupBy("w1", "w2").agg(sum("c").as("c2"))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    val v = docs.select(text.as("__text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("__text"))).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0)
+    spark.read.parquet(s"$path/pairs")
+      .agg(count(lit(1)).as("t")).select(col("t"), lit(v).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents against STORED Kneser–Ney statistics
+    * ([[buildKnBigramStats]]) — store misses degrade through the same
+    * [[knP]] arithmetic (unseen bigram → backoff mass only; unseen
+    * history → continuation distribution; unseen word → the add-k
+    * floor k/(T+kV)). Stats fit on the scored corpus itself make this
+    * identical to [[scoreKnBigram]] (spec-proven). */
+  def scoreKnBigramAgainst(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, text: Column, id: Column,
+      discount: Double = 0.75, k: Double = 0.5,
+      roundTo: Int = 6): DataFrame = {
+    require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
+    require(k > 0, "continuation floor needs k > 0")
+    val pairs = spark.read.parquet(s"$path/pairs")
+    val c1 = pairs.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1lead"))
+    val n1c = pairs.groupBy("w2").agg(count(lit(1)).as("n1cont"))
+    val tv = spark.read.parquet(s"$path/meta")
+    docBigramCounts(docs, text, id)
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(n1c, Seq("w2"), "left")
+      .crossJoin(broadcast(tv))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        round(sum(col("c") * -log(knP(discount, k))) / sum(col("c")),
+          roundTo).as("nll"))
+  }
 }

@@ -136,11 +136,13 @@ object Multimodal {
         // video, then the stub fallback
         Codecs.decodeHeader(bytes) match {
           case Some(h) =>
-            // rasters are single-frame except GIF, whose descriptor
-            // walk counts animation frames
+            // rasters are single-frame except GIF (descriptor walk)
+            // and animated WebP (ANMF chunk count)
             val frames =
               if (h.format == "gif")
                 Gif.decodeGifHeader(bytes).map(_._3).getOrElse(1)
+              else if (h.format == "webp-anim")
+                Webp.animFrameCount(bytes).getOrElse(1)
               else 1
             Row(id, mt, h.format, bytes.length.toLong, h.width, h.height,
               h.channels, frames, true)

@@ -779,6 +779,154 @@ object Similarity {
     scoreAdc(codes, queries, cb, m, ks, dims / m, k, roundTo)
   }
 
+  // ----------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ composite ANN (the FAISS IndexIVFPQ shape, cosine
+    * variant): the coarse k-means quantizer partitions the corpus
+    * into `nlist` inverted lists, and each list's vectors are stored
+    * as `m`-byte PQ codes of their RESIDUAL (x − centroid) — residual
+    * quantization spends the codebook's resolution on the within-list
+    * spread instead of re-encoding the centroid every code carries
+    * implicitly, the composition's whole point. One shared residual
+    * codebook serves every list (standard practice).
+    *
+    * Scoring: score(q, x̂) = (q·c_list + Σ_s LUT_q[code_s])
+    * / (‖q‖·‖x̂‖) with x̂ = c + r̂. The per-subspace LUT is built from
+    * the query ONCE (list-independent — residual codebooks don't
+    * shift per list), q·c_list is one scalar per (query, probed
+    * list), and ‖x̂‖ is stored EXACTLY per row at encode time (one
+    * double next to the m code bytes): the LUT cannot carry the
+    * c·r̂ cross term, so the stored norm is what keeps the cosine
+    * exact with respect to the reconstruction rather than
+    * approximated twice. A query batch therefore ADC-scans only its
+    * probed lists' code rows — (m + 8) bytes per candidate instead
+    * of 4·dims float bytes, on ~nprobe/nlist of the corpus.
+    *
+    * Recall < 1 by construction (coarse pruning × quantization
+    * error); `refine` over-fetches k·refine ADC candidates and
+    * re-ranks them exactly against the float corpus
+    * ([[pqRefine]]). Floors measured in METRICS.json. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 64, nprobe: Int = 8, m: Int = 16, ks: Int = 16,
+      dims: Int = 64, seed: Long = 42L, maxIter: Int = 10,
+      fitSample: Int = 262144, roundTo: Int = 4, mode: String = "kmeans",
+      refine: Int = 1): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1: $refine")
+    val (centersDf, codes, cb) =
+      fitIvfPq(corpus, nlist, m, ks, dims, seed, maxIter, fitSample, mode)
+    val adc = scoreIvfPq(centersDf, codes, queries, cb, m, ks, dims / m,
+      probeLists(centersDf, queries, nprobe), k * refine, roundTo)
+    if (refine == 1) adc else pqRefine(adc, corpus, queries, k, roundTo)
+  }
+
+  /** Build half shared by the inline and persisted paths: coarse fit
+    * + assignment, residual encode, exact reconstructed norm.
+    * Returns (centroids, (vec_id, __list, codes, rnorm), codebook). */
+  private def fitIvfPq(corpus: DataFrame, nlist: Int, m: Int, ks: Int,
+      dims: Int, seed: Long, maxIter: Int, fitSample: Int,
+      mode: String): (DataFrame, DataFrame, Array[Double]) = {
+    val (centersDf, assigned) = fitIvf(corpus, nlist, seed, maxIter, fitSample)
+    val ds = dims / m
+    val withC = assigned.join(broadcast(centersDf), Seq("__list"))
+    val resid = zip_with(col("embedding").cast("array<double>"),
+      col("__centroid"), (x, y) => x - y).cast("array<float>")
+    // the residual codebook fits on the residual sample — rename into
+    // pqFitCodebook's (vec_id, embedding) contract
+    val residFrame = withC.select(col("vec_id"), resid.as("embedding"))
+    val cb = pqFitCodebook(residFrame, m, ks, dims, seed, maxIter,
+      fitSample, mode)
+    val codes = withC.select(col("vec_id"), col("__list"),
+        graft.functions.PqFunctions.pqEncode(resid, cb, m, ks, ds)
+          .as("codes"))
+      .join(broadcast(centersDf), Seq("__list"))
+      .select(col("vec_id"), col("__list"), col("codes"),
+        graft.functions.PqFunctions.pqReconNorm(col("codes"),
+          col("__centroid"), cb, ks, ds).as("rnorm"))
+    (centersDf, codes, cb)
+  }
+
+  /** The probed ADC scan: q·c per (query, probed list) + LUT sums
+    * over the probed lists' code rows, normalized by the stored
+    * reconstructed norm. */
+  private def scoreIvfPq(centersDf: DataFrame, codes: DataFrame,
+      queries: DataFrame, cb: Array[Double], m: Int, ks: Int, ds: Int,
+      probeDf: DataFrame, k: Int, roundTo: Int): DataFrame = {
+    val qd = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__q"))
+    val qdotc = probeDf.join(broadcast(centersDf), Seq("__list"))
+      .join(broadcast(qd), Seq("query_id"))
+      .select(col("query_id"), col("__list"),
+        F.aggregate(zip_with(col("__q"), col("__centroid"),
+          (x, y) => x * y), lit(0.0), (a, x) => a + x).as("__qdotc"))
+    val qn = sqrt(F.aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (a, x) => a + x * x))
+    val qlut = queries.select(col("vec_id").as("query_id"),
+      graft.functions.PqFunctions.pqLut(col("embedding"), cb, m, ks, ds)
+        .as("__lut"),
+      qn.as("__qn"))
+    val scored = codes.join(broadcast(qdotc), Seq("__list"))
+      .join(broadcast(qlut), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(
+          when(col("__qn") * col("rnorm") === 0.0, lit(0.0))
+            .otherwise((col("__qdotc") +
+              graft.functions.PqFunctions.pqAdcDot(col("__lut"),
+                col("codes"), ks)) / (col("__qn") * col("rnorm"))),
+          roundTo).as("score"))
+    topKPerKey(scored, col("query_id"), col("score"), col("vec_id"), k)
+  }
+
+  /** Persist an IVF-PQ index: `path/centroids` (the coarse
+    * quantizer), `path/codebook` (flattened residual codebook as
+    * (idx, v) rows), `path/codes` PARTITIONED BY __list —
+    * (vec_id, codes, rnorm): a probed read is a partition-pruned
+    * directory read of (m + 8)-byte rows — and `path/meta`
+    * (m, ks, dims, nlist), written LAST as the commit marker. Same
+    * seed/fit-set ⇒ [[ivfPqTopKStored]] returns the inline
+    * [[ivfPqTopK]] rows (doubles round-trip parquet losslessly;
+    * spec-proven). */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 64,
+      m: Int = 16, ks: Int = 16, dims: Int = 64, seed: Long = 42L,
+      maxIter: Int = 10, fitSample: Int = 262144,
+      mode: String = "kmeans"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centersDf, codes, cb) =
+      fitIvfPq(corpus, nlist, m, ks, dims, seed, maxIter, fitSample, mode)
+    centersDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codes.repartition(col("__list"))
+      .write.mode("overwrite").partitionBy("__list").parquet(s"$path/codes")
+    cb.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, ks, dims, nlist)).toDF("m", "ks", "dims", "nlist").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Query a persisted IVF-PQ index: centroid table + codebook read
+    * whole (both broadcast-small), probed list ids collected (the
+    * same bounded driver contract as [[ivfTopKIndexed]]) so the code
+    * scan is partition-PRUNED to the probed directories. */
+  def ivfPqTopKStored(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 8,
+      roundTo: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, ks, dims) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
+      meta.getAs[Int]("dims"))
+    val cb = spark.read.parquet(s"$path/codebook").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    val centersDf = spark.read.parquet(s"$path/centroids")
+    val probeDf = probeLists(centersDf, queries, nprobe).localCheckpoint(true)
+    val probed = probeDf.select("__list").distinct().collect()
+      .map(_.getLong(0).toInt)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("__list").isin(probed.map(Int.box): _*))
+      .select(col("vec_id"), col("codes"), col("rnorm"),
+        col("__list").cast(LongType).as("__list"))
+    scoreIvfPq(centersDf, codes, queries, cb, m, ks, dims / m, probeDf, k,
+      roundTo)
+  }
+
   /** LSH-bucketed ANN: only corpus vectors sharing a hyperplane bucket
     * with the query — in any of `tables` independent hash tables — are
     * scored. The 100 TB path: bucket-equality join instead of a full

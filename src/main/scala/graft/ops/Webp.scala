@@ -606,7 +606,12 @@ object Webp {
   /** Container-level header: ("webp-l", w, h, 4) for lossless
     * (fully decodable here), ("webp", w, h, 3) for lossy VP8 whose
     * simple frame header yields honest dims but whose payload stays
-    * on the fingerprint path. */
+    * on the fingerprint path, and ("webp-anim", canvasW, canvasH,
+    * 3|4) for an extended (VP8X) ANIMATION container — frame count
+    * via [[animFrameCount]], frame pixels out of scope like lossy. A
+    * VP8X STILL container falls through to its top-level VP8L/VP8
+    * image chunk (the walk is linear over all chunks), keeping the
+    * exact still dims. */
   def decodeWebpHeader(b: Array[Byte]): Option[(String, Int, Int, Int)] =
     chunk(b, "VP8L") match {
       case Some(p) if p.length >= 5 && (p(0) & 0xff) == 0x2f =>
@@ -625,8 +630,40 @@ object Webp {
             val h = ((p(8) & 0xff) | ((p(9) & 0xff) << 8)) & 0x3fff
             if (w > 0 && h > 0) Some(("webp", w, h, 3)) else None
           } else None
-        }
+        }.orElse(chunk(b, "VP8X").flatMap { p =>
+          // extended header: 1B flags (bit1 animation, bit4 alpha in
+          // the spec's MSB-first drawing = 0x02 / 0x10 as stored),
+          // 3B reserved, 24-bit LE canvas width-1 / height-1
+          if (p.length >= 10) {
+            val flags = p(0) & 0xff
+            val w = ((p(4) & 0xff) | ((p(5) & 0xff) << 8) |
+              ((p(6) & 0xff) << 16)) + 1
+            val h = ((p(7) & 0xff) | ((p(8) & 0xff) << 8) |
+              ((p(9) & 0xff) << 16)) + 1
+            val ch = if ((flags & 0x10) != 0) 4 else 3
+            if ((flags & 0x02) != 0) Some(("webp-anim", w, h, ch))
+            else None // still VP8X without an image chunk we know
+          } else None
+        })
     }
+
+  /** ANMF frame count of an animated (VP8X) container — the honest
+    * n_frames for decode metadata, the same role GIF's descriptor
+    * walk plays. None when the container has no ANMF chunks. */
+  def animFrameCount(b: Array[Byte]): Option[Int] = {
+    if (b.length < 12 || b(0) != 'R' || b(8) != 'W') return None
+    var off = 12
+    var n = 0
+    while (off + 8 <= b.length) {
+      val t = new String(b, off, 4, "ISO-8859-1")
+      val size = (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8) |
+        ((b(off + 6) & 0xff) << 16) | ((b(off + 7) & 0xff) << 24)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (t == "ANMF") n += 1
+      off += 8 + size + (size & 1)
+    }
+    if (n > 0) Some(n) else None
+  }
 
   /** Full container decode to ARGB (lossless only). */
   def decodeWebp(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
@@ -1000,7 +1037,7 @@ object Webp {
         case CacheRef(idx) => put(0, 280 + idx)
       }
     }
-    wrapRiff(Array[Byte](0x2f) ++ bw.toBytes)
+    wrapRiff("VP8L", Array[Byte](0x2f) ++ bw.toBytes)
   }
 
   /** A level0=false sub-image (transform data / palette / entropy
@@ -1030,19 +1067,25 @@ object Webp {
     }
   }
 
-  private def wrapRiff(vp8l: Array[Byte]): Array[Byte] = {
-    val chunkLen = vp8l.length
-    val padded = chunkLen + (chunkLen & 1)
-    val riffLen = 4 + 8 + padded
-    val out = new ArrayBuffer[Byte](12 + 8 + padded)
+  /** RIFF/WEBP container around one or more (tag, payload) chunks,
+    * odd payloads padded per RIFF. */
+  private[ops] def wrapRiffChunks(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val body = chunks.map { case (_, p) => 8 + p.length + (p.length & 1) }.sum
+    val out = new ArrayBuffer[Byte](12 + body)
     def tag(s: String): Unit = s.foreach(c => out += c.toByte)
     def u32(v: Int): Unit = {
       out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte
       out += ((v >> 16) & 0xff).toByte; out += ((v >> 24) & 0xff).toByte
     }
-    tag("RIFF"); u32(riffLen); tag("WEBP"); tag("VP8L"); u32(chunkLen)
-    out ++= vp8l
-    if ((chunkLen & 1) == 1) out += 0
+    tag("RIFF"); u32(4 + body); tag("WEBP")
+    chunks.foreach { case (t, p) =>
+      tag(t); u32(p.length)
+      out ++= p
+      if ((p.length & 1) == 1) out += 0
+    }
     out.toArray
   }
+
+  private def wrapRiff(tag: String, payload: Array[Byte]): Array[Byte] =
+    wrapRiffChunks(Seq(tag -> payload))
 }

@@ -134,4 +134,41 @@ class LangModelSpec extends AnyFunSuite {
       s"corpus-atypical transitions must score above every normal doc: " +
         s"${got(100L)} vs $normalMax")
   }
+
+  test("kneser-ney: hand arithmetic, store-fit == inline, continuation semantics") {
+    // corpus: "a b" x3, "c b", "x y", "z y", "w y" — b is FREQUENT but
+    // follows only {a, c}; y is rarer overall but follows 3 distinct
+    // contexts, so its continuation mass is higher
+    val docs = Seq((1L, "a b a b a b"), (2L, "c b"), (3L, "x y"),
+      (4L, "z y"), (5L, "w y")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("kn_stats").toString
+    LangModel.buildKnBigramStats(docs, col("text"), col("doc_id"), path)
+    val inline = LangModel.scoreKnBigram(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = LangModel.scoreKnBigramAgainst(spark, path, docs,
+        col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline, "self-fit store score must equal inline")
+
+    // hand check doc 2 ("c b"): bigram types a-b(3) b-a(2) c-b(1)
+    // x-y(1) z-y(1) w-y(1) → T=6; V=7 (a b c x y z w). c(c·)=1,
+    // N1+(c·)=1, N1+(·b)=2. pc(b) = (2+0.5)/(6+0.5*7) = 2.5/9.5;
+    // P(b|c) = max(1−0.75,0)/1 + 0.75·(1/1)·(2.5/9.5)
+    val got2 = inline.find(_._1 == 2L).get
+    assert(got2._2 === 1L)
+    val expect2 = 0.25 + 0.75 * (2.5 / 9.5)
+    assert(math.abs(got2._3 - (-math.log(expect2))) < 1e-6, got2)
+
+    // continuation semantics (the "francisco" property): after an
+    // UNSEEN history, y (3 distinct contexts) must be cheaper than b
+    // (2 contexts) even though b has more raw occurrences (4 vs 3)
+    val probes = Seq((10L, "qq b"), (11L, "qq y")).toDF("doc_id", "text")
+    val pg = LangModel.scoreKnBigramAgainst(spark, path, probes,
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pg(11L) < pg(10L),
+      s"many-context y must outscore frequent-but-predictable b: $pg")
+    // unseen-history fallback is exactly Pcont: -ln((3+.5)/(6+.5*7))
+    assert(math.abs(pg(11L) - (-math.log(3.5 / 9.5))) < 1e-6, pg(11L))
+  }
 }

@@ -128,4 +128,56 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(stored === inline)
   }
+
+  test("IVF-PQ: stored == inline, residual reconstruction is score-exact, recall vs brute") {
+    val want = Similarity.bruteForceTopK(corpus, queries, 10)
+    // inline, no refine: coarse pruning x residual quantization
+    val inline = Similarity.ivfPqTopK(corpus, queries, 10, nlist = 8,
+      nprobe = 4, m = 16, ks = 16)
+    val pure = recallAt10(inline, want)
+    assert(pure >= 0.40, s"IVF-PQ pure-ADC recall@10 regressed: $pure")
+    // refine over-fetch re-ranks exactly
+    val refined = recallAt10(Similarity.ivfPqTopK(corpus, queries, 10,
+      nlist = 8, nprobe = 4, m = 16, ks = 16, refine = 4), want)
+    assert(refined >= pure, s"refine lost recall: $refined < $pure")
+    // persisted path reproduces the inline rows exactly (same seed)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.buildIvfPqIndex(corpus, dir, nlist = 8, m = 16, ks = 16)
+    val stored = Similarity.ivfPqTopKStored(spark, dir, queries, 10,
+      nprobe = 4)
+    val a = inline.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = stored.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, "stored IVF-PQ must reproduce the inline rows")
+    // score exactness wrt the reconstruction: decode (centroid + r-hat)
+    // for every scored row of one query and compare to plain cosine
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, ks2, dims2) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
+      meta.getAs[Int]("dims"))
+    val ds = dims2 / m
+    val cb = spark.read.parquet(s"$dir/codebook").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codeRows = spark.read.parquet(s"$dir/codes").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("__list").toLong,
+          r.getSeq[Byte](r.fieldIndex("codes")).toArray))).toMap
+    val q0 = queries.filter(col("vec_id") === 0L)
+      .collect()(0).getSeq[Float](1).map(_.toDouble).toArray
+    val qn = math.sqrt(q0.map(x => x * x).sum)
+    stored.filter(col("query_id") === 0L).collect().foreach { r =>
+      val vid = r.getLong(1)
+      val (list, codes) = codeRows(vid)
+      val c = cents(list)
+      val recon = Array.tabulate(dims2) { d =>
+        c(d) + cb(((d / ds) * ks2 + (codes(d / ds) & 0xff)) * ds + d % ds)
+      }
+      val rn = math.sqrt(recon.map(x => x * x).sum)
+      val expect = recon.zip(q0).map { case (x, y) => x * y }.sum / (qn * rn)
+      assert(math.abs(r.getDouble(2) - expect) < 5e-4,
+        s"vec $vid: stored-norm ADC ${r.getDouble(2)} vs recon cosine $expect")
+    }
+  }
 }

@@ -211,6 +211,54 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("VP8X: animated container yields canvas dims + ANMF frame count; VP8X still falls through to its VP8L chunk") {
+    def u24(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte)
+    // VP8X payload: flags (anim|alpha), 3 reserved, canvas w-1 / h-1
+    def vp8x(flags: Int, w: Int, h: Int): Array[Byte] =
+      Array[Byte](flags.toByte, 0, 0, 0) ++ u24(w - 1) ++ u24(h - 1)
+    // ANMF payload: x/2, y/2, w-1, h-1 (24-bit each), duration, flags,
+    // then the frame's image chunk — content is opaque to the counter
+    def anmf(w: Int, h: Int): Array[Byte] =
+      u24(0) ++ u24(0) ++ u24(w - 1) ++ u24(h - 1) ++ u24(40) ++
+        Array[Byte](0) ++ Array.fill[Byte](6)(0x11)
+    val anim = Webp.wrapRiffChunks(Seq(
+      "VP8X" -> vp8x(0x12, 320, 200),
+      "ANIM" -> Array.fill[Byte](6)(0),
+      "ANMF" -> anmf(320, 200),
+      "ANMF" -> anmf(320, 200),
+      "ANMF" -> anmf(160, 100)))
+    assert(Webp.decodeWebpHeader(anim) === Some(("webp-anim", 320, 200, 4)))
+    assert(Webp.animFrameCount(anim) === Some(3))
+    assert(Webp.decodeWebp(anim).isEmpty, "frame pixels are out of scope")
+    // no alpha flag → 3 channels
+    val anim3 = Webp.wrapRiffChunks(Seq(
+      "VP8X" -> vp8x(0x02, 8, 8), "ANMF" -> anmf(8, 8)))
+    assert(Webp.decodeWebpHeader(anim3) === Some(("webp-anim", 8, 8, 3)))
+    // VP8X STILL with a top-level VP8L chunk: exact still dims win
+    val still = Webp.encodeWebpLossless(8, 8, pix)
+    // rebuild: VP8X + the VP8L chunk from the still container
+    val vp8lPayload = java.util.Arrays.copyOfRange(still, 20,
+      20 + ((still(16) & 0xff) | ((still(17) & 0xff) << 8) |
+        ((still(18) & 0xff) << 16) | ((still(19) & 0xff) << 24)))
+    val extStill = Webp.wrapRiffChunks(Seq(
+      "VP8X" -> vp8x(0x10, 8, 8), "VP8L" -> vp8lPayload))
+    assert(Webp.decodeWebpHeader(extStill) === Some(("webp-l", 8, 8, 4)))
+    assert(Webp.decodeWebp(extStill).map(_._3.toSeq) ===
+      Some(expectPixels(8, 8, pix).toSeq))
+    // the meta stage reports the ANMF count like GIF's frame walk
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val meta = Multimodal.decodeMetaAuto(
+      Seq((1L, "image", anim)).toDF("doc_id", "media_type", "media"))
+      .collect()(0)
+    assert(meta.getString(2) === "webp-anim" && meta.getInt(7) === 3 &&
+      meta.getBoolean(8))
+  }
+
   test("1x1 and single-row/column images") {
     roundTrip(1, 1, pix, "1x1")(Webp.encodeWebpLossless(1, 1, pix))
     roundTrip(9, 1, pix, "9x1")(Webp.encodeWebpLossless(9, 1, pix))
