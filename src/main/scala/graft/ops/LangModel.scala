@@ -410,6 +410,12 @@ object LangModel {
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1lead"))
     val n1c = pairs.groupBy("w2").agg(count(lit(1)).as("n1cont"))
     val tv = spark.read.parquet(s"$path/meta")
+    // an empty reference corpus has no continuation distribution to
+    // back off to — Pcont's denominator T + kV would be 0 and every
+    // score ±Inf; refuse loudly instead
+    val mrow = tv.head()
+    require(mrow.getLong(mrow.fieldIndex("v")) > 0,
+      s"kn stats at $path were fit on an empty corpus (V = 0)")
     docBigramCounts(docs, text, id)
       .join(pairs, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")

@@ -99,7 +99,10 @@ object Multimodal {
     * media column was actually decoded off the artifact's ledger
     * section instead of trusting the stub path to be rare. Counting
     * rides the existing iterator (no extra pass); `outcome` maps each
-    * emitted row to its counter suffix. */
+    * emitted row to its counter suffix. A consumer that stops early
+    * (limit/take) never exhausts the iterator and ledgers nothing for
+    * that partition — counts describe what actually decoded, which is
+    * the honest number. */
   private def ledgeredDecode(stage: String, it: Iterator[Row],
       outcome: Row => String): Iterator[Row] = new Iterator[Row] {
     private val counts = scala.collection.mutable.Map.empty[String, Long]
