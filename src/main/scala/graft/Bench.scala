@@ -171,8 +171,7 @@ object Bench {
     * refuses to commit an artifact measured on a busy machine — the
     * same self-consistency discipline as Scale's gate. The 1-min load
     * average is sampled BEFORE the run (fail fast: don't spend 20
-    * minutes measuring junk) and before every fork batch (drift can
-    * arrive mid-run); any sample above SPARK_GRAFT_LOAD_MAX (absolute
+    * minutes measuring junk); any sample above SPARK_GRAFT_LOAD_MAX (absolute
     * 1-min loadavg, default 4.0 — near-idle on this 32-core class of
     * machine given the bench itself is not yet running; 0 disables)
     * aborts the run with rc 3 before any measurement. Mid-run samples
@@ -191,7 +190,7 @@ object Bench {
   private def runForked(k: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
-    var maxLoad = loadAvg()
+    val maxLoad = loadAvg()
     if (loadMax > 0 && maxLoad > loadMax) {
       System.err.println(f"[bench] REFUSING to start committed-pair run: " +
         f"ambient 1-min load $maxLoad%.1f > ${loadMax}%.1f " +

@@ -660,11 +660,16 @@ object Scale {
           (sec, listener.drain())
         }
         val ledgerMark = Ledger.mark()
-        // cold run doubles as the ANSWER-VOLUME measurement (r13
-        // verdict item 1): rows_out goes into the artifact so a
-        // super-linear shuffle exponent is checkable against answer
-        // growth instead of asserted in prose. Counting executes the
-        // full funnel, so it still absorbs codegen/classload.
+        once() // cold: codegen/classload; discard. Kept as the NOOP
+        // WRITE (not a count): count() lets column pruning drop
+        // output projections from the cold plan, so the first warm
+        // sample would pay their codegen compile (r14 self-review)
+        // — the answer-volume count below runs after the cold run
+        // has compiled the real plan.
+        // rows_out is the ANSWER-VOLUME measurement (r13 verdict
+        // item 1): it goes into the artifact so a super-linear
+        // shuffle exponent is checkable against measured answer
+        // growth instead of asserted in prose.
         val rowsOut = { hygiene(); listener.drain(); fn(docs).count() }
         // warm = MIN of N runs (default 2): the same contamination
         // argument as Bench (SURVEY §13.1) — GC/JIT noise is strictly

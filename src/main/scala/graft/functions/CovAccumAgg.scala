@@ -93,7 +93,6 @@ case class CovAccum(
       "downstream eigensolve is a driver O(d^3) Jacobi; reduce " +
       "dimensionality (random projection / PCA on a slice) first")
 
-  require(d > 0 && d <= 4096, s"cov_accum needs 0 < d <= 4096, got $d")
 
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(

@@ -432,7 +432,14 @@ object Codecs {
     * ignored; DEFLATE via java.util.zip.Inflater, all five row
     * filters reversed). */
   def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decodeHeader(b).flatMap {
+    decodeHeader(b).flatMap(h => decodeGrayWithHeader(b, h))
+
+  /** [[decodeGray]] with the header already parsed — lets the decode
+    * stage classify failures without paying a second full magic
+    * dispatch on the (hot at 100 TB) fallback path. */
+  private[ops] def decodeGrayWithHeader(b: Array[Byte],
+      header: MediaHeader): Option[(Int, Int, Array[Byte])] =
+    Some(header).flatMap {
       case MediaHeader("bmp", w, h, 3) =>
         val stride = bmpStride(w)
         val off = i32le(b, 10)

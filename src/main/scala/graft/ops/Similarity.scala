@@ -837,8 +837,7 @@ object Similarity {
       fitSample, mode)
     val codes = withC.select(col("vec_id"), col("__list"),
         graft.functions.PqFunctions.pqEncode(resid, cb, m, ks, ds)
-          .as("codes"))
-      .join(broadcast(centersDf), Seq("__list"))
+          .as("codes"), col("__centroid"))
       .select(col("vec_id"), col("__list"), col("codes"),
         graft.functions.PqFunctions.pqReconNorm(col("codes"),
           col("__centroid"), cb, ks, ds).as("rnorm"))

@@ -585,19 +585,24 @@ object Webp {
 
   // ------------------------------------------------------- container
 
-  /** Walk a RIFF/WEBP container to the named chunk's payload. */
+  /** Walk a RIFF/WEBP container to the named chunk's payload. All
+    * offset arithmetic in Long: a crafted chunk size near 2^31 would
+    * otherwise overflow the bound check and escape the quarantine
+    * contract as an uncaught copyOfRange/String exception crashing
+    * the task (r14 self-review finding). */
   private def chunk(b: Array[Byte], tag: String): Option[Array[Byte]] = {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'E' || b(10) != 'B' ||
         b(11) != 'P') return None
-    var off = 12
+    var off = 12L
     while (off + 8 <= b.length) {
-      val t = new String(b, off, 4, "ISO-8859-1")
-      val size = (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8) |
-        ((b(off + 6) & 0xff) << 16) | ((b(off + 7) & 0xff) << 24)
-      if (size < 0 || off + 8 + size > b.length) return None
+      val o = off.toInt
+      val t = new String(b, o, 4, "ISO-8859-1")
+      val size = ((b(o + 4) & 0xff) | ((b(o + 5) & 0xff) << 8) |
+        ((b(o + 6) & 0xff) << 16) | ((b(o + 7) & 0xff) << 24)) & 0xFFFFFFFFL
+      if (off + 8 + size > b.length) return None
       if (t == tag)
-        return Some(java.util.Arrays.copyOfRange(b, off + 8, off + 8 + size))
+        return Some(java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size.toInt))
       off += 8 + size + (size & 1)
     }
     None
@@ -652,13 +657,14 @@ object Webp {
     * walk plays. None when the container has no ANMF chunks. */
   def animFrameCount(b: Array[Byte]): Option[Int] = {
     if (b.length < 12 || b(0) != 'R' || b(8) != 'W') return None
-    var off = 12
+    var off = 12L
     var n = 0
     while (off + 8 <= b.length) {
-      val t = new String(b, off, 4, "ISO-8859-1")
-      val size = (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8) |
-        ((b(off + 6) & 0xff) << 16) | ((b(off + 7) & 0xff) << 24)
-      if (size < 0 || off + 8 + size > b.length) return None
+      val o = off.toInt
+      val t = new String(b, o, 4, "ISO-8859-1")
+      val size = ((b(o + 4) & 0xff) | ((b(o + 5) & 0xff) << 8) |
+        ((b(o + 6) & 0xff) << 16) | ((b(o + 7) & 0xff) << 24)) & 0xFFFFFFFFL
+      if (off + 8 + size > b.length) return None
       if (t == "ANMF") n += 1
       off += 8 + size + (size & 1)
     }

@@ -270,10 +270,26 @@ class MultimodalSpec extends AnyFunSuite {
       }.toMap.withDefaultValue(0L)
     // truncated BMP: valid magic + header, body shorter than one row
     val torn = Codecs.encodeBmp(32, 16, pix).take(60)
+    // valid LOSSY webp: recognized container, pixel decode out of the
+    // pure-JVM set — that is the DISCLOSED fallback path, not corpus
+    // damage, so it must NOT count as quarantined (r14 self-review)
+    val lossy = {
+      val p = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+        64, 0, 48, 0)
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def tag(s: String) = s.foreach(c => out += c.toByte)
+      def u32(v: Int) = { out += (v & 0xff).toByte
+        out += ((v >> 8) & 0xff).toByte; out += ((v >> 16) & 0xff).toByte
+        out += ((v >> 24) & 0xff).toByte }
+      tag("RIFF"); u32(4 + 8 + p.length); tag("WEBP"); tag("VP8 ")
+      u32(p.length); out ++= p
+      out.toArray
+    }
     val rows = Seq(
       (1L, Codecs.encodeBmp(32, 16, pix)),
       (2L, torn),
-      (3L, "webp-or-h264-or-whatever".getBytes)).toDF("doc_id", "media")
+      (3L, "not-a-known-container".getBytes),
+      (4L, lossy)).toDF("doc_id", "media")
       .coalesce(1)
     val before = counts()
     val out = Multimodal.decodeGrayStage(rows).collect()
@@ -283,15 +299,16 @@ class MultimodalSpec extends AnyFunSuite {
     val after = counts()
     assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 1L)
     assert(after("media.decode_gray.quarantined") - before("media.decode_gray.quarantined") === 1L)
-    assert(after("media.decode_gray.fallback") - before("media.decode_gray.fallback") === 1L)
+    assert(after("media.decode_gray.fallback") - before("media.decode_gray.fallback") === 2L,
+      "unknown magic AND recognized-but-out-of-set codecs are both fallback")
     // the meta stage counts real vs stub the same way
     val metaRows = rows.withColumn("media_type", lit("image"))
     val b2 = counts()
     Multimodal.decodeMetaAuto(metaRows).collect()
     val a2 = counts()
-    // the torn BMP still HEADER-parses (meta is honest about that),
-    // so meta sees 2 real + 1 stub
-    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 2L)
+    // the torn BMP and the lossy webp still HEADER-parse (meta is
+    // honest about that), so meta sees 3 real + 1 stub
+    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 3L)
     assert(a2("media.decode_meta.stub") - b2("media.decode_meta.stub") === 1L)
   }
 

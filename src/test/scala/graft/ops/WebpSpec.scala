@@ -259,6 +259,27 @@ class WebpSpec extends AnyFunSuite {
       meta.getBoolean(8))
   }
 
+  test("crafted chunk sizes near 2^31 quarantine instead of crashing (overflow guard)") {
+    // RIFF/WEBP with one chunk declaring size 0x7FFFFFF0: Int
+    // arithmetic would overflow the bounds check and throw from
+    // copyOfRange/String — the walk must return None instead
+    for (size <- Seq(0x7FFFFFF0, 0x7FFFFFFF, 0xFFFFFFF0)) {
+      val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def tag(s: String) = s.foreach(c => b += c.toByte)
+      def u32(v: Int) = { b += (v & 0xff).toByte; b += ((v >> 8) & 0xff).toByte
+        b += ((v >> 16) & 0xff).toByte; b += ((v >> 24) & 0xff).toByte }
+      tag("RIFF"); u32(100); tag("WEBP"); tag("VP8L"); u32(size)
+      b ++= Array.fill[Byte](32)(0x2f)
+      val bytes = b.toArray
+      assert(Webp.decodeWebpHeader(bytes).isEmpty, f"size=$size%08x")
+      assert(Webp.decodeWebp(bytes).isEmpty, f"size=$size%08x")
+      assert(Webp.animFrameCount(bytes).isEmpty, f"size=$size%08x")
+      // and through the codec dispatch (the path crawl bytes take)
+      assert(Codecs.decodeHeader(bytes).isEmpty, f"size=$size%08x")
+      assert(Codecs.decodeGray(bytes).isEmpty, f"size=$size%08x")
+    }
+  }
+
   test("1x1 and single-row/column images") {
     roundTrip(1, 1, pix, "1x1")(Webp.encodeWebpLossless(1, 1, pix))
     roundTrip(9, 1, pix, "9x1")(Webp.encodeWebpLossless(9, 1, pix))
