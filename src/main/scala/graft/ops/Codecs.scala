@@ -434,10 +434,72 @@ object Codecs {
   def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeHeader(b).flatMap(h => decodeGrayWithHeader(b, h))
 
-  /** [[decodeGray]] with the header already parsed — lets the decode
-    * stage classify failures without paying a second full magic
-    * dispatch on the (hot at 100 TB) fallback path. */
+  /** Three-way gray-decode verdict, so the decode LEDGER can tell
+    * corpus damage from disclosed capability bounds (r14 advisor
+    * finding: a format whitelist misfiled valid-but-out-of-set
+    * variants — 16-bpp BMP, sub-8-bit PNG, lossy WebP — as
+    * `quarantined`). Each codec path declares its own capability
+    * envelope here, next to the decode call it guards. */
+  private[ops] sealed trait GrayOutcome
+  private[ops] object GrayOutcome {
+    /** Decoded luma plane — the `real` ledger outcome. */
+    final case class Real(w: Int, h: Int, gray: Array[Byte]) extends GrayOutcome
+    /** Valid container, variant outside the pure-JVM decode set (or
+      * over a documented resource bound) — the `fallback` outcome. */
+    case object Unsupported extends GrayOutcome
+    /** Supported variant whose body fails to parse — the
+      * `quarantined` outcome (data damage, not an engine gap). */
+    case object Malformed extends GrayOutcome
+  }
+
+  /** Classify + decode in one pass (header already parsed — the
+    * fallback path at 100 TB must not pay a second magic dispatch).
+    * Capability envelope per format:
+    *  - bmp: 24bpp only (8/16/32-bpp headers parse → Unsupported)
+    *  - png: bit depth 8/16 (1/2/4 → Unsupported), interlace 0/1
+    *  - jpeg/jpeg-prog: 1- or 3-component (4-component CMYK-style
+    *    frames → Unsupported)
+    *  - webp-l: ≤64M pixels (a DoS bound, not a spec bound — legal
+    *    VP8L dims reach 16383², 268M px → Unsupported, disclosed)
+    *  - webp (lossy VP8) / webp-anim: header-only → Unsupported
+    *  - gif / ppm / pgm: fully inside the decode set */
+  private[ops] def grayOutcome(b: Array[Byte],
+      header: MediaHeader): GrayOutcome = {
+    import GrayOutcome._
+    def done(r: Option[(Int, Int, Array[Byte])]): GrayOutcome = r match {
+      case Some((w, h, g)) => Real(w, h, g)
+      case None            => Malformed
+    }
+    header match {
+      case MediaHeader("bmp", _, _, ch) if ch != 3 => Unsupported
+      case MediaHeader("png", _, _, _) =>
+        val depth = if (b.length > 24) b(24) & 0xff else 0
+        if (depth != 8 && depth != 16) Unsupported
+        else done(decodeGrayImpl(b, header))
+      case MediaHeader("jpeg" | "jpeg-prog", _, _, nc)
+          if nc != 1 && nc != 3 => Unsupported
+      case MediaHeader("webp-l", w, h, _) =>
+        if (w.toLong * h > 64L * 1024 * 1024) Unsupported
+        else done(decodeGrayImpl(b, header))
+      case MediaHeader("webp" | "webp-anim", _, _, _) => Unsupported
+      case MediaHeader("bmp" | "ppm" | "pgm" | "jpeg" | "jpeg-prog" |
+          "gif", _, _, _) =>
+        done(decodeGrayImpl(b, header))
+      case _ => Unsupported
+    }
+  }
+
+  /** [[decodeGray]] with the header already parsed; Option shape for
+    * callers that only need pixels ([[grayOutcome]] carries the
+    * three-way ledger verdict). */
   private[ops] def decodeGrayWithHeader(b: Array[Byte],
+      header: MediaHeader): Option[(Int, Int, Array[Byte])] =
+    grayOutcome(b, header) match {
+      case GrayOutcome.Real(w, h, g) => Some((w, h, g))
+      case _                         => None
+    }
+
+  private def decodeGrayImpl(b: Array[Byte],
       header: MediaHeader): Option[(Int, Int, Array[Byte])] =
     Some(header).flatMap {
       case MediaHeader("bmp", w, h, 3) =>

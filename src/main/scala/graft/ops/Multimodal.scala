@@ -185,26 +185,27 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     media.select("doc_id", "media").mapPartitions { rows =>
       // three ledgered outcomes: `real` (decoded pixels), `quarantined`
-      // (magic matched a SUPPORTED container but the body is malformed
-      // — data, not an error), `fallback` (format outside the pure-JVM
-      // codec set — unknown magic, or a recognized-but-undecodable
-      // codec like lossy/animated WebP: the disclosed fingerprint
-      // path, NOT corpus damage). One header parse serves decode and
-      // classification; a width sentinel of -1 carries the quarantine
-      // verdict to the outcome fn and is normalized back to the
-      // schema's 0 afterwards.
+      // (supported variant whose body is malformed — data, not an
+      // error), `fallback` (unknown magic, or a valid container whose
+      // VARIANT is outside the pure-JVM decode set — the disclosed
+      // fingerprint path, NOT corpus damage). The verdict comes from
+      // each codec's own capability declaration
+      // ([[Codecs.grayOutcome]]), not a format whitelist (r14 advisor
+      // finding: whitelisting misfiled out-of-set 16-bpp BMP /
+      // sub-8-bit PNG as quarantined). One header parse serves decode
+      // and classification; a width sentinel of -1 carries the
+      // quarantine verdict to the outcome fn and is normalized back
+      // to the schema's 0 afterwards.
       val tagged = rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         Codecs.decodeHeader(bytes) match {
           case None => Row(id, 0, 0, bytes, false)
           case Some(h) =>
-            Codecs.decodeGrayWithHeader(bytes, h) match {
-              case Some((w, hh, g)) => Row(id, w, hh, g, true)
-              case None =>
-                val outOfSet =
-                  h.format == "webp" || h.format == "webp-anim"
-                Row(id, if (outOfSet) 0 else -1, 0, bytes, false)
+            Codecs.grayOutcome(bytes, h) match {
+              case Codecs.GrayOutcome.Real(w, hh, g) => Row(id, w, hh, g, true)
+              case Codecs.GrayOutcome.Unsupported    => Row(id, 0, 0, bytes, false)
+              case Codecs.GrayOutcome.Malformed      => Row(id, -1, 0, bytes, false)
             }
         }
       }

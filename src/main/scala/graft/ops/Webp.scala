@@ -567,7 +567,13 @@ object Webp {
 
   /** Decode a raw VP8L payload (the bytes of the VP8L chunk) to
     * (width, height, ARGB pixels). None = malformed (quarantine
-    * contract, not an exception). */
+    * contract, not an exception) OR over the 64M-pixel decode bound —
+    * a deliberate DoS guard, not a spec limit (legal VP8L dims reach
+    * 16383×16383 = 268M px): one such image is a 1 GiB+ int buffer
+    * per task. Callers that must distinguish the two check the header
+    * dims against the bound first ([[graft.ops.Codecs.grayOutcome]]
+    * classifies over-bound images as the disclosed `fallback`, never
+    * `quarantined`). */
   def decodeVp8l(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       if (b.length < 5 || (b(0) & 0xff) != 0x2f) return None
@@ -609,9 +615,9 @@ object Webp {
   }
 
   /** Container-level header: ("webp-l", w, h, 4) for lossless
-    * (fully decodable here), ("webp", w, h, 3) for lossy VP8 whose
-    * simple frame header yields honest dims but whose payload stays
-    * on the fingerprint path, and ("webp-anim", canvasW, canvasH,
+    * (fully decodable here), ("webp", w, h, 3|4) for lossy VP8 (4
+    * when a lossy-alpha ALPH chunk rides alongside in a VP8X still
+    * container) with honest frame-header dims, and ("webp-anim", canvasW, canvasH,
     * 3|4) for an extended (VP8X) ANIMATION container — frame count
     * via [[animFrameCount]], frame pixels out of scope like lossy. A
     * VP8X STILL container falls through to its top-level VP8L/VP8
@@ -633,7 +639,12 @@ object Webp {
               (p(4) & 0xff) == 0x01 && (p(5) & 0xff) == 0x2a) {
             val w = ((p(6) & 0xff) | ((p(7) & 0xff) << 8)) & 0x3fff
             val h = ((p(8) & 0xff) | ((p(9) & 0xff) << 8)) & 0x3fff
-            if (w > 0 && h > 0) Some(("webp", w, h, 3)) else None
+            // a VP8X still container carries lossy alpha as a separate
+            // ALPH chunk (the VP8 stream itself is always 3-channel):
+            // honor it in the channel count like the animation path
+            // honors the VP8X alpha flag
+            val ch = if (chunk(b, "ALPH").isDefined) 4 else 3
+            if (w > 0 && h > 0) Some(("webp", w, h, ch)) else None
           } else None
         }.orElse(chunk(b, "VP8X").flatMap { p =>
           // extended header: 1B flags (bit1 animation, bit4 alpha in
