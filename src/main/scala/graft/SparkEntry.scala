@@ -3440,6 +3440,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // interpolated TRIGRAM Kneser-Ney (Chen & Goodman's interpolated
+    // form, D=0.75 per level): the middle level runs on trigram-TYPE
+    // continuation counts, the base level is the bigram model's
+    // continuation distribution unchanged — fully oracled (every
+    // statistic is an aggregation of the two type tables)
+    "lm_kn3_score" -> ((s, dir) =>
+      LangModel.scoreKnTrigram(table(s, dir, "documents"), col("text"),
+          col("doc_id"), materialize = eagerPairs)
+        .orderBy("doc_id")),
+
+    // incremental trigram KN: both type tables + (T, V) stored once on
+    // the trusted slice; the increment degrades through the same
+    // arithmetic level by level (unseen trigram → history backoff,
+    // unseen history → middle distribution, unseen middle →
+    // continuation floor, unseen word → k/(T+kV))
+    "lm_kn3_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = memoStore("kn3stats", dir)(p =>
+        LangModel.buildKnTrigramStats(docs.filter(col("doc_id") >= 50),
+          col("text"), col("doc_id"), p))
+      LangModel.scoreKnTrigramAgainst(s, store, docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL perplexity: stats fit once on doc_id >= 50 (the
     // trusted-corpus store, CCNet shape), the increment scores against
     // the STORED counts with add-k OOV smoothing — fully oracled
@@ -5811,6 +5836,100 @@ object SparkEntry {
              / sum(q.c), 6) AS nll
          FROM q LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
          LEFT JOIN nc USING (w2) CROSS JOIN tv
+         GROUP BY 1 ORDER BY 1""",
+
+    "lm_kn3_score" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         tri0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                  FROM toks),
+         tri AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+                 FROM tri0),
+         d3 AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri
+                GROUP BY 1, 2, 3, 4),
+         c123 AS (SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS c123
+                  FROM d3 GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+                   count(*) AS n1lead12 FROM c123 GROUP BY 1, 2),
+         nc23 AS (SELECT w2, w3, count(*) AS n1c23 FROM c123 GROUP BY 1, 2),
+         mid AS (SELECT w2, CAST(sum(n1c23) AS BIGINT) AS n1mid,
+                   count(*) AS n1out FROM nc23 GROUP BY 1),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         c2 AS (SELECT w1, w2 FROM big GROUP BY 1, 2),
+         nc AS (SELECT w2 AS w3, count(*) AS n1cont FROM c2 GROUP BY 1),
+         tv AS (SELECT (SELECT count(*) FROM c2) AS t,
+                  (SELECT count(DISTINCT u.tok)
+                   FROM (SELECT unnest(t) AS tok FROM toks) u) AS v)
+         SELECT d3.doc_id, CAST(sum(d3.c) AS BIGINT) AS n_trigrams,
+           round(sum(d3.c * -ln(
+             greatest(c123.c123 - 0.75, 0) / c12.c12
+             + 0.75 * c12.n1lead12 / c12.c12
+               * (greatest(nc23.n1c23 - 0.75, 0) / mid.n1mid
+                  + 0.75 * mid.n1out / mid.n1mid
+                    * ((nc.n1cont + 0.5) / (tv.t + 0.5 * tv.v)))))
+             / sum(d3.c), 6) AS nll
+         FROM d3 JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+           JOIN nc23 USING (w2, w3) JOIN mid USING (w2)
+           JOIN nc ON nc.w3 = d3.w3 CROSS JOIN tv
+         GROUP BY 1 ORDER BY 1""",
+
+    // level-by-level store-miss arithmetic mirrored: unseen trigram
+    // keeps only the history backoff, unseen history falls to the
+    // middle (continuation-count) distribution, an unseen middle to
+    // the floor distribution, an unseen word to the add-k floor
+    "lm_kn3_indexed" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         tri0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                  FROM toks),
+         tri AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+                 FROM tri0),
+         dall AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri
+                  GROUP BY 1, 2, 3, 4),
+         c123 AS (SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS c123
+                  FROM dall WHERE doc_id >= 50 GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+                   count(*) AS n1lead12 FROM c123 GROUP BY 1, 2),
+         nc23 AS (SELECT w2, w3, count(*) AS n1c23 FROM c123 GROUP BY 1, 2),
+         mid AS (SELECT w2, CAST(sum(n1c23) AS BIGINT) AS n1mid,
+                   count(*) AS n1out FROM nc23 GROUP BY 1),
+         big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+         c2 AS (SELECT w1, w2 FROM big WHERE doc_id >= 50 GROUP BY 1, 2),
+         nc AS (SELECT w2 AS w3, count(*) AS n1cont FROM c2 GROUP BY 1),
+         tv AS (SELECT (SELECT count(*) FROM c2) AS t,
+                  (SELECT count(DISTINCT u.tok)
+                   FROM (SELECT unnest(t) AS tok FROM toks
+                         WHERE doc_id >= 50) u) AS v),
+         q AS (SELECT * FROM dall WHERE doc_id < 50)
+         SELECT q.doc_id, CAST(sum(q.c) AS BIGINT) AS n_trigrams,
+           round(sum(q.c * -ln(
+             CASE WHEN c12.c12 IS NOT NULL THEN
+               greatest(coalesce(c123.c123, 0) - 0.75, 0) / c12.c12
+               + 0.75 * c12.n1lead12 / c12.c12
+                 * (CASE WHEN mid.n1mid IS NOT NULL THEN
+                      greatest(coalesce(nc23.n1c23, 0) - 0.75, 0) / mid.n1mid
+                      + 0.75 * mid.n1out / mid.n1mid
+                        * ((coalesce(nc.n1cont, 0) + 0.5)
+                           / (tv.t + 0.5 * tv.v))
+                    ELSE (coalesce(nc.n1cont, 0) + 0.5)
+                         / (tv.t + 0.5 * tv.v) END)
+             ELSE CASE WHEN mid.n1mid IS NOT NULL THEN
+                    greatest(coalesce(nc23.n1c23, 0) - 0.75, 0) / mid.n1mid
+                    + 0.75 * mid.n1out / mid.n1mid
+                      * ((coalesce(nc.n1cont, 0) + 0.5)
+                         / (tv.t + 0.5 * tv.v))
+                  ELSE (coalesce(nc.n1cont, 0) + 0.5)
+                       / (tv.t + 0.5 * tv.v) END
+             END))
+             / sum(q.c), 6) AS nll
+         FROM q LEFT JOIN c123 USING (w1, w2, w3)
+           LEFT JOIN c12 USING (w1, w2)
+           LEFT JOIN nc23 USING (w2, w3) LEFT JOIN mid USING (w2)
+           LEFT JOIN nc ON nc.w3 = q.w3 CROSS JOIN tv
          GROUP BY 1 ORDER BY 1""",
 
     "vocab_top200" ->

@@ -251,6 +251,156 @@ object LangModel {
         round(sum(col("c") * -log(p)) / sum(col("c")), roundTo).as("nll"))
   }
 
+  /** Interpolated TRIGRAM Kneser–Ney (Chen & Goodman 1999's
+    * interpolated form, one fixed discount D per level):
+    *
+    *   P3(w3|w1w2) = max(c(w1w2w3)−D, 0)/c(w1w2·)
+    *               + D·N1+(w1w2·)/c(w1w2·) · P2(w3|w2)
+    *   P2(w3|w2)   = max(N1+(·w2w3)−D, 0)/N1+(·w2·)
+    *               + D·N1+(w2·*)/N1+(·w2·) · Pcont(w3)
+    *   Pcont(w3)   = (N1+(·w3) + k)/(T + k·V)
+    *
+    * The middle level runs on trigram-TYPE continuation counts (the
+    * KN signature, one order down): N1+(·w2w3) = distinct predecessors
+    * of bigram (w2w3), N1+(·w2·) = distinct trigram types with middle
+    * w2, N1+(w2·*) = distinct w3 among those types. The base level is
+    * the bigram model's continuation distribution unchanged (bigram
+    * types, add-k floor), so lm_kn_score and this model share their
+    * floor arithmetic. Backoff on missing stats mirrors the bigram
+    * rule level by level: unseen history (w1w2) → P2; w2 never a
+    * trigram middle → Pcont; unseen word → k/(T+kV).
+    *
+    * Scale shape: one trigram + one bigram explosion; every statistic
+    * is an aggregation of the two TYPE tables (no extra corpus pass);
+    * scoring is five key-equality joins + one broadcast (T, V) row.
+    * Output (doc_id, n_trigrams, nll); sub-3-token docs emit nothing. */
+  def scoreKnTrigram(docs: DataFrame, text: Column, id: Column,
+      discount: Double = 0.75, k: Double = 0.5, roundTo: Int = 6,
+      materialize: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
+    require(k > 0, "continuation floor needs k > 0")
+    val d3 = docTrigramCounts(docs, text, id).persist()
+    // both TYPE tables feed several derivations each — persist like
+    // the bigram model's
+    val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123")).persist()
+    val c2 = docBigramCounts(docs, text, id)
+      .groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
+    val c12 = c123.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n1lead12"))
+    val n1c23 = c123.groupBy("w2", "w3").agg(count(lit(1)).as("n1c23"))
+    val mid = n1c23.groupBy("w2")
+      .agg(sum("n1c23").as("n1mid"), count(lit(1)).as("n1out"))
+    val n1c = c2.groupBy("w2").agg(count(lit(1)).as("n1cont"))
+      .select(col("w2").as("w3"), col("n1cont"))
+    val tv = c2.agg(count(lit(1)).as("t"))
+      .crossJoin(docs.select(text.as("__text"))
+        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(explode(tokens(col("__text"))).as("tok"))
+        .agg(countDistinct("tok").as("v")))
+    // inner joins: a trigram present in d3 implies every statistic
+    // exists (its own history, its own middle, and bigram (w2,w3) ⇒
+    // n1cont(w3) ≥ 1)
+    val scored = d3.join(c123, Seq("w1", "w2", "w3"))
+      .join(c12, Seq("w1", "w2"))
+      .join(n1c23, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(n1c, Seq("w3"))
+      .crossJoin(broadcast(tv))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trigrams"),
+        round(sum(col("c") * -log(knP3(discount, k))) / sum(col("c")),
+          roundTo).as("nll"))
+    if (!materialize) scored
+    else {
+      val out = scored.localCheckpoint(true)
+      d3.unpersist(); c123.unpersist(); c2.unpersist()
+      out
+    }
+  }
+
+  /** The trigram-KN probability expression over joined count columns
+    * (c123, c12, n1lead12, n1c23, n1mid, n1out, n1cont, t, v) —
+    * null-tolerant level by level so the store-miss (left-join) path
+    * shares it exactly like [[knP]]. */
+  private def knP3(discount: Double, k: Double): Column = {
+    val p1 = (coalesce(col("n1cont"), lit(0L)) + k) /
+      (col("t") + lit(k) * col("v"))
+    val p2 = when(col("n1mid").isNotNull,
+      greatest(coalesce(col("n1c23"), lit(0L)) - discount, lit(0.0)) /
+        col("n1mid") +
+        lit(discount) * col("n1out") / col("n1mid") * p1)
+      .otherwise(p1)
+    when(col("c12").isNotNull,
+      greatest(coalesce(col("c123"), lit(0L)) - discount, lit(0.0)) /
+        col("c12") +
+        lit(discount) * col("n1lead12") / col("c12") * p2)
+      .otherwise(p2)
+  }
+
+  /** Persist trigram Kneser–Ney statistics — the two TYPE tables are
+    * the whole model: `path/tri` = (w1, w2, w3, c123), `path/pairs` =
+    * (w1, w2, c2) for the continuation floor, `path/meta` = (t, v)
+    * derived from pairs and written LAST as the commit marker. Every
+    * other statistic (history mass, leader/continuation type counts)
+    * derives from the stored tables at read time. */
+  def buildKnTrigramStats(docs: DataFrame, text: Column, id: Column,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    docTrigramCounts(docs, text, id)
+      .groupBy("w1", "w2", "w3").agg(sum("c").as("c123"))
+      .write.mode("overwrite").parquet(s"$path/tri")
+    docBigramCounts(docs, text, id)
+      .groupBy("w1", "w2").agg(sum("c").as("c2"))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    val v = docs.select(text.as("__text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("__text"))).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0)
+    spark.read.parquet(s"$path/pairs")
+      .agg(count(lit(1)).as("t")).select(col("t"), lit(v).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents against STORED trigram-KN statistics
+    * ([[buildKnTrigramStats]]) — store misses degrade through [[knP3]]
+    * level by level (unseen trigram → history backoff; unseen history
+    * → the middle distribution; w2 never a stored middle → the
+    * continuation floor; unseen word → k/(T+kV)). Stats fit on the
+    * scored corpus itself make this identical to [[scoreKnTrigram]]
+    * (spec-proven). Empty-corpus stores are refused like the bigram
+    * store (V = 0 would make every score ±Inf). */
+  def scoreKnTrigramAgainst(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, text: Column, id: Column,
+      discount: Double = 0.75, k: Double = 0.5,
+      roundTo: Int = 6): DataFrame = {
+    require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
+    require(k > 0, "continuation floor needs k > 0")
+    val c123 = spark.read.parquet(s"$path/tri")
+    val pairs = spark.read.parquet(s"$path/pairs")
+    val tv = spark.read.parquet(s"$path/meta")
+    val mrow = tv.head()
+    require(mrow.getLong(mrow.fieldIndex("v")) > 0,
+      s"kn trigram stats at $path were fit on an empty corpus (V = 0)")
+    val c12 = c123.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n1lead12"))
+    val n1c23 = c123.groupBy("w2", "w3").agg(count(lit(1)).as("n1c23"))
+    val mid = n1c23.groupBy("w2")
+      .agg(sum("n1c23").as("n1mid"), count(lit(1)).as("n1out"))
+    val n1c = pairs.groupBy("w2").agg(count(lit(1)).as("n1cont"))
+      .select(col("w2").as("w3"), col("n1cont"))
+    docTrigramCounts(docs, text, id)
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(n1c23, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(n1c, Seq("w3"), "left")
+      .crossJoin(broadcast(tv))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trigrams"),
+        round(sum(col("c") * -log(knP3(discount, k))) / sum(col("c")),
+          roundTo).as("nll"))
+  }
+
   /** Per-batch body of [[graft.streaming.StreamingIngest
     * .scoreStreamAgainstBigramStats]], callable directly so replay
     * semantics are testable: score `batch` against the stored bigram

@@ -171,4 +171,70 @@ class LangModelSpec extends AnyFunSuite {
     // unseen-history fallback is exactly Pcont: -ln((3+.5)/(6+.5*7))
     assert(math.abs(pg(11L) - (-math.log(3.5 / 9.5))) < 1e-6, pg(11L))
   }
+
+  test("trigram kneser-ney: hand arithmetic, store-fit == inline, level-by-level backoff") {
+    // corpus: doc1 "a b c a b c", doc2 "a b d", doc3 "x y" (no
+    // trigram, but it DOES feed the bigram-type floor)
+    //   trigram types: abc=2, bca=1, cab=1, abd=1
+    //   c12(ab)=3 with 2 continuations; c12(bc)=c12(ca)=1 with 1
+    //   middle stats: b → n1mid=2 (types b·c, b·d), n1out=2;
+    //                 a, c → n1mid=n1out=1
+    //   bigram types ab, bc, ca, bd, xy → T=5; V=6 (a b c d x y);
+    //   every scored word has one distinct predecessor → n1cont=1,
+    //   p1 = 1.5/(5 + 0.5·6) = 1.5/8
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = LangModel.scoreKnTrigram(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(3L), "sub-3-token docs emit nothing")
+    val p1 = 1.5 / 8.0
+    // doc2's only trigram (a,b,d):
+    //   p2(d|b) = max(1−.75,0)/2 + .75·(2/2)·p1 = 0.3125
+    //   p3(d|ab) = max(1−.75,0)/3 + .75·(2/3)·p2
+    val p2d = 0.25 / 2 + 0.75 * 1.0 * p1
+    val p3d = 0.25 / 3 + 0.75 * 2.0 / 3 * p2d
+    assert(got(2L)._1 === 1L)
+    assert(math.abs(got(2L)._2 - (-math.log(p3d))) < 1e-6, got(2L))
+    // doc1: abc (c=2), bca, cab
+    val p3abc = 1.25 / 3 + 0.75 * 2.0 / 3 * p2d // p2(c|b) = p2(d|b) by symmetry
+    val p2a = 0.25 / 1 + 0.75 * 1.0 * p1
+    val p3bca = 0.25 / 1 + 0.75 * 1.0 * p2a
+    val p3cab = p3bca // identical stats by symmetry
+    val nll1 = (2 * -math.log(p3abc) - math.log(p3bca) - math.log(p3cab)) / 4
+    assert(got(1L)._1 === 4L)
+    assert(math.abs(got(1L)._2 - nll1) < 1e-6, got(1L))
+
+    // store fit on the same corpus must equal the inline self-score
+    val path = java.nio.file.Files.createTempDirectory("kn3_stats").toString
+    LangModel.buildKnTrigramStats(docs, col("text"), col("doc_id"), path)
+    val stored = LangModel.scoreKnTrigramAgainst(spark, path, docs,
+        col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = LangModel.scoreKnTrigram(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline, "self-fit store score must equal inline")
+
+    // level-by-level backoff on store misses:
+    //   "q q q": nothing seen at any level → p = p1(q) = 0.5/8
+    //   "a b x": history ab seen, trigram + (b,x) unseen, middle b
+    //   seen; x is in the vocab but never a bigram SECOND word, so
+    //   n1cont(x)=0 → p2 = .75·(2/2)·(0.5/8), p3 = .75·(2/3)·p2
+    val probes = Seq((10L, "q q q"), (11L, "a b x")).toDF("doc_id", "text")
+    val pg = LangModel.scoreKnTrigramAgainst(spark, path, probes,
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(pg(10L) - (-math.log(0.5 / 8.0))) < 1e-6, pg(10L))
+    val pabx = 0.75 * 2.0 / 3 * (0.75 * (0.5 / 8.0))
+    assert(math.abs(pg(11L) - (-math.log(pabx))) < 1e-6, pg(11L))
+
+    // an empty reference corpus is refused (V = 0 → every score ±Inf)
+    val emptyPath = java.nio.file.Files.createTempDirectory("kn3_empty").toString
+    LangModel.buildKnTrigramStats(
+      docs.filter(col("doc_id") < 0), col("text"), col("doc_id"), emptyPath)
+    val err = intercept[IllegalArgumentException] {
+      LangModel.scoreKnTrigramAgainst(spark, emptyPath, docs,
+        col("text"), col("doc_id"))
+    }
+    assert(err.getMessage.contains("empty corpus"))
+  }
 }
