@@ -98,12 +98,12 @@ object Metrics {
       Similarity.pqTopK(emb, queries, k = 10, refine = 8),
       "PQ/ADC + exact refine of 8x over-fetch — the ann_pq_topk registration params")
     annRow("ann_ivfpq_adc", 0.25,
-      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 6),
-      "IVF-PQ residual codes, pure ADC (nlist=16 nprobe=6 m=16 ks=16) — coarse pruning x quantization, floor-bound by design")
-    annRow("ann_ivfpq_refined_4x", 0.50,
       Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 6,
-        refine = 4),
-      "IVF-PQ + exact refine of 4x over-fetch — the ann_ivfpq_indexed registration shape")
+        refine = 1),
+      "IVF-PQ residual codes, pure ADC opt-in (nlist=16 nprobe=6 m=16 ks=16) — coarse pruning x quantization, floor-bound by design")
+    annRow("ann_ivfpq_refined_4x", 0.50,
+      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 6),
+      "IVF-PQ DEFAULT configuration (refine-by-default 4x exact re-rank) — the user contract and the ann_ivfpq_indexed registration shape")
 
     // ---------------- near-dup funnel pair recall (bounded exact twin) --
     // exact all-pairs twins are quadratic: bound the slice so ground

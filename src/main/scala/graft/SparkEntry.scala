@@ -3602,17 +3602,17 @@ object SparkEntry {
     // shape): coarse k-means lists + residual PQ codes + the stored
     // exact reconstructed norm, queries ADC-scanning only their
     // probed lists' (m+8)-byte rows from the PERSISTED partition-
-    // pruned index, with exact refine of the 4x over-fetch. Rows-only
-    // (list/code assignments are engine-local k-means state); recall
-    // floors in METRICS.json, stored==inline + reconstruction
-    // exactness spec-proven in PqSpec
+    // pruned index, with the refine-by-default 4x exact re-rank (the
+    // float corpus handed to the stored path). Rows-only (list/code
+    // assignments are engine-local k-means state); recall floors in
+    // METRICS.json, stored==inline + reconstruction exactness
+    // spec-proven in PqSpec
     "ann_ivfpq_indexed" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val store = memoStore("ivfpq", dir)(p =>
         Similarity.buildIvfPqIndex(emb, p, nlist = 16, m = 16, ks = 16))
-      val adc = Similarity.ivfPqTopKStored(s, store,
-        emb.filter(col("vec_id") < 5), k = 40, nprobe = 6)
-      Similarity.pqRefine(adc, emb, emb.filter(col("vec_id") < 5), k = 10)
+      Similarity.ivfPqTopKStored(s, store, emb.filter(col("vec_id") < 5),
+          k = 10, nprobe = 6, corpus = emb)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 

@@ -131,9 +131,10 @@ class PqSpec extends AnyFunSuite {
 
   test("IVF-PQ: stored == inline, residual reconstruction is score-exact, recall vs brute") {
     val want = Similarity.bruteForceTopK(corpus, queries, 10)
-    // inline, no refine: coarse pruning x residual quantization
+    // inline, refine opted OUT (the default is the 4x exact re-rank):
+    // coarse pruning x residual quantization
     val inline = Similarity.ivfPqTopK(corpus, queries, 10, nlist = 8,
-      nprobe = 4, m = 16, ks = 16)
+      nprobe = 4, m = 16, ks = 16, refine = 1)
     val pure = recallAt10(inline, want)
     assert(pure >= 0.40, s"IVF-PQ pure-ADC recall@10 regressed: $pure")
     // refine over-fetch re-ranks exactly
@@ -150,6 +151,16 @@ class PqSpec extends AnyFunSuite {
     val b = stored.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a === b, "stored IVF-PQ must reproduce the inline rows")
+    // stored path WITH the float corpus applies the refine-by-default
+    // posture and must reproduce the refined inline rows
+    val storedRef = Similarity.ivfPqTopKStored(spark, dir, queries, 10,
+        nprobe = 4, corpus = corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inlineRef = Similarity.ivfPqTopK(corpus, queries, 10, nlist = 8,
+        nprobe = 4, m = 16, ks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(storedRef === inlineRef,
+      "stored+corpus must reproduce the refined inline rows")
     // score exactness wrt the reconstruction: decode (centroid + r-hat)
     // for every scored row of one query and compare to plain cosine
     val meta = spark.read.parquet(s"$dir/meta").head()
