@@ -686,6 +686,13 @@ object Webp {
   def decodeWebp(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     chunk(b, "VP8L").flatMap(decodeVp8l)
 
+  /** Lossy (VP8 key-frame) container decode to YUV planes — the
+    * pure-JVM [[Vp8]] decoder behind the same RIFF walk. The Y plane
+    * IS the luma the gray pipeline wants (the same convention as the
+    * color-JPEG path, which also surfaces its Y channel). */
+  def decodeWebpLossy(b: Array[Byte]): Option[Vp8.Planes] =
+    chunk(b, "VP8 ").flatMap(Vp8.decodeVp8)
+
   // --------------------------------------------------------- encoder
 
   /** Balanced canonical code lengths over the USED symbols of a

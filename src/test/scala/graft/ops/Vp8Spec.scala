@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VP8 (lossy WebP) decoder validation.
+  *
+  * The heavy lift is the vector suite: src/test/resources/vp8 holds 16
+  * real lossy-WebP encodes (flat/gradient/noise/block/smooth content;
+  * MB-aligned and ragged dims down to 5x7 and up to 160x112; qualities
+  * 1..95, so qindex spans the table, segmentation is active, and the
+  * loop filter runs at many strengths) together with the OPEN-SOURCE
+  * libwebp reference decoder's own YUV output, captured by
+  * scripts/vp8_tables_extract.py. Byte-for-byte plane equality against
+  * an independent reference implementation pins the boolean decoder,
+  * header/segment/filter parameter parsing, probability updates, token
+  * trees, dequantization, both inverse transforms, every intra
+  * predictor family incl. the frame-edge 127/129 conventions and the
+  * right-column top-right quirk, and the normal loop filter — far
+  * stronger evidence than VP8L's encoder round-trips.
+  *
+  * Table spot-pins guard the extraction offsets; the bool-coder
+  * property pins the §7 arithmetic coder pair used by the fixture
+  * encoder.
+  */
+class Vp8Spec extends AnyFunSuite {
+
+  private def resource(name: String): Option[Array[Byte]] = {
+    val in = getClass.getResourceAsStream(s"/vp8/$name")
+    if (in == null) None
+    else
+      try Some(in.readAllBytes())
+      finally in.close()
+  }
+
+  test("decodes every libwebp reference vector byte-for-byte (Y, U, V)") {
+    var n = 0
+    var i = 0
+    while (i < 99) {
+      val name = f"v$i%02d"
+      (resource(s"$name.webp"), resource(s"$name.yuv")) match {
+        case (Some(webp), Some(ref)) =>
+          val w = (ref(0) & 0xff) | ((ref(1) & 0xff) << 8) |
+            ((ref(2) & 0xff) << 16) | ((ref(3) & 0xff) << 24)
+          val h = (ref(4) & 0xff) | ((ref(5) & 0xff) << 8) |
+            ((ref(6) & 0xff) << 16) | ((ref(7) & 0xff) << 24)
+          val cw = (w + 1) / 2
+          val ch = (h + 1) / 2
+          val hdr = Webp.decodeWebpHeader(webp)
+          assert(hdr.exists(t => t._1 == "webp" && t._2 == w && t._3 == h),
+            s"$name header: $hdr")
+          val planes = Webp.decodeWebpLossy(webp)
+          assert(planes.isDefined, s"$name failed to decode")
+          val p = planes.get
+          assert(p.w == w && p.h == h, s"$name dims ${p.w}x${p.h} != ${w}x$h")
+          val refY = java.util.Arrays.copyOfRange(ref, 8, 8 + w * h)
+          val refU = java.util.Arrays.copyOfRange(ref, 8 + w * h,
+            8 + w * h + cw * ch)
+          val refV = java.util.Arrays.copyOfRange(ref, 8 + w * h + cw * ch,
+            8 + w * h + 2 * cw * ch)
+          def firstDiff(a: Array[Byte], b: Array[Byte]): Int = {
+            var k = 0
+            while (k < a.length && k < b.length) {
+              if (a(k) != b(k)) return k
+              k += 1
+            }
+            if (a.length == b.length) -1 else math.min(a.length, b.length)
+          }
+          def check(plane: String, got: Array[Byte], want: Array[Byte],
+              pw: Int): Unit = {
+            val d = firstDiff(got, want)
+            if (d >= 0)
+              fail(s"$name $plane differs first at $d (x=${d % pw}, " +
+                s"y=${d / pw}): got ${got(d) & 0xff} want ${want(d) & 0xff}")
+          }
+          check("Y", p.y, refY, w)
+          check("U", p.u, refU, cw)
+          check("V", p.v, refV, cw)
+          n += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    assert(n >= 16, s"expected >= 16 vectors on the classpath, saw $n")
+  }
+
+  test("table spot-pins (extraction-offset tripwires)") {
+    // dequant lookups: published endpoints (RFC 6386 §14.1)
+    assert(Vp8Tables.DcQ(0) == 4 && Vp8Tables.DcQ(1) == 5 &&
+      Vp8Tables.DcQ(127) == 157)
+    assert(Vp8Tables.AcQ(0) == 4 && Vp8Tables.AcQ(127) == 284)
+    assert(Vp8Tables.DcQ.length == 128 && Vp8Tables.AcQ.length == 128)
+    // monotone non-decreasing quantizer steps
+    assert(Vp8Tables.DcQ.sliding(2).forall(p => p(0) <= p(1)))
+    assert(Vp8Tables.AcQ.sliding(2).forall(p => p(0) <= p(1)))
+    // coefficient probs: type 0 band 0 is the spec's unused all-128
+    // filler; the first used row opens 253,136,254,255,228,219 (§13.5)
+    assert(Vp8Tables.CoeffProbs.length == 1056)
+    assert((0 until 33).forall(i => (Vp8Tables.CoeffProbs(i) & 0xff) == 128))
+    assert(Seq(253, 136, 254, 255, 228, 219) ==
+      (33 until 39).map(Vp8Tables.CoeffProbs(_) & 0xff))
+    // update probs open with the all-255 unused band (§13.4)
+    assert(Vp8Tables.CoeffUpdateProbs.length == 1056)
+    assert((0 until 11).forall(i =>
+      (Vp8Tables.CoeffUpdateProbs(i) & 0xff) == 255))
+    // kf bmode probs: first row per §11.5
+    assert(Vp8Tables.KfBModeProbs.length == 900)
+    assert(Seq(231, 120, 48, 89, 115, 113, 120, 152, 112) ==
+      (0 until 9).map(Vp8Tables.KfBModeProbs(_) & 0xff))
+    // all probabilities are valid (1..255: a 0 would divide-by-zero the
+    // arithmetic coder's split)
+    assert(Vp8Tables.CoeffProbs.forall(b => (b & 0xff) >= 1))
+    assert(Vp8Tables.KfBModeProbs.forall(b => (b & 0xff) >= 1))
+    assert(Vp8Tables.Cat6.length == 11 && Vp8Tables.Cat6(0) == 254)
+    assert(Vp8Tables.Bands.toSeq ==
+      Seq(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7))
+    assert(Vp8Tables.Zigzag.toSeq ==
+      Seq(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15))
+  }
+
+  test("bool encoder/decoder round-trip (randomized, seeded)") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(2000)
+      val probs = Array.fill(n)(1 + rnd.nextInt(254))
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      val enc = new Vp8.BoolEnc
+      var i = 0
+      while (i < n) { enc.bool(probs(i), bits(i)); i += 1 }
+      val bytes = enc.toBytes
+      val got = Vp8.decodeBoolSeq(bytes, probs)
+      assert(got.sameElements(bits), s"trial $trial (n=$n) desynced")
+    }
+  }
+}
