@@ -97,6 +97,9 @@ object Metrics {
     annRow("ann_pq_refined_8x", 0.80,
       Similarity.pqTopK(emb, queries, k = 10, refine = 8),
       "PQ/ADC + exact refine of 8x over-fetch — the ann_pq_topk registration params")
+    annRow("ann_opq_adc", 0.38,
+      Similarity.opqPqTopK(emb, queries, k = 10),
+      "parametric OPQ rotation (PCA eigenbasis, eigenvalue-balanced subspaces) + PQ/ADC, no refine — measured 0.42 vs 0.388 unrotated at sf0.1; the synthetic embeddings are near-isotropic so the rotation's headroom is small but real, and the floor sits above the raw-PQ 0.35 row")
     annRow("ann_ivfpq_adc", 0.25,
       Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 6,
         refine = 1),

@@ -3172,6 +3172,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL LOSSY-WEBP (VP8 key-frame) decode end-to-end (graft.ops.Vp8):
+    // boolean arithmetic decoder, segmentation with absolute per-segment
+    // quantizers, kf mode trees, token trees with cat extra bits, Y2
+    // WHT + 4x4 DCT inverses, and intra prediction — on fixtures whose
+    // luma is flat per macroblock with DC-only residuals chosen so the
+    // integer chain reconstructs the closed-form value EXACTLY
+    // (mm_jpeg_real's no-DCT trick, extended through the Y2 WHT). The
+    // qindex, token-partition count, mode rotation, and ragged dims all
+    // rotate with doc_id; a bool-decoder, dequant, WHT, prediction, or
+    // context mistake shifts sum_luma and fails the hash. The decoder
+    // itself is additionally pinned byte-for-byte against libwebp's
+    // decode output on real encodes in Vp8Spec.
+    "mm_webp_lossy_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticWebpLossy(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG decode end-to-end: multi-scan successive
     // approximation — DC first at Al=1, spectral AC bands, DC and AC
     // refinement scans — reassembled into one coefficient buffer and
@@ -3628,6 +3656,20 @@ object SparkEntry {
       // (METRICS.json) for 80 exact re-scores per query — still <'4% of
       // the corpus and far cheaper than the recall-equivalent ADC width
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          refine = 8)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // OPQ-rotated PQ/ADC (graft.ops.Similarity.opqPqTopK, public: Ge
+    // et al. 2013/2014, parametric variant): the PCA eigenbasis with
+    // eigenvalue-balanced subspace allocation pre-rotates the corpus
+    // so the 16 subquantizers carry equal variance — better recall at
+    // the same 16-byte code budget. Rows-only: the rotation's
+    // orthogonality/cosine-preservation and the recall lift over
+    // unrotated PQ are spec- and METRICS-pinned
+    "ann_opq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.opqPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
           refine = 8)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
@@ -7868,6 +7910,19 @@ object SparkEntry {
            (299 * ((doc_id + 3 * x + 7 * y) % 256)
             + 587 * ((2 * doc_id + 5 * x + y) % 256)
             + 114 * ((3 * doc_id + x + 11 * y) % 256)) // 1000 AS v
+           FROM d, unnest(generate_series(0, d.w - 1)) AS tx(x),
+                unnest(generate_series(0, d.h - 1)) AS ty(y))
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_luma
+         FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_webp_lossy_real" ->
+      """WITH d AS (SELECT doc_id,
+           16 * (1 + doc_id % 3) + CASE WHEN doc_id % 5 = 1 THEN 7 ELSE 0 END AS w,
+           16 * (1 + doc_id % 2) + CASE WHEN doc_id % 5 = 3 THEN 5 ELSE 0 END AS h
+           FROM documents WHERE doc_id % 7 <> 0),
+         px AS (SELECT doc_id, w, h,
+           (doc_id * 5 + 11 * (x // 16) + 17 * (y // 16)) % 256 AS v
            FROM d, unnest(generate_series(0, d.w - 1)) AS tx(x),
                 unnest(generate_series(0, d.h - 1)) AS ty(y))
          SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,

@@ -461,7 +461,12 @@ object Codecs {
     *    frames → Unsupported)
     *  - webp-l: ≤64M pixels (a DoS bound, not a spec bound — legal
     *    VP8L dims reach 16383², 268M px → Unsupported, disclosed)
-    *  - webp (lossy VP8) / webp-anim: header-only → Unsupported
+    *  - webp (lossy VP8): key frames fully decoded ([[Vp8]], RFC 6386
+    *    incl. loop filter; luma = the Y plane, same convention as
+    *    color JPEG), same ≤64M-pixel bound; an interframe payload
+    *    (impossible as a still container's image chunk) or malformed
+    *    body → Malformed
+    *  - webp-anim: header-only → Unsupported
     *  - gif / ppm / pgm: fully inside the decode set */
   private[ops] def grayOutcome(b: Array[Byte],
       header: MediaHeader): GrayOutcome = {
@@ -481,7 +486,10 @@ object Codecs {
       case MediaHeader("webp-l", w, h, _) =>
         if (w.toLong * h > 64L * 1024 * 1024) Unsupported
         else done(decodeGrayImpl(b, header))
-      case MediaHeader("webp" | "webp-anim", _, _, _) => Unsupported
+      case MediaHeader("webp", w, h, _) =>
+        if (w.toLong * h > Vp8.MaxPixels) Unsupported
+        else done(decodeGrayImpl(b, header))
+      case MediaHeader("webp-anim", _, _, _) => Unsupported
       case MediaHeader("bmp" | "ppm" | "pgm" | "jpeg" | "jpeg-prog" |
           "gif", _, _, _) =>
         done(decodeGrayImpl(b, header))
@@ -579,6 +587,11 @@ object Codecs {
           }
           (w, h, g)
         }
+      case MediaHeader("webp", _, _, _) =>
+        // lossy VP8 still: the decoded Y plane IS the luma (the same
+        // convention as the color-JPEG path, which surfaces its Y
+        // channel rather than converting to RGB and back)
+        Webp.decodeWebpLossy(b).map(p => (p.w, p.h, p.y))
       case _ => None
     }
 

@@ -75,4 +75,18 @@ object Ledger {
     counts.asScala.toSeq.sortBy(_._1)
       .map { case (n, c) => (n, c.longValue(), lastDetail.get(n)) }
   }
+
+  /** [[summary]] as a queryable DataFrame (name, count, last_detail) —
+    * so corpus-health accounting (decode real/fallback/quarantined
+    * shares, engaged caps) can be JOINED against source metadata
+    * in-engine instead of read off the bench artifact. Same per-JVM
+    * scope as the counters themselves (see [[add]]): under local[*]
+    * it is the whole story; on a cluster each executor keeps its own,
+    * and cluster-global accounting comes from the stage's `decoded`
+    * column — this view is the driver-side convenience summary. */
+  def snapshot(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    summary().toDF("name", "count", "last_detail")
+  }
 }

@@ -631,6 +631,29 @@ object Multimodal {
       }
     }
 
+  /** Deterministic REAL-LOSSY-WEBP fixture: VP8 key frames whose luma
+    * is flat per MACROBLOCK with values in closed form over (doc_id,
+    * bx, by) — [[Vp8.encodeVp8Still]]'s DC-only exactness contract
+    * means decoded luma equals the formula on every pixel, so a SQL
+    * oracle recomputes sums with no transform code while the decoder
+    * runs the full RFC 6386 path (bool decoder, segmentation, mode
+    * trees, token trees incl. cat extras, WHT+DCT, all all-flat-safe
+    * predictors). The quantizer index, partition count (1/2/4), mode
+    * rotation, and ragged-vs-aligned dims all rotate with doc_id.
+    * Every 7th doc raw text for the fallback path. */
+  def syntheticWebpLossy(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 16 * (1 + (id % 3).toInt) + (if (id % 5 == 1) 7 else 0)
+      val h = 16 * (1 + (id % 2).toInt) + (if (id % 5 == 3) 5 else 0)
+      val vOf = (bx: Int, by: Int) =>
+        ((id * 5 + 11L * bx + 17L * by) % 256).toInt
+      val (payload, _) = Vp8.encodeVp8Still(w, h, vOf,
+        qIndex = (id % 35).toInt, nParts = 1 << (id % 3).toInt,
+        modeSeed = (id % 5).toInt)
+      Webp.wrapRiffChunks(Seq("VP8 " -> payload))
+    }
+
   /** Deterministic REAL-PROGRESSIVE-JPEG fixture: SOF2 grayscale
     * streams through the 5-scan successive-approximation script
     * ([[Jpeg.encodeJpegProgressiveGray]] — DC first at Al=1, AC bands

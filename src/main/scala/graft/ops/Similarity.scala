@@ -779,6 +779,92 @@ object Similarity {
     scoreAdc(codes, queries, cb, m, ks, dims / m, k, roundTo)
   }
 
+  // ------------------------------------------------------- OPQ
+
+  /** Parametric OPQ rotation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 / TPAMI 2014 — public): an orthogonal
+    * d×d pre-rotation applied before PQ so the m subspaces carry
+    * BALANCED variance instead of whatever the raw coordinate order
+    * happens to give. This is the paper's parametric (Gaussian)
+    * solution: rotate into the PCA eigenbasis — [[Pca.fit]]'s moment
+    * machinery, the same store the whitening path uses — then assign
+    * eigen-directions to subspaces by greedy eigenvalue-PRODUCT
+    * balancing (descending eigenvalues, each to the open subspace
+    * with the smallest log-variance product), which equalizes the
+    * per-subquantizer information load. Orthogonality preserves dot
+    * products and norms, so rotated-space ADC scores estimate the
+    * ORIGINAL cosine and the exact refine can run in either space.
+    * No mean-centering: a shift would change cosines. Returns the
+    * row-major d×d rotation (row r = the eigenvector assigned to
+    * output slot r). */
+  def opqRotation(corpus: DataFrame, dims: Int = 64,
+      m: Int = 16): Array[Double] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val model = Pca.fit(corpus.select(col("vec_id"), col("embedding")),
+      col("embedding"), dims, dims)
+    val ds = dims / m
+    val slots = new Array[Int](m)
+    val logVar = new Array[Double](m)
+    val slotOf = new Array[Int](dims) // eig index (desc order) -> subspace
+    var e = 0
+    while (e < dims) {
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (slots(s) < ds && (best < 0 || logVar(s) < logVar(best))) best = s
+        s += 1
+      }
+      slotOf(e) = best
+      slots(best) += 1
+      logVar(best) += math.log(math.max(model.eigvals(e), 1e-12))
+      e += 1
+    }
+    val rowOf = new Array[Int](dims) // output row -> eig index
+    val fill = new Array[Int](m)
+    e = 0
+    while (e < dims) {
+      val s = slotOf(e)
+      rowOf(s * ds + fill(s)) = e
+      fill(s) += 1
+      e += 1
+    }
+    val rot = new Array[Double](dims * dims)
+    var r = 0
+    while (r < dims) {
+      System.arraycopy(model.components, rowOf(r) * dims, rot, r * dims, dims)
+      r += 1
+    }
+    rot
+  }
+
+  /** Apply an [[opqRotation]] to an (vec_id, embedding) frame — the
+    * fused mat-vec kernel with a zero mean (pure rotation, cosine-
+    * preserving). Output schema matches the input contract, so every
+    * PQ/ANN operator composes downstream. */
+  def opqRotate(emb: DataFrame, rot: Array[Double],
+      dims: Int): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.GraftFunctions.projectCentered(col("embedding"),
+        new Array[Double](dims), rot, dims, dims)
+        .cast("array<float>") // the (vec_id, embedding) corpus contract
+        .as("embedding"))
+
+  /** PQ/ADC top-k under the parametric OPQ rotation: fit the rotation
+    * from the corpus moments, rotate corpus AND queries, then run the
+    * standard [[pqTopK]] (codebook fit, ADC scan, exact refine) in
+    * rotated space. Same output contract; the rotation typically buys
+    * recall at the SAME code budget by stopping high-variance
+    * directions from crowding into a few subquantizers (measured as a
+    * METRICS.json floor above the unrotated PQ row). */
+  def opqPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, ks: Int = 16, dims: Int = 64, seed: Long = 42L,
+      maxIter: Int = 10, fitSample: Int = 262144, roundTo: Int = 4,
+      mode: String = "kmeans", refine: Int = 1): DataFrame = {
+    val rot = opqRotation(corpus, dims, m)
+    pqTopK(opqRotate(corpus, rot, dims), opqRotate(queries, rot, dims),
+      k, m, ks, dims, seed, maxIter, fitSample, roundTo, mode, refine)
+  }
+
   // ----------------------------------------------------- IVF-PQ
 
   /** IVF-PQ composite ANN (the FAISS IndexIVFPQ shape, cosine

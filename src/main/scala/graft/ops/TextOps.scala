@@ -710,11 +710,21 @@ object TextOps {
   def hashedTfIdf(docs: DataFrame, text: Column, id: Column,
       buckets: Int = 1024, roundTo: Int = 6,
       materialize: Boolean = true): DataFrame = {
-    // per-doc bucket counts — feeds df, N, AND the weights
+    // per-doc bucket counts — feeds df, N, AND the weights.
+    // [[Dsir.bucketOf]]'s 16-bit md5 slice saturates at 65536 distinct
+    // values; large feature spaces (collision-free-ish hashing for
+    // similarity work, e.g. 2^30) take a 48-bit slice of the same md5
+    // — still portable (any engine reproduces substring(md5)) and
+    // bit-identical to the old form for every bucket count <= 2^16,
+    // so registered oracles are unaffected.
+    val bucket =
+      if (buckets <= (1 << 16)) Dsir.bucketOf(col("token"), buckets)
+      else pmod(conv(substring(md5(col("token").cast(BinaryType)), 1, 12),
+        16, 10).cast(LongType), lit(buckets.toLong))
     val d = docs
       .select(id.as("doc_id"), explode(Dedup.tokens(text)).as("token"))
       .filter(col("token") =!= "")
-      .select(col("doc_id"), Dsir.bucketOf(col("token"), buckets).as("pos"))
+      .select(col("doc_id"), bucket.as("pos"))
       .groupBy("doc_id", "pos").agg(count(lit(1)).as("tf"))
       .persist()
     val df = d.groupBy("pos").agg(count(lit(1)).as("df"))

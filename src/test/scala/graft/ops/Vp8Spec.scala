@@ -117,6 +117,42 @@ class Vp8Spec extends AnyFunSuite {
       Seq(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15))
   }
 
+  test("fixture encoder round-trips exactly through the decoder") {
+    // dims cover MB-aligned, ragged, single-MB, and multi-row; qIndex
+    // sweeps the exactness window; nParts covers all partition counts
+    val cases = Seq(
+      (16, 16, 0, 1, 0), (48, 32, 10, 2, 1), (33, 17, 34, 4, 2),
+      (80, 48, 21, 8, 3), (5, 7, 5, 1, 4), (64, 64, 17, 2, 0),
+      (31, 63, 29, 4, 1))
+    for ((w, h, qi, np, seed) <- cases) {
+      val vOf = (bx: Int, by: Int) => (37 + 11 * bx + 23 * by + seed) % 256
+      val (payload, expected) = Vp8.encodeVp8Still(w, h, vOf, qi, np, seed)
+      val got = Vp8.decodeVp8(payload)
+      assert(got.isDefined, s"${w}x$h qi=$qi np=$np failed to decode")
+      val p = got.get
+      assert(p.w == w && p.h == h)
+      assert(p.y.sameElements(expected.y),
+        s"${w}x$h qi=$qi np=$np seed=$seed: Y mismatch")
+      assert(p.u.sameElements(expected.u) && p.v.sameElements(expected.v),
+        s"${w}x$h qi=$qi np=$np seed=$seed: chroma mismatch")
+      // luma equals the fixture values on every pixel (the oracle
+      // contract: mode rotation and residuals cancel exactly)
+      var i = 0
+      while (i < w * h) {
+        val x = i % w; val y = i / w
+        assert((p.y(i) & 0xff) == vOf(x / 16, y / 16),
+          s"fixture value mismatch at ($x,$y)")
+        i += 1
+      }
+    }
+  }
+
+  test("fixture encoder rejects out-of-window quantizers") {
+    intercept[IllegalArgumentException] {
+      Vp8.encodeVp8Still(16, 16, (_, _) => 128, qIndex = 35, nParts = 1)
+    }
+  }
+
   test("bool encoder/decoder round-trip (randomized, seeded)") {
     val rnd = new scala.util.Random(20260816L)
     for (trial <- 0 until 50) {
