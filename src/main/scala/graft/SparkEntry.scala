@@ -3200,6 +3200,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ANIMATED WebP frame decode end-to-end: the ANMF chunk walk with
+    // per-frame subrect headers, each sampled frame decoded standalone
+    // through whichever sub-decoder its tag names — LOSSY VP8 frames
+    // (DC-exact per-MB-flat fixtures) alternate with LOSSLESS VP8L
+    // frames (closed-form RGB), so one oracle pins the container walk,
+    // the header fields (frame_x/frame_y), and BOTH decoders at once
+    "mm_webp_anim_real" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticAnimWebp(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.sampleAnimWebpLuma(media, stride = 1)
+        .select(col("doc_id"), col("frame_idx"), col("frame_x"),
+          col("frame_y"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG decode end-to-end: multi-scan successive
     // approximation — DC first at Al=1, spectral AC bands, DC and AC
     // refinement scans — reassembled into one coefficient buffer and
@@ -7928,6 +7950,33 @@ object SparkEntry {
          SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(sum(v) AS BIGINT) AS sum_luma
          FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_webp_anim_real" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n
+           FROM documents WHERE doc_id % 7 <> 0),
+         fr AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS f FROM d),
+         dims AS (SELECT doc_id, f,
+           CASE WHEN f % 2 = 0 THEN 16 * (1 + (doc_id + f) % 2)
+                ELSE 4 + (doc_id + f) % 9 END AS w,
+           CASE WHEN f % 2 = 0 THEN 16 * (1 + (doc_id + f) % 2)
+                ELSE 3 + (doc_id + f) % 7 END AS h
+           FROM fr),
+         px AS (SELECT doc_id, f, w, h,
+           CASE WHEN f % 2 = 0
+             THEN (doc_id * 3 + 7 * f + 11 * (x // 16) + 13 * (y // 16)) % 256
+             ELSE (299 * ((doc_id + 3 * x + 7 * y + f) % 256)
+                 + 587 * ((2 * doc_id + 5 * x + y + 3 * f) % 256)
+                 + 114 * ((3 * doc_id + x + 11 * y + 5 * f) % 256)) // 1000
+           END AS v
+           FROM dims, unnest(generate_series(0, dims.w - 1)) AS tx(x),
+                unnest(generate_series(0, dims.h - 1)) AS ty(y))
+         SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(2 * (f % 3) AS INT) AS frame_x,
+           CAST(2 * (f % 2) AS INT) AS frame_y,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_luma
+         FROM px GROUP BY doc_id, f, w, h
+         ORDER BY doc_id, frame_idx""",
 
     "mm_jpeg_progressive" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh

@@ -527,6 +527,70 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL animated-WebP frame sampling: every `stride`-th ANMF
+    * frame's decoded luma ([[Webp.animFrameLumas]] — VP8 sub-frames
+    * through the full RFC 6386 decoder, VP8L through the lossless
+    * one), emitting (doc_id, frame_idx, frame_x, frame_y, width,
+    * height, gray). The animation sibling of [[sampleFrameLuma]]:
+    * frames decode standalone (per-frame subrects, no canvas
+    * compositing — the training-pipeline contract), payload bytes
+    * never ride a shuffle. */
+  def sampleAnimWebpLuma(media: DataFrame, stride: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_x", IntegerType),
+      StructField("frame_y", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("gray", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        Webp.animFrameLumas(b, stride).map(f =>
+          Row(id, f.index, f.x, f.y, f.w, f.h, f.luma))
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL animated-WebP fixture: 2-4 ANMF frames per
+    * doc alternating LOSSY VP8 (DC-exact per-MB-flat luma via
+    * [[Vp8.encodeVp8Still]]) and LOSSLESS VP8L (closed-form RGB via
+    * [[Webp.encodeWebpLossless]]) sub-frames, with closed-form
+    * subrect offsets and durations — so one oracle pins the ANMF
+    * walk, both sub-decoders, and the header fields at once. Every
+    * 7th doc raw text for the fallback path. */
+  def syntheticAnimWebp(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val n = 2 + (id % 3).toInt
+      val frames = (0 until n).map { f =>
+        val x = 2 * (f % 3); val y = 2 * (f % 2)
+        if (f % 2 == 0) {
+          val side = 16 * (1 + ((id + f) % 2).toInt)
+          val (p, _) = Vp8.encodeVp8Still(side, side,
+            (bx, by) => ((id * 3 + 7L * f + 11L * bx + 13L * by) % 256).toInt,
+            qIndex = ((id + f) % 35).toInt, nParts = 1,
+            modeSeed = ((id + f) % 5).toInt)
+          ("VP8 ", p, x, y, 40 + f)
+        } else {
+          val w = 4 + ((id + f) % 9).toInt
+          val h = 3 + ((id + f) % 7).toInt
+          val full = Webp.encodeWebpLossless(w, h, (px, py) => (
+            ((id + 3L * px + 7L * py + f) % 256).toInt,
+            ((2L * id + 5L * px + py + 3L * f) % 256).toInt,
+            ((3L * id + px + 11L * py + 5L * f) % 256).toInt))
+          // strip the RIFF wrapper: ANMF carries the raw VP8L chunk
+          val payload = java.util.Arrays.copyOfRange(full, 20, full.length)
+          ("VP8L", payload, x, y, 40 + f)
+        }
+      }
+      val canvasW = 16 * 2 + 4 // covers every subrect
+      Webp.wrapAnim(canvasW, canvasW, frames)
+    }
+
   /** REAL resize stage: nearest-neighbor resample of decoded luma
     * planes ([[Codecs.resizeNearest]] — exact integer source mapping,
     * up- and downscale) to a fixed outW×outH. The execution-stage twin

@@ -663,6 +663,133 @@ object Webp {
         })
     }
 
+  /** One decoded animation frame: its canvas offset/duration from the
+    * ANMF header and the decoded LUMA of the frame's own subrect.
+    * Frames are decoded STANDALONE (each ANMF carries a complete
+    * VP8/VP8L image of its subrect) — no canvas compositing: the
+    * blend/dispose state machine is a presentation concern, while the
+    * training-data pipeline wants per-frame pixels, the same contract
+    * as [[Codecs.y4mFrameLuma]] and the GIF path. */
+  final case class AnimFrame(index: Int, x: Int, y: Int, w: Int, h: Int,
+      durationMs: Int, luma: Array[Byte])
+
+  /** Decode every `stride`-th ANMF frame's luma from an animated WebP
+    * container — VP8 sub-frames via [[Vp8.decodeVp8]] (Y plane), VP8L
+    * sub-frames via [[decodeVp8l]] (BT.601 integer luma), both now in
+    * the pure-JVM set. Malformed sub-frames are skipped (quarantine
+    * granularity is per frame, matching the per-record WARC
+    * contract); a container with no decodable sampled frame yields an
+    * empty list. */
+  def animFrameLumas(b: Array[Byte], stride: Int): Seq[AnimFrame] = {
+    if (stride < 1 || b.length < 12 || b(0) != 'R' || b(8) != 'W')
+      return Nil
+    val out = ArrayBuffer.empty[AnimFrame]
+    var off = 12L
+    var idx = 0
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val t = new String(b, o, 4, "ISO-8859-1")
+      val size = ((b(o + 4) & 0xff) | ((b(o + 5) & 0xff) << 8) |
+        ((b(o + 6) & 0xff) << 16) | ((b(o + 7) & 0xff) << 24)) & 0xFFFFFFFFL
+      if (off + 8 + size > b.length) return out.toSeq
+      if (t == "ANMF" && size >= 16) {
+        if (idx % stride == 0) {
+          val p = o + 8
+          def u24(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+            ((b(i + 2) & 0xff) << 16)
+          val fx = u24(p) * 2
+          val fy = u24(p + 3) * 2
+          val fw = u24(p + 6) + 1
+          val fh = u24(p + 9) + 1
+          val dur = u24(p + 12)
+          // frame image data: chunks (optional ALPH, then VP8/VP8L)
+          // inside the ANMF payload after the 16-byte header
+          var so = p + 16L
+          val end = p + size
+          var done = false
+          while (!done && so + 8 <= end) {
+            val si = so.toInt
+            val st = new String(b, si, 4, "ISO-8859-1")
+            val ss = ((b(si + 4) & 0xff) | ((b(si + 5) & 0xff) << 8) |
+              ((b(si + 6) & 0xff) << 16) |
+              ((b(si + 7) & 0xff) << 24)) & 0xFFFFFFFFL
+            if (so + 8 + ss > end) done = true
+            else {
+              val payload = java.util.Arrays.copyOfRange(b, si + 8,
+                si + 8 + ss.toInt)
+              st match {
+                case "VP8 " =>
+                  Vp8.decodeVp8(payload).foreach { pl =>
+                    out += AnimFrame(idx, fx, fy, pl.w, pl.h, dur, pl.y)
+                  }
+                  done = true
+                case "VP8L" =>
+                  decodeVp8l(payload).foreach { case (w, h, px) =>
+                    val g = new Array[Byte](w * h)
+                    var i = 0
+                    while (i < g.length) {
+                      val v = px(i)
+                      g(i) = ((299 * ((v >>> 16) & 0xff) +
+                        587 * ((v >>> 8) & 0xff) +
+                        114 * (v & 0xff)) / 1000).toByte
+                      i += 1
+                    }
+                    out += AnimFrame(idx, fx, fy, w, h, dur, g)
+                  }
+                  done = true
+                case _ => so += 8 + ss + (ss & 1) // ALPH etc.: skip
+              }
+            }
+          }
+        }
+        idx += 1
+      }
+      off += 8 + size + (size & 1)
+    }
+    out.toSeq
+  }
+
+  /** Fixture: an animated (VP8X/ANIM/ANMF) container whose frames are
+    * caller-supplied raw VP8/VP8L payloads with per-frame subrect
+    * offsets and durations. */
+  private[ops] def wrapAnim(canvasW: Int, canvasH: Int,
+      frames: Seq[(String, Array[Byte], Int, Int, Int)]): Array[Byte] = {
+    // (tag, payload, x, y, durationMs); x/y must be even (stored /2)
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animation flag
+    def le24(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v & 0xff).toByte; a(o + 1) = ((v >> 8) & 0xff).toByte
+      a(o + 2) = ((v >> 16) & 0xff).toByte
+    }
+    le24(vp8x, 4, canvasW - 1); le24(vp8x, 7, canvasH - 1)
+    val anim = Array[Byte](0, 0, 0, 0xff.toByte, 0, 0) // bg RGBA + loops
+    val anmfs = frames.map { case (tag, payload, x, y, dur) =>
+      val hdr = new Array[Byte](16)
+      le24(hdr, 0, x / 2); le24(hdr, 3, y / 2)
+      val (w, h) = tag match {
+        case "VP8 " =>
+          (((payload(6) & 0xff) | ((payload(7) & 0xff) << 8)) & 0x3fff,
+            ((payload(8) & 0xff) | ((payload(9) & 0xff) << 8)) & 0x3fff)
+        case _ =>
+          val v = (payload(1) & 0xff) | ((payload(2) & 0xff) << 8) |
+            ((payload(3) & 0xff) << 16) | ((payload(4) & 0xff) << 24)
+          ((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1)
+      }
+      le24(hdr, 6, w - 1); le24(hdr, 9, h - 1); le24(hdr, 12, dur)
+      hdr(15) = 0
+      val sub = new ArrayBuffer[Byte]()
+      tag.foreach(c => sub += c.toByte)
+      sub += (payload.length & 0xff).toByte
+      sub += ((payload.length >> 8) & 0xff).toByte
+      sub += ((payload.length >> 16) & 0xff).toByte
+      sub += ((payload.length >> 24) & 0xff).toByte
+      sub ++= payload
+      if ((payload.length & 1) == 1) sub += 0
+      "ANMF" -> (hdr ++ sub.toArray)
+    }
+    wrapRiffChunks(Seq("VP8X" -> vp8x, "ANIM" -> anim) ++ anmfs)
+  }
+
   /** ANMF frame count of an animated (VP8X) container — the honest
     * n_frames for decode metadata, the same role GIF's descriptor
     * walk plays. None when the container has no ANMF chunks. */

@@ -153,6 +153,37 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("animated-WebP frame decode: ANMF walk, both sub-decoders, stride") {
+    val anim = Multimodal.syntheticAnimWebp(4L, "unused") // 4%3=1 -> 3 frames
+    assert(Webp.decodeWebpHeader(anim).exists(_._1 == "webp-anim"))
+    assert(Webp.animFrameCount(anim).contains(3))
+    val all = Webp.animFrameLumas(anim, 1)
+    assert(all.map(_.index) == Seq(0, 1, 2))
+    // frame 0: lossy 16x16 (id=4, f=0: side 16), per-MB-flat value
+    val f0 = all(0)
+    assert(f0.w == 16 && f0.h == 16 && f0.x == 0 && f0.y == 0 &&
+      f0.durationMs == 40)
+    val v0 = ((4 * 3) % 256).toByte
+    assert(f0.luma.forall(_ == v0), "DC-exact lossy frame must be flat")
+    // frame 1: lossless 4+(4+1)%9=9 x 3+(4+1)%7=8, BT.601 closed form
+    val f1 = all(1)
+    assert(f1.w == 9 && f1.h == 8 && f1.x == 2 && f1.y == 2)
+    val want = (299 * ((4 + 0 + 0 + 1) % 256) +
+      587 * ((8 + 0 + 0 + 3) % 256) + 114 * ((12 + 0 + 0 + 5) % 256)) / 1000
+    assert((f1.luma(0) & 0xff) == want)
+    // stride 2 samples frames 0 and 2 only
+    assert(Webp.animFrameLumas(anim, 2).map(_.index) == Seq(0, 2))
+    // a damaged sub-frame is skipped, not fatal (per-frame quarantine)
+    val cut = anim.clone()
+    // corrupt the first ANMF's VP8 payload body (flip bytes well past
+    // the chunk headers)
+    val tornIdx = anim.length / 2
+    cut(tornIdx) = (cut(tornIdx) ^ 0x5a).toByte
+    assert(Webp.animFrameLumas(cut, 1).size <= all.size)
+    // raw text falls through everything
+    assert(Webp.animFrameLumas("plain".getBytes, 1).isEmpty)
+  }
+
   test("bool encoder/decoder round-trip (randomized, seeded)") {
     val rnd = new scala.util.Random(20260816L)
     for (trial <- 0 until 50) {
