@@ -469,25 +469,26 @@ object Scale {
       "Verify joins are SHUFFLE_HASH (r10): signature/element arrays " +
       "ride the O(n) build side, candidates stream unsorted - zero " +
       "spill at every mult (was 6.6 GB at m=64 sorting cands+arrays). " +
-      "r14 on the s_exp ~1.5 (rows_out in this artifact): the ANSWER " +
-      "set itself fits exp ~2.0 with a tiny constant - measured pairs " +
-      "403/7.7k/126k at m=4/16/64, ~80pct of them same-base replica " +
-      "pairs: about 1pct of replica pairs land ABOVE the 0.3 " +
-      "threshold (perturbation variance over short docs), and at " +
-      "J~0.19 the 8-band S-curve admits ~25pct of replica pairs as " +
-      "candidates besides. Signature/blocking work stays linear " +
-      "(t_exp 0.30), so shuffle = linear signatures + answer/candidate " +
-      "volume; ceiling 1.8. r15: the planted twin block adds a LINEAR " +
-      "100 x mult component of genuine near-dup answers (J ~ 0.9) on " +
-      "top - the first truth-set pairs here that are matches rather " +
-      "than pathologies."),
+      "the s_exp ~1.4-1.5 tracks ANSWER volume (rows_out in this " +
+      "artifact, answer_exp ~1.9): the quadratic-with-tiny-constant " +
+      "bulk is same-base replica pairs - about 1pct of replica pairs " +
+      "land ABOVE the 0.3 threshold (perturbation variance over short " +
+      "docs), and at J~0.19 the 8-band S-curve admits ~25pct of " +
+      "replica pairs as candidates besides (r14 root-cause, " +
+      "re-measured each sweep) - plus, from r15, the planted twin " +
+      "block's LINEAR 100 x mult component of genuine near-dup " +
+      "answers (J ~ 0.9), the first truth-set pairs here that are " +
+      "matches rather than pathologies. Signature/blocking work stays " +
+      "linear (t_exp well under 1), so shuffle = linear signatures + " +
+      "answer/candidate volume; ceiling 1.8."),
     "dedup_ngram_pairs" -> ("same scrub judgment as minhash: char-3-" +
       "grams of the ~30-word base vocabulary are ALL corpus-scale, so " +
       "scrub-off the random-background candidate rate is quadratic " +
       "with a tiny constant (r8: 83.5M shuffle rows, s_exp 1.74, " +
       "128-long signature arrays riding the prefilter join). " +
       "hotElemFrac=0.025 drops them from blocking and verify; the " +
-      "0.8-threshold truth set on this corpus is then the clone set."),
+      "0.8-threshold truth set on this corpus is then the clone set " +
+      "plus (r15) the planted twin pairs' linear 100 x mult component."),
     "dedup_simhash_pairs" -> ("r14 root-cause (measured, rows_out in " +
       "this artifact): the fitted s_exp ~2.1 has two drivers, neither " +
       "a defect. (1) ANSWERS are quadratic-with-small-constant: the " +

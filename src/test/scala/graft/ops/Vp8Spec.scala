@@ -113,6 +113,12 @@ class Vp8Spec extends AnyFunSuite {
     assert(Vp8Tables.Cat6.length == 11 && Vp8Tables.Cat6(0) == 254)
     assert(Vp8Tables.Bands.toSeq ==
       Seq(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7))
+    // the decoder clamps the uv-DC dequant VALUE at 132 where the
+    // reference clamps the table INDEX at 117 — equivalent iff
+    // DcQ[117] == 132 and the (monotone) table first exceeds 132
+    // after 117; pin both so a table change can't silently diverge
+    assert(Vp8Tables.DcQ(117) == 132 &&
+      Vp8Tables.DcQ(116) <= 132 && Vp8Tables.DcQ(118) > 132)
     assert(Vp8Tables.Zigzag.toSeq ==
       Seq(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15))
   }
