@@ -789,9 +789,16 @@ object Similarity {
     * solution: rotate into the PCA eigenbasis — [[Pca.fit]]'s moment
     * machinery, the same store the whitening path uses — then assign
     * eigen-directions to subspaces by greedy eigenvalue-PRODUCT
-    * balancing (descending eigenvalues, each to the open subspace
-    * with the smallest log-variance product), which equalizes the
-    * per-subquantizer information load. Orthogonality preserves dot
+    * balancing: descending eigenvalues, each to the LEAST-FILLED open
+    * subspace (ties broken by smallest log-variance product), which
+    * equalizes the per-subquantizer information load. The fill-count
+    * restriction makes the greedy SCALE-INVARIANT: all candidates
+    * share the same item count, so scaling every eigenvalue by c
+    * shifts every candidate's log-product by the same (count)·log c
+    * and comparisons are unchanged. Without it, eigenvalues < 1 (any
+    * unit-normalized corpus) make a just-filled bucket's log-product
+    * the smallest, degenerating the greedy to sequential fill — the
+    * OPPOSITE of balance. Orthogonality preserves dot
     * products and norms, so rotated-space ADC scores estimate the
     * ORIGINAL cosine and the exact refine can run in either space.
     * No mean-centering: a shift would change cosines. Returns the
@@ -808,10 +815,17 @@ object Similarity {
     val slotOf = new Array[Int](dims) // eig index (desc order) -> subspace
     var e = 0
     while (e < dims) {
-      var best = -1
+      var minFill = ds
       var s = 0
       while (s < m) {
-        if (slots(s) < ds && (best < 0 || logVar(s) < logVar(best))) best = s
+        if (slots(s) < minFill) minFill = slots(s)
+        s += 1
+      }
+      var best = -1
+      s = 0
+      while (s < m) {
+        if (slots(s) == minFill && (best < 0 || logVar(s) < logVar(best)))
+          best = s
         s += 1
       }
       slotOf(e) = best

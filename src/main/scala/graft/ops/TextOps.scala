@@ -714,9 +714,12 @@ object TextOps {
     // [[Dsir.bucketOf]]'s 16-bit md5 slice saturates at 65536 distinct
     // values; large feature spaces (collision-free-ish hashing for
     // similarity work, e.g. 2^30) take a 48-bit slice of the same md5
-    // — still portable (any engine reproduces substring(md5)) and
-    // bit-identical to the old form for every bucket count <= 2^16,
-    // so registered oracles are unaffected.
+    // — still portable (any engine reproduces substring(md5)). The two
+    // expressions are NOT equivalent (pmod of the first-12-hex-chars
+    // value differs from pmod of the first-4-hex-chars value for
+    // general bucket counts); the <= 2^16 branch below is what
+    // preserves the old bucketing for every registered oracle — do
+    // not collapse the branch.
     val bucket =
       if (buckets <= (1 << 16)) Dsir.bucketOf(col("token"), buckets)
       else pmod(conv(substring(md5(col("token").cast(BinaryType)), 1, 12),
