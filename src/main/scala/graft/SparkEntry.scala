@@ -3271,6 +3271,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL 4-component CMYK/YCCK JPEG decode end-to-end: Adobe
+    // print-pipeline streams (APP14 transform 0 = plain CMYK on even
+    // ids, 2 = YCCK on odd), block-flat component fixtures — the
+    // oracle recomputes decoded luma through the SAME integer chain
+    // (YCbCr→RGB fixed point where YCCK, ·k/255 un-inking, BT.601)
+    // with no DCT, so a transform-flag, component-order, or division
+    // mistake fails the hash
+    "mm_jpeg_cmyk" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticJpegCmyk(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // REAL resize execution (the stage mm_resize_plan only plans):
     // nearest-neighbor resample of genuinely-decoded luma planes to
     // 8x8 — the oracle recomputes the closed-form luma at the exact
@@ -8018,6 +8041,39 @@ object SparkEntry {
            CAST(sum(256 * rp) AS BIGINT) AS sum_r,
            CAST(sum(256 * gp) AS BIGINT) AS sum_g,
            CAST(sum(256 * bp) AS BIGINT) AS sum_b
+         FROM pix GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    "mm_jpeg_cmyk" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh,
+           doc_id % 2 AS t FROM documents WHERE doc_id % 5 <> 0),
+         gx AS (SELECT doc_id, t, bw, bh,
+           unnest(generate_series(0, bw - 1)) AS bx FROM m),
+         gxy AS (SELECT doc_id, t, bw, bh, bx,
+           unnest(generate_series(0, bh - 1)) AS byy FROM gx),
+         blk AS (SELECT doc_id, t, bw, bh,
+           (doc_id * 3 + 7 * bx + 13 * byy) % 256 AS s0,
+           (doc_id * 5 + 7 * bx + 13 * byy + 29) % 256 AS s1,
+           (doc_id * 7 + 7 * bx + 13 * byy + 58) % 256 AS s2,
+           (doc_id * 9 + 7 * bx + 13 * byy + 87) % 256 AS s3
+           FROM gxy),
+         ink AS (SELECT doc_id, bw, bh, s3,
+           CASE WHEN t = 0 THEN s0 ELSE least(greatest(
+             (1000 * s0 + 1402 * (s2 - 128) + 256500) // 1000 - 256,
+             0), 255) END AS c,
+           CASE WHEN t = 0 THEN s1 ELSE least(greatest(
+             (1000000 * s0 - 344136 * (s1 - 128) - 714136 * (s2 - 128)
+              + 256500000) // 1000000 - 256, 0), 255) END AS mk,
+           CASE WHEN t = 0 THEN s2 ELSE least(greatest(
+             (1000 * s0 + 1772 * (s1 - 128) + 256500) // 1000 - 256,
+             0), 255) END AS yv
+           FROM blk),
+         pix AS (SELECT doc_id, bw, bh,
+           (299 * ((c * s3) // 255) + 587 * ((mk * s3) // 255)
+            + 114 * ((yv * s3) // 255)) // 1000 AS l
+           FROM ink)
+         SELECT doc_id, CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height,
+           CAST(sum(64 * l) AS BIGINT) AS sum_luma
          FROM pix GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "mm_resize_real" ->

@@ -457,8 +457,9 @@ object Codecs {
     * Capability envelope per format:
     *  - bmp: 24bpp only (8/16/32-bpp headers parse → Unsupported)
     *  - png: bit depth 8/16 (1/2/4 → Unsupported), interlace 0/1
-    *  - jpeg/jpeg-prog: 1- or 3-component (4-component CMYK-style
-    *    frames → Unsupported)
+    *  - jpeg: 1-, 3-, or 4-component (CMYK / YCCK via the Adobe
+    *    APP14 transform flag — [[Jpeg.decodeJpegLuma4]]); jpeg-prog:
+    *    1 or 3 (4-component progressive → Unsupported)
     *  - webp-l: ≤64M pixels (a DoS bound, not a spec bound — legal
     *    VP8L dims reach 16383², 268M px → Unsupported, disclosed)
     *  - webp (lossy VP8): key frames fully decoded ([[Vp8]], RFC 6386
@@ -481,6 +482,8 @@ object Codecs {
         val depth = if (b.length > 24) b(24) & 0xff else 0
         if (depth != 8 && depth != 16) Unsupported
         else done(decodeGrayImpl(b, header))
+      case MediaHeader("jpeg", _, _, 4) => // CMYK / YCCK (Adobe APP14)
+        done(decodeGrayImpl(b, header))
       case MediaHeader("jpeg" | "jpeg-prog", _, _, nc)
           if nc != 1 && nc != 3 => Unsupported
       case MediaHeader("webp-l", w, h, _) =>
@@ -553,6 +556,8 @@ object Codecs {
           if (b.length < off + w.toLong * h) None
           else Some((w, h, java.util.Arrays.copyOfRange(b, off, off + w * h)))
         }
+      case MediaHeader("jpeg", _, _, 4) => // CMYK/YCCK → BT.601 luma
+        Jpeg.decodeJpegLuma4(b)
       case MediaHeader("jpeg", _, _, _) =>
         Jpeg.decodeJpegGray(b).map { case (w, h, px) => (w, h, px) }
       case MediaHeader("jpeg-prog", _, _, _) =>
@@ -629,6 +634,8 @@ object Codecs {
           else Some((w, h,
             java.util.Arrays.copyOfRange(b, off, off + 3 * w * h)))
         }
+      case MediaHeader("jpeg", _, _, 4) => // CMYK/YCCK via Adobe APP14
+        Jpeg.decodeJpegRgb4(b)
       case MediaHeader("jpeg", _, _, _) =>
         Jpeg.decodeJpegColor(b)
       case MediaHeader("jpeg-prog", _, _, _) =>

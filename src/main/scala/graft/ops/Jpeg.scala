@@ -466,10 +466,14 @@ object Jpeg {
   private final case class Comp(h: Int, v: Int, quant: Array[Int],
     dcTable: Map[(Int, Int), Int], acTable: Map[(Int, Int), Int])
 
-  /** Parsed stream state up to SOS — 1 (gray) or 3 (YCbCr)
-    * components, MCU-interleaved baseline scan. */
+  /** Parsed stream state up to SOS — 1 (gray), 3 (YCbCr), or 4
+    * (CMYK/YCCK) components, MCU-interleaved baseline scan.
+    * `adobeTransform` is the APP14 color-transform flag (0 = none /
+    * CMYK-as-stored, 1 = YCbCr, 2 = YCCK; -1 when the marker is
+    * absent — 3-comp streams then default to YCbCr, 4-comp to plain
+    * CMYK, the libjpeg convention). */
   private final case class ScanInfo(w: Int, h: Int, comps: Array[Comp],
-    dataOff: Int)
+    dataOff: Int, adobeTransform: Int = -1)
 
   private def parseToScan(b: Array[Byte]): Option[ScanInfo] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
@@ -481,6 +485,7 @@ object Jpeg {
     // SOF per-component: id → (h, v, tq), in frame order
     var frameIds: Array[Int] = null
     var frameHv: Array[(Int, Int, Int)] = null
+    var adobe = -1 // APP14 color-transform flag (absent = -1)
     var i = 2
     while (i + 4 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
@@ -507,7 +512,7 @@ object Jpeg {
           h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
           w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
           val nComp = b(p + 5) & 0xff
-          if (nComp != 1 && nComp != 3) return None
+          if (nComp != 1 && nComp != 3 && nComp != 4) return None
           frameIds = new Array[Int](nComp)
           frameHv = new Array[(Int, Int, Int)](nComp)
           var c = 0
@@ -557,7 +562,11 @@ object Jpeg {
           // single-component scans are 1×1 by the baseline MCU rule
           if (nComp == 1 && (comps(0).h != 1 || comps(0).v != 1))
             return None
-          return Some(ScanInfo(w, h, comps, p + len - 2))
+          return Some(ScanInfo(w, h, comps, p + len - 2, adobe))
+        case 0xee => // APP14: Adobe color-transform flag (last byte)
+          if (len - 2 >= 12 && b(p) == 'A' && b(p + 1) == 'd' &&
+              b(p + 2) == 'o' && b(p + 3) == 'b' && b(p + 4) == 'e')
+            adobe = b(p + 11) & 0xff
         case _ => // APPn, COM, DRI (restarts unsupported but len-skipped)
       }
       i = p + len - 2
@@ -742,6 +751,115 @@ object Jpeg {
       }
       (w, h, out)
     }
+
+  /** 4-component (CMYK / YCCK) baseline decode to interleaved 8-bit
+    * RGB. Adobe print-pipeline streams store INVERTED ink values
+    * (255 = no ink), so plain CMYK converts as r = c·k/255 on the
+    * stored bytes directly (truncating — the arithmetic any engine
+    * reproduces); YCCK (APP14 transform 2) first runs the standard
+    * fixed-point YCbCr→RGB on the leading three components (whose
+    * result IS the inverted CMY triple) and then applies the same
+    * ·k/255. The libjpeg jdcolor convention, spelled out here because
+    * the DuckDB oracle mirrors every division. */
+  def decodeJpegRgb4(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    guarded(parseToScan(b)).filter(_.comps.length == 4).flatMap { s =>
+      decodeJpegPlanes(b).map { case (w, h, pl) =>
+        val ycck = s.adobeTransform == 2
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val k = pl(3)(i) & 0xff
+          val (c, m, yv) =
+            if (ycck)
+              (yccToR(pl(0)(i) & 0xff, pl(2)(i) & 0xff),
+                yccToG(pl(0)(i) & 0xff, pl(1)(i) & 0xff, pl(2)(i) & 0xff),
+                yccToB(pl(0)(i) & 0xff, pl(1)(i) & 0xff))
+            else (pl(0)(i) & 0xff, pl(1)(i) & 0xff, pl(2)(i) & 0xff)
+          out(3 * i) = ((c * k) / 255).toByte
+          out(3 * i + 1) = ((m * k) / 255).toByte
+          out(3 * i + 2) = ((yv * k) / 255).toByte
+          i += 1
+        }
+        (w, h, out)
+      }
+    }
+
+  /** 4-component decode to 8-bit luma: BT.601 integer luma of
+    * [[decodeJpegRgb4]]'s RGB. */
+  def decodeJpegLuma4(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeJpegRgb4(b).map { case (w, h, rgb) =>
+      val g = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        val o = 3 * i
+        g(i) = ((299 * (rgb(o) & 0xff) + 587 * (rgb(o + 1) & 0xff) +
+          114 * (rgb(o + 2) & 0xff)) / 1000).toByte
+        i += 1
+      }
+      (w, h, g)
+    }
+
+  /** Encode four flat-per-block component planes as a baseline
+    * 4-component JPEG with an Adobe APP14 marker (`transform` 0 =
+    * plain CMYK, 2 = YCCK) — the CMYK fixture twin of
+    * [[encodeJpegGray]]: all components 1×1-sampled and sharing the
+    * uniform [[QStep]] table and Annex K Huffman pair, so each flat
+    * 8×8 block survives the quantization round-trip exactly and a SQL
+    * oracle recomputes decoded pixels from `comp(ci, bx, by)` with no
+    * DCT. */
+  def encodeJpegCmyk(w: Int, h: Int, comp: (Int, Int, Int) => Int,
+      transform: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    // APP14 "Adobe": version 100, flags 0, color transform
+    seg(0xee, Array('A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, transform))
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(QStep))
+    // SOF0: 8-bit, 4 components (ids 1..4), all 1×1, quant table 0
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 4) ++
+      (1 to 4).flatMap(id => Seq(id, 0x11, 0)))
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xc4, Array(0x10) ++ AcBits ++ AcVals)
+    // SOS: 4 components, all on DC table 0 / AC table 0
+    seg(0xda, Array(4) ++ (1 to 4).flatMap(id => Seq(id, 0x00)) ++
+      Seq(0, 63, 0))
+    val bw = new BitWriter(out)
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    val prevDc = new Array[Int](4)
+    var byI = 0
+    while (byI < by) {
+      var bxI = 0
+      while (bxI < bx) {
+        var ci = 0
+        while (ci < 4) {
+          val v = comp(ci, bxI, byI) & 0xff
+          val block = Array.fill(64)(v - 128.0)
+          val coef = fdct(block)
+          val dc = math.round(coef(0) / QStep).toInt
+          val diff = dc - prevDc(ci); prevDc(ci) = dc
+          val dcat = category(diff)
+          val (dcode, dlen) = DcEnc(dcat)
+          bw.put(dcode, dlen)
+          if (dcat > 0)
+            bw.put(if (diff < 0) diff + (1 << dcat) - 1 else diff, dcat)
+          val (ec, el) = AcEnc(0x00) // flat block: EOB right after DC
+          bw.put(ec, el)
+          ci += 1
+        }
+        bxI += 1
+      }
+      byI += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 
   // ----------------------------------------- progressive (SOF2) decoder
 

@@ -758,6 +758,25 @@ object Multimodal {
       }, sampling)
     }
 
+  /** Deterministic REAL-CMYK/YCCK-JPEG fixture ([[Jpeg
+    * .encodeJpegCmyk]]): 4-component baseline streams with an Adobe
+    * APP14 marker, plain CMYK on even ids and YCCK (transform 2) on
+    * odd — the print-pipeline variant real crawls hit. Component
+    * samples are flat per 8×8 block in closed form over (doc_id, ci,
+    * bx, by), so the decoded luma (YCbCr→RGB fixed point where YCCK,
+    * then ·k/255 un-inking, then BT.601) is pure integer arithmetic a
+    * SQL oracle mirrors division-for-division. Every 5th doc raw text
+    * for the fallback path. */
+  def syntheticJpegCmyk(id: Long, text: String): Array[Byte] =
+    if (id % 5 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 8 * (1 + (id % 4).toInt)
+      val h = 8 * (1 + (id % 3).toInt)
+      Jpeg.encodeJpegCmyk(w, h, (ci, bx, by) =>
+        ((id * (3 + 2 * ci) + 7L * bx + 13L * by + 29L * ci) % 256).toInt,
+        transform = if (id % 2 == 0) 0 else 2)
+    }
+
   /** RGB decode stage: (doc_id, width, height, rgb, decoded) with
     * `rgb` = REAL interleaved 3-byte pixels for decodable payloads
     * ([[Codecs.decodeRgb]]) or the raw payload (decoded = false) —

@@ -144,6 +144,45 @@ class JpegSpec extends AnyFunSuite {
     assert(g3.length === 8 * 8 * 3 && g3.forall(b => (b & 0xff) === 99))
   }
 
+  test("CMYK: flat 4-component blocks decode through c*k/255 exactly") {
+    val w = 24; val h = 16
+    def s(ci: Int, bx: Int, by: Int): Int = (11 * ci + 7 * bx + 13 * by + 40) % 256
+    val jpg = Jpeg.encodeJpegCmyk(w, h, s, transform = 0)
+    assert(Jpeg.decodeJpegHeader(jpg) === Some((w, h, 4)))
+    val (dw, dh, rgb) = Jpeg.decodeJpegRgb4(jpg).get
+    assert(dw === w && dh === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (bx, by) = (x / 8, y / 8)
+      val k = s(3, bx, by)
+      assert((rgb(3 * (y * w + x)) & 0xff) === s(0, bx, by) * k / 255, s"R($x,$y)")
+      assert((rgb(3 * (y * w + x) + 1) & 0xff) === s(1, bx, by) * k / 255)
+      assert((rgb(3 * (y * w + x) + 2) & 0xff) === s(2, bx, by) * k / 255)
+    }
+    // luma projection agrees with BT.601 of the RGB
+    val (_, _, g) = Jpeg.decodeJpegLuma4(jpg).get
+    for (i <- 0 until w * h)
+      assert((g(i) & 0xff) === (299 * (rgb(3 * i) & 0xff)
+        + 587 * (rgb(3 * i + 1) & 0xff) + 114 * (rgb(3 * i + 2) & 0xff)) / 1000)
+  }
+
+  test("YCCK: APP14 transform 2 runs YCbCr->RGB before un-inking") {
+    val w = 16; val h = 8
+    def s(ci: Int, bx: Int, by: Int): Int = (29 * ci + 17 * bx + 23 * by + 90) % 256
+    val jpg = Jpeg.encodeJpegCmyk(w, h, s, transform = 2)
+    val (_, _, rgb) = Jpeg.decodeJpegRgb4(jpg).get
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      val (yv, cb, cr, k) = (s(0, bx, by), s(1, bx, by), s(2, bx, by), s(3, bx, by))
+      val i = (by * 8) * w + bx * 8
+      assert((rgb(3 * i) & 0xff) === Jpeg.yccToR(yv, cr) * k / 255, s"R($bx,$by)")
+      assert((rgb(3 * i + 1) & 0xff) === Jpeg.yccToG(yv, cb, cr) * k / 255)
+      assert((rgb(3 * i + 2) & 0xff) === Jpeg.yccToB(yv, cb) * k / 255)
+    }
+    // without the APP14 transform flag the same components read as CMYK
+    val plain = Jpeg.encodeJpegCmyk(w, h, s, transform = 0)
+    val (_, _, rgb0) = Jpeg.decodeJpegRgb4(plain).get
+    assert((rgb0(0) & 0xff) === s(0, 0, 0) * s(3, 0, 0) / 255)
+  }
+
   test("byte stuffing: blocks whose entropy stream emits 0xFF") {
     // many distinct block values make some code stream byte equal FF;
     // decode must unstuff transparently. Probabilistic coverage over a

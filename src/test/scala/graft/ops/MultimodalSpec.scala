@@ -286,20 +286,23 @@ class MultimodalSpec extends AnyFunSuite {
         (bx, by) => 40 + 20 * bx + 10 * by, qIndex = 8, nParts = 1)
       Webp.wrapRiffChunks(Seq("VP8 " -> p.take(11)))
     }
+    // 4-component CMYK JPEG: in-set since r16 (Adobe APP14 path)
+    val cmyk = Multimodal.syntheticJpegCmyk(6L, "unused")
     val rows = Seq(
       (1L, Codecs.encodeBmp(32, 16, pix)),
       (2L, torn),
       (3L, "not-a-known-container".getBytes),
       (4L, lossy),
-      (5L, tornLossy)).toDF("doc_id", "media")
+      (5L, tornLossy),
+      (6L, cmyk)).toDF("doc_id", "media")
       .coalesce(1)
     val before = counts()
     val out = Multimodal.decodeGrayStage(rows).collect()
-    assert(out.count(_.getBoolean(4)) === 2)
+    assert(out.count(_.getBoolean(4)) === 3)
     assert(out.filter(!_.getBoolean(4)).forall(_.getInt(1) === 0),
       "the quarantine sentinel must not leak into the output schema")
     val after = counts()
-    assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 2L)
+    assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 3L)
     assert(after("media.decode_gray.quarantined") - before("media.decode_gray.quarantined") === 2L)
     assert(after("media.decode_gray.fallback") - before("media.decode_gray.fallback") === 1L,
       "unknown magic is the only fallback left in this set")
@@ -308,9 +311,9 @@ class MultimodalSpec extends AnyFunSuite {
     val b2 = counts()
     Multimodal.decodeMetaAuto(metaRows).collect()
     val a2 = counts()
-    // the torn BMP and both lossy webps still HEADER-parse (meta is
-    // honest about that), so meta sees 4 real + 1 stub
-    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 4L)
+    // the torn BMP, both lossy webps, and the CMYK jpeg still
+    // HEADER-parse (meta is honest about that): 5 real + 1 stub
+    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 5L)
     assert(a2("media.decode_meta.stub") - b2("media.decode_meta.stub") === 1L)
   }
 
