@@ -7937,10 +7937,13 @@ object SparkEntry {
 
     "mm_png_variants" ->
       """WITH d AS (SELECT doc_id, 5 + doc_id % 8 AS w, 4 + doc_id % 5 AS h,
-           doc_id % 3 AS k FROM documents WHERE doc_id % 3 <> 0),
+           doc_id % 6 AS k FROM documents WHERE doc_id % 6 <> 0),
          px AS (SELECT doc_id, w, h,
            CASE WHEN k = 1 THEN (doc_id + 3 * x + 5 * y) % 256
-                ELSE ((doc_id * 257 + 4099 * x + 131 * y) % 65536) // 256
+                WHEN k = 2 THEN ((doc_id * 257 + 4099 * x + 131 * y) % 65536) // 256
+                WHEN k = 3 THEN 17 * ((doc_id + 3 * x + 5 * y) % 16)
+                WHEN k = 4 THEN 255 * ((doc_id + x + y) % 2)
+                ELSE 85 * ((doc_id + x + 2 * y) % 4)
            END AS v
            FROM d, unnest(generate_series(0, d.w - 1)) AS tx(x),
                 unnest(generate_series(0, d.h - 1)) AS ty(y))

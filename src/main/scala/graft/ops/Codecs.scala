@@ -277,6 +277,44 @@ object Codecs {
     wrapPng(w, h, colorType = 0, bos.toByteArray, interlace = 1)
   }
 
+  /** Sub-8-bit PNG (depth 1/2/4) with MSB-first packed scanlines,
+    * filter-0 rows, gray (color type 0) or palette (type 3, `plte`
+    * non-null) — the fixture-side encoder for the packed decode
+    * path. `pix` returns a raw sample in [0, 2^depth). `adam7`
+    * emits pass-ordered packed rows (each pass scanline
+    * byte-aligned, per the spec). */
+  private[ops] def encodePngPacked(w: Int, h: Int, depth: Int,
+      pix: (Int, Int) => Int, plte: Array[Byte] = null,
+      adam7: Boolean = false): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"depth $depth")
+    val bos = new java.io.ByteArrayOutputStream()
+    val passes = if (adam7) Adam7 else Seq((0, 0, 1, 1))
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = math.max(0, (w - x0 + dx - 1) / dx)
+      val ph = math.max(0, (h - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val stride = (pw * depth + 7) / 8
+        var j = 0
+        while (j < ph) {
+          val row = new Array[Byte](stride)
+          var i = 0
+          while (i < pw) {
+            val bit = i * depth
+            val v = pix(x0 + i * dx, y0 + j * dy) & ((1 << depth) - 1)
+            row(bit >> 3) = (row(bit >> 3) |
+              (v << (8 - depth - (bit & 7)))).toByte
+            i += 1
+          }
+          bos.write(0) // filter: None
+          bos.write(row)
+          j += 1
+        }
+      }
+    }
+    wrapPng(w, h, if (plte == null) 0 else 3, bos.toByteArray, plte,
+      bitDepth = depth, interlace = if (adam7) 1 else 0)
+  }
+
   /** Palette (color type 3) PNG from explicit PLTE bytes and one
     * index byte per pixel, filter-0 rows — the fixture-side encoder
     * for the palette decode path. */
@@ -300,28 +338,39 @@ object Codecs {
   /** Inflate-and-unfilter a PNG's scanlines: IDAT chunks concatenated
     * → Inflater → per-row reversal of the five standard filters
     * (None/Sub/Up/Average/Paeth), for non-interlaced AND Adam7-
-    * interlaced streams at bit depth 8 or 16 (16-bit samples reduce
-    * to their high byte — the standard 16→8 projection; filtering
-    * runs at the full 2-byte-per-sample stride per the spec).
-    * Returns per-pixel channel bytes, top-left origin, `ch` channels;
-    * palette images (color type 3) expand through their PLTE to
-    * 3-channel RGB, with out-of-range indices and missing/ragged
-    * palettes rejected. None for sub-8-bit images. */
+    * interlaced streams over the FULL legal depth envelope — 8 or 16
+    * (16-bit samples reduce to their high byte, the standard 16→8
+    * projection; filtering runs at the full per-sample byte stride),
+    * and packed sub-8-bit rows (depth 1/2/4, gray or palette:
+    * MSB-first bit packing, each scanline byte-aligned, filter
+    * distance one byte per the spec; gray samples scale by
+    * 255/(2^d−1), palette indices pass through). Returns per-pixel
+    * channel bytes, top-left origin, `ch` channels; palette images
+    * (color type 3) expand through their PLTE to 3-channel RGB, with
+    * out-of-range indices and missing/ragged palettes rejected.
+    * Spec-invalid depth/type combinations return None (malformed
+    * header, not a capability bound). */
   private def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val w = i32be(b, 16); val h = i32be(b, 20)
     val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    // filter-pass channel width: palette rows carry 1 index byte per
+    // filter-pass channel width: palette rows carry 1 index per
     // pixel; the PLTE expansion to RGB happens after unfiltering
     val ch = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return None
     }
-    if ((bitDepth != 8 && bitDepth != 16) ||
-      (bitDepth == 16 && colorType == 3) ||
+    val legalDepth = bitDepth match {
+      case 8      => true
+      case 16     => colorType != 3
+      case 1 | 2 | 4 => colorType == 0 || colorType == 3
+      case _      => false
+    }
+    if (!legalDepth ||
       (interlace != 0 && interlace != 1) || w <= 0 || h <= 0) return None
-    val sb = bitDepth / 8 // bytes per sample
-    val bpp = ch * sb     // filter distance: bytes per pixel
+    val bitsPP = ch * bitDepth          // bits per pixel in the stream
+    val bpp = math.max(1, bitsPP / 8)   // filter distance: >= 1 byte
+    def rowBytes(pw: Int): Int = (pw * bitsPP + 7) / 8
     // concatenate IDAT payloads; pick up the palette on the way
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
@@ -346,7 +395,7 @@ object Codecs {
         math.max(0, (h - y0 + dy - 1) / dy))
     }
     val total = passDims.map { case (pw, ph) =>
-      if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+      if (pw == 0 || ph == 0) 0 else ph * (1 + rowBytes(pw))
     }.sum
     val raw = new Array[Byte](total)
     val inf = new java.util.zip.Inflater()
@@ -360,7 +409,7 @@ object Codecs {
       val (x0, y0, dx, dy) = passes(pi)
       val (pw, ph) = passDims(pi)
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride = rowBytes(pw)
         val un = new Array[Byte](ph * stride)
         var y = 0
         while (y < ph) {
@@ -390,20 +439,38 @@ object Codecs {
           }
           y += 1
         }
-        // scatter pass pixels onto the output grid (high byte per sample)
+        // scatter pass pixels onto the output grid (high byte per
+        // sample at depth >= 8; MSB-first bit extraction below 8,
+        // gray scaled to full range, palette indices kept raw)
         var j = 0
-        while (j < ph) {
-          var i = 0
-          while (i < pw) {
-            var c = 0
-            while (c < ch) {
-              out(((y0 + j * dy) * w + (x0 + i * dx)) * ch + c) =
-                un(j * stride + i * bpp + c * sb)
-              c += 1
+        if (bitDepth >= 8) {
+          val sb = bitDepth / 8
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              var c = 0
+              while (c < ch) {
+                out(((y0 + j * dy) * w + (x0 + i * dx)) * ch + c) =
+                  un(j * stride + i * bpp + c * sb)
+                c += 1
+              }
+              i += 1
             }
-            i += 1
+            j += 1
           }
-          j += 1
+        } else {
+          val mask = (1 << bitDepth) - 1
+          val scale = if (colorType == 0) 255 / mask else 1
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              val bit = i * bitDepth
+              val v = (un(j * stride + (bit >> 3)) >> (8 - bitDepth - (bit & 7))) & mask
+              out((y0 + j * dy) * w + (x0 + i * dx)) = (v * scale).toByte
+              i += 1
+            }
+            j += 1
+          }
         }
         off += ph * (1 + stride)
       }
@@ -456,7 +523,9 @@ object Codecs {
     * fallback path at 100 TB must not pay a second magic dispatch).
     * Capability envelope per format:
     *  - bmp: 24bpp only (8/16/32-bpp headers parse → Unsupported)
-    *  - png: bit depth 8/16 (1/2/4 → Unsupported), interlace 0/1
+    *  - png: the full legal envelope — depth 1/2/4 (gray + palette,
+    *    packed rows), 8 (all types), 16 (non-palette), interlace 0/1;
+    *    spec-invalid depth/type combos → Malformed
     *  - jpeg: 1-, 3-, or 4-component (CMYK / YCCK via the Adobe
     *    APP14 transform flag — [[Jpeg.decodeJpegLuma4]]); jpeg-prog:
     *    1 or 3 (4-component progressive → Unsupported)
@@ -479,9 +548,10 @@ object Codecs {
     header match {
       case MediaHeader("bmp", _, _, ch) if ch != 3 => Unsupported
       case MediaHeader("png", _, _, _) =>
-        val depth = if (b.length > 24) b(24) & 0xff else 0
-        if (depth != 8 && depth != 16) Unsupported
-        else done(decodeGrayImpl(b, header))
+        // full legal depth envelope (1/2/4 gray+palette, 8 all
+        // types, 16 non-palette) decodes; spec-invalid depth/type
+        // combinations fail the body parse → Malformed
+        done(decodeGrayImpl(b, header))
       case MediaHeader("jpeg", _, _, 4) => // CMYK / YCCK (Adobe APP14)
         done(decodeGrayImpl(b, header))
       case MediaHeader("jpeg" | "jpeg-prog", _, _, nc)

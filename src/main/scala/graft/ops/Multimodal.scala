@@ -646,23 +646,34 @@ object Multimodal {
         (x, y) => ((id + 7L * (x / 8) + 13L * (y / 8)) % 256).toInt)
     }
 
-  /** Deterministic PNG-variant fixture: Adam7-INTERLACED 8-bit gray
-    * (id%3==1) and 16-BIT gray (id%3==2) containers at odd dims (so
-    * every Adam7 pass shape occurs), every pixel closed-form over
-    * (doc_id, x, y); id%3==0 raw text for the fallback path. The
-    * 16-bit decode contract is the high-byte projection, so the
-    * oracle divides by 256. */
+  /** Deterministic PNG-variant fixture over the decoder's FULL legal
+    * depth envelope: the id%6 cycle walks Adam7-interlaced 8-bit gray
+    * (1), 16-BIT gray (2), Adam7 PACKED 4-bit gray (3), packed 1-bit
+    * gray (4), and packed 2-bit palette on a gray ramp (5) — odd dims
+    * so every Adam7 pass shape and ragged packed-row tail occurs —
+    * with id%6==0 raw text for the fallback path. Every pixel
+    * closed-form over (doc_id, x, y): 16-bit decodes as the high byte
+    * (÷256), d-bit gray scales by 255/(2^d−1) (17× / 255×), and the
+    * ramp palette (85i, 85i, 85i) makes BT.601 luma exactly
+    * 85·index. */
   def syntheticPngVariant(id: Long, text: String): Array[Byte] =
-    if (id % 3 == 0) text.getBytes("UTF-8")
+    if (id % 6 == 0) text.getBytes("UTF-8")
     else {
       val w = 5 + (id % 8).toInt
       val h = 4 + (id % 5).toInt
-      if (id % 3 == 1)
-        Codecs.encodePngGrayAdam7(w, h,
+      (id % 6) match {
+        case 1 => Codecs.encodePngGrayAdam7(w, h,
           (x, y) => ((id + 3L * x + 5L * y) % 256).toInt)
-      else
-        Codecs.encodePngGray16(w, h,
+        case 2 => Codecs.encodePngGray16(w, h,
           (x, y) => ((id * 257 + 4099L * x + 131L * y) % 65536).toInt)
+        case 3 => Codecs.encodePngPacked(w, h, 4,
+          (x, y) => ((id + 3L * x + 5L * y) % 16).toInt, adam7 = true)
+        case 4 => Codecs.encodePngPacked(w, h, 1,
+          (x, y) => ((id + x + y) % 2).toInt)
+        case _ => Codecs.encodePngPacked(w, h, 2,
+          (x, y) => ((id + x + 2L * y) % 4).toInt,
+          plte = Array.tabulate(12)(i => (85 * (i / 3)).toByte))
+      }
     }
 
   /** Deterministic REAL-WEBP-LOSSLESS fixture: RGB pixels in closed

@@ -81,11 +81,62 @@ class PngInterlaceSpec extends AnyFunSuite {
       assert(img.getRaster.getSample(x, y, 0) === pix(x, y), s"($x,$y)")
   }
 
-  test("sub-8-bit depth still refused") {
-    // hand-build a 1-bit IHDR: decode must return None, not garbage
-    val png = Codecs.encodePngGrayAdam7(4, 4, pix)
+  test("packed sub-8-bit gray round-trips at every depth (ragged rows)") {
+    for (depth <- Seq(1, 2, 4); adam7 <- Seq(false, true)) {
+      val w = 21; val h = 13 // odd dims: ragged packed-row tails
+      val mask = (1 << depth) - 1
+      def v(x: Int, y: Int): Int = (x * 3 + y * 7 + depth) & mask
+      val png = Codecs.encodePngPacked(w, h, depth, v, adam7 = adam7)
+      val (dw, dh, px) = Codecs.decodeGray(png).get
+      assert(dw === w && dh === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) === v(x, y) * (255 / mask),
+          s"d=$depth adam7=$adam7 ($x,$y)")
+    }
+  }
+
+  test("packed 2-bit palette expands through PLTE; ramp makes luma = 85*idx") {
+    val w = 11; val h = 6
+    def idx(x: Int, y: Int): Int = (x + 2 * y) % 4
+    val plte = Array.tabulate(12)(i => (85 * (i / 3)).toByte)
+    val png = Codecs.encodePngPacked(w, h, 2, idx, plte = plte)
+    val (dw, dh, px) = Codecs.decodeGray(png).get
+    assert(dw === w && dh === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) === 85 * idx(x, y), s"($x,$y)")
+  }
+
+  test("we decode ImageIO-written 1-bit PNGs (foreign encoder)") {
+    val w = 19; val h = 9
+    def bit(x: Int, y: Int): Int = (x + y) % 2
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, bit(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert((png(24) & 0xff) === 1, "writer did not emit 1-bit")
+    val (dw, dh, px) = Codecs.decodeGray(png).get
+    assert(dw === w && dh === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) === 255 * bit(x, y), s"($x,$y)")
+  }
+
+  test("ImageIO decodes our packed fixtures to our pixels") {
+    val w = 13; val h = 7
+    def v(x: Int, y: Int): Int = (x * 5 + y * 3) & 15
+    val png = Codecs.encodePngPacked(w, h, 4, v)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === v(x, y), s"($x,$y)")
+  }
+
+  test("spec-invalid depth/type combos refused (depth 4 truecolor)") {
+    val png = Codecs.encodePngPacked(8, 8, 4, (x, y) => (x + y) & 15)
     val bad = png.clone()
-    bad(24) = 1 // bit depth
+    bad(25) = 2 // color type: truecolor — illegal below depth 8
     assert(Codecs.decodeGray(bad).isEmpty)
   }
 }
