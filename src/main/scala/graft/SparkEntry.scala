@@ -3222,6 +3222,50 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // COMPOSITED animated-WebP decode: the ANMF disposal/blend state
+    // machine applied through the shared Anim compositor — each row is
+    // a PRESENTED 40x40 canvas, its sum 256*v_k plus the 256*v_j of
+    // every earlier frame whose dispose bit was clear (frames sit on
+    // non-overlapping quadrants, so visibility is a pure window sum
+    // the oracle reproduces with no pixel code). A dispose/blend flag,
+    // background, clipping, or presentation-order mistake shifts
+    // sum_luma and fails the hash; overlapping-rect and alpha-blend
+    // cases are pinned in AnimCompositorSpec.
+    "mm_webp_anim_composited" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticAnimWebpComposited(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.sampleCompositedLuma(media, stride = 1)
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // COMPOSITED animated-GIF decode: same contract through the same
+    // compositor, driven by the GCE disposal codes (none/background/
+    // previous rotate with (id+f); on non-overlapping rects previous
+    // degenerates to background, so the oracle's visibility rule is
+    // dispose==none — the overlapping distinction is a spec case)
+    "mm_gif_anim_composited" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticAnimGif(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.sampleCompositedLuma(media, stride = 1)
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG decode end-to-end: multi-scan successive
     // approximation — DC first at Al=1, spectral AC bands, DC and AC
     // refinement scans — reassembled into one coefficient buffer and
@@ -8003,6 +8047,36 @@ object SparkEntry {
            CAST(sum(v) AS BIGINT) AS sum_luma
          FROM px GROUP BY doc_id, f, w, h
          ORDER BY doc_id, frame_idx""",
+
+    "mm_webp_anim_composited" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n
+           FROM documents WHERE doc_id % 7 <> 0),
+         f AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS fi FROM d),
+         v AS (SELECT doc_id, fi,
+           256 * ((doc_id * 3 + 7 * fi) % 256) AS s,
+           (doc_id + fi) % 2 AS disp FROM f)
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(40 AS INT) AS width, CAST(40 AS INT) AS height,
+           CAST(s + COALESCE(SUM(CASE WHEN disp = 0 THEN s END) OVER
+             (PARTITION BY doc_id ORDER BY fi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS sum_luma
+         FROM v ORDER BY doc_id, frame_idx""",
+
+    "mm_gif_anim_composited" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n
+           FROM documents WHERE doc_id % 5 <> 0),
+         f AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS fi FROM d),
+         v AS (SELECT doc_id, fi,
+           256 * ((doc_id * 5 + 11 * fi) % 256) AS s,
+           1 + (doc_id + fi) % 3 AS disp FROM f)
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(40 AS INT) AS width, CAST(40 AS INT) AS height,
+           CAST(s + COALESCE(SUM(CASE WHEN disp = 1 THEN s END) OVER
+             (PARTITION BY doc_id ORDER BY fi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS sum_luma
+         FROM v ORDER BY doc_id, frame_idx""",
 
     "mm_jpeg_progressive" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh

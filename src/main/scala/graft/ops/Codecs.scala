@@ -536,7 +536,9 @@ object Codecs {
     *    color JPEG), same ≤64M-pixel bound; an interframe payload
     *    (impossible as a still container's image chunk) or malformed
     *    body → Malformed
-    *  - webp-anim: header-only → Unsupported
+    *  - webp-anim: POSTER frame (first decodable ANMF frame
+    *    composited onto the ANIM background at canvas dims), same
+    *    pixel bound; no decodable frame → Malformed
     *  - gif / ppm / pgm: fully inside the decode set */
   private[ops] def grayOutcome(b: Array[Byte],
       header: MediaHeader): GrayOutcome = {
@@ -562,7 +564,13 @@ object Codecs {
       case MediaHeader("webp", w, h, _) =>
         if (w.toLong * h > Vp8.MaxPixels) Unsupported
         else done(decodeGrayImpl(b, header))
-      case MediaHeader("webp-anim", _, _, _) => Unsupported
+      case MediaHeader("webp-anim", w, h, _) =>
+        // poster frame: the canvas after the first decodable ANMF
+        // frame composites onto the ANIM background — the thumbnail
+        // representative at honest canvas dims ([[Webp.animPosterLuma]];
+        // full per-frame and composited walks are separate stages)
+        if (w.toLong * h > Vp8.MaxPixels) Unsupported
+        else done(Webp.animPosterLuma(b))
       case MediaHeader("bmp" | "ppm" | "pgm" | "jpeg" | "jpeg-prog" |
           "gif", _, _, _) =>
         done(decodeGrayImpl(b, header))

@@ -555,6 +555,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** COMPOSITED animation sampling — the opt-in alternative to the
+    * per-frame contract: every `stride`-th PRESENTED canvas of an
+    * animated WebP or GIF ([[Webp.animCompositedLumas]] /
+    * [[Gif.gifCompositedLumas]] through the shared [[Anim]] disposal
+    * + blend state machine), emitting (doc_id, frame_idx, width,
+    * height, gray) at canvas dimensions. Width/height are constant
+    * per doc (the canvas), so downstream feature extraction sees the
+    * uniform shape the viewed animation actually has. Same
+    * mapPartitions batching; canvas planes never ride a shuffle. */
+  def sampleCompositedLuma(media: DataFrame, stride: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("gray", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val frames =
+          if (b.length >= 12 && b(0) == 'R' && b(8) == 'W')
+            Webp.animCompositedLumas(b, stride)
+          else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I')
+            Gif.gifCompositedLumas(b, stride)
+          else Nil
+        frames.map { case (fi, w, h, g) => Row(id, fi, w, h, g) }
+      }
+    }(enc)
+  }
+
   /** Deterministic REAL animated-WebP fixture: 2-4 ANMF frames per
     * doc alternating LOSSY VP8 (DC-exact per-MB-flat luma via
     * [[Vp8.encodeVp8Still]]) and LOSSLESS VP8L (closed-form RGB via
@@ -589,6 +621,52 @@ object Multimodal {
       }
       val canvasW = 16 * 2 + 4 // covers every subrect
       Webp.wrapAnim(canvasW, canvasW, frames)
+    }
+
+  /** Deterministic COMPOSITED-animation fixture, WebP flavor: 2-4
+    * one-macroblock VP8 frames (DC-exact, flat value v_f closed-form
+    * over (doc_id, f)) at NON-OVERLAPPING quadrant offsets on a 40×40
+    * canvas, disposal (ANMF D bit) and no-blend (B bit) rotating with
+    * (id+f) — so each presented canvas sum is 256·v_k plus the
+    * 256·v_j of every EARLIER frame whose D bit was clear, a pure
+    * window sum the DuckDB oracle reproduces with no pixel code.
+    * Background is the wrapper's opaque black (luma 0). Every 7th doc
+    * raw text for the fallback path. */
+  def syntheticAnimWebpComposited(id: Long, text: String): Array[Byte] =
+    if (id % 7 == 0) text.getBytes("UTF-8")
+    else {
+      val n = 2 + (id % 3).toInt
+      val frames = (0 until n).map { f =>
+        val v = ((id * 3 + 7L * f) % 256).toInt
+        val (p, _) = Vp8.encodeVp8Still(16, 16, (_, _) => v,
+          qIndex = ((id + f) % 35).toInt, nParts = 1,
+          modeSeed = ((id + f) % 5).toInt)
+        val flags = ((id + f) % 2).toInt | (if ((id + f) % 3 == 0) 2 else 0)
+        ("VP8 ", p, 20 * (f % 2), 20 * (f / 2), 40 + f, flags)
+      }
+      Webp.wrapAnimFlagged(40, 40, frames)
+    }
+
+  /** Deterministic COMPOSITED-animation fixture, GIF flavor: 2-4
+    * flat frames (gray-ramp GCT makes luma = index = v_f closed-form)
+    * at the same non-overlapping quadrant offsets on a 40×40 canvas,
+    * GCE disposal rotating through none/background/previous with
+    * (id+f). Frames never overlap, so restore-to-previous equals
+    * restore-to-background here (the rect was virgin background —
+    * the overlapping distinction is pinned in AnimCompositorSpec) and
+    * the oracle's visibility rule is simply dispose==none. Every 5th
+    * doc raw text for the fallback path. */
+  def syntheticAnimGif(id: Long, text: String): Array[Byte] =
+    if (id % 5 == 0) text.getBytes("UTF-8")
+    else {
+      val n = 2 + (id % 3).toInt
+      val frames = (0 until n).map { f =>
+        val v = ((id * 5 + 11L * f) % 256).toInt
+        val dispose = 1 + ((id + f) % 3).toInt // GIF codes: none/bg/prev
+        (20 * (f % 2), 20 * (f / 2), 16, 16,
+          (_: Int, _: Int) => v, dispose, -1)
+      }
+      Gif.encodeGifAnim(40, 40, frames)
     }
 
   /** REAL resize stage: nearest-neighbor resample of decoded luma

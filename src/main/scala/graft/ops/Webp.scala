@@ -749,12 +749,150 @@ object Webp {
     out.toSeq
   }
 
+  /** COMPOSITED animated-WebP decode: every `stride`-th PRESENTED
+    * canvas as (frameIdx, canvasW, canvasH, luma) — the opt-in
+    * alternative to [[animFrameLumas]]' per-frame-pixels contract,
+    * applying the ANMF disposal/blend state machine ([[Anim]]): the
+    * canvas initializes to the ANIM chunk's background color (BT.601
+    * luma of its RGB; the BGRA alpha byte is ignored — luma canvases
+    * have no transparency), each frame alpha-blends (B=0) or
+    * overwrites (B=1) its subrect, and D=1 restores the rect to
+    * background after presentation. VP8 sub-frames are opaque
+    * (ANMF-side ALPH chunks stay undecoded, same bound as the still
+    * path); VP8L alpha comes per-pixel from the ARGB plane. A
+    * sub-frame whose body fails to decode presents an UNCHANGED
+    * canvas at its index (per-frame quarantine, same contract as
+    * [[animFrameLumas]]); frame numbering counts all ANMF chunks. */
+  def animCompositedLumas(b: Array[Byte],
+      stride: Int): Seq[(Int, Int, Int, Array[Byte])] =
+    animCompositeCore(b, stride, Int.MaxValue)
+
+  /** POSTER frame for the gray pipeline: the canvas after the FIRST
+    * decodable ANMF frame is composited onto the background — the
+    * single-image representative a thumbnail pipeline wants, at
+    * honest canvas dimensions. None when no frame body decodes
+    * (malformed container, not a capability bound). */
+  def animPosterLuma(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    // maxEmit = 1 stops the walk after the first DECODABLE frame, so
+    // the last emitted canvas is the poster (earlier indices are
+    // quarantined placeholders presenting the bare background)
+    animCompositeCore(b, 1, 1).lastOption.map { case (_, w, h, g) => (w, h, g) }
+
+  /** Shared core: walk EVERY ANMF chunk (the disposal state machine
+    * needs all frames, unlike the per-frame path's lazy stride), stop
+    * after `maxEmit` DECODABLE frames have been composited. */
+  private def animCompositeCore(b: Array[Byte], stride: Int,
+      maxEmit: Int): Seq[(Int, Int, Int, Array[Byte])] = {
+    if (stride < 1 || b.length < 12 || b(0) != 'R' || b(8) != 'W') return Nil
+    val (cw, chh, bgLuma) = chunk(b, "VP8X") match {
+      case Some(p) if p.length >= 10 =>
+        val w = ((p(4) & 0xff) | ((p(5) & 0xff) << 8) |
+          ((p(6) & 0xff) << 16)) + 1
+        val h = ((p(7) & 0xff) | ((p(8) & 0xff) << 8) |
+          ((p(9) & 0xff) << 16)) + 1
+        val bg = chunk(b, "ANIM") match {
+          case Some(a) if a.length >= 4 => // BGRA byte order per spec
+            (299 * (a(2) & 0xff) + 587 * (a(1) & 0xff) +
+              114 * (a(0) & 0xff)) / 1000
+          case _ => 0
+        }
+        (w, h, bg)
+      case _ => return Nil
+    }
+    if (cw.toLong * chh > Vp8.MaxPixels) return Nil
+    val frames = ArrayBuffer.empty[Anim.Frame]
+    var decodable = 0
+    var off = 12L
+    while (off + 8 <= b.length && decodable < maxEmit) {
+      val o = off.toInt
+      val t = new String(b, o, 4, "ISO-8859-1")
+      val size = ((b(o + 4) & 0xff) | ((b(o + 5) & 0xff) << 8) |
+        ((b(o + 6) & 0xff) << 16) | ((b(o + 7) & 0xff) << 24)) & 0xFFFFFFFFL
+      if (off + 8 + size > b.length)
+        return compositeOut(cw, chh, bgLuma, frames, stride, decodable)
+      if (t == "ANMF" && size >= 16) {
+        val p = o + 8
+        def u24(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+          ((b(i + 2) & 0xff) << 16)
+        val fx = u24(p) * 2; val fy = u24(p + 3) * 2
+        val dur = u24(p + 12)
+        val flags = b(p + 15) & 0xff // bit0 = D (dispose to bg), bit1 = B (no blend)
+        var so = p + 16L
+        val end = p + size
+        var frame: Option[Anim.Frame] = None
+        var done = false
+        while (!done && so + 8 <= end) {
+          val si = so.toInt
+          val st = new String(b, si, 4, "ISO-8859-1")
+          val ss = ((b(si + 4) & 0xff) | ((b(si + 5) & 0xff) << 8) |
+            ((b(si + 6) & 0xff) << 16) |
+            ((b(si + 7) & 0xff) << 24)) & 0xFFFFFFFFL
+          if (so + 8 + ss > end) done = true
+          else {
+            val payload = java.util.Arrays.copyOfRange(b, si + 8,
+              si + 8 + ss.toInt)
+            st match {
+              case "VP8 " =>
+                frame = Vp8.decodeVp8(payload).map(pl =>
+                  Anim.Frame(fx, fy, pl.w, pl.h, pl.y, null,
+                    (flags & 2) != 0, flags & 1, dur))
+                done = true
+              case "VP8L" =>
+                frame = decodeVp8l(payload).map { case (w, h, px) =>
+                  val g = new Array[Byte](w * h)
+                  val a = new Array[Byte](w * h)
+                  var opaque = true
+                  var i = 0
+                  while (i < g.length) {
+                    val v = px(i)
+                    g(i) = ((299 * ((v >>> 16) & 0xff) +
+                      587 * ((v >>> 8) & 0xff) +
+                      114 * (v & 0xff)) / 1000).toByte
+                    val av = (v >>> 24) & 0xff
+                    a(i) = av.toByte
+                    if (av != 255) opaque = false
+                    i += 1
+                  }
+                  Anim.Frame(fx, fy, w, h, g, if (opaque) null else a,
+                    (flags & 2) != 0, flags & 1, dur)
+                }
+                done = true
+              case _ => so += 8 + ss + (ss & 1) // ALPH etc.: skip
+            }
+          }
+        }
+        frame match {
+          case Some(f) => frames += f; decodable += 1
+          case None    => // quarantined sub-frame: unchanged canvas
+            frames += Anim.Frame(0, 0, 0, 0, Array.emptyByteArray, null,
+              noBlend = false, dispose = 0, durationMs = dur)
+        }
+      }
+      off += 8 + size + (size & 1)
+    }
+    compositeOut(cw, chh, bgLuma, frames, stride, decodable)
+  }
+
+  /** A container with ZERO decodable sub-frames yields Nil (the
+    * malformed verdict), not a parade of bare-background canvases. */
+  private def compositeOut(cw: Int, ch: Int, bg: Int,
+      frames: ArrayBuffer[Anim.Frame], stride: Int,
+      decodable: Int): Seq[(Int, Int, Int, Array[Byte])] =
+    if (decodable == 0) Nil
+    else Anim.composite(cw, ch, bg, frames.toSeq, stride)
+      .map { case (i, g) => (i, cw, ch, g) }
+
   /** Fixture: an animated (VP8X/ANIM/ANMF) container whose frames are
     * caller-supplied raw VP8/VP8L payloads with per-frame subrect
-    * offsets and durations. */
+    * offsets, durations, and B/D flag bits. */
   private[ops] def wrapAnim(canvasW: Int, canvasH: Int,
-      frames: Seq[(String, Array[Byte], Int, Int, Int)]): Array[Byte] = {
-    // (tag, payload, x, y, durationMs); x/y must be even (stored /2)
+      frames: Seq[(String, Array[Byte], Int, Int, Int)]): Array[Byte] =
+    wrapAnimFlagged(canvasW, canvasH,
+      frames.map { case (t, p, x, y, d) => (t, p, x, y, d, 0) })
+
+  private[ops] def wrapAnimFlagged(canvasW: Int, canvasH: Int,
+      frames: Seq[(String, Array[Byte], Int, Int, Int, Int)]): Array[Byte] = {
+    // (tag, payload, x, y, durationMs, flags); x/y must be even (stored /2)
     val vp8x = new Array[Byte](10)
     vp8x(0) = 0x02 // animation flag
     def le24(a: Array[Byte], o: Int, v: Int): Unit = {
@@ -763,10 +901,11 @@ object Webp {
     }
     le24(vp8x, 4, canvasW - 1); le24(vp8x, 7, canvasH - 1)
     val anim = Array[Byte](0, 0, 0, 0xff.toByte, 0, 0) // bg RGBA + loops
-    val anmfs = frames.map { case (tag, payload, x, y, dur) =>
+    val anmfs = frames.map { case (tag, payload, x, y, dur, fl) =>
       val hdr = new Array[Byte](16)
       le24(hdr, 0, x / 2); le24(hdr, 3, y / 2)
       val (w, h) = tag match {
+        case _ if payload.length < 10 => (16, 16) // torn-body fixtures
         case "VP8 " =>
           (((payload(6) & 0xff) | ((payload(7) & 0xff) << 8)) & 0x3fff,
             ((payload(8) & 0xff) | ((payload(9) & 0xff) << 8)) & 0x3fff)
@@ -776,7 +915,7 @@ object Webp {
           ((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1)
       }
       le24(hdr, 6, w - 1); le24(hdr, 9, h - 1); le24(hdr, 12, dur)
-      hdr(15) = 0
+      hdr(15) = fl.toByte // bit0 = D (dispose to bg), bit1 = B (no blend)
       val sub = new ArrayBuffer[Byte]()
       tag.foreach(c => sub += c.toByte)
       sub += (payload.length & 0xff).toByte

@@ -288,22 +288,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // 4-component CMYK JPEG: in-set since r16 (Adobe APP14 path)
     val cmyk = Multimodal.syntheticJpegCmyk(6L, "unused")
+    // animated WebP: in-set since r16 via the poster-frame decode
+    // (first decodable ANMF frame composited onto the background)
+    val anim = Multimodal.syntheticAnimWebpComposited(1L, "unused")
+    // animated WebP whose every sub-frame body is torn: the header
+    // parses but no frame decodes — corpus damage, quarantined
+    val tornAnim = {
+      val (p, _) = Vp8.encodeVp8Still(16, 16, (_, _) => 80,
+        qIndex = 8, nParts = 1)
+      Webp.wrapAnimFlagged(40, 40, Seq(("VP8 ", p.take(9), 0, 0, 40, 0)))
+    }
     val rows = Seq(
       (1L, Codecs.encodeBmp(32, 16, pix)),
       (2L, torn),
       (3L, "not-a-known-container".getBytes),
       (4L, lossy),
       (5L, tornLossy),
-      (6L, cmyk)).toDF("doc_id", "media")
+      (6L, cmyk),
+      (7L, anim),
+      (8L, tornAnim)).toDF("doc_id", "media")
       .coalesce(1)
     val before = counts()
     val out = Multimodal.decodeGrayStage(rows).collect()
-    assert(out.count(_.getBoolean(4)) === 3)
+    assert(out.count(_.getBoolean(4)) === 4)
     assert(out.filter(!_.getBoolean(4)).forall(_.getInt(1) === 0),
       "the quarantine sentinel must not leak into the output schema")
+    // the poster frame is at CANVAS dimensions
+    val posterRow = out.find(_.getLong(0) == 7L).get
+    assert(posterRow.getInt(1) === 40 && posterRow.getInt(2) === 40)
     val after = counts()
-    assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 3L)
-    assert(after("media.decode_gray.quarantined") - before("media.decode_gray.quarantined") === 2L)
+    assert(after("media.decode_gray.real") - before("media.decode_gray.real") === 4L)
+    assert(after("media.decode_gray.quarantined") - before("media.decode_gray.quarantined") === 3L)
     assert(after("media.decode_gray.fallback") - before("media.decode_gray.fallback") === 1L,
       "unknown magic is the only fallback left in this set")
     // the meta stage counts real vs stub the same way
@@ -311,9 +326,10 @@ class MultimodalSpec extends AnyFunSuite {
     val b2 = counts()
     Multimodal.decodeMetaAuto(metaRows).collect()
     val a2 = counts()
-    // the torn BMP, both lossy webps, and the CMYK jpeg still
-    // HEADER-parse (meta is honest about that): 5 real + 1 stub
-    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 5L)
+    // the torn BMP, both lossy webps, the CMYK jpeg, and both anim
+    // containers still HEADER-parse (meta is honest about that):
+    // 7 real + 1 stub
+    assert(a2("media.decode_meta.real") - b2("media.decode_meta.real") === 7L)
     assert(a2("media.decode_meta.stub") - b2("media.decode_meta.stub") === 1L)
   }
 
