@@ -2251,14 +2251,16 @@ object SparkEntry {
     }),
 
     // multimodal REAL decode (r6 verdict item 5): payloads are real
-    // BMP/PPM/PGM containers built in closed form over doc_id
-    // (Multimodal.syntheticContainer), parsed back by the pure-JVM
-    // byte decoders (graft.ops.Codecs — magic detect, LE/BE header
-    // parse, netpbm tokenizer); every 5th doc is raw text exercising
-    // the stub fallback with decoded=0. The oracle recomputes format,
-    // byte length (incl. BMP 4-byte row padding and the exact netpbm
-    // header string), and dimensions without ever seeing the bytes —
-    // a round-trip proof the decoder reads actual header fields
+    // BMP/PPM/PGM/WebP containers built in closed form over doc_id
+    // (Multimodal.syntheticContainer — since r16 the id%8 cycle adds
+    // lossy VP8, lossless VP8L, and animated WebP, JUNK-padded to
+    // closed-form byte lengths), parsed back by the pure-JVM byte
+    // decoders; every 8th doc is raw text exercising the stub
+    // fallback with decoded=0. The oracle recomputes format, byte
+    // length (incl. BMP 4-byte row padding and the exact netpbm
+    // header string), dimensions, channels, and ANMF frame counts
+    // without ever seeing the bytes — a round-trip proof the decoder
+    // reads actual header fields
     // Unicode NFC canonicalization (custom codegen kernel — Spark has
     // no built-in): decomposed sequences planted on every doc compose
     // to their precomposed forms; byte-level fingerprints downstream
@@ -2869,9 +2871,11 @@ object SparkEntry {
     // containers — the oracle recomputes BT.601 integer luma of the
     // closed-form pixel pattern per (x, y) and sums it, so a stride,
     // padding, bottom-up, or channel-order mistake in the BMP/PPM/PGM
-    // pixel walk shifts the sum and fails the hash. This is the
-    // end-to-end pixel path the phash kernel consumes via
-    // decodeGrayStage
+    // pixel walk shifts the sum and fails the hash; the id%8 cycle's
+    // WebP branches (flat-MB VP8, closed-form VP8L, anim poster
+    // frame) run the RFC 6386 / VP8L decoders inside the SAME ledger
+    // corpus. This is the end-to-end pixel path the phash kernel
+    // consumes via decodeGrayStage
     "mm_gray_stats" -> ((s, dir) => {
       val mk = udf((id: Long, txt: String) =>
         Multimodal.syntheticContainer(id, txt))
@@ -7915,37 +7919,64 @@ object SparkEntry {
          FROM d GROUP BY domain ORDER BY domain""",
 
     "mm_decode_real" ->
-      """WITH m AS (SELECT doc_id, doc_id % 5 AS k,
+      """WITH m AS (SELECT doc_id, doc_id % 8 AS k,
            1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h,
            octet_length(CAST(text AS BLOB)) AS n FROM documents)
          SELECT doc_id,
            CASE WHEN k = 0 THEN 'unknown' WHEN k <= 2 THEN 'bmp'
-                WHEN k = 3 THEN 'ppm' ELSE 'pgm' END AS format,
+                WHEN k = 3 THEN 'ppm' WHEN k = 4 THEN 'pgm'
+                WHEN k = 5 THEN 'webp' WHEN k = 6 THEN 'webp-l'
+                ELSE 'webp-anim' END AS format,
            CAST(CASE WHEN k = 0 THEN n
                 WHEN k <= 2 THEN 54 + h * ((3 * w + 3) // 4 * 4)
                 WHEN k = 3 THEN octet_length(CAST('P6' || chr(10)
                   || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
                   || chr(10) || '255' || chr(10) AS BLOB)) + 3 * w * h
-                ELSE octet_length(CAST('P5' || chr(10)
+                WHEN k = 4 THEN octet_length(CAST('P5' || chr(10)
                   || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
-                  || chr(10) || '255' || chr(10) AS BLOB)) + w * h END AS BIGINT) AS byte_len,
-           CAST(CASE WHEN k = 0 THEN 256 + n % 256 ELSE w END AS INT) AS width,
-           CAST(CASE WHEN k = 0 THEN 256 + (n * 31) % 256 ELSE h END AS INT) AS height,
-           CAST(CASE WHEN k = 4 THEN 1 ELSE 3 END AS INT) AS channels,
-           CAST(1 AS INT) AS n_frames,
+                  || chr(10) || '255' || chr(10) AS BLOB)) + w * h
+                WHEN k = 5 THEN 2048 + 128 * (doc_id % 3)
+                WHEN k = 6 THEN 1024 + 64 * (doc_id % 5)
+                ELSE 4096 + 128 * (doc_id % 3) END AS BIGINT) AS byte_len,
+           CAST(CASE WHEN k = 0 THEN 256 + n % 256
+                WHEN k = 5 THEN 16 * (1 + doc_id % 3) + 5
+                WHEN k = 6 THEN 4 + doc_id % 9
+                WHEN k = 7 THEN 40 ELSE w END AS INT) AS width,
+           CAST(CASE WHEN k = 0 THEN 256 + (n * 31) % 256
+                WHEN k = 5 THEN 16 * (1 + (doc_id // 8) % 2) + 3
+                WHEN k = 6 THEN 3 + doc_id % 7
+                WHEN k = 7 THEN 40 ELSE h END AS INT) AS height,
+           CAST(CASE WHEN k = 4 THEN 1 WHEN k = 6 THEN 4
+                ELSE 3 END AS INT) AS channels,
+           CAST(CASE WHEN k = 7 THEN 2 + doc_id % 3
+                ELSE 1 END AS INT) AS n_frames,
            CAST(CASE WHEN k = 0 THEN 0 ELSE 1 END AS INT) AS decoded
          FROM m ORDER BY doc_id""",
 
     "mm_gray_stats" ->
-      """WITH m AS (SELECT doc_id, doc_id % 5 AS k,
-           1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h
-           FROM documents WHERE doc_id % 5 <> 0),
+      """WITH m AS (SELECT doc_id, doc_id % 8 AS k,
+           CASE WHEN doc_id % 8 = 5 THEN 16 * (1 + doc_id % 3) + 5
+                WHEN doc_id % 8 = 6 THEN 4 + doc_id % 9
+                WHEN doc_id % 8 = 7 THEN 40
+                ELSE 1 + doc_id % 37 END AS w,
+           CASE WHEN doc_id % 8 = 5 THEN 16 * (1 + (doc_id // 8) % 2) + 3
+                WHEN doc_id % 8 = 6 THEN 3 + doc_id % 7
+                WHEN doc_id % 8 = 7 THEN 40
+                ELSE 1 + doc_id % 23 END AS h
+           FROM documents WHERE doc_id % 8 <> 0),
          gx AS (SELECT doc_id, k, w, h,
            unnest(generate_series(0, w - 1)) AS x FROM m),
          gxy AS (SELECT doc_id, k, w, h, x,
            unnest(generate_series(0, h - 1)) AS y FROM gx),
          lum AS (SELECT doc_id, w, h,
            CASE WHEN k = 4 THEN (x * 31 + y * 17 + doc_id) % 256
+                WHEN k = 5 THEN
+                  (doc_id * 7 + 11 * (x // 16) + 17 * (y // 16)) % 256
+                WHEN k = 6 THEN (299 * ((doc_id + 3 * x + 7 * y) % 256)
+                    + 587 * ((2 * doc_id + 5 * x + y) % 256)
+                    + 114 * ((3 * doc_id + x + 11 * y) % 256)) // 1000
+                WHEN k = 7 THEN CASE WHEN x < 16 AND y < 16
+                    THEN (doc_id * 3) % 256 ELSE 0 END
                 ELSE (299 * ((x * 31 + y * 17 + doc_id) % 256)
                     + 587 * (((x * 31 + y * 17 + doc_id) % 256 + 85) % 256)
                     + 114 * (((x * 31 + y * 17 + doc_id) % 256 + 170) % 256))
@@ -8154,9 +8185,16 @@ object SparkEntry {
          FROM pix GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "mm_resize_real" ->
-      """WITH m AS (SELECT doc_id, doc_id % 5 AS k,
-           1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h
-           FROM documents WHERE doc_id % 5 <> 0),
+      """WITH m AS (SELECT doc_id, doc_id % 8 AS k,
+           CASE WHEN doc_id % 8 = 5 THEN 16 * (1 + doc_id % 3) + 5
+                WHEN doc_id % 8 = 6 THEN 4 + doc_id % 9
+                WHEN doc_id % 8 = 7 THEN 40
+                ELSE 1 + doc_id % 37 END AS w,
+           CASE WHEN doc_id % 8 = 5 THEN 16 * (1 + (doc_id // 8) % 2) + 3
+                WHEN doc_id % 8 = 6 THEN 3 + doc_id % 7
+                WHEN doc_id % 8 = 7 THEN 40
+                ELSE 1 + doc_id % 23 END AS h
+           FROM documents WHERE doc_id % 8 <> 0),
          gx AS (SELECT doc_id, k, w, h,
            unnest(generate_series(0, 7)) AS x FROM m),
          gxy AS (SELECT doc_id, k, w, h, x,
@@ -8165,6 +8203,13 @@ object SparkEntry {
            (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM gxy),
          lum AS (SELECT doc_id,
            CASE WHEN k = 4 THEN (sx * 31 + sy * 17 + doc_id) % 256
+                WHEN k = 5 THEN
+                  (doc_id * 7 + 11 * (sx // 16) + 17 * (sy // 16)) % 256
+                WHEN k = 6 THEN (299 * ((doc_id + 3 * sx + 7 * sy) % 256)
+                    + 587 * ((2 * doc_id + 5 * sx + sy) % 256)
+                    + 114 * ((3 * doc_id + sx + 11 * sy) % 256)) // 1000
+                WHEN k = 7 THEN CASE WHEN sx < 16 AND sy < 16
+                    THEN (doc_id * 3) % 256 ELSE 0 END
                 ELSE (299 * ((sx * 31 + sy * 17 + doc_id) % 256)
                     + 587 * (((sx * 31 + sy * 17 + doc_id) % 256 + 85) % 256)
                     + 114 * (((sx * 31 + sy * 17 + doc_id) % 256 + 170) % 256))

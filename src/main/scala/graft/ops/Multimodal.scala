@@ -294,21 +294,56 @@ object Multimodal {
 
   /** Deterministic REAL-container fixture for the decode oracles:
     * docs cycle through raw-text (undecodable, exercises the stub
-    * fallback), real BMP ×2, real PPM, real PGM, with dimensions and
-    * pixel values in closed form over doc_id — so a DuckDB oracle can
-    * recompute byte lengths, header dimensions, AND pixel sums that
-    * the pure-JVM decoders must reproduce from actual bytes. */
+    * fallback), real BMP ×2, real PPM, real PGM, LOSSY WebP (VP8
+    * key frame, DC-exact per-MB-flat, ragged dims), LOSSLESS WebP
+    * (VP8L, closed-form RGB), and ANIMATED WebP (quadrant VP8 frames
+    * whose poster frame the gray stage decodes) — so the PRE-EXISTING
+    * gray-decode corpus exercises every pure-JVM decoder family and
+    * the ledger's decode_gray.real share reflects the VP8 decoders
+    * (r15 verdict item 1: the old id%5 cycle had no WebP at all, so
+    * the fallback share could not move). Dimensions and pixel values
+    * stay in closed form over doc_id; the WebP containers are padded
+    * to closed-form byte lengths with a trailing JUNK chunk
+    * ([[Webp.padRiffTo]]) so the metadata oracle keeps recomputing
+    * byte_len in SQL despite the bool-encoder's variable output. */
   def syntheticContainer(id: Long, text: String): Array[Byte] = {
     val w = (1 + id % 37).toInt; val h = (1 + id % 23).toInt
     def pix(x: Int, y: Int): (Int, Int, Int) = {
       val v = ((x * 31 + y * 17 + id) % 256).toInt
       (v, (v + 85) % 256, (v + 170) % 256)
     }
-    id % 5 match {
+    id % 8 match {
       case 0     => text.getBytes("UTF-8")
       case 1 | 2 => Codecs.encodeBmp(w, h, pix)
       case 3     => Codecs.encodePpm(w, h, pix)
-      case _     => Codecs.encodePgm(w, h, (x, y) => pix(x, y)._1)
+      case 4     => Codecs.encodePgm(w, h, (x, y) => pix(x, y)._1)
+      case 5     =>
+        val wv = 16 * (1 + (id % 3).toInt) + 5
+        val hv = 16 * (1 + ((id / 8) % 2).toInt) + 3
+        val (p, _) = Vp8.encodeVp8Still(wv, hv,
+          (bx, by) => ((id * 7 + 11L * bx + 17L * by) % 256).toInt,
+          qIndex = (id % 35).toInt, nParts = 1, modeSeed = (id % 5).toInt)
+        Webp.padRiffTo(Webp.wrapRiffChunks(Seq("VP8 " -> p)),
+          2048 + 128 * (id % 3).toInt)
+      case 6     =>
+        val wv = 4 + (id % 9).toInt; val hv = 3 + (id % 7).toInt
+        Webp.padRiffTo(Webp.encodeWebpLossless(wv, hv, (x, y) => (
+          ((id + 3L * x + 7L * y) % 256).toInt,
+          ((2L * id + 5L * x + y) % 256).toInt,
+          ((3L * id + x + 11L * y) % 256).toInt)),
+          1024 + 64 * (id % 5).toInt)
+      case _     =>
+        val n = 2 + (id % 3).toInt
+        val frames = (0 until n).map { f =>
+          val v = ((id * 3 + 7L * f) % 256).toInt
+          val (p, _) = Vp8.encodeVp8Still(16, 16, (_, _) => v,
+            qIndex = ((id + f) % 35).toInt, nParts = 1,
+            modeSeed = ((id + f) % 5).toInt)
+          ("VP8 ", p, 20 * (f % 2), 20 * (f / 2), 40 + f,
+            ((id + f) % 2).toInt)
+        }
+        Webp.padRiffTo(Webp.wrapAnimFlagged(40, 40, frames),
+          4096 + 128 * (id % 3).toInt)
     }
   }
 

@@ -1378,4 +1378,29 @@ object Webp {
 
   private def wrapRiff(tag: String, payload: Array[Byte]): Array[Byte] =
     wrapRiffChunks(Seq(tag -> payload))
+
+  /** Fixture-side: pad a RIFF container to EXACTLY `target` bytes
+    * with a trailing JUNK chunk (the standard RIFF filler tag: 8-byte
+    * header + zero fill), patching the RIFF size field — gives the
+    * WebP fixtures closed-form byte lengths the metadata oracle can
+    * recompute in SQL despite the bool/prefix encoders' variable
+    * output. Every chunk walk here skips unknown tags, so decode
+    * behavior is unchanged. Both lengths must be even (RIFF chunk
+    * alignment keeps real containers even). */
+  private[ops] def padRiffTo(b: Array[Byte], target: Int): Array[Byte] = {
+    require((b.length & 1) == 0 && (target & 1) == 0 &&
+      target >= b.length + 8, s"cannot pad ${b.length} to $target")
+    val out = java.util.Arrays.copyOf(b, target)
+    val junk = target - b.length - 8
+    out(b.length) = 'J'; out(b.length + 1) = 'U'
+    out(b.length + 2) = 'N'; out(b.length + 3) = 'K'
+    out(b.length + 4) = (junk & 0xff).toByte
+    out(b.length + 5) = ((junk >> 8) & 0xff).toByte
+    out(b.length + 6) = ((junk >> 16) & 0xff).toByte
+    out(b.length + 7) = ((junk >> 24) & 0xff).toByte
+    val sz = target - 8
+    out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+    out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >> 24) & 0xff).toByte
+    out
+  }
 }
