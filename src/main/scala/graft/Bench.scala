@@ -29,6 +29,12 @@ object Bench {
 
   private def runInline(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // fork children (TSV sidecar set) skip the calibration probe —
+    // the parent measured it once for the committed artifact; the
+    // driver's single-session run pays it once here (before the main
+    // session exists: the probe owns its own short-lived session)
+    val calib = if (sys.env.contains("SPARK_GRAFT_BENCH_TSV")) None
+                else Some(calibrationProbe())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -144,7 +150,8 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         lines.mkString("", "\n", "\n"))
     }
-    emit(results, failed.reverse, ledger, sfDir, warmRuns, forked = None)
+    emit(results, failed.reverse, ledger, sfDir, warmRuns, forked = None,
+      calibration = calib)
     spark.stop()
     // print the summary once more AFTER spark.stop() so no shutdown
     // logging can land between it and process exit: with the build's
@@ -187,6 +194,49 @@ object Bench {
   private def loadAvg(): Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Cross-day CALIBRATION PROBE (r15 verdict item 5): two fixed
+    * deterministic workloads measured immediately before the bench —
+    * a single-thread scalar loop (xorshift64* mix, no allocation:
+    * pins raw per-core speed) and a canonical tiny Spark job at
+    * fixed parallelism (local[8], 8 shuffle partitions over
+    * spark.range: pins the JVM + shuffle machinery floor). Cross-day
+    * pair comparisons divide the per-query ratio by the probe ratio,
+    * turning machine-day drift (the r12/r15 1.1-1.2x uniform shifts)
+    * from argument-by-precedent into arithmetic — BASELINE.md
+    * records the protocol. ~4s per run, once per artifact (children
+    * skip it). Returns (scalar_s, spark_s). */
+  private def calibrationProbe(): (Double, Double) = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < 1500000000L) { // ~1-2s single-thread
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    val scalarS = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("[bench] calibration sentinel") // defeat DCE
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // min of two runs: the first carries the one-time codegen compile
+    // (variable), the min is the steady-state machinery floor
+    val sparkS = (0 until 2).map { _ =>
+      val t1 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 8)
+        .selectExpr("id % 97 AS k", "id AS v")
+        .groupBy("k").count().orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t1) / 1e9
+    }.min
+    spark.stop()
+    System.err.println(f"[bench] calibration: scalar $scalarS%.2fs  spark $sparkS%.2fs")
+    (scalarS, sparkS)
+  }
+
   private def runForked(k: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
@@ -198,6 +248,7 @@ object Bench {
         "(SPARK_GRAFT_LOAD_MAX; quiet the machine or raise/disable)")
       sys.exit(3)
     }
+    val calib = calibrationProbe()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names0 = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
@@ -267,7 +318,7 @@ object Bench {
     // for attribution, never compared against the threshold.
     emit(results.toSeq, failed.reverse, ledger.map { case (n, (c, d)) => (n, c, d) }.toSeq,
       sfDir, warmRuns, forked = Some(k), ambientLoad = Some(ambient),
-      ambientLoadEnd = Some(loadAvg()))
+      ambientLoadEnd = Some(loadAvg()), calibration = Some(calib))
     println(summaryLine(results.toSeq, failed.reverse, sfDir, warmRuns))
     System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
@@ -293,7 +344,8 @@ object Bench {
   private def emit(results: Seq[Res], failed: Seq[String],
       ledger: Seq[(String, Long, String)], sfDir: String, warmRuns: Int,
       forked: Option[Int], ambientLoad: Option[Double] = None,
-      ambientLoadEnd: Option[Double] = None): Unit = {
+      ambientLoadEnd: Option[Double] = None,
+      calibration: Option[(Double, Double)] = None): Unit = {
     def json(sel: ((Option[Double], Option[Double], Long)) => Option[Double]) =
       results.map {
         case (k, t) => sel(t) match {
@@ -318,8 +370,15 @@ object Bench {
     // metrics (warm total = the 100 TB-predictive number) print BOTH
     // before and after the line most likely to be truncated
     val summary = summaryLine(results, failed, sfDir, warmRuns)
+    // Locale.ROOT: under a comma-decimal default locale f"%.2f" would
+    // emit "4,00" and corrupt the committed JSON (r14 advisor finding)
+    def jNum2(l: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(l))
+    val calibJson = calibration.map { case (sc, sp) =>
+      s"""{"scalar_s":${jNum2(sc)},"spark_s":${jNum2(sp)}}"""
+    }.getOrElse("null")
     println(summary)
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"errors":$errJson,"calibration":$calibJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson,"sf":"$sfDir"}""")
     // the per-query map outgrew the driver's stdout tail capture at
     // ~200 queries (BENCH_r10 lost it to truncation), so the full
     // artifact ALSO writes to a repo-side file the round can commit —
@@ -350,14 +409,10 @@ object Bench {
     val seedJson = sys.env.get("SPARK_GRAFT_BENCH_SEED")
       .map(s => jEsc(s.trim)).getOrElse("null")
     val forkJson = forked.map(_.toString).getOrElse("null")
-    // Locale.ROOT: under a comma-decimal default locale f"%.2f" would
-    // emit "4,00" and corrupt the committed JSON (r14 advisor finding)
-    def jNum2(l: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(l))
     val loadJson = ambientLoad.filter(_ >= 0).map(jNum2).getOrElse("null")
     val loadEndJson = ambientLoadEnd.filter(_ >= 0).map(jNum2).getOrElse("null")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"summary":$summary,"seed":$seedJson,"fork":$forkJson,"ambient_load":$loadJson,"ambient_load_end":$loadEndJson,"order":$orderJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson}""" + "\n")
+      s"""{"summary":$summary,"seed":$seedJson,"fork":$forkJson,"ambient_load":$loadJson,"ambient_load_end":$loadEndJson,"calibration":$calibJson,"order":$orderJson,"queries":${json(_._2)},"cold_queries":${json(_._1)},"gc_ms":$gcJson,"ledger":$ledgerJson}""" + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
