@@ -3767,6 +3767,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
+    // NON-PARAMETRIC OPQ (Ge et al. §4, public): alternating
+    // Procrustes/Lloyd refinement of the rotation, seeded from the
+    // parametric eigenbasis — driver-side over the bounded fit sample
+    // (zero Spark jobs in the alternation), then the same rotated
+    // PQ/ADC + refine scan. Rows-only: orthogonality, the monotone
+    // sample objective, and the recall ordering on an anisotropic
+    // planted corpus are spec- and METRICS-pinned
+    "ann_opq_np_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.opqNpPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          refine = 8)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
     // the same scan over a PERSISTED code table (buildPqIndex):
     // spec-proven to reproduce the inline rows exactly
     "ann_pq_indexed" -> ((s, dir) => {
@@ -3774,6 +3788,22 @@ object SparkEntry {
       val store = memoStore("pqidx", dir)(p =>
         Similarity.buildPqIndex(emb, p))
       Similarity.pqTopKStored(s, store, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
+    // PERSISTED OPQ index (buildOpqIndex): the rotation is solved
+    // once at build time and stored beside the rotated-corpus PQ
+    // codes — the fit-once shape a 100 TB corpus wants (queries and
+    // appends pay one mat-vec, never a refit). Spec-proven to
+    // reproduce the inline opqPqTopK rows exactly, incl. the refined
+    // path (the refine re-ranks in rotated space so the arithmetic
+    // matches float-for-float)
+    "ann_opq_indexed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val store = memoStore("opqidx", dir)(p =>
+        Similarity.buildOpqIndex(emb, p))
+      Similarity.opqPqTopKStored(s, store, emb.filter(col("vec_id") < 5),
+          k = 10, refine = 8, corpus = emb)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 

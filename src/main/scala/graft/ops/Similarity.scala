@@ -879,6 +879,342 @@ object Similarity {
       k, m, ks, dims, seed, maxIter, fitSample, roundTo, mode, refine)
   }
 
+  /** NON-PARAMETRIC OPQ rotation (Ge et al. §4, public): alternate
+    * [orthogonal-Procrustes re-solve of R under the current codebooks
+    * → Lloyd refit of the codebooks under the new R], seeded from the
+    * parametric rotation ([[opqRotation]]). Each step exactly
+    * minimizes the shared quantization objective with the other block
+    * fixed — Procrustes: R = polar(Σ zᵢxᵢᵀ), the closed-form optimum
+    * over orthogonal matrices; Lloyd warm-started from the previous
+    * codebooks never ends above its start — so the sample objective
+    * is MONOTONE non-increasing across iterations (PqSpec pins that,
+    * R·Rᵀ = I, and the recall ordering on an anisotropic planted
+    * corpus). Runs DRIVER-side over the bounded [[quantizerFitSet]]
+    * sample (fitSample×dims doubles, the same bounded-model-state
+    * class as the codebook collects; zero Spark jobs inside the
+    * alternation — per iteration O(n·m·ks·ds) assign + O(n·d²)
+    * accumulate + O(d³) polar), because real anisotropic, non-
+    * Gaussian corpora are where the alternation buys recall the
+    * Gaussian-optimal parametric solution cannot see. Returns the
+    * row-major d×d rotation (y = R·x), same contract as
+    * [[opqRotation]]; iters = 0 degrades to the parametric answer. */
+  def opqRotationNP(corpus: DataFrame, dims: Int = 64, m: Int = 16,
+      ks: Int = 16, iters: Int = 8, lloydIters: Int = 10,
+      fitSample: Int = 16384): Array[Double] =
+    opqRotationNPTrace(corpus, dims, m, ks, iters, lloydIters, fitSample)._1
+
+  /** [[opqRotationNP]] plus the sample-objective trace (one entry
+    * after each Lloyd refit, the parametric seed first) — PqSpec pins
+    * the trace monotone non-increasing. */
+  private[ops] def opqRotationNPTrace(corpus: DataFrame, dims: Int,
+      m: Int, ks: Int, iters: Int, lloydIters: Int,
+      fitSample: Int): (Array[Double], Seq[Double]) = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val ds = dims / m
+    var rot = opqRotation(corpus, dims, m)
+    if (iters == 0) return (rot, Nil)
+    // bounded sample, deterministic order (xxhash64 then vec_id)
+    val x: Array[Array[Double]] =
+      quantizerFitSet(corpus.select(col("vec_id"), col("embedding")),
+        fitSample)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val n = x.length
+    require(n >= ks, s"NP-OPQ needs >= $ks sample vectors, got $n")
+    def rotate(v: Array[Double], r: Array[Double]): Array[Double] = {
+      val y = new Array[Double](dims)
+      var i = 0
+      while (i < dims) {
+        var acc = 0.0; var j = 0
+        while (j < dims) { acc += r(i * dims + j) * v(j); j += 1 }
+        y(i) = acc; i += 1
+      }
+      y
+    }
+    // codebook cb(s*ks+c)*ds+d; codes per row; reconstruction in
+    // rotated space
+    var cb: Array[Double] = null
+    val codes = new Array[Int](n * m)
+    def assignAndError(y: Array[Array[Double]]): Double = {
+      var err = 0.0
+      var i = 0
+      while (i < n) {
+        var s = 0
+        while (s < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d2 = 0.0; var d = 0
+            while (d < ds) {
+              val diff = y(i)(s * ds + d) - cb((s * ks + c) * ds + d)
+              d2 += diff * diff; d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c } // strict: tie → lower c
+            c += 1
+          }
+          codes(i * m + s) = best
+          err += bestD
+          s += 1
+        }
+        i += 1
+      }
+      err
+    }
+    def lloyd(y: Array[Array[Double]]): Double = {
+      var it = 0
+      var err = assignAndError(y)
+      var moved = true
+      while (it < lloydIters && moved) {
+        val sums = new Array[Double](m * ks * ds)
+        val cnt = new Array[Long](m * ks)
+        var i = 0
+        while (i < n) {
+          var s = 0
+          while (s < m) {
+            val c = codes(i * m + s)
+            cnt(s * ks + c) += 1
+            var d = 0
+            while (d < ds) {
+              sums((s * ks + c) * ds + d) += y(i)(s * ds + d); d += 1
+            }
+            s += 1
+          }
+          i += 1
+        }
+        val next = cb.clone() // empty cells keep their centroid
+        var sc = 0
+        while (sc < m * ks) {
+          if (cnt(sc) > 0) {
+            var d = 0
+            while (d < ds) {
+              next(sc * ds + d) =
+                math.rint(sums(sc * ds + d) / cnt(sc) * 1e6) / 1e6
+              d += 1
+            }
+          }
+          sc += 1
+        }
+        moved = !java.util.Arrays.equals(next, cb)
+        cb = next
+        err = assignAndError(y)
+        it += 1
+      }
+      err
+    }
+    // iteration 0: codebooks under the parametric rotation (firstk init)
+    var y = x.map(rotate(_, rot))
+    cb = new Array[Double](m * ks * ds)
+    var c0 = 0
+    while (c0 < ks) { // firstk of the rotated sample
+      var s = 0
+      while (s < m) {
+        var d = 0
+        while (d < ds) {
+          cb((s * ks + c0) * ds + d) = y(c0)(s * ds + d); d += 1
+        }
+        s += 1
+      }
+      c0 += 1
+    }
+    val errs = scala.collection.mutable.ArrayBuffer[Double](lloyd(y))
+    var t = 0
+    while (t < iters) {
+      // Procrustes: maximize tr(Rᵀ·B), B = Σ zᵢ·xᵢᵀ (z = reconstruction
+      // in rotated space, x original) → R = polar factor of B
+      val b = new Array[Double](dims * dims)
+      var i = 0
+      while (i < n) {
+        var r = 0
+        while (r < dims) {
+          val z = cb(((r / ds) * ks + codes(i * m + r / ds)) * ds + (r % ds))
+          if (z != 0.0) {
+            var j = 0
+            while (j < dims) { b(r * dims + j) += z * x(i)(j); j += 1 }
+          }
+          r += 1
+        }
+        i += 1
+      }
+      polarFactor(b, dims) match {
+        case Some(next) => rot = next
+        case None       => // degenerate B (tiny/degenerate sample): keep R
+      }
+      y = x.map(rotate(_, rot))
+      errs += lloyd(y) // warm start from current cb: never ends above its start
+      t += 1
+    }
+    (rot, errs.toSeq)
+  }
+
+  /** Orthogonal polar factor of a d×d matrix via the scaled Newton
+    * iteration A ← (A + A⁻ᵀ)/2 (Higham, public) — the U·Vᵀ of the
+    * SVD without computing one. None when A is numerically singular
+    * (no unique nearest rotation). */
+  private def polarFactor(a0: Array[Double], d: Int): Option[Array[Double]] = {
+    // scale by 1/sqrt(norm1 * normInf) for fast convergence
+    var n1 = 0.0; var nInf = 0.0
+    var i = 0
+    while (i < d) {
+      var rs = 0.0; var cs = 0.0
+      var j = 0
+      while (j < d) { rs += math.abs(a0(i * d + j)); cs += math.abs(a0(j * d + i)); j += 1 }
+      if (rs > nInf) nInf = rs
+      if (cs > n1) n1 = cs
+      i += 1
+    }
+    if (n1 == 0.0 || nInf == 0.0) return None
+    val s = 1.0 / math.sqrt(n1 * nInf)
+    var a = a0.map(_ * s)
+    var it = 0
+    while (it < 60) {
+      val inv = invert(a, d).getOrElse(return None)
+      val next = new Array[Double](d * d)
+      var delta = 0.0
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          val v = 0.5 * (a(i * d + j) + inv(j * d + i)) // (A + A⁻ᵀ)/2
+          delta = math.max(delta, math.abs(v - a(i * d + j)))
+          next(i * d + j) = v
+          j += 1
+        }
+        i += 1
+      }
+      a = next
+      if (delta < 1e-13) return Some(a)
+      it += 1
+    }
+    Some(a) // converged enough for a 64×64 rotation in practice
+  }
+
+  /** Gauss-Jordan inverse with partial pivoting; None when a pivot
+    * collapses (singular). */
+  private def invert(m0: Array[Double], d: Int): Option[Array[Double]] = {
+    val a = m0.clone()
+    val inv = new Array[Double](d * d)
+    var i = 0
+    while (i < d) { inv(i * d + i) = 1.0; i += 1 }
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) {
+        if (math.abs(a(r * d + col)) > math.abs(a(piv * d + col))) piv = r
+        r += 1
+      }
+      if (math.abs(a(piv * d + col)) < 1e-12) return None
+      if (piv != col) {
+        var j = 0
+        while (j < d) {
+          var t = a(piv * d + j); a(piv * d + j) = a(col * d + j); a(col * d + j) = t
+          t = inv(piv * d + j); inv(piv * d + j) = inv(col * d + j); inv(col * d + j) = t
+          j += 1
+        }
+      }
+      val p = a(col * d + col)
+      var j = 0
+      while (j < d) { a(col * d + j) /= p; inv(col * d + j) /= p; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != col) {
+          val f = a(r * d + col)
+          if (f != 0.0) {
+            var jj = 0
+            while (jj < d) {
+              a(r * d + jj) -= f * a(col * d + jj)
+              inv(r * d + jj) -= f * inv(col * d + jj)
+              jj += 1
+            }
+          }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Some(inv)
+  }
+
+  /** PQ/ADC top-k under the NON-PARAMETRIC OPQ rotation — fit the
+    * alternated rotation, rotate corpus and queries, run the standard
+    * [[pqTopK]] (codebook refit on the full fitSample, ADC scan,
+    * exact refine) in rotated space. Same output contract as
+    * [[opqPqTopK]]. */
+  def opqNpPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, ks: Int = 16, dims: Int = 64, seed: Long = 42L,
+      maxIter: Int = 10, fitSample: Int = 262144, roundTo: Int = 4,
+      mode: String = "kmeans", refine: Int = 1, npIters: Int = 8): DataFrame = {
+    val rot = opqRotationNP(corpus, dims, m, ks, npIters)
+    pqTopK(opqRotate(corpus, rot, dims), opqRotate(queries, rot, dims),
+      k, m, ks, dims, seed, maxIter, fitSample, roundTo, mode, refine)
+  }
+
+  /** Persist an OPQ index — the fit-once shape a 100 TB corpus wants:
+    * the rotation (parametric, or non-parametric with `np = true`) is
+    * solved ONCE at build time and stored beside the PQ index of the
+    * ROTATED corpus ([[buildPqIndex]] layout + a `rotation` table),
+    * so every later query/append pays one mat-vec per vector instead
+    * of a refit. Same frozen-quantizer contract as the PQ store:
+    * periodic re-optimization is a rebuild, never an append. */
+  def buildOpqIndex(corpus: DataFrame, path: String, m: Int = 16,
+      ks: Int = 16, dims: Int = 64, seed: Long = 42L, maxIter: Int = 10,
+      fitSample: Int = 262144, mode: String = "kmeans",
+      np: Boolean = false, npIters: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rot =
+      if (np) opqRotationNP(corpus, dims, m, ks, npIters)
+      else opqRotation(corpus, dims, m)
+    buildPqIndex(opqRotate(corpus, rot, dims), path, m, ks, dims, seed,
+      maxIter, fitSample, mode)
+    rot.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  private def loadOpqRotation(spark: SparkSession,
+      path: String): (Array[Double], Int) = {
+    val dims = spark.read.parquet(s"$path/meta").head().getAs[Int]("dims")
+    val rot = spark.read.parquet(s"$path/rotation").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    require(rot.length == dims * dims,
+      s"stored rotation is ${rot.length} values, want $dims x $dims")
+    (rot, dims)
+  }
+
+  /** Append new vectors to a persisted OPQ index: rotate by the
+    * STORED rotation, then [[appendToPqIndex]]'s frozen-codebook
+    * encode + idempotent anti-join. */
+  def appendToOpqIndex(spark: SparkSession, indexPath: String,
+      vectors: DataFrame, id: Column, vec: Column): Unit = {
+    val (rot, dims) = loadOpqRotation(spark, indexPath)
+    appendToPqIndex(spark, indexPath,
+      opqRotate(vectors.select(id.as("vec_id"), vec.as("embedding")),
+        rot, dims), col("vec_id"), col("embedding"))
+  }
+
+  /** ADC top-k over a STORED OPQ index: queries rotate by the stored
+    * rotation (one broadcast mat-vec each), then the standard stored
+    * ADC scan; `refine > 1` re-ranks the over-fetch with exact
+    * cosines, rotating the passed float corpus through the SAME
+    * stored rotation so the arithmetic matches the inline path
+    * float-for-float (the rotation is orthogonal, so these ARE the
+    * original cosines). Same seed/mode at build ⇒ identical rows to
+    * the inline [[opqPqTopK]] (spec-proven). */
+  def opqPqTopKStored(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, refine: Int = 1,
+      corpus: DataFrame = null, roundTo: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1: $refine")
+    require(refine == 1 || corpus != null,
+      "refine > 1 needs the float corpus for exact re-ranking")
+    val (rot, dims) = loadOpqRotation(spark, path)
+    val rq = opqRotate(queries, rot, dims)
+    val adc = pqTopKStored(spark, path, rq, k * refine, roundTo)
+    if (refine == 1) adc
+    else pqRefine(adc, opqRotate(corpus, rot, dims), rq, k, roundTo)
+  }
+
   // ----------------------------------------------------- IVF-PQ
 
   /** IVF-PQ composite ANN (the FAISS IndexIVFPQ shape, cosine

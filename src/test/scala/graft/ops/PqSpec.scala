@@ -129,6 +129,46 @@ class PqSpec extends AnyFunSuite {
     assert(stored === inline)
   }
 
+  test("stored OPQ index reproduces inline opqPqTopK exactly; append rotates through the store") {
+    val dir = java.nio.file.Files.createTempDirectory("opqidx").toString
+    Similarity.buildOpqIndex(corpus, dir)
+    // unrefined parity: same rotation + codebook => identical ADC rows
+    val stored = Similarity.opqPqTopKStored(spark, dir, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Similarity.opqPqTopK(corpus, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline)
+    // refined parity: the stored refine re-ranks in rotated space, so
+    // even the float arithmetic matches the inline refined path
+    val storedR = Similarity.opqPqTopKStored(spark, dir, queries, 10,
+        refine = 4, corpus = corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inlineR = Similarity.opqPqTopK(corpus, queries, 10, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(storedR === inlineR)
+    // append: increments rotate through the STORED rotation and code
+    // against the frozen codebook; replay appends nothing
+    val dir2 = java.nio.file.Files.createTempDirectory("opqidx2").toString
+    Similarity.buildOpqIndex(corpus.filter(col("vec_id") < 250), dir2)
+    val inc = corpus.filter(col("vec_id") >= 250)
+    Similarity.appendToOpqIndex(spark, dir2, inc, col("vec_id"), col("embedding"))
+    Similarity.appendToOpqIndex(spark, dir2, inc, col("vec_id"), col("embedding"))
+    val codes = spark.read.parquet(s"$dir2/codes")
+    assert(codes.count() === 300)
+    val rot = spark.read.parquet(s"$dir2/rotation").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    val cb = spark.read.parquet(s"$dir2/codebook").orderBy("idx")
+      .collect().map(_.getAs[Double]("v"))
+    val expected = Similarity.opqRotate(inc, rot, dims)
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, 16, 16, 4)
+          .as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    val got = codes.filter(col("vec_id") >= 250)
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    assert(got === expected)
+  }
+
   test("IVF-PQ: stored == inline, residual reconstruction is score-exact, recall vs brute") {
     val want = Similarity.bruteForceTopK(corpus, queries, 10)
     // inline, refine opted OUT (the default is the 4x exact re-rank):
@@ -284,5 +324,50 @@ class PqSpec extends AnyFunSuite {
         s"allocation changed under uniform rescale at row $r: |dot| = ${math.abs(dot)}")
       r += 1
     }
+  }
+
+  test("non-parametric OPQ: orthogonal, monotone objective, recall holds on anisotropy") {
+    import spark.implicits._
+    val m = 16
+    val aniso = (0L until 300L).map { i =>
+      val v = vec(i).zipWithIndex.map { case (x, d) =>
+        (x * math.pow(0.93, d)).toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val (rot, errs) = Similarity.opqRotationNPTrace(aniso, dims, m,
+      ks = 16, iters = 6, lloydIters = 8, fitSample = 300)
+    // R·Rᵀ = I: the alternated rotation stays a pure rotation
+    var i = 0
+    while (i < dims) {
+      var j = 0
+      while (j < dims) {
+        var dot = 0.0
+        var k = 0
+        while (k < dims) { dot += rot(i * dims + k) * rot(j * dims + k); k += 1 }
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"R R^T != I at ($i,$j): $dot")
+        j += 1
+      }
+      i += 1
+    }
+    // the alternation's sample objective is monotone non-increasing
+    // (Procrustes is the closed-form optimum with codebooks fixed;
+    // Lloyd warm-starts from the previous codebooks) and must
+    // actually improve on the parametric seed here
+    assert(errs.size === 7)
+    errs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"objective rose: $a -> $b (trace $errs)")
+    }
+    assert(errs.last < errs.head * 0.999,
+      s"alternation bought nothing over the parametric seed: $errs")
+    // recall ordering on the planted corpus: NP holds at least the
+    // parametric level (small integer-count slack on 80 truth pairs)
+    val q = aniso.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(aniso, q, k = 10)
+    val rPar = recallAt10(Similarity.opqPqTopK(aniso, q, k = 10), brute)
+    val rNp = recallAt10(Similarity.opqNpPqTopK(aniso, q, k = 10), brute)
+    info(f"aniso recall@10: parametric $rPar%.3f  non-parametric $rNp%.3f")
+    assert(rNp >= rPar - 0.05, s"NP recall $rNp below parametric $rPar")
   }
 }
