@@ -2892,6 +2892,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BMP depth envelope end-to-end (BI_RGB 8-bit palette through the
+    // gray-ramp BGRA quads, 24-bit BGR, 32-bit BGRA with the alpha
+    // byte ignored): the oracle recomputes BT.601 luma closed-form
+    // per depth, so a palette-offset, quad-order, row-alignment, or
+    // 32-bit-stride mistake shifts sum_luma and fails the hash
+    "mm_bmp_variants" -> ((s, dir) => {
+      val mk = udf((id: Long, txt: String) =>
+        Multimodal.syntheticBmpVariant(id, txt))
+      val byteSum = udf((b: Array[Byte]) => {
+        var t = 0L; var i = 0
+        while (i < b.length) { t += (b(i) & 0xff); i += 1 }; t
+      })
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("media"))
+      Multimodal.decodeGrayStage(media)
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"),
+          byteSum(col("gray")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // palette-PNG pixel path end-to-end: indices expand through the
     // PLTE and the oracle recomputes every luma closed-form (ramp
     // palette v=16i makes BT.601 luma exactly the palette value) —
@@ -7982,6 +8003,29 @@ object SparkEntry {
                 ELSE 1 END AS INT) AS n_frames,
            CAST(CASE WHEN k = 0 THEN 0 ELSE 1 END AS INT) AS decoded
          FROM m ORDER BY doc_id""",
+
+    "mm_bmp_variants" ->
+      """WITH m AS (SELECT doc_id, doc_id % 4 AS k,
+           3 + doc_id % 14 AS w, 2 + doc_id % 11 AS h
+           FROM documents WHERE doc_id % 4 <> 0),
+         gx AS (SELECT doc_id, k, w, h,
+           unnest(generate_series(0, w - 1)) AS x FROM m),
+         gxy AS (SELECT doc_id, k, w, h, x,
+           unnest(generate_series(0, h - 1)) AS y FROM gx),
+         lum AS (SELECT doc_id, w, h,
+           CASE WHEN k = 1 THEN (doc_id + 5 * x + 9 * y) % 256
+                WHEN k = 2 THEN
+                  (299 * ((doc_id + 7 * x + 3 * y) % 256)
+                 + 587 * (((doc_id + 7 * x + 3 * y) % 256 + 51) % 256)
+                 + 114 * (((doc_id + 7 * x + 3 * y) % 256 + 102) % 256)) // 1000
+                ELSE
+                  (299 * ((doc_id * 3 + 2 * x + 11 * y) % 256)
+                 + 587 * (((doc_id * 3 + 2 * x + 11 * y) % 256 + 33) % 256)
+                 + 114 * (((doc_id * 3 + 2 * x + 11 * y) % 256 + 77) % 256)) // 1000
+           END AS l FROM gxy)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(l) AS BIGINT) AS sum_luma
+         FROM lum GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "mm_gray_stats" ->
       """WITH m AS (SELECT doc_id, doc_id % 8 AS k,

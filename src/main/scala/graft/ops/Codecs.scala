@@ -61,6 +61,72 @@ object Codecs {
     b
   }
 
+  /** 8-bit PALETTE BMP (BI_RGB): caller-supplied (r,g,b) palette
+    * stored as BGRA quads after the 40-byte info header (biClrUsed
+    * set), one index byte per pixel, 4-byte-aligned rows, bottom-up —
+    * the fixture twin of the palette decode path. */
+  private[ops] def encodeBmp8(w: Int, h: Int, pal: Seq[(Int, Int, Int)],
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val stride = (w + 3) / 4 * 4
+    val off = 54 + 4 * pal.length
+    val size = off + h * stride
+    val b = new Array[Byte](size)
+    def putLe(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; putLe(2, size); putLe(10, off)
+    putLe(14, 40); putLe(18, w); putLe(22, h)
+    b(26) = 1; b(28) = 8
+    putLe(34, h * stride); putLe(46, pal.length)
+    var i = 0
+    while (i < pal.length) {
+      val (r, g, bl) = pal(i)
+      b(54 + 4 * i) = bl.toByte; b(54 + 4 * i + 1) = g.toByte
+      b(54 + 4 * i + 2) = r.toByte // quad alpha byte stays 0
+      i += 1
+    }
+    var y = 0
+    while (y < h) {
+      val rowOff = off + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) { b(rowOff + x) = pix(x, y).toByte; x += 1 }
+      y += 1
+    }
+    b
+  }
+
+  /** 32-bpp BGRA BMP (BI_RGB, alpha plane ignored by the decoders) —
+    * the fixture twin of the 32-bit decode path. */
+  private[ops] def encodeBmp32(w: Int, h: Int,
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = 4 * w
+    val size = 54 + h * stride
+    val b = new Array[Byte](size)
+    def putLe(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; putLe(2, size); putLe(10, 54)
+    putLe(14, 40); putLe(18, w); putLe(22, h)
+    b(26) = 1; b(28) = 32
+    putLe(34, h * stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = pix(x, y)
+        val o = rowOff + 4 * x
+        b(o) = bl.toByte; b(o + 1) = g.toByte; b(o + 2) = r.toByte
+        b(o + 3) = 0xff.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
   /** Build a real binary PPM (P6) with header `P6\nW H\n255\n`. */
   def encodePpm(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -522,7 +588,8 @@ object Codecs {
   /** Classify + decode in one pass (header already parsed — the
     * fallback path at 100 TB must not pay a second magic dispatch).
     * Capability envelope per format:
-    *  - bmp: 24bpp only (8/16/32-bpp headers parse → Unsupported)
+    *  - bmp: BI_RGB 8-bit palette / 24-bit / 32-bit (alpha ignored);
+    *    16bpp and compressed (RLE/bitfields/embedded) → Unsupported
     *  - png: the full legal envelope — depth 1/2/4 (gray + palette,
     *    packed rows), 8 (all types), 16 (non-palette), interlace 0/1;
     *    spec-invalid depth/type combos → Malformed
@@ -548,7 +615,11 @@ object Codecs {
       case None            => Malformed
     }
     header match {
-      case MediaHeader("bmp", _, _, ch) if ch != 3 => Unsupported
+      case MediaHeader("bmp", _, _, ch)
+          if ch == 2 || (b.length >= 34 && i32le(b, 30) != 0) =>
+        // 16bpp, or any non-BI_RGB compression (RLE4/8, bitfields,
+        // embedded PNG/JPEG): valid container, outside the decode set
+        Unsupported
       case MediaHeader("png", _, _, _) =>
         // full legal depth envelope (1/2/4 gray+palette, 8 all
         // types, 16 non-palette) decodes; spec-invalid depth/type
@@ -588,31 +659,55 @@ object Codecs {
       case _                         => None
     }
 
+  /** BMP per-pixel luma for the BI_RGB depths in the decode set —
+    * 8-bit palette (BGRA quads after the info header, biClrUsed or
+    * 2^8 entries, out-of-range indices rejected), 24-bit BGR, 32-bit
+    * BGRA (alpha ignored) — handling bottom-up vs top-down storage
+    * and 4-byte row alignment at every depth. */
+  private def bmpGray(b: Array[Byte], w: Int, h: Int,
+      bypp: Int): Option[(Int, Int, Array[Byte])] = {
+    val stride = (bypp * w + 3) / 4 * 4
+    val off = i32le(b, 10)
+    if (off < 0 || b.length < off + h.toLong * stride) return None
+    val pal: Array[Byte] =
+      if (bypp != 1) null
+      else {
+        val palOff = 14 + i32le(b, 14) // after the info header
+        val used = if (b.length >= 50) i32le(b, 46) else 0
+        val n = if (used > 0) used else 256
+        if (palOff < 0 || palOff + 4L * n > b.length) return None
+        java.util.Arrays.copyOfRange(b, palOff, palOff + 4 * n)
+      }
+    val topDown = i32le(b, 22) < 0
+    val g = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = off + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val o = srcRow + bypp * x
+        val lum =
+          if (bypp == 1) {
+            val idx = 4 * (b(o) & 0xff)
+            if (idx + 2 >= pal.length) return None
+            (299 * (pal(idx + 2) & 0xff) + 587 * (pal(idx + 1) & 0xff) +
+              114 * (pal(idx) & 0xff)) / 1000
+          } else // BGR(A): alpha byte at o+3 ignored for 32bpp
+            (299 * (b(o + 2) & 0xff) + 587 * (b(o + 1) & 0xff) +
+              114 * (b(o) & 0xff)) / 1000
+        g(y * w + x) = lum.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, g))
+  }
+
   private def decodeGrayImpl(b: Array[Byte],
       header: MediaHeader): Option[(Int, Int, Array[Byte])] =
     Some(header).flatMap {
-      case MediaHeader("bmp", w, h, 3) =>
-        val stride = bmpStride(w)
-        val off = i32le(b, 10)
-        if (b.length < off + h.toLong * stride) None
-        else {
-          val topDown = i32le(b, 22) < 0
-          val g = new Array[Byte](w * h)
-          var y = 0
-          while (y < h) {
-            val srcRow = off + (if (topDown) y else h - 1 - y) * stride
-            var x = 0
-            while (x < w) {
-              val o = srcRow + 3 * x
-              val lum = (299 * (b(o + 2) & 0xff) + 587 * (b(o + 1) & 0xff) +
-                114 * (b(o) & 0xff)) / 1000
-              g(y * w + x) = lum.toByte
-              x += 1
-            }
-            y += 1
-          }
-          Some((w, h, g))
-        }
+      case MediaHeader("bmp", w, h, ch) if ch == 1 || ch == 3 || ch == 4 =>
+        bmpGray(b, w, h, ch)
       case MediaHeader("ppm", w, h, 3) =>
         pnmHeader(b).flatMap { case (_, _, off) =>
           if (b.length < off + 3L * w * h) None
@@ -679,33 +774,55 @@ object Codecs {
     }
 
   /** Full pixel decode to TOP-LEFT-origin interleaved RGB (3 bytes
-    * per pixel): native channels for BMP 24bpp, binary P6, PNG
+    * per pixel): native channels for BMP (BI_RGB 8-bit palette /
+    * 24-bit / 32-bit, alpha ignored), binary P6, PNG
     * truecolor(+alpha, alpha ignored) and 3-component baseline JPEG
     * (fixed-point YCbCr→RGB, [[Jpeg.decodeJpegColor]]); single-
     * channel formats (P5/PGM, gray PNG/JPEG, GIF luma) replicate
     * luma across channels. */
+  /** [[bmpGray]]'s RGB twin: same depth set and geometry, palette
+    * indices expanded to their BGRA quad's RGB. */
+  private def bmpRgb(b: Array[Byte], w: Int, h: Int,
+      bypp: Int): Option[(Int, Int, Array[Byte])] = {
+    val stride = (bypp * w + 3) / 4 * 4
+    val off = i32le(b, 10)
+    if (off < 0 || b.length < off + h.toLong * stride) return None
+    val pal: Array[Byte] =
+      if (bypp != 1) null
+      else {
+        val palOff = 14 + i32le(b, 14)
+        val used = if (b.length >= 50) i32le(b, 46) else 0
+        val n = if (used > 0) used else 256
+        if (palOff < 0 || palOff + 4L * n > b.length) return None
+        java.util.Arrays.copyOfRange(b, palOff, palOff + 4 * n)
+      }
+    val topDown = i32le(b, 22) < 0
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = off + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val o = srcRow + bypp * x; val d = 3 * (y * w + x)
+        if (bypp == 1) {
+          val idx = 4 * (b(o) & 0xff)
+          if (idx + 2 >= pal.length) return None
+          rgb(d) = pal(idx + 2); rgb(d + 1) = pal(idx + 1)
+          rgb(d + 2) = pal(idx)
+        } else { // BGR(A): alpha ignored
+          rgb(d) = b(o + 2); rgb(d + 1) = b(o + 1); rgb(d + 2) = b(o)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
   def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeHeader(b).flatMap {
-      case MediaHeader("bmp", w, h, 3) =>
-        val stride = bmpStride(w)
-        val off = i32le(b, 10)
-        if (b.length < off + h.toLong * stride) None
-        else {
-          val topDown = i32le(b, 22) < 0
-          val rgb = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            val srcRow = off + (if (topDown) y else h - 1 - y) * stride
-            var x = 0
-            while (x < w) {
-              val o = srcRow + 3 * x; val d = 3 * (y * w + x)
-              rgb(d) = b(o + 2); rgb(d + 1) = b(o + 1); rgb(d + 2) = b(o)
-              x += 1
-            }
-            y += 1
-          }
-          Some((w, h, rgb))
-        }
+      case MediaHeader("bmp", w, h, ch) if ch == 1 || ch == 3 || ch == 4 =>
+        bmpRgb(b, w, h, ch)
       case MediaHeader("ppm", w, h, 3) =>
         pnmHeader(b).flatMap { case (_, _, off) =>
           if (b.length < off + 3L * w * h) None

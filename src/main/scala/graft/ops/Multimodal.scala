@@ -292,6 +292,30 @@ object Multimodal {
       media.select(id.as("doc_id"), phash64(payload).as("fp")),
       maxHamming, chunks, bucketCap, materialize)
 
+  /** Deterministic BMP-variant fixture over the BI_RGB depth
+    * envelope: id%4 cycles raw text (fallback), 8-bit PALETTE
+    * (gray-ramp palette (i,i,i) makes BT.601 luma exactly the
+    * index), 24-bit BGR, and 32-bit BGRA (opaque alpha the decoder
+    * ignores) — dims and pixels closed-form over (doc_id, x, y). */
+  def syntheticBmpVariant(id: Long, text: String): Array[Byte] =
+    if (id % 4 == 0) text.getBytes("UTF-8")
+    else {
+      val w = 3 + (id % 14).toInt; val h = 2 + (id % 11).toInt
+      (id % 4) match {
+        case 1 => Codecs.encodeBmp8(w, h,
+          (0 until 256).map(i => (i, i, i)),
+          (x, y) => ((id + 5L * x + 9L * y) % 256).toInt)
+        case 2 => Codecs.encodeBmp(w, h, (x, y) => {
+          val v = ((id + 7L * x + 3L * y) % 256).toInt
+          (v, (v + 51) % 256, (v + 102) % 256)
+        })
+        case _ => Codecs.encodeBmp32(w, h, (x, y) => {
+          val v = ((id * 3 + 2L * x + 11L * y) % 256).toInt
+          (v, (v + 33) % 256, (v + 77) % 256)
+        })
+      }
+    }
+
   /** Deterministic REAL-container fixture for the decode oracles:
     * docs cycle through raw-text (undecodable, exercises the stub
     * fallback), real BMP ×2, real PPM, real PGM, LOSSY WebP (VP8

@@ -159,6 +159,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Codecs.decodeHeader("just some text".getBytes).isEmpty)
   }
 
+  test("BMP depth envelope: 8-bit palette + 32-bpp decode; compressed/16bpp refused") {
+    val w = 13; val h = 7
+    // 8-bit palette: gray ramp makes luma = index exactly
+    def idx(x: Int, y: Int): Int = (x * 5 + y * 11) % 256
+    val b8 = Codecs.encodeBmp8(w, h, (0 until 256).map(i => (i, i, i)), idx)
+    val Some((w8, h8, g8)) = Codecs.decodeGray(b8)
+    assert(w8 === w && h8 === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((g8(y * w + x) & 0xff) === idx(x, y), s"8bpp ($x,$y)")
+    // a COLOR palette must go through the BGRA quads, not the index
+    val colorPal = (0 until 256).map(i => (i, (i * 3) % 256, (i * 7) % 256))
+    val b8c = Codecs.encodeBmp8(w, h, colorPal, idx)
+    val Some((_, _, g8c)) = Codecs.decodeGray(b8c)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = colorPal(idx(x, y))
+      assert((g8c(y * w + x) & 0xff) === (299 * r + 587 * g + 114 * bl) / 1000)
+    }
+    // 32-bpp BGRA: alpha ignored, luma = BT.601 of the BGR triple
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 31 + y) % 256, (x + y * 17) % 256, (x * 3 + y * 5) % 256)
+    val b32 = Codecs.encodeBmp32(w, h, rgb)
+    val Some((w32, h32, g32)) = Codecs.decodeGray(b32)
+    assert(w32 === w && h32 === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = rgb(x, y)
+      assert((g32(y * w + x) & 0xff) === (299 * r + 587 * g + 114 * bl) / 1000,
+        s"32bpp ($x,$y)")
+    }
+    // ImageIO agrees with our 8-bit decode (foreign-decoder
+    // cross-check; raster samples — the gray-ramp palette makes
+    // ImageIO build a TYPE_BYTE_GRAY image whose getRGB would apply
+    // a gray→sRGB colorspace conversion)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b8))
+    assert(img != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === idx(x, y), s"imageio ($x,$y)")
+    // non-BI_RGB compression and 16bpp are declared Unsupported
+    // (fallback), not decode attempts
+    val rle = b8.clone(); rle(30) = 1 // biCompression = BI_RLE8
+    assert(Codecs.decodeGray(rle).isEmpty)
+    val b16 = Codecs.encodeBmp(4, 4, pix).clone(); b16(28) = 16
+    assert(Codecs.decodeGray(b16).isEmpty)
+  }
+
   test("PNG IHDR header parse reads big-endian dims and color type") {
     // hand-built signature + IHDR chunk (CRC irrelevant to the parse)
     val b = new Array[Byte](33)
