@@ -107,6 +107,9 @@ object Metrics {
     annRow("ann_ivfpq_refined_4x", 0.50,
       Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 6),
       "IVF-PQ DEFAULT configuration (refine-by-default 4x exact re-rank) — the user contract and the ann_ivfpq_indexed registration shape")
+    annRow("ann_opq_ivfpq", 0.50,
+      Similarity.opqIvfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 6),
+      "composed OPQ,IVF,PQ chain (parametric rotation + residual codes + default 4x refine, the ann_opq_ivfpq_topk registration params) — shares the ivfpq_refined_4x floor; on this near-isotropic corpus the rotation is neutral (0.666 vs 0.688 unrotated), its payoff is the anisotropic case")
     annRow("ann_opq_np_adc", 0.38,
       Similarity.opqNpPqTopK(emb, queries, k = 10),
       "NON-PARAMETRIC OPQ (Ge et al. §4 alternation, seeded from the parametric rotation) + PQ/ADC, no refine — on this near-isotropic corpus the alternation has little headroom over parametric (same floor); the aniso rows below are where it separates")

@@ -3788,6 +3788,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
+    // IVF-PQ under the OPQ pre-rotation — the composed FAISS
+    // "OPQ,IVF,PQ" chain (cosine variant): rotation balances the
+    // residual-code subspaces, coarse lists prune, 4x exact refine
+    // re-ranks in rotated space. Rows-only; the recall floor lives in
+    // METRICS (ann_opq_ivfpq row, above the unrotated ivfpq floor)
+    "ann_opq_ivfpq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.opqIvfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nlist = 16, nprobe = 6)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
     // NON-PARAMETRIC OPQ (Ge et al. §4, public): alternating
     // Procrustes/Lloyd refinement of the rotation, seeded from the
     // parametric eigenbasis — driver-side over the bounded fit sample

@@ -593,9 +593,10 @@ object Codecs {
     *  - png: the full legal envelope — depth 1/2/4 (gray + palette,
     *    packed rows), 8 (all types), 16 (non-palette), interlace 0/1;
     *    spec-invalid depth/type combos → Malformed
-    *  - jpeg: 1-, 3-, or 4-component (CMYK / YCCK via the Adobe
-    *    APP14 transform flag — [[Jpeg.decodeJpegLuma4]]); jpeg-prog:
-    *    1 or 3 (4-component progressive → Unsupported)
+    *  - jpeg / jpeg-prog: 1-, 3-, or 4-component, baseline AND
+    *    progressive (CMYK / YCCK via the Adobe APP14 transform flag —
+    *    [[Jpeg.decodeJpegLuma4]] / [[Jpeg.decodeProgressiveLuma4]]);
+    *    2-component streams → Unsupported
     *  - webp-l: ≤64M pixels (a DoS bound, not a spec bound — legal
     *    VP8L dims reach 16383², 268M px → Unsupported, disclosed)
     *  - webp (lossy VP8): key frames fully decoded ([[Vp8]], RFC 6386
@@ -625,7 +626,8 @@ object Codecs {
         // types, 16 non-palette) decodes; spec-invalid depth/type
         // combinations fail the body parse → Malformed
         done(decodeGrayImpl(b, header))
-      case MediaHeader("jpeg", _, _, 4) => // CMYK / YCCK (Adobe APP14)
+      case MediaHeader("jpeg" | "jpeg-prog", _, _, 4) =>
+        // CMYK / YCCK (Adobe APP14), baseline and progressive alike
         done(decodeGrayImpl(b, header))
       case MediaHeader("jpeg" | "jpeg-prog", _, _, nc)
           if nc != 1 && nc != 3 => Unsupported
@@ -733,6 +735,8 @@ object Codecs {
         Jpeg.decodeJpegLuma4(b)
       case MediaHeader("jpeg", _, _, _) =>
         Jpeg.decodeJpegGray(b).map { case (w, h, px) => (w, h, px) }
+      case MediaHeader("jpeg-prog", _, _, 4) => // progressive CMYK/YCCK
+        Jpeg.decodeProgressiveLuma4(b)
       case MediaHeader("jpeg-prog", _, _, _) =>
         Jpeg.decodeProgressivePlanes(b).map { case (w, h, pl) => (w, h, pl(0)) }
       case MediaHeader("gif", _, _, _) =>
@@ -833,6 +837,8 @@ object Codecs {
         Jpeg.decodeJpegRgb4(b)
       case MediaHeader("jpeg", _, _, _) =>
         Jpeg.decodeJpegColor(b)
+      case MediaHeader("jpeg-prog", _, _, 4) => // progressive CMYK/YCCK
+        Jpeg.decodeProgressiveRgb4(b)
       case MediaHeader("jpeg-prog", _, _, _) =>
         Jpeg.decodeProgressivePlanes(b).map { case (w, h, pl) =>
           val rgb = new Array[Byte](w * h * 3)

@@ -764,39 +764,49 @@ object Jpeg {
   def decodeJpegRgb4(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     guarded(parseToScan(b)).filter(_.comps.length == 4).flatMap { s =>
       decodeJpegPlanes(b).map { case (w, h, pl) =>
-        val ycck = s.adobeTransform == 2
-        val out = new Array[Byte](w * h * 3)
-        var i = 0
-        while (i < w * h) {
-          val k = pl(3)(i) & 0xff
-          val (c, m, yv) =
-            if (ycck)
-              (yccToR(pl(0)(i) & 0xff, pl(2)(i) & 0xff),
-                yccToG(pl(0)(i) & 0xff, pl(1)(i) & 0xff, pl(2)(i) & 0xff),
-                yccToB(pl(0)(i) & 0xff, pl(1)(i) & 0xff))
-            else (pl(0)(i) & 0xff, pl(1)(i) & 0xff, pl(2)(i) & 0xff)
-          out(3 * i) = ((c * k) / 255).toByte
-          out(3 * i + 1) = ((m * k) / 255).toByte
-          out(3 * i + 2) = ((yv * k) / 255).toByte
-          i += 1
-        }
-        (w, h, out)
+        (w, h, cmyk4ToRgb(pl, w, h, s.adobeTransform == 2))
       }
     }
+
+  /** The shared Adobe un-ink chain over four decoded component planes
+    * (baseline and progressive alike). */
+  private def cmyk4ToRgb(pl: Array[Array[Byte]], w: Int, h: Int,
+      ycck: Boolean): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val k = pl(3)(i) & 0xff
+      val (c, m, yv) =
+        if (ycck)
+          (yccToR(pl(0)(i) & 0xff, pl(2)(i) & 0xff),
+            yccToG(pl(0)(i) & 0xff, pl(1)(i) & 0xff, pl(2)(i) & 0xff),
+            yccToB(pl(0)(i) & 0xff, pl(1)(i) & 0xff))
+        else (pl(0)(i) & 0xff, pl(1)(i) & 0xff, pl(2)(i) & 0xff)
+      out(3 * i) = ((c * k) / 255).toByte
+      out(3 * i + 1) = ((m * k) / 255).toByte
+      out(3 * i + 2) = ((yv * k) / 255).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def rgbToLuma(rgb: Array[Byte], n: Int): Array[Byte] = {
+    val g = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val o = 3 * i
+      g(i) = ((299 * (rgb(o) & 0xff) + 587 * (rgb(o + 1) & 0xff) +
+        114 * (rgb(o + 2) & 0xff)) / 1000).toByte
+      i += 1
+    }
+    g
+  }
 
   /** 4-component decode to 8-bit luma: BT.601 integer luma of
     * [[decodeJpegRgb4]]'s RGB. */
   def decodeJpegLuma4(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeJpegRgb4(b).map { case (w, h, rgb) =>
-      val g = new Array[Byte](w * h)
-      var i = 0
-      while (i < w * h) {
-        val o = 3 * i
-        g(i) = ((299 * (rgb(o) & 0xff) + 587 * (rgb(o + 1) & 0xff) +
-          114 * (rgb(o + 2) & 0xff)) / 1000).toByte
-        i += 1
-      }
-      (w, h, g)
+      (w, h, rgbToLuma(rgb, w * h))
     }
 
   /** Encode four flat-per-block component planes as a baseline
@@ -861,6 +871,78 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Four flat-per-block component planes as a PROGRESSIVE (SOF2)
+    * 4-component JPEG with an Adobe APP14 marker — the CMYK twin of
+    * [[encodeJpegProgressiveGray]] with a DC-only scan script: DC
+    * first at Al=1 interleaved over all four components (the 4-way
+    * MCU walk the gray fixture cannot exercise), then the DC
+    * refinement. Flat blocks carry no AC energy, so two scans
+    * reconstruct the fixture exactly and the SAME closed-form oracle
+    * covers baseline and progressive containers. */
+  def encodeJpegProgressiveCmyk(w: Int, h: Int,
+      comp: (Int, Int, Int) => Int, transform: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xee, Array('A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, transform))
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(QStep))
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 4) ++
+      (1 to 4).flatMap(id => Seq(id, 0x11, 0)))
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals)
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    // quantized DC per (block, comp) — flat blocks, same fdct/QStep
+    // round-trip as the baseline twin
+    val dcq = Array.ofDim[Int](bx * by, 4)
+    var bi = 0
+    while (bi < bx * by) {
+      var ci = 0
+      while (ci < 4) {
+        val v = comp(ci, bi % bx, bi / bx) & 0xff
+        dcq(bi)(ci) = math.round(fdct(Array.fill(64)(v - 128.0))(0) / QStep).toInt
+        ci += 1
+      }
+      bi += 1
+    }
+    // scan 1: DC first (Al=1), interleaved over all four components
+    seg(0xda, Array(4) ++ (1 to 4).flatMap(id => Seq(id, 0x00)) ++
+      Seq(0, 0, 0x01))
+    var bw = new BitWriter(out)
+    val prevDc = new Array[Int](4)
+    bi = 0
+    while (bi < bx * by) {
+      var ci = 0
+      while (ci < 4) {
+        val v = dcq(bi)(ci) >> 1 // arithmetic: magnitude toward -inf pairs
+        val diff = v - prevDc(ci); prevDc(ci) = v // with the |= refinement
+        val t = category(diff)
+        val (dc, dl) = DcEnc(t); bw.put(dc, dl)
+        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        ci += 1
+      }
+      bi += 1
+    }
+    bw.flush()
+    // scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block/comp
+    seg(0xda, Array(4) ++ (1 to 4).flatMap(id => Seq(id, 0x00)) ++
+      Seq(0, 0, 0x10))
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < bx * by) {
+      var ci = 0
+      while (ci < 4) { bw.put(dcq(bi)(ci) & 1, 1); ci += 1 }
+      bi += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // ----------------------------------------- progressive (SOF2) decoder
 
   /** First index at/after `from` holding a real marker (FF followed by
@@ -895,12 +977,33 @@ object Jpeg {
     * Restart intervals are refused (None), like the baseline decoder:
     * fall back to metadata-only handling rather than risk desync. */
   def decodeProgressivePlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
-    guarded(decodeProgressivePlanesImpl(b))
+    guarded(decodeProgressivePlanesImpl(b)).map {
+      case (w, h, pl, _) => (w, h, pl)
+    }
 
-  private def decodeProgressivePlanesImpl(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+  /** 4-component progressive (SOF2) decode to interleaved RGB: the
+    * coefficient reassembly above plus the SAME Adobe un-ink chain as
+    * the baseline path ([[decodeJpegRgb4]] — plain CMYK vs YCCK by
+    * the APP14 transform flag). */
+  def decodeProgressiveRgb4(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    guarded(decodeProgressivePlanesImpl(b)).collect {
+      case (w, h, pl, adobe) if pl.length == 4 =>
+        (w, h, cmyk4ToRgb(pl, w, h, adobe == 2))
+    }
+
+  /** 4-component progressive decode to 8-bit luma: BT.601 of
+    * [[decodeProgressiveRgb4]]. */
+  def decodeProgressiveLuma4(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeProgressiveRgb4(b).map { case (w, h, rgb) =>
+      (w, h, rgbToLuma(rgb, w * h))
+    }
+
+  private def decodeProgressivePlanesImpl(
+      b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]], Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     var w = -1; var h = -1
+    var adobe = -1 // APP14 color-transform flag (2 = YCCK)
     val quants = new Array[Array[Int]](4)
     val dcs = new Array[Map[(Int, Int), Int]](4)
     val acs = new Array[Map[(Int, Int), Int]](4)
@@ -1106,12 +1209,16 @@ object Jpeg {
             }
           case 0xdd =>
             if ((((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) != 0) return None
+          case 0xee => // APP14 "Adobe": transform byte at offset 11
+            if (len >= 14 && b(p) == 'A' && b(p + 1) == 'd' &&
+              b(p + 2) == 'o' && b(p + 3) == 'b' && b(p + 4) == 'e')
+              adobe = b(p + 11) & 0xff
           case 0xc2 =>
             if ((b(p) & 0xff) != 8) return None
             h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
             w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
             val nComp = b(p + 5) & 0xff
-            if (nComp != 1 && nComp != 3) return None
+            if (nComp != 1 && nComp != 3 && nComp != 4) return None
             if (w <= 0 || h <= 0) return None
             // bound total pixels BEFORE any plane allocation: 16-bit
             // dims can still multiply past Int range once channel and
@@ -1227,7 +1334,7 @@ object Jpeg {
       }
       o
     }
-    Some((w, h, out))
+    Some((w, h, out, adobe))
   }
 
   /** (width, height, components) from a progressive (SOF2) header. */

@@ -920,9 +920,18 @@ object Multimodal {
     else {
       val w = 8 * (1 + (id % 4).toInt)
       val h = 8 * (1 + (id % 3).toInt)
-      Jpeg.encodeJpegCmyk(w, h, (ci, bx, by) =>
-        ((id * (3 + 2 * ci) + 7L * bx + 13L * by + 29L * ci) % 256).toInt,
-        transform = if (id % 2 == 0) 0 else 2)
+      val comp = (ci: Int, bx: Int, by: Int) =>
+        ((id * (3 + 2 * ci) + 7L * bx + 13L * by + 29L * ci) % 256).toInt
+      val transform = if (id % 2 == 0) 0 else 2
+      // id%3==1 takes the PROGRESSIVE (SOF2) container — flat blocks
+      // reconstruct identically through either scan script, so the
+      // SAME closed-form oracle covers both (what rotates is the
+      // 4-component interleaved-DC walk + APP14 parse on the SOF2
+      // path)
+      if (id % 3 == 1)
+        Jpeg.encodeJpegProgressiveCmyk(w, h, comp, transform)
+      else
+        Jpeg.encodeJpegCmyk(w, h, comp, transform)
     }
 
   /** RGB decode stage: (doc_id, width, height, rgb, decoded) with

@@ -1150,6 +1150,26 @@ object Similarity {
       k, m, ks, dims, seed, maxIter, fitSample, roundTo, mode, refine)
   }
 
+  /** IVF-PQ under an OPQ pre-rotation — the full composed chain
+    * (FAISS's "OPQ,IVF,PQ" factory shape, cosine variant): the
+    * orthogonal rotation balances the subspaces the RESIDUAL PQ
+    * codes live in, the coarse quantizer prunes lists, and the
+    * default 4× exact refine re-ranks in rotated space (cosines are
+    * identical in either space). `np = true` seeds the rotation from
+    * the parametric solution and runs the Ge §4 alternation. */
+  def opqIvfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 64, nprobe: Int = 8, m: Int = 16, ks: Int = 16,
+      dims: Int = 64, seed: Long = 42L, maxIter: Int = 10,
+      fitSample: Int = 262144, roundTo: Int = 4, mode: String = "kmeans",
+      refine: Int = 4, np: Boolean = false, npIters: Int = 8): DataFrame = {
+    val rot =
+      if (np) opqRotationNP(corpus, dims, m, ks, npIters)
+      else opqRotation(corpus, dims, m)
+    ivfPqTopK(opqRotate(corpus, rot, dims), opqRotate(queries, rot, dims),
+      k, nlist, nprobe, m, ks, dims, seed, maxIter, fitSample, roundTo,
+      mode, refine)
+  }
+
   /** Persist an OPQ index — the fit-once shape a 100 TB corpus wants:
     * the rotation (parametric, or non-parametric with `np = true`) is
     * solved ONCE at build time and stored beside the PQ index of the

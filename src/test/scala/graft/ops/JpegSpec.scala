@@ -183,6 +183,30 @@ class JpegSpec extends AnyFunSuite {
     assert((rgb0(0) & 0xff) === s(0, 0, 0) * s(3, 0, 0) / 255)
   }
 
+  test("progressive CMYK/YCCK decodes identically to the baseline container") {
+    val w = 24; val h = 16
+    def s(ci: Int, bx: Int, by: Int): Int = (19 * ci + 5 * bx + 11 * by + 63) % 256
+    for (transform <- Seq(0, 2)) {
+      val base = Jpeg.encodeJpegCmyk(w, h, s, transform)
+      val prog = Jpeg.encodeJpegProgressiveCmyk(w, h, s, transform)
+      assert(Jpeg.decodeProgressiveHeader(prog) === Some((w, h, 4)))
+      val (bw2, bh2, baseRgb) = Jpeg.decodeJpegRgb4(base).get
+      val (pw, ph, progRgb) = Jpeg.decodeProgressiveRgb4(prog).get
+      assert(pw === bw2 && ph === bh2)
+      assert(progRgb.sameElements(baseRgb),
+        s"transform=$transform: progressive RGB diverged from baseline")
+      val (_, _, g) = Jpeg.decodeProgressiveLuma4(prog).get
+      val (_, _, bg) = Jpeg.decodeJpegLuma4(base).get
+      assert(g.sameElements(bg))
+      // and the gray dispatch routes it as a real decode
+      val Some((cw, chh, cg)) = Codecs.decodeGray(prog)
+      assert(cw === w && chh === h && cg.sameElements(g))
+    }
+    // a 4-component baseline stream must NOT enter the SOF2 path
+    assert(Jpeg.decodeProgressiveRgb4(
+      Jpeg.encodeJpegCmyk(w, h, s, 0)).isEmpty)
+  }
+
   test("byte stuffing: blocks whose entropy stream emits 0xFF") {
     // many distinct block values make some code stream byte equal FF;
     // decode must unstuff transparently. Probabilistic coverage over a
