@@ -136,17 +136,29 @@ object Graph {
     * Colloc's totals). */
   def pageRank(edges: DataFrame, nodes: DataFrame, node: Column,
       iters: Int, damping: Double = 0.85): DataFrame = {
-    val n = nodes.select(node.cast("long").as("node"))
-    val outDeg = edges.groupBy(col("src").as("node"))
+    // Pin the LOOP-INVARIANT inputs once: every iteration is its own
+    // eagerly-checkpointed job, so without this the edge derivation
+    // (often an explode+distinct funnel like linkGraph — two shuffles)
+    // re-runs 2-3x per iteration (dangling branch, contribution
+    // branch), and the node/count subtrees re-scan the source per
+    // round. Four fixed jobs replace O(iters) re-derivations; rank
+    // arithmetic (and so the result) is bit-identical. localCheckpoint
+    // preserves the origin plan's statistics, so join-strategy choices
+    // downstream are unchanged.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val n = nodes.select(node.cast("long").as("node")).localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("__deg"))
+      .localCheckpoint(true)
     val nCount = n.agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint(true)
     var ranks = n.crossJoin(nCount)
       .select(col("node"), quant(lit(1.0) / col("__n")).as("rank"))
     for (i <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       val dangling = withDeg.filter(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
-      val contribs = edges
+      val contribs = e
         .join(withDeg.filter(col("__deg").isNotNull)
           .withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -174,11 +186,15 @@ object Graph {
     * 2^k branch trap pageRank's scaladoc describes). */
   def hits(edges: DataFrame, nodes: DataFrame, node: Column,
       iters: Int): DataFrame = {
-    val n = nodes.select(node.cast("long").as("node"))
+    // same loop-invariant pinning as [[pageRank]]: each half-step is
+    // an eager checkpoint job, so unpinned edge/node subtrees would
+    // re-derive once per half-step (4x per iteration here)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val n = nodes.select(node.cast("long").as("node")).localCheckpoint(true)
     var hubs = n.withColumn("hub", lit(1.0))
     var auths = n.withColumn("auth", lit(0.0))
     for (i <- 1 to iters) {
-      val a0 = edges
+      val a0 = e
         .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__a"))
       val aTot = a0.agg(coalesce(sum(col("__a")), lit(0.0)).as("__t"))
@@ -187,7 +203,7 @@ object Graph {
           when(col("__t") > 0,
             quant(coalesce(col("__a"), lit(0.0)) / col("__t")))
             .otherwise(lit(0.0)).as("auth"))
-      val h0 = edges
+      val h0 = e
         .join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("__h"))
       val hTot = h0.agg(coalesce(sum(col("__h")), lit(0.0)).as("__t"))
@@ -214,13 +230,18 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
       node: Column, seeds: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
+    // same loop-invariant pinning as [[pageRank]]
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val n = nodes.select(node.cast("long").as("node"))
     val s = seeds.select(seeds.columns.head).toDF("node")
       .select(col("node").cast("long").as("node")).distinct()
     val sCount = s.agg(count(lit(1)).cast("double").as("__s"))
-    val outDeg = edges.groupBy(col("src").as("node"))
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("__deg"))
+      .localCheckpoint(true)
     val flagged = n.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .localCheckpoint(true)
     var ranks = flagged.crossJoin(sCount)
       .select(col("node"), col("__seed"),
         when(col("__seed").isNotNull, quant(lit(1.0) / col("__s")))
@@ -229,7 +250,7 @@ object Graph {
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       val dangling = withDeg.filter(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
-      val contribs = edges
+      val contribs = e
         .join(withDeg.filter(col("__deg").isNotNull)
           .select(col("node").as("src"), col("rank"), col("__deg")),
           Seq("src"))
