@@ -40,44 +40,55 @@ object LangModel {
     docs.select(id.as("doc_id"), text.as("__text"))
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
 
-  /** (doc_id, w1, w2, c) — per-document bigram counts. Documents with
-    * fewer than two tokens emit nothing. */
-  def docBigramCounts(docs: DataFrame, text: Column, id: Column): DataFrame = {
-    val t = tokens(col("__text"))
-    spread(docs, text, id)
-      .select(col("doc_id"), t.as("__t"))
-      .select(col("doc_id"),
-        explode(zip_with(
+  /** (doc_id, __t) — the spread, tokenized corpus. Every n-gram table
+    * of one scoring call derives from ONE of these (persisted by the
+    * caller), so the corpus is scanned and spread once per score, not
+    * once per n-gram order. */
+  private def tokenized(docs: DataFrame, text: Column, id: Column): DataFrame =
+    spread(docs, text, id).select(col("doc_id"), tokens(col("__text")).as("__t"))
+
+  /** (doc_id, w1, w2) — exploded bigrams from a [[tokenized]] frame.
+    * `arrays_zip(slice, slice)` rather than `zip_with`: arrays_zip is a
+    * plain codegen expression, zip_with's lambda is CodegenFallback
+    * (interpreted per row on the hottest projection of the family). */
+  private def bigramsFromTok(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"),
+        explode(arrays_zip(
           slice(col("__t"), lit(1), size(col("__t")) - 1),
-          slice(col("__t"), lit(2), size(col("__t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      .groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("c"))
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+
+  /** (doc_id, w1, w2, w3) — exploded trigrams from a [[tokenized]]
+    * frame. The `when` guard matters: slice length (size − 2) would be
+    * negative for sub-3-token docs, so they must short-circuit to a
+    * typed empty array (same guard as Mix.upsample's epoch sequence). */
+  private def trigramsFromTok(tok: DataFrame): DataFrame = {
+    val n = size(col("__t"))
+    val emptyTg = array().cast(ArrayType(StructType(Seq(
+      StructField("0", StringType), StructField("1", StringType),
+      StructField("2", StringType)))))
+    tok.select(col("doc_id"),
+        explode(when(n >= 3, arrays_zip(
+            slice(col("__t"), lit(1), n - 2),
+            slice(col("__t"), lit(2), n - 2),
+            slice(col("__t"), lit(3), n - 2)))
+          .otherwise(emptyTg)).as("tg"))
+      .select(col("doc_id"), col("tg.0").as("w1"), col("tg.1").as("w2"),
+        col("tg.2").as("w3"))
   }
 
-  /** (doc_id, w1, w2, w3, c) — per-document trigram counts. The
-    * `when` guard matters: Spark's `sequence(1, 0)` DESCENDS, so
-    * sub-3-token docs must short-circuit to an empty array (same
-    * guard as Mix.upsample's epoch sequence). */
-  def docTrigramCounts(docs: DataFrame, text: Column, id: Column): DataFrame = {
-    val t = tokens(col("__text"))
-    spread(docs, text, id)
-      .select(col("doc_id"), t.as("__t"))
-      .select(col("doc_id"),
-        explode(when(size(col("__t")) >= 3,
-          org.apache.spark.sql.functions.transform(
-            sequence(lit(1), size(col("__t")) - 2),
-            i => struct(element_at(col("__t"), i).as("w1"),
-              element_at(col("__t"), i + 1).as("w2"),
-              element_at(col("__t"), i + 2).as("w3"))))
-          .otherwise(array().cast(ArrayType(StructType(Seq(
-            StructField("w1", StringType), StructField("w2", StringType),
-            StructField("w3", StringType))))))).as("tg"))
-      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+  /** (doc_id, w1, w2, c) — per-document bigram counts. Documents with
+    * fewer than two tokens emit nothing. */
+  def docBigramCounts(docs: DataFrame, text: Column, id: Column): DataFrame =
+    bigramsFromTok(tokenized(docs, text, id))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+
+  /** (doc_id, w1, w2, w3, c) — per-document trigram counts. */
+  def docTrigramCounts(docs: DataFrame, text: Column, id: Column): DataFrame =
+    trigramsFromTok(tokenized(docs, text, id))
       .groupBy("doc_id", "w1", "w2", "w3")
       .agg(count(lit(1)).as("c"))
-  }
 
   /** Jelinek–Mercer interpolated trigram scoring (public: Jelinek &
     * Mercer 1980; the standard fixed-weight interpolation):
@@ -94,42 +105,51 @@ object LangModel {
       materialize: Boolean = true): DataFrame = {
     require(k > 0 && l3 >= 0 && l2 >= 0 && l1 > 0,
       "need k > 0 and a positive unigram floor weight")
-    // the per-doc n-gram tables each feed BOTH their global-count
-    // derivation and the scoring join — Catalyst can't reuse the
-    // scan+explode subplan across different grouping keys, so without
-    // persist() the corpus would re-explode once per count table (the
-    // dominating cost at scale). Same persist/materialize convention
-    // as the dedup funnels.
-    val d3 = docTrigramCounts(docs, text, id).persist()
-    val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123"))
+    // ONE tokenized corpus pass feeds every n-gram table (trigram,
+    // bigram, unigram) — before this the corpus was scanned, spread
+    // and re-tokenized once per order. The per-doc trigram table and
+    // the two multi-consumer type tables persist because Catalyst
+    // can't reuse a scan+explode subplan across different grouping
+    // keys. Same persist/materialize convention as the dedup funnels.
+    val tok = tokenized(docs, text, id).persist()
+    val d3 = trigramsFromTok(tok)
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("c"))
+      .persist()
+    val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123")).persist()
     val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
-    val d2 = docBigramCounts(docs, text, id).persist()
-    val c2all = d2.groupBy("w1", "w2").agg(sum("c").as("c2"))
+    val c2all = bigramsFromTok(tok)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2")).persist()
     val c2hist = c2all.groupBy("w1").agg(sum("c2").as("c2hist"))
     // one unigram table serves both the floor counts and the (N, V)
     // scalars — n_total = Σc1, v = |c1| — no second token explode
-    val c1 = docs.select(text.as("__text"))
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(explode(tokens(col("__text"))).as("tok"))
+    val c1 = tok.select(explode(col("__t")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1")).persist()
     val nv = c1.agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
     val p = lit(l3) * (col("c123") / col("c12")) +
       lit(l2) * (col("c2") / col("c2hist")) +
       lit(l1) * ((col("c1") + k) / (col("n_total") + lit(k) * col("v")))
-    val scored = d3.join(c123, Seq("w1", "w2", "w3"))
-      .join(c12, Seq("w1", "w2"))
+    // P̂ is a function of the trigram TYPE alone, so the five stat
+    // joins run on the type table (|types| rows) and the big per-doc
+    // table is exchanged ONCE, against the finished p-table — before
+    // this the per-doc table was shuffled through five different join
+    // keys (w1w2w3 → w1w2 → w2w3 → w2 → w3).
+    val ptab = c123.join(c12, Seq("w1", "w2"))
       .join(c2all.select(col("w1").as("w2"), col("w2").as("w3"),
         col("c2")), Seq("w2", "w3"))
       .join(c2hist.select(col("w1").as("w2"), col("c2hist")), Seq("w2"))
       .join(c1.select(col("tok").as("w3"), col("c1")), Seq("w3"))
       .crossJoin(broadcast(nv))
+      .select(col("w1"), col("w2"), col("w3"), p.as("__p"))
+    val scored = d3.join(ptab, Seq("w1", "w2", "w3"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_trigrams"),
-        round(sum(col("c") * -log(p)) / sum(col("c")), roundTo).as("nll"))
+        round(sum(col("c") * -log(col("__p"))) / sum(col("c")),
+          roundTo).as("nll"))
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      d3.unpersist(); d2.unpersist(); c1.unpersist()
+      tok.unpersist(); d3.unpersist(); c123.unpersist()
+      c2all.unpersist(); c1.unpersist()
       out
     }
   }
@@ -279,12 +299,16 @@ object LangModel {
       materialize: Boolean = true): DataFrame = {
     require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
     require(k > 0, "continuation floor needs k > 0")
-    val d3 = docTrigramCounts(docs, text, id).persist()
+    // one tokenized pass + type-level p-table — see [[scoreTrigram]]
+    val tok = tokenized(docs, text, id).persist()
+    val d3 = trigramsFromTok(tok)
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("c"))
+      .persist()
     // both TYPE tables feed several derivations each — persist like
     // the bigram model's
     val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123")).persist()
-    val c2 = docBigramCounts(docs, text, id)
-      .groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
+    val c2 = bigramsFromTok(tok)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2")).persist()
     val c12 = c123.groupBy("w1", "w2")
       .agg(sum("c123").as("c12"), count(lit(1)).as("n1lead12"))
     val n1c23 = c123.groupBy("w2", "w3").agg(count(lit(1)).as("n1c23"))
@@ -293,27 +317,27 @@ object LangModel {
     val n1c = c2.groupBy("w2").agg(count(lit(1)).as("n1cont"))
       .select(col("w2").as("w3"), col("n1cont"))
     val tv = c2.agg(count(lit(1)).as("t"))
-      .crossJoin(docs.select(text.as("__text"))
-        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-        .select(explode(tokens(col("__text"))).as("tok"))
+      .crossJoin(tok.select(explode(col("__t")).as("tok"))
         .agg(countDistinct("tok").as("v")))
     // inner joins: a trigram present in d3 implies every statistic
     // exists (its own history, its own middle, and bigram (w2,w3) ⇒
     // n1cont(w3) ≥ 1)
-    val scored = d3.join(c123, Seq("w1", "w2", "w3"))
-      .join(c12, Seq("w1", "w2"))
+    val ptab = c123.join(c12, Seq("w1", "w2"))
       .join(n1c23, Seq("w2", "w3"))
       .join(mid, Seq("w2"))
       .join(n1c, Seq("w3"))
       .crossJoin(broadcast(tv))
+      .select(col("w1"), col("w2"), col("w3"),
+        knP3(discount, k).as("__p"))
+    val scored = d3.join(ptab, Seq("w1", "w2", "w3"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_trigrams"),
-        round(sum(col("c") * -log(knP3(discount, k))) / sum(col("c")),
+        round(sum(col("c") * -log(col("__p"))) / sum(col("c")),
           roundTo).as("nll"))
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      d3.unpersist(); c123.unpersist(); c2.unpersist()
+      tok.unpersist(); d3.unpersist(); c123.unpersist(); c2.unpersist()
       out
     }
   }
@@ -427,28 +451,30 @@ object LangModel {
       k: Double = 0.5, roundTo: Int = 6,
       materialize: Boolean = true): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
-    // persisted: the per-doc table feeds both the global-count
-    // derivation and the scoring join — see scoreTrigram
-    val d = docBigramCounts(docs, text, id).persist()
-    val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2"))
+    // one tokenized pass + type-level p-table — see [[scoreTrigram]];
+    // the per-doc table persists because it feeds both the type-count
+    // derivation and the scoring join
+    val tok = tokenized(docs, text, id).persist()
+    val d = bigramsFromTok(tok)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      .persist()
+    val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val v = docs.select(text.as("__text"))
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(explode(tokens(col("__text"))).as("tok"))
+    val v = tok.select(explode(col("__t")).as("tok"))
       .agg(countDistinct("tok").as("v"))
-    val scored = d.join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val ptab = c2.join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        ((col("c2") + k) / (col("c1") + lit(k) * col("v"))).as("__p"))
+    val scored = d.join(ptab, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"),
-        round(
-          sum(col("c") * -log((col("c2") + k) /
-            (col("c1") + lit(k) * col("v")))) / sum(col("c")),
+        round(sum(col("c") * -log(col("__p"))) / sum(col("c")),
           roundTo).as("nll"))
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      d.unpersist()
+      tok.unpersist(); d.unpersist(); c2.unpersist()
       out
     }
   }
@@ -483,29 +509,32 @@ object LangModel {
       materialize: Boolean = true): DataFrame = {
     require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
     require(k > 0, "continuation floor needs k > 0")
-    val d = docBigramCounts(docs, text, id).persist()
+    // one tokenized pass + type-level p-table — see [[scoreTrigram]]
+    val tok = tokenized(docs, text, id).persist()
+    val d = bigramsFromTok(tok)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      .persist()
     // the TYPE table feeds four derivations — persist like the doc table
     val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
     val c1 = c2.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1lead"))
     val n1c = c2.groupBy("w2").agg(count(lit(1)).as("n1cont"))
     val tv = c2.agg(count(lit(1)).as("t"))
-      .crossJoin(docs.select(text.as("__text"))
-        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-        .select(explode(tokens(col("__text"))).as("tok"))
+      .crossJoin(tok.select(explode(col("__t")).as("tok"))
         .agg(countDistinct("tok").as("v")))
-    val scored = d.join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val ptab = c2.join(c1, Seq("w1"))
       .join(n1c, Seq("w2"))
       .crossJoin(broadcast(tv))
+      .select(col("w1"), col("w2"), knP(discount, k).as("__p"))
+    val scored = d.join(ptab, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"),
-        round(sum(col("c") * -log(knP(discount, k))) / sum(col("c")),
+        round(sum(col("c") * -log(col("__p"))) / sum(col("c")),
           roundTo).as("nll"))
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      d.unpersist(); c2.unpersist()
+      tok.unpersist(); d.unpersist(); c2.unpersist()
       out
     }
   }
