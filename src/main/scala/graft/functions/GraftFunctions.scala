@@ -345,6 +345,113 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Word k-shingles of a trim+lowercased text, duplicates KEPT — the
+    * fused form of Dedup.shingles' Column tree, whose
+    * transform(sequence, i => concat_ws(slice(split(...), i, k)))
+    * re-evaluates the SPLIT once per output gram when interpreted
+    * (higher-order functions are CodegenFallback): O(tokens²) per
+    * document, measured as the single-task 3.4s stage of
+    * dedup_snm_pairs at sf0.1. One split, one linear join pass here.
+    * Semantics mirror the Column twin exactly: SQL trim strips ONLY
+    * spaces, lowercase is UTF8String.toLowerCase (what Spark's lower()
+    * runs), split keeps trailing empties (limit −1), and texts with
+    * fewer than k tokens yield ONE whole-text gram. Null handling
+    * (null text → [""]) stays in the Column wrapper. */
+  def wordShingles(s: UTF8String, k: Int): ArrayData = {
+    val t = s.trim().toLowerCase.toString
+    val toks = wsRe.split(t, -1)
+    if (toks.length < k) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString(sb.toString)))
+    }
+    val cnt = toks.length - k + 1
+    val out = new Array[Any](cnt)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct character n-grams of a whitespace-normalized, lowercased
+    * text — the fused form of Dedup.charNgrams' Column tree, whose
+    * transform lambda re-runs the regexp_replace + lower per GRAM
+    * position (O(len²) interpreted). Semantics mirror the twin: norm =
+    * lower(regexp_replace(text, "\\s+", " ")) (java.util.regex, no
+    * flags — Spark's own engine), grams are code-POINT substrings at
+    * positions 1..max(len−n+1, 1) (so sub-n texts yield their whole
+    * self, like substr), distinct keeps first occurrence. Null text →
+    * [null] stays in the Column wrapper. */
+  def charNgramsDistinct(s: UTF8String, n: Int): ArrayData = {
+    val norm = UTF8String.fromString(
+      wsRe.matcher(s.toString).replaceAll(" ")).toLowerCase.toString
+    val total = norm.codePointCount(0, norm.length)
+    val cnt = math.max(total - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var start = 0
+    var end = norm.offsetByCodePoints(0, math.min(n, total))
+    var i = 0
+    while (i < cnt) {
+      seen.add(norm.substring(start, end))
+      if (i + 1 < cnt) {
+        start = norm.offsetByCodePoints(start, 1)
+        if (end < norm.length) end = norm.offsetByCodePoints(end, 1)
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Word n-grams of a space-TRIMMED (not lowercased) text, each gram
+    * lowercased after the join — the fused form of Spans.gramHits'
+    * Column tree (same interpreted O(tokens²) trap as
+    * [[wordShingles]]; tokenization differs: trim only, so case
+    * survives into the split, and sub-n texts yield an EMPTY array).
+    * Output order = gram start position, duplicates kept — posexplode
+    * upstream derives the 1-based span position from the index. */
+  def wordGramsLower(s: UTF8String, n: Int): ArrayData = {
+    val toks = wsRe.split(s.trim().toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val cnt = toks.length - n + 1
+    val out = new Array[Any](cnt)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString).toLowerCase
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", table A1 — the repetition family of
     * quality filters) in ONE pass over the document:
@@ -2289,6 +2396,56 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING × k → ARRAY<STRING>: word k-shingles, duplicates kept
+  * ([[Kernels.wordShingles]]'s contract). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_shingles needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.wordShingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** text STRING × n → ARRAY<STRING>: distinct char n-grams of the
+  * whitespace-normalized lowercase text
+  * ([[Kernels.charNgramsDistinct]]'s contract). */
+case class CharNgramsDistinct(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_ngrams_distinct needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.charNgramsDistinct(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charNgramsDistinct($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsDistinct =
+    copy(child = newChild)
+}
+
+/** text STRING × n → ARRAY<STRING>: positional word n-grams, grams
+  * lowercased after the join ([[Kernels.wordGramsLower]]'s
+  * contract). */
+case class WordGramsLower(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_grams_lower needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.wordGramsLower(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordGramsLower($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGramsLower =
+    copy(child = newChild)
+}
+
 /** path STRING → STRING: canonical percent-encoding for RFC 9309
   * matching ([[Kernels.percentNormalizeStr]]'s contract). */
 case class PercentNormalize(child: Expression) extends UnaryExpression {
@@ -2830,6 +2987,12 @@ object GraftFunctions {
     GraftColumnBridge.column(CharNgramHashes(e(text), n))
   def charGrams(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharGrams(e(text), n))
+  def wordShingles(text: Column, k: Int): Column =
+    GraftColumnBridge.column(WordShingles(e(text), k))
+  def charNgramsDistinct(text: Column, n: Int): Column =
+    GraftColumnBridge.column(CharNgramsDistinct(e(text), n))
+  def wordGramsLower(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordGramsLower(e(text), n))
   def wordGramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordGramHashes(e(text), n))
   def repetitionStats(text: Column): Column =

@@ -68,21 +68,28 @@ object Dedup {
   }
 
   /** Word k-shingles of a text column (array of strings). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(F.transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** Word k-shingles, duplicates kept — the fused codegen kernel
+    * ([[graft.functions.Kernels.wordShingles]]): the previous
+    * transform(sequence, i => concat_ws(slice(tokens(text), …)))
+    * Column tree re-evaluated the SPLIT per output gram when
+    * interpreted (higher-order functions are CodegenFallback), i.e.
+    * O(tokens²) per document on every shingle projection of the dedup
+    * family. Null text still yields [""] (the concat_ws(null) rule the
+    * oracle restates), handled in the wrapper because the kernel is
+    * null-intolerant. */
+  def shingles(text: Column, k: Int): Column =
+    when(text.isNull, array(lit("")))
+      .otherwise(graft.functions.GraftFunctions.wordShingles(text, k))
 
   /** Distinct character n-grams of a whitespace-normalized, lowercased
-    * text column. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(text, "\\s+", " "))
-    array_distinct(F.transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n))))
-  }
+    * text column — fused kernel
+    * ([[graft.functions.Kernels.charNgramsDistinct]]; the Column tree
+    * re-ran the regexp_replace + lower per gram position, O(len²)
+    * interpreted). Null text still yields [null] (substr-of-null per
+    * position, distinct'd), handled in the wrapper. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(text.isNull, array(lit(null).cast(StringType)))
+      .otherwise(graft.functions.GraftFunctions.charNgramsDistinct(text, n))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum XXH64 over the element set — a custom codegen

@@ -35,11 +35,15 @@ object Spans {
   /** Token n-gram start hits: (doc_id, pos 1-based, gram). The gram
     * is the lowercased space-join of tokens pos..pos+n-1. */
   def gramHits(docs: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
-    val toks = split(trim(col("__text")), "\\s+")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => lower(array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // fused kernel (graft.functions.Kernels.wordGramsLower): the
+    // Column tree (transform(sequence, i => lower(array_join(slice(
+    // split(...), i, n))))) re-ran the split per gram position when
+    // interpreted — O(tokens²) per document. Semantics identical:
+    // trim-only tokenization, gram lowercased after the join, sub-n
+    // docs yield an empty array; null text explodes to nothing either
+    // way (the kernel is null-intolerant).
+    val grams = graft.functions.GraftFunctions.wordGramsLower(
+      col("__text"), n)
     // exchange BELOW the gram projection: transform/slice/array_join
     // are interpreted higher-order expressions, and a coarse parquet
     // scan would serialize them on a task or two (same rule as
