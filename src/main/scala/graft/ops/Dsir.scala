@@ -55,11 +55,15 @@ object Dsir {
     val t = tokens(text)
     val base = docs.select(id.as("doc_id"), t.as("__t"))
     val uni = base.select(col("doc_id"), explode(col("__t")).as("g"))
+    // arrays_zip + concat after the explode rather than a zip_with
+    // lambda: plain codegen expressions instead of a CodegenFallback
+    // higher-order function (same swap as LangModel's n-gram tables)
     val bi = base.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("g"))
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("bg"))
+      .select(col("doc_id"),
+        concat(col("bg.0"), lit(" "), col("bg.1")).as("g"))
     uni.unionByName(bi)
       .select(col("doc_id"), bucketOf(col("g"), buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
@@ -89,7 +93,10 @@ object Dsir {
     val aB = lit(alpha * buckets)
     val lratio = log((col("ct") + alpha) / (col("nt") + aB)) -
       log((col("cr") + alpha) / (col("nr") + aB))
-    val out = d.join(global, Seq("b")).crossJoin(broadcast(totals))
+    // broadcast: the bucket-stats table is bounded by `buckets` rows
+    // BY CONSTRUCTION (4096 default), so the big per-doc table is
+    // never exchanged for this join at any corpus scale
+    val out = d.join(broadcast(global), Seq("b")).crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"),
         round(sum(col("c") * lratio), roundTo).as("logw"))
@@ -140,8 +147,9 @@ object Dsir {
     val lratio =
       log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + aB)) -
       log((coalesce(col("cr"), lit(0L)) + alpha) / (col("nr") + aB))
+    // broadcast: bounded by `buckets` rows — see [[logWeights]]
     docBucketCounts(docs, text, id, buckets)
-      .join(gb, Seq("b"), "left")
+      .join(broadcast(gb), Seq("b"), "left")
       .crossJoin(broadcast(metaDf))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"),

@@ -164,16 +164,19 @@ object LangModel {
       path: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docBigramCounts(docs, text, id)
-      .groupBy("w1", "w2").agg(sum("c").as("c2"))
-      .write.mode("overwrite").parquet(s"$path/pairs")
+    // one tokenized pass for the pair table + V — see
+    // [[buildTrigramStats]]
+    val tok = tokenized(docs, text, id).persist()
+    val v = try {
+      bigramsFromTok(tok)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      tok.select(explode(col("__t")).as("tok"))
+        .agg(countDistinct("tok")).head().getLong(0)
+    } finally tok.unpersist()
     spark.read.parquet(s"$path/pairs")
       .groupBy("w1").agg(sum("c2").as("c1"))
       .write.mode("overwrite").parquet(s"$path/hist")
-    val v = docs.select(text.as("__text"))
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(explode(tokens(col("__text"))).as("tok"))
-      .agg(countDistinct("tok")).head().getLong(0)
     Seq(v).toDF("v").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -215,17 +218,21 @@ object LangModel {
   def buildTrigramStats(docs: DataFrame, text: Column, id: Column,
       path: String): Unit = {
     val spark = docs.sparkSession
-    docTrigramCounts(docs, text, id)
-      .groupBy("w1", "w2", "w3").agg(sum("c").as("c123"))
-      .write.mode("overwrite").parquet(s"$path/tri")
-    docBigramCounts(docs, text, id)
-      .groupBy("w1", "w2").agg(sum("c").as("c2"))
-      .write.mode("overwrite").parquet(s"$path/pairs")
-    docs.select(text.as("__text"))
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(explode(tokens(col("__text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c1"))
-      .write.mode("overwrite").parquet(s"$path/uni")
+    // one tokenized corpus pass feeds all three stats writes — the
+    // same sharing as [[scoreTrigram]] (each write is its own job, so
+    // without the persist the corpus would re-tokenize per table)
+    val tok = tokenized(docs, text, id).persist()
+    try {
+      trigramsFromTok(tok)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        .write.mode("overwrite").parquet(s"$path/tri")
+      bigramsFromTok(tok)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      tok.select(explode(col("__t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+        .write.mode("overwrite").parquet(s"$path/uni")
+    } finally tok.unpersist()
     spark.read.parquet(s"$path/uni")
       .agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -370,16 +377,19 @@ object LangModel {
   def buildKnTrigramStats(docs: DataFrame, text: Column, id: Column,
       path: String): Unit = {
     val spark = docs.sparkSession
-    docTrigramCounts(docs, text, id)
-      .groupBy("w1", "w2", "w3").agg(sum("c").as("c123"))
-      .write.mode("overwrite").parquet(s"$path/tri")
-    docBigramCounts(docs, text, id)
-      .groupBy("w1", "w2").agg(sum("c").as("c2"))
-      .write.mode("overwrite").parquet(s"$path/pairs")
-    val v = docs.select(text.as("__text"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(explode(tokens(col("__text"))).as("tok"))
-      .agg(countDistinct("tok")).head().getLong(0)
+    // one tokenized pass for both type tables + V — see
+    // [[buildTrigramStats]]
+    val tok = tokenized(docs, text, id).persist()
+    val v = try {
+      trigramsFromTok(tok)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        .write.mode("overwrite").parquet(s"$path/tri")
+      bigramsFromTok(tok)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      tok.select(explode(col("__t")).as("tok"))
+        .agg(countDistinct("tok")).head().getLong(0)
+    } finally tok.unpersist()
     spark.read.parquet(s"$path/pairs")
       .agg(count(lit(1)).as("t")).select(col("t"), lit(v).as("v"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -560,13 +570,16 @@ object LangModel {
   def buildKnBigramStats(docs: DataFrame, text: Column, id: Column,
       path: String): Unit = {
     val spark = docs.sparkSession
-    docBigramCounts(docs, text, id)
-      .groupBy("w1", "w2").agg(sum("c").as("c2"))
-      .write.mode("overwrite").parquet(s"$path/pairs")
-    val v = docs.select(text.as("__text"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(explode(tokens(col("__text"))).as("tok"))
-      .agg(countDistinct("tok")).head().getLong(0)
+    // one tokenized pass for the pair table + V — see
+    // [[buildTrigramStats]]
+    val tok = tokenized(docs, text, id).persist()
+    val v = try {
+      bigramsFromTok(tok)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      tok.select(explode(col("__t")).as("tok"))
+        .agg(countDistinct("tok")).head().getLong(0)
+    } finally tok.unpersist()
     spark.read.parquet(s"$path/pairs")
       .agg(count(lit(1)).as("t")).select(col("t"), lit(v).as("v"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
