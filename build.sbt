@@ -37,4 +37,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench hygiene calls System.gc() before every timed run (it is what
+  // drives Spark's ContextCleaner on an otherwise idle heap). As full
+  // STW collections those System.gc()s poisoned the TIMED regions
+  // that followed them — class-unloading deopt churn and compaction
+  // made 4-8 random queries per 264-query session run 2-7s slow
+  // (measured r16: in-region GC 20.5s, warm_total 321.8s). Concurrent
+  // explicit GC keeps the cleaner triggering while taking the stalls
+  // out of the measurements: in-region GC 4.4s, warm_total 256.7s,
+  // same code, same methodology. A/Bed at 8g and 16g heaps.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -20,4 +20,5 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:+ExplicitGCInvokesConcurrent \
   -cp "$CP" "$@"

@@ -36,9 +36,17 @@ object LangModel {
     * — without this every count table serializes its explosion on a
     * task or two (same rule as the decontamination and span gram
     * streams). */
-  private def spread(docs: DataFrame, text: Column, id: Column): DataFrame =
-    docs.select(id.as("doc_id"), text.as("__text"))
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+  private def spread(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val sel = docs.select(id.as("doc_id"), text.as("__text"))
+    val target = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // scale-adaptive: a small-corpus scan arrives as 1-2 partitions
+    // and must be spread or the n-gram projections serialize on a
+    // task; a production-scale scan is already wider than the target,
+    // and round-robin shuffling the full text again would be pure
+    // cost. Counts are partition-order independent and the NLL sums
+    // are rounded, so the branch never changes results.
+    if (sel.rdd.getNumPartitions >= target) sel else sel.repartition(target)
+  }
 
   /** (doc_id, __t) — the spread, tokenized corpus. Every n-gram table
     * of one scoring call derives from ONE of these (persisted by the

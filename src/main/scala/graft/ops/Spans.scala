@@ -48,9 +48,15 @@ object Spans {
     // are interpreted higher-order expressions, and a coarse parquet
     // scan would serialize them on a task or two (same rule as
     // Decontaminate's gram stream) — round-robin them wide first
-    docs.select(id.as("doc_id"), text.as("__text"))
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), posexplode(grams).as(Seq("__p0", "gram")))
+    // scale-adaptive spread (same rule as LangModel.spread): only
+    // round-robin a NARROW scan wide; a production-scale input is
+    // already wider than the target and re-shuffling the full text
+    // would be pure cost
+    val sel = docs.select(id.as("doc_id"), text.as("__text"))
+    val target = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val wide = if (sel.rdd.getNumPartitions >= target) sel
+               else sel.repartition(target)
+    wide.select(col("doc_id"), posexplode(grams).as(Seq("__p0", "gram")))
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
         col("gram"))
   }
