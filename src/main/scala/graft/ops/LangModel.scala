@@ -66,6 +66,41 @@ object LangModel {
           slice(col("__t"), lit(2), size(col("__t")) - 1))).as("bg"))
       .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
 
+  /** (doc_id, w1, w2) — ONE generator emitting every token position:
+    * w2 is null at the last position. The bigram table is the
+    * w2-non-null subset and unigram/vocabulary statistics fall out of
+    * w1, so a self-scoring model needs exactly ONE corpus explosion —
+    * no separate unigram pass and, crucially, no persist of the full
+    * tokenized corpus across passes (at production scale that persist
+    * caches the entire tokenized corpus; guide §2.3/§2.4). All plain
+    * codegen expressions: concat/slice/arrays_zip. Null text → null
+    * padded array → explode emits nothing, exactly like the separate
+    * passes did. */
+  private def ngrams2(tok: DataFrame): DataFrame = {
+    val n = size(col("__t"))
+    val p = concat(col("__t"), array(lit(null).cast(StringType)))
+    tok.select(col("doc_id"),
+        explode(arrays_zip(slice(p, lit(1), n), slice(p, lit(2), n))).as("g"))
+      .select(col("doc_id"), col("g.0").as("w1"), col("g.1").as("w2"))
+  }
+
+  /** (doc_id, w1, w2, w3) — [[ngrams2]]'s trigram sibling: one row per
+    * token position, w2/w3 null in the last one/two positions. One
+    * explosion serves the trigram table (w3 non-null), the bigram
+    * table (w2 non-null) and the unigram/vocabulary statistics (w1),
+    * collapsing the three corpus passes of the old
+    * trigram+bigram+unigram derivation (r16 verdict item 4). */
+  private def ngrams3(tok: DataFrame): DataFrame = {
+    val n = size(col("__t"))
+    val nullS = lit(null).cast(StringType)
+    val p = concat(col("__t"), array(nullS, nullS))
+    tok.select(col("doc_id"),
+        explode(arrays_zip(slice(p, lit(1), n), slice(p, lit(2), n),
+          slice(p, lit(3), n))).as("g"))
+      .select(col("doc_id"), col("g.0").as("w1"), col("g.1").as("w2"),
+        col("g.2").as("w3"))
+  }
+
   /** (doc_id, w1, w2, w3) — exploded trigrams from a [[tokenized]]
     * frame. The `when` guard matters: slice length (size − 2) would be
     * negative for sub-3-token docs, so they must short-circuit to a
@@ -113,25 +148,27 @@ object LangModel {
       materialize: Boolean = true): DataFrame = {
     require(k > 0 && l3 >= 0 && l2 >= 0 && l1 > 0,
       "need k > 0 and a positive unigram floor weight")
-    // ONE tokenized corpus pass feeds every n-gram table (trigram,
-    // bigram, unigram) — before this the corpus was scanned, spread
-    // and re-tokenized once per order. The per-doc trigram table and
-    // the two multi-consumer type tables persist because Catalyst
-    // can't reuse a scan+explode subplan across different grouping
-    // keys. Same persist/materialize convention as the dedup funnels.
-    val tok = tokenized(docs, text, id).persist()
-    val d3 = trigramsFromTok(tok)
+    // ONE corpus explosion feeds every n-gram table (r16 verdict item
+    // 4): [[ngrams3]] emits each position's (w1, w2, w3) view with
+    // null tails, so the per-doc trigram table (w3 non-null), the
+    // bigram type table (w2 non-null) and the unigram table (w1) are
+    // all filters/aggregations of ONE aggregated frame. Only that
+    // small aggregated frame persists — the corpus-sized tokenized
+    // frame of the old three-pass shape no longer needs caching.
+    val dAll = ngrams3(tokenized(docs, text, id))
       .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("c"))
       .persist()
+    val d3 = dAll.filter(col("w3").isNotNull)
     val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123")).persist()
     val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
-    val c2all = bigramsFromTok(tok)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2")).persist()
+    val c2all = dAll.filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
     val c2hist = c2all.groupBy("w1").agg(sum("c2").as("c2hist"))
-    // one unigram table serves both the floor counts and the (N, V)
-    // scalars — n_total = Σc1, v = |c1| — no second token explode
-    val c1 = tok.select(explode(col("__t")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c1")).persist()
+    // every position contributes exactly its token as w1, so unigram
+    // counts and the (N, V) scalars fall out of the same frame —
+    // no token explode at all
+    val c1 = dAll.groupBy("w1").agg(sum("c").as("c1"))
+      .select(col("w1").as("tok"), col("c1")).persist()
     val nv = c1.agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
     val p = lit(l3) * (col("c123") / col("c12")) +
       lit(l2) * (col("c2") / col("c2hist")) +
@@ -156,7 +193,7 @@ object LangModel {
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      tok.unpersist(); d3.unpersist(); c123.unpersist()
+      dAll.unpersist(); c123.unpersist()
       c2all.unpersist(); c1.unpersist()
       out
     }
@@ -172,16 +209,17 @@ object LangModel {
       path: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // one tokenized pass for the pair table + V — see
-    // [[buildTrigramStats]]
-    val tok = tokenized(docs, text, id).persist()
+    // ONE corpus explosion for the pair table + V ([[ngrams2]]): the
+    // persisted frame is the aggregated TYPE table (plus one null-w2
+    // row per distinct last token), not the tokenized corpus — the
+    // only thing cached across the two jobs is vocabulary-sized
+    val gAll = ngrams2(tokenized(docs, text, id))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2")).persist()
     val v = try {
-      bigramsFromTok(tok)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      gAll.filter(col("w2").isNotNull)
         .write.mode("overwrite").parquet(s"$path/pairs")
-      tok.select(explode(col("__t")).as("tok"))
-        .agg(countDistinct("tok")).head().getLong(0)
-    } finally tok.unpersist()
+      gAll.agg(countDistinct("w1")).head().getLong(0)
+    } finally gAll.unpersist()
     spark.read.parquet(s"$path/pairs")
       .groupBy("w1").agg(sum("c2").as("c1"))
       .write.mode("overwrite").parquet(s"$path/hist")
@@ -226,21 +264,24 @@ object LangModel {
   def buildTrigramStats(docs: DataFrame, text: Column, id: Column,
       path: String): Unit = {
     val spark = docs.sparkSession
-    // one tokenized corpus pass feeds all three stats writes — the
-    // same sharing as [[scoreTrigram]] (each write is its own job, so
-    // without the persist the corpus would re-tokenize per table)
-    val tok = tokenized(docs, text, id).persist()
+    // ONE corpus explosion feeds all three stats writes ([[ngrams3]]):
+    // the persisted frame is the aggregated trigram TYPE table (w2/w3
+    // null-tail rows included), so the pair and unigram tables are
+    // aggregations of it — the old shape cached the full tokenized
+    // corpus across the three write jobs
+    val gAll = ngrams3(tokenized(docs, text, id))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c")).persist()
     try {
-      trigramsFromTok(tok)
-        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      gAll.filter(col("w3").isNotNull)
+        .select(col("w1"), col("w2"), col("w3"), col("c").as("c123"))
         .write.mode("overwrite").parquet(s"$path/tri")
-      bigramsFromTok(tok)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      gAll.filter(col("w2").isNotNull)
+        .groupBy("w1", "w2").agg(sum("c").as("c2"))
         .write.mode("overwrite").parquet(s"$path/pairs")
-      tok.select(explode(col("__t")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      gAll.groupBy("w1").agg(sum("c").as("c1"))
+        .select(col("w1").as("tok"), col("c1"))
         .write.mode("overwrite").parquet(s"$path/uni")
-    } finally tok.unpersist()
+    } finally gAll.unpersist()
     spark.read.parquet(s"$path/uni")
       .agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -314,16 +355,16 @@ object LangModel {
       materialize: Boolean = true): DataFrame = {
     require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
     require(k > 0, "continuation floor needs k > 0")
-    // one tokenized pass + type-level p-table — see [[scoreTrigram]]
-    val tok = tokenized(docs, text, id).persist()
-    val d3 = trigramsFromTok(tok)
+    // ONE corpus explosion + type-level p-table — see [[scoreTrigram]]
+    val dAll = ngrams3(tokenized(docs, text, id))
       .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("c"))
       .persist()
+    val d3 = dAll.filter(col("w3").isNotNull)
     // both TYPE tables feed several derivations each — persist like
     // the bigram model's
     val c123 = d3.groupBy("w1", "w2", "w3").agg(sum("c").as("c123")).persist()
-    val c2 = bigramsFromTok(tok)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2")).persist()
+    val c2 = dAll.filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
     val c12 = c123.groupBy("w1", "w2")
       .agg(sum("c123").as("c12"), count(lit(1)).as("n1lead12"))
     val n1c23 = c123.groupBy("w2", "w3").agg(count(lit(1)).as("n1c23"))
@@ -332,8 +373,7 @@ object LangModel {
     val n1c = c2.groupBy("w2").agg(count(lit(1)).as("n1cont"))
       .select(col("w2").as("w3"), col("n1cont"))
     val tv = c2.agg(count(lit(1)).as("t"))
-      .crossJoin(tok.select(explode(col("__t")).as("tok"))
-        .agg(countDistinct("tok").as("v")))
+      .crossJoin(dAll.agg(countDistinct("w1").as("v")))
     // inner joins: a trigram present in d3 implies every statistic
     // exists (its own history, its own middle, and bigram (w2,w3) ⇒
     // n1cont(w3) ≥ 1)
@@ -352,7 +392,7 @@ object LangModel {
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      tok.unpersist(); d3.unpersist(); c123.unpersist(); c2.unpersist()
+      dAll.unpersist(); c123.unpersist(); c2.unpersist()
       out
     }
   }
@@ -385,19 +425,19 @@ object LangModel {
   def buildKnTrigramStats(docs: DataFrame, text: Column, id: Column,
       path: String): Unit = {
     val spark = docs.sparkSession
-    // one tokenized pass for both type tables + V — see
+    // ONE corpus explosion for both type tables + V — see
     // [[buildTrigramStats]]
-    val tok = tokenized(docs, text, id).persist()
+    val gAll = ngrams3(tokenized(docs, text, id))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c")).persist()
     val v = try {
-      trigramsFromTok(tok)
-        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      gAll.filter(col("w3").isNotNull)
+        .select(col("w1"), col("w2"), col("w3"), col("c").as("c123"))
         .write.mode("overwrite").parquet(s"$path/tri")
-      bigramsFromTok(tok)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      gAll.filter(col("w2").isNotNull)
+        .groupBy("w1", "w2").agg(sum("c").as("c2"))
         .write.mode("overwrite").parquet(s"$path/pairs")
-      tok.select(explode(col("__t")).as("tok"))
-        .agg(countDistinct("tok")).head().getLong(0)
-    } finally tok.unpersist()
+      gAll.agg(countDistinct("w1")).head().getLong(0)
+    } finally gAll.unpersist()
     spark.read.parquet(s"$path/pairs")
       .agg(count(lit(1)).as("t")).select(col("t"), lit(v).as("v"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -469,17 +509,17 @@ object LangModel {
       k: Double = 0.5, roundTo: Int = 6,
       materialize: Boolean = true): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
-    // one tokenized pass + type-level p-table — see [[scoreTrigram]];
-    // the per-doc table persists because it feeds both the type-count
-    // derivation and the scoring join
-    val tok = tokenized(docs, text, id).persist()
-    val d = bigramsFromTok(tok)
+    // ONE corpus explosion + type-level p-table — see [[scoreTrigram]]:
+    // the per-position frame persists because it feeds the type-count
+    // derivation, the vocabulary scalar AND the scoring join; nothing
+    // corpus-sized is cached
+    val dAll = ngrams2(tokenized(docs, text, id))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
       .persist()
+    val d = dAll.filter(col("w2").isNotNull)
     val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val v = tok.select(explode(col("__t")).as("tok"))
-      .agg(countDistinct("tok").as("v"))
+    val v = dAll.agg(countDistinct("w1").as("v"))
     val ptab = c2.join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("w1"), col("w2"),
@@ -492,7 +532,7 @@ object LangModel {
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      tok.unpersist(); d.unpersist(); c2.unpersist()
+      dAll.unpersist(); c2.unpersist()
       out
     }
   }
@@ -527,19 +567,18 @@ object LangModel {
       materialize: Boolean = true): DataFrame = {
     require(discount > 0 && discount < 1, "kneser-ney needs 0 < D < 1")
     require(k > 0, "continuation floor needs k > 0")
-    // one tokenized pass + type-level p-table — see [[scoreTrigram]]
-    val tok = tokenized(docs, text, id).persist()
-    val d = bigramsFromTok(tok)
+    // ONE corpus explosion + type-level p-table — see [[scoreTrigram]]
+    val dAll = ngrams2(tokenized(docs, text, id))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
       .persist()
+    val d = dAll.filter(col("w2").isNotNull)
     // the TYPE table feeds four derivations — persist like the doc table
     val c2 = d.groupBy("w1", "w2").agg(sum("c").as("c2")).persist()
     val c1 = c2.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1lead"))
     val n1c = c2.groupBy("w2").agg(count(lit(1)).as("n1cont"))
     val tv = c2.agg(count(lit(1)).as("t"))
-      .crossJoin(tok.select(explode(col("__t")).as("tok"))
-        .agg(countDistinct("tok").as("v")))
+      .crossJoin(dAll.agg(countDistinct("w1").as("v")))
     val ptab = c2.join(c1, Seq("w1"))
       .join(n1c, Seq("w2"))
       .crossJoin(broadcast(tv))
@@ -552,7 +591,7 @@ object LangModel {
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)
-      tok.unpersist(); d.unpersist(); c2.unpersist()
+      dAll.unpersist(); c2.unpersist()
       out
     }
   }
@@ -578,16 +617,15 @@ object LangModel {
   def buildKnBigramStats(docs: DataFrame, text: Column, id: Column,
       path: String): Unit = {
     val spark = docs.sparkSession
-    // one tokenized pass for the pair table + V — see
+    // ONE corpus explosion for the pair table + V — see
     // [[buildTrigramStats]]
-    val tok = tokenized(docs, text, id).persist()
+    val gAll = ngrams2(tokenized(docs, text, id))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2")).persist()
     val v = try {
-      bigramsFromTok(tok)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      gAll.filter(col("w2").isNotNull)
         .write.mode("overwrite").parquet(s"$path/pairs")
-      tok.select(explode(col("__t")).as("tok"))
-        .agg(countDistinct("tok")).head().getLong(0)
-    } finally tok.unpersist()
+      gAll.agg(countDistinct("w1")).head().getLong(0)
+    } finally gAll.unpersist()
     spark.read.parquet(s"$path/pairs")
       .agg(count(lit(1)).as("t")).select(col("t"), lit(v).as("v"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
