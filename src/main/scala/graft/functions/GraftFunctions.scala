@@ -483,6 +483,45 @@ object Kernels {
     * greedy left-to-right non-overlapping pair merge (the reference
     * scan — identical output to the fold's last-symbol rule). Empty
     * words contribute nothing. `merges` flattened [a0,b0,a1,b1,…]. */
+  /** One greedy left-to-right merge-fold pass over a symbol sequence
+    * under a batch of symbol-disjoint rules — the fused form of
+    * [[graft.ops.Bpe.mergeOnce]]/[[graft.ops.Bpe.mergeBatch]]'s
+    * interpreted `aggregate` lambda (CodegenFallback, re-allocating
+    * the accumulator array per element). Exact fold semantics: if the
+    * OUTPUT's last symbol equals some a_i and the current input symbol
+    * equals b_i, replace the last with a_i+b_i (a fresh product never
+    * re-merges, since products never equal a left operand for
+    * non-empty b_i), else append. `rules` flattened [a0,b0,a1,b1,…];
+    * null elements never match and append unchanged, like the lambda's
+    * null-propagating equality. */
+  def mergeFold(syms: ArrayData, rules: Array[UTF8String]): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[Any](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val s = syms.getUTF8String(i)
+      var merged: UTF8String = null
+      if (m > 0 && s != null) {
+        val last = out(m - 1).asInstanceOf[UTF8String]
+        if (last != null) {
+          var j = 0
+          while (j < rules.length && merged == null) {
+            if (rules(j).equals(last) && rules(j + 1).equals(s))
+              merged = UTF8String.concat(rules(j), rules(j + 1))
+            j += 2
+          }
+        }
+      }
+      if (merged != null) out(m - 1) = merged
+      else { out(m) = s; m += 1 }
+      i += 1
+    }
+    if (m == n) new GenericArrayData(out)
+    else new GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m))
+  }
+
   def bpeTokenCount(s: UTF8String, merges: Array[String]): Long = {
     val words = s.trim.toLowerCase.toString.split("\\s+")
     var total = 0L
@@ -2823,6 +2862,34 @@ case class RangeBucket(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** ARRAY<STRING> → ARRAY<STRING>: one greedy merge-fold pass under a
+  * batch of rules ([[Kernels.mergeFold]]) — replaces the per-round
+  * interpreted `aggregate` lambda of the BPE trainers with one codegen
+  * node. The rule batch rides a reference object, so every training
+  * round generates IDENTICAL code and hits the codegen cache instead
+  * of re-compiling a fresh lambda tree per merge. */
+case class MergeFold(child: Expression, rules: Array[String])
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = child.dataType
+  @transient private lazy val rulesU8: Array[UTF8String] =
+    rules.map(UTF8String.fromString)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"merge_fold needs ARRAY<STRING>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.mergeFold(input.asInstanceOf[ArrayData], rulesU8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rRef = ctx.addReferenceObj("bpeMergeRules", rulesU8,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.mergeFold($c, $rRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergeFold =
+    copy(child = newChild)
+}
+
 case class BpeCount(child: Expression, merges: Array[String])
     extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -3021,6 +3088,8 @@ object GraftFunctions {
     GraftColumnBridge.column(TextStatsCounts(e(text)))
   def bpeCount(text: Column, merges: Array[String]): Column =
     GraftColumnBridge.column(BpeCount(e(text), merges))
+  def mergeFold(syms: Column, rules: Array[String]): Column =
+    GraftColumnBridge.column(MergeFold(e(syms), rules))
   def rangeBucket(key: Column, id: Column, cutKeys: Array[String],
       cutIds: Array[Long]): Column =
     GraftColumnBridge.column(RangeBucket(e(key), e(id), cutKeys, cutIds))

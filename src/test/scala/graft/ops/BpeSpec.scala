@@ -189,4 +189,42 @@ class BpeSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(one === batch && batch === Seq("ab", "c", "ab"))
   }
+
+  test("mergeFold kernel equals the interpreted aggregate fold on adversarial sequences") {
+    // the reference fold the kernel replaced (r17): accumulator-tail
+    // probe with null-propagating equality, greedy left-to-right,
+    // fresh products never re-merge within the pass
+    def foldRef(syms: org.apache.spark.sql.Column, a: String,
+        b: String): org.apache.spark.sql.Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    val fixtures = Seq(
+      Seq("a", "a", "a", "a"),          // overlapping runs: greedy non-overlap
+      Seq("a", "b", "a", "b", "a"),     // alternating
+      Seq("b", "a", "b"),               // rule never fires at head
+      Seq("a"), Seq.empty[String],      // short/empty
+      Seq("ab", "a", "b", "ab"),        // product symbol already present
+      Seq("x", "y", "z"))               // no match at all
+    for (f <- fixtures; (a, b) <- Seq(("a", "a"), ("a", "b"), ("ab", "a"))) {
+      val df = Seq(Tuple1(f)).toDF("syms")
+      val ref = df.select(foldRef(col("syms"), a, b).as("s"))
+        .as[Seq[String]].head()
+      val kern = df.select(Bpe.mergeOnce(col("syms"), a, b).as("s"))
+        .as[Seq[String]].head()
+      assert(kern === ref, s"fixture $f rule ($a,$b)")
+    }
+    // multi-rule batch: kernel vs sequential reference application of
+    // symbol-disjoint rules (the trainBatched acceptance invariant)
+    val rules = Seq(("a", "b"), ("c", "d"))
+    val f = Seq("a", "b", "c", "d", "a", "c", "b", "d", "a", "b")
+    val df = Seq(Tuple1(f)).toDF("syms")
+    val seqRef = df.select(
+        foldRef(foldRef(col("syms"), "a", "b"), "c", "d").as("s"))
+      .as[Seq[String]].head()
+    val kern = df.select(Bpe.mergeBatch(col("syms"), rules).as("s"))
+      .as[Seq[String]].head()
+    assert(kern === seqRef)
+  }
 }
