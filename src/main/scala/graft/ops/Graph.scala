@@ -30,6 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pin a loop-invariant or per-round frame for the iterative
+    * algorithms. Default = `localCheckpoint(eager)`: lineage-
+    * truncating and cheap, but NOT fault-tolerant — the pinned blocks
+    * live in executor storage (memory, spilling to local disk), so an
+    * executor loss mid-iteration FAILS the job instead of recomputing,
+    * and every pinned frame must fit in cluster storage. That is the
+    * standard trade for iterative graph algorithms (the alternative —
+    * re-deriving the edge projection per iteration — costs more than
+    * it insures), and the frames pinned here are projected to the
+    * minimal columns first (edges to 2, ranks to 2).
+    *
+    * Cluster escape hatch: set `spark.graft.checkpoint.dir` on the
+    * session and pins become RELIABLE checkpoints (written to that
+    * fault-tolerant dir, surviving executor loss) — same values, same
+    * downstream plan shape, strictly slower on a single box, which is
+    * why it is off by default and off in the bench. */
+  private def pin(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Deterministic, engine-portable synthetic link graph: doc `i`
     * emits `fanout` out-links `j = 1..fanout` to
     * `hexval(md5("<i>#l<j>"), 8 nibbles) mod nNodes`, self-loops
@@ -145,13 +170,13 @@ object Graph {
     // arithmetic (and so the result) is bit-identical. localCheckpoint
     // preserves the origin plan's statistics, so join-strategy choices
     // downstream are unchanged.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val n = nodes.select(node.cast("long").as("node")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(pin)
+    val n = nodes.select(node.cast("long").as("node")).transform(pin)
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("__deg"))
-      .localCheckpoint(true)
+      .transform(pin)
     val nCount = n.agg(count(lit(1)).cast("double").as("__n"))
-      .localCheckpoint(true)
+      .transform(pin)
     var ranks = n.crossJoin(nCount)
       .select(col("node"), quant(lit(1.0) / col("__n")).as("rank"))
     for (i <- 1 to iters) {
@@ -169,7 +194,7 @@ object Graph {
           quant(lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dangling") / col("__n"))).as("rank"))
-      if (i < iters) ranks = ranks.localCheckpoint(true)
+      if (i < iters) ranks = ranks.transform(pin)
     }
     ranks
   }
@@ -189,8 +214,8 @@ object Graph {
     // same loop-invariant pinning as [[pageRank]]: each half-step is
     // an eager checkpoint job, so unpinned edge/node subtrees would
     // re-derive once per half-step (4x per iteration here)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val n = nodes.select(node.cast("long").as("node")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(pin)
+    val n = nodes.select(node.cast("long").as("node")).transform(pin)
     var hubs = n.withColumn("hub", lit(1.0))
     var auths = n.withColumn("auth", lit(0.0))
     for (i <- 1 to iters) {
@@ -212,8 +237,8 @@ object Graph {
           when(col("__t") > 0,
             quant(coalesce(col("__h"), lit(0.0)) / col("__t")))
             .otherwise(lit(0.0)).as("hub"))
-      auths = auths.localCheckpoint(true)
-      if (i < iters) hubs = hubs.localCheckpoint(true)
+      auths = auths.transform(pin)
+      if (i < iters) hubs = hubs.transform(pin)
     }
     hubs.join(auths, Seq("node"))
   }
@@ -231,17 +256,17 @@ object Graph {
       node: Column, seeds: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     // same loop-invariant pinning as [[pageRank]]
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(pin)
     val n = nodes.select(node.cast("long").as("node"))
     val s = seeds.select(seeds.columns.head).toDF("node")
       .select(col("node").cast("long").as("node")).distinct()
     val sCount = s.agg(count(lit(1)).cast("double").as("__s"))
-      .localCheckpoint(true)
+      .transform(pin)
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("__deg"))
-      .localCheckpoint(true)
+      .transform(pin)
     val flagged = n.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
-      .localCheckpoint(true)
+      .transform(pin)
     var ranks = flagged.crossJoin(sCount)
       .select(col("node"), col("__seed"),
         when(col("__seed").isNotNull, quant(lit(1.0) / col("__s")))
@@ -264,7 +289,7 @@ object Graph {
               (lit(1.0 - damping) + lit(damping) * col("__dangling")) /
                 col("__s")).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
-      if (i < iters) ranks = ranks.localCheckpoint(true)
+      if (i < iters) ranks = ranks.transform(pin)
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -292,7 +317,7 @@ object Graph {
     * closed-form fixtures (cliques survive, trees peel to nothing). */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 1000): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
-    var und = undirected(edges).localCheckpoint(true)
+    var und = undirected(edges).transform(pin)
     var prev = und.count()
     var done = prev == 0
     var it = 0
@@ -304,7 +329,7 @@ object Graph {
       val pruned = und
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .transform(pin)
       val now = pruned.count()
       done = now == prev || now == 0
       prev = now
@@ -341,12 +366,12 @@ object Graph {
     * zero-fill, as in [[degrees]]. */
   def coreNumbers(edges: DataFrame, maxIter: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = undirected(edges).localCheckpoint(true)
+    val und = undirected(edges).transform(pin)
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint(true)
+      .transform(pin)
     var cur = adj.groupBy("node").agg(count(lit(1)).as("core"))
-      .localCheckpoint(true)
+      .transform(pin)
     var it = 0
     var done = adj.isEmpty
     while (!done && it < maxIter) {
@@ -356,14 +381,18 @@ object Graph {
         .orderBy(col("__c").desc, col("nbr"))
       val h = nb.withColumn("__rn", row_number().over(w).cast("long"))
         .groupBy("node").agg(max(least(col("__rn"), col("__c"))).as("core"))
-      val next = h.localCheckpoint(true)
+      // fold the convergence probe INTO the pinned frame (r17): joining
+      // the previous values before the localCheckpoint makes the
+      // per-round "changed" count a scan of pinned local blocks instead
+      // of a second join job per round. H-update arithmetic untouched.
+      val next = h
+        .join(cur.withColumnRenamed("core", "__prev"), Seq("node"))
+        .transform(pin)
       // convergence = zero nodes moved; the H-sequence is monotone
       // non-increasing so "changed" is exactly "decreased"
-      val changed = next
-        .join(cur.withColumnRenamed("core", "__prev"), Seq("node"))
-        .filter(col("core") =!= col("__prev")).count()
+      val changed = next.filter(col("core") =!= col("__prev")).count()
       done = changed == 0
-      cur = next
+      cur = next.select("node", "core")
       it += 1
     }
     require(done,
@@ -401,7 +430,7 @@ object Graph {
     // oriented table o is consumed THREE times (two wedge sides + the
     // closing probe) — pin both or the wedge join rebuilds the whole
     // orientation pipeline per consumer (the 2^k branch trap)
-    val und = undirected(edges).localCheckpoint(true)
+    val und = undirected(edges).transform(pin)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -417,7 +446,7 @@ object Graph {
           .otherwise(struct(col("b").as("u"), col("a").as("v"),
             key(col("__da"), col("a")).as("kv"))).as("__e"))
       .select(col("__e.u").as("u"), col("__e.v").as("v"), col("__e.kv"))
-      .localCheckpoint(true)
+      .transform(pin)
     val wedges = o.select(col("u"), col("v"), col("kv"))
       .join(o.select(col("u"), col("v").as("w"), col("kv").as("kw")),
         Seq("u"))
