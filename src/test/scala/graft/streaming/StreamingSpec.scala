@@ -23,6 +23,26 @@ class StreamingSpec extends AnyFunSuite {
 
   val T0 = 500000L * 3600L
 
+  /** State-store metrics (max memory bytes, max rows) from a query's
+    * progress reports. `processAllAvailable` guarantees the batches
+    * COMMITTED, but the progress array is appended by the stream
+    * thread after the commit — under heavy machine load a read
+    * immediately after processAllAvailable can observe it before the
+    * last report lands (the r16 driver verify saw this suite flake
+    * once in a loaded 14-minute run). Poll briefly instead of
+    * crashing on an empty/stale snapshot. */
+  private def stateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    var tries = 0
+    while (tries < 100) {
+      val ops = q.recentProgress.flatMap(_.stateOperators)
+      if (ops.nonEmpty)
+        return (ops.map(_.memoryUsedBytes).max, ops.map(_.numRowsTotal).max)
+      Thread.sleep(50)
+      tries += 1
+    }
+    fail("no state-operator progress visible after 5s")
+  }
+
   val minuteHour: Map[String, IntervalSpec] = Map(
     "minute" -> IntervalSpec(TimeStep(60L), Some(5), None),
     "hour"   -> IntervalSpec(TimeStep(3600L), None, Some(TimeStep(60L))))
@@ -167,9 +187,7 @@ class StreamingSpec extends AnyFunSuite {
       val (b1, b2) = rows.splitAt(rows.size / 2)
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
-      val prog = q.recentProgress.flatMap(_.stateOperators)
-      val stateBytes = prog.map(_.memoryUsedBytes).max
-      val stateRows = prog.map(_.numRowsTotal).max
+      val (stateBytes, stateRows) = stateMetrics(q)
       val hist = spark.table(qn).select(explode(col("value")))
         .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
       q.stop()
@@ -219,8 +237,7 @@ class StreamingSpec extends AnyFunSuite {
       val (b1, b2) = rows.splitAt(n / 2)
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
-      val bytes = q.recentProgress.flatMap(_.stateOperators)
-        .map(_.memoryUsedBytes).max
+      val (bytes, _) = stateMetrics(q)
       val vals = spark.table(qn).select(explode(col("value")))
         .collect().map(_.getDouble(0)).toSeq
       q.stop()
